@@ -1,0 +1,704 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables
+
+/** Relational operator suite (SURVEY.md §2.2) on the TPC-H-ish driver
+  * tables. Every query is declarative DataFrame code — Catalyst gets
+  * full pushdown/pruning/reorder freedom — with join strategies chosen
+  * for 100 TB (broadcast dims, shuffle facts, AQE for skew).
+  */
+object Relational {
+
+  /** Exact decimal for money columns (2dp data — cast is lossless). */
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Exact decimal for rate columns (discount/tax, 2dp in [0,1)). */
+  private def dec4(c: Column): Column = c.cast(DecimalType(4, 2))
+  private def sumd(c: Column): Column = sum(c).cast("double")
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "q01_pricing_agg",
+      "TPC-H Q1 style pricing summary: groupBy agg with exact decimal sums",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "lineitem")
+          .filter($"l_shipdate" <= ts("1998-09-02 00:00:00"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sumd(dec2($"l_quantity")).as("sum_qty"),
+            sumd(dec2($"l_extendedprice")).as("sum_base_price"),
+            sumd(dec2($"l_extendedprice") * (lit(1) - dec4($"l_discount"))).as("sum_disc_price"),
+            sumd(dec2($"l_extendedprice") * (lit(1) - dec4($"l_discount")) * (lit(1) + dec4($"l_tax"))).as("sum_charge"),
+            (sum(dec2($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")
+    ),
+
+    Q(
+      "q02_filter_project",
+      "Predicate + projection pushed to the parquet scan",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "lineitem")
+          .filter(
+            $"l_shipdate" >= ts("1996-01-01 00:00:00") &&
+              $"l_shipdate" < ts("1996-04-01 00:00:00") &&
+              $"l_discount" > 0.05
+          )
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' AND l_discount > 0.05
+        ORDER BY l_orderkey, l_linenumber""")
+    ),
+
+    Q(
+      "q03_join_agg",
+      "TPC-H Q3 style: 3-way join + agg + deterministic top-10",
+      (spark, dir) => {
+        import spark.implicits._
+        val cust = t(spark, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val ord = t(spark, dir, "orders").filter($"o_orderdate" < ts("1996-03-15 00:00:00"))
+        val li = t(spark, dir, "lineitem").filter($"l_shipdate" > ts("1996-03-15 00:00:00"))
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate")
+          .agg(sumd(dec2($"l_extendedprice") * (lit(1) - dec4($"l_discount"))).as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""")
+    ),
+
+    Q(
+      "q04_semi_join",
+      "EXISTS re-expressed as left_semi (no row duplication, no distinct)",
+      (spark, dir) => {
+        import spark.implicits._
+        val big = t(spark, dir, "lineitem").filter($"l_quantity" > 45).select($"l_orderkey")
+        t(spark, dir, "orders")
+          .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+
+    Q(
+      "q05_multi_join",
+      "TPC-H Q5 style 6-way star join; dims broadcast, facts shuffle",
+      (spark, dir) => {
+        import spark.implicits._
+        val region = t(spark, dir, "region").filter($"r_name" === "ASIA")
+        val nation = t(spark, dir, "nation")
+        val cust = t(spark, dir, "customer")
+        val ord = t(spark, dir, "orders").filter(
+          $"o_orderdate" >= ts("1995-01-01 00:00:00") && $"o_orderdate" < ts("1996-01-01 00:00:00")
+        )
+        val li = t(spark, dir, "lineitem")
+        val supp = t(spark, dir, "supplier")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(sumd(dec2($"l_extendedprice") * (lit(1) - dec4($"l_discount"))).as("revenue"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY n_name ORDER BY n_name""")
+    ),
+
+    Q(
+      "q06_conditional_agg",
+      "TPC-H Q6 style: tight range filters feeding one exact sum",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "lineitem")
+          .filter(
+            $"l_shipdate" >= ts("1996-01-01 00:00:00") &&
+              $"l_shipdate" < ts("1997-01-01 00:00:00") &&
+              $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24
+          )
+          .agg(
+            sumd(dec2($"l_extendedprice") * dec4($"l_discount")).as("revenue"),
+            count(lit(1)).as("n_rows")
+          )
+      },
+      Some("""SELECT
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")
+    ),
+
+    Q(
+      "q07_anti_join",
+      "NOT EXISTS re-expressed as left_anti",
+      (spark, dir) => {
+        import spark.implicits._
+        val urgent = t(spark, dir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT")
+          .select($"o_custkey")
+        t(spark, dir, "customer")
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"), sumd(dec2($"c_acctbal")).as("total_bal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    ),
+
+    Q(
+      "q08_outer_join",
+      "Left outer join preserving zero-order customers; order-count histogram",
+      (spark, dir) => {
+        import spark.implicits._
+        val ord = t(spark, dir, "orders").select($"o_custkey", $"o_orderkey")
+        t(spark, dir, "customer")
+          .join(ord, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("n_orders"))
+          .groupBy($"n_orders")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy($"n_orders")
+      },
+      Some("""WITH c AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_custkey)
+        SELECT n_orders, COUNT(*) AS n_customers FROM c
+        GROUP BY n_orders ORDER BY n_orders""")
+    ),
+
+    Q(
+      "q09_distinct",
+      "Distinct projection (shuffle dedup)",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "orders")
+          .select($"o_orderstatus", $"o_orderpriority")
+          .distinct()
+          .orderBy($"o_orderstatus", $"o_orderpriority")
+      },
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        ORDER BY o_orderstatus, o_orderpriority""")
+    ),
+
+    Q(
+      "q10_union",
+      "Union-all of heterogenous key sources + aggregation",
+      (spark, dir) => {
+        import spark.implicits._
+        val c = t(spark, dir, "customer").select($"c_nationkey".as("nationkey"))
+        val s = t(spark, dir, "supplier").select($"s_nationkey".as("nationkey"))
+        c.unionByName(s)
+          .groupBy($"nationkey")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"nationkey")
+      },
+      Some("""SELECT nationkey, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL SELECT s_nationkey AS nationkey FROM supplier) u
+        GROUP BY nationkey ORDER BY nationkey""")
+    ),
+
+    Q(
+      "q11_window_rank",
+      "Rank over partition with deterministic tiebreak",
+      (spark, dir) => {
+        import spark.implicits._
+        val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+        t(spark, dir, "customer")
+          .withColumn("rnk", rank().over(w))
+          .filter($"rnk" <= 3)
+          .select($"c_nationkey", $"rnk", $"c_custkey", $"c_acctbal")
+          .orderBy($"c_nationkey", $"rnk", $"c_custkey")
+      },
+      Some("""SELECT c_nationkey, CAST(rnk AS INT) AS rnk, c_custkey, c_acctbal FROM (
+          SELECT c_nationkey, c_custkey, c_acctbal,
+            RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+          FROM customer) r
+        WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey""")
+    ),
+
+    Q(
+      "q12_window_running",
+      "Running decimal-exact sum + lag gap per partition",
+      (spark, dir) => {
+        import spark.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(spark, dir, "orders")
+          .withColumn(
+            "running_spend",
+            sum(dec2($"o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+          )
+          .withColumn(
+            "days_since_prev",
+            datediff($"o_orderdate", lag($"o_orderdate", 1).over(w)).cast("int")
+          )
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spend", $"days_since_prev")
+          .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        CAST(date_diff('day',
+          lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          o_orderdate) AS INT) AS days_since_prev
+        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""")
+    ),
+
+    Q(
+      "q13_rollup",
+      "Hierarchical subtotals via ROLLUP",
+      (spark, dir) => {
+        import spark.implicits._
+        val ord = t(spark, dir, "orders")
+        val cust = t(spark, dir, "customer")
+        val nation = t(spark, dir, "nation")
+        ord
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+          .rollup($"n_name", $"o_orderstatus")
+          .agg(sumd(dec2($"o_totalprice")).as("total"), count(lit(1)).as("cnt"))
+          .orderBy(asc_nulls_first("n_name"), asc_nulls_first("o_orderstatus"))
+      },
+      Some("""SELECT n_name, o_orderstatus,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total, COUNT(*) AS cnt
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, o_orderstatus)
+        ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST""")
+    ),
+
+    Q(
+      "q14_topn_per_group",
+      "Top-N per group: aggregate then row_number window",
+      (spark, dir) => {
+        import spark.implicits._
+        val spend = t(spark, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(sumd(dec2($"o_totalprice")).as("spend"))
+        val cust = t(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val w = Window.partitionBy($"c_nationkey").orderBy($"spend".desc, $"c_custkey")
+        spend
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 2)
+          .select($"c_nationkey", $"rn", $"c_custkey", $"spend")
+          .orderBy($"c_nationkey", $"rn")
+      },
+      Some("""WITH spend AS (
+          SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+          FROM orders GROUP BY o_custkey),
+        ranked AS (
+          SELECT c_nationkey, c_custkey, spend,
+            ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey) AS rn
+          FROM spend JOIN customer ON o_custkey = c_custkey)
+        SELECT c_nationkey, CAST(rn AS INT) AS rn, c_custkey, spend FROM ranked
+        WHERE rn <= 2 ORDER BY c_nationkey, rn""")
+    ),
+
+    Q(
+      "q15_scalar_subquery",
+      "Scalar subquery as broadcast cross-join of a 1-row aggregate",
+      (spark, dir) => {
+        import spark.implicits._
+        val part = t(spark, dir, "part")
+        val avgSize = part.agg((sum($"p_size").cast("double") / count(lit(1))).as("avg_size"))
+        part
+          .join(broadcast(avgSize))
+          .filter($"p_size" > $"avg_size")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand, COUNT(*) AS n FROM part
+        WHERE p_size > (SELECT CAST(SUM(p_size) AS DOUBLE) / COUNT(*) FROM part)
+        GROUP BY p_brand ORDER BY p_brand""")
+    ),
+
+    Q(
+      "q16_in_subquery",
+      "IN (subquery) as left_semi on the subquery keys",
+      (spark, dir) => {
+        import spark.implicits._
+        val mach = t(spark, dir, "customer")
+          .filter($"c_mktsegment" === "MACHINERY")
+          .select($"c_custkey")
+        t(spark, dir, "orders")
+          .join(mach, $"o_custkey" === $"c_custkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+
+    Q(
+      "q17_case_when",
+      "Pivot-style conditional aggregation (one pass, map-side combinable)",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "orders")
+          .groupBy(year($"o_orderdate").cast("int").as("o_year"))
+          .agg(
+            count(when($"o_orderstatus" === "F", 1)).as("n_f"),
+            count(when($"o_orderstatus" === "O", 1)).as("n_o"),
+            count(when($"o_orderstatus" === "P", 1)).as("n_p"),
+            sum(when($"o_orderpriority".startsWith("1"), dec2($"o_totalprice"))
+              .otherwise(lit(0).cast(DecimalType(12, 2)))).cast("double").as("urgent_total")
+          )
+          .orderBy($"o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+        CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN CAST(o_totalprice AS DECIMAL(12,2))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent_total
+        FROM orders GROUP BY CAST(year(o_orderdate) AS INT) ORDER BY o_year""")
+    ),
+
+    Q(
+      "q18_string_funcs",
+      "String kernel: substr/upper/concat/like/regexp_replace",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "part")
+          .filter($"p_name".like("%ol%"))
+          .groupBy(
+            upper(substring($"p_name", 1, 4)).as("prefix4"),
+            concat($"p_brand", lit("/"), $"p_type").as("brand_type")
+          )
+          .agg(
+            count(lit(1)).as("n"),
+            min(length(regexp_replace($"p_name", "[aeiou]", ""))).as("min_cons")
+          )
+          .orderBy($"prefix4", $"brand_type")
+      },
+      Some("""SELECT UPPER(SUBSTR(p_name, 1, 4)) AS prefix4,
+        p_brand || '/' || p_type AS brand_type,
+        COUNT(*) AS n,
+        MIN(LENGTH(REGEXP_REPLACE(p_name, '[aeiou]', '', 'g'))) AS min_cons
+        FROM part WHERE p_name LIKE '%ol%'
+        GROUP BY 1, 2 ORDER BY prefix4, brand_type""")
+    ),
+
+    Q(
+      "q19_date_funcs",
+      "Date kernel: trunc to month + calendar extraction",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "orders")
+          .groupBy(
+            // month as a string: engine-neutral representation (DATE vs
+            // TIMESTAMP pandas conversion differs between readers)
+            date_format($"o_orderdate", "yyyy-MM").as("month"),
+            quarter($"o_orderdate").cast("int").as("qtr")
+          )
+          .agg(count(lit(1)).as("n_orders"), sumd(dec2($"o_totalprice")).as("total"))
+          .orderBy($"month")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        CAST(quarter(o_orderdate) AS INT) AS qtr,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY 1, 2 ORDER BY month""")
+    ),
+
+    Q(
+      "q20_percentiles",
+      "Exact percentiles per group (interpolated, rounded for fp parity)",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(
+            round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+            round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90"),
+            count(lit(1)).as("n")
+          )
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+        ROUND(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 4) AS p50,
+        ROUND(CAST(quantile_cont(c_acctbal, 0.9) AS DOUBLE), 4) AS p90,
+        COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    ),
+
+    Q(
+      "q21_stats_agg",
+      "stddev/covariance/correlation from exact decimal moments (deterministic fp)",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "lineitem")
+          .agg(
+            count(lit(1)).as("n"),
+            sumd(dec2($"l_quantity")).as("sx"),
+            sumd(dec2($"l_quantity") * dec2($"l_quantity")).as("sxx"),
+            sumd(dec2($"l_extendedprice")).as("sy"),
+            sumd(dec2($"l_extendedprice") * dec2($"l_extendedprice")).as("syy"),
+            sumd(dec2($"l_quantity") * dec2($"l_extendedprice")).as("sxy")
+          )
+          .select(
+            $"n",
+            round($"sx" / $"n", 6).as("avg_qty"),
+            round(sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)), 6).as("std_qty"),
+            round(sqrt(($"syy" - $"sy" * $"sy" / $"n") / ($"n" - 1)), 6).as("std_price"),
+            round(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1), 6).as("cov_qty_price"),
+            round(($"sxy" - $"sx" * $"sy" / $"n") /
+              sqrt(($"sxx" - $"sx" * $"sx" / $"n") * ($"syy" - $"sy" * $"sy" / $"n")), 6)
+              .as("corr_qty_price")
+          )
+      },
+      Some("""WITH s AS (SELECT COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem)
+        SELECT n,
+          ROUND(sx / n, 6) AS avg_qty,
+          ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+          ROUND(SQRT((syy - sy * sy / n) / (n - 1)), 6) AS std_price,
+          ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov_qty_price,
+          ROUND((sxy - sx * sy / n) / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
+        FROM s""")
+    ),
+
+    Q(
+      "q22_sessionize",
+      "Gap-based sessionization (30 min) via window functions, exact µs math",
+      (spark, dir) => {
+        import spark.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(spark, dir, "events")
+          .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+          .withColumn(
+            "is_new",
+            when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1)
+              .otherwise(0)
+          )
+          .withColumn(
+            "session_id",
+            sum($"is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int")
+          )
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"), min($"ts").as("session_start"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH e AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+          FROM events),
+        s AS (SELECT user_id, ts,
+          CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+          FROM e)
+        SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start
+        FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""")
+    ),
+
+    Q(
+      "q23_asof_join",
+      "As-of join (latest click at-or-before each purchase) via union+window — single shuffle, no custom node",
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = t(spark, dir, "events")
+        val clicks = ev
+          .filter($"event_type" === "click")
+          .select($"user_id", $"ts", lit(0).as("kind"), $"ts".as("click_ts"),
+            lit(null).cast("long").as("event_id"))
+        val purchases = ev
+          .filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", lit(1).as("kind"),
+            lit(null).cast("timestamp").as("click_ts"), $"event_id")
+        val w = Window
+          .partitionBy($"user_id")
+          .orderBy($"ts", $"kind")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        clicks
+          .unionByName(purchases)
+          .withColumn("last_click_ts", last($"click_ts", ignoreNulls = true).over(w))
+          .filter($"kind" === 1)
+          .select($"event_id", $"user_id", $"ts", $"last_click_ts")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+        (SELECT MAX(c.ts) FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS last_click_ts
+        FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""")
+    ),
+
+    Q(
+      "q24_range_join",
+      "Time-range interval join: events within 1h after each signup",
+      (spark, dir) => {
+        import spark.implicits._
+        val ev = t(spark, dir, "events")
+        val signups = ev
+          .filter($"event_type" === "signup")
+          .select($"event_id".as("s_id"), $"user_id".as("s_user"), $"ts".as("s_ts"))
+        val others = ev.select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
+        signups
+          .join(
+            others,
+            $"e_user" === $"s_user" && $"e_ts" > $"s_ts" &&
+              $"e_ts" <= $"s_ts" + expr("INTERVAL 1 HOUR"),
+            "left"
+          )
+          .groupBy($"s_id")
+          .agg(count($"e_id").as("n_follow"))
+          .orderBy($"s_id")
+      },
+      Some("""SELECT s.event_id AS s_id, COUNT(e.event_id) AS n_follow
+        FROM events s LEFT JOIN events e
+          ON e.user_id = s.user_id AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+        WHERE s.event_type = 'signup'
+        GROUP BY s.event_id ORDER BY s_id""")
+    ),
+
+    Q(
+      "q25_grouping_sets",
+      "CUBE with grouping indicators",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            grouping($"o_orderstatus").cast("int").as("g_status"),
+            grouping($"o_orderpriority").cast("int").as("g_prio")
+          )
+          .orderBy(
+            asc_nulls_first("o_orderstatus"),
+            asc_nulls_first("o_orderpriority"),
+            $"g_status",
+            $"g_prio"
+          )
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, g_status, g_prio""")
+    ),
+
+    Q(
+      "q26_first_last",
+      "min_by/max_by over a unique ordering key (deterministic arg-extremes)",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(
+            max($"o_orderkey").as("last_key"),
+            expr("max_by(o_orderpriority, o_orderkey)").as("last_priority"),
+            expr("min_by(o_orderstatus, o_orderkey)").as("first_status"),
+            min($"o_orderdate").as("first_date")
+          )
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, MAX(o_orderkey) AS last_key,
+        MAX_BY(o_orderpriority, o_orderkey) AS last_priority,
+        MIN_BY(o_orderstatus, o_orderkey) AS first_status,
+        MIN(o_orderdate) AS first_date
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")
+    ),
+
+    Q(
+      "q27_exists_agg",
+      "Conjunction of two correlated EXISTS as stacked left_semi joins",
+      (spark, dir) => {
+        import spark.implicits._
+        val ord = t(spark, dir, "orders")
+        val y95 = ord.filter(year($"o_orderdate") === 1995).select($"o_custkey".as("k95"))
+        val y96 = ord.filter(year($"o_orderdate") === 1996).select($"o_custkey".as("k96"))
+        t(spark, dir, "customer")
+          .join(y95, $"c_custkey" === $"k95", "left_semi")
+          .join(y96, $"c_custkey" === $"k96", "left_semi")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+          AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND year(o_orderdate) = 1996)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    ),
+
+    Q(
+      "q28_having",
+      "Post-aggregation filter (HAVING)",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_orders"), sumd(dec2($"o_totalprice")).as("spend"))
+          .filter($"n_orders" >= 15)
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""")
+    )
+  )
+}

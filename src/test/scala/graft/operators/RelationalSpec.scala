@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.SparkEntry
+
+class RelationalSpec extends SparkTestBase {
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Relational queries are all SQL-expressible: no omissions allowed.
+    assert(noOracle.filter(_.startsWith("q")).isEmpty, s"missing oracles: $noOracle")
+  }
+
+  // Every relational operator runs at sf0.001 and yields a sane result.
+  for (q <- Relational.all) {
+    test(s"${q.name} executes") {
+      val df = q.build(spark, sfDir)
+      val n = df.count()
+      assert(n >= 0)
+      // queries that must be non-empty even at the smallest sf
+      if (!Set("q07_anti_join").contains(q.name)) {
+        assert(n > 0, s"${q.name} returned 0 rows at sf0.001")
+      }
+    }
+  }
+
+  test("q01 aggregates match hand-computed values") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q01_pricing_agg").get.build(spark, sfDir)
+    val row = df.filter(col("l_returnflag") === "A" && col("l_linestatus") === "F").head()
+    // cross-check: sum_qty equals the raw double sum within float noise
+    val li = graft.tables.Tables.load(spark, sfDir, "lineitem")
+    val expected = li
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .filter(col("l_returnflag") === "A" && col("l_linestatus") === "F")
+      .agg(sum("l_quantity"))
+      .head()
+      .getDouble(0)
+    assert(math.abs(row.getAs[Double]("sum_qty") - expected) < 1e-6)
+  }
+
+  test("q22 session counts sum to event count") {
+    val df = Relational.all.find(_.name == "q22_sessionize").get.build(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val total = df.agg(sum("n_events")).head().getLong(0)
+    val events = graft.tables.Tables.load(spark, sfDir, "events").count()
+    assert(total == events)
+  }
+}
