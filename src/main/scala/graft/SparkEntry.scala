@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Workflow
-import graft.operators.{Q, Relational}
+import graft.operators.{Dedup, Multimodal, Q, Relational, Similarity, TextAnalysis}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All engine operators exposed through the driver contract. */
-  def allQ: Seq[Q] = Relational.all
+  def allQ: Seq[Q] =
+    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
 
   /** Flagship: the workflow engine wiring tables through a routed DAG
     * (the reference's provide/depend shape driving Spark plans), run

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.tables.Tables
+
+/** Deduplication suite for a training-data pipeline (SURVEY.md §2.3).
+  *
+  * Scale design: no operator ever forms a global cross join. Candidate
+  * generation is always an equi-join on a blocking key (content hash,
+  * LSH band, simhash segment, label) so the shuffle is keyed and
+  * bounded; exact verification runs only on candidates.
+  */
+object Dedup {
+
+  /** Non-empty word tokens. */
+  private val wordsExpr = "filter(split(text, ' '), x -> x <> '')"
+
+  /** Distinct word 3-gram shingles (empty array for docs < 3 words). */
+  private val shinglesExpr =
+    "CASE WHEN size(words) >= 3 THEN " +
+      "array_distinct(transform(sequence(0, size(words) - 3), " +
+      "i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))) " +
+      "ELSE array() END"
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .withColumn("words", expr(wordsExpr))
+      .select($"doc_id", expr(shinglesExpr).as("shingles"))
+  }
+
+  /** Candidate pairs sharing >= 1 shingle — exact for any Jaccard
+    * threshold > 0 (pairs with no shared shingle have J = 0). The
+    * shuffle is keyed by shingle; per-shingle bucket size bounds the
+    * pair blowup, so this survives scale-out unlike a cross join.
+    */
+  private def sharedShinglePairs(sh: DataFrame): DataFrame = {
+    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val a = posting.select(col("doc_id").as("id_a"), col("s"))
+    val b = posting.select(col("doc_id").as("id_b"), col("s"))
+    a.join(b, Seq("s")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // 16 minhash "permutations": independent re-hashes of the shingle
+  // hash, seeded by index (xxhash64 over (h, i) — overflow-free under
+  // ANSI mode, unlike a*h+b multiply-shift).
+  private val numPerms = 16
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "d01_dedup_exact",
+      "Exact dedup groups by content hash (raw + whitespace-normalized)",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.load(spark, dir, "documents")
+          .groupBy(
+            md5($"text").as("h_raw"),
+            md5(lower(regexp_replace($"text", "\\s+", " "))).as("h_norm")
+          )
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy($"h_raw")
+      },
+      Some("""SELECT md5(text) AS h_raw,
+        md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h_norm,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1, 2 ORDER BY h_raw""")
+    ),
+
+    Q(
+      "d02_dedup_minhash_lsh",
+      "MinHash(16) + LSH(4 bands x 4 rows) candidates, exact-Jaccard verified",
+      (spark, dir) => {
+        import spark.implicits._
+        val sh = docShingles(spark, dir).cache()
+        // signatures: explode shingles, 16 parallel min-aggregations
+        // (one shuffle, map-side combinable)
+        val hashed = sh
+          .select($"doc_id", explode($"shingles").as("s"))
+          .withColumn("h", xxhash64($"s"))
+        val mhAggs = (0 until numPerms).map { i =>
+          min(xxhash64($"h", lit(i))).as(s"mh$i")
+        }
+        val sig = hashed
+          .groupBy($"doc_id")
+          .agg(mhAggs.head, mhAggs.tail: _*)
+        // 4 bands of 4 rows; band hash is the LSH bucket key
+        val bands = sig.select(
+          $"doc_id",
+          posexplode(
+            array((0 until 4).map(bnd =>
+              xxhash64(concat_ws("|", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*))
+            ): _*)
+          ).as(Seq("band", "bh"))
+        )
+        val la = bands.select($"doc_id".as("id_a"), $"band", $"bh")
+        val lb = bands.select($"doc_id".as("id_b"), $"band", $"bh")
+        val cands = la.join(lb, Seq("band", "bh")).where($"id_a" < $"id_b")
+          .select("id_a", "id_b").distinct()
+        // exact verify on candidates only
+        val sa = sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"))
+        val sb = sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"))
+        cands.join(sa, "id_a").join(sb, "id_b")
+          .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+          .withColumn(
+            "jaccard",
+            $"inter".cast("double") / (expr("size(sh_a)") + expr("size(sh_b)") - $"inter")
+          )
+          .filter($"jaccard" >= 0.4)
+          .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      None // LSH banding is not SQL-expressible portably; d04 carries
+      //      the exact-Jaccard oracle and the spec cross-checks recall.
+    ),
+
+    Q(
+      "d03_dedup_simhash",
+      "64-bit SimHash + pigeonhole (4x16-bit segments) Hamming<=3 pairs",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Tables.load(spark, dir, "documents")
+          .withColumn("words", expr(wordsExpr))
+        // per-token 64-bit hash, +-1 contribution per bit, 64 sums
+        val tok = docs.select($"doc_id", explode($"words").as("w"))
+          .withColumn("h", xxhash64($"w"))
+        val bitAggs = (0 until 64).map(i =>
+          sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+        )
+        val bitSums = tok.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        val simhash = (0 until 64)
+          .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b))
+        val sigs = bitSums.select($"doc_id", simhash.as("sim"))
+        // pigeonhole: hamming<=3 over 4 segments => >=1 identical segment
+        val seg = sigs.select(
+          $"doc_id", $"sim",
+          posexplode(array((0 until 4).map(k =>
+            shiftrightunsigned($"sim", k * 16).bitwiseAND(0xffffL)
+          ): _*)).as(Seq("k", "seg"))
+        )
+        val a = seg.select($"doc_id".as("id_a"), $"sim".as("sim_a"), $"k", $"seg")
+        val b = seg.select($"doc_id".as("id_b"), $"sim".as("sim_b"), $"k", $"seg")
+        a.join(b, Seq("k", "seg")).where($"id_a" < $"id_b")
+          .select($"id_a", $"id_b", $"sim_a", $"sim_b").distinct()
+          .withColumn("hamming", bit_count($"sim_a".bitwiseXOR($"sim_b")))
+          .filter($"hamming" <= 3)
+          .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+          .orderBy($"id_a", $"id_b")
+      },
+      None // token hash (xxhash64) has no DuckDB twin; spec verifies
+      //      the pigeonhole guarantee against a brute-force pass.
+    ),
+
+    Q(
+      "d04_dedup_ngram_jaccard",
+      "Exact word-3-gram Jaccard >= 0.4 via shared-shingle candidates",
+      (spark, dir) => {
+        import spark.implicits._
+        val sh = docShingles(spark, dir).cache()
+        val pairs = sharedShinglePairs(sh)
+        val sa = sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"))
+        val sb = sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"))
+        pairs.join(sa, "id_a").join(sb, "id_b")
+          .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+          .withColumn(
+            "jac",
+            $"inter".cast("double") / (expr("size(sh_a)") + expr("size(sh_b)") - $"inter")
+          )
+          .filter($"jac" >= 0.4)
+          .select($"id_a", $"id_b", round($"jac", 6).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd
+          FROM documents),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(wd) >= 3 THEN list_distinct(list_transform(
+            generate_series(1, len(wd) - 2), i -> wd[i] || ' ' || wd[i + 1] || ' ' || wd[i + 2]))
+          ELSE [] END AS s FROM w)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.4
+        ORDER BY id_a, id_b""")
+    ),
+
+    Q(
+      "d05_dedup_embedding",
+      "Embedding cosine near-dup pairs, blocked by label (fold-exact fp)",
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables.load(spark, dir, "embeddings")
+        val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("ea"))
+        val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("eb"))
+        a.join(b, Seq("label")).where($"id_a" < $"id_b")
+          .withColumn("cosine", VectorFunctions.cosine("ea", "eb"))
+          .filter($"cosine" >= 0.3)
+          .select($"id_a", $"id_b", $"label", $"cosine")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val cos = VectorFunctions.sqlCosine("a.embedding", "b.embedding")
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label, $cos AS cosine
+        FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE $cos >= 0.3 ORDER BY id_a, id_b"""
+      }
+    )
+  )
+}

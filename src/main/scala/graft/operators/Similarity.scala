@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+import graft.tables.Tables
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2.3). s01 is the exact baseline (broadcasted probes —
+  * scales as probes x corpus, partitioned over the corpus); s02 is the
+  * scale path: random-hyperplane LSH buckets + multi-probe, so the
+  * join is an equi-join on bucket keys instead of a cross product.
+  */
+object Similarity {
+
+  /** 8 deterministic +-1 hyperplanes over 64 dims (seeded). */
+  private val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(1234)
+    Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** LSH signature (8 sign bits) of an embedding column. */
+  private def signature(emb: String) = {
+    val bits = planes.zipWithIndex.map { case (w, i) =>
+      val proj = expr(
+        s"aggregate(zip_with($emb, array(${w.mkString(", ")}), (x, y) -> CAST(x AS DOUBLE) * y), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      )
+      when(proj > 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "s01_sim_bruteforce_topk",
+      "Exact top-5 cosine neighbors for the 10 lowest probe ids",
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables.load(spark, dir, "embeddings")
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+        val cand = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
+        val w = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
+        cand.join(broadcast(probes), $"n_id" =!= $"p_id")
+          .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter($"rn" <= 5)
+          .select($"p_id", $"rn", $"n_id", $"cosine")
+          .orderBy($"p_id", $"rn")
+      },
+      Some {
+        val cos = VectorFunctions.sqlCosine("pe", "e.embedding")
+        s"""WITH p AS (SELECT vec_id AS p_id, embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 10)
+        SELECT p_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY $cos DESC, e.vec_id) AS INT) AS rn,
+          e.vec_id AS n_id, $cos AS cosine
+        FROM p, embeddings e WHERE e.vec_id <> p_id
+        QUALIFY rn <= 5 ORDER BY p_id, rn"""
+      }
+    ),
+
+    Q(
+      "s02_sim_lsh_topk",
+      "LSH-bucketed ANN: 8 hyperplane bits + multi-probe (Hamming<=1)",
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables.load(spark, dir, "embeddings")
+        val sigAll = e.select($"vec_id".as("n_id"), $"embedding".as("ne"),
+          signature("embedding").as("bucket"))
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"),
+            signature("embedding").as("sig0"))
+        // multi-probe: own bucket + each 1-bit flip (Hamming<=1)
+        val probeBuckets = probes.select(
+          $"p_id", $"pe",
+          explode(array(($"sig0" +: (0 until 8).map(i =>
+            $"sig0".bitwiseXOR(lit(1 << i)))): _*)).as("bucket")
+        )
+        val w = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
+        sigAll.join(broadcast(probeBuckets), Seq("bucket"))
+          .where($"n_id" =!= $"p_id")
+          .select($"p_id", $"pe", $"n_id", $"ne").distinct()
+          .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter($"rn" <= 5)
+          .select($"p_id", $"rn", $"n_id", round($"cosine", 6).as("cosine"))
+          .orderBy($"p_id", $"rn")
+      },
+      None // bucket membership depends on the seeded hyperplanes; the
+      //      spec measures recall against s01 instead.
+    )
+  )
+}

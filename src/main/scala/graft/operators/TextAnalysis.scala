@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md
+  * §2.3): language ID, quality scoring, token counting, document
+  * fingerprinting. All pure per-row columnar expressions — zero
+  * shuffle, trivially scalable to 100 TB (embarrassingly parallel over
+  * parquet splits).
+  */
+object TextAnalysis {
+
+  // Tiny built-in stopword profiles (public common-word lists).
+  private val stop = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "auf", "fur", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "de", "un", "una", "es", "en", "por"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "他", "这", "不")
+  )
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // Engine-specific spellings of the same token pipeline.
+  private val sparkWords = "filter(split(text, ' '), x -> x <> '')"
+  private val duckWords = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private def sparkHits(lang: String) =
+    s"size(filter(words, x -> x IN ${inList(stop(lang))}))"
+  private def duckHits(lang: String) =
+    s"len(list_filter(words, x -> x IN ${inList(stop(lang))}))"
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "t01_lang_id",
+      "Stopword-profile language ID with deterministic argmax precedence",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.load(spark, dir, "documents")
+          .withColumn("words", expr(sparkWords))
+          .select(
+            $"doc_id",
+            expr(sparkHits("en")).cast("long").as("hits_en"),
+            expr(sparkHits("de")).cast("long").as("hits_de"),
+            expr(sparkHits("fr")).cast("long").as("hits_fr"),
+            expr(sparkHits("es")).cast("long").as("hits_es"),
+            expr(sparkHits("zh")).cast("long").as("hits_zh")
+          )
+          .withColumn(
+            "pred_lang",
+            when($"hits_en" >= greatest($"hits_de", $"hits_fr", $"hits_es", $"hits_zh"), "en")
+              .when($"hits_de" >= greatest($"hits_fr", $"hits_es", $"hits_zh"), "de")
+              .when($"hits_fr" >= greatest($"hits_es", $"hits_zh"), "fr")
+              .when($"hits_es" >= $"hits_zh", "es")
+              .otherwise("zh")
+          )
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents),
+        h AS (SELECT doc_id,
+          CAST(${duckHits("en")} AS BIGINT) AS hits_en,
+          CAST(${duckHits("de")} AS BIGINT) AS hits_de,
+          CAST(${duckHits("fr")} AS BIGINT) AS hits_fr,
+          CAST(${duckHits("es")} AS BIGINT) AS hits_es,
+          CAST(${duckHits("zh")} AS BIGINT) AS hits_zh
+        FROM w)
+        SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, hits_zh,
+          CASE WHEN hits_en >= GREATEST(hits_de, hits_fr, hits_es, hits_zh) THEN 'en'
+               WHEN hits_de >= GREATEST(hits_fr, hits_es, hits_zh) THEN 'de'
+               WHEN hits_fr >= GREATEST(hits_es, hits_zh) THEN 'fr'
+               WHEN hits_es >= hits_zh THEN 'es'
+               ELSE 'zh' END AS pred_lang
+        FROM h ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t02_quality_score",
+      "Quality scoring: uniqueness/stopword/length ratios → weighted score",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.load(spark, dir, "documents")
+          .withColumn("words", expr(sparkWords))
+          .withColumn("n_words", expr("size(words)").cast("long"))
+          .withColumn("n_uniq", expr("size(array_distinct(words))").cast("long"))
+          .withColumn("n_stop", expr(sparkHits("en")).cast("long"))
+          .withColumn("uniq_ratio", $"n_uniq".cast("double") / $"n_words")
+          .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_words")
+          .withColumn(
+            "quality",
+            round(
+              lit(0.4) * $"uniq_ratio" + lit(0.3) * (lit(1.0) - $"stop_ratio") +
+                lit(0.3) * least($"n_words".cast("double") / lit(100.0), lit(1.0)),
+              6
+            )
+          )
+          .select(
+            $"doc_id", $"n_words", $"n_uniq", $"n_stop",
+            round($"uniq_ratio", 6).as("uniq_ratio"),
+            round($"stop_ratio", 6).as("stop_ratio"),
+            $"quality"
+          )
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents),
+        m AS (SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq,
+          CAST(${duckHits("en")} AS BIGINT) AS n_stop
+        FROM w)
+        SELECT doc_id, n_words, n_uniq, n_stop,
+          ROUND(CAST(n_uniq AS DOUBLE) / n_words, 6) AS uniq_ratio,
+          ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+          ROUND(0.4 * (CAST(n_uniq AS DOUBLE) / n_words)
+              + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+              + 0.3 * LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0), 6) AS quality
+        FROM m ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t03_token_count",
+      "Token counting: whitespace split, BPE-ish regex, chars/4 estimate",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.load(spark, dir, "documents")
+          .select(
+            $"doc_id",
+            expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))").cast("long").as("n_ws_tokens"),
+            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long").as("n_re_tokens"),
+            ceil(length($"text").cast("double") / 4.0).cast("long").as("n_est_tokens"),
+            length($"text").cast("long").as("n_chars_calc")
+          )
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
+        CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_est_tokens,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars_calc
+        FROM documents ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t04_fingerprint",
+      "Document fingerprinting: md5 + polynomial rolling hash + shard bucket",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.load(spark, dir, "documents")
+          .select(
+            $"doc_id",
+            md5($"text").as("fp_md5"),
+            expr(
+              "aggregate(transform(filter(split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT)), " +
+                "CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007)"
+            ).as("fp_poly")
+          )
+          .withColumn("shard", ($"fp_poly" % 64).cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS fp_md5,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 1000000007) AS fp_poly,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 1000000007) % 64 AS INT) AS shard
+        FROM documents ORDER BY doc_id""")
+    )
+  )
+}
