@@ -1,0 +1,95 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+
+/** Command-line equivalent of the reference CLI
+  * (/root/reference/interlinked/cli.py): run / validate / deps /
+  * version against a registered workflow.
+  *
+  * Usage:
+  *   Cli <loaderClass> version
+  *   Cli <loaderClass> validate -n <workflow>
+  *   Cli <loaderClass> deps -n <workflow>
+  *   Cli <loaderClass> run -n <workflow> [-c config.json] [-s] target...
+  *
+  * `loaderClass` is a Scala object (e.g. `graft.GraftPipelines$`)
+  * whose static init registers workflows — the analogue of the
+  * reference's SourceFileLoader import side effects.
+  */
+object Cli {
+  val version = "0.1.0"
+
+  def main(args: Array[String]): Unit = run(args, println(_))
+
+  def run(args: Array[String], out: String => Unit): Unit = {
+    if (args.length < 2) {
+      out("usage: Cli <loaderClass> <version|validate|deps|run> [-n wkf] [-c cfg.json] [-s] targets...")
+      return
+    }
+    val loader = args(0)
+    val command = args(1)
+    val rest = args.drop(2)
+
+    // Force object initialization so its workflows register. A Scala
+    // object's registration code lives in the '$' module class static
+    // init — loading only the mirror class would not run it.
+    val loaded = Seq(loader + "$", loader).exists { cn =>
+      try { Class.forName(cn, true, getClass.getClassLoader); true }
+      catch { case _: ClassNotFoundException => false }
+    }
+    if (!loaded) out(s"warning: loader class '$loader' not found")
+
+    def opt(flag: String): Option[String] =
+      rest.sliding(2).collectFirst { case Array(`flag`, v) => v }
+    val wkfName = opt("-n").getOrElse("default")
+    val show = rest.contains("-s")
+    val targets = {
+      val consumed = Set("-n", "-c") ++ opt("-n").toSet ++ opt("-c").toSet + "-s"
+      rest.filterNot(consumed.contains).toSeq
+    }
+
+    def wkf: Workflow = Workflow.get(wkfName).getOrElse {
+      out(s"Error: workflow '$wkfName' not found"); throw new RouteNotFound(wkfName)
+    }
+
+    command match {
+      case "version" => out(version)
+
+      case "validate" =>
+        try { wkf.validate(); out("ok") }
+        catch { case e: GraftException => out("Error: " + e.getMessage) }
+
+      case "deps" =>
+        val d = wkf.deps()
+        val children = d.values.flatten.toSet
+        val roots = d.keySet -- children
+        def walk(node: String, indent: String): Unit = {
+          out(indent + node)
+          d.getOrElse(node, Seq.empty).sorted.foreach(walk(_, indent + "  "))
+        }
+        roots.toSeq.sorted.foreach(walk(_, ""))
+
+      case "run" =>
+        val base = opt("-c").map(loadConfig).fold(wkf)(cfg => wkf.config(cfg))
+        targets.foreach { t =>
+          val res = base.run(t)
+          if (show) out(String.valueOf(res))
+        }
+
+      case other => out(s"Unknown command '$other'")
+    }
+  }
+
+  /** JSON config loader (jackson ships with Spark). */
+  private[core] def loadConfig(path: String): Map[String, Any] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readValue(new java.io.File(path), classOf[java.util.Map[String, Object]])
+    def conv(v: Any): Any = v match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, vv) => String.valueOf(k) -> conv(vv) }.toMap
+      case l: java.util.List[_] => l.asScala.map(conv).toSeq
+      case other                => other
+    }
+    conv(node).asInstanceOf[Map[String, Any]]
+  }
+}

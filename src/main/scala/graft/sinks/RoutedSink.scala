@@ -1,0 +1,48 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import graft.core.{Router, RouteNotFound}
+
+/** Pattern-routed multi-sink writer — the reference's routing
+  * capability applied at write time: a sink URI like
+  * `parquet:/out/events` or `csv:/out/report` is matched against
+  * registered sink routes and dispatched, with route params passed to
+  * the writer. Custom sinks register like workflow routes.
+  */
+final class RoutedSink private (
+    router: Router[(DataFrame, Map[String, String]) => Unit]
+) {
+
+  def write(target: String, df: DataFrame): Unit =
+    router.matchKey(target) match {
+      case Some(m) => m.value(df, m.kw)
+      case None    => throw new RouteNotFound(s"No sink route matches '$target'")
+    }
+
+  def withSink(pattern: String)(fn: (DataFrame, Map[String, String]) => Unit): RoutedSink = {
+    router.add(pattern, fn)
+    this
+  }
+}
+
+object RoutedSink {
+
+  /** Built-in sinks:
+    *   - `parquet:{path:path}` (+ `parquet:{path:path}:by:{cols}` for
+    *     hive-style partitioned layout),
+    *   - `csv:{path:path}`, `json:{path:path}`, `noop:{name}`.
+    */
+  def standard(): RoutedSink = {
+    val r = new Router[(DataFrame, Map[String, String]) => Unit]
+    r.add("parquet:{path:path}", (df, kw) =>
+      df.write.mode("overwrite").parquet(kw("path")))
+    r.add("parquet:{path:path}:by:{cols}", (df, kw) =>
+      df.write.mode("overwrite").partitionBy(kw("cols").split('+').toIndexedSeq: _*).parquet(kw("path")))
+    r.add("csv:{path:path}", (df, kw) =>
+      df.write.mode("overwrite").option("header", "true").csv(kw("path")))
+    r.add("json:{path:path}", (df, kw) =>
+      df.write.mode("overwrite").json(kw("path")))
+    r.add("noop:{name}", (df, _) => { df.count(); () })
+    new RoutedSink(r)
+  }
+}

@@ -1,0 +1,26 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source readers (SURVEY.md §2.4): schema-explicit parquet/csv/json.
+  * Explicit schemas keep scans deterministic and skip the inference
+  * pass (an extra full read on csv/json — fatal at 100 TB).
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).parquet(path)
+  }
+
+  def csv(spark: SparkSession, path: String, schema: StructType, header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Streaming variants (file sources need explicit schemas). */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+}

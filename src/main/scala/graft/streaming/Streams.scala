@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.5) over the events
+  * schema. Each builder takes a streaming DataFrame (readStream) and
+  * returns the transformed stream; batch/stream parity lets the same
+  * logic run in both modes (tests drive them with file sources + the
+  * memory sink).
+  *
+  * Scale notes: watermarks bound state; the stateful sessionizer keys
+  * by user_id so state shards across executors; streaming dedup keys
+  * by event_id within the watermark horizon.
+  */
+object Streams {
+
+  final case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double
+  )
+
+  final case class Session(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long
+  )
+
+  // public: Catalyst's state Encoder generates constructor calls
+  final case class SessionState(
+      start: Long,
+      end: Long,
+      n: Long
+  )
+
+  /** ST1: watermarked tumbling-window aggregation. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"),
+        col("n"),
+        col("total_value")
+      )
+
+  /** ST2: stateful gap-based sessionization (30 min) with event-time
+    * timeout — sessions emit when the watermark passes their gap.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (userId, events, state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(
+            Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
+          )
+        } else {
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+              case Some(s) =>
+                closed ::= Session(userId, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.end), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.end + gapMs)
+          }
+          closed.reverseIterator
+        }
+      }
+  }
+
+  /** ST3: streaming exact dedup on event_id within the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+}

@@ -1,0 +1,52 @@
+package graft.core
+
+import graft.SparkTestBase
+import scala.collection.mutable.ArrayBuffer
+
+/** CLI behavior mirroring /root/reference/interlinked/cli.py:
+  * version / validate / deps / run (+ json config).
+  */
+class CliSpec extends SparkTestBase {
+
+  private def cli(args: String*): Seq[String] = {
+    val out = ArrayBuffer[String]()
+    Cli.run(args.toArray, out += _)
+    out.toSeq
+  }
+
+  test("version") {
+    assert(cli("graft.GraftPipelines", "version") == Seq(Cli.version))
+  }
+
+  test("validate default workflow") {
+    assert(cli("graft.GraftPipelines", "validate", "-n", "default") == Seq("ok"))
+  }
+
+  test("deps prints the dependency tree") {
+    val out = cli("graft.GraftPipelines", "deps", "-n", "default")
+    assert(out.exists(_.contains("spark")))
+    assert(out.exists(_.trim == "table.{name}"))
+    assert(out.exists(_.trim == "count.{name}"))
+  }
+
+  test("run a count target with -s prints the count") {
+    // ensure the shared test session is the active one getOrCreate finds
+    spark.sparkContext.setLogLevel("WARN")
+    val out = cli("graft.GraftPipelines", "run", "-n", "default", "-s", "count.q09_distinct")
+    assert(out.nonEmpty && out.last.forall(_.isDigit) && out.last.toLong > 0)
+  }
+
+  test("run with json config overrides route params") {
+    val cfg = java.nio.file.Files.createTempFile("graft-cfg", ".json")
+    java.nio.file.Files.writeString(cfg,
+      """{"query.{name}": {"dir": "/root/testdata/sf0.001"}}""")
+    val out = cli("graft.GraftPipelines", "run", "-n", "default",
+      "-c", cfg.toString, "-s", "count.q10_union")
+    assert(out.nonEmpty && out.last.toLong > 0)
+  }
+
+  test("unknown workflow reports error") {
+    val out = cli("graft.GraftPipelines", "validate", "-n", "nope")
+    assert(out.exists(_.startsWith("Error: workflow 'nope' not found")))
+  }
+}
