@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (SURVEY.md §2.6) for the hot paths
+  * where composing built-ins costs extra passes:
+  *
+  *  - [[CosineSimilarity]]: one fused codegen loop (dot + both norms)
+  *    instead of three interpreted higher-order-function folds —
+  *    accumulation order identical to the fold, so results are
+  *    bit-identical (oracle parity preserved).
+  *  - [[RollingPolyHash]]: codegen rolling polynomial hash over a
+  *    string, replacing a split/transform/aggregate expression chain.
+  *  - [[SimHashAgg]]: native 64-bit SimHash aggregate with a 64-int
+  *    buffer, replacing 64 separate sum() aggregates (1 buffer column
+  *    through the shuffle instead of 64).
+  */
+object GraftExpressions {
+
+  /** Column API: fused cosine similarity over two Array[Float] cols. */
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Column API: rolling polynomial hash (base 131, mod 1e9+7). */
+  def polyHash(c: Column): Column = column(RollingPolyHash(expression(c)))
+
+  /** Column API: SimHash aggregate over a per-token 64-bit hash col. */
+  def simHashAgg(h: Column): Column =
+    column(SimHashAgg(expression(h)).toAggregateExpression())
+}
+
+/** Fused cosine similarity: dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))
+  * in a single pass. Accumulators fold left-to-right exactly like the
+  * aggregate()-based formulation (and the DuckDB oracle), so the
+  * result is bit-identical — see VectorFunctions.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val n = math.min(xa.numElements(), xb.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xa.getFloat(i).toDouble
+      val y = xb.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double x = (double) $a.getFloat($i);
+          double y = (double) $b.getFloat($i);
+          $dot += x * y; $na += x * x; $nb += y * y;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Rolling polynomial hash over a string's UTF-16 code units:
+  * fold(acc, c) = (acc * 131 + c) % 1_000_000_007. Matches the
+  * split('')/ascii() aggregate formulation for ASCII/BMP text (the
+  * documents corpus), single codegen loop, no array materialization.
+  */
+case class RollingPolyHash(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 131L + s.charAt(i).toLong) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        java.lang.String $s = $c.toString();
+        long $acc = 0L;
+        for (int $i = 0; $i < $s.length(); $i++) {
+          $acc = ($acc * 131L + (long) $s.charAt($i)) % 1000000007L;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Native 64-bit SimHash aggregate. Input: a per-token 64-bit hash.
+  * Buffer: 64 signed counters (+1 per set bit, -1 per clear bit);
+  * eval emits the sign bit-pattern. Equivalent to 64 separate
+  * sum(when(...)) aggregates but ships ONE buffer through the partial
+  * aggregation instead of 64 long columns.
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Int]]
+    with UnaryLike[Expression] {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) buf(i) += 1 else buf(i) -= 1
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Int], other: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var sim = 0L
+    var i = 0
+    while (i < 64) {
+      if (buf(i) > 0) sim |= (1L << i)
+      i += 1
+    }
+    sim
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64 * 4)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getInt())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): SimHashAgg =
+    copy(child = c)
+}

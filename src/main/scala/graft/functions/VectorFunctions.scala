@@ -19,9 +19,19 @@ object VectorFunctions {
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
-  /** Cosine similarity with the same expression shape as the oracle. */
-  def cosine(a: String, b: String): Column =
+  /** Cosine via three explicit folds — the reference formulation the
+    * oracle mirrors; kept for the equivalence spec.
+    */
+  def cosineFold(a: String, b: String): Column =
     dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
+
+  /** Cosine similarity. Implemented by the fused codegen Expression
+    * (one pass over both arrays); accumulation order is identical to
+    * [[cosineFold]] and the DuckDB oracle, so results stay
+    * bit-identical (proven in ExpressionsSpec + oracle parity).
+    */
+  def cosine(a: String, b: String): Column =
+    GraftExpressions.cosineSim(col(a), col(b))
 
   /** DuckDB SQL for the identical dot-product fold (1-based lists). */
   def sqlDot(a: String, b: String, dim: Int = 64): String =

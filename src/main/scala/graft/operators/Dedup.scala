@@ -126,14 +126,10 @@ object Dedup {
         // per-token 64-bit hash, +-1 contribution per bit, 64 sums
         val tok = docs.select($"doc_id", explode($"words").as("w"))
           .withColumn("h", xxhash64($"w"))
-        val bitAggs = (0 until 64).map(i =>
-          sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-        )
-        val bitSums = tok.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        val simhash = (0 until 64)
-          .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b))
-        val sigs = bitSums.select($"doc_id", simhash.as("sim"))
+        // native SimHashAgg: one 64-int buffer through the partial
+        // aggregation instead of 64 long columns (X3, Expressions.scala)
+        val sigs = tok.groupBy($"doc_id")
+          .agg(graft.functions.GraftExpressions.simHashAgg($"h").as("sim"))
         // pigeonhole: hamming<=3 over 4 segments => >=1 identical segment
         val seg = sigs.select(
           $"doc_id", $"sim",

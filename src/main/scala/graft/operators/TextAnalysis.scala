@@ -148,10 +148,9 @@ object TextAnalysis {
           .select(
             $"doc_id",
             md5($"text").as("fp_md5"),
-            expr(
-              "aggregate(transform(filter(split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT)), " +
-                "CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007)"
-            ).as("fp_poly")
+            // fused codegen rolling hash — bit-identical to the
+            // split/aggregate fold the DuckDB oracle uses (ASCII text)
+            graft.functions.GraftExpressions.polyHash($"text").as("fp_poly")
           )
           .withColumn("shard", ($"fp_poly" % 64).cast("int"))
           .orderBy($"doc_id")

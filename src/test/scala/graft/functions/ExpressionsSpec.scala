@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Custom expressions must be bit-identical to their composed-builtin
+  * formulations (that's what keeps the DuckDB oracles valid).
+  */
+class ExpressionsSpec extends SparkTestBase {
+
+  test("fused CosineSimilarity == three-fold formulation, bit-exact, all pairs") {
+    import spark.implicits._
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val a = e.select($"vec_id".as("ia"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("ib"), $"embedding".as("eb"))
+    val joined = a.join(b, $"ia" < $"ib").limit(5000)
+    val diffs = joined
+      .withColumn("fused", GraftExpressions.cosineSim($"ea", $"eb"))
+      .withColumn("folded", VectorFunctions.cosineFold("ea", "eb"))
+      .filter($"fused" =!= $"folded") // bit-exact double comparison
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("RollingPolyHash == split/aggregate fold, all documents") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val diffs = docs
+      .withColumn("fast", GraftExpressions.polyHash($"text"))
+      .withColumn(
+        "slow",
+        expr(
+          "aggregate(transform(filter(split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 1000000007)"
+        )
+      )
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("SimHashAgg == 64 column-wise sums") {
+    import spark.implicits._
+    val tok = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+      .withColumn("h", xxhash64($"w"))
+    val viaAgg = tok.groupBy($"doc_id")
+      .agg(GraftExpressions.simHashAgg($"h").as("sim"))
+    val bitAggs = (0 until 64).map(i =>
+      sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sums = tok.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val viaCols = sums.select($"doc_id", simhash.as("sim"))
+    assert(viaAgg.except(viaCols).count() == 0 && viaCols.except(viaAgg).count() == 0)
+  }
+
+  test("expressions survive codegen (no interpreted fallback errors)") {
+    import spark.implicits._
+    // force a plan through WholeStageCodegen with both expressions
+    val e = Tables.load(spark, sfDir, "embeddings").limit(10)
+    val out = e.select(GraftExpressions.cosineSim($"embedding", $"embedding").as("c")).collect()
+    assert(out.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    val h = Tables.load(spark, sfDir, "documents").limit(10)
+      .select(GraftExpressions.polyHash($"text")).collect()
+    assert(h.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 1000000007L))
+  }
+
+  test("null handling: cosine of null array is null") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    val r = df.select(GraftExpressions.cosineSim($"a", $"b")).head()
+    assert(r.isNullAt(0))
+  }
+}
