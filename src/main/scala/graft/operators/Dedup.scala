@@ -31,19 +31,6 @@ object Dedup {
       .select($"doc_id", expr(shinglesExpr).as("shingles"))
   }
 
-  /** Candidate pairs sharing >= 1 shingle — exact for any Jaccard
-    * threshold > 0 (pairs with no shared shingle have J = 0). The
-    * shuffle is keyed by shingle; per-shingle bucket size bounds the
-    * pair blowup, so this survives scale-out unlike a cross join.
-    */
-  private def sharedShinglePairs(sh: DataFrame): DataFrame = {
-    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val a = posting.select(col("doc_id").as("id_a"), col("s"))
-    val b = posting.select(col("doc_id").as("id_b"), col("s"))
-    a.join(b, Seq("s")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
-
   // 16 minhash "permutations": independent re-hashes of the shingle
   // hash, seeded by index (xxhash64 over (h, i) — overflow-free under
   // ANSI mode, unlike a*h+b multiply-shift).
@@ -155,16 +142,24 @@ object Dedup {
       "Exact word-3-gram Jaccard >= 0.4 via shared-shingle candidates",
       (spark, dir) => {
         import spark.implicits._
-        val sh = docShingles(spark, dir).cache()
-        val pairs = sharedShinglePairs(sh)
-        val sa = sh.select($"doc_id".as("id_a"), $"shingles".as("sh_a"))
-        val sb = sh.select($"doc_id".as("id_b"), $"shingles".as("sh_b"))
-        pairs.join(sa, "id_a").join(sb, "id_b")
-          .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
-          .withColumn(
-            "jac",
-            $"inter".cast("double") / (expr("size(sh_a)") + expr("size(sh_b)") - $"inter")
-          )
+        // Shingles are DISTINCT per doc, so the posting-list self-join
+        // counts |A ∩ B| directly: one count(*) per pair, no array
+        // payloads through the shuffle and no array_intersect. This is
+        // the scalable formulation: shuffle keys are (shingle) then
+        // (id_a, id_b), both narrow.
+        val posting = docShingles(spark, dir)
+          .select($"doc_id", explode($"shingles").as("s"))
+          .cache()
+        val sizes = posting.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = posting.select($"doc_id".as("id_a"), $"s")
+          .join(posting.select($"doc_id".as("id_b"), $"s"), Seq("s"))
+          .where($"id_a" < $"id_b")
+          .groupBy($"id_a", $"id_b")
+          .agg(count(lit(1)).as("c"))
+        inter
+          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+          .withColumn("jac", $"c".cast("double") / ($"na" + $"nb" - $"c"))
           .filter($"jac" >= 0.4)
           .select($"id_a", $"id_b", round($"jac", 6).as("jaccard"))
           .orderBy($"id_a", $"id_b")

@@ -78,9 +78,15 @@ object Similarity {
             $"sig0".bitwiseXOR(lit(1 << i)))): _*)).as("bucket")
         )
         val w = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
-        sigAll.join(broadcast(probeBuckets), Seq("bucket"))
+        // dedupe candidate (p_id, n_id) pairs on ids ONLY, then rejoin
+        // the embeddings — never shuffles float arrays through distinct
+        val candIds = sigAll.select($"n_id", $"bucket")
+          .join(broadcast(probeBuckets.select($"p_id", $"bucket")), Seq("bucket"))
           .where($"n_id" =!= $"p_id")
-          .select($"p_id", $"pe", $"n_id", $"ne").distinct()
+          .select($"p_id", $"n_id").distinct()
+        candIds
+          .join(broadcast(probes.select($"p_id", $"pe")), Seq("p_id"))
+          .join(e.select($"vec_id".as("n_id"), $"embedding".as("ne")), Seq("n_id"))
           .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
           .withColumn("rn", row_number().over(w).cast("int"))
           .filter($"rn" <= 5)
