@@ -699,6 +699,62 @@ object Relational {
       Some("""SELECT o_custkey, COUNT(*) AS n_orders,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""")
+    ),
+
+    Q(
+      "q29_json_extract",
+      "Semi-structured extraction from the events props JSON column",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "events")
+          .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+          .groupBy($"event_type")
+          .agg(
+            count($"k").as("n_with_k"),
+            sum($"k").cast("bigint").as("sum_k"),
+            min($"k").as("min_k"),
+            max($"k").as("max_k")
+          )
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type,
+        COUNT(CAST(props->>'$.k' AS INT)) AS n_with_k,
+        CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+        MIN(CAST(props->>'$.k' AS INT)) AS min_k,
+        MAX(CAST(props->>'$.k' AS INT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+
+    Q(
+      "q30_approx_distinct",
+      "HLL++ approximate distinct counts (sketch aggregation)",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_orderkey").as("approx_orders"),
+            countDistinct($"l_orderkey").as("exact_orders")
+          )
+          .orderBy($"l_returnflag")
+      },
+      None // HLL sketches differ per engine; the spec bounds the
+      //      approximation error against the exact count instead.
+    ),
+
+    Q(
+      "q31_heavy_hitters",
+      "Exact heavy hitters: top-10 most referenced parts",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"l_partkey")
+          .limit(10)
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 10""")
     )
   )
 }

@@ -11,8 +11,20 @@ class RelationalSpec extends SparkTestBase {
 
   test("every declared query has an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Relational queries are all SQL-expressible: no omissions allowed.
-    assert(noOracle.filter(_.startsWith("q")).isEmpty, s"missing oracles: $noOracle")
+    // Only sketch/LSH ops (engine-specific internals) may omit oracles.
+    val allowed = Set("q30_approx_distinct", "d02_dedup_minhash_lsh",
+      "d03_dedup_simhash", "s02_sim_lsh_topk")
+    assert((noOracle -- allowed).isEmpty, s"missing oracles: ${noOracle -- allowed}")
+  }
+
+  test("q30 approximation error bounded vs exact") {
+    val rows = SparkEntry.queries("q30_approx_distinct")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"HLL error too large: $approx vs $exact")
+    }
   }
 
   // Every relational operator runs at sf0.001 and yields a sane result.
