@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Generic, reusable operator API — the canned `SparkEntry.queries`
+  * are instantiations of these over the test corpus; users apply them
+  * to their own DataFrames. All are composed from declarative
+  * DataFrame ops, so Catalyst optimizes across the call boundary.
+  */
+object Ops {
+
+  /** As-of join: for each left row, the greatest `rightTs` value at or
+    * before its `ts`, per key — via union + running last() window:
+    * ONE shuffle on (key), no custom physical node, no per-key loops.
+    * The classic distributed as-of formulation.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      outCol: String = "asof_ts"
+  ): DataFrame = {
+    val l = left.select(
+      col(keyCol).as("_k"), col(leftTsCol).as("_ts"), lit(1).as("_kind"),
+      lit(null).cast("timestamp").as("_rts"), struct(left.columns.map(col): _*).as("_row")
+    )
+    val r = right.select(
+      col(keyCol).as("_k"), col(rightTsCol).as("_ts"), lit(0).as("_kind"),
+      col(rightTsCol).as("_rts"), lit(null).cast(l.schema("_row").dataType).as("_row")
+    )
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_kind"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionByName(l)
+      .withColumn(outCol, last(col("_rts"), ignoreNulls = true).over(w))
+      .filter(col("_kind") === 1)
+      .select(col("_row.*"), col(outCol))
+  }
+
+  /** Gap-based sessionization: assigns a session id per `keyCol` when
+    * gaps exceed `gapSeconds`. Window functions only — one shuffle.
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      orderTiebreak: Option[String] = None
+  ): DataFrame = {
+    val ord: Seq[Column] = col(tsCol) +: orderTiebreak.map(col).toSeq
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    df.withColumn("_prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn(
+        "_new",
+        when(col("_prev_us").isNull ||
+          unix_micros(col(tsCol)) - col("_prev_us") > gapSeconds * 1000000L, 1).otherwise(0)
+      )
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .drop("_prev_us", "_new")
+  }
+
+  /** Top-k rows per group with a deterministic tiebreak. */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderBy: Seq[Column],
+      k: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Exact dedup: keep one row per key-set (min of `keepBy`). */
+  def dedupExact(df: DataFrame, hashCols: Seq[String], keepBy: String): DataFrame = {
+    val w = Window.partitionBy(hashCols.map(col): _*).orderBy(col(keepBy))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exact pairwise Jaccard >= `threshold` over a token-array column,
+    * via posting-list self-join intersection counts (no cross join,
+    * no array payloads through shuffles). `tokens` must be distinct
+    * per row (apply array_distinct upstream).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val posting = df.select(col(idCol).as("_id"), explode(col(tokensCol)).as("_t"))
+    val sizes = posting.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+    posting.select(col("_id").as("id_a"), col("_t"))
+      .join(posting.select(col("_id").as("id_b"), col("_t")), Seq("_t"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_c"))
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
+      .join(sizes.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
+      .withColumn("jaccard", col("_c").cast("double") / (col("_na") + col("_nb") - col("_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Brute-force cosine top-k: broadcast probes against a corpus of
+    * Array[Float] embeddings (uses the fused codegen expression).
+    */
+  def cosineTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      probeId: String,
+      probeVec: String,
+      corpusId: String,
+      corpusVec: String,
+      k: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(col(probeId)).orderBy(col("cosine").desc, col(corpusId))
+    corpus.join(broadcast(probes), col(corpusId) =!= col(probeId))
+      .withColumn("cosine",
+        graft.functions.GraftExpressions.cosineSim(col(probeVec), col(corpusVec)))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col(probeId), col("rn"), col(corpusId), col("cosine"))
+  }
+
+  /** Skew-safe equi-join: salt the (skewed) left side's key into
+    * `salts` sub-keys and explode the right side across all salts, so
+    * one hot key spreads over `salts` reducers. AQE handles moderate
+    * skew automatically; this is the explicit tool for extreme keys.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      key: String,
+      salts: Int
+  ): DataFrame = {
+    val saltedL = skewed.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedR = other.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedL.join(saltedR, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Bucketing: the co-located-join preparation for repeated large-fact
+  * joins at scale — both sides bucketed on the join key join WITHOUT a
+  * shuffle exchange on either side.
+  */
+class BucketingSpec extends SparkTestBase {
+
+  test("bucketed tables join without shuffle exchanges") {
+    // uses the default ./spark-warehouse (warehouse.dir is static conf)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+
+    Tables.load(spark, sfDir, "orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.load(spark, sfDir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+
+    // disable auto-broadcast so the join strategy must rely on the
+    // bucketed distribution (what a fact-fact join sees at 100 TB)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      val expected = Tables.load(spark, sfDir, "orders")
+        .join(Tables.load(spark, sfDir, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+}

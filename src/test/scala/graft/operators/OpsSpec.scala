@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** The generic Ops API must reproduce the canned query results. */
+class OpsSpec extends SparkTestBase {
+
+  test("asofJoin reproduces q23 last-click semantics") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    // right side shares the key column name, ts column renamed
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("c_ts"))
+    val got = Ops.asofJoin(purchases, clicks, keyCol = "user_id", leftTsCol = "ts",
+      rightTsCol = "c_ts", outCol = "last_click_ts")
+    // NB: asofJoin unions on keyCol, so clicks need the same key name
+    val expected = graft.SparkEntry.queries("q23_asof_join")(spark, sfDir)
+    val g = got.select($"event_id", $"last_click_ts").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)))).toMap
+    val e = expected.collect().map(r => (r.getLong(0), Option(r.getTimestamp(3)))).toMap
+    assert(g == e)
+  }
+
+  test("sessionize reproduces q22 session counts") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val got = Ops.sessionize(ev, "user_id", "ts", 1800, orderTiebreak = Some("event_id"))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"ts").as("session_start"))
+    val expected = graft.SparkEntry.queries("q22_sessionize")(spark, sfDir)
+    assert(got.except(expected).count() == 0 && expected.except(got).count() == 0)
+  }
+
+  test("topKPerGroup matches q11-style ranking") {
+    import spark.implicits._
+    val cust = Tables.load(spark, sfDir, "customer")
+    val got = Ops.topKPerGroup(cust, Seq("c_nationkey"),
+      Seq($"c_acctbal".desc, $"c_custkey"), 1)
+    // each nation's single top customer has rank 1 in q11
+    val q11 = graft.SparkEntry.queries("q11_window_rank")(spark, sfDir)
+      .filter($"rnk" === 1)
+    val gotIds = got.select($"c_custkey").collect().map(_.getLong(0)).toSet
+    val q11Ids = q11.select($"c_custkey").collect().map(_.getLong(0)).toSet
+    assert(gotIds.subsetOf(q11Ids))
+    assert(got.groupBy($"c_nationkey").count().collect().forall(_.getLong(1) == 1))
+  }
+
+  test("dedupExact keeps exactly one row per key") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val doubled = docs.unionByName(docs)
+    val deduped = Ops.dedupExact(doubled, Seq("text"), keepBy = "doc_id")
+    assert(deduped.count() == docs.select("text").distinct().count())
+  }
+
+  test("jaccardPairs reproduces d04") {
+    import spark.implicits._
+    val sh = Tables.load(spark, sfDir, "documents")
+      .withColumn("words", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select($"doc_id", expr(
+        "CASE WHEN size(words) >= 3 THEN array_distinct(transform(sequence(0, size(words) - 3), " +
+          "i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))) ELSE array() END").as("sh"))
+    val got = Ops.jaccardPairs(sh, "doc_id", "sh", 0.4)
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+    val expected = graft.SparkEntry.queries("d04_dedup_ngram_jaccard")(spark, sfDir)
+    assert(got.except(expected).count() == 0 && expected.except(got).count() == 0)
+  }
+
+  test("cosineTopK reproduces s01") {
+    import spark.implicits._
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val probes = e.orderBy($"vec_id").limit(10)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val corpus = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
+    val got = Ops.cosineTopK(probes, corpus, "p_id", "pe", "n_id", "ne", 5)
+    val expected = graft.SparkEntry.queries("s01_sim_bruteforce_topk")(spark, sfDir)
+    assert(got.except(expected).count() == 0 && expected.except(got).count() == 0)
+  }
+
+  test("saltedJoin equals plain join") {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders").select($"o_custkey", $"o_orderkey")
+    // rename to share the join key name
+    val custK = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey".as("o_custkey"), $"c_nationkey")
+    val salted = Ops.saltedJoin(orders, custK, "o_custkey", salts = 4)
+    val plain = orders.join(custK, "o_custkey")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0)
+  }
+}
