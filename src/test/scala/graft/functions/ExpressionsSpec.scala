@@ -76,3 +76,17 @@ class ExpressionsSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 }
+
+/** SQL-surface registration of the custom expressions. */
+class ExtensionsSpec extends graft.SparkTestBase {
+  test("cosine_sim and poly_hash callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    graft.tables.Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb")
+    val r = spark.sql(
+      "SELECT vec_id, cosine_sim(embedding, embedding) AS c FROM emb LIMIT 5").collect()
+    assert(r.nonEmpty && r.forall(x => math.abs(x.getDouble(1) - 1.0) < 1e-9))
+    graft.tables.Tables.load(spark, sfDir, "documents").createOrReplaceTempView("docs")
+    val h = spark.sql("SELECT poly_hash(text) AS h FROM docs LIMIT 5").collect()
+    assert(h.forall(x => x.getLong(0) >= 0 && x.getLong(0) < 1000000007L))
+  }
+}
