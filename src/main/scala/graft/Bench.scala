@@ -15,10 +15,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM/codegen/IO spin-up paid once, not by the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Per query: best of 2 runs (absorbs external CPU noise), cache
+    // cleared after each query so one operator's .cache() can't
+    // pressure the next one's memory.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
