@@ -755,6 +755,75 @@ object Relational {
       },
       Some("""SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
         GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 10""")
+    ),
+
+    Q(
+      "q32_window_suite",
+      "Distribution window functions: ntile / percent_rank / cume_dist",
+      (spark, dir) => {
+        import spark.implicits._
+        val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+        t(spark, dir, "customer")
+          .select(
+            $"c_mktsegment", $"c_custkey",
+            ntile(4).over(w).cast("int").as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume")
+          )
+          .orderBy($"c_mktsegment", $"c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+        CAST(NTILE(4) OVER w AS INT) AS quartile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_mktsegment, c_custkey""")
+    ),
+
+    Q(
+      "q33_set_ops",
+      "INTERSECT / EXCEPT set operators",
+      (spark, dir) => {
+        import spark.implicits._
+        val y95 = t(spark, dir, "orders").filter(year($"o_orderdate") === 1995)
+          .select($"o_custkey").distinct()
+        val y96 = t(spark, dir, "orders").filter(year($"o_orderdate") === 1996)
+          .select($"o_custkey").distinct()
+        val both = y95.intersect(y96).withColumn("bucket", lit("both"))
+        val only95 = y95.except(y96).withColumn("bucket", lit("only95"))
+        both.unionByName(only95)
+          .groupBy($"bucket").agg(count(lit(1)).as("n"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        u AS (
+          SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+          UNION ALL
+          SELECT o_custkey, 'only95' AS bucket FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96))
+        SELECT bucket, COUNT(*) AS n FROM u GROUP BY bucket ORDER BY bucket""")
+    ),
+
+    Q(
+      "q34_string_agg",
+      "Ordered string aggregation (listagg equivalent)",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "nation")
+          .join(t(spark, dir, "region"), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(
+            array_join(array_sort(collect_list($"n_name")), ",").as("nations"),
+            count(lit(1)).as("n")
+          )
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name,
+        string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")
     )
   )
 }
