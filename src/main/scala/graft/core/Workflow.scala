@@ -113,6 +113,15 @@ final class Workflow private (
     */
   var materializer: (Cell, Any) => Any = (_, res) => res
 
+  /** Custom dependency resolution — the reference's rebindable
+    * `wkf.resolve` (README "custom dependency resolution",
+    * workflow.py:242): when set, every dependency is reified through
+    * this hook instead of the default run-and-return. Receives the
+    * default resolver so it can delegate.
+    * `wkf.resolver = Some((resolve, name) => post(resolve(name)))`
+    */
+  var resolver: Option[(String => Any, String) => Any] = None
+
   def this(name: String) = {
     this(name, new Router[Cell], Map.empty, new Router[Any])
     Workflow.register(this)
@@ -231,6 +240,7 @@ final class Workflow private (
       }
     )
     w.materializer = materializer
+    w.resolver = resolver
     Workflow.register(w)
     w
   }
@@ -313,7 +323,11 @@ final class Run(wkf: Workflow, extraKw: Map[String, Any]) {
               s"Missing dependency ${depPattern.pattern} for $resourceName in workflow ${wkf.name}: ${e.getMessage}"
             )
         }
-      kw = kw + (alias -> resolve(resource))
+      val resolved = wkf.resolver match {
+        case Some(custom) => custom(resolve, resource)
+        case None         => resolve(resource)
+      }
+      kw = kw + (alias -> resolved)
     }
 
     // Apply mutators over the assembled kwargs (workflow.py:246-247).

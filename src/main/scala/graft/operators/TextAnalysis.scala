@@ -163,6 +163,52 @@ object TextAnalysis {
           list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))),
           (acc, x) -> (acc * 131 + x) % 1000000007) % 64 AS INT) AS shard
         FROM documents ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t05_normalize",
+      "Training-data cleaning: lowercase, strip punct/digits, collapse whitespace",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.load(spark, dir, "documents")
+          .select(
+            $"doc_id",
+            trim(regexp_replace(
+              regexp_replace(lower($"text"), "[^a-z ]", " "), " +", " "
+            )).as("norm_text")
+          )
+          .withColumn("norm_hash", md5($"norm_text"))
+          .withColumn("n_norm_chars", length($"norm_text").cast("long"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        CAST(LENGTH(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_norm_chars
+        FROM documents ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t06_corpus_stats",
+      "Corpus profile per (lang, source): doc counts + length quantiles",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables.load(spark, dir, "documents")
+          .groupBy($"lang", $"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum($"n_chars").cast("bigint").as("total_chars"),
+            min($"n_chars").as("min_chars"),
+            max($"n_chars").as("max_chars"),
+            round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars")
+          )
+          .orderBy($"lang", $"source")
+      },
+      Some("""SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50_chars
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")
     )
   )
 }

@@ -102,4 +102,41 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
+
+  /** ST4: stream-stream interval join — purchases matched to the same
+    * user's clicks within the preceding hour. Watermarks on both
+    * sides + the time-range condition bound the join state.
+    */
+  def streamStreamJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "30 minutes")
+    purchases.join(
+      clicks,
+      expr("p_user = c_user AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 1 HOUR")
+    )
+  }
+
+  /** Batch twin of [[streamStreamJoin]] (no watermarks) for
+    * stream-vs-batch verification.
+    */
+  def streamStreamJoin_batchEquivalent(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    purchases.join(
+      clicks,
+      expr("p_user = c_user AND c_ts <= p_ts AND c_ts > p_ts - INTERVAL 1 HOUR")
+    )
+  }
 }

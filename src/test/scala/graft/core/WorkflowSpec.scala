@@ -178,6 +178,15 @@ class WorkflowSpec extends AnyFunSuite {
     intercept[DuplicateRoute](new Workflow("spec-registry"))
   }
 
+  test("custom resolver rebinds dependency resolution (README example)") {
+    // reference README: wkf.resolve = lambda target: wkf.run(target).upper()
+    val wkf = echoWkf("spec-resolver")
+    wkf.resolver = Some((resolve, name) => String.valueOf(resolve(name)).toUpperCase)
+    assert(wkf.run("many_echo") == "TEST TEST")
+    // clone inherits the rebound resolver
+    assert(wkf.cloneWorkflow(name = "spec-resolver2").run("many_echo") == "TEST TEST")
+  }
+
   test("runAll shares one cache across targets") {
     val logs = mutable.Map[String, Int]().withDefaultValue(0)
     val wkf = freshWkf("spec-runall")

@@ -57,6 +57,17 @@ class StreamingSpec extends SparkTestBase {
     assert(missing.isEmpty, s"streamed sessions not found in batch truth: ${missing.take(3)}")
   }
 
+  test("ST4: stream-stream interval join matches batch result") {
+    val q = Streams.streamStreamJoin(streamEvents(streamDir))
+      .writeStream.format("memory").queryName("st4").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st4").count()
+    val batch = Streams.streamStreamJoin_batchEquivalent(
+      Tables.load(spark, sfDir, "events")).count()
+    assert(streamed == batch, s"stream-stream join: $streamed vs batch $batch")
+    assert(streamed > 0)
+  }
+
   test("ST3: streaming dedup drops replayed events") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val ev = Tables.load(spark, sfDir, "events")
