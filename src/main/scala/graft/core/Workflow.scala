@@ -77,6 +77,9 @@ final class Cell private[core] (
 
   def cached(): Cell = { materialize = Some("cache"); this }
   def checkpointed(): Cell = { materialize = Some("checkpoint"); this }
+
+  /** The declared materialization policy (read by materializers). */
+  def materializePolicy: Option[String] = materialize
 }
 
 /** Several cells sharing one function (stacked-decorator equivalent);

@@ -26,7 +26,7 @@ object Ops {
   ): DataFrame = {
     val l = left.select(
       col(keyCol).as("_k"), col(leftTsCol).as("_ts"), lit(1).as("_kind"),
-      lit(null).cast("timestamp").as("_rts"), struct(left.columns.map(col): _*).as("_row")
+      lit(null).cast("timestamp").as("_rts"), struct(left.columns.toIndexedSeq.map(col): _*).as("_row")
     )
     val r = right.select(
       col(keyCol).as("_k"), col(rightTsCol).as("_ts"), lit(0).as("_kind"),
