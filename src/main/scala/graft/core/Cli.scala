@@ -70,7 +70,10 @@ object Cli {
         roots.toSeq.sorted.foreach(walk(_, ""))
 
       case "run" =>
-        val base = opt("-c").map(loadConfig).fold(wkf)(cfg => wkf.config(cfg))
+        // anonymous (unregistered) clone: repeated CLI runs with -c
+        // must not collide in the workflow registry
+        val base = opt("-c").map(loadConfig)
+          .fold(wkf)(cfg => wkf.cloneWorkflow(name = "", config = Some(cfg)))
         targets.foreach { t =>
           val res = base.run(t)
           if (show) out(String.valueOf(res))
@@ -80,8 +83,47 @@ object Cli {
     }
   }
 
-  /** JSON config loader (jackson ships with Spark). */
-  private[core] def loadConfig(path: String): Map[String, Any] = {
+  /** Config loader: .json via jackson (ships with Spark) or .toml via
+    * a minimal parser covering the reference's config shape
+    * (cli.py:34-45 supports both; reference example:
+    * examples/ml-flow-params.toml — [route] tables of scalars).
+    */
+  private[core] def loadConfig(path: String): Map[String, Any] =
+    if (path.endsWith(".toml")) loadToml(path) else loadJson(path)
+
+  private def loadToml(path: String): Map[String, Any] = {
+    val lines = java.nio.file.Files.readAllLines(new java.io.File(path).toPath)
+    val result = scala.collection.mutable.LinkedHashMap[String, Map[String, Any]]()
+    var section: Option[String] = None
+    val sectionRe = "^\\[(.+)\\]$".r
+    val kvRe = "^([A-Za-z0-9_.{}:-]+)\\s*=\\s*(.+)$".r
+    def parseValue(raw: String): Any = {
+      val v = raw.trim
+      if (v.startsWith("\"") && v.endsWith("\"")) v.substring(1, v.length - 1)
+      else if (v == "true" || v == "false") v.toBoolean
+      else if (v.matches("[-+]?[0-9]+")) v.toLong
+      else if (v.matches("[-+]?[0-9]*\\.[0-9]+")) v.toDouble
+      else v
+    }
+    lines.forEach { rawLine =>
+      val line = rawLine.takeWhile(_ != '#').trim
+      line match {
+        case "" =>
+        case sectionRe(name) =>
+          section = Some(name.trim)
+          result.getOrElseUpdate(name.trim, Map.empty)
+        case kvRe(k, v) =>
+          val sec = section.getOrElse(
+            throw new InvalidValue(s"TOML key '$k' outside a [section] in $path"))
+          result(sec) = result(sec) + (k.trim -> parseValue(v))
+        case other =>
+          throw new InvalidValue(s"Unsupported TOML line in $path: '$other'")
+      }
+    }
+    result.toMap
+  }
+
+  private def loadJson(path: String): Map[String, Any] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readValue(new java.io.File(path), classOf[java.util.Map[String, Object]])
     def conv(v: Any): Any = v match {

@@ -45,6 +45,32 @@ class CliSpec extends SparkTestBase {
     assert(out.nonEmpty && out.last.toLong > 0)
   }
 
+  test("run with toml config (reference ml-flow-params shape)") {
+    val cfg = java.nio.file.Files.createTempFile("graft-cfg", ".toml")
+    java.nio.file.Files.writeString(cfg,
+      """# Override params for query route
+        |[query.{name}]
+        |dir = "/root/testdata/sf0.001"
+        |""".stripMargin)
+    val out = cli("graft.GraftPipelines", "run", "-n", "default",
+      "-c", cfg.toString, "-s", "count.q09_distinct")
+    assert(out.nonEmpty && out.last.toLong > 0)
+  }
+
+  test("toml parser handles scalars and comments") {
+    val cfg = java.nio.file.Files.createTempFile("graft-toml", ".toml")
+    java.nio.file.Files.writeString(cfg,
+      """[dataset-first]
+        |n_features = 5  # comment
+        |rate = 0.25
+        |label = "spam"
+        |flag = true
+        |""".stripMargin)
+    val m = Cli.loadConfig(cfg.toString)
+    val sec = m("dataset-first").asInstanceOf[Map[String, Any]]
+    assert(sec == Map("n_features" -> 5L, "rate" -> 0.25, "label" -> "spam", "flag" -> true))
+  }
+
   test("unknown workflow reports error") {
     val out = cli("graft.GraftPipelines", "validate", "-n", "nope")
     assert(out.exists(_.startsWith("Error: workflow 'nope' not found")))
