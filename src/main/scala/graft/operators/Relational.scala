@@ -824,6 +824,55 @@ object Relational {
         COUNT(*) AS n
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY r_name""")
+    ),
+
+    Q(
+      "q35_argmin_join",
+      "TPC-H Q2 style argmin: per-group minimum joined back to recover the row",
+      (spark, dir) => {
+        import spark.implicits._
+        val part = t(spark, dir, "part")
+        // rename the derived side's columns: a self-derived join with
+        // shared lineage needs disambiguated names
+        val mins = part.groupBy($"p_type".as("mt"))
+          .agg(min($"p_retailprice").as("min_price"))
+        part
+          .join(mins, $"p_type" === $"mt" && $"p_retailprice" === $"min_price")
+          .select($"p_type", $"p_partkey", $"p_retailprice")
+          .groupBy($"p_type")
+          // ties on min price resolved deterministically
+          .agg(min($"p_partkey").as("cheapest_part"), min($"p_retailprice").as("min_price"))
+          .orderBy($"p_type")
+      },
+      Some("""SELECT p.p_type,
+        MIN(p.p_partkey) AS cheapest_part, MIN(p.p_retailprice) AS min_price
+        FROM part p JOIN (
+          SELECT p_type, MIN(p_retailprice) AS m FROM part GROUP BY p_type) x
+        ON p.p_type = x.p_type AND p.p_retailprice = x.m
+        GROUP BY p.p_type ORDER BY p.p_type""")
+    ),
+
+    Q(
+      "q36_multi_distinct",
+      "Multiple COUNT(DISTINCT) in one aggregation (Expand-based planning)",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_supps"),
+            countDistinct($"l_orderkey").as("n_orders"),
+            count(lit(1)).as("n_rows")
+          )
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps,
+        COUNT(DISTINCT l_orderkey) AS n_orders,
+        COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     )
   )
 }
