@@ -209,6 +209,43 @@ object TextAnalysis {
         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
         ROUND(CAST(quantile_cont(n_chars, 0.5) AS DOUBLE), 4) AS p50_chars
         FROM documents GROUP BY lang, source ORDER BY lang, source""")
+    ),
+
+    Q(
+      "t07_repetition",
+      "Repetition detection: dominant-trigram ratio (degenerate-text signal)",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.load(spark, dir, "documents")
+          .withColumn("words", expr(sparkWords))
+          .select($"doc_id", posexplode($"words").as(Seq("pos", "w")))
+        val win = Window.partitionBy($"doc_id").orderBy($"pos")
+        val tri = tok
+          .withColumn("w1", lead($"w", 1).over(win))
+          .withColumn("w2", lead($"w", 2).over(win))
+          .filter($"w2".isNotNull)
+          .select($"doc_id", concat_ws(" ", $"w", $"w1", $"w2").as("s"))
+        val g = tri.groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
+        val m = g.groupBy($"doc_id")
+          .agg(sum($"c").cast("bigint").as("total"), max($"c").cast("bigint").as("mx"))
+        g.join(m, Seq("doc_id")).where($"c" === $"mx")
+          .groupBy($"doc_id", $"total", $"mx")
+          .agg(min($"s").as("top_trigram"))
+          .withColumn("rep_ratio", round($"mx".cast("double") / $"total", 6))
+          .select($"doc_id", $"total", $"mx", $"top_trigram", $"rep_ratio")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd FROM documents),
+        tri AS (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(wd) - 2), i -> wd[i] || ' ' || wd[i + 1] || ' ' || wd[i + 2])) AS s
+          FROM w WHERE len(wd) >= 3),
+        g AS (SELECT doc_id, s, COUNT(*) AS c FROM tri GROUP BY doc_id, s),
+        m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total, CAST(MAX(c) AS BIGINT) AS mx FROM g GROUP BY doc_id)
+        SELECT g.doc_id, m.total, m.mx, MIN(g.s) AS top_trigram,
+          ROUND(CAST(m.mx AS DOUBLE) / m.total, 6) AS rep_ratio
+        FROM g JOIN m ON g.doc_id = m.doc_id AND g.c = m.mx
+        GROUP BY g.doc_id, m.total, m.mx ORDER BY g.doc_id""")
     )
   )
 }

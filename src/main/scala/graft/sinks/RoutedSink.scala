@@ -30,7 +30,8 @@ object RoutedSink {
   /** Built-in sinks:
     *   - `parquet:{path:path}` (+ `parquet:{path:path}:by:{cols}` for
     *     hive-style partitioned layout),
-    *   - `csv:{path:path}`, `json:{path:path}`, `noop:{name}`.
+    *   - `csv:{path:path}`, `json:{path:path}`, `orc:{path:path}`,
+    *     `noop:{name}`.
     */
   def standard(): RoutedSink = {
     val r = new Router[(DataFrame, Map[String, String]) => Unit]
@@ -42,6 +43,8 @@ object RoutedSink {
       df.write.mode("overwrite").option("header", "true").csv(kw("path")))
     r.add("json:{path:path}", (df, kw) =>
       df.write.mode("overwrite").json(kw("path")))
+    r.add("orc:{path:path}", (df, kw) =>
+      df.write.mode("overwrite").orc(kw("path")))
     r.add("noop:{name}", (df, _) => { df.count(); () })
     new RoutedSink(r)
   }

@@ -20,6 +20,11 @@ object Sources {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  def orc(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).orc(path)
+  }
+
   /** Streaming variants (file sources need explicit schemas). */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)

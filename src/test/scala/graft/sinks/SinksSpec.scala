@@ -17,9 +17,11 @@ class SinksSpec extends SparkTestBase {
     sink.write(s"parquet:$base/nat_pq", df)
     sink.write(s"csv:$base/nat_csv", df)
     sink.write(s"json:$base/nat_js", df)
+    sink.write(s"orc:$base/nat_orc", df)
     assert(Sources.parquet(spark, s"$base/nat_pq").count() == 25)
     assert(Sources.csv(spark, s"$base/nat_csv", df.schema).count() == 25)
     assert(Sources.json(spark, s"$base/nat_js", df.schema).count() == 25)
+    assert(Sources.orc(spark, s"$base/nat_orc").count() == 25)
   }
 
   test("partitioned parquet sink produces hive layout") {
