@@ -89,15 +89,39 @@ object Ops {
       df: DataFrame,
       idCol: String,
       tokensCol: String,
-      threshold: Double
+      threshold: Double,
+      maxPostingsPerToken: Option[Int] = None
   ): DataFrame = {
     val posting = df.select(col(idCol).as("_id"), explode(col(tokensCol)).as("_t"))
     val sizes = posting.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
-    posting.select(col("_id").as("id_a"), col("_t"))
-      .join(posting.select(col("_id").as("id_b"), col("_t")), Seq("_t"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("_c"))
+
+    def pairCounts(src: DataFrame): DataFrame =
+      src.select(col("_id").as("id_a"), col("_t"))
+        .join(src.select(col("_id").as("id_b"), col("_t")), Seq("_t"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("_c"))
+
+    // Worst-case bound for scale: a token appearing in k docs emits
+    // k^2 candidate rows. With a cap, candidate GENERATION excludes
+    // tokens hotter than maxPostingsPerToken (bounding the blowup);
+    // the Jaccard itself is then computed EXACTLY from the full
+    // postings of just the candidate docs. Pairs whose only shared
+    // tokens are capped ones are missed — a recall trade-off, never a
+    // precision or value error.
+    val counts = maxPostingsPerToken match {
+      case None => pairCounts(posting)
+      case Some(cap) =>
+        val hot = posting.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > cap).select(col("_t"))
+        val capped = posting.join(hot, Seq("_t"), "left_anti")
+        val cands = pairCounts(capped).select(col("id_a"), col("id_b"))
+        val candDocs = cands
+          .select(explode(array(col("id_a"), col("id_b"))).as("_id")).distinct()
+        val restricted = posting.join(candDocs, Seq("_id"), "left_semi")
+        pairCounts(restricted).join(cands, Seq("id_a", "id_b"), "left_semi")
+    }
+    counts
       .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
       .join(sizes.select(col("_id").as("id_b"), col("_n").as("_nb")), "id_b")
       .withColumn("jaccard", col("_c").cast("double") / (col("_na") + col("_nb") - col("_c")))

@@ -80,6 +80,22 @@ class OpsSpec extends SparkTestBase {
     assert(got.except(expected).count() == 0 && expected.except(got).count() == 0)
   }
 
+  test("jaccardPairs with hot-token cap: subset with exact values") {
+    import spark.implicits._
+    val sh = Tables.load(spark, sfDir, "documents")
+      .withColumn("words", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select($"doc_id", expr("array_distinct(words)").as("toks"))
+    val exact = Ops.jaccardPairs(sh, "doc_id", "toks", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Ops.jaccardPairs(sh, "doc_id", "toks", 0.6, maxPostingsPerToken = Some(20))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // capped pairs ⊆ exact pairs, and surviving values are EXACT
+    capped.foreach { case (pair, j) =>
+      assert(exact.contains(pair), s"capped produced non-exact pair $pair")
+      assert(exact(pair) == j, s"capped jaccard differs for $pair: $j vs ${exact(pair)}")
+    }
+  }
+
   test("saltedJoin equals plain join") {
     import spark.implicits._
     val orders = Tables.load(spark, sfDir, "orders").select($"o_custkey", $"o_orderkey")
