@@ -1,46 +1,74 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{Lsh, VectorFunctions}
 import graft.tables.Tables
 
 /** Deduplication suite for a training-data pipeline (SURVEY.md §2.3).
   *
   * Scale design: no operator ever forms a global cross join. Candidate
   * generation is always an equi-join on a blocking key (content hash,
-  * LSH band, simhash segment, label) so the shuffle is keyed and
-  * bounded; exact verification runs only on candidates.
+  * LSH band, simhash segment, hyperplane bucket) so the shuffle is
+  * keyed and bounded; exact verification runs only on candidates.
+  *
+  * Hashing is engine-neutral on purpose: every hash is derived from
+  * md5 hex substrings, which DuckDB computes identically, so d02/d03
+  * carry full value-level oracles (round 1 used xxhash64 and had
+  * none). MinHash works on the 16-char hex strings directly —
+  * lexicographic min of fixed-width lowercase hex equals numeric min
+  * of the underlying 64-bit value in both engines.
   */
 object Dedup {
 
   /** Non-empty word tokens. */
   private val wordsExpr = "filter(split(text, ' '), x -> x <> '')"
 
-  /** Distinct word-3-gram posting list (doc_id, shingle) built with
-    * posexplode + lead() windows — fully codegen'd, ~10x faster than
-    * nested transform/concat_ws HOF lambdas (interpreted closures)
-    * which profiled at 2.3 ms/doc.
+  /** Distinct word-3-gram shingles as an ARRAY per doc, built narrow:
+    * slice + indexed transform + array_distinct are all per-row, so
+    * posting-list construction needs NO shuffle at all (round 1 used
+    * posexplode + lead() windows — a doc_id shuffle + sort — plus a
+    * global distinct; this removes both). Docs under 3 words have no
+    * 3-grams and are dropped, matching the oracle's CASE..ELSE [].
     */
-  private def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val tok = Tables.load(spark, dir, "documents")
+    Tables.load(spark, dir, "documents")
       .withColumn("words", expr(wordsExpr))
-      .select($"doc_id", posexplode($"words").as(Seq("pos", "w")))
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    tok
-      .withColumn("w1", lead($"w", 1).over(w))
-      .withColumn("w2", lead($"w", 2).over(w))
-      .filter($"w2".isNotNull)
-      .select($"doc_id", concat_ws(" ", $"w", $"w1", $"w2").as("s"))
-      .distinct()
+      .where(size($"words") >= 3)
+      .select(
+        $"doc_id",
+        expr(
+          "array_distinct(transform(slice(words, 1, size(words) - 2), " +
+            "(x, i) -> concat(x, ' ', words[i + 1], ' ', words[i + 2])))"
+        ).as("sh")
+      )
   }
 
-  // 16 minhash "permutations": independent re-hashes of the shingle
-  // hash, seeded by index (xxhash64 over (h, i) — overflow-free under
-  // ANSI mode, unlike a*h+b multiply-shift).
+  /** Exploded (doc_id, shingle) posting list — distinct per doc by
+    * construction (array_distinct above).
+    */
+  private[operators] def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shingleArrays(spark, dir).select($"doc_id", explode($"sh").as("s"))
+  }
+
+  /** 16 minhash "permutations": per shingle, perm i is the first 16
+    * hex chars of md5(s || "|i"). DuckDB computes the identical
+    * string, so min() agrees byte-for-byte.
+    */
   private val numPerms = 16
+
+  /** Shared DuckDB CTE prefix: words / shingle arrays / postings. */
+  private val sqlShingleCtes =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(wd) >= 3 THEN list_distinct(list_transform(
+      |    generate_series(1, len(wd) - 2), i -> wd[i] || ' ' || wd[i + 1] || ' ' || wd[i + 2]))
+      |  ELSE [] END AS s FROM w),
+      |post AS (SELECT doc_id, unnest(s) AS s FROM sh)""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q(
@@ -67,39 +95,40 @@ object Dedup {
       "MinHash(16) + LSH(4 bands x 4 rows) candidates, exact-Jaccard verified",
       (spark, dir) => {
         import spark.implicits._
-        // hashed postings feed BOTH the signature path and the exact
-        // verify path
-        val hashed = shinglePosting(spark, dir)
-          .withColumn("h", xxhash64($"s"))
-          .cache()
+        // One cached narrow relation feeds the signature path, the
+        // verify path, and the per-doc sizes (round 1 recomputed the
+        // banding subtree 3x because the candidate set was reused
+        // uncached — that alone was most of its bench cost).
+        val sh = shingleArrays(spark, dir).cache()
+        val posting = sh.select($"doc_id", explode($"sh").as("s"))
         val mhAggs = (0 until numPerms).map { i =>
-          min(xxhash64($"h", lit(i))).as(s"mh$i")
+          min(substring(md5(concat($"s", lit(s"|$i"))), 1, 16)).as(s"mh$i")
         }
-        val sig = hashed
-          .groupBy($"doc_id")
-          .agg(mhAggs.head, mhAggs.tail: _*)
-        // 4 bands of 4 rows; band hash is the LSH bucket key
+        val sig = posting.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+        // 4 bands of 4 rows; band hash (md5 of the concatenated row
+        // minhashes) keeps the bucket join key narrow at scale
         val bands = sig.select(
           $"doc_id",
           posexplode(
             array((0 until 4).map(bnd =>
-              xxhash64(concat_ws("|", (0 until 4).map(r => col(s"mh${bnd * 4 + r}")): _*))
+              md5(concat_ws("|", (bnd * 4 until bnd * 4 + 4).map(r => col(s"mh$r")): _*))
             ): _*)
           ).as(Seq("band", "bh"))
         )
         val la = bands.select($"doc_id".as("id_a"), $"band", $"bh")
         val lb = bands.select($"doc_id".as("id_b"), $"band", $"bh")
+        // cached: cands is consumed by candDocs AND the final semi-join
         val cands = la.join(lb, Seq("band", "bh")).where($"id_a" < $"id_b")
-          .select("id_a", "id_b").distinct()
+          .select("id_a", "id_b").distinct().cache()
         // exact verify on candidates only: restrict posting lists to
         // candidate docs (semi-join), count shared shingles per pair,
-        // keep only LSH candidate pairs — no array payloads anywhere.
+        // keep only LSH candidate pairs — no array payloads anywhere,
+        // and the pair-count join runs ONCE, on the restricted lists.
         val candDocs = cands.select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
-        val posting = hashed.select($"doc_id", $"s")
-          .join(candDocs, Seq("doc_id"), "left_semi")
-        val sizes = posting.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        posting.select($"doc_id".as("id_a"), $"s")
-          .join(posting.select($"doc_id".as("id_b"), $"s"), Seq("s"))
+        val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
+        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+        restricted.select($"doc_id".as("id_a"), $"s")
+          .join(restricted.select($"doc_id".as("id_b"), $"s"), Seq("s"))
           .where($"id_a" < $"id_b")
           .groupBy($"id_a", $"id_b")
           .agg(count(lit(1)).as("c"))
@@ -111,22 +140,54 @@ object Dedup {
           .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
           .orderBy($"id_a", $"id_b")
       },
-      None // LSH banding is not SQL-expressible portably; d04 carries
-      //      the exact-Jaccard oracle and the spec cross-checks recall.
+      Some {
+        val mhCols = (0 until numPerms)
+          .map(i => s"min(substr(md5(s || '|$i'), 1, 16)) AS mh$i").mkString(",\n    ")
+        val bandCases = (0 until 4).map { b =>
+          val cat = (b * 4 until b * 4 + 4).map(r => s"mh$r").mkString(" || '|' || ")
+          if (b < 3) s"WHEN $b THEN md5($cat)" else s"ELSE md5($cat)"
+        }.mkString(" ")
+        s"""$sqlShingleCtes,
+        sig AS (SELECT doc_id,
+          $mhCols
+          FROM post GROUP BY doc_id),
+        bands AS (SELECT doc_id, b AS band,
+          CASE b $bandCases END AS bh
+          FROM sig, (VALUES (0), (1), (2), (3)) AS t(b)),
+        cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        pairs AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, COUNT(*) AS c
+          FROM post pa JOIN post pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+        SELECT p.id_a AS id_a, p.id_b AS id_b,
+          ROUND(CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c), 6) AS jaccard
+        FROM pairs p
+        JOIN cands cd ON p.id_a = cd.id_a AND p.id_b = cd.id_b
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= 0.4
+        ORDER BY p.id_a, p.id_b"""
+      }
     ),
 
     Q(
       "d03_dedup_simhash",
-      "64-bit SimHash + pigeonhole (4x16-bit segments) Hamming<=3 pairs",
+      "60-bit SimHash + pigeonhole (4x16-bit segments) Hamming<=3 pairs",
       (spark, dir) => {
         import spark.implicits._
         val docs = Tables.load(spark, dir, "documents")
           .withColumn("words", expr(wordsExpr))
-        // per-token 64-bit hash, +-1 contribution per bit, 64 sums
+        // per-token 60-bit hash from the first 15 md5 hex chars —
+        // fits a signed BIGINT on both engines (DuckDB decodes the
+        // same digits), so d03 carries a value-level oracle
         val tok = docs.select($"doc_id", explode($"words").as("w"))
-          .withColumn("h", xxhash64($"w"))
+          .withColumn("h", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
         // native SimHashAgg: one 64-int buffer through the partial
-        // aggregation instead of 64 long columns (X3, Expressions.scala)
+        // aggregation instead of 64 long columns (X3, Expressions.scala).
+        // Bits 60-63 of the input are always 0, so their balance is
+        // strictly negative and the output bits stay 0 — the oracle
+        // only folds bits 0..59.
         val sigs = tok.groupBy($"doc_id")
           .agg(graft.functions.GraftExpressions.simHashAgg($"h").as("sim"))
         // pigeonhole: hamming<=3 over 4 segments => >=1 identical segment
@@ -145,8 +206,26 @@ object Dedup {
           .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
           .orderBy($"id_a", $"id_b")
       },
-      None // token hash (xxhash64) has no DuckDB twin; spec verifies
-      //      the pigeonhole guarantee against a brute-force pass.
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(wd) AS wt FROM w),
+        th AS (SELECT doc_id, CAST(list_aggregate(list_transform(generate_series(1, 15),
+            i -> (CAST(strpos('0123456789abcdef', substr(md5(wt), CAST(i AS INT), 1)) AS BIGINT) - 1)
+                 << (4 * (15 - i))), 'sum') AS BIGINT) AS h
+          FROM tok),
+        bal AS (SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS b
+          FROM th CROSS JOIN generate_series(0, 59) AS g(j) GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id,
+            CAST(SUM(CASE WHEN b > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
+          FROM bal GROUP BY doc_id),
+        seg AS (SELECT doc_id, sim, k, (sim >> CAST(16 * k AS INT)) & 65535 AS sg
+          FROM sigs CROSS JOIN generate_series(0, 3) AS gk(k)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+          FROM seg a JOIN seg b ON a.k = b.k AND a.sg = b.sg AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+        ORDER BY id_a, id_b""")
     ),
 
     Q(
@@ -156,11 +235,12 @@ object Dedup {
         import spark.implicits._
         // Shingles are DISTINCT per doc, so the posting-list self-join
         // counts |A ∩ B| directly: one count(*) per pair, no array
-        // payloads through the shuffle and no array_intersect. This is
-        // the scalable formulation: shuffle keys are (shingle) then
-        // (id_a, id_b), both narrow.
-        val posting = shinglePosting(spark, dir).cache()
-        val sizes = posting.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        // payloads through the shuffle and no array_intersect. Sizes
+        // come from the array lengths — no extra groupBy. The only
+        // shuffles are the join on (s) and the pair-count aggregation.
+        val sh = shingleArrays(spark, dir).cache()
+        val posting = sh.select($"doc_id", explode($"sh").as("s"))
+        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
         val inter = posting.select($"doc_id".as("id_a"), $"s")
           .join(posting.select($"doc_id".as("id_b"), $"s"), Seq("s"))
           .where($"id_a" < $"id_b")
@@ -192,22 +272,47 @@ object Dedup {
 
     Q(
       "d05_dedup_embedding",
-      "Embedding cosine near-dup pairs, blocked by label (fold-exact fp)",
+      "Embedding cosine near-dup pairs via hyperplane-LSH buckets (fold-exact fp)",
       (spark, dir) => {
         import spark.implicits._
+        // Round 1 blocked on `label` — but the corpus has a FIXED 10
+        // labels, so per-label all-pairs is O(n^2/10): a scale-killer.
+        // Now: 8-bit hyperplane signature buckets + multi-probe
+        // (Hamming<=1 via 1-bit flips on side A), exact cosine verify.
+        // Candidate volume is n^2 * 9/2^bits with bits free to grow
+        // with log(n) (see Ops.embeddingCandidates + the linear-growth
+        // spec); the exact cosine keeps the fold order bit-identical
+        // to the DuckDB oracle.
         val e = Tables.load(spark, dir, "embeddings")
-        val a = e.select($"vec_id".as("id_a"), $"label", $"embedding".as("ea"))
-        val b = e.select($"vec_id".as("id_b"), $"label", $"embedding".as("eb"))
-        a.join(b, Seq("label")).where($"id_a" < $"id_b")
+        val sigd = e.select($"vec_id", $"embedding", Lsh.signature("embedding", Lsh.planes8).as("sig"))
+        val flips = sigd.select(
+          $"vec_id".as("id_a"),
+          explode(array(($"sig" +: (0 until 8).map(i => $"sig".bitwiseXOR(lit(1 << i)))): _*)).as("bucket")
+        )
+        val right = sigd.select($"vec_id".as("id_b"), $"sig".as("bucket"))
+        val candIds = flips.join(right, Seq("bucket")).where($"id_a" < $"id_b")
+          .select($"id_a", $"id_b").distinct()
+        candIds
+          .join(e.select($"vec_id".as("id_a"), $"embedding".as("ea")), Seq("id_a"))
+          .join(e.select($"vec_id".as("id_b"), $"embedding".as("eb")), Seq("id_b"))
           .withColumn("cosine", VectorFunctions.cosine("ea", "eb"))
           .filter($"cosine" >= 0.3)
-          .select($"id_a", $"id_b", $"label", $"cosine")
+          .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
           .orderBy($"id_a", $"id_b")
       },
       Some {
-        val cos = VectorFunctions.sqlCosine("a.embedding", "b.embedding")
-        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label, $cos AS cosine
-        FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        val sig = Lsh.sqlSignature("embedding", Lsh.planes8)
+        val cos = VectorFunctions.sqlCosine("ea.embedding", "eb.embedding")
+        s"""WITH sigd AS (SELECT vec_id, $sig AS sig FROM embeddings),
+        flips AS (SELECT vec_id AS id_a,
+            unnest([sig] || list_transform(generate_series(0, 7), i -> xor(sig, (1 << CAST(i AS INT))))) AS bucket
+          FROM sigd),
+        cands AS (SELECT DISTINCT f.id_a, r.vec_id AS id_b
+          FROM flips f JOIN sigd r ON f.bucket = r.sig AND f.id_a < r.vec_id)
+        SELECT c.id_a, c.id_b, ROUND($cos, 6) AS cosine
+        FROM cands c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
         WHERE $cos >= 0.3 ORDER BY id_a, id_b"""
       }
     )

@@ -150,6 +150,34 @@ object Ops {
       .select(col(probeId), col("rn"), col(corpusId), col("cosine"))
   }
 
+  /** Hyperplane-LSH candidate pairs over an embedding column: bucket
+    * on the signature, multi-probe via 1-bit flips (Hamming<=1), pair
+    * ids only — an equi-join on the bucket key, never a cross join.
+    * `numPlanes` is the scale knob: expected bucket occupancy is
+    * n / 2^numPlanes, so growing planes with ~log2(n) keeps candidate
+    * volume per row constant (OpsSpec pins the ~linear growth).
+    */
+  def embeddingCandidates(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      numPlanes: Int,
+      dim: Int = 64,
+      seed: Long = 1234L
+  ): DataFrame = {
+    require(numPlanes > 0 && numPlanes < 31, "numPlanes must be in 1..30")
+    val ps = graft.functions.Lsh.planes(numPlanes, dim, seed)
+    val sigd = df.select(col(idCol).as("_id"), graft.functions.Lsh.signature(embCol, ps).as("_sig"))
+    val flips = sigd.select(
+      col("_id").as("id_a"),
+      explode(array((col("_sig") +: (0 until numPlanes).map(i =>
+        col("_sig").bitwiseXOR(lit(1 << i)))): _*)).as("_b")
+    )
+    val right = sigd.select(col("_id").as("id_b"), col("_sig").as("_b"))
+    flips.join(right, Seq("_b")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Skew-safe equi-join: salt the (skewed) left side's key into
     * `salts` sub-keys and explode the right side across all salts, so
     * one hot key spreads over `salts` reducers. AQE handles moderate

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions
+import graft.functions.{Lsh, VectorFunctions}
 import graft.tables.Tables
 
 /** Approximate-nearest-neighbor search over the embeddings table
@@ -10,26 +10,11 @@ import graft.tables.Tables
   * scales as probes x corpus, partitioned over the corpus); s02 is the
   * scale path: random-hyperplane LSH buckets + multi-probe, so the
   * join is an equi-join on bucket keys instead of a cross product.
+  * The hyperplanes are deterministic ±1 vectors (graft.functions.Lsh)
+  * inlined as literals into the DuckDB oracle, so s02 carries a full
+  * value-level oracle (round 1 had none).
   */
 object Similarity {
-
-  /** 8 deterministic +-1 hyperplanes over 64 dims (seeded). */
-  private val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(1234)
-    Seq.fill(8)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
-
-  /** LSH signature (8 sign bits) of an embedding column. */
-  private def signature(emb: String) = {
-    val bits = planes.zipWithIndex.map { case (w, i) =>
-      val proj = expr(
-        s"aggregate(zip_with($emb, array(${w.mkString(", ")}), (x, y) -> CAST(x AS DOUBLE) * y), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-      )
-      when(proj > 0, lit(1 << i)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
 
   val all: Seq[Q] = Seq(
     Q(
@@ -67,10 +52,10 @@ object Similarity {
         import spark.implicits._
         val e = Tables.load(spark, dir, "embeddings")
         val sigAll = e.select($"vec_id".as("n_id"), $"embedding".as("ne"),
-          signature("embedding").as("bucket"))
+          Lsh.signature("embedding", Lsh.planes8).as("bucket"))
         val probes = e.orderBy($"vec_id").limit(10)
           .select($"vec_id".as("p_id"), $"embedding".as("pe"),
-            signature("embedding").as("sig0"))
+            Lsh.signature("embedding", Lsh.planes8).as("sig0"))
         // multi-probe: own bucket + each 1-bit flip (Hamming<=1)
         val probeBuckets = probes.select(
           $"p_id", $"pe",
@@ -93,8 +78,25 @@ object Similarity {
           .select($"p_id", $"rn", $"n_id", round($"cosine", 6).as("cosine"))
           .orderBy($"p_id", $"rn")
       },
-      None // bucket membership depends on the seeded hyperplanes; the
-      //      spec measures recall against s01 instead.
+      Some {
+        val sig = Lsh.sqlSignature("embedding", Lsh.planes8)
+        val cos = VectorFunctions.sqlCosine("p.pe", "ne.embedding")
+        s"""WITH sigd AS (SELECT vec_id, embedding, $sig AS bucket FROM embeddings),
+        p AS (SELECT vec_id AS p_id, embedding AS pe, bucket AS sig0
+          FROM sigd ORDER BY vec_id LIMIT 10),
+        pb AS (SELECT p_id,
+            unnest([sig0] || list_transform(generate_series(0, 7), i -> xor(sig0, (1 << CAST(i AS INT))))) AS bucket
+          FROM p),
+        cand AS (SELECT DISTINCT pb.p_id, s.vec_id AS n_id
+          FROM pb JOIN sigd s ON pb.bucket = s.bucket AND s.vec_id <> pb.p_id)
+        SELECT c.p_id AS p_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY c.p_id ORDER BY $cos DESC, c.n_id) AS INT) AS rn,
+          c.n_id AS n_id, ROUND($cos, 6) AS cosine
+        FROM cand c
+        JOIN p ON p.p_id = c.p_id
+        JOIN embeddings ne ON ne.vec_id = c.n_id
+        QUALIFY rn <= 5 ORDER BY c.p_id, rn"""
+      }
     )
   )
 }

@@ -96,6 +96,26 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("embeddingCandidates volume grows ~linearly when planes scale with log2(n)") {
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random corpus; doubling n while adding one
+    // plane (bits ~ log2 n) should roughly double candidate pairs —
+    // the d05 scale argument (fixed-key blocking would quadruple them)
+    def corpus(n: Int) =
+      spark.range(n).select(
+        col("id"),
+        expr("transform(sequence(0, 15), j -> " +
+          "CAST(pmod(xxhash64(id * 16 + j), 1000) / 499.5 - 1.0 AS FLOAT))").as("emb")
+      )
+    val small = Ops.embeddingCandidates(corpus(400), "id", "emb", 7, dim = 16).count()
+    val big = Ops.embeddingCandidates(corpus(800), "id", "emb", 8, dim = 16).count()
+    val bigFixed = Ops.embeddingCandidates(corpus(800), "id", "emb", 7, dim = 16).count()
+    assert(small > 0 && big > 0)
+    assert(big.toDouble / small < 3.0, s"candidates not ~linear: $small -> $big")
+    assert(bigFixed.toDouble / big > 1.5,
+      s"scaling planes should cut candidates vs fixed planes: $bigFixed vs $big")
+  }
+
   test("saltedJoin equals plain join") {
     import spark.implicits._
     val orders = Tables.load(spark, sfDir, "orders").select($"o_custkey", $"o_orderkey")

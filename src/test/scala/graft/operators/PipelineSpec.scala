@@ -74,7 +74,8 @@ class PipelineSpec extends SparkTestBase {
     import spark.implicits._
     val docs = graft.tables.Tables.load(spark, sfDir, "documents")
       .withColumn("words", expr("filter(split(text, ' '), x -> x <> '')"))
-    val tok = docs.select($"doc_id", explode($"words").as("w")).withColumn("h", xxhash64($"w"))
+    val tok = docs.select($"doc_id", explode($"words").as("w"))
+      .withColumn("h", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
     val bitAggs = (0 until 64).map(i =>
       sum(when(shiftright($"h", i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
     val sums = tok.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
