@@ -1,9 +1,78 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: one JSON line with per-query best-of-3 seconds.
+  *
+  * Failure-honest: a query that throws is reported with ok=false and
+  * excluded from the total (round 1 swallowed exceptions, scoring a
+  * crash as its near-zero time-to-failure), and the process exits
+  * nonzero. Per-query min/max spread is emitted so round-over-round
+  * comparisons can be read against host noise (BenchSpec pins both).
+  */
 object Bench {
+
+  final case class QueryResult(name: String, times: Seq[Double], error: Option[String]) {
+    def ok: Boolean = error.isEmpty
+    def best: Double = times.min
+  }
+
+  /** Run each query `runs` times (best-of wins); first failure aborts
+    * that query's loop and records the error instead of a time.
+    */
+  def run(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      runs: Int
+  ): Seq[QueryResult] =
+    queries.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
+      val times = (1 to runs).flatMap { _ =>
+        if (err.nonEmpty) None
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              err = Some(
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+              None
+          } finally spark.catalog.clearCache()
+        }
+      }
+      QueryResult(name, times, err)
+    }
+
+  /** The single-line bench JSON the driver parses. */
+  def toJson(results: Seq[QueryResult], sfDir: String, runs: Int): String = {
+    def j(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map {
+      case r if r.ok => s"${j(r.name)}:${r.best}"
+      case r => s"${j(r.name)}:null"
+    }.mkString("{", ",", "}")
+    val spread = results.collect { case r if r.ok =>
+      s"${j(r.name)}:[${r.times.min},${r.times.max}]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case r if !r.ok =>
+      s"${j(r.name)}:${j(r.error.get)}"
+    }.mkString("{", ",", "}")
+    val total = results.filter(_.ok).map(_.best).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${sfDir}",""" +
+      s""""runs":$runs,"spread":$spread,"failed":$failed,"ok":${results.forall(_.ok)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,23 +84,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM/codegen/IO spin-up paid once, not by the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // Per query: best of 2 runs (absorbs external CPU noise), cache
-    // cleared after each query so one operator's .cache() can't
-    // pressure the next one's memory.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        dt
-      }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = run(spark, sfDir, SparkEntry.queries.toSeq, runs)
+    println(toJson(results, sfDir, runs))
     spark.stop()
+    if (!results.forall(_.ok)) sys.exit(1)
   }
 }
