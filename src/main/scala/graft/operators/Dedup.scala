@@ -31,19 +31,38 @@ object Dedup {
     * global distinct; this removes both). Docs under 3 words have no
     * 3-grams and are dropped, matching the oracle's CASE..ELSE [].
     */
-  private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.load(spark, dir, "documents")
+  private[operators] def shingleArrays(docs: DataFrame): DataFrame =
+    docs
       .withColumn("words", expr(wordsExpr))
-      .where(size($"words") >= 3)
+      .where(size(col("words")) >= 3)
       .select(
-        $"doc_id",
+        col("doc_id"),
         expr(
           "array_distinct(transform(slice(words, 1, size(words) - 2), " +
             "(x, i) -> concat(x, ' ', words[i + 1], ' ', words[i + 2])))"
         ).as("sh")
       )
-  }
+
+  private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    shingleArrays(Tables.load(spark, dir, "documents"))
+
+  /** The 100 TB configuration of the n-gram Jaccard dedup (d04): the
+    * identical pipeline with a hot-shingle cap on candidate GENERATION
+    * via Ops.jaccardPairs — a boilerplate shingle shared by k docs
+    * emits k² candidate rows uncapped, so at corpus scale the cap
+    * bounds the posting self-join. Jaccard values for surviving pairs
+    * stay exact (recomputed from the full postings of candidate docs);
+    * pairs whose ONLY shared shingles are boilerplate are dropped — a
+    * recall trade-off, never a value error (DedupScaleSpec pins both).
+    * The canned oracle-gated d04 stays uncapped: at sf0.01 the hottest
+    * shingle reaches ~25 docs and exactness is the point of the oracle.
+    */
+  def ngramJaccardAtScale(
+      docs: DataFrame,
+      threshold: Double = 0.4,
+      maxPostingsPerToken: Int = 1000
+  ): DataFrame =
+    Ops.jaccardPairs(shingleArrays(docs), "doc_id", "sh", threshold, Some(maxPostingsPerToken))
 
   /** Exploded (doc_id, shingle) posting list — distinct per doc by
     * construction (array_distinct above).

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Scale guards for the dedup pipelines: the hot-shingle cap must
+  * bound candidate generation on a boilerplate-skewed corpus while
+  * keeping exact Jaccard values for every surviving pair.
+  */
+class DedupScaleSpec extends SparkTestBase {
+
+  // 120 docs: 10 boilerplate words shared by ALL docs + an 8-word
+  // tail. Docs 0..5 reuse 3 tails (id % 3), so (0,3) (1,4) (2,5) are
+  // exact duplicates; every other doc's tail is unique. Every pair
+  // shares the 8 boilerplate-only shingles -> uncapped candidate
+  // generation is O(n^2).
+  private def skewedDocs = {
+    val boiler = "terms of service apply to every user of this platform"
+    spark.range(120).select(
+      col("id").as("doc_id"),
+      concat(
+        lit(boiler + " "),
+        expr("concat_ws(' ', transform(sequence(0, 7), " +
+          "j -> concat('t', CAST(CASE WHEN id < 6 THEN id % 3 ELSE id END AS STRING), 'x', CAST(j AS STRING))))")
+      ).as("text")
+    )
+  }
+
+  test("hot-shingle cap bounds candidate blowup on a skewed corpus; survivors exact") {
+    val uncapped = Dedup.ngramJaccardAtScale(skewedDocs, 0.3, maxPostingsPerToken = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = Dedup.ngramJaccardAtScale(skewedDocs, 0.3, maxPostingsPerToken = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    // uncapped: boilerplate makes EVERY pair jaccard >= 1/3 -> n^2 blowup
+    assert(uncapped.size == 120 * 119 / 2, s"uncapped: ${uncapped.size}")
+    // capped: boilerplate shingles (df=120 > 10) are excluded from
+    // candidate generation; only the true duplicate pairs (which share
+    // non-hot tail shingles) survive
+    assert(capped.keySet == Set((0L, 3L), (1L, 4L), (2L, 5L)), s"capped: ${capped.keySet}")
+    // values for survivors are EXACT (full-posting Jaccard, cap only
+    // affects candidate generation): identical docs -> 1.0, and equal
+    // to the uncapped value
+    capped.foreach { case (pair, j) =>
+      assert(j == 1.0 && uncapped(pair) == j, s"$pair: capped=$j uncapped=${uncapped(pair)}")
+    }
+  }
+
+  test("canned d04 equals the scale configuration when no shingle is hot") {
+    // on the real sf0.001 corpus with a cap far above the hottest
+    // shingle, the capped pipeline is value-identical to canned d04
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+    val atScale = Dedup.ngramJaccardAtScale(docs, 0.4, maxPostingsPerToken = 100000)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val canned = graft.SparkEntry.queries("d04_dedup_ngram_jaccard")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(atScale == canned)
+  }
+}
