@@ -23,7 +23,8 @@ object Cli {
 
   def run(args: Array[String], out: String => Unit): Unit = {
     if (args.length < 2) {
-      out("usage: Cli <loaderClass> <version|validate|deps|run> [-n wkf] [-c cfg.json] [-s] targets...")
+      out("usage: Cli <loaderClass> <version|validate|deps|run> " +
+        "[-v|-vv] [-n wkf] [-c cfg.json] [-s] targets...")
       return
     }
     val loader = args(0)
@@ -39,14 +40,28 @@ object Cli {
     }
     if (!loaded) out(s"warning: loader class '$loader' not found")
 
-    def opt(flag: String): Option[String] =
-      rest.sliding(2).collectFirst { case Array(`flag`, v) => v }
-    val wkfName = opt("-n").getOrElse("default")
-    val show = rest.contains("-s")
-    val targets = {
-      val consumed = Set("-n", "-c") ++ opt("-n").toSet ++ opt("-c").toSet + "-s"
-      rest.filterNot(consumed.contains).toSeq
+    // Left-to-right parse consuming flag+value pairs — a positional
+    // target that happens to EQUAL a flag's value (`run -n foo foo`)
+    // stays a target (the old value-membership filter dropped it).
+    var wkfName = "default"
+    var cfgPath: Option[String] = None
+    var show = false
+    var verbose = 0
+    val targets = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < rest.length) {
+      rest(i) match {
+        case "-n" | "--name" if i + 1 < rest.length => wkfName = rest(i + 1); i += 2
+        case "-c" | "--config" if i + 1 < rest.length => cfgPath = Some(rest(i + 1)); i += 2
+        case "-s" | "--show" => show = true; i += 1
+        case "-v" | "--verbose" => verbose += 1; i += 1
+        case "-vv" => verbose += 2; i += 1
+        case t => targets += t; i += 1
+      }
     }
+    // -v => INFO, -vv => DEBUG (reference cli.py:108-110,136-138)
+    Log.level = verbose
+    Log.info(s"cli: loader=$loader command=$command workflow=$wkfName")
 
     def wkf: Workflow = Workflow.get(wkfName).getOrElse {
       out(s"Error: workflow '$wkfName' not found"); throw new RouteNotFound(wkfName)
@@ -72,9 +87,10 @@ object Cli {
       case "run" =>
         // anonymous (unregistered) clone: repeated CLI runs with -c
         // must not collide in the workflow registry
-        val base = opt("-c").map(loadConfig)
+        val base = cfgPath.map(loadConfig)
           .fold(wkf)(cfg => wkf.cloneWorkflow(name = "", config = Some(cfg)))
         targets.foreach { t =>
+          Log.debug(s"cli: running target '$t'")
           val res = base.run(t)
           if (show) out(String.valueOf(res))
         }

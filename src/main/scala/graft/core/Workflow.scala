@@ -299,6 +299,7 @@ final class Run(wkf: Workflow, extraKw: Map[String, Any]) {
     }
     val m = wkf.byName(resourceName)
     val cell = m.value
+    Log.debug(s"resolve '$resourceName' (workflow ${wkf.name})")
 
     // Config entry for this resource, recursively formatted with the
     // matched route params (workflow.py:227-229).
@@ -358,7 +359,24 @@ final class Run(wkf: Workflow, extraKw: Map[String, Any]) {
         s"Multi-provide arity mismatch for $resourceName"
       )
       cell.patterns.zip(parts).foreach { case (p, r) =>
-        cache(p.fmt(m.kw.map { case (k, v) => k -> (v: Any) })) = r
+        // Cache keys format each sibling pattern with the matched
+        // params, falling back to run-level extra kwargs (a
+        // parameterized route resolved by its literal pattern string
+        // carries its params there, not in m.kw). Anything still
+        // missing gets a descriptive error naming route + param
+        // instead of a bare NoSuchElementException (the reference has
+        // the same latent KeyError, workflow.py:264-270).
+        val fmtKw = extraKw ++ m.kw.map { case (k, v) => k -> (v: Any) }
+        val key =
+          try p.fmt(fmtKw)
+          catch {
+            case e: NoSuchElementException =>
+              throw new InvalidValue(
+                s"Cannot cache multi-provide route '${p.pattern}' for $resourceName: " +
+                  s"missing param ${e.getMessage}"
+              )
+          }
+        cache(key) = r
       }
       parts(cell.patterns.map(_.pattern).indexOf(m.route))
     }

@@ -45,5 +45,11 @@ object Quickstart {
 
     try new Workflow("quickstart")
     catch { case e: DuplicateRoute => println("DuplicateRoute: " + e.getMessage) }
+
+    // Module-level shortcut surface: the ready default workflow
+    // (reference interlinked/__init__.py — `from interlinked import
+    // provide, run`)
+    default.provide("qs.greet") { ctx => "hi " + ctx.str("who", "there") }
+    println("default.run(qs.greet) = " + default.run("qs.greet", "who" -> "graft"))
   }
 }

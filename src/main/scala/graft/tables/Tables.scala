@@ -14,15 +14,30 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
+  import org.apache.spark.sql.types._
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+    * default. An explicit LongType for the column makes the scan read
+    * the raw nanos — scoped to THIS read, unlike the session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` conf mutation it replaces,
+    * which changed nano-timestamp behavior for every later read on the
+    * session.
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default; read nanos as long and convert to a µs timestamp
-      // (the data is µs-grained, so the floor-div is lossless — and
-      // matches DuckDB's epoch_us truncation used in the oracles).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val raw = spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._
+      // the data is µs-grained, so the nanos floor-div is lossless —
+      // and matches DuckDB's epoch_us truncation used in the oracles
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

@@ -75,4 +75,33 @@ class CliSpec extends SparkTestBase {
     val out = cli("graft.GraftPipelines", "validate", "-n", "nope")
     assert(out.exists(_.startsWith("Error: workflow 'nope' not found")))
   }
+
+  test("-v raises log level to INFO, -vv to DEBUG (cli.py:136-138)") {
+    val logs = ArrayBuffer[String]()
+    val (oldLevel, oldSink) = (Log.level, Log.sink)
+    try {
+      Log.sink = logs += _
+      cli("graft.GraftPipelines", "version")
+      assert(Log.level == 0 && logs.isEmpty)
+      cli("graft.GraftPipelines", "version", "-v")
+      assert(Log.level == 1 && logs.exists(_.startsWith("INFO cli:")))
+      logs.clear()
+      cli("graft.GraftPipelines", "version", "-vv")
+      assert(Log.level == 2)
+      cli("graft.GraftPipelines", "version", "-v", "--verbose")
+      assert(Log.level == 2)
+    } finally { Log.level = oldLevel; Log.sink = oldSink }
+  }
+
+  test("a run target equal to a flag value is not dropped") {
+    // `run -n default default.echo` used to drop the target when its
+    // string appeared as any flag's value; positional parsing keeps it
+    Workflow.get("cli-echo").getOrElse {
+      val w = new Workflow("cli-echo")
+      w.provide("cli-echo") { _ => "it-ran" }
+      w
+    }
+    val out = cli("graft.GraftPipelines", "run", "-n", "cli-echo", "-s", "cli-echo")
+    assert(out.lastOption.contains("it-ran"))
+  }
 }

@@ -196,4 +196,26 @@ class WorkflowSpec extends AnyFunSuite {
     assert(wkf.runAll(Seq("a", "b")) == Seq(2, 3))
     assert(logs("src") == 1)
   }
+
+  test("default shortcut surface: ready workflow with bare helpers (workflow.py:274-279)") {
+    val cell = default.provide("shortcut.echo") { ctx => ctx.str("who", "nobody") }
+    default.depend(cell) // no-op chain, same Cell
+    assert(default.workflow.name == "default_workflow")
+    assert(default.run("shortcut.echo") == "nobody")
+    assert(default.run("shortcut.echo", "who" -> "me") == "me")
+    default.setConfig(Map("shortcut.echo" -> Map("who" -> "conf")))
+    assert(default.run("shortcut.echo") == "conf")
+    default.setConfig(Map.empty) // leave no config for other suites
+  }
+
+  test("multi-provide via literal pattern route formats cache keys from extra kwargs") {
+    val wkf = freshWkf("spec-multifmt")
+    wkf.provide("pair.{n}.left", "pair.{n}.right") { ctx =>
+      (s"L${ctx.str("n")}", s"R${ctx.str("n")}")
+    }
+    // resolving the literal pattern string: params arrive as extra
+    // kwargs, not matched route params — used to die with a bare
+    // NoSuchElementException when caching the sibling pattern
+    assert(wkf.run("pair.{n}.left", "n" -> "7") == "L7")
+  }
 }
