@@ -201,7 +201,7 @@ object Dedup {
         // fits a signed BIGINT on both engines (DuckDB decodes the
         // same digits), so d03 carries a value-level oracle
         val tok = docs.select($"doc_id", explode($"words").as("w"))
-          .withColumn("h", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long"))
+          .withColumn("h", graft.functions.PortableHash.hash60($"w"))
         // native SimHashAgg: one 64-int buffer through the partial
         // aggregation instead of 64 long columns (X3, Expressions.scala).
         // Bits 60-63 of the input are always 0, so their balance is
@@ -225,13 +225,11 @@ object Dedup {
           .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
           .orderBy($"id_a", $"id_b")
       },
-      Some("""WITH w AS (
+      Some(s"""WITH w AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd
           FROM documents),
         tok AS (SELECT doc_id, unnest(wd) AS wt FROM w),
-        th AS (SELECT doc_id, CAST(list_aggregate(list_transform(generate_series(1, 15),
-            i -> (CAST(strpos('0123456789abcdef', substr(md5(wt), CAST(i AS INT), 1)) AS BIGINT) - 1)
-                 << (4 * (15 - i))), 'sum') AS BIGINT) AS h
+        th AS (SELECT doc_id, ${graft.functions.PortableHash.sqlHash60("wt")} AS h
           FROM tok),
         bal AS (SELECT doc_id, j, SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS b
           FROM th CROSS JOIN generate_series(0, 59) AS g(j) GROUP BY doc_id, j),
@@ -333,6 +331,85 @@ object Dedup {
         JOIN embeddings ea ON ea.vec_id = c.id_a
         JOIN embeddings eb ON eb.vec_id = c.id_b
         WHERE $cos >= 0.3 ORDER BY id_a, id_b"""
+      }
+    ),
+
+    Q(
+      "d06_dup_clusters",
+      "Duplicate clusters: connected components over exact-Jaccard>=0.4 pairs",
+      (spark, dir) => {
+        import spark.implicits._
+        // Edges are d04's verified duplicate pairs. Components via
+        // min-label propagation: each round every node takes the min
+        // of its own and its neighbors' labels — a keyed join +
+        // aggregation per round (never a cross join), converging in
+        // <= component-diameter rounds (near-dup clusters are almost
+        // cliques, so 2-3 in practice; hard cap 20). The driver-side
+        // loop carries only the convergence COUNT, not data — the
+        // standard distributed CC shape (large/small-star refines the
+        // same idea for graphs with huge diameter).
+        val sh = shingleArrays(spark, dir).cache()
+        val posting = sh.select($"doc_id", explode($"sh").as("s"))
+        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+        val pairs = posting.select($"doc_id".as("id_a"), $"s")
+          .join(posting.select($"doc_id".as("id_b"), $"s"), Seq("s"))
+          .where($"id_a" < $"id_b")
+          .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
+          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+          .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
+          .select($"id_a", $"id_b")
+        val edges = pairs.union(pairs.select($"id_b", $"id_a")).toDF("src", "dst").cache()
+        var labels = edges.select($"src".as("id")).distinct()
+          .withColumn("lbl", $"id").cache()
+        // labels only ever DECREASE, so an unchanged sum(lbl) means a
+        // fixpoint — one cheap aggregate per round instead of an
+        // anti-join convergence check
+        var prevSum = Long.MaxValue
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 20) {
+          val nmin = edges.join(labels.select($"id".as("src"), $"lbl"), "src")
+            .groupBy($"dst").agg(min($"lbl").as("nlbl"))
+          val next = labels
+            .join(nmin.select($"dst".as("id"), $"nlbl"), Seq("id"), "left")
+            .select($"id", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+            .cache()
+          val s = next.agg(sum($"lbl")).head().getLong(0)
+          labels.unpersist()
+          labels = next
+          converged = s == prevSum
+          prevSum = s
+          iter += 1
+        }
+        val win = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+        labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+          .withColumn("n_members", count(lit(1)).over(win).cast("long"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val ctes = sqlShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+        s"""$ctes,
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        pc AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, COUNT(*) AS c
+          FROM post pa JOIN post pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT pc.id_a, pc.id_b FROM pc
+          JOIN sizes sa ON sa.doc_id = pc.id_a
+          JOIN sizes sb ON sb.doc_id = pc.id_b
+          WHERE CAST(pc.c AS DOUBLE) / (sa.n + sb.n - pc.c) >= 0.4),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        cl AS (SELECT n.src AS doc_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
+          FROM (SELECT DISTINCT src FROM sym) n
+          LEFT JOIN reach r ON r.src = n.src GROUP BY n.src)
+        SELECT doc_id, cluster_id,
+          CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        FROM cl ORDER BY doc_id"""
       }
     )
   )

@@ -97,6 +97,74 @@ object Similarity {
         JOIN embeddings ne ON ne.vec_id = c.n_id
         QUALIFY rn <= 5 ORDER BY c.p_id, rn"""
       }
+    ),
+
+    Q(
+      "s03_sim_ivf_topk",
+      "IVF-style ANN: 8 fixed coarse centroids, nprobe=2 cells, exact cosine rerank",
+      (spark, dir) => {
+        import spark.implicits._
+        // The IVF scale shape: a small coarse quantizer partitions the
+        // corpus into cells (build = broadcast NL over 8 centroid
+        // rows, linear in corpus); probes search only their nprobe
+        // nearest cells, so lookup cost is corpus/cells * nprobe
+        // instead of the full corpus. Centroids here are the 8 lowest
+        // vec_ids (deterministic, oracle-reproducible) — a trained
+        // k-means quantizer slots into the same plan unchanged.
+        val e = Tables.load(spark, dir, "embeddings")
+        val cents = e.orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("c_id"), $"embedding".as("ce"))
+        val wAssign = Window.partitionBy($"n_id").orderBy($"cos_c".desc, $"c_id")
+        val cells = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos_c", VectorFunctions.cosine("ne", "ce"))
+          .withColumn("rnc", row_number().over(wAssign))
+          .filter($"rnc" === 1)
+          .select($"n_id", $"c_id".as("cell"))
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+        val wProbe = Window.partitionBy($"p_id").orderBy($"cos_p".desc, $"c_id")
+        val probeCells = probes.crossJoin(broadcast(cents))
+          .withColumn("cos_p", VectorFunctions.cosine("pe", "ce"))
+          .withColumn("rnp", row_number().over(wProbe))
+          .filter($"rnp" <= 2)
+          .select($"p_id", $"c_id".as("cell"))
+        val w = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
+        cells.join(broadcast(probeCells), Seq("cell"))
+          .where($"n_id" =!= $"p_id")
+          .select($"p_id", $"n_id").distinct()
+          .join(broadcast(probes), Seq("p_id"))
+          .join(e.select($"vec_id".as("n_id"), $"embedding".as("ne")), Seq("n_id"))
+          .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter($"rn" <= 5)
+          .select($"p_id", $"rn", $"n_id", round($"cosine", 6).as("cosine"))
+          .orderBy($"p_id", $"rn")
+      },
+      Some {
+        val cosNC = VectorFunctions.sqlCosine("e.embedding", "c.ce")
+        val cosPC = VectorFunctions.sqlCosine("p.pe", "c.ce")
+        val cos = VectorFunctions.sqlCosine("pr.pe", "ne.embedding")
+        s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+        a AS (SELECT e.vec_id AS n_id, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosNC DESC, c.c_id) AS rnc
+          FROM embeddings e, c),
+        cells AS (SELECT n_id, c_id AS cell FROM a WHERE rnc = 1),
+        p AS (SELECT vec_id AS p_id, embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 10),
+        pa AS (SELECT p.p_id, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY $cosPC DESC, c.c_id) AS rnp
+          FROM p, c),
+        pcells AS (SELECT p_id, c_id AS cell FROM pa WHERE rnp <= 2),
+        cand AS (SELECT DISTINCT pc.p_id, ce.n_id
+          FROM pcells pc JOIN cells ce ON pc.cell = ce.cell AND ce.n_id <> pc.p_id)
+        SELECT cand.p_id AS p_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY cand.p_id ORDER BY $cos DESC, cand.n_id) AS INT) AS rn,
+          cand.n_id AS n_id, ROUND($cos, 6) AS cosine
+        FROM cand
+        JOIN p pr ON pr.p_id = cand.p_id
+        JOIN embeddings ne ON ne.vec_id = cand.n_id
+        QUALIFY rn <= 5 ORDER BY cand.p_id, rn"""
+      }
     )
   )
 }

@@ -30,6 +30,10 @@ object TextAnalysis {
   private def duckHits(lang: String) =
     s"len(list_filter(words, x -> x IN ${inList(stop(lang))}))"
 
+  // PII patterns (t11) — conservative Java-regex/RE2 common subset.
+  private[operators] val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val piiPhone = "\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b"
+
   val all: Seq[Q] = Seq(
     Q(
       "t01_lang_id",
@@ -246,6 +250,133 @@ object TextAnalysis {
           ROUND(CAST(m.mx AS DOUBLE) / m.total, 6) AS rep_ratio
         FROM g JOIN m ON g.doc_id = m.doc_id AND g.c = m.mx
         GROUP BY g.doc_id, m.total, m.mx ORDER BY g.doc_id""")
+    ),
+
+    Q(
+      "t08_stratified_sample",
+      "Deterministic hash-mod stratified sampling with per-lang rates (data mixing)",
+      (spark, dir) => {
+        import spark.implicits._
+        // Data-mixing sampler: keep a doc iff its 60-bit content-id
+        // hash mod 100 falls under the stratum's rate — deterministic
+        // (reproducible pipelines, no RNG state), per-row (no
+        // shuffle), and exactly re-computable by the oracle. Rates
+        // mimic downsampling dominant English, upsampling the rest.
+        Tables.load(spark, dir, "documents")
+          .withColumn("bucket",
+            pmod(graft.functions.PortableHash.hash60($"doc_id".cast("string")), lit(100L)))
+          .withColumn("rate",
+            expr("CASE lang WHEN 'en' THEN 35 WHEN 'zh' THEN 80 WHEN 'de' THEN 60 " +
+              "WHEN 'fr' THEN 60 ELSE 50 END"))
+          .where($"bucket" < $"rate")
+          .select($"doc_id", $"lang", $"source", $"bucket")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, lang, source,
+          ${graft.functions.PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+          CASE lang WHEN 'en' THEN 35 WHEN 'zh' THEN 80 WHEN 'de' THEN 60
+            WHEN 'fr' THEN 60 ELSE 50 END AS rate
+          FROM documents)
+        SELECT doc_id, lang, source, bucket FROM b
+        WHERE bucket < rate ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t09_salient_terms",
+      "Top-3 salient terms per doc by tf/df ratio (TF-IDF-style, transcendental-free)",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // tf/df instead of tf*log(N/df): same ranking intent, but the
+        // score is a single IEEE division — bit-identical across
+        // engines, where log() differs in the last ulp and flips
+        // near-tie ranks. Shuffles: tf groupBy (doc_id, w), df groupBy
+        // (w), final window on doc_id — all keyed, no cross join.
+        val tok = Tables.load(spark, dir, "documents")
+          .withColumn("words", expr(sparkWords))
+          .select($"doc_id", explode($"words").as("w"))
+        val tf = tok.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.select($"doc_id", $"w").distinct()
+          .groupBy($"w").agg(count(lit(1)).as("df"))
+        val win = Window.partitionBy($"doc_id").orderBy($"score".desc, $"w")
+        tf.join(dfreq, "w")
+          .withColumn("score", $"tf".cast("double") / $"df")
+          .withColumn("rn", row_number().over(win).cast("int"))
+          .filter($"rn" <= 3)
+          .select($"doc_id", $"rn", $"w".as("term"), round($"score", 6).as("score"))
+          .orderBy($"doc_id", $"rn")
+      },
+      Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd FROM documents),
+        tok AS (SELECT doc_id, unnest(wd) AS wt FROM w),
+        tf AS (SELECT doc_id, wt, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT wt, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        SELECT tf.doc_id AS doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+            ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.wt) AS INT) AS rn,
+          tf.wt AS term,
+          ROUND(CAST(tf.tf AS DOUBLE) / dfreq.df, 6) AS score
+        FROM tf JOIN dfreq ON tf.wt = dfreq.wt
+        QUALIFY rn <= 3 ORDER BY doc_id, rn""")
+    ),
+
+    Q(
+      "t10_pack_bins",
+      "Token-budget bin packing per lang (sequence packing for training batches)",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Assigns docs to ~512-token bins per lang by exclusive
+        // running token count — ONE shuffle on lang (the window), all
+        // integer arithmetic. The 100 TB note: a real packer windows
+        // per (lang, shard) with shard = hash(doc_id) % K so no single
+        // partition key holds the whole corpus; the per-shard shape is
+        // identical to this one.
+        val win = Window.partitionBy($"lang").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(spark, dir, "documents")
+          .withColumn("n_tokens", size(expr(sparkWords)).cast("long"))
+          .withColumn("cum", coalesce(sum($"n_tokens").over(win), lit(0L)))
+          .withColumn("bin_id", expr("cum div 512"))
+          .select($"doc_id", $"lang", $"n_tokens", $"bin_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+          CAST(len($duckWords) AS BIGINT) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, lang, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+          FROM t)
+        SELECT doc_id, lang, n_tokens, cum // 512 AS bin_id
+        FROM c ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t11_pii_redact",
+      "PII detection + redaction (emails/phones): counts and redacted-text hash",
+      (spark, dir) => {
+        import spark.implicits._
+        // Java regex and DuckDB's RE2 agree on this conservative
+        // subset (character classes, +/{n,}, \b ASCII word boundary).
+        // Counts + a hash of the redacted text keep output rows
+        // narrow; per-row only, zero shuffle.
+        val email = piiEmail
+        val phone = piiPhone
+        Tables.load(spark, dir, "documents")
+          .select(
+            $"doc_id",
+            size(regexp_extract_all($"text", lit(email), lit(0))).cast("long").as("n_emails"),
+            size(regexp_extract_all($"text", lit(phone), lit(0))).cast("long").as("n_phones"),
+            md5(regexp_replace(regexp_replace($"text", email, "<EMAIL>"), phone, "<PHONE>"))
+              .as("redacted_hash")
+          )
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b')) AS BIGINT) AS n_phones,
+        md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b', '<PHONE>', 'g')) AS redacted_hash
+        FROM documents ORDER BY doc_id""")
     )
   )
 }

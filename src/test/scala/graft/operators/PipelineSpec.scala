@@ -116,6 +116,77 @@ class PipelineSpec extends SparkTestBase {
     info(s"s02 recall@5 vs brute force: $recall (bucketed ANN on random data)")
   }
 
+  test("d06 clusters: every dup pair lands in one cluster labeled by its min member") {
+    val pairs = q("d04_dedup_ngram_jaccard").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cl = q("d06_dup_clusters").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cl(a)._1 == cl(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster label is the minimum member id; sizes >= 2 and consistent
+    val byCluster = cl.toSeq.groupBy(_._2._1)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"cluster $cid not labeled by min member")
+      assert(members.size >= 2 && members.forall(_._2._2 == members.size))
+    }
+  }
+
+  test("t08 sampling is deterministic and respects per-stratum rates") {
+    val a = q("t08_stratified_sample").collect().map(_.getLong(0)).toSet
+    val b = q("t08_stratified_sample").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = q("t08_stratified_sample").filter(col("lang") === "en").count().toDouble
+    // rate 35% with hash-uniform buckets; loose tolerance for small n
+    assert(enKept / en > 0.2 && enKept / en < 0.5, s"en kept ${enKept / en}")
+  }
+
+  test("t09 salient terms: 3 ranked terms per doc with positive scores") {
+    val df = q("t09_salient_terms").cache()
+    assert(df.filter(col("rn") > 3).count() == 0)
+    assert(df.filter(col("score") <= 0).count() == 0)
+    val perDoc = df.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+    assert(perDoc == 3)
+  }
+
+  test("t10 bins: per-lang token sums bounded by budget + one doc") {
+    val df = q("t10_pack_bins").cache()
+    val maxTok = df.agg(max("n_tokens")).head().getLong(0)
+    val over = df.groupBy("lang", "bin_id").agg(sum("n_tokens").as("s"))
+      .filter(col("s") >= lit(512L) + lit(maxTok)).count()
+    assert(over == 0, s"a bin exceeded budget+maxdoc ($maxTok)")
+    // bin ids are dense from 0 within each lang
+    val bad = df.groupBy("lang").agg(min("bin_id").as("mn")).filter(col("mn") =!= 0).count()
+    assert(bad == 0)
+  }
+
+  test("t11 redaction masks synthesized pii exactly") {
+    import spark.implicits._
+    val redact = regexp_replace(
+      regexp_replace(col("text"), TextAnalysis.piiEmail, "<EMAIL>"),
+      TextAnalysis.piiPhone, "<PHONE>")
+    val out = Seq(
+      "contact bob.smith+x@corp-mail.example.org or 555-123-4567 now",
+      "no pii here at all"
+    ).toDF("text").select(redact.as("r")).collect().map(_.getString(0))
+    assert(out(0) == "contact <EMAIL> or <PHONE> now", out(0))
+    assert(out(1) == "no pii here at all")
+    // canned query: one row per doc, nonnegative counts
+    val df = q("t11_pii_redact")
+    assert(df.count() == graft.tables.Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("s03 IVF returns 5 exact-reranked neighbors per probe; recall vs s01 reported") {
+    val df = q("s03_sim_ivf_topk").cache()
+    val counts = df.groupBy("p_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
+    val brute = q("s01_sim_bruteforce_topk")
+      .select(col("p_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = df.select(col("p_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"s03 recall@5 vs brute force: ${ivf.intersect(brute).size.toDouble / brute.size}")
+  }
+
   test("m01 metadata matches payload bytes") {
     val df = q("m01_multimodal_meta").cache()
     assert(df.filter(col("n_bytes") <= 0).count() == 0)
