@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions (SURVEY.md §2.6) for the hot paths
   * where composing built-ins costs extra passes:
@@ -35,6 +36,72 @@ object GraftExpressions {
   /** Column API: SimHash aggregate over a per-token 64-bit hash col. */
   def simHashAgg(h: Column): Column =
     column(SimHashAgg(expression(h)).toAggregateExpression())
+
+  /** Column API: word n-gram shingles of a text column in one pass. */
+  def wordShingles(text: Column, n: Int, distinct: Boolean): Column =
+    column(WordShingles(expression(text), n, distinct))
+}
+
+/** Word n-gram shingles of a text column in ONE pass over the UTF-8
+  * bytes: tokenize on 0x20 (space never occurs inside a UTF-8
+  * multibyte sequence), emit n-grams joined by a single space,
+  * optionally first-occurrence-distinct. Replaces the
+  * `filter(split(...))` + indexed `transform(slice(...))` +
+  * `array_distinct` chain, whose higher-order functions evaluate an
+  * interpreted lambda per element (~3s/pass over sf0.1 vs ~1s for
+  * this). Semantics are identical to the HOF chain and the DuckDB
+  * oracle's list_transform (empty tokens dropped, docs under n words
+  * yield an empty array); result ORDER is irrelevant downstream —
+  * every consumer explodes into set/multiset aggregations.
+  */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordShingles$$.MODULE$$.compute($c, $n, $distinct);")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+object WordShingles {
+  /** Static entry shared by eval and generated code. */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    // token boundaries on the space byte; empties dropped
+    val tokens = new java.util.ArrayList[UTF8String]()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        if (i > start) tokens.add(UTF8String.fromBytes(bytes, start, i - start))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = tokens.size - n + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val out = new java.util.ArrayList[UTF8String](m)
+    val seen = if (distinct) new java.util.HashSet[UTF8String](m * 2) else null
+    var j = 0
+    while (j < m) {
+      val parts = new Array[UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = tokens.get(j + k); k += 1 }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      if (seen == null || seen.add(sh)) out.add(sh)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]])
+  }
 }
 
 /** Fused cosine similarity: dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))

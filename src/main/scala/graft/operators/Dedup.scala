@@ -24,24 +24,23 @@ object Dedup {
   /** Non-empty word tokens. */
   private val wordsExpr = "filter(split(text, ' '), x -> x <> '')"
 
-  /** Distinct word-3-gram shingles as an ARRAY per doc, built narrow:
-    * slice + indexed transform + array_distinct are all per-row, so
+  /** Distinct word-3-gram shingles as an ARRAY per doc, built narrow
+    * and codegen'd: the WordShingles expression (X5) tokenizes and
+    * emits distinct 3-grams in one pass over the UTF-8 bytes, so
     * posting-list construction needs NO shuffle at all (round 1 used
     * posexplode + lead() windows — a doc_id shuffle + sort — plus a
-    * global distinct; this removes both). Docs under 3 words have no
-    * 3-grams and are dropped, matching the oracle's CASE..ELSE [].
+    * global distinct) and no interpreted HOF lambdas (~3x faster than
+    * the filter/transform/array_distinct chain; equivalence
+    * spec-pinned). Docs under 3 words have no 3-grams and are
+    * dropped, matching the oracle's CASE..ELSE [].
     */
   private[operators] def shingleArrays(docs: DataFrame): DataFrame =
     docs
-      .withColumn("words", expr(wordsExpr))
-      .where(size(col("words")) >= 3)
       .select(
         col("doc_id"),
-        expr(
-          "array_distinct(transform(slice(words, 1, size(words) - 2), " +
-            "(x, i) -> concat(x, ' ', words[i + 1], ' ', words[i + 2])))"
-        ).as("sh")
+        graft.functions.GraftExpressions.wordShingles(col("text"), 3, distinct = true).as("sh")
       )
+      .where(size(col("sh")) > 0)
 
   private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     shingleArrays(Tables.load(spark, dir, "documents"))

@@ -220,16 +220,20 @@ object TextAnalysis {
       "Repetition detection: dominant-trigram ratio (degenerate-text signal)",
       (spark, dir) => {
         import spark.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val tok = Tables.load(spark, dir, "documents")
-          .withColumn("words", expr(sparkWords))
-          .select($"doc_id", posexplode($"words").as(Seq("pos", "w")))
-        val win = Window.partitionBy($"doc_id").orderBy($"pos")
-        val tri = tok
-          .withColumn("w1", lead($"w", 1).over(win))
-          .withColumn("w2", lead($"w", 2).over(win))
-          .filter($"w2".isNotNull)
-          .select($"doc_id", concat_ws(" ", $"w", $"w1", $"w2").as("s"))
+        // trigram construction is per-row via the codegen'd
+        // WordShingles expression (no window shuffle + SORT, no
+        // interpreted HOF lambdas); duplicates kept on purpose: the
+        // dominant-trigram count IS the repetition signal. The single
+        // explicit doc_id repartition is reused by BOTH downstream
+        // groupBys and the join (hash partitioning on a subset of the
+        // grouping keys satisfies their distribution), so the whole
+        // query runs on one data shuffle + the final oracle sort.
+        val tri = Tables.load(spark, dir, "documents")
+          .select(
+            $"doc_id",
+            explode(graft.functions.GraftExpressions.wordShingles($"text", 3, distinct = false)).as("s")
+          )
+          .repartition($"doc_id")
         val g = tri.groupBy($"doc_id", $"s").agg(count(lit(1)).as("c"))
         val m = g.groupBy($"doc_id")
           .agg(sum($"c").cast("bigint").as("total"), max($"c").cast("bigint").as("mx"))

@@ -68,6 +68,41 @@ class ExpressionsSpec extends SparkTestBase {
     assert(h.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 1000000007L))
   }
 
+  test("WordShingles == filter/transform/array_distinct HOF chain, all documents") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val viaHof = docs
+      .withColumn("words", org.apache.spark.sql.functions.expr(
+        "filter(split(text, ' '), x -> x <> '')"))
+      .select($"doc_id", org.apache.spark.sql.functions.expr(
+        "CASE WHEN size(words) >= 3 THEN array_distinct(transform(slice(words, 1, size(words) - 2), " +
+          "(x, i) -> concat(x, ' ', words[i + 1], ' ', words[i + 2]))) ELSE array() END").as("sh"))
+    val viaExpr = docs.select($"doc_id",
+      GraftExpressions.wordShingles($"text", 3, distinct = true).as("sh"))
+    assert(viaExpr.except(viaHof).count() == 0 && viaHof.except(viaExpr).count() == 0)
+    // non-distinct keeps duplicates (multiset equality via explode counts)
+    val dupHof = docs
+      .withColumn("words", org.apache.spark.sql.functions.expr(
+        "filter(split(text, ' '), x -> x <> '')"))
+      .where(org.apache.spark.sql.functions.size($"words") >= 3)
+      .select($"doc_id", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr(
+          "transform(slice(words, 1, size(words) - 2), (x, i) -> concat(x, ' ', words[i + 1], ' ', words[i + 2]))"))
+        .as("s"))
+      .groupBy("doc_id", "s").count()
+    val dupExpr = docs.select($"doc_id", org.apache.spark.sql.functions.explode(
+      GraftExpressions.wordShingles($"text", 3, distinct = false)).as("s"))
+      .groupBy("doc_id", "s").count()
+    assert(dupExpr.except(dupHof).count() == 0 && dupHof.except(dupExpr).count() == 0)
+    // edge cases: consecutive/leading/trailing spaces, short docs, empty
+    val edge = Seq("a  b   c d", "  x y   z  ", "one two", "", "   ").toDF("text")
+    val got = edge.select(GraftExpressions.wordShingles($"text", 3, distinct = true)).collect()
+      .map(_.getSeq[String](0).toList)
+    assert(got(0) == List("a b c", "b c d"))
+    assert(got(1) == List("x y z"))
+    assert(got(2) == Nil && got(3) == Nil && got(4) == Nil)
+  }
+
   test("null handling: cosine of null array is null") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
