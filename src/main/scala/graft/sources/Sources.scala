@@ -25,6 +25,25 @@ object Sources {
     schema.fold(r)(s => r.schema(s)).orc(path)
   }
 
+  /** Raw-asset ingestion for multimodal corpora: each file becomes a
+    * row (path, modificationTime, length, content: binary) — the
+    * entry point that feeds the Multimodal decode pipeline. `glob`
+    * filters by pattern (e.g. "*.jpg"); `maxBytes` guards the row
+    * size (a 100 TB ingest caps per-row payloads and routes oversized
+    * assets to a side channel instead of OOMing an executor).
+    */
+  def binaryFiles(
+      spark: SparkSession,
+      path: String,
+      glob: Option[String] = None,
+      maxBytes: Option[Long] = None
+  ): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    val withGlob = glob.fold(r)(g => r.option("pathGlobFilter", g))
+    val df = withGlob.load(path)
+    maxBytes.fold(df)(m => df.filter(org.apache.spark.sql.functions.col("length") <= m))
+  }
+
   /** Streaming variants (file sources need explicit schemas). */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)

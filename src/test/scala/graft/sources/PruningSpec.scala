@@ -10,6 +10,22 @@ import org.apache.spark.sql.functions._
   */
 class PruningSpec extends SparkTestBase {
 
+  test("binaryFiles ingests raw assets with glob and size guard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), Array.fill[Byte](64)(1))
+    java.nio.file.Files.write(dir.resolve("b.jpg"), Array.fill[Byte](2048)(2))
+    java.nio.file.Files.write(dir.resolve("c.txt"), Array.fill[Byte](8)(3))
+    val all = Sources.binaryFiles(spark, dir.toString)
+    assert(all.count() == 3)
+    val jpgs = Sources.binaryFiles(spark, dir.toString, glob = Some("*.jpg"))
+    assert(jpgs.count() == 2)
+    val small = Sources.binaryFiles(spark, dir.toString, glob = Some("*.jpg"),
+      maxBytes = Some(1024L))
+    val rows = small.select("length", "content").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 64)
+    assert(rows(0).getAs[Array[Byte]](1).forall(_ == 1))
+  }
+
   test("partition pruning: filter on partition column prunes directories") {
     val base = java.nio.file.Files.createTempDirectory("graft-prune").toString
     Tables.load(spark, sfDir, "events")
