@@ -1,0 +1,105 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Workflow
+import graft.functions.PortableHash
+import graft.operators.{Dedup, Ops}
+import graft.tables.Tables
+
+/** The library's end-to-end story: a training-data curation pipeline
+  * declared as a pattern-routed workflow (the reference's
+  * provide/depend shape) whose nodes are the graft operators. Because
+  * every node returns a LAZY DataFrame, the whole route chain
+  * collapses into one Catalyst plan at the terminal action — filters
+  * from `sample` push below `clean`'s projections, and nothing
+  * materializes between stages unless a cell opts into a
+  * materialization policy.
+  *
+  *   docs.raw → docs.clean → docs.dedup → docs.sample.{pct:int} → docs.packed
+  *
+  * Run: sbt "runMain graft.examples.DataPipeline"
+  */
+object DataPipeline {
+
+  def build(spark: SparkSession, dir: String): Workflow = {
+    val wkf = new Workflow("")
+
+    wkf.provide("docs.raw") { _ => Tables.load(spark, dir, "documents") }
+
+    // normalize: lowercase, collapse whitespace (t05's cleaning step)
+    wkf
+      .provide("docs.clean") { ctx =>
+        ctx.as[DataFrame]("in")
+          .withColumn("text", regexp_replace(lower(col("text")), "\\s+", " "))
+      }
+      .depend("in" -> "docs.raw")
+
+    // exact dedup on normalized content, keep the lowest doc_id
+    wkf
+      .provide("docs.dedup") { ctx =>
+        val df = ctx.as[DataFrame]("in").withColumn("h", md5(col("text")))
+        Ops.dedupExact(df, Seq("h"), keepBy = "doc_id").drop("h")
+      }
+      .depend("in" -> "docs.clean")
+
+    // deterministic hash-mod downsampling to {pct}% of the corpus
+    wkf
+      .provide("docs.sample.{pct:int}") { ctx =>
+        val pct = ctx.int("pct", 100)
+        ctx.as[DataFrame]("in")
+          .where(pmod(PortableHash.hash60(col("doc_id").cast("string")), lit(100L)) < pct)
+      }
+      .depend("in" -> "docs.dedup")
+
+    // pack into ~512-token bins per lang for batch assembly
+    wkf
+      .provide("docs.packed") { ctx =>
+        import org.apache.spark.sql.expressions.Window
+        val win = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ctx.as[DataFrame]("in")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("bin_id",
+            expr("coalesce(sum(n_tokens) over (partition by lang order by doc_id " +
+              "rows between unbounded preceding and 1 preceding), 0) div 512"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"))
+      }
+      .depend("in" -> "docs.sample.{pct}")
+    // default sample rate for the packed route; override per run via
+    // extra kwargs or config
+    wkf.setConfig(Map("docs.packed" -> Map("pct" -> 50)))
+
+    wkf
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val wkf = build(spark, dir)
+    val raw = wkf.run("docs.raw").asInstanceOf[DataFrame].count()
+    val dedup = wkf.run("docs.dedup").asInstanceOf[DataFrame].count()
+    val packed = wkf.run("docs.packed").asInstanceOf[DataFrame]
+    val bins = packed.agg(countDistinct(col("lang"), col("bin_id"))).head().getLong(0)
+    val kept = packed.count()
+    println(s"raw=$raw dedup=$dedup packed_rows=$kept bins=$bins")
+    // the terminal route is ONE plan: show that sampling's filter sits
+    // below the packing window in the same Catalyst tree
+    packed.explain("simple")
+    // the knob: rerun at 20% without touching the workflow definition
+    val kept20 = wkf.run("docs.packed", "pct" -> 20).asInstanceOf[DataFrame].count()
+    println(s"packed_rows_at_20pct=$kept20")
+    // near-dup pass over the deduped corpus via the capped 100TB path
+    val nearDups = Dedup.ngramJaccardAtScale(
+      wkf.run("docs.dedup").asInstanceOf[DataFrame], 0.4, 1000).count()
+    println(s"near_dup_pairs=$nearDups")
+    spark.stop()
+  }
+}
