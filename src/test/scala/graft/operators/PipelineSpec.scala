@@ -187,6 +187,15 @@ class PipelineSpec extends SparkTestBase {
     info(s"s03 recall@5 vs brute force: ${ivf.intersect(brute).size.toDouble / brute.size}")
   }
 
+  test("e01 quantization error bounded by half a quantization step") {
+    val df = q("e01_embed_quantize").cache()
+    val e = graft.tables.Tables.load(spark, sfDir, "embeddings").count()
+    assert(df.count() == e) // no zero vectors in the corpus
+    // per-element |err| <= scale/254  =>  mse <= (scale/254)^2
+    val bad = df.filter(col("mse") > col("scale") * col("scale") / (254.0 * 254.0) + lit(1e-12)).count()
+    assert(bad == 0)
+  }
+
   test("m01 metadata matches payload bytes") {
     val df = q("m01_multimodal_meta").cache()
     assert(df.filter(col("n_bytes") <= 0).count() == 0)
