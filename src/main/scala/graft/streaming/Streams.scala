@@ -124,6 +124,15 @@ object Streams {
     )
   }
 
+  /** ST5: stream-static enrichment join — the streaming side joins a
+    * static dimension DataFrame (re-read per micro-batch by Spark, so
+    * slowly-changing dims pick up updates). The static side should be
+    * broadcastable; no state is kept (unlike stream-stream joins), so
+    * this scales with the static side's size only.
+    */
+  def streamStaticEnrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

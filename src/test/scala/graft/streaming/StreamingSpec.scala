@@ -81,4 +81,21 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("st3").count() == ev.count())
     assert(spark.table("st3").select("event_id").distinct().count() == ev.count())
   }
+
+  test("ST5: stream-static enrichment join matches batch left join") {
+    // enrich the event stream with a per-user dimension derived from
+    // customers (user ids map into the customer key space)
+    val dim = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val q = Streams.streamStaticEnrich(streamEvents(streamDir), dim, "user_id")
+      .writeStream.format("memory").queryName("st5").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st5")
+    val batch = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .join(dim, Seq("user_id"), "left")
+    assert(streamed.count() == batch.count())
+    assert(streamed.select("event_id", "segment").except(
+      batch.select("event_id", "segment")).count() == 0)
+  }
 }
