@@ -11,10 +11,10 @@ class RelationalSpec extends SparkTestBase {
 
   test("every declared query has an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Only sketch/LSH ops (engine-specific internals) may omit oracles.
-    val allowed = Set("q30_approx_distinct", "d02_dedup_minhash_lsh",
-      "d03_dedup_simhash", "s02_sim_lsh_topk")
-    assert((noOracle -- allowed).isEmpty, s"missing oracles: ${noOracle -- allowed}")
+    // Round 2 closed every hole except the HLL sketch itself (its
+    // hash sequence is legitimately engine-specific; the error-bound
+    // test below covers it).
+    assert(noOracle == Set("q30_approx_distinct"), s"missing oracles: $noOracle")
   }
 
   test("q30 approximation error bounded vs exact") {
