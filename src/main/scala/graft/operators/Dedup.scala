@@ -135,9 +135,13 @@ object Dedup {
         )
         val la = bands.select($"doc_id".as("id_a"), $"band", $"bh")
         val lb = bands.select($"doc_id".as("id_b"), $"band", $"bh")
-        // cached: cands is consumed by candDocs AND the final semi-join
+        // cached: cands is consumed by candDocs AND the final
+        // left_semi — BOTH dedupe on their own (semi-join semantics /
+        // explicit distinct), so the pair list itself needs no
+        // distinct: one less shuffle, and band-collision duplicates
+        // are bounded by the band count (4)
         val cands = la.join(lb, Seq("band", "bh")).where($"id_a" < $"id_b")
-          .select("id_a", "id_b").distinct().cache()
+          .select("id_a", "id_b").cache()
         // exact verify on candidates only: restrict posting lists to
         // candidate docs (semi-join), count shared shingles per pair,
         // keep only LSH candidate pairs — no array payloads anywhere,
