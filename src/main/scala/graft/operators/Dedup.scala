@@ -414,6 +414,61 @@ object Dedup {
           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
         FROM cl ORDER BY doc_id"""
       }
+    ),
+
+    Q(
+      "d07_contamination",
+      "Benchmark contamination: word-5-gram overlap of corpus docs vs an eval set",
+      (spark, dir) => {
+        import spark.implicits._
+        // eval set proxy = the 20 lowest doc_ids; a real pipeline
+        // plugs its benchmark suite in here. The distinct 5-gram pool
+        // of the eval set is small (broadcastable at any corpus
+        // scale), so the contamination check is a broadcast semi-join
+        // per posting row — linear in the corpus, no shuffle until
+        // the per-doc count.
+        val docs = Tables.load(spark, dir, "documents")
+        def grams(df: DataFrame) = df.select(
+          col("doc_id"),
+          explode(graft.functions.GraftExpressions.wordShingles(col("text"), 5, distinct = true)).as("g")
+        )
+        val benchGrams = grams(docs.where($"doc_id" < 20)).select($"g").distinct()
+        val corpus = docs.where($"doc_id" >= 20)
+        val post = grams(corpus)
+        val sizes = corpus.select(
+          $"doc_id",
+          size(graft.functions.GraftExpressions.wordShingles($"text", 5, distinct = true))
+            .cast("long").as("n_grams"))
+          .where($"n_grams" > 0)
+        val hits = post.join(broadcast(benchGrams), Seq("g"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+        sizes.join(hits, Seq("doc_id"), "left")
+          .withColumn("n_contaminated", coalesce($"n_contaminated", lit(0L)))
+          .withColumn("contamination", round($"n_contaminated".cast("double") / $"n_grams", 6))
+          .withColumn("flagged", $"contamination" >= 0.5)
+          .select($"doc_id", $"n_grams", $"n_contaminated", $"contamination", $"flagged")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd
+          FROM documents),
+        g5 AS (SELECT doc_id,
+          CASE WHEN len(wd) >= 5 THEN list_distinct(list_transform(
+            generate_series(1, len(wd) - 4),
+            i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] || ' ' || wd[i+3] || ' ' || wd[i+4]))
+          ELSE [] END AS gs FROM w),
+        bench AS (SELECT DISTINCT unnest(gs) AS g FROM g5 WHERE doc_id < 20),
+        post AS (SELECT doc_id, unnest(gs) AS g FROM g5 WHERE doc_id >= 20),
+        sizes AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams
+          FROM g5 WHERE doc_id >= 20 AND len(gs) > 0),
+        hits AS (SELECT post.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+          FROM post JOIN bench ON post.g = bench.g GROUP BY post.doc_id)
+        SELECT s.doc_id AS doc_id, s.n_grams,
+          COALESCE(h.n_contaminated, 0) AS n_contaminated,
+          ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_grams, 6) AS contamination,
+          (CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_grams) >= 0.5 AS flagged
+        FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+        ORDER BY s.doc_id""")
     )
   )
 }

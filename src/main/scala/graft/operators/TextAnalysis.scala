@@ -381,6 +381,52 @@ object TextAnalysis {
         md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           '\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b', '<PHONE>', 'g')) AS redacted_hash
         FROM documents ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t12_quality_filters",
+      "C4/Gopher-style document filter rules: length, word shape, symbols, boilerplate",
+      (spark, dir) => {
+        import spark.implicits._
+        // published heuristic families (C4: length/punct/boilerplate;
+        // Gopher: word-count and mean-word-length windows, symbol
+        // ratio), all per-row expressions — zero shuffle. `keep` is
+        // the conjunction a curation pipeline filters on; emitting the
+        // per-rule columns keeps the decision auditable.
+        Tables.load(spark, dir, "documents")
+          .withColumn("words", expr(sparkWords))
+          .withColumn("n_words", size($"words").cast("long"))
+          .withColumn("n_chars_w",
+            expr("aggregate(words, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
+          .withColumn("mean_word_len",
+            round($"n_chars_w".cast("double") / $"n_words", 6))
+          .withColumn("symbol_ratio", round(
+            (length($"text") - length(regexp_replace($"text", "[{}<>|\\\\^~#]", "")))
+              .cast("double") / length($"text"), 6))
+          .withColumn("has_lorem", lower($"text").contains("lorem ipsum"))
+          .withColumn("keep",
+            $"n_words" >= 20 && $"n_words" <= 100000 &&
+              $"mean_word_len" >= 2.0 && $"mean_word_len" <= 12.0 &&
+              $"symbol_ratio" < 0.05 && !$"has_lorem")
+          .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
+            $"has_lorem", $"keep")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, text, $duckWords AS words FROM documents),
+        m AS (SELECT doc_id, text,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(list_aggregate(list_transform(words, x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT) AS n_chars_w
+          FROM w),
+        r AS (SELECT doc_id, n_words,
+          ROUND(CAST(n_chars_w AS DOUBLE) / n_words, 6) AS mean_word_len,
+          ROUND(CAST(length(text) - length(regexp_replace(text, '[{}<>|\\\\^~#]', '', 'g')) AS DOUBLE)
+            / length(text), 6) AS symbol_ratio,
+          contains(lower(text), 'lorem ipsum') AS has_lorem
+          FROM m)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio, has_lorem,
+          (n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 2.0
+           AND mean_word_len <= 12.0 AND symbol_ratio < 0.05 AND NOT has_lorem) AS keep
+        FROM r ORDER BY doc_id""")
     )
   )
 }

@@ -187,6 +187,23 @@ class PipelineSpec extends SparkTestBase {
     info(s"s03 recall@5 vs brute force: ${ivf.intersect(brute).size.toDouble / brute.size}")
   }
 
+  test("t12 keep flag is exactly the conjunction of its rule columns") {
+    val df = q("t12_quality_filters").cache()
+    val recomputed = col("n_words") >= 20 && col("n_words") <= 100000 &&
+      col("mean_word_len") >= 2.0 && col("mean_word_len") <= 12.0 &&
+      col("symbol_ratio") < 0.05 && !col("has_lorem")
+    assert(df.filter(col("keep") =!= recomputed).count() == 0)
+    assert(df.filter(col("symbol_ratio") < 0 || col("symbol_ratio") > 1).count() == 0)
+  }
+
+  test("d07 contamination: eval docs excluded, ratios in [0,1], counts bounded") {
+    val df = q("d07_contamination").cache()
+    assert(df.filter(col("doc_id") < 20).count() == 0)
+    assert(df.filter(col("contamination") < 0 || col("contamination") > 1).count() == 0)
+    assert(df.filter(col("n_contaminated") > col("n_grams")).count() == 0)
+    assert(df.filter(col("flagged") && col("contamination") < 0.5).count() == 0)
+  }
+
   test("e01 quantization error bounded by half a quantization step") {
     val df = q("e01_embed_quantize").cache()
     val e = graft.tables.Tables.load(spark, sfDir, "embeddings").count()
