@@ -258,6 +258,10 @@ object Dedup {
         // payloads through the shuffle and no array_intersect. Sizes
         // come from the array lengths — no extra groupBy. The only
         // shuffles are the join on (s) and the pair-count aggregation.
+        // (At 100 TB, substitute xxhash64(s) as the join key to
+        // shrink the shuffle — kept as the exact string here where
+        // the measured difference is noise and exactness is the
+        // oracle's point.)
         val sh = shingleArrays(spark, dir).cache()
         val posting = sh.select($"doc_id", explode($"sh").as("s"))
         val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
