@@ -367,8 +367,12 @@ object Dedup {
           .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
           .select($"id_a", $"id_b")
         val edges = pairs.union(pairs.select($"id_b", $"id_a")).toDF("src", "dst").cache()
-        var labels = edges.select($"src".as("id")).distinct()
-          .withColumn("lbl", $"id").cache()
+        // seed with round 1's result directly: min(self, neighbors)
+        // is one groupBy over the edge list (the identity init would
+        // spend a full propagation round computing exactly this)
+        var labels = edges.groupBy($"src")
+          .agg(least(first($"src"), min($"dst")).as("lbl"))
+          .select($"src".as("id"), $"lbl").cache()
         // labels only ever DECREASE, so an unchanged sum(lbl) means a
         // fixpoint — one cheap aggregate per round instead of an
         // anti-join convergence check
