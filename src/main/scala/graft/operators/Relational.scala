@@ -873,6 +873,55 @@ object Relational {
         COUNT(DISTINCT l_orderkey) AS n_orders,
         COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+
+    Q(
+      "q37_range_window",
+      "Time-based RANGE frame: 7-day trailing revenue per customer",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // RANGE frames order by a physical day number, so peers (same
+        // customer, same day) aggregate together — the semantics rows
+        // frames can't express. One shuffle on the partition key.
+        val w = Window.partitionBy($"o_custkey").orderBy($"od")
+          .rangeBetween(-6, 0)
+        t(spark, dir, "orders")
+          .withColumn("od", datediff($"o_orderdate", lit("1990-01-01")).cast("long"))
+          .withColumn("trail7",
+            sum(dec2($"o_totalprice")).over(w).cast("double"))
+          .select($"o_orderkey", $"o_custkey",
+            date_format($"o_orderdate", "yyyy-MM-dd").as("od_str"), $"trail7")
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS od_str,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          PARTITION BY o_custkey
+          ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail7
+        FROM orders ORDER BY o_orderkey""")
+    ),
+
+    Q(
+      "q38_unpivot",
+      "Unpivot (wide→long melt) of part measures",
+      (spark, dir) => {
+        import spark.implicits._
+        t(spark, dir, "part")
+          .select($"p_partkey",
+            $"p_size".cast("double").as("p_size"),
+            $"p_retailprice".cast("double").as("p_retailprice"))
+          .unpivot(
+            Array($"p_partkey"),
+            Array($"p_size", $"p_retailprice"),
+            "measure", "val")
+          .orderBy($"p_partkey", $"measure")
+      },
+      Some("""SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS val FROM part
+        ORDER BY p_partkey, measure""")
     )
   )
 }
