@@ -366,35 +366,10 @@ object Dedup {
           .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
           .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
           .select($"id_a", $"id_b")
-        val edges = pairs.union(pairs.select($"id_b", $"id_a")).toDF("src", "dst").cache()
-        // seed with round 1's result directly: min(self, neighbors)
-        // is one groupBy over the edge list (the identity init would
-        // spend a full propagation round computing exactly this)
-        var labels = edges.groupBy($"src")
-          .agg(least(first($"src"), min($"dst")).as("lbl"))
-          .select($"src".as("id"), $"lbl").cache()
-        // labels only ever DECREASE, so an unchanged sum(lbl) means a
-        // fixpoint — one cheap aggregate per round instead of an
-        // anti-join convergence check
-        var prevSum = Long.MaxValue
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 20) {
-          val nmin = edges.join(labels.select($"id".as("src"), $"lbl"), "src")
-            .groupBy($"dst").agg(min($"lbl").as("nlbl"))
-          val next = labels
-            .join(nmin.select($"dst".as("id"), $"nlbl"), Seq("id"), "left")
-            .select($"id", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
-            .cache()
-          val s = next.agg(sum($"lbl")).head().getLong(0)
-          labels.unpersist()
-          labels = next
-          converged = s == prevSum
-          prevSum = s
-          iter += 1
-        }
+        val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
+          idOut = "doc_id", labelOut = "cluster_id")
         val win = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
-        labels.select($"id".as("doc_id"), $"lbl".as("cluster_id"))
+        labels
           .withColumn("n_members", count(lit(1)).over(win).cast("long"))
           .orderBy($"doc_id")
       },

@@ -178,6 +178,95 @@ object Ops {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Connected components over an undirected edge list (two BIGINT
+    * columns): min-label propagation. Each round is a keyed join +
+    * aggregation (never a cross join); rounds converge at the largest
+    * component diameter. The seed label is min(self, neighbors) — one
+    * groupBy — so the identity round is free, and convergence is
+    * detected by the label sum reaching a fixpoint (labels only
+    * decrease), one cheap scalar action per round. For graphs with
+    * huge diameters swap in large/small-star contraction; near-dup
+    * graphs are near-cliques and converge in 2-3 rounds.
+    * Returns (idOut, labelOut): every node with >= 1 edge, labeled by
+    * its component's minimum node id.
+    */
+  def connectedComponents(
+      edgePairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIterations: Int = 20,
+      idOut: String = "id",
+      labelOut: String = "label"
+  ): DataFrame = {
+    val pairs = edgePairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = pairs.union(pairs.select(col("dst"), col("src"))).toDF("src", "dst").cache()
+    var labels = edges.groupBy(col("src"))
+      .agg(least(first(col("src")), min(col("dst"))).as("lbl"))
+      .select(col("src").as("id"), col("lbl")).cache()
+    var prevSum = Long.MaxValue
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val nmin = edges.join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(nmin.select(col("dst").as("id"), col("nlbl")), Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      val s = next.agg(sum(col("lbl"))).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idOut), col("lbl").as(labelOut))
+  }
+
+  /** Deterministic hash-mod stratified sampling: keeps a row iff its
+    * 60-bit content hash of `idCol` mod `mod` falls below the
+    * stratum's rate. Reproducible (no RNG state), per-row (zero
+    * shuffle), and exactly recomputable by an external oracle — the
+    * data-mixing sampler for training pipelines.
+    */
+  def hashSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Int],
+      defaultRate: Int,
+      mod: Int = 100
+  ): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(
+      pmod(graft.functions.PortableHash.hash60(col(idCol).cast("string")), lit(mod.toLong))
+        < rate)
+  }
+
+  /** Token-budget bin packing: assigns rows to ~`budget`-token bins
+    * per partition key by exclusive running token count — sequence
+    * packing for training batches. One shuffle (the window). At real
+    * scale add a shard column (hash(id) % K) to the partition keys so
+    * no single key holds the whole corpus.
+    */
+  def packBins(
+      df: DataFrame,
+      tokenCountCol: String,
+      partitionCols: Seq[String],
+      orderCol: String,
+      budget: Long,
+      binOut: String = "bin_id"
+  ): DataFrame = {
+    val win = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_cum", coalesce(sum(col(tokenCountCol)).over(win), lit(0L)))
+      .withColumn(binOut, expr(s"_cum div $budget"))
+      .drop("_cum")
+  }
+
   /** Skew-safe equi-join: salt the (skewed) left side's key into
     * `salts` sub-keys and explode the right side across all salts, so
     * one hot key spreads over `salts` reducers. AQE handles moderate

@@ -266,13 +266,10 @@ object TextAnalysis {
         // (reproducible pipelines, no RNG state), per-row (no
         // shuffle), and exactly re-computable by the oracle. Rates
         // mimic downsampling dominant English, upsampling the rest.
-        Tables.load(spark, dir, "documents")
+        Ops.hashSample(Tables.load(spark, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 35, "zh" -> 80, "de" -> 60, "fr" -> 60), defaultRate = 50)
           .withColumn("bucket",
             pmod(graft.functions.PortableHash.hash60($"doc_id".cast("string")), lit(100L)))
-          .withColumn("rate",
-            expr("CASE lang WHEN 'en' THEN 35 WHEN 'zh' THEN 80 WHEN 'de' THEN 60 " +
-              "WHEN 'fr' THEN 60 ELSE 50 END"))
-          .where($"bucket" < $"rate")
           .select($"doc_id", $"lang", $"source", $"bucket")
           .orderBy($"doc_id")
       },
@@ -335,12 +332,9 @@ object TextAnalysis {
         // per (lang, shard) with shard = hash(doc_id) % K so no single
         // partition key holds the whole corpus; the per-shard shape is
         // identical to this one.
-        val win = Window.partitionBy($"lang").orderBy($"doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.load(spark, dir, "documents")
+        val counted = Tables.load(spark, dir, "documents")
           .withColumn("n_tokens", size(expr(sparkWords)).cast("long"))
-          .withColumn("cum", coalesce(sum($"n_tokens").over(win), lit(0L)))
-          .withColumn("bin_id", expr("cum div 512"))
+        Ops.packBins(counted, "n_tokens", Seq("lang"), "doc_id", budget = 512)
           .select($"doc_id", $"lang", $"n_tokens", $"bin_id")
           .orderBy($"doc_id")
       },

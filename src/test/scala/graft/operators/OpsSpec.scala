@@ -116,6 +116,44 @@ class OpsSpec extends SparkTestBase {
       s"scaling planes should cut candidates vs fixed planes: $bigFixed vs $big")
   }
 
+  test("connectedComponents labels a hand-built graph by min member") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {7,9}, and 11-12-13 (triangle)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L),
+      (11L, 12L), (12L, 13L), (11L, 13L)).toDF("a", "b")
+    val cc = Ops.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L, 11L -> 11L, 12L -> 11L, 13L -> 11L))
+  }
+
+  test("hashSample is a deterministic stratum-rate subset") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val s1 = Ops.hashSample(docs, "doc_id", "lang", Map("en" -> 30), defaultRate = 70)
+    val s2 = Ops.hashSample(docs, "doc_id", "lang", Map("en" -> 30), defaultRate = 70)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == s2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(ids1.nonEmpty && ids1.size < docs.count())
+    // a higher rate strictly contains a lower rate (nested samples)
+    val wider = Ops.hashSample(docs, "doc_id", "lang", Map("en" -> 60), defaultRate = 90)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(wider))
+  }
+
+  test("packBins keeps per-bin token sums within budget + one row") {
+    import spark.implicits._
+    val df = spark.range(200).select(
+      col("id"), (col("id") % 3).as("grp"),
+      (pmod(xxhash64(col("id")), lit(90L)) + 10L).as("toks"))
+    val packed = Ops.packBins(df, "toks", Seq("grp"), "id", budget = 256)
+    val maxTok = 99L
+    val over = packed.groupBy("grp", "bin_id").agg(sum("toks").as("s"))
+      .filter(col("s") >= lit(256L) + maxTok).count()
+    assert(over == 0)
+    assert(packed.count() == 200) // packing never drops rows
+  }
+
   test("saltedJoin equals plain join") {
     import spark.implicits._
     val orders = Tables.load(spark, sfDir, "orders").select($"o_custkey", $"o_orderkey")
