@@ -59,9 +59,11 @@ object Dedup {
   def ngramJaccardAtScale(
       docs: DataFrame,
       threshold: Double = 0.4,
-      maxPostingsPerToken: Int = 1000
+      maxPostingsPerToken: Int = 1000,
+      pairwiseVerify: Boolean = false
   ): DataFrame =
-    Ops.jaccardPairs(shingleArrays(docs), "doc_id", "sh", threshold, Some(maxPostingsPerToken))
+    Ops.jaccardPairs(shingleArrays(docs), "doc_id", "sh", threshold,
+      Some(maxPostingsPerToken), pairwiseVerify)
 
   /** Exploded (doc_id, shingle) posting list — distinct per doc by
     * construction (array_distinct above).

@@ -44,6 +44,11 @@ class DedupScaleSpec extends SparkTestBase {
     capped.foreach { case (pair, j) =>
       assert(j == 1.0 && uncapped(pair) == j, s"$pair: capped=$j uncapped=${uncapped(pair)}")
     }
+    // the pairwise (array_intersect) verify mode returns the identical
+    // result — it is a cost trade-off, not a semantics change
+    val pairwise = Dedup.ngramJaccardAtScale(skewedDocs, 0.3, 10, pairwiseVerify = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairwise == capped, s"pairwise verify diverged: ${pairwise.size} vs ${capped.size}")
   }
 
   test("canned d04 equals the scale configuration when no shingle is hot") {
