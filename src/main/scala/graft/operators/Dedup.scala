@@ -79,6 +79,54 @@ object Dedup {
     */
   private val numPerms = 16
 
+  /** MinHash(16) + LSH(4 bands x 4 rows) candidate pairs from a
+    * (doc_id, s) posting list. Banding makes candidate generation an
+    * equi-join on the band hash (md5 of the concatenated row
+    * minhashes keeps the bucket key narrow at scale); the returned
+    * pair list may contain band-collision duplicates (bounded by the
+    * band count, 4) — consumers dedupe via semi-join or distinct.
+    */
+  private[operators] def minhashCandidates(posting: DataFrame): DataFrame = {
+    val mhAggs = (0 until numPerms).map { i =>
+      min(substring(md5(concat(col("s"), lit(s"|$i"))), 1, 16)).as(s"mh$i")
+    }
+    val sig = posting.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(
+        array((0 until 4).map(bnd =>
+          md5(concat_ws("|", (bnd * 4 until bnd * 4 + 4).map(r => col(s"mh$r")): _*))
+        ): _*)
+      ).as(Seq("band", "bh"))
+    )
+    val la = bands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+    val lb = bands.select(col("doc_id").as("id_b"), col("band"), col("bh"))
+    la.join(lb, Seq("band", "bh")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** The 100 TB configuration of the minhash-LSH dedup (d02): LSH
+    * banding for candidates, then exact Jaccard verified PAIRWISE via
+    * array_intersect on the candidate pairs — the right verify when
+    * band buckets cover most docs (a posting join restricted to
+    * candidate docs would then degenerate toward the full self-join;
+    * see docs/SCALING.md). Identical results to the canned d02
+    * (DedupScaleSpec pins equality).
+    */
+  def minhashLshAtScale(docs: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val sh = shingleArrays(docs).cache()
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cands = minhashCandidates(posting).distinct()
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("_ta")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("_tb")), "id_b")
+      .withColumn("c", size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (size(col("_ta")) + size(col("_tb")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Shared DuckDB CTE prefix: words / shingle arrays / postings. */
   private val sqlShingleCtes =
     """WITH w AS (
@@ -121,29 +169,7 @@ object Dedup {
         // uncached — that alone was most of its bench cost).
         val sh = shingleArrays(spark, dir).cache()
         val posting = sh.select($"doc_id", explode($"sh").as("s"))
-        val mhAggs = (0 until numPerms).map { i =>
-          min(substring(md5(concat($"s", lit(s"|$i"))), 1, 16)).as(s"mh$i")
-        }
-        val sig = posting.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-        // 4 bands of 4 rows; band hash (md5 of the concatenated row
-        // minhashes) keeps the bucket join key narrow at scale
-        val bands = sig.select(
-          $"doc_id",
-          posexplode(
-            array((0 until 4).map(bnd =>
-              md5(concat_ws("|", (bnd * 4 until bnd * 4 + 4).map(r => col(s"mh$r")): _*))
-            ): _*)
-          ).as(Seq("band", "bh"))
-        )
-        val la = bands.select($"doc_id".as("id_a"), $"band", $"bh")
-        val lb = bands.select($"doc_id".as("id_b"), $"band", $"bh")
-        // cached: cands is consumed by candDocs AND the final
-        // left_semi — BOTH dedupe on their own (semi-join semantics /
-        // explicit distinct), so the pair list itself needs no
-        // distinct: one less shuffle, and band-collision duplicates
-        // are bounded by the band count (4)
-        val cands = la.join(lb, Seq("band", "bh")).where($"id_a" < $"id_b")
-          .select("id_a", "id_b").cache()
+        val cands = minhashCandidates(posting).cache()
         // exact verify on candidates only: restrict posting lists to
         // candidate docs (semi-join), count shared shingles per pair,
         // keep only LSH candidate pairs — no array payloads anywhere,

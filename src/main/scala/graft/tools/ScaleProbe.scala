@@ -44,6 +44,9 @@ object ScaleProbe {
     t(s"ngramJaccard cap=$cap pairwise-verify") {
       graft.operators.Dedup.ngramJaccardAtScale(docs, 0.4, cap, pairwiseVerify = true).count()
     }
+    t(s"minhashLshAtScale (pairwise verify)") {
+      graft.operators.Dedup.minhashLshAtScale(docs).count()
+    }
     t(s"embeddingCandidates 8 planes (canned)") {
       graft.operators.Ops.embeddingCandidates(emb, "vec_id", "embedding", 8).count()
     }

@@ -51,6 +51,15 @@ class DedupScaleSpec extends SparkTestBase {
     assert(pairwise == capped, s"pairwise verify diverged: ${pairwise.size} vs ${capped.size}")
   }
 
+  test("minhashLshAtScale equals canned d02 (pairwise verify, same candidates)") {
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+    val atScale = Dedup.minhashLshAtScale(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val canned = graft.SparkEntry.queries("d02_dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(atScale == canned, s"${atScale.size} vs ${canned.size}")
+  }
+
   test("canned d04 equals the scale configuration when no shingle is hot") {
     // on the real sf0.001 corpus with a cap far above the hottest
     // shingle, the capped pipeline is value-identical to canned d04
