@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Build the 10x-replicated adversarial corpus used by docs/SCALING.md.
+
+Each copy k of a document perturbs every 5th word (offset by doc_id)
+with a copy-specific suffix, so copies are NEAR-duplicates (J ~ 0.4
+vs their base) rather than byte-duplicates, and ~40% of shingles stay
+shared across all 10 copies — the worst case for posting self-joins.
+Embeddings get a small deterministic per-copy shift.
+
+Usage: python3 tools/make_scale_corpus.py [srcDir] [outDir] [copies]
+Then:  sbt "runMain graft.tools.ScaleProbe <outDir> 50 12"
+"""
+import sys
+
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
+copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+import os
+import shutil
+
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+con.sql(f"""
+COPY (
+  SELECT (doc_id + k * 10000)::BIGINT AS doc_id,
+    array_to_string(list_transform(string_split(text, ' '),
+      (w, i) -> CASE WHEN k > 0 AND (i + doc_id) % 5 = 0
+                THEN w || '_' || k::VARCHAR ELSE w END), ' ') AS text,
+    lang, source, n_chars
+  FROM read_parquet('{src}/documents.parquet'),
+       generate_series(0, {copies - 1}) AS g(k)
+) TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+con.sql(f"""
+COPY (
+  SELECT (vec_id + k * 10000)::BIGINT AS vec_id,
+    list_transform(embedding,
+      x -> (x + ((vec_id * 31 + k) % 7 - 3) * 0.01)::FLOAT) AS embedding,
+    label
+  FROM read_parquet('{src}/embeddings.parquet'),
+       generate_series(0, {copies - 1}) AS g(k)
+) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+""")
+# ScaleProbe / QueryTime warm up on lineitem
+shutil.copyfile(f"{src}/lineitem.parquet", f"{out}/lineitem.parquet")
+print(con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchall())
+print(con.sql(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchall())
