@@ -55,6 +55,8 @@ object Dedup {
     * recall trade-off, never a value error (DedupScaleSpec pins both).
     * The canned oracle-gated d04 stays uncapped: at sf0.01 the hottest
     * shingle reaches ~25 docs and exactness is the point of the oracle.
+    * Caching note: the capped path caches intermediates — see
+    * [[Ops.jaccardPairs]] (clearCache() between repeated invocations).
     */
   def ngramJaccardAtScale(
       docs: DataFrame,
@@ -112,6 +114,10 @@ object Dedup {
     * candidate docs would then degenerate toward the full self-join;
     * see docs/SCALING.md). Identical results to the canned d02
     * (DedupScaleSpec pins equality).
+    *
+    * Caches the shingle relation for its three consumers; call
+    * `spark.catalog.clearCache()` after consuming the result when
+    * invoking repeatedly in one session (Bench/Verify do).
     */
   def minhashLshAtScale(docs: DataFrame, threshold: Double = 0.4): DataFrame = {
     val sh = shingleArrays(docs).cache()
@@ -455,8 +461,11 @@ object Dedup {
           .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
         sizes.join(hits, Seq("doc_id"), "left")
           .withColumn("n_contaminated", coalesce($"n_contaminated", lit(0L)))
-          .withColumn("contamination", round($"n_contaminated".cast("double") / $"n_grams", 6))
-          .withColumn("flagged", $"contamination" >= 0.5)
+          .withColumn("_ratio", $"n_contaminated".cast("double") / $"n_grams")
+          // flag on the UNROUNDED ratio — the oracle compares the raw
+          // ratio to 0.5, and rounding first diverges in [0.4999995, 0.5)
+          .withColumn("contamination", round($"_ratio", 6))
+          .withColumn("flagged", $"_ratio" >= 0.5)
           .select($"doc_id", $"n_grams", $"n_contaminated", $"contamination", $"flagged")
           .orderBy($"doc_id")
       },

@@ -82,8 +82,16 @@ object Ops {
 
   /** Exact pairwise Jaccard >= `threshold` over a token-array column,
     * via posting-list self-join intersection counts (no cross join,
-    * no array payloads through shuffles). `tokens` must be distinct
-    * per row (apply array_distinct upstream).
+    * no array payloads through shuffles). Token arrays are made
+    * distinct on entry (set semantics) so the posting-count and
+    * array_intersect verify paths agree for any input; for already-
+    * distinct arrays the array_distinct is a no-op.
+    *
+    * Caching: the capped path caches the posting list for its 3-5
+    * consumers and cannot unpersist it before the caller's terminal
+    * action — call `spark.catalog.clearCache()` (or unpersist via the
+    * storage UI) after consuming the result if you invoke this
+    * repeatedly in one session. Bench/Verify do exactly that.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -93,7 +101,8 @@ object Ops {
       maxPostingsPerToken: Option[Int] = None,
       pairwiseVerify: Boolean = false
   ): DataFrame = {
-    val posting = df.select(col(idCol).as("_id"), explode(col(tokensCol)).as("_t"))
+    val posting =
+      df.select(col(idCol).as("_id"), explode(array_distinct(col(tokensCol))).as("_t"))
     val sizes = posting.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
 
     def pairCounts(src: DataFrame): DataFrame =
@@ -129,7 +138,8 @@ object Ops {
         val capped = posting.join(hot, Seq("_t"), "left_anti").cache()
         val cands = pairCounts(capped).select(col("id_a"), col("id_b"))
         if (pairwiseVerify) {
-          val arrays = df.select(col(idCol).as("_aid"), col(tokensCol).as("_tk"))
+          val arrays =
+            df.select(col(idCol).as("_aid"), array_distinct(col(tokensCol)).as("_tk"))
           cands
             .join(arrays.select(col("_aid").as("id_a"), col("_tk").as("_ta")), "id_a")
             .join(arrays.select(col("_aid").as("id_b"), col("_tk").as("_tb")), "id_b")
@@ -234,7 +244,10 @@ object Ops {
         .join(nmin.select(col("dst").as("id"), col("nlbl")), Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .cache()
-      val s = next.agg(sum(col("lbl"))).head().getLong(0)
+      // sum over an empty labels frame is null — read through Option
+      // so a zero-edge graph converges to an empty result, not an NPE
+      val s = Option(next.agg(sum(col("lbl"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels.unpersist()
       labels = next
       converged = s == prevSum

@@ -727,19 +727,29 @@ object Relational {
 
     Q(
       "q30_approx_distinct",
-      "HLL++ approximate distinct counts (sketch aggregation)",
+      "HLL++ approximate distinct counts (sketch aggregation), bounded against exact",
       (spark, dir) => {
         import spark.implicits._
+        // The sketch value itself is engine-specific (HLL register
+        // layouts differ), so the oracle-checked columns are the exact
+        // count and the BOUND: rsd=0.01 keeps the sketch within 5% of
+        // exact with overwhelming margin, and DuckDB emits literal
+        // TRUE. RelationalSpec additionally pins the numeric error.
         t(spark, dir, "lineitem")
           .groupBy($"l_returnflag")
           .agg(
-            approx_count_distinct($"l_orderkey").as("approx_orders"),
+            approx_count_distinct($"l_orderkey", 0.01).as("_approx"),
             countDistinct($"l_orderkey").as("exact_orders")
           )
+          .withColumn("approx_within_5pct",
+            abs($"_approx" - $"exact_orders").cast("double") / $"exact_orders" <= 0.05)
+          .select($"l_returnflag", $"exact_orders", $"approx_within_5pct")
           .orderBy($"l_returnflag")
       },
-      None // HLL sketches differ per engine; the spec bounds the
-      //      approximation error against the exact count instead.
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_orderkey) AS exact_orders,
+        TRUE AS approx_within_5pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     ),
 
     Q(

@@ -9,22 +9,31 @@ class RelationalSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query has an oracle or a documented omission") {
+  test("every declared query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Round 2 closed every hole except the HLL sketch itself (its
-    // hash sequence is legitimately engine-specific; the error-bound
-    // test below covers it).
-    assert(noOracle == Set("q30_approx_distinct"), s"missing oracles: $noOracle")
+    assert(noOracle.isEmpty, s"missing oracles: $noOracle")
   }
 
-  test("q30 approximation error bounded vs exact") {
-    val rows = SparkEntry.queries("q30_approx_distinct")(spark, sfDir).collect()
+  test("q30 HLL sketch stays within the oracle's 5% bound vs exact") {
+    import org.apache.spark.sql.functions._
+    // The canned q30 exposes the bound as a boolean (the sketch value
+    // itself is engine-specific); this pins the numeric error directly.
+    val li = graft.tables.Tables.load(spark, sfDir, "lineitem")
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_orders").toDouble
-      val exact = r.getAs[Long]("exact_orders").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
+      val approx = r.getAs[Long]("approx").toDouble
+      val exact = r.getAs[Long]("exact").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
         s"HLL error too large: $approx vs $exact")
     }
+    // and the canned query's boolean is all-true (what the oracle pins)
+    val canned = SparkEntry.queries("q30_approx_distinct")(spark, sfDir).collect()
+    assert(canned.forall(_.getAs[Boolean]("approx_within_5pct")))
   }
 
   // Every relational operator runs at sf0.001 and yields a sane result.

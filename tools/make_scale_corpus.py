@@ -23,9 +23,18 @@ import shutil
 
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
+# Replica-id stride derived from the source corpus so ids never
+# collide regardless of the source's doc_id range (a fixed stride
+# silently corrupted larger corpora).
+doc_stride = con.sql(
+    f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')"
+).fetchone()[0]
+vec_stride = con.sql(
+    f"SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')"
+).fetchone()[0]
 con.sql(f"""
 COPY (
-  SELECT (doc_id + k * 10000)::BIGINT AS doc_id,
+  SELECT (doc_id + k * {doc_stride})::BIGINT AS doc_id,
     array_to_string(list_transform(string_split(text, ' '),
       (w, i) -> CASE WHEN k > 0 AND (i + doc_id) % 5 = 0
                 THEN w || '_' || k::VARCHAR ELSE w END), ' ') AS text,
@@ -36,7 +45,7 @@ COPY (
 """)
 con.sql(f"""
 COPY (
-  SELECT (vec_id + k * 10000)::BIGINT AS vec_id,
+  SELECT (vec_id + k * {vec_stride})::BIGINT AS vec_id,
     list_transform(embedding,
       x -> (x + ((vec_id * 31 + k) % 7 - 3) * 0.01)::FLOAT) AS embedding,
     label
