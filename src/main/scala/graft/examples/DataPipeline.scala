@@ -100,6 +100,28 @@ object DataPipeline {
     val nearDups = Dedup.ngramJaccardAtScale(
       wkf.run("docs.dedup").asInstanceOf[DataFrame], 0.4, 1000).count()
     println(s"near_dup_pairs=$nearDups")
+
+    // multimodal leg: raw image files on disk → binaryFile source (S4)
+    // → structural header decode — the on-disk ingest path end to end
+    val assetDir = java.nio.file.Files.createTempDirectory("graft_assets")
+    graft.operators.Multimodal.imagePayloads(spark, dir)
+      .orderBy(col("doc_id")).limit(6).collect()
+      .foreach { r =>
+        val ext = r.getLong(0) % 3 match {
+          case 0 => "png"; case 1 => "jpg"; case _ => "gif"
+        }
+        java.nio.file.Files.write(
+          assetDir.resolve(s"doc_${r.getLong(0)}.$ext"), r.getAs[Array[Byte]]("payload"))
+      }
+    val assets = graft.sources.Sources.binaryFiles(spark, assetDir.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.", 1).cast("long").as("doc_id"),
+        col("content").as("payload"))
+    val decoded = graft.operators.Multimodal.decode(assets)
+      .toDF().orderBy(col("doc_id"))
+      .select(col("doc_id"), col("format"), col("width"), col("height")).collect()
+    println("decoded_assets=" + decoded.map(r =>
+      s"${r.getLong(0)}:${r.getString(1)}:${r.getInt(2)}x${r.getInt(3)}").mkString(","))
     spark.stop()
   }
 }

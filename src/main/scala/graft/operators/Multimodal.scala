@@ -1,60 +1,190 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
 /** Multimodal-column plumbing (SURVEY.md §2.3): media as opaque
-  * `binary` payloads with typed metadata, decode/feature-extraction as
-  * typed partition-wise transforms, and deterministic frame sampling.
+  * `binary` payloads with typed metadata, REAL byte-level header
+  * decoding (PNG IHDR chunk walk, JPEG SOF segment scan, GIF logical
+  * screen descriptor — pure byte arithmetic, no codec library), and
+  * deterministic frame sampling.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake; the Spark-side plumbing (binary
-  * schema, batch shape, partition-wise execution, typed Encoders) is
-  * real and is what the tests exercise.
+  * The test corpus has no image files, so `imagePayloads` frames each
+  * document's text bytes in a REAL container header (format-correct
+  * PNG/JPEG/GIF byte layouts with deterministic dimensions); the
+  * decoder then parses those containers exactly as it would parse
+  * on-disk assets — `parseImage` is a genuine structural parser, not
+  * a stub (ImageParseSpec feeds it handcrafted files, including a
+  * JPEG whose SOF0 sits behind an APP0 segment). The DuckDB oracle
+  * re-derives width/height from the SAME byte offsets over the blob,
+  * so m01 is value-level verified end to end.
   */
 object Multimodal {
 
-  /** A decoded media record produced by the (stubbed) decoder. */
+  /** A decoded media record: structural metadata parsed from payload
+    * bytes plus a simple real feature vector (body-byte moments).
+    */
   final case class Decoded(
       doc_id: Long,
-      media_type: String,
+      format: String,
       n_bytes: Long,
       width: Int,
       height: Int,
       feature: Array[Double]
   )
 
-  /** STUB: stands in for a real codec (libjpeg/ffmpeg/...). Produces a
-    * deterministic fake "decode" from the payload bytes so pipelines
-    * and tests are reproducible. Signature and batch shape match what
-    * a real partition-wise decoder would use.
+  // ---------------------------------------------------------------
+  // Real byte-level parsers (pure byte arithmetic, no codecs)
+  // ---------------------------------------------------------------
+
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Structural image-header parse: dispatches on magic bytes, then
+    *  - PNG:  walks chunks from offset 8 until IHDR; width/height are
+    *    big-endian 32-bit at IHDR data offsets 0/4 (PNG spec §11.2.2);
+    *  - JPEG: walks marker segments from offset 2 until a SOF0-SOF3
+    *    frame header; height/width are big-endian 16-bit at segment
+    *    offsets 3/5 (ITU T.81 §B.2.2);
+    *  - GIF:  width/height are little-endian 16-bit at bytes 6/8 of
+    *    the logical screen descriptor (GIF89a spec §18).
+    * Unknown payloads decode as ("unknown", 0, 0) rather than throwing
+    * (a 100 TB ingest routes them to a side channel, it doesn't die).
     */
-  def decodeStub(spark: SparkSession, dir: String): Dataset[Decoded] = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .select($"doc_id", $"media_type", $"payload")
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { it =>
-        // partition-wise: a real decoder would batch payloads here
-        it.map { case (id, kind, bytes) =>
-          val n = bytes.length.toLong
-          val w = 64 + (bytes.headOption.map(_.toInt & 0x7f).getOrElse(0) % 64)
-          val h = 64 + (bytes.lastOption.map(_.toInt & 0x7f).getOrElse(0) % 64)
-          val feat = Array.tabulate(4) { i =>
-            bytes.iterator.zipWithIndex
-              .filter(_._2 % 4 == i)
-              .map(_._1.toInt & 0xff)
-              .sum
-              .toDouble / math.max(n, 1L)
-          }
-          Decoded(id, kind, n, w, h, feat)
+  def parseImage(id: Long, b: Array[Byte]): Decoded = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+
+    var format = "unknown"
+    var w = 0
+    var h = 0
+    if (b.length >= 24 && (0 until 8).forall(i => u8(i) == PngMagic(i))) {
+      format = "png"
+      // chunk walk: [len:4][type:4][data:len][crc:4] ...
+      var off = 8
+      var found = false
+      while (!found && off + 8 <= b.length) {
+        val clen = be32(off)
+        val ctype = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (ctype == "IHDR" && off + 16 <= b.length) {
+          w = be32(off + 8)
+          h = be32(off + 12)
+          found = true
+        }
+        off += 8 + clen + 4
+      }
+    } else if (b.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
+      format = "jpeg"
+      // segment walk: FFD8 then FF<marker>[len:2][payload:len-2] ...
+      var off = 2
+      var found = false
+      while (!found && off + 4 <= b.length && u8(off) == 0xff) {
+        val marker = u8(off + 1)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof && off + 9 <= b.length) {
+          h = be16(off + 5)
+          w = be16(off + 7)
+          found = true
+        } else {
+          off += 2 + be16(off + 2)
         }
       }
+    } else if (b.length >= 13 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8') {
+      format = "gif"
+      w = le16(6)
+      h = le16(8)
+    }
+
+    // real (if simple) features: byte-value moments over the payload
+    val n = b.length
+    var sum = 0.0
+    var sumSq = 0.0
+    var mn = 255.0
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = (b(i) & 0xff).toDouble
+      sum += v; sumSq += v * v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    val mean = if (n > 0) sum / n else 0.0
+    val variance = if (n > 0) sumSq / n - mean * mean else 0.0
+    Decoded(id, format, n.toLong, w, h, Array(mean, variance, mn, mx))
   }
 
-  /** Documents re-cast as a media table: opaque binary payload +
-    * media_type discriminator (the multimodal column pattern).
+  /** Partition-wise decode of a (doc_id, payload) frame — the shape a
+    * real codec pipeline uses (batch per partition, typed Encoder out).
+    */
+  def decode(df: DataFrame): Dataset[Decoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => parseImage(id, bytes) })
+  }
+
+  // ---------------------------------------------------------------
+  // Deterministic format-true payload corpus over the documents table
+  // ---------------------------------------------------------------
+
+  /** Deterministic dimensions: width from doc_id, height from the
+    * text BYTE length (both < 2^16 so they fit 16-bit JPEG/GIF
+    * fields). Byte length (not char length) keeps Spark and DuckDB
+    * agreeing on any input encoding.
+    */
+  private def dims(c: DataFrame): DataFrame =
+    c.withColumn("_w", (lit(16) + pmod(col("doc_id") * 37, lit(2000))).cast("int"))
+      .withColumn("_h", (lit(16) + pmod(length(col("text").cast("binary")), lit(1500))).cast("int"))
+
+  private def hexN(c: Column, n: Int): Column = lpad(hex(c), n, "0")
+
+  /** Documents framed as real image containers, cycling format by
+    * doc_id % 3. The headers are byte-correct per spec:
+    *   PNG: magic + IHDR chunk (len 13, type, w:be32, h:be32, bit
+    *        depth 8, color type 6, no compression/filter/interlace,
+    *        zero CRC — decoders that don't checksum accept it);
+    *   JPEG: SOI + SOF0 (len 17, precision 8, h:be16, w:be16, 3
+    *        components with standard sampling factors);
+    *   GIF: "GIF89a" + w:le16 + h:le16 + zero flags/bg/aspect.
+    * The document's text bytes ride behind the header as the "pixel
+    * data" — structurally parseable, deterministically reproducible.
+    */
+  def imagePayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pngHdr = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      hexN($"_w", 8), hexN($"_h", 8),
+      lit("0806000000" + "00000000"))
+    val jpegHdr = concat(
+      lit("FFD8" + "FFC0" + "0011" + "08"),
+      hexN($"_h", 4), hexN($"_w", 4),
+      lit("03" + "012200" + "021101" + "031101"))
+    val gifHdr = concat(
+      lit("474946383961"),
+      substring(hexN($"_w", 4), 3, 2), substring(hexN($"_w", 4), 1, 2),
+      substring(hexN($"_h", 4), 3, 2), substring(hexN($"_h", 4), 1, 2),
+      lit("000000"))
+    dims(Tables.load(spark, dir, "documents"))
+      .select(
+        $"doc_id",
+        concat(
+          unhex(
+            when(pmod($"doc_id", lit(3)) === 0, pngHdr)
+              .when(pmod($"doc_id", lit(3)) === 1, jpegHdr)
+              .otherwise(gifHdr)),
+          $"text".cast("binary")
+        ).as("payload")
+      )
+  }
+
+  /** Documents re-cast as a media table for the frame-sampling query:
+    * opaque binary payload + media_type discriminator.
     */
   private def mediaTable(spark: SparkSession, dir: String) = {
     import spark.implicits._
@@ -67,30 +197,75 @@ object Multimodal {
       )
   }
 
+  // ---------------------------------------------------------------
+  // DuckDB oracle helpers: hex-substring → integer (DuckDB has no
+  // hex→int conversion; decode digit-by-digit with shifts, same trick
+  // as PortableHash.sqlHash60 — DuckDB's hex() is uppercase)
+  // ---------------------------------------------------------------
+
+  private def sqlHexToInt(hexExpr: String, n: Int): String =
+    s"list_aggregate(list_transform(generate_series(1, $n), " +
+      s"i -> (CAST(strpos('0123456789ABCDEF', substr($hexExpr, CAST(i AS INT), 1)) AS BIGINT) - 1) " +
+      s"<< (4 * ($n - i))), 'sum')"
+
+  /** The payload-construction CTE shared by the m01 oracle — the same
+    * deterministic framing as [[imagePayloads]], built with DuckDB
+    * blob functions, followed by the hex image of each payload.
+    */
+  private val sqlPayloadCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    16 + (doc_id * 37) % 2000 AS w,
+      |    16 + octet_length(encode(text)) % 1500 AS h,
+      |    encode(text) AS body
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    unhex(CASE doc_id % 3
+      |      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+      |        printf('%08X', w) || printf('%08X', h) || '0806000000' || '00000000'
+      |      WHEN 1 THEN 'FFD8' || 'FFC0' || '0011' || '08' ||
+      |        printf('%04X', h) || printf('%04X', w) || '03' || '012200' || '021101' || '031101'
+      |      ELSE '474946383961' ||
+      |        substr(printf('%04X', w), 3, 2) || substr(printf('%04X', w), 1, 2) ||
+      |        substr(printf('%04X', h), 3, 2) || substr(printf('%04X', h), 1, 2) || '000000'
+      |    END) || body AS payload
+      |  FROM d),
+      |hx AS (SELECT doc_id, hex(payload) AS hp, octet_length(payload) AS nb FROM p)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q(
       "m01_multimodal_meta",
-      "Binary payload + typed metadata extraction (columnar, no decode)",
+      "Real byte-level image-header decode (PNG IHDR / JPEG SOF0 / GIF descriptor) over binary payloads",
       (spark, dir) => {
         import spark.implicits._
-        mediaTable(spark, dir)
-          .select(
-            $"doc_id",
-            $"media_type",
-            length($"payload").cast("long").as("n_bytes"),
-            (lit(64) + expr("ascii(substr(CAST(payload AS STRING), 1, 1))") % 64)
-              .cast("int").as("width"),
-            (lit(64) + expr("ascii(right(CAST(payload AS STRING), 1))") % 64)
-              .cast("int").as("height")
-          )
+        // Spark side: the REAL structural parser, partition-wise.
+        // Oracle side: independent fixed-offset byte decode over the
+        // same blob — agreement means the parser walks to the right
+        // offsets for every format.
+        decode(imagePayloads(spark, dir))
+          .toDF()
+          .select($"doc_id", $"format", $"n_bytes", $"width", $"height")
           .orderBy($"doc_id")
       },
-      Some("""SELECT doc_id,
-        ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
-        CAST(64 + ascii(right(text, 1)) % 64 AS INT) AS height
-        FROM documents ORDER BY doc_id""")
+      Some(s"""$sqlPayloadCtes
+        SELECT doc_id,
+          CASE WHEN substr(hp, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+               WHEN substr(hp, 1, 4) = 'FFD8' THEN 'jpeg'
+               WHEN substr(hp, 1, 12) = '474946383961' THEN 'gif'
+               ELSE 'unknown' END AS format,
+          CAST(nb AS BIGINT) AS n_bytes,
+          CAST(CASE
+            WHEN substr(hp, 1, 16) = '89504E470D0A1A0A' THEN ${sqlHexToInt("substr(hp, 33, 8)", 8)}
+            WHEN substr(hp, 1, 4) = 'FFD8' THEN ${sqlHexToInt("substr(hp, 19, 4)", 4)}
+            ELSE ${sqlHexToInt("substr(hp, 15, 2) || substr(hp, 13, 2)", 4)}
+          END AS INT) AS width,
+          CAST(CASE
+            WHEN substr(hp, 1, 16) = '89504E470D0A1A0A' THEN ${sqlHexToInt("substr(hp, 41, 8)", 8)}
+            WHEN substr(hp, 1, 4) = 'FFD8' THEN ${sqlHexToInt("substr(hp, 15, 4)", 4)}
+            ELSE ${sqlHexToInt("substr(hp, 19, 2) || substr(hp, 17, 2)", 4)}
+          END AS INT) AS height
+        FROM hx ORDER BY doc_id""")
     ),
 
     Q(

@@ -213,10 +213,19 @@ class PipelineSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
-  test("m01 metadata matches payload bytes") {
+  test("m01 decodes real container headers: formats + constructed dimensions") {
     val df = q("m01_multimodal_meta").cache()
     assert(df.filter(col("n_bytes") <= 0).count() == 0)
-    assert(df.select("media_type").distinct().count() == 3)
+    assert(df.select("format").distinct().collect().map(_.getString(0)).toSet
+      == Set("png", "jpeg", "gif"))
+    // the parser must recover exactly the dimensions the framing wrote
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        (lit(16) + pmod(col("doc_id") * 37, lit(2000))).cast("int").as("exp_w"),
+        (lit(16) + pmod(length(col("text").cast("binary")), lit(1500))).cast("int").as("exp_h"))
+    val joined = df.join(docs, "doc_id")
+    assert(joined.filter(col("width") =!= col("exp_w") || col("height") =!= col("exp_h"))
+      .count() == 0)
   }
 
   test("m02 frame sampling only over video docs, stride 10") {
@@ -225,11 +234,12 @@ class PipelineSpec extends SparkTestBase {
     assert(df.filter(col("doc_id") % 3 =!= 2).count() == 0)
   }
 
-  test("multimodal decode stub is deterministic with fixed feature shape") {
-    val a = Multimodal.decodeStub(spark, sfDir).collect()
-    val b = Multimodal.decodeStub(spark, sfDir).collect()
+  test("multimodal decode is deterministic with real byte-moment features") {
+    val a = Multimodal.decode(Multimodal.imagePayloads(spark, sfDir)).collect()
+    val b = Multimodal.decode(Multimodal.imagePayloads(spark, sfDir)).collect()
     assert(a.length == b.length && a.length > 0)
     assert(a.forall(_.feature.length == 4))
+    assert(a.forall(d => d.feature(2) <= d.feature(0) && d.feature(0) <= d.feature(3)))
     val am = a.map(d => d.doc_id -> d.feature.toSeq).toMap
     assert(b.forall(d => am(d.doc_id) == d.feature.toSeq))
   }
