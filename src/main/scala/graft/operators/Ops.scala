@@ -210,16 +210,24 @@ object Ops {
   }
 
   /** Connected components over an undirected edge list (two BIGINT
-    * columns): min-label propagation. Each round is a keyed join +
-    * aggregation (never a cross join); rounds converge at the largest
-    * component diameter. The seed label is min(self, neighbors) — one
-    * groupBy — so the identity round is free, and convergence is
-    * detected by the label sum reaching a fixpoint (labels only
-    * decrease), one cheap scalar action per round. For graphs with
-    * huge diameters swap in large/small-star contraction; near-dup
-    * graphs are near-cliques and converge in 2-3 rounds.
-    * Returns (idOut, labelOut): every node with >= 1 edge, labeled by
-    * its component's minimum node id.
+    * columns). Two algorithms, same output contract — (idOut,
+    * labelOut): every node appearing in an edge, labeled by its
+    * component's minimum node id:
+    *
+    *  - `algo = "minlabel"` (default): min-label propagation. Each
+    *    round is a keyed join + aggregation (never a cross join);
+    *    rounds converge at the largest component DIAMETER. Near-dup
+    *    graphs are near-cliques (2-3 rounds) — the right default for
+    *    dedup workloads.
+    *  - `algo = "star"`: alternating large-star/small-star contraction
+    *    (Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond", SoCC'14) — converges in O(log n) rounds regardless of
+    *    diameter, the safe choice for web-crawl dup graphs with long
+    *    chains (ConnectedComponentsSpec pins a 10k-node chain to
+    *    ~log-many rounds where min-label would need ~10k).
+    *
+    * Convergence is detected by cheap scalar actions per round (label
+    * sums only decrease), never a driver-side diff of the frames.
     */
   def connectedComponents(
       edgePairs: DataFrame,
@@ -227,8 +235,12 @@ object Ops {
       bCol: String,
       maxIterations: Int = 20,
       idOut: String = "id",
-      labelOut: String = "label"
+      labelOut: String = "label",
+      algo: String = "minlabel"
   ): DataFrame = {
+    if (algo == "star")
+      return connectedComponentsStar(edgePairs, aCol, bCol,
+        math.max(maxIterations, 50), idOut, labelOut)._1
     val pairs = edgePairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = pairs.union(pairs.select(col("dst"), col("src"))).toDF("src", "dst").cache()
     var labels = edges.groupBy(col("src"))
@@ -240,15 +252,17 @@ object Ops {
     while (!converged && iter < maxIterations) {
       val nmin = edges.join(labels.select(col("id").as("src"), col("lbl")), "src")
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      // localCheckpoint, not cache: iterative rounds compound the
+      // logical plan, and cached frames still carry full lineage —
+      // past ~30 rounds the plan strings alone exhaust the driver
       val next = labels
         .join(nmin.select(col("dst").as("id"), col("nlbl")), Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
+        .localCheckpoint()
       // sum over an empty labels frame is null — read through Option
       // so a zero-edge graph converges to an empty result, not an NPE
       val s = Option(next.agg(sum(col("lbl"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s
@@ -256,6 +270,80 @@ object Ops {
     }
     edges.unpersist()
     labels.select(col("id").as(idOut), col("lbl").as(labelOut))
+  }
+
+  /** Large-star/small-star contraction CC (Kiveris et al. SoCC'14),
+    * returning (labels, roundsUsed). Each round runs
+    *   large-star: per node u, attach every LARGER neighbor to
+    *     min(N(u) ∪ {u}) — cuts long chains in half;
+    *   small-star: orient edges toward the smaller endpoint, then per
+    *     node u attach u and all smaller neighbors to the minimum —
+    *     flattens partial stars;
+    * both are a groupBy(min) + keyed equi-join, so every round is
+    * shuffle-bounded by the edge count, and the round count is
+    * O(log n) independent of component diameter. Convergence: the
+    * (edge-count, sum(src), sum(dst)) triple is a strictly decreasing
+    * potential until fixpoint (the paper's potential argument), so
+    * one cheap 3-scalar action per round detects stability.
+    */
+  def connectedComponentsStar(
+      edgePairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIterations: Int = 50,
+      idOut: String = "id",
+      labelOut: String = "label"
+  ): (DataFrame, Int) = {
+    val pairs = edgePairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val nodes = pairs.select(col("src").as("id"))
+      .union(pairs.select(col("dst").as("id"))).distinct().cache()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("m0"))
+        .select(col("src"), least(col("src"), col("m0")).as("m"))
+      sym.join(mins, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.where(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+      val mins = oriented.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val j = oriented.join(mins, "src")
+      j.where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(j.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    // localCheckpoint (not cache) per round: star iterations compound
+    // the logical plan geometrically, so lineage MUST be truncated or
+    // the driver chokes on plan strings long before the data is big —
+    // the standard iterative-graph pattern (a real cluster job may
+    // prefer reliable checkpoints to survive executor loss)
+    var edges = pairs.where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var prev = (-1L, -1L, -1L)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxIterations) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val stat = next.agg(count(lit(1)), sum(col("src")), sum(col("dst"))).head()
+      val cur = (stat.getLong(0),
+        Option(stat.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(stat.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      edges = next
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    // converged edge set is a star forest (member -> root); nodes with
+    // no surviving edge (self-loop-only inputs) label themselves
+    val labels = nodes
+      .join(edges.select(col("src").as("id"), col("dst").as("lbl")), Seq("id"), "left")
+      .select(col("id").as(idOut), coalesce(col("lbl"), col("id")).as(labelOut))
+    (labels, rounds)
   }
 
   /** Deterministic hash-mod stratified sampling: keeps a row iff its
