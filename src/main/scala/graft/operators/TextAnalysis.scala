@@ -421,6 +421,40 @@ object TextAnalysis {
           (n_words >= 20 AND n_words <= 100000 AND mean_word_len >= 2.0
            AND mean_word_len <= 12.0 AND symbol_ratio < 0.05 AND NOT has_lorem) AS keep
         FROM r ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t13_pack_bins_sharded",
+      "Sharded token-budget bin packing: (lang, hash-shard) partition keys — the 100 TB shape",
+      (spark, dir) => {
+        import spark.implicits._
+        // t10's window partitions by lang alone, so one partition key
+        // holds a whole language — fine at sf0.1, a straggler at
+        // 100 TB. This is the scale configuration: the window key is
+        // (lang, shard) with shard = hash(doc_id) % K, so the largest
+        // partition is corpus/K regardless of language skew, at the
+        // cost of K independent (deterministic) packings per lang.
+        // The shard hash is the engine-neutral PortableHash so the
+        // oracle reproduces bin ids exactly.
+        val counted = Tables.load(spark, dir, "documents")
+          .withColumn("n_tokens", size(expr(sparkWords)).cast("long"))
+          .withColumn("shard",
+            pmod(graft.functions.PortableHash.hash60($"doc_id".cast("string")), lit(8L))
+              .cast("int"))
+        Ops.packBins(counted, "n_tokens", Seq("lang", "shard"), "doc_id", budget = 512)
+          .select($"doc_id", $"lang", $"shard", $"n_tokens", $"bin_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+          CAST(len($duckWords) AS BIGINT) AS n_tokens,
+          CAST(${graft.functions.PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+          FROM documents),
+        c AS (SELECT doc_id, lang, shard, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+          FROM t)
+        SELECT doc_id, lang, shard, n_tokens, cum // 512 AS bin_id
+        FROM c ORDER BY doc_id""")
     )
   )
 }

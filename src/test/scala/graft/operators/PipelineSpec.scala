@@ -161,6 +161,22 @@ class PipelineSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("t13 sharded bins: budget holds within every (lang, shard), shards spread") {
+    val df = q("t13_pack_bins_sharded").cache()
+    // a bin's tokens beyond its largest doc fit the 512 budget — per
+    // SHARD, the invariant that makes the packing correct under the
+    // (lang, shard) key a 100 TB run would use
+    val over = df.groupBy("lang", "shard", "bin_id")
+      .agg(sum("n_tokens").as("s"), max("n_tokens").as("m"))
+      .filter(col("s") - col("m") >= 512L).count()
+    assert(over == 0, "a shard's bin packed more than budget beyond its largest doc")
+    // the hash shard actually spreads each language over many keys
+    val spread = df.groupBy("lang").agg(countDistinct("shard").as("k"))
+      .filter(col("k") < 4).count()
+    assert(spread == 0, "a language landed on too few shards")
+    assert(df.count() == q("t10_pack_bins").count(), "sharding must not drop rows")
+  }
+
   test("t11 redaction masks synthesized pii exactly") {
     import spark.implicits._
     val redact = regexp_replace(
