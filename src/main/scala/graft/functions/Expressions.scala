@@ -40,6 +40,9 @@ object GraftExpressions {
   /** Column API: word n-gram shingles of a text column in one pass. */
   def wordShingles(text: Column, n: Int, distinct: Boolean): Column =
     column(WordShingles(expression(text), n, distinct))
+
+  /** Column API: embedded-BPE token count of a text column. */
+  def bpeCount(text: Column): Column = column(BpeCount(expression(text)))
 }
 
 /** Word n-gram shingles of a text column in ONE pass over the UTF-8
@@ -102,6 +105,29 @@ object WordShingles {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray.asInstanceOf[Array[AnyRef]])
   }
+}
+
+/** Embedded-BPE token count over a text column in one codegen pass:
+  * tokenize on the space byte, then apply the committed merge table
+  * in rank order over a symbol array (see [[Bpe]] for the
+  * equivalence argument vs the SQL replace chain the DuckDB oracle
+  * runs — BpeSpec pins expression == SQL chain over the corpus).
+  * Replaces an interpreted transform/aggregate fold of ~60 chained
+  * replaces per word (~10x slower, measured at sf0.1).
+  */
+case class BpeCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(v: Any): Any =
+    Bpe.countTokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Bpe$$.MODULE$$.countTokens($c);")
+
+  override protected def withNewChildInternal(c: Expression): BpeCount =
+    copy(child = c)
 }
 
 /** Fused cosine similarity: dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))

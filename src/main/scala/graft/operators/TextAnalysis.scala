@@ -122,24 +122,31 @@ object TextAnalysis {
 
     Q(
       "t03_token_count",
-      "Token counting: whitespace split, BPE-ish regex, chars/4 estimate",
+      "Token counting: whitespace split, BPE-ish regex, chars/4 estimate, embedded BPE merges",
       (spark, dir) => {
         import spark.implicits._
+        // n_bpe_tokens is a REAL merge-table tokenization (see
+        // functions.Bpe): rank-ordered pair merges over per-word
+        // symbol sequences, expressed as a fixed replace chain — the
+        // DuckDB twin runs the identical chain from the same committed
+        // table, so the count is value-level oracle-checked.
         Tables.load(spark, dir, "documents")
           .select(
             $"doc_id",
             expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))").cast("long").as("n_ws_tokens"),
             expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long").as("n_re_tokens"),
             ceil(length($"text").cast("double") / 4.0).cast("long").as("n_est_tokens"),
-            length($"text").cast("long").as("n_chars_calc")
+            length($"text").cast("long").as("n_chars_calc"),
+            graft.functions.GraftExpressions.bpeCount($"text").as("n_bpe_tokens")
           )
           .orderBy($"doc_id")
       },
-      Some("""SELECT doc_id,
-        CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+      Some(s"""SELECT doc_id,
+        CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens,
         CAST(CEIL(CAST(LENGTH(text) AS DOUBLE) / 4.0) AS BIGINT) AS n_est_tokens,
-        CAST(LENGTH(text) AS BIGINT) AS n_chars_calc
+        CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+        CAST(${graft.functions.Bpe.duckCount(duckWords)} AS BIGINT) AS n_bpe_tokens
         FROM documents ORDER BY doc_id""")
     ),
 

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkTestBase {
+
+  test("merge table is derivation-consistent (constituents exist before use)") {
+    val known = scala.collection.mutable.Set[String]()
+    Bpe.merges.foreach { case (a, b) =>
+      assert(a.length == 1 || known.contains(a), s"left '$a' used before derived")
+      assert(b.length == 1 || known.contains(b), s"right '$b' used before derived")
+      known += (a + b)
+    }
+    assert(Bpe.merges.nonEmpty && Bpe.merges.size == Bpe.merges.distinct.size)
+  }
+
+  test("hand-traced segmentations") {
+    import spark.implicits._
+    val df = Seq("the", "this", "thing", "and", "cat", "recorders", "xyzq")
+      .toDF("w")
+      .select($"w", expr(s"trim(${Bpe.sparkSegments("w")})").as("seg"))
+    val m = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("the") == "the") // t h e -> th e -> the
+    assert(m("this") == "this") // t h i s -> th i s -> th is -> this
+    assert(m("thing") == "th ing") // th i n g -> th in g -> th ing
+    assert(m("and") == "and") // a n d -> an d -> and
+    assert(m("cat") == "c at")
+    assert(m("recorders") == "re c or d ers")
+    assert(m("xyzq") == "x y z q") // nothing merges
+  }
+
+  test("count over a word array sums per-word token counts") {
+    import spark.implicits._
+    val df = Seq("the thing and recorders").toDF("text")
+      .select(expr(Bpe.sparkCount("filter(split(text, ' '), x -> x <> '')")).as("n"))
+    // 1 + 2 + 1 + 5
+    assert(df.head().getLong(0) == 9L)
+  }
+
+  test("codegen BpeCount equals the SQL replace-chain over the corpus") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+    val bad = docs.select(
+      GraftExpressions.bpeCount($"text").as("fast"),
+      expr(Bpe.sparkCount("filter(split(text, ' '), x -> x <> '')")).cast("long").as("sql")
+    ).filter($"fast" =!= $"sql").count()
+    assert(bad == 0, s"$bad docs diverge between expression and SQL chain")
+  }
+
+  test("overlapping pairs resolve left-to-right in both replace semantics") {
+    // "a a a a" under a hypothetical (a,a) merge would become
+    // "aa aa"; our table has no self-pair, but pin the left-to-right
+    // scan that the cross-engine argument relies on
+    assert("a a a a".replace("a a", "aa") == "aa aa")
+  }
+}
