@@ -45,8 +45,19 @@ object Bench {
       QueryResult(name, times, err)
     }
 
+  /** 1-minute loadavg (host-noise marker; -1.0 if unavailable). */
+  def loadAvg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
   /** The single-line bench JSON the driver parses. */
-  def toJson(results: Seq[QueryResult], sfDir: String, runs: Int): String = {
+  def toJson(
+      results: Seq[QueryResult],
+      sfDir: String,
+      runs: Int,
+      loadBefore: Double = -1.0,
+      loadAfter: Double = -1.0
+  ): String = {
     def j(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -66,7 +77,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.best).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${sfDir}",""" +
-      s""""runs":$runs,"spread":$spread,"failed":$failed,"ok":${results.forall(_.ok)}}"""
+      s""""runs":$runs,"spread":$spread,"failed":$failed,""" +
+      s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
+      s""""ok":${results.forall(_.ok)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,8 +97,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: JVM/codegen/IO spin-up paid once, not by the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val loadBefore = loadAvg()
     val results = run(spark, sfDir, SparkEntry.queries.toSeq, runs)
-    println(toJson(results, sfDir, runs))
+    val json = toJson(results, sfDir, runs, loadBefore, loadAvg())
+    println(json)
+    // the committed artifact must never be a truncated log tail: write
+    // the complete JSON (including its own total) to a file as well
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
     if (!results.forall(_.ok)) sys.exit(1)
   }

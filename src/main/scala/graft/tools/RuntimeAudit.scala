@@ -81,9 +81,14 @@ object RuntimeAudit {
     )
   }
 
-  def runQuery(spark: SparkSession, name: String, sfDir: String): RunAudit =
+  def runQuery(spark: SparkSession, name: String, sfDir: String): RunAudit = {
+    // clear BEFORE as well as after: a cached plan fragment from an
+    // earlier query in the same session would satisfy the whole query
+    // from memory and the audit would measure no exchange at all
+    spark.catalog.clearCache()
     try run(graft.SparkEntry.queries(name)(spark, sfDir))
     finally spark.catalog.clearCache() // queries cache internally
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
