@@ -245,7 +245,7 @@ object Ops {
     val edges = pairs.union(pairs.select(col("dst"), col("src"))).toDF("src", "dst").cache()
     var labels = edges.groupBy(col("src"))
       .agg(least(first(col("src")), min(col("dst"))).as("lbl"))
-      .select(col("src").as("id"), col("lbl")).cache()
+      .select(col("src").as("id"), col("lbl")).localCheckpoint()
     var prevSum = Long.MaxValue
     var converged = false
     var iter = 0
