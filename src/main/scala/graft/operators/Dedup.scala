@@ -378,59 +378,25 @@ object Dedup {
     Q(
       "d06_dup_clusters",
       "Duplicate clusters: connected components over exact-Jaccard>=0.4 pairs",
-      (spark, dir) => {
-        import spark.implicits._
-        // Edges are d04's verified duplicate pairs. Components via
-        // min-label propagation: each round every node takes the min
-        // of its own and its neighbors' labels — a keyed join +
-        // aggregation per round (never a cross join), converging in
-        // <= component-diameter rounds (near-dup clusters are almost
-        // cliques, so 2-3 in practice; hard cap 20). The driver-side
-        // loop carries only the convergence COUNT, not data — the
-        // standard distributed CC shape (large/small-star refines the
-        // same idea for graphs with huge diameter).
-        val sh = shingleArrays(spark, dir).cache()
-        val posting = sh.select($"doc_id", explode($"sh").as("s"))
-        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
-        val pairs = posting.select($"doc_id".as("id_a"), $"s")
-          .join(posting.select($"doc_id".as("id_b"), $"s"), Seq("s"))
-          .where($"id_a" < $"id_b")
-          .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
-          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
-          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
-          .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
-          .select($"id_a", $"id_b")
-        val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
-          idOut = "doc_id", labelOut = "cluster_id")
-        val win = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
-        labels
-          .withColumn("n_members", count(lit(1)).over(win).cast("long"))
-          .orderBy($"doc_id")
-      },
-      Some {
-        val ctes = sqlShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
-        s"""$ctes,
-        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-        pc AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, COUNT(*) AS c
-          FROM post pa JOIN post pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
-          GROUP BY 1, 2),
-        pairs AS (SELECT pc.id_a, pc.id_b FROM pc
-          JOIN sizes sa ON sa.doc_id = pc.id_a
-          JOIN sizes sb ON sb.doc_id = pc.id_b
-          WHERE CAST(pc.c AS DOUBLE) / (sa.n + sb.n - pc.c) >= 0.4),
-        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-        reach(src, dst) AS (
-          SELECT src, dst FROM sym
-          UNION
-          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-        cl AS (SELECT n.src AS doc_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
-          FROM (SELECT DISTINCT src FROM sym) n
-          LEFT JOIN reach r ON r.src = n.src GROUP BY n.src)
-        SELECT doc_id, cluster_id,
-          CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
-        FROM cl ORDER BY doc_id"""
-      }
+      // Edges are d04's verified duplicate pairs. Components via
+      // min-label propagation: near-dup clusters are almost cliques,
+      // so 2-3 diameter-bounded rounds in practice (hard cap 20). The
+      // driver-side loop carries only the convergence COUNT, not data.
+      (spark, dir) => clusterQuery(spark, dir, algo = "minlabel"),
+      Some(d06OracleSql)
+    ),
+
+    Q(
+      "d08_dup_clusters_star",
+      "Duplicate clusters via large/small-star contraction (O(log n) rounds, diameter-proof)",
+      // Same pairs, same output contract, same oracle — but the CC is
+      // the star-contraction algorithm (O14): the configuration for
+      // graphs whose components may be long chains (web-crawl dup
+      // graphs), where min-label's diameter-bounded rounds blow up.
+      // Oracle-gating it proves algorithm equivalence on real pairs,
+      // not just the spec's synthetic graphs.
+      (spark, dir) => clusterQuery(spark, dir, algo = "star"),
+      Some(d06OracleSql)
     ),
 
     Q(
@@ -491,4 +457,57 @@ object Dedup {
         ORDER BY s.doc_id""")
     )
   )
+
+  /** The exact-Jaccard>=0.4 duplicate pair list (d04's verified
+    * pairs) and the shared d06/d08 cluster query over them.
+    */
+  private def clusterQuery(spark: SparkSession, dir: String, algo: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleArrays(spark, dir).cache()
+    val posting = sh.select($"doc_id", explode($"sh").as("s"))
+    val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+    val pairs = posting.select($"doc_id".as("id_a"), $"s")
+      .join(posting.select($"doc_id".as("id_b"), $"s"), Seq("s"))
+      .where($"id_a" < $"id_b")
+      .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+      .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
+      .select($"id_a", $"id_b")
+    val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
+      idOut = "doc_id", labelOut = "cluster_id", algo = algo)
+    val win = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+    labels
+      .withColumn("n_members", count(lit(1)).over(win).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** Recursive-CTE DuckDB oracle shared by d06 and d08 (the two CC
+    * algorithms must produce identical clusters). Lazy: declared
+    * after `all`, which captures it during object init.
+    */
+  private lazy val d06OracleSql: String = {
+    val ctes = sqlShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$ctes,
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        pc AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, COUNT(*) AS c
+          FROM post pa JOIN post pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+          GROUP BY 1, 2),
+        pairs AS (SELECT pc.id_a, pc.id_b FROM pc
+          JOIN sizes sa ON sa.doc_id = pc.id_a
+          JOIN sizes sb ON sb.doc_id = pc.id_b
+          WHERE CAST(pc.c AS DOUBLE) / (sa.n + sb.n - pc.c) >= 0.4),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        cl AS (SELECT n.src AS doc_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
+          FROM (SELECT DISTINCT src FROM sym) n
+          LEFT JOIN reach r ON r.src = n.src GROUP BY n.src)
+        SELECT doc_id, cluster_id,
+          CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        FROM cl ORDER BY doc_id"""
+  }
 }
