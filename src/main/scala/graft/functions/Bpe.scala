@@ -121,10 +121,19 @@ object Bpe {
   private def wordTokens(s: String, from: Int, until: Int): Int = {
     val len = until - from
     if (len <= 1) return len
-    val syms = new Array[String](len)
-    var k = 0
-    while (k < len) { syms(k) = String.valueOf(s.charAt(from + k)); k += 1 }
-    var cnt = len
+    // iterate CODE POINTS, not UTF-16 units: the SQL twin's '(.)'
+    // regex matches one code point in both Java regex and RE2, so a
+    // charAt-based split would double-count astral-plane characters
+    val syms = new Array[String](len) // upper bound (cp count <= unit count)
+    var cnt = 0
+    var k = from
+    while (k < until) {
+      val cp = s.codePointAt(k)
+      syms(cnt) = new String(Character.toChars(cp))
+      cnt += 1
+      k += Character.charCount(cp)
+    }
+    if (cnt <= 1) return cnt
     var r = 0
     while (r < ruleA.length && cnt > 1) {
       val a = ruleA(r)

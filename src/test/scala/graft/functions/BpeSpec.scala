@@ -48,6 +48,25 @@ class BpeSpec extends SparkTestBase {
     assert(bad == 0, s"$bad docs diverge between expression and SQL chain")
   }
 
+  test("property: expression == SQL chain on adversarial random strings") {
+    import spark.implicits._
+    // deterministic fuzz batch: ascii words, merge-prone fragments,
+    // punctuation, repeated runs, and astral-plane chars (code-point
+    // vs UTF-16-unit divergence is exactly what this guards)
+    val rnd = new scala.util.Random(42)
+    val frags = Seq("th", "the", "in", "and", "ers", "a", "tt", "hh", "  ",
+      "x'y", "\"q\"", "...", "ththth", "ananan", "😀", "e😀r", "ü", "日本")
+    val strings = (1 to 300).map { _ =>
+      (0 to rnd.nextInt(12)).map(_ => frags(rnd.nextInt(frags.size))).mkString(
+        if (rnd.nextBoolean()) " " else "")
+    } :+ "" :+ " " :+ "😀😀😀"
+    val bad = strings.toDF("text").select(
+      GraftExpressions.bpeCount($"text").as("fast"),
+      expr(Bpe.sparkCount("filter(split(text, ' '), x -> x <> '')")).cast("long").as("sql")
+    ).filter($"fast" =!= $"sql").count()
+    assert(bad == 0, s"$bad fuzz strings diverge between expression and SQL chain")
+  }
+
   test("overlapping pairs resolve left-to-right in both replace semantics") {
     // "a a a a" under a hypothetical (a,a) merge would become
     // "aa aa"; our table has no self-pair, but pin the left-to-right
