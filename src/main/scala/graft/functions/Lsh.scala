@@ -29,9 +29,10 @@ object Lsh {
   val planes8: Seq[Seq[Double]] = planes(8)
 
   /** Signed projection of an embedding column onto one plane — the
-    * same left fold from 0.0 as VectorFunctions.dotFold.
+    * same left fold from 0.0 as VectorFunctions.dotFold. Public: e02
+    * reuses the raw projection for JL dimensionality reduction.
     */
-  private def proj(emb: String, w: Seq[Double]): Column =
+  def proj(emb: String, w: Seq[Double]): Column =
     expr(
       s"aggregate(zip_with($emb, array(${w.mkString(", ")}), (x, y) -> CAST(x AS DOUBLE) * y), " +
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -44,7 +45,7 @@ object Lsh {
     }.reduce(_ + _)
 
   /** DuckDB SQL for the identical projection fold (1-based lists). */
-  private def sqlProj(emb: String, w: Seq[Double]): String = {
+  def sqlProj(emb: String, w: Seq[Double]): String = {
     val lits = w.mkString("[", ", ", "]")
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(generate_series(1, ${w.size}), i -> CAST($emb[i] AS DOUBLE) * ($lits)[i])), " +

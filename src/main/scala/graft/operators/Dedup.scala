@@ -455,6 +455,59 @@ object Dedup {
           (CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / s.n_grams) >= 0.5 AS flagged
         FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
         ORDER BY s.doc_id""")
+    ),
+
+    Q(
+      "d09_dup_spans",
+      "Exact duplicated-span detection: 8-word shingles shared across documents",
+      (spark, dir) => {
+        import spark.implicits._
+        // The exact-substring dedup shape (Lee et al., "Deduplicating
+        // Training Data Makes Language Models Better"): a span
+        // duplicated ANYWHERE in the corpus is found by grouping the
+        // corpus's K-word shingles and keeping those in >= 2 docs.
+        // Everything is an explode + groupBy on the shingle key + one
+        // semi-join back — linear in corpus size, the plan you'd run
+        // at 100 TB (there, join on xxhash64(span) so only 8-byte keys
+        // transit the shuffle; exact strings kept here for the
+        // oracle). Output: per affected doc, how many of its spans are
+        // duplicated elsewhere and the duplicated fraction — the
+        // "cut list" a span-removal pass consumes.
+        val sh = Tables.load(spark, dir, "documents")
+          .select($"doc_id",
+            graft.functions.GraftExpressions.wordShingles($"text", 8, distinct = true).as("sh"))
+          .where(size($"sh") > 0)
+          .cache() // two consumers (postings + sizes); Verify/Bench clearCache()
+        val posting = sh.select($"doc_id", explode($"sh").as("s"))
+        // shingles are distinct per doc, so count(*) = distinct docs
+        val dup = posting.groupBy($"s").agg(count(lit(1)).as("n_docs"))
+          .where($"n_docs" >= 2).select($"s")
+        val perDoc = posting.join(dup, Seq("s"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+        sh.select($"doc_id", size($"sh").cast("long").as("n_spans"))
+          .join(perDoc, Seq("doc_id"))
+          .select($"doc_id", $"n_spans", $"n_dup",
+            round($"n_dup".cast("double") / $"n_spans", 6).as("dup_frac"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd
+          FROM documents),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(wd) >= 8 THEN list_distinct(list_transform(
+            generate_series(1, len(wd) - 7),
+            i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] || ' ' || wd[i+3] || ' ' ||
+                 wd[i+4] || ' ' || wd[i+5] || ' ' || wd[i+6] || ' ' || wd[i+7]))
+          ELSE [] END AS s FROM w),
+        sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        post AS (SELECT doc_id, unnest(s) AS sp FROM sh2),
+        dup AS (SELECT sp FROM post GROUP BY sp HAVING COUNT(*) >= 2),
+        perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+          FROM post WHERE sp IN (SELECT sp FROM dup) GROUP BY doc_id)
+        SELECT s2.doc_id AS doc_id, CAST(len(s2.s) AS BIGINT) AS n_spans, p.n_dup,
+          ROUND(CAST(p.n_dup AS DOUBLE) / len(s2.s), 6) AS dup_frac
+        FROM sh2 s2 JOIN perdoc p ON p.doc_id = s2.doc_id
+        ORDER BY doc_id""")
     )
   )
 

@@ -51,6 +51,55 @@ object Embeddings {
           FROM s WHERE scale > 0)
         SELECT vec_id, ROUND(scale, 6) AS scale, q_sum, ROUND(mse, 9) AS mse
         FROM q ORDER BY vec_id""")
+    ),
+
+    Q(
+      "e02_rand_projection",
+      "Johnson-Lindenstrauss ±1 projection 64→16 dims with norm-preservation ratio",
+      (spark, dir) => {
+        import spark.implicits._
+        // JL sketch: 16 deterministic ±1 planes (graft.functions.Lsh,
+        // the same family s02/d05 bucket with) project each embedding
+        // to 16 dims. E[p_i^2] = ||x||^2 for ±1 entries, so
+        // ratio = (Σ p_i^2 / 16) / ||x||^2 concentrates around 1 — the
+        // distance-preservation guarantee ANN-after-projection relies
+        // on. Per-row only (zero shuffle beside the oracle sort); the
+        // projected width is the scale knob: k = O(log n / ε²)
+        // regardless of the source dimension, so the reduced corpus is
+        // what a 100 TB ANN index stores. Each projection is the
+        // explicit left fold from 0.0 (bit-identical in DuckDB); the
+        // p² sum is a fixed-order chain of 16 additions on both sides.
+        val planes = graft.functions.Lsh.planes(16)
+        val projCols = planes.zipWithIndex.map { case (w, i) =>
+          graft.functions.Lsh.proj("embedding", w).as(s"p$i")
+        }
+        val nsq = expr(
+          "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+        val projSq = (0 until 16).map(i => col(s"p$i") * col(s"p$i")).reduce(_ + _)
+        Tables.load(spark, dir, "embeddings")
+          .select(($"vec_id" +: nsq.as("nsq") +: projCols): _*)
+          .where($"nsq" > 0)
+          .select($"vec_id",
+            round($"p0", 6).as("p0"),
+            round($"p15", 6).as("p15"),
+            round((projSq / 16.0d) / $"nsq", 6).as("norm_ratio"))
+          .orderBy($"vec_id")
+      },
+      Some {
+        val planes = graft.functions.Lsh.planes(16)
+        val projDefs = planes.zipWithIndex.map { case (w, i) =>
+          s"${graft.functions.Lsh.sqlProj("embedding", w)} AS p$i"
+        }.mkString(",\n            ")
+        val projSq = (0 until 16).map(i => s"p$i * p$i").mkString(" + ")
+        s"""WITH pr AS (SELECT vec_id,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, v) -> a + v) AS nsq,
+            $projDefs
+          FROM embeddings)
+        SELECT vec_id, ROUND(p0, 6) AS p0, ROUND(p15, 6) AS p15,
+          ROUND(($projSq) / 16.0 / nsq, 6) AS norm_ratio
+        FROM pr WHERE nsq > 0 ORDER BY vec_id"""
+      }
     )
   )
 }

@@ -932,6 +932,36 @@ object Relational {
         UNION ALL
         SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS val FROM part
         ORDER BY p_partkey, measure""")
+    ),
+
+    Q(
+      "q39_pivot",
+      "Pivot (long→wide) event values per user with exact decimal sums",
+      (spark, dir) => {
+        import spark.implicits._
+        // The inverse of q38: groupBy().pivot() compiles to one hash
+        // aggregate keyed on user_id with conditional partial sums —
+        // a single shuffle, same plan at any scale. Values go through
+        // DECIMAL so partial-aggregation order can't drift vs DuckDB.
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val piv = t(spark, dir, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .agg(sum($"value".cast(DecimalType(18, 6))))
+        piv.select(
+          ($"user_id" +: types.map(ty =>
+            coalesce(col(ty), lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6)))
+              .cast("double").as(s"v_$ty"))): _*)
+          .orderBy($"user_id")
+      },
+      Some {
+        val cols = Seq("click", "error", "purchase", "signup", "view").map { ty =>
+          s"CAST(COALESCE(SUM(CASE WHEN event_type = '$ty' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS v_$ty"
+        }.mkString(",\n          ")
+        s"""SELECT user_id,
+          $cols
+        FROM events GROUP BY user_id ORDER BY user_id"""
+      }
     )
   )
 }

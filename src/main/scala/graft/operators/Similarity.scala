@@ -165,6 +165,87 @@ object Similarity {
         JOIN embeddings ne ON ne.vec_id = cand.n_id
         QUALIFY rn <= 5 ORDER BY cand.p_id, rn"""
       }
+    ),
+
+    Q(
+      "s04_sim_pq_topk",
+      "PQ ANN: 4×16-dim subspaces, 8-centroid codebooks, ADC over a broadcast distance table",
+      (spark, dir) => {
+        import spark.implicits._
+        // Product quantization — the memory-bound 100 TB ANN path: each
+        // vector is encoded ONCE as M=4 one-byte codes (argmin-L² vs
+        // its subspace codebook), and query-time distance is
+        // asymmetric-distance-computation: a per-probe (m, code) →
+        // distance lookup table (10×4×8 rows here — broadcastable for
+        // any realistic probe batch) joined to the code table and
+        // summed. The corpus side ships 4 small ints per vector — no
+        // float arrays ever transit a shuffle after encoding.
+        // Codebooks here are sub-slices of the 8 lowest vec_ids
+        // (deterministic, oracle-reproducible); trained k-means
+        // codebooks slot into the same plan unchanged. Distances are
+        // nano-scaled BIGINTs so the ADC sum is order-independent and
+        // exact on both engines (the e01 integer-sum trick).
+        val M = 4
+        val sub = 16
+        def l2q(a: String, b: String) = expr(
+          s"CAST(floor(aggregate(zip_with($a, $b, " +
+            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)")
+        val e = Tables.load(spark, dir, "embeddings")
+        val ms = explode(array((0 until M).map(lit(_)): _*)).as("m")
+        val subCents = e.orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("c_id"), ms, $"embedding")
+          .select($"m", $"c_id", expr(s"slice(embedding, m * $sub + 1, $sub)").as("cs"))
+        val corpusSub = e.select($"vec_id".as("n_id"), ms, $"embedding")
+          .select($"n_id", $"m", expr(s"slice(embedding, m * $sub + 1, $sub)").as("vs"))
+        val wEnc = Window.partitionBy($"n_id", $"m").orderBy($"dq".asc, $"c_id")
+        val codes = corpusSub.join(broadcast(subCents), Seq("m"))
+          .withColumn("dq", l2q("vs", "cs"))
+          .withColumn("rnc", row_number().over(wEnc))
+          .filter($"rnc" === 1)
+          .select($"n_id", $"m", $"c_id".as("code"))
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), ms, $"embedding")
+          .select($"p_id", $"m", expr(s"slice(embedding, m * $sub + 1, $sub)").as("ps"))
+        val dtab = probes.join(broadcast(subCents), Seq("m"))
+          .select($"p_id", $"m", $"c_id".as("code"), l2q("ps", "cs").as("dq"))
+        val w = Window.partitionBy($"p_id").orderBy($"adc_q".asc, $"n_id")
+        codes.join(broadcast(dtab), Seq("m", "code"))
+          .where($"n_id" =!= $"p_id")
+          .groupBy($"p_id", $"n_id").agg(sum($"dq").as("adc_q"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter($"rn" <= 5)
+          .select($"p_id", $"rn", $"n_id", $"adc_q")
+          .orderBy($"p_id", $"rn")
+      },
+      Some {
+        def sqlL2q(a: String, b: String) =
+          s"CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform(generate_series(1, 16), " +
+            s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+            "(acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)"
+        s"""WITH m AS (SELECT unnest([0, 1, 2, 3]) AS m),
+        c AS (SELECT vec_id AS c_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+        sc AS (SELECT m.m, c.c_id, c.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS cs FROM c, m),
+        cv AS (SELECT e.vec_id AS n_id, m.m, e.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS vs
+          FROM embeddings e, m),
+        enc AS (SELECT n_id, cv.m, c_id,
+            ROW_NUMBER() OVER (PARTITION BY n_id, cv.m ORDER BY ${sqlL2q("vs", "cs")} ASC, c_id) AS rnc
+          FROM cv JOIN sc ON sc.m = cv.m),
+        codes AS (SELECT n_id, m, c_id AS code FROM enc WHERE rnc = 1),
+        p AS (SELECT vec_id AS p_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10),
+        psub AS (SELECT p.p_id, m.m, p.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS ps FROM p, m),
+        dt AS (SELECT p_id, psub.m, c_id AS code, ${sqlL2q("ps", "cs")} AS dq
+          FROM psub JOIN sc ON sc.m = psub.m),
+        adc AS (SELECT dt.p_id, codes.n_id, CAST(SUM(dq) AS BIGINT) AS adc_q
+          FROM codes JOIN dt ON dt.m = codes.m AND dt.code = codes.code
+          WHERE codes.n_id <> dt.p_id
+          GROUP BY 1, 2)
+        SELECT p_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY adc_q ASC, n_id) AS INT) AS rn,
+          n_id, adc_q
+        FROM adc QUALIFY rn <= 5 ORDER BY p_id, rn"""
+      }
     )
   )
 }

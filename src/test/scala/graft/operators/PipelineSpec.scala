@@ -259,4 +259,46 @@ class PipelineSpec extends SparkTestBase {
     val am = a.map(d => d.doc_id -> d.feature.toSeq).toMap
     assert(b.forall(d => am(d.doc_id) == d.feature.toSeq))
   }
+
+  test("d09 duplicated spans: counts bounded, exact-duplicate docs fully covered") {
+    val df = q("d09_dup_spans").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_dup") < 1 || col("n_dup") > col("n_spans")).count() == 0)
+    assert(df.filter(col("dup_frac") <= 0 || col("dup_frac") > 1).count() == 0)
+    // a doc with an exact copy (>= 8 words) shares EVERY 8-shingle with
+    // it, so each such doc must surface with dup_frac = 1
+    val w = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").as("nw"))
+    val dupTexts = w.groupBy(col("text"))
+      .agg(count(lit(1)).as("k"), max(col("nw")).as("nw"))
+      .filter(col("k") >= 2 && col("nw") >= 8)
+      .select(col("text"))
+    val expected = w.join(dupTexts, Seq("text"), "left_semi").select("doc_id")
+    val covered = df.filter(col("dup_frac") === 1.0).select("doc_id")
+    assert(expected.except(covered).count() == 0)
+  }
+
+  test("s04 PQ returns 5 ADC-ranked neighbors per probe; recall vs s01 reported") {
+    val df = q("s04_sim_pq_topk").cache()
+    val counts = df.groupBy("p_id").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
+    assert(df.filter(col("adc_q") < 0).count() == 0)
+    assert(df.filter(col("rn") < 1 || col("rn") > 5).count() == 0)
+    val brute = q("s01_sim_bruteforce_topk")
+      .select(col("p_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = df.select(col("p_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"s04 recall@5 vs brute force: ${pq.intersect(brute).size.toDouble / brute.size}")
+  }
+
+  test("e02 JL projection: total, positive, norm ratio concentrates near 1") {
+    val df = q("e02_rand_projection").cache()
+    val e = graft.tables.Tables.load(spark, sfDir, "embeddings").count()
+    assert(df.count() == e) // no zero vectors in the corpus
+    assert(df.filter(col("norm_ratio") <= 0).count() == 0)
+    // E[norm_ratio] = 1 for ±1 planes; var ~ 2/k, so the corpus mean
+    // sits well inside (0.5, 1.5) even at the smallest sf
+    val mean = df.agg(avg(col("norm_ratio"))).head().getDouble(0)
+    assert(mean > 0.5 && mean < 1.5, s"JL mean norm ratio drifted: $mean")
+  }
 }

@@ -71,4 +71,20 @@ class RelationalSpec extends SparkTestBase {
     val events = graft.tables.Tables.load(spark, sfDir, "events").count()
     assert(total == events)
   }
+
+  test("q39 pivot equals the conditional-aggregation plan exactly") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q39_pivot").get.build(spark, sfDir)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.map(ty =>
+      coalesce(
+        sum(when(col("event_type") === ty, col("value").cast("decimal(18,6)"))),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")
+      ).cast("double").as(s"v_$ty"))
+    val manual = graft.tables.Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    assert(df.count() == manual.count())
+    assert(df.except(manual).count() == 0) // decimal sums ⇒ exact doubles
+  }
 }
