@@ -406,4 +406,112 @@ object Ops {
       explode(array((0 until salts).map(lit): _*)))
     saltedL.join(saltedR, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Exact duplicated-span detection (the Lee et al. shape d09 cans):
+    * for each doc, how many of its distinct `n`-word shingles occur in
+    * at least one OTHER doc, plus the duplicated fraction. Explode +
+    * groupBy on the span key + one semi-join back — linear in corpus
+    * size. At 100 TB pass `hashKeys = true` so only 8-byte xxhash64
+    * keys (not span strings) transit the two shuffles; values are
+    * unchanged unless 64-bit hashes collide (~n²/2⁶⁵ ≈ 0 in practice).
+    */
+  def dupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      hashKeys: Boolean = false
+  ): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("_id"),
+        graft.functions.GraftExpressions.wordShingles(col(textCol), n, distinct = true).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .cache() // two consumers (postings + sizes); callers clearCache() between runs
+    val key = if (hashKeys) xxhash64(col("_s")) else col("_s")
+    val posting = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+      .select(col("_id"), key.as("_k"))
+    val dup = posting.groupBy(col("_k")).agg(count(lit(1)).as("_d"))
+      .where(col("_d") >= 2).select(col("_k"))
+    val perDoc = posting.join(dup, Seq("_k"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_dup"))
+    sh.select(col("_id"), size(col("_sh")).cast("long").as("n_spans"))
+      .join(perDoc, Seq("_id"))
+      .select(col("_id").as(idCol), col("n_spans"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_spans")).as("dup_frac"))
+  }
+
+  /** Johnson-Lindenstrauss random projection of an `Array[Float]`
+    * embedding column onto `k` deterministic ±1 hyperplanes (e02's
+    * library form). Returns the input plus an Array[Double] column
+    * `outCol` of length k. Per-row, zero shuffle; k = O(log n / ε²)
+    * preserves pairwise distances within (1±ε) regardless of the
+    * source dimension — project first, then run any ANN/dedup stage
+    * on vectors k/dim the size.
+    */
+  def randomProjection(
+      df: DataFrame,
+      embCol: String,
+      k: Int,
+      dim: Int = 64,
+      seed: Long = 1234L
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ps = graft.functions.Lsh.planes(k, dim, seed)
+    df.withColumn("_proj", array(ps.map(w => graft.functions.Lsh.proj(embCol, w)): _*))
+      .withColumnRenamed("_proj", "projection")
+  }
+
+  /** Product-quantization top-k ANN (s04's library form). Encodes the
+    * corpus once as `m` one-byte codes (argmin squared-L2 against the
+    * per-subspace slices of `centroids`), then ranks candidates by
+    * asymmetric distance computation: a broadcast (probe, subspace,
+    * code) → distance table joined to the code table and summed.
+    * After encoding, the corpus side of every shuffle carries only
+    * small ints — no float arrays — which is what makes PQ the
+    * memory-bound 100 TB path (4 bytes/vector here vs 256 for raw
+    * floats). Distances are nano-scaled BIGINTs (order-independent
+    * sums). Columns in/out follow the cosineTopK contract; `adc_q`
+    * is the scaled ADC distance (ascending = nearest).
+    */
+  def pqTopK(
+      probes: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      probeId: String,
+      probeVec: String,
+      corpusId: String,
+      corpusVec: String,
+      centroidId: String,
+      centroidVec: String,
+      m: Int,
+      subDim: Int,
+      k: Int
+  ): DataFrame = {
+    def l2q(a: String, b: String) = expr(
+      s"CAST(floor(aggregate(zip_with($a, $b, " +
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)")
+    val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
+    val subCents = centroids.select(col(centroidId).as("_c"), ms, col(centroidVec))
+      .select(col("_m"), col("_c"), expr(s"slice($centroidVec, _m * $subDim + 1, $subDim)").as("_cs"))
+    val wEnc = Window.partitionBy(col("_n"), col("_m")).orderBy(col("_dq").asc, col("_c"))
+    val codes = corpus.select(col(corpusId).as("_n"), ms, col(corpusVec))
+      .select(col("_n"), col("_m"), expr(s"slice($corpusVec, _m * $subDim + 1, $subDim)").as("_vs"))
+      .join(broadcast(subCents), Seq("_m"))
+      .withColumn("_dq", l2q("_vs", "_cs"))
+      .withColumn("_rnc", row_number().over(wEnc))
+      .filter(col("_rnc") === 1)
+      .select(col("_n"), col("_m"), col("_c").as("_code"))
+    val dtab = probes.select(col(probeId).as("_p"), ms, col(probeVec))
+      .select(col("_p"), col("_m"), expr(s"slice($probeVec, _m * $subDim + 1, $subDim)").as("_ps"))
+      .join(broadcast(subCents), Seq("_m"))
+      .select(col("_p"), col("_m"), col("_c").as("_code"), l2q("_ps", "_cs").as("_dq"))
+    val w = Window.partitionBy(col("_p")).orderBy(col("adc_q").asc, col("_n"))
+    codes.join(broadcast(dtab), Seq("_m", "_code"))
+      .where(col("_n") =!= col("_p"))
+      .groupBy(col("_p"), col("_n")).agg(sum(col("_dq")).as("adc_q"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("_p").as(probeId), col("rn"), col("_n").as(corpusId), col("adc_q"))
+  }
 }

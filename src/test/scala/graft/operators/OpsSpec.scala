@@ -165,4 +165,44 @@ class OpsSpec extends SparkTestBase {
     assert(salted.count() == plain.count())
     assert(salted.except(plain).count() == 0)
   }
+
+  test("dupSpans reproduces d09; hashed keys give identical values") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val api = Ops.dupSpans(docs, "doc_id", "text", n = 8)
+      .select($"doc_id", $"n_spans", $"n_dup")
+    val canned = graft.SparkEntry.queries("d09_dup_spans")(spark, sfDir)
+      .select($"doc_id", $"n_spans", $"n_dup")
+    assert(api.except(canned).count() == 0 && canned.except(api).count() == 0)
+    spark.catalog.clearCache()
+    val hashed = Ops.dupSpans(docs, "doc_id", "text", n = 8, hashKeys = true)
+      .select($"doc_id", $"n_spans", $"n_dup")
+    assert(hashed.except(canned).count() == 0 && canned.except(hashed).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("randomProjection emits k components matching e02's fold") {
+    import spark.implicits._
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val proj = Ops.randomProjection(e, "embedding", k = 16)
+    assert(proj.filter(size($"projection") =!= 16).count() == 0)
+    // first component == e02's p0 (same plane family, same fold)
+    val p0 = proj.select($"vec_id", round(element_at($"projection", 1), 6).as("p0"))
+    val e02 = graft.SparkEntry.queries("e02_rand_projection")(spark, sfDir)
+      .select($"vec_id", $"p0")
+    assert(p0.join(e02, Seq("vec_id", "p0"), "left_anti").count() == 0)
+  }
+
+  test("pqTopK reproduces s04 with the canned codebook") {
+    import spark.implicits._
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cents = e.orderBy($"vec_id").limit(8)
+      .select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    val probes = e.orderBy($"vec_id").limit(10)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val api = Ops.pqTopK(probes, e.select($"vec_id".as("n_id"), $"embedding".as("ne")), cents,
+      "p_id", "pe", "n_id", "ne", "c_id", "ce", m = 4, subDim = 16, k = 5)
+    val canned = graft.SparkEntry.queries("s04_sim_pq_topk")(spark, sfDir)
+    assert(api.except(canned).count() == 0 && canned.except(api).count() == 0)
+  }
 }
