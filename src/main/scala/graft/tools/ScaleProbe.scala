@@ -87,6 +87,18 @@ object ScaleProbe {
     t(s"embeddingCandidates $planes planes (scaled)") {
       graft.operators.Ops.embeddingCandidates(emb, "vec_id", "embedding", planes).count()
     }
+    t("dupSpans n=8 hashKeys (d09 at-scale shape)") {
+      graft.operators.Ops.dupSpans(docs, "doc_id", "text", 8, hashKeys = true).count()
+    }
+    t("pqTopK m=4 sub=16 (s04 shape, 10 probes)") {
+      val cents = emb.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), $"embedding".as("ce"))
+      val probes = emb.orderBy($"vec_id").limit(10)
+        .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+      graft.operators.Ops.pqTopK(probes,
+        emb.select($"vec_id".as("n_id"), $"embedding".as("ne")), cents,
+        "p_id", "pe", "n_id", "ne", "c_id", "ce", m = 4, subDim = 16, k = 5).count()
+    }
     spark.stop()
   }
 }
