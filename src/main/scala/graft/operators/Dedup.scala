@@ -88,6 +88,37 @@ object Dedup {
     * pair list may contain band-collision duplicates (bounded by the
     * band count, 4) — consumers dedupe via semi-join or distinct.
     */
+  /** Per-row minhash band keys: the IDENTICAL (band, bh) derivation
+    * as [[minhashCandidates]] but computed with array_min over the
+    * per-doc shingle array instead of a groupBy — no aggregation, no
+    * shuffle, one row in → four band rows out. That makes it legal on
+    * an append-mode STREAM (Structured Streaming forbids unwatermarked
+    * aggregation) and the shape for banding one new document against
+    * an existing index at ingestion time (Streams.dupCandidatesStream,
+    * ST6). min over a groupBy of exploded postings == array_min over
+    * the distinct shingle array (same set, same ordering) —
+    * DedupScaleSpec pins value equality on real docs.
+    */
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = docs.select(
+      col(idCol),
+      graft.functions.GraftExpressions.wordShingles(col(textCol), 3, distinct = true).as("_sh"))
+      .where(size(col("_sh")) > 0)
+    val mhCols = (0 until numPerms).map { i =>
+      array_min(transform(col("_sh"), x => substring(md5(concat(x, lit(s"|$i"))), 1, 16)))
+        .as(s"mh$i")
+    }
+    sh.select(col(idCol) +: mhCols: _*)
+      .select(
+        col(idCol),
+        posexplode(
+          array((0 until 4).map(bnd =>
+            md5(concat_ws("|", (bnd * 4 until bnd * 4 + 4).map(r => col(s"mh$r")): _*))
+          ): _*)
+        ).as(Seq("band", "bh"))
+      )
+  }
+
   private[operators] def minhashCandidates(posting: DataFrame): DataFrame = {
     val mhAggs = (0 until numPerms).map { i =>
       min(substring(md5(concat(col("s"), lit(s"|$i"))), 1, 16)).as(s"mh$i")

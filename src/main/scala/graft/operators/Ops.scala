@@ -494,14 +494,14 @@ object Ops {
     val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
     val subCents = centroids.select(col(centroidId).as("_c"), ms, col(centroidVec))
       .select(col("_m"), col("_c"), expr(s"slice($centroidVec, _m * $subDim + 1, $subDim)").as("_cs"))
-    val wEnc = Window.partitionBy(col("_n"), col("_m")).orderBy(col("_dq").asc, col("_c"))
+    // argmin via min(struct): map-side combinable, no per-group sort
     val codes = corpus.select(col(corpusId).as("_n"), ms, col(corpusVec))
       .select(col("_n"), col("_m"), expr(s"slice($corpusVec, _m * $subDim + 1, $subDim)").as("_vs"))
       .join(broadcast(subCents), Seq("_m"))
       .withColumn("_dq", l2q("_vs", "_cs"))
-      .withColumn("_rnc", row_number().over(wEnc))
-      .filter(col("_rnc") === 1)
-      .select(col("_n"), col("_m"), col("_c").as("_code"))
+      .groupBy(col("_n"), col("_m"))
+      .agg(min(struct(col("_dq"), col("_c"))).as("_mc"))
+      .select(col("_n"), col("_m"), col("_mc._c").as("_code"))
     val dtab = probes.select(col(probeId).as("_p"), ms, col(probeVec))
       .select(col("_p"), col("_m"), expr(s"slice($probeVec, _m * $subDim + 1, $subDim)").as("_ps"))
       .join(broadcast(subCents), Seq("_m"))

