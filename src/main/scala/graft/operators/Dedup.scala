@@ -489,6 +489,60 @@ object Dedup {
     ),
 
     Q(
+      "d10_dedup_semantic",
+      "SemDeDup-style semantic dedup: coarse-cell assignment, within-cell cosine pairs",
+      (spark, dir) => {
+        import spark.implicits._
+        // The SemDeDup shape (Abbas et al., 2023): cluster the
+        // embedding space coarsely, then look for duplicates only
+        // WITHIN a cluster — candidate generation is an equi-join on
+        // the cell id, never a cross join. Cell count is the scale
+        // knob: cells ~ n / target_cell_size keeps within-cell pair
+        // volume bounded as the corpus grows. Centroids are the 8
+        // lowest vec_ids (deterministic, oracle-reproducible); a
+        // trained k-means quantizer slots in unchanged. Assignment is
+        // the argmax-as-aggregation shape (min over (-cos, c_id)
+        // structs — docs/SCALING.md records why not a window), and
+        // only (id, cell) ints transit the pair shuffle; embeddings
+        // are re-fetched per side for the exact verify.
+        val e = Tables.load(spark, dir, "embeddings")
+        val cents = e.orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("c_id"), $"embedding".as("ce"))
+        val cells = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
+          .crossJoin(broadcast(cents))
+          .withColumn("negcos", -VectorFunctions.cosine("ne", "ce"))
+          .groupBy($"n_id").agg(min(struct($"negcos", $"c_id")).as("_mc"))
+          .select($"n_id", $"_mc.c_id".as("cell"))
+        val pairs = cells.select($"n_id".as("id_a"), $"cell")
+          .join(cells.select($"n_id".as("id_b"), $"cell"), Seq("cell"))
+          .where($"id_a" < $"id_b")
+        pairs
+          .join(e.select($"vec_id".as("id_a"), $"embedding".as("ea")), Seq("id_a"))
+          .join(e.select($"vec_id".as("id_b"), $"embedding".as("eb")), Seq("id_b"))
+          .withColumn("cosine", VectorFunctions.cosine("ea", "eb"))
+          .filter($"cosine" >= 0.3)
+          .select($"id_a", $"id_b", $"cell", round($"cosine", 6).as("cosine"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val cosNC = VectorFunctions.sqlCosine("e.embedding", "c.ce")
+        val cos = VectorFunctions.sqlCosine("ea.embedding", "eb.embedding")
+        s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+        a AS (SELECT e.vec_id AS n_id, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosNC DESC, c.c_id) AS rnc
+          FROM embeddings e, c),
+        cells AS (SELECT n_id, c_id AS cell FROM a WHERE rnc = 1),
+        pr AS (SELECT x.n_id AS id_a, y.n_id AS id_b, x.cell
+          FROM cells x JOIN cells y ON x.cell = y.cell AND x.n_id < y.n_id)
+        SELECT pr.id_a, pr.id_b, pr.cell, ROUND($cos, 6) AS cosine
+        FROM pr
+        JOIN embeddings ea ON ea.vec_id = pr.id_a
+        JOIN embeddings eb ON eb.vec_id = pr.id_b
+        WHERE $cos >= 0.3 ORDER BY id_a, id_b"""
+      }
+    ),
+
+    Q(
       "d09_dup_spans",
       "Exact duplicated-span detection: 8-word shingles shared across documents",
       (spark, dir) => {

@@ -118,6 +118,60 @@ object Multimodal {
     Decoded(id, format, n.toLong, w, h, Array(mean, variance, mn, mx))
   }
 
+  /** A decoded audio record: RIFF/WAVE structural metadata. */
+  final case class AudioDecoded(
+      doc_id: Long,
+      format: String,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_samples: Long,
+      duration_ms: Long
+  )
+
+  /** Structural RIFF/WAVE parse (pure byte arithmetic, no codec):
+    * verifies the RIFF/WAVE magics, then walks chunks from offset 12
+    * ([id:4][size:le32][data:size][pad if odd] — RIFF spec) until the
+    * "fmt " and "data" chunks are found; channels/rate/bits come from
+    * the fmt fields, duration from dataSize / byteRate. Unknown or
+    * truncated payloads decode as ("unknown", zeros) — a 100 TB
+    * ingest routes them to a side channel, it doesn't die.
+    */
+  def parseAudio(id: Long, b: Array[Byte]): AudioDecoded = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val bad = AudioDecoded(id, "unknown", 0, 0, 0, 0L, 0L)
+    if (b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+      var off = 12
+      var ch = 0; var sr = 0; var bits = 0; var ba = 0; var br = 0L; var ds = -1L
+      while (off + 8 <= b.length && (ch == 0 || ds < 0)) {
+        val ctag = tag(off)
+        val csz = le32(off + 4)
+        if (ctag == "fmt " && off + 24 <= b.length) {
+          ch = le16(off + 10); sr = le32(off + 12).toInt
+          br = le32(off + 16); ba = le16(off + 20); bits = le16(off + 22)
+        } else if (ctag == "data") ds = csz
+        off += 8 + csz.toInt + (csz.toInt & 1) // odd chunks are padded
+      }
+      if (ch > 0 && ds >= 0 && ba > 0 && br > 0)
+        AudioDecoded(id, "wav", ch, sr, bits, ds / ba, ds * 1000 / br)
+      else bad
+    } else bad
+  }
+
+  /** Partition-wise audio decode — same shape as [[decode]]. */
+  def decodeAudio(df: DataFrame): Dataset[AudioDecoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => parseAudio(id, bytes) })
+  }
+
   /** Partition-wise decode of a (doc_id, payload) frame — the shape a
     * real codec pipeline uses (batch per partition, typed Encoder out).
     */
@@ -181,6 +235,41 @@ object Multimodal {
           $"text".cast("binary")
         ).as("payload")
       )
+  }
+
+  private def le16hex(c: Column): Column =
+    concat(substring(hexN(c, 4), 3, 2), substring(hexN(c, 4), 1, 2))
+  private def le32hex(c: Column): Column =
+    concat(substring(hexN(c, 8), 7, 2), substring(hexN(c, 8), 5, 2),
+      substring(hexN(c, 8), 3, 2), substring(hexN(c, 8), 1, 2))
+
+  /** Documents framed as byte-correct PCM WAV containers: RIFF header,
+    * fmt chunk (PCM, 1-2 channels, deterministic sample rate, 16-bit),
+    * data chunk = the text bytes. Same idea as [[imagePayloads]]: the
+    * corpus has no audio files, so format-true containers are built
+    * deterministically and the parser decodes them exactly as it would
+    * on-disk assets.
+    */
+  def audioPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .withColumn("_body", $"text".cast("binary"))
+      .withColumn("_ds", length($"_body").cast("long"))
+      .withColumn("_ch", (lit(1) + pmod($"doc_id", lit(2))).cast("long"))
+      .withColumn("_sr", (lit(8000) + pmod($"doc_id" * 13, lit(36000))).cast("long"))
+    val hdr = concat(
+      lit("52494646"), le32hex(lit(36L) + $"_ds"), // RIFF size
+      lit("57415645"), // WAVE
+      lit("666D7420"), lit("10000000"), // "fmt " + len 16
+      lit("0100"), // PCM
+      le16hex($"_ch"),
+      le32hex($"_sr"),
+      le32hex($"_sr" * $"_ch" * 2), // byte rate
+      le16hex($"_ch" * 2), // block align
+      lit("1000"), // 16 bits
+      lit("64617461"), le32hex($"_ds") // "data" + size
+    )
+    d.select($"doc_id", concat(unhex(hdr), $"_body").as("payload"))
   }
 
   /** Documents re-cast as a media table for the frame-sampling query:
@@ -291,6 +380,54 @@ object Multimodal {
           unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1, 10)) AS frame_idx,
           md5(doc_id || ':' || unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1, 10))) AS frame_key
         FROM v ORDER BY doc_id, frame_idx""")
+    ),
+
+    Q(
+      "m03_audio_meta",
+      "Real byte-level RIFF/WAVE header decode (fmt chunk walk) over binary payloads",
+      (spark, dir) => {
+        import spark.implicits._
+        decodeAudio(audioPayloads(spark, dir))
+          .toDF()
+          .select($"doc_id", $"format", $"channels", $"sample_rate",
+            $"bits", $"n_samples", $"duration_ms")
+          .orderBy($"doc_id")
+      },
+      Some {
+        // hex position of byte k (0-based) is 2k+1; WAV field offsets:
+        // ch@22 sr@24 byteRate@28 blockAlign@32 bits@34 dataSize@40
+        def le16dec(p: Int) = sqlHexToInt(s"substr(hp, ${p + 2}, 2) || substr(hp, $p, 2)", 4)
+        def le32dec(p: Int) = sqlHexToInt(
+          s"substr(hp, ${p + 6}, 2) || substr(hp, ${p + 4}, 2) || substr(hp, ${p + 2}, 2) || substr(hp, $p, 2)", 8)
+        def le16sql(x: String) =
+          s"substr(printf('%04X', $x), 3, 2) || substr(printf('%04X', $x), 1, 2)"
+        def le32sql(x: String) =
+          s"substr(printf('%08X', $x), 7, 2) || substr(printf('%08X', $x), 5, 2) || " +
+            s"substr(printf('%08X', $x), 3, 2) || substr(printf('%08X', $x), 1, 2)"
+        s"""WITH d AS (
+          SELECT doc_id,
+            1 + doc_id % 2 AS ch,
+            8000 + (doc_id * 13) % 36000 AS sr,
+            encode(text) AS body
+          FROM documents),
+        p AS (SELECT doc_id, unhex(
+            '52494646' || ${le32sql("36 + octet_length(body)")} || '57415645' ||
+            '666D7420' || '10000000' || '0100' ||
+            ${le16sql("ch")} || ${le32sql("sr")} || ${le32sql("sr * ch * 2")} ||
+            ${le16sql("ch * 2")} || '1000' ||
+            '64617461' || ${le32sql("octet_length(body)")}
+          ) || body AS payload FROM d),
+        hx AS (SELECT doc_id, hex(payload) AS hp FROM p)
+        SELECT doc_id,
+          CASE WHEN substr(hp, 1, 8) = '52494646' AND substr(hp, 17, 8) = '57415645'
+               THEN 'wav' ELSE 'unknown' END AS format,
+          CAST(${le16dec(45)} AS INT) AS channels,
+          CAST(${le32dec(49)} AS INT) AS sample_rate,
+          CAST(${le16dec(69)} AS INT) AS bits,
+          CAST(${le32dec(81)} // ${le16dec(65)} AS BIGINT) AS n_samples,
+          CAST(${le32dec(81)} * 1000 // ${le32dec(57)} AS BIGINT) AS duration_ms
+        FROM hx ORDER BY doc_id"""
+      }
     )
   )
 }

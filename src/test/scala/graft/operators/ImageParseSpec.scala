@@ -74,4 +74,49 @@ class ImageParseSpec extends AnyFunSuite {
     assert(math.abs(d.feature(1) - (20000.0 / 3)) < 1e-9)
     assert(d.feature(2) == 0.0 && d.feature(3) == 200.0)
   }
+
+  private def le32(v: Int) =
+    bytes(v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff, v >>> 24)
+
+  private def fmtChunk(ch: Int, sr: Int, bits: Int): Array[Byte] = {
+    val ba = ch * bits / 8
+    "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(ch) ++
+      le32(sr) ++ le32(sr * ba) ++ le16(ba) ++ le16(bits)
+  }
+
+  private def wav(pre: Array[Byte], ch: Int, sr: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+    val chunks = pre ++ fmtChunk(ch, sr, bits) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) bytes(0) else Array.emptyByteArray)
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + chunks.length) ++
+      "WAVE".getBytes("US-ASCII") ++ chunks
+  }
+
+  test("WAV: fmt + data fields, integer duration") {
+    val d = Multimodal.parseAudio(10L, wav(Array.emptyByteArray, 2, 44100, 16, new Array[Byte](44100 * 4 + 2)))
+    assert((d.format, d.channels, d.sample_rate, d.bits) == (("wav", 2, 44100, 16)))
+    assert(d.n_samples == 44100L && d.duration_ms == 1000L)
+  }
+
+  test("WAV: fmt found behind a preceding LIST chunk (real chunk walk)") {
+    val list = "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII")
+    val d = Multimodal.parseAudio(11L, wav(list, 1, 8000, 16, new Array[Byte](800)))
+    assert((d.format, d.channels, d.sample_rate) == (("wav", 1, 8000)))
+    assert(d.n_samples == 400L && d.duration_ms == 50L)
+  }
+
+  test("WAV: odd-size chunk before fmt is padded to even (RIFF spec)") {
+    // a 3-byte chunk occupies 4 data bytes; a parser that skips only 3
+    // lands mid-stream and misses fmt
+    val odd = "junk".getBytes("US-ASCII") ++ le32(3) ++ bytes(1, 2, 3, 0)
+    val d = Multimodal.parseAudio(12L, wav(odd, 1, 16000, 16, new Array[Byte](320)))
+    assert((d.format, d.channels, d.sample_rate) == (("wav", 1, 16000)))
+  }
+
+  test("WAV: non-RIFF / truncated payloads decode safely") {
+    assert(Multimodal.parseAudio(13L, "just some text".getBytes("UTF-8")).format == "unknown")
+    assert(Multimodal.parseAudio(14L, Array.emptyByteArray).format == "unknown")
+    val noData = "RIFF".getBytes("US-ASCII") ++ le32(12) ++ "WAVE".getBytes("US-ASCII") ++ fmtChunk(1, 8000, 16)
+    assert(Multimodal.parseAudio(15L, noData).format == "unknown") // fmt but no data chunk
+  }
 }

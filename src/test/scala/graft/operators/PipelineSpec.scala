@@ -291,6 +291,34 @@ class PipelineSpec extends SparkTestBase {
     info(s"s04 recall@5 vs brute force: ${pq.intersect(brute).size.toDouble / brute.size}")
   }
 
+  test("d10 semantic dedup: pairs verified above threshold, overlap with d05 reported") {
+    val df = q("d10_dedup_semantic").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("cosine") < 0.3).count() == 0)
+    assert(df.filter(col("id_a") >= col("id_b")).count() == 0)
+    // different blocking (cells vs LSH buckets), same verify: the two
+    // approximate methods should agree on a healthy common core
+    val d05 = q("d05_dedup_embedding").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d10 = df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"d10 pairs ${d10.size}, d05 pairs ${d05.size}, shared ${d10.intersect(d05).size}")
+    assert(d10.intersect(d05).nonEmpty)
+  }
+
+  test("m03 decodes every framed WAV: fields in range, duration consistent") {
+    val df = q("m03_audio_meta").cache()
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents").count()
+    assert(df.count() == docs)
+    assert(df.filter(col("format") =!= "wav").count() == 0)
+    assert(df.filter(!col("channels").isin(1, 2)).count() == 0)
+    assert(df.filter(col("sample_rate") < 8000 || col("sample_rate") >= 44000).count() == 0)
+    assert(df.filter(col("bits") =!= 16).count() == 0)
+    // duration_ms must equal n_bytes*1000 / (rate*channels*2) within
+    // integer-division truncation of both terms
+    assert(df.filter(col("duration_ms") > col("n_samples") * 1000 / col("sample_rate") + 1).count() == 0)
+  }
+
   test("e02 JL projection: total, positive, norm ratio concentrates near 1") {
     val df = q("e02_rand_projection").cache()
     val e = graft.tables.Tables.load(spark, sfDir, "embeddings").count()
