@@ -962,6 +962,75 @@ object Relational {
           $cols
         FROM events GROUP BY user_id ORDER BY user_id"""
       }
+    ),
+
+    Q(
+      "q40_window_distinct",
+      "Running COUNT(DISTINCT) over a window (composed — Spark has no native distinct window agg)",
+      (spark, dir) => {
+        import spark.implicits._
+        // Neither engine has COUNT(DISTINCT) OVER; both COMPOSE it:
+        // Spark as size(collect_set() OVER), DuckDB independently as
+        // len(list_distinct(list() OVER)). Fine at bounded cardinality
+        // (5 event types); for high-cardinality columns the 100 TB
+        // form is the dense_rank+max two-pass, which trades a second
+        // shuffle for O(1) state per row.
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(spark, dir, "events")
+          .select($"user_id", $"event_id",
+            size(collect_set($"event_type").over(w)).cast("int").as("n_types_seen"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          CAST(len(list_distinct(list(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) AS INT) AS n_types_seen
+        FROM events ORDER BY user_id, event_id""")
+    ),
+
+    Q(
+      "q41_funnel",
+      "Sequential funnel (signup → first later click → first later purchase) per user",
+      (spark, dir) => {
+        import spark.implicits._
+        // The product-analytics sequence operator: each stage is a
+        // conditional min over the user's events constrained by the
+        // previous stage's timestamp. One groupBy per stage keyed on
+        // user_id — at scale all three aggs reuse the same hash
+        // partitioning (one exchange), and no self-join materializes
+        // event pairs.
+        val ev = t(spark, dir, "events")
+        val s1 = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+        val s2 = ev.filter($"event_type" === "click")
+          .join(s1, Seq("user_id"))
+          .where($"ts" >= $"signup_ts")
+          .groupBy($"user_id").agg(min($"ts").as("click_ts"))
+        val s3 = ev.filter($"event_type" === "purchase")
+          .join(s2, Seq("user_id"))
+          .where($"ts" >= $"click_ts")
+          .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+        s1.join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .withColumn("converted", $"purchase_ts".isNotNull)
+          .select($"user_id", $"signup_ts", $"click_ts", $"purchase_ts", $"converted")
+          .orderBy($"user_id")
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, MIN(e.ts) AS click_ts FROM events e
+          JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts >= s1.signup_ts GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts FROM events e
+          JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= s2.click_ts GROUP BY e.user_id)
+        SELECT s1.user_id, s1.signup_ts, s2.click_ts, s3.purchase_ts,
+          s3.purchase_ts IS NOT NULL AS converted
+        FROM s1
+        LEFT JOIN s2 ON s2.user_id = s1.user_id
+        LEFT JOIN s3 ON s3.user_id = s1.user_id
+        ORDER BY s1.user_id""")
     )
   )
 }

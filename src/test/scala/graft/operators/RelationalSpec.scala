@@ -87,4 +87,27 @@ class RelationalSpec extends SparkTestBase {
     assert(df.count() == manual.count())
     assert(df.except(manual).count() == 0) // decimal sums ⇒ exact doubles
   }
+
+  test("q40 running distinct count ends at the exact per-user distinct count") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q40_window_distinct").get.build(spark, sfDir).cache()
+    assert(df.filter(col("n_types_seen") < 1 || col("n_types_seen") > 5).count() == 0)
+    val finalPerUser = df.groupBy("user_id").agg(max("n_types_seen").as("seen"))
+    val exact = graft.tables.Tables.load(spark, sfDir, "events")
+      .groupBy("user_id").agg(countDistinct("event_type").cast("int").as("exact"))
+    assert(finalPerUser.join(exact, "user_id")
+      .filter(col("seen") =!= col("exact")).count() == 0)
+  }
+
+  test("q41 funnel stages are time-ordered and converted implies all stages") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q41_funnel").get.build(spark, sfDir).cache()
+    assert(df.filter(col("click_ts") < col("signup_ts")).count() == 0)
+    assert(df.filter(col("purchase_ts") < col("click_ts")).count() == 0)
+    assert(df.filter(col("converted") && col("purchase_ts").isNull).count() == 0)
+    assert(df.filter(col("converted") =!= col("purchase_ts").isNotNull).count() == 0)
+    val signupUsers = graft.tables.Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "signup").select("user_id").distinct().count()
+    assert(df.count() == signupUsers)
+  }
 }
