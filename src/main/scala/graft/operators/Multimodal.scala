@@ -163,6 +163,95 @@ object Multimodal {
     } else bad
   }
 
+  /** A decoded video record: ISO-BMFF (MP4) structural metadata. */
+  final case class VideoDecoded(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      timescale: Long,
+      duration_ms: Long
+  )
+
+  /** Structural ISO-BMFF/MP4 parse (ISO/IEC 14496-12, pure byte
+    * arithmetic, no codec): walks top-level boxes
+    * ([size:be32][type:4][payload]; size 1 = 64-bit largesize
+    * follows, size 0 = box extends to EOF) until `moov`, then walks
+    * its children for `mvhd` (movie timescale + duration, version 0
+    * and 1 layouts) and the first `trak`'s `tkhd` (track width/height
+    * as 16.16 fixed point — the integer part is reported). Duration
+    * is converted to ms with integer arithmetic. Non-MP4 or truncated
+    * payloads decode as ("unknown", zeros) — a 100 TB ingest routes
+    * them to a side channel, it doesn't die.
+    */
+  def parseVideo(id: Long, b: Array[Byte]): VideoDecoded = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // Resolves a box's (payloadStart, boxEnd) honoring largesize/EOF.
+    def boxBounds(off: Int): (Int, Long) = {
+      val sz = be32(off)
+      if (sz == 1L && off + 16 <= b.length) (off + 16, off + be64(off + 8))
+      else if (sz == 0L) (off + 8, b.length.toLong)
+      else (off + 8, off + sz)
+    }
+    val bad = VideoDecoded(id, "unknown", 0, 0, 0L, 0L)
+    if (b.length < 16 || tag(4) != "ftyp") return bad
+    var ts = 0L; var dur = -1L; var w = 0; var h = 0
+    var off = 0
+    while (off + 8 <= b.length) {
+      val (pay, end) = boxBounds(off)
+      if (tag(off + 4) == "moov") {
+        var c = pay
+        val moovEnd = math.min(end, b.length.toLong)
+        while (c + 8 <= moovEnd) {
+          val (cPay, cEnd) = boxBounds(c)
+          val ctag = tag(c + 4)
+          if (ctag == "mvhd" && cPay + 4 <= b.length) {
+            val v = u8(cPay)
+            if (v == 1 && cPay + 32 <= b.length) {
+              ts = be32(cPay + 20); dur = be64(cPay + 24)
+            } else if (v == 0 && cPay + 20 <= b.length) {
+              ts = be32(cPay + 12); dur = be32(cPay + 16)
+            }
+          } else if (ctag == "trak" && w == 0) {
+            var t = cPay
+            while (t + 8 <= math.min(cEnd, b.length.toLong)) {
+              val (tPay, tEnd) = boxBounds(t)
+              if (tag(t + 4) == "tkhd" && tPay + 4 <= b.length) {
+                // width/height close the fixed 84/96-byte v0/v1 payload
+                val fix = if (u8(tPay) == 1) 88 else 76
+                if (tPay + fix + 8 <= b.length) {
+                  w = be16(tPay + fix)
+                  h = be16(tPay + fix + 4)
+                }
+              }
+              t = tEnd.toInt
+            }
+          }
+          c = cEnd.toInt
+        }
+      }
+      if (end <= off) return bad // corrupt size: refuse to loop
+      off = if (end > Int.MaxValue) b.length else end.toInt
+    }
+    if (ts > 0 && dur >= 0) VideoDecoded(id, "mp4", w, h, ts, dur * 1000L / ts)
+    else bad
+  }
+
+  /** Partition-wise video decode — same shape as [[decode]]. */
+  def decodeVideo(df: DataFrame): Dataset[VideoDecoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => parseVideo(id, bytes) })
+  }
+
   /** Partition-wise audio decode — same shape as [[decode]]. */
   def decodeAudio(df: DataFrame): Dataset[AudioDecoded] = {
     val spark = df.sparkSession
@@ -268,6 +357,48 @@ object Multimodal {
       le16hex($"_ch" * 2), // block align
       lit("1000"), // 16 bits
       lit("64617461"), le32hex($"_ds") // "data" + size
+    )
+    d.select($"doc_id", concat(unhex(hdr), $"_body").as("payload"))
+  }
+
+  /** Unity transform matrix of mvhd/tkhd (ISO 14496-12 §8.2.2.2). */
+  private val MatrixHex =
+    "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+
+  /** Documents framed as byte-correct minimal MP4 (ISO-BMFF)
+    * containers: `ftyp` (isom), `moov` holding an mvhd v0
+    * (deterministic timescale, duration = 25 media units per body
+    * byte) and one `trak`/`tkhd` (width/height as 16.16 fixed point),
+    * and an `mdat` whose payload is the text bytes. Same idea as
+    * [[imagePayloads]]: no video files exist in the corpus, so
+    * format-true containers are built deterministically and the
+    * parser walks them exactly as it would on-disk assets.
+    */
+  def videoPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = dims(Tables.load(spark, dir, "documents"))
+      .withColumn("_body", $"text".cast("binary"))
+      .withColumn("_ds", length($"_body").cast("long"))
+      .withColumn("_ts", (lit(600) + pmod($"doc_id" * 7, lit(30000))).cast("long"))
+      .withColumn("_dur", $"_ds" * 25)
+    val mvhd = concat(
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      hexN($"_ts", 8), hexN($"_dur", 8),
+      lit("00010000" + "0100" + "0000" + "00000000" * 2 + MatrixHex +
+        "00000000" * 6 + "00000002"))
+    val tkhd = concat(
+      lit("0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" +
+        "00000001" + "00000000"),
+      hexN($"_dur", 8),
+      lit("00000000" * 2 + "0000" + "0000" + "0000" + "0000" + MatrixHex),
+      hexN($"_w", 4), lit("0000"), hexN($"_h", 4), lit("0000"))
+    val hdr = concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000200"), // ftyp
+      lit("000000D8" + "6D6F6F76"), // moov (8 + 108 + 100)
+      mvhd,
+      lit("00000064" + "7472616B"), // trak (8 + 92)
+      tkhd,
+      hexN(lit(8L) + $"_ds", 8), lit("6D646174") // mdat header
     )
     d.select($"doc_id", concat(unhex(hdr), $"_body").as("payload"))
   }
@@ -426,6 +557,58 @@ object Multimodal {
           CAST(${le16dec(69)} AS INT) AS bits,
           CAST(${le32dec(81)} // ${le16dec(65)} AS BIGINT) AS n_samples,
           CAST(${le32dec(81)} * 1000 // ${le32dec(57)} AS BIGINT) AS duration_ms
+        FROM hx ORDER BY doc_id"""
+      }
+    ),
+
+    Q(
+      "m04_video_meta",
+      "Real byte-level ISO-BMFF/MP4 box-walk decode (mvhd timescale/duration, tkhd dimensions)",
+      (spark, dir) => {
+        import spark.implicits._
+        decodeVideo(videoPayloads(spark, dir))
+          .toDF()
+          .select($"doc_id", $"format", $"width", $"height",
+            $"timescale", $"duration_ms")
+          .orderBy($"doc_id")
+      },
+      Some {
+        // Byte offsets in the framed container (hex pos = 2k+1):
+        // ftyp tag@4, moov tag@20, mvhd timescale@44 duration@48,
+        // tkhd width@224 height@228 (16.16 — int part is the be16).
+        def be32dec(k: Int) = sqlHexToInt(s"substr(hp, ${2 * k + 1}, 8)", 8)
+        def be16dec(k: Int) = sqlHexToInt(s"substr(hp, ${2 * k + 1}, 4)", 4)
+        s"""WITH d AS (
+          SELECT doc_id,
+            16 + (doc_id * 37) % 2000 AS w,
+            16 + octet_length(encode(text)) % 1500 AS h,
+            600 + (doc_id * 7) % 30000 AS ts,
+            octet_length(encode(text)) * 25 AS dur,
+            encode(text) AS body
+          FROM documents),
+        p AS (SELECT doc_id, unhex(
+            '00000010' || '66747970' || '69736F6D' || '00000200' ||
+            '000000D8' || '6D6F6F76' ||
+            '0000006C' || '6D766864' || '00000000' || '00000000' || '00000000' ||
+            printf('%08X', ts) || printf('%08X', dur) ||
+            '00010000' || '0100' || '0000' || repeat('00000000', 2) ||
+            '$MatrixHex' || repeat('00000000', 6) || '00000002' ||
+            '00000064' || '7472616B' ||
+            '0000005C' || '746B6864' || '00000007' || '00000000' || '00000000' ||
+            '00000001' || '00000000' || printf('%08X', dur) ||
+            repeat('00000000', 2) || '0000' || '0000' || '0000' || '0000' ||
+            '$MatrixHex' ||
+            printf('%04X', w) || '0000' || printf('%04X', h) || '0000' ||
+            printf('%08X', 8 + octet_length(body)) || '6D646174'
+          ) || body AS payload FROM d),
+        hx AS (SELECT doc_id, hex(payload) AS hp FROM p)
+        SELECT doc_id,
+          CASE WHEN substr(hp, 9, 8) = '66747970' AND substr(hp, 41, 8) = '6D6F6F76'
+               THEN 'mp4' ELSE 'unknown' END AS format,
+          CAST(${be16dec(224)} AS INT) AS width,
+          CAST(${be16dec(228)} AS INT) AS height,
+          CAST(${be32dec(44)} AS BIGINT) AS timescale,
+          CAST(${be32dec(48)} * 1000 // ${be32dec(44)} AS BIGINT) AS duration_ms
         FROM hx ORDER BY doc_id"""
       }
     )

@@ -1031,6 +1031,102 @@ object Relational {
         LEFT JOIN s2 ON s2.user_id = s1.user_id
         LEFT JOIN s3 ON s3.user_id = s1.user_id
         ORDER BY s1.user_id""")
+    ),
+
+    Q(
+      "q42_gaps_islands",
+      "Gaps-and-islands: consecutive-day activity streaks per user (date minus row_number grouping)",
+      (spark, dir) => {
+        import spark.implicits._
+        // The classic islands trick: within a user's DISTINCT active
+        // days, (day - row_number) is constant across each run of
+        // consecutive days, so a groupBy on that anchor collapses each
+        // streak. One shuffle on user_id serves the distinct, the
+        // window and the final agg (same hash partitioning); state per
+        // user is its day count — bounded, skew-safe.
+        val w = Window.partitionBy($"user_id").orderBy($"day")
+        t(spark, dir, "events")
+          .select($"user_id", to_date($"ts").as("day"))
+          .distinct()
+          .withColumn("anchor", date_sub($"day", row_number().over(w)))
+          .groupBy($"user_id", $"anchor")
+          .agg(
+            date_format(min($"day"), "yyyy-MM-dd").as("streak_start"),
+            date_format(max($"day"), "yyyy-MM-dd").as("streak_end"),
+            count(lit(1)).as("streak_days"))
+          .select($"user_id", $"streak_start", $"streak_end", $"streak_days")
+          .orderBy($"user_id", $"streak_start")
+      },
+      Some("""WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        runs AS (
+          SELECT user_id, day,
+            day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+          FROM days)
+        SELECT user_id,
+          strftime(MIN(day), '%Y-%m-%d') AS streak_start,
+          strftime(MAX(day), '%Y-%m-%d') AS streak_end,
+          COUNT(*) AS streak_days
+        FROM runs GROUP BY user_id, anchor
+        ORDER BY user_id, streak_start""")
+    ),
+
+    Q(
+      "q43_retention_cohort",
+      "Weekly retention cohorts: users bucketed by first-seen week, activity per week offset",
+      (spark, dir) => {
+        import spark.implicits._
+        // Cohort analysis as two keyed aggs: first-seen day per user,
+        // then distinct (cohort, offset, user) counts. Weeks are
+        // ENGINE-NEUTRAL integers — epoch-day / 7 anchored to a Monday
+        // (1970-01-05) — instead of date_trunc('week'), so both
+        // engines bucket identically with pure integer arithmetic.
+        // Both shuffles are on user_id (first agg reuses the scan
+        // partitioning; the distinct pre-aggregates map-side); the
+        // final low-cardinality (cohort, offset) agg carries only
+        // pre-counted rows.
+        val epochMonday = to_date(lit("1970-01-05"))
+        val ev = t(spark, dir, "events").select($"user_id", to_date($"ts").as("day"))
+        val firstSeen = ev.groupBy($"user_id").agg(min($"day").as("first_day"))
+        val cohorted = ev.join(firstSeen, Seq("user_id"))
+          .select(
+            $"user_id",
+            floor(datediff($"first_day", epochMonday) / 7).cast("int").as("cohort_week"),
+            floor(datediff($"day", epochMonday) / 7).cast("int").as("week_idx"))
+          .withColumn("week_offset", ($"week_idx" - $"cohort_week").cast("int"))
+        val active = cohorted
+          .select($"cohort_week", $"week_offset", $"user_id")
+          .distinct()
+          .groupBy($"cohort_week", $"week_offset")
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = cohorted.filter($"week_offset" === 0)
+          .groupBy($"cohort_week")
+          .agg(countDistinct($"user_id").as("cohort_size"))
+        active.join(sizes, Seq("cohort_week"))
+          .select(
+            $"cohort_week", $"week_offset", $"n_active", $"cohort_size",
+            round($"n_active".cast("double") / $"cohort_size", 6).as("retention"))
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      Some("""WITH ev AS (
+          SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        fs AS (
+          SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY user_id),
+        cohorted AS (
+          SELECT ev.user_id,
+            CAST((fs.first_day - DATE '1970-01-05') // 7 AS INT) AS cohort_week,
+            CAST((ev.day - DATE '1970-01-05') // 7 - (fs.first_day - DATE '1970-01-05') // 7 AS INT) AS week_offset
+          FROM ev JOIN fs ON fs.user_id = ev.user_id),
+        active AS (
+          SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+          FROM cohorted GROUP BY cohort_week, week_offset),
+        sizes AS (
+          SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+          FROM cohorted WHERE week_offset = 0 GROUP BY cohort_week)
+        SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+          round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        FROM active a JOIN sizes s ON s.cohort_week = a.cohort_week
+        ORDER BY a.cohort_week, a.week_offset""")
     )
   )
 }

@@ -119,4 +119,64 @@ class ImageParseSpec extends AnyFunSuite {
     val noData = "RIFF".getBytes("US-ASCII") ++ le32(12) ++ "WAVE".getBytes("US-ASCII") ++ fmtChunk(1, 8000, 16)
     assert(Multimodal.parseAudio(15L, noData).format == "unknown") // fmt but no data chunk
   }
+
+  // ----- ISO-BMFF / MP4 (handcrafted, independent of videoPayloads) -----
+
+  private def be64(v: Long) = be32((v >>> 32).toInt) ++ be32(v.toInt)
+  private def box(tag: String, payload: Array[Byte]): Array[Byte] =
+    be32(8 + payload.length) ++ tag.getBytes("US-ASCII") ++ payload
+  private val matrix36 =
+    be32(0x10000) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x10000) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000)
+  private val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200))
+
+  private def mvhdV0(ts: Int, dur: Int) = box("mvhd",
+    bytes(0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur) ++
+      be32(0x10000) ++ be16(0x100) ++ be16(0) ++ new Array[Byte](8) ++
+      matrix36 ++ new Array[Byte](24) ++ be32(2))
+  private def tkhdV0(w: Int, h: Int) = box("tkhd",
+    bytes(0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(500) ++
+      new Array[Byte](8) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+      matrix36 ++ be32(w << 16) ++ be32(h << 16))
+
+  test("MP4: box walk finds mvhd/tkhd even with a free box first and trak before mvhd") {
+    val moov = box("moov", box("trak", tkhdV0(1280, 720)) ++ mvhdV0(1000, 2500))
+    val mp4 = ftyp ++ box("free", new Array[Byte](11)) ++ moov ++
+      box("mdat", "frames".getBytes("US-ASCII"))
+    val d = Multimodal.parseVideo(16L, mp4)
+    assert((d.format, d.width, d.height) == (("mp4", 1280, 720)))
+    assert(d.timescale == 1000L && d.duration_ms == 2500L)
+  }
+
+  test("MP4: version-1 mvhd/tkhd (64-bit times) parse at the shifted offsets") {
+    val mvhd1 = box("mvhd",
+      bytes(1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++ be32(90000) ++ be64(180000L) ++
+        be32(0x10000) ++ be16(0x100) ++ be16(0) ++ new Array[Byte](8) ++
+        matrix36 ++ new Array[Byte](24) ++ be32(2))
+    val tkhd1 = box("tkhd",
+      bytes(1, 0, 0, 7) ++ be64(0L) ++ be64(0L) ++ be32(1) ++ be32(0) ++ be64(180000L) ++
+        new Array[Byte](8) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+        matrix36 ++ be32(320 << 16) ++ be32(240 << 16))
+    val d = Multimodal.parseVideo(17L, ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1)))
+    assert((d.format, d.width, d.height) == (("mp4", 320, 240)))
+    assert(d.timescale == 90000L && d.duration_ms == 2000L)
+  }
+
+  test("MP4: a largesize (size==1) mdat before moov is skipped via its 64-bit size") {
+    val data = "0123456789".getBytes("US-ASCII")
+    val mdatLarge = be32(1) ++ "mdat".getBytes("US-ASCII") ++ be64(16L + data.length) ++ data
+    val mp4 = ftyp ++ mdatLarge ++ box("moov", mvhdV0(600, 300) ++ box("trak", tkhdV0(64, 48)))
+    val d = Multimodal.parseVideo(18L, mp4)
+    assert((d.format, d.width, d.height) == (("mp4", 64, 48)))
+    assert(d.duration_ms == 500L)
+  }
+
+  test("MP4: non-MP4 / truncated / corrupt-size payloads decode safely") {
+    assert(Multimodal.parseVideo(19L, "just some text".getBytes("UTF-8")).format == "unknown")
+    assert(Multimodal.parseVideo(20L, Array.emptyByteArray).format == "unknown")
+    assert(Multimodal.parseVideo(21L, ftyp).format == "unknown") // no moov
+    // zero-size non-terminal box must not loop forever
+    val corrupt = ftyp ++ be32(0) ++ "free".getBytes("US-ASCII") ++ new Array[Byte](4)
+    assert(Multimodal.parseVideo(22L, corrupt).format == "unknown")
+  }
 }

@@ -319,6 +319,23 @@ class PipelineSpec extends SparkTestBase {
     assert(df.filter(col("duration_ms") > col("n_samples") * 1000 / col("sample_rate") + 1).count() == 0)
   }
 
+  test("m04 decodes every framed MP4: dims match the framing, duration consistent") {
+    val df = q("m04_video_meta").cache()
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+    assert(df.count() == docs.count())
+    assert(df.filter(col("format") =!= "mp4").count() == 0)
+    // dims obey the deterministic framing ranges (16.16 int part)
+    assert(df.filter(col("width") < 16 || col("width") >= 2016).count() == 0)
+    assert(df.filter(col("height") < 16 || col("height") >= 1516).count() == 0)
+    assert(df.filter(col("timescale") < 600 || col("timescale") >= 30600).count() == 0)
+    // duration = 25 media units per text byte, converted at timescale
+    val joined = df.join(
+      docs.select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("nb")), "doc_id")
+    assert(joined.filter(
+      col("duration_ms") =!= expr("nb * 25 * 1000 div timescale")).count() == 0)
+  }
+
   test("e02 JL projection: total, positive, norm ratio concentrates near 1") {
     val df = q("e02_rand_projection").cache()
     val e = graft.tables.Tables.load(spark, sfDir, "embeddings").count()

@@ -110,4 +110,41 @@ class RelationalSpec extends SparkTestBase {
       .filter(col("event_type") === "signup").select("user_id").distinct().count()
     assert(df.count() == signupUsers)
   }
+
+  test("q42 streaks partition each user's active days into disjoint runs") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q42_gaps_islands").get.build(spark, sfDir).cache()
+    // streak length == day span (that's what "consecutive" means)
+    assert(df.filter(
+      datediff(to_date(col("streak_end")), to_date(col("streak_start"))) + 1
+        =!= col("streak_days")).count() == 0)
+    // streak day counts sum to the user's distinct active days
+    val fromStreaks = df.groupBy("user_id").agg(sum("streak_days").as("n"))
+    val exact = graft.tables.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("exact"))
+    assert(fromStreaks.join(exact, "user_id").filter(col("n") =!= col("exact")).count() == 0)
+    // streaks within a user don't touch: next start > previous end + 1 day
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("streak_start")
+    assert(df.withColumn("prev_end", lag(col("streak_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        datediff(to_date(col("streak_start")), to_date(col("prev_end"))) < 2)
+      .count() == 0)
+  }
+
+  test("q43 retention: offset-0 retention is 1.0 and actives never exceed cohort size") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q43_retention_cohort").get.build(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("week_offset") === 0 && col("retention") =!= 1.0).count() == 0)
+    assert(df.filter(col("n_active") > col("cohort_size")).count() == 0)
+    assert(df.filter(col("week_offset") < 0).count() == 0)
+    // cohort sizes sum to the total distinct-user count (partition property)
+    val totalUsers = graft.tables.Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    val cohortSum = df.filter(col("week_offset") === 0)
+      .agg(sum("cohort_size")).head().getLong(0)
+    assert(cohortSum == totalUsers)
+  }
 }
