@@ -1076,19 +1076,24 @@ object Relational {
       "Weekly retention cohorts: users bucketed by first-seen week, activity per week offset",
       (spark, dir) => {
         import spark.implicits._
-        // Cohort analysis as two keyed aggs: first-seen day per user,
-        // then distinct (cohort, offset, user) counts. Weeks are
+        // Cohort analysis with ONE fact scan: first-seen day per user
+        // is a min() window (not a groupBy + self-join, which scans
+        // the fact table twice), and cohort_size is a first_value()
+        // window over the aggregate (offset-0 actives ARE the cohort
+        // size — a filtered self-join branch would defeat exchange
+        // reuse via filter pushdown and re-scan the facts a third
+        // time; RuntimeAudit measured exactly that). Weeks are
         // ENGINE-NEUTRAL integers — epoch-day / 7 anchored to a Monday
         // (1970-01-05) — instead of date_trunc('week'), so both
         // engines bucket identically with pure integer arithmetic.
-        // Both shuffles are on user_id (first agg reuses the scan
-        // partitioning; the distinct pre-aggregates map-side); the
-        // final low-cardinality (cohort, offset) agg carries only
-        // pre-counted rows.
+        // Shuffle volumes strictly decrease: raw events on user_id,
+        // then distinct (cohort, offset, user) tuples, then pre-counted
+        // (cohort, offset) rows.
         val epochMonday = to_date(lit("1970-01-05"))
-        val ev = t(spark, dir, "events").select($"user_id", to_date($"ts").as("day"))
-        val firstSeen = ev.groupBy($"user_id").agg(min($"day").as("first_day"))
-        val cohorted = ev.join(firstSeen, Seq("user_id"))
+        val cohorted = t(spark, dir, "events")
+          .select($"user_id", to_date($"ts").as("day"))
+          .distinct() // partial-aggregated map-side: raw event volume never transits the shuffle
+          .withColumn("first_day", min($"day").over(Window.partitionBy($"user_id")))
           .select(
             $"user_id",
             floor(datediff($"first_day", epochMonday) / 7).cast("int").as("cohort_week"),
@@ -1099,34 +1104,30 @@ object Relational {
           .distinct()
           .groupBy($"cohort_week", $"week_offset")
           .agg(count(lit(1)).as("n_active"))
-        val sizes = cohorted.filter($"week_offset" === 0)
-          .groupBy($"cohort_week")
-          .agg(countDistinct($"user_id").as("cohort_size"))
-        active.join(sizes, Seq("cohort_week"))
+        val wCohort = Window.partitionBy($"cohort_week").orderBy($"week_offset")
+        active
+          .withColumn("cohort_size", first($"n_active").over(wCohort))
           .select(
             $"cohort_week", $"week_offset", $"n_active", $"cohort_size",
             round($"n_active".cast("double") / $"cohort_size", 6).as("retention"))
           .orderBy($"cohort_week", $"week_offset")
       },
-      Some("""WITH ev AS (
-          SELECT user_id, CAST(ts AS DATE) AS day FROM events),
-        fs AS (
-          SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY user_id),
+      Some("""WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         cohorted AS (
-          SELECT ev.user_id,
-            CAST((fs.first_day - DATE '1970-01-05') // 7 AS INT) AS cohort_week,
-            CAST((ev.day - DATE '1970-01-05') // 7 - (fs.first_day - DATE '1970-01-05') // 7 AS INT) AS week_offset
-          FROM ev JOIN fs ON fs.user_id = ev.user_id),
+          SELECT user_id,
+            CAST((MIN(day) OVER (PARTITION BY user_id) - DATE '1970-01-05') // 7 AS INT) AS cohort_week,
+            CAST((day - DATE '1970-01-05') // 7 AS INT) AS week_idx
+          FROM days),
         active AS (
-          SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
-          FROM cohorted GROUP BY cohort_week, week_offset),
-        sizes AS (
-          SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
-          FROM cohorted WHERE week_offset = 0 GROUP BY cohort_week)
-        SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
-          round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
-        FROM active a JOIN sizes s ON s.cohort_week = a.cohort_week
-        ORDER BY a.cohort_week, a.week_offset""")
+          SELECT cohort_week, CAST(week_idx - cohort_week AS INT) AS week_offset,
+            COUNT(DISTINCT user_id) AS n_active
+          FROM cohorted GROUP BY cohort_week, week_idx - cohort_week)
+        SELECT cohort_week, week_offset, n_active,
+          FIRST_VALUE(n_active) OVER (PARTITION BY cohort_week ORDER BY week_offset) AS cohort_size,
+          round(CAST(n_active AS DOUBLE) /
+            FIRST_VALUE(n_active) OVER (PARTITION BY cohort_week ORDER BY week_offset), 6) AS retention
+        FROM active ORDER BY cohort_week, week_offset""")
     )
   )
 }
