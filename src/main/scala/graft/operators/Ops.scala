@@ -514,4 +514,54 @@ object Ops {
       .filter(col("rn") <= k)
       .select(col("_p").as(probeId), col("rn"), col("_n").as(corpusId), col("adc_q"))
   }
+
+  /** Gaps-and-islands (q42's library form): collapses each run of
+    * consecutive `dayCol` dates per `keyCol` into one streak row
+    * (`streak_start`/`streak_end` dates + `streak_days`). The anchor
+    * is day − row_number — constant across a consecutive run. One
+    * hash shuffle on keyCol serves the day-distinct, the window and
+    * the final agg (anchor grouping is keyCol-subsumed); per-key
+    * state is its distinct-day count, so the operator survives any
+    * key skew a sessionization-grade dataset has.
+    */
+  def streaks(df: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    df.select(col(keyCol), col(dayCol)).distinct()
+      .withColumn("_anchor", date_sub(col(dayCol), row_number().over(w)))
+      .groupBy(col(keyCol), col("_anchor"))
+      .agg(
+        min(col(dayCol)).as("streak_start"),
+        max(col(dayCol)).as("streak_end"),
+        count(lit(1)).as("streak_days"))
+      .select(col(keyCol), col("streak_start"), col("streak_end"), col("streak_days"))
+  }
+
+  /** Weekly retention cohorts (q43's library form): buckets keys by
+    * first-seen week and counts distinct active keys per (cohort,
+    * week offset), with `retention` = actives / cohort size. ONE
+    * scan of the input: first-seen is a min() window (not a
+    * groupBy+join back) and cohort_size a first_value() window over
+    * the aggregate (offset-0 actives are the cohort size). Weeks are
+    * engine-neutral integers: epoch-day/7 anchored to Monday
+    * 1970-01-05. Shuffle volumes strictly decrease — raw (key, day)
+    * tuples dedupe map-side before the first exchange.
+    */
+  def retentionCohorts(df: DataFrame, keyCol: String, dayCol: String): DataFrame = {
+    val epochMonday = to_date(lit("1970-01-05"))
+    def week(c: Column): Column = floor(datediff(c, epochMonday) / 7).cast("int")
+    val cohorted = df.select(col(keyCol), col(dayCol)).distinct()
+      .withColumn("_first", min(col(dayCol)).over(Window.partitionBy(col(keyCol))))
+      .select(
+        col(keyCol),
+        week(col("_first")).as("cohort_week"),
+        (week(col(dayCol)) - week(col("_first"))).cast("int").as("week_offset"))
+    val active = cohorted.distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val wCohort = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+    active
+      .withColumn("cohort_size", first(col("n_active")).over(wCohort))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_size"), 6))
+  }
 }

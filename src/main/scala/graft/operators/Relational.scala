@@ -1043,18 +1043,16 @@ object Relational {
         // consecutive days, so a groupBy on that anchor collapses each
         // streak. One shuffle on user_id serves the distinct, the
         // window and the final agg (same hash partitioning); state per
-        // user is its day count — bounded, skew-safe.
-        val w = Window.partitionBy($"user_id").orderBy($"day")
-        t(spark, dir, "events")
-          .select($"user_id", to_date($"ts").as("day"))
-          .distinct()
-          .withColumn("anchor", date_sub($"day", row_number().over(w)))
-          .groupBy($"user_id", $"anchor")
-          .agg(
-            date_format(min($"day"), "yyyy-MM-dd").as("streak_start"),
-            date_format(max($"day"), "yyyy-MM-dd").as("streak_end"),
-            count(lit(1)).as("streak_days"))
-          .select($"user_id", $"streak_start", $"streak_end", $"streak_days")
+        // user is its day count — bounded, skew-safe. Delegates to the
+        // reusable Ops.streaks (O19); dates format to strings for the
+        // engine-neutral oracle.
+        Ops.streaks(
+          t(spark, dir, "events").select($"user_id", to_date($"ts").as("day")),
+          "user_id", "day")
+          .select($"user_id",
+            date_format($"streak_start", "yyyy-MM-dd").as("streak_start"),
+            date_format($"streak_end", "yyyy-MM-dd").as("streak_end"),
+            $"streak_days")
           .orderBy($"user_id", $"streak_start")
       },
       Some("""WITH days AS (
@@ -1086,30 +1084,14 @@ object Relational {
         // ENGINE-NEUTRAL integers — epoch-day / 7 anchored to a Monday
         // (1970-01-05) — instead of date_trunc('week'), so both
         // engines bucket identically with pure integer arithmetic.
-        // Shuffle volumes strictly decrease: raw events on user_id,
-        // then distinct (cohort, offset, user) tuples, then pre-counted
-        // (cohort, offset) rows.
-        val epochMonday = to_date(lit("1970-01-05"))
-        val cohorted = t(spark, dir, "events")
-          .select($"user_id", to_date($"ts").as("day"))
-          .distinct() // partial-aggregated map-side: raw event volume never transits the shuffle
-          .withColumn("first_day", min($"day").over(Window.partitionBy($"user_id")))
-          .select(
-            $"user_id",
-            floor(datediff($"first_day", epochMonday) / 7).cast("int").as("cohort_week"),
-            floor(datediff($"day", epochMonday) / 7).cast("int").as("week_idx"))
-          .withColumn("week_offset", ($"week_idx" - $"cohort_week").cast("int"))
-        val active = cohorted
-          .select($"cohort_week", $"week_offset", $"user_id")
-          .distinct()
-          .groupBy($"cohort_week", $"week_offset")
-          .agg(count(lit(1)).as("n_active"))
-        val wCohort = Window.partitionBy($"cohort_week").orderBy($"week_offset")
-        active
-          .withColumn("cohort_size", first($"n_active").over(wCohort))
-          .select(
-            $"cohort_week", $"week_offset", $"n_active", $"cohort_size",
-            round($"n_active".cast("double") / $"cohort_size", 6).as("retention"))
+        // Shuffle volumes strictly decrease: deduped (user, day)
+        // tuples, then distinct cohort tuples, then pre-counted
+        // (cohort, offset) rows. Delegates to Ops.retentionCohorts
+        // (O20).
+        Ops.retentionCohorts(
+          t(spark, dir, "events").select($"user_id", to_date($"ts").as("day")),
+          "user_id", "day")
+          .select($"cohort_week", $"week_offset", $"n_active", $"cohort_size", $"retention")
           .orderBy($"cohort_week", $"week_offset")
       },
       Some("""WITH days AS (

@@ -205,4 +205,46 @@ class OpsSpec extends SparkTestBase {
     val canned = graft.SparkEntry.queries("s04_sim_pq_topk")(spark, sfDir)
     assert(api.except(canned).count() == 0 && canned.except(api).count() == 0)
   }
+
+  test("streaks collapses consecutive days exactly (synthetic, with duplicates)") {
+    import spark.implicits._
+    val days = Seq(
+      ("a", "2024-01-01"), ("a", "2024-01-02"), ("a", "2024-01-02"), // dup row
+      ("a", "2024-01-03"), ("a", "2024-01-05"),
+      ("a", "2024-01-10"), ("a", "2024-01-11"),
+      ("b", "2024-02-29") // leap day, single-day streak
+    ).toDF("k", "d").select($"k", to_date($"d").as("d"))
+    val got = Ops.streaks(days, "k", "d")
+      .select($"k", date_format($"streak_start", "yyyy-MM-dd"),
+        date_format($"streak_end", "yyyy-MM-dd"), $"streak_days")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", "2024-01-01", "2024-01-03", 3L),
+      ("a", "2024-01-05", "2024-01-05", 1L),
+      ("a", "2024-01-10", "2024-01-11", 2L),
+      ("b", "2024-02-29", "2024-02-29", 1L)))
+  }
+
+  test("retentionCohorts computes hand-checked cohort sizes and offsets") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday: week W contains 01-01..01-07, W+1 from 01-08.
+    // u1 first-seen W (active W and W+1), u2 only W, u3 first-seen W+1.
+    val days = Seq(
+      ("u1", "2024-01-02"), ("u1", "2024-01-09"),
+      ("u2", "2024-01-03"), ("u2", "2024-01-05"), // second same-week day: no new offset
+      ("u3", "2024-01-10")
+    ).toDF("k", "d").select($"k", to_date($"d").as("d"))
+    val got = Ops.retentionCohorts(days, "k", "d")
+      .select($"cohort_week", $"week_offset", $"n_active", $"cohort_size", $"retention")
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+    // normalize cohort_week to relative weeks via its minimum
+    val minW = got.map(_._1._1).min
+    val rel = got.map { case ((cw, off), v) => ((cw - minW, off), v) }.toMap
+    assert(rel == Map(
+      (0, 0) -> ((2L, 2L, 1.0)), // W cohort: u1+u2
+      (0, 1) -> ((1L, 2L, 0.5)), // u1 returns in W+1
+      (1, 0) -> ((1L, 1L, 1.0)) // W+1 cohort: u3 alone (u1 already cohorted)
+    ))
+  }
 }
