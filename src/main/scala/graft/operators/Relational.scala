@@ -1110,6 +1110,223 @@ object Relational {
           round(CAST(n_active AS DOUBLE) /
             FIRST_VALUE(n_active) OVER (PARTITION BY cohort_week ORDER BY week_offset), 6) AS retention
         FROM active ORDER BY cohort_week, week_offset""")
+    ),
+
+    Q(
+      "q44_explode_ordinality",
+      "Lateral explode with ordinality: corpus word-position statistics",
+      (spark, dir) => {
+        import spark.implicits._
+        // posexplode is Spark's UNNEST WITH ORDINALITY: one generator
+        // per input row, no shuffle until the final groupBy on the
+        // exploded key. At 100 TB the explode multiplies rows ~50x but
+        // stays pipelined inside whole-stage codegen; the only
+        // exchange is the word-keyed partial agg (map-side combined,
+        // distinct-word cardinality is tiny next to the corpus).
+        val words = t(spark, dir, "documents")
+          .select($"doc_id",
+            posexplode(filter(split($"text", " "), x => x =!= "")).as(Seq("pos0", "word")))
+          .select($"doc_id", ($"pos0" + 1).cast("int").as("pos"), $"word")
+        words.groupBy($"word")
+          .agg(
+            count(lit(1)).as("n_occ"),
+            countDistinct($"doc_id").as("n_docs"),
+            min($"pos").cast("int").as("first_pos"),
+            sum($"pos".cast("long")).as("sum_pos"))
+          .orderBy($"word")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS wd FROM documents),
+        x AS (SELECT doc_id, CAST(i AS INT) AS pos, wd[i] AS word
+          FROM w, UNNEST(generate_series(1, len(wd))) AS t(i))
+        SELECT word, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+          MIN(pos) AS first_pos, SUM(CAST(pos AS BIGINT)) AS sum_pos
+        FROM x GROUP BY word ORDER BY word""")
+    ),
+
+    Q(
+      "q45_interval_merge",
+      "Overlapping-interval coalescing: merge per-user 60s activity intervals",
+      (spark, dir) => {
+        import spark.implicits._
+        // Interval union via the running-max-end island trick: a new
+        // island starts exactly when an interval's start exceeds the
+        // max end seen so far. Both windows and the final agg share
+        // ONE user_id hash partitioning (a single exchange serves all
+        // three); per-user state is the sort — bounded by that user's
+        // events, skew-safe. Timestamps work in integer epoch-micros
+        // so both engines do pure int64 arithmetic.
+        val iv = t(spark, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("s"))
+          .withColumn("e", $"s" + lit(60000000L))
+        val wPrev = Window.partitionBy($"user_id").orderBy($"s", $"e")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy($"user_id").orderBy($"s", $"e")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        iv.withColumn("pmax", max($"e").over(wPrev))
+          .withColumn("ni", when($"pmax".isNull || $"s" > $"pmax", 1L).otherwise(0L))
+          .withColumn("island", sum($"ni").over(wRun))
+          .groupBy($"user_id", $"island")
+          .agg(min($"s").as("start_us"), max($"e").as("end_us"),
+            count(lit(1)).as("n_events"))
+          .select($"user_id", $"island".cast("int").as("island"),
+            $"start_us", $"end_us", $"n_events")
+          .orderBy($"user_id", $"island")
+      },
+      Some("""WITH iv AS (SELECT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+          epoch_us(CAST(ts AS TIMESTAMP)) + 60000000 AS e FROM events),
+        f AS (SELECT user_id, s, e,
+          CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+            OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS ni FROM iv),
+        g AS (SELECT user_id, s, e,
+          SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f)
+        SELECT user_id, CAST(island AS INT) AS island,
+          MIN(s) AS start_us, MAX(e) AS end_us, COUNT(*) AS n_events
+        FROM g GROUP BY user_id, island ORDER BY user_id, island""")
+    ),
+
+    Q(
+      "q46_median_mode",
+      "Exact median + deterministic mode per group (identical composition in both engines)",
+      (spark, dir) => {
+        import spark.implicits._
+        // Native median()/mode() interpolate and tiebreak differently
+        // across engines, so BOTH sides compose the same exact
+        // formulation: median = decimal sum of the middle one-or-two
+        // ranked rows over their count (one double division at the
+        // end), mode = row_number over (count DESC, value ASC). Two
+        // passes over the fact, each a single groupBy/window exchange
+        // on the group key — no sort of the full table on one node.
+        val li = t(spark, dir, "lineitem")
+          .select($"l_returnflag".as("flag"), $"l_quantity".as("qty"))
+        val wOrd = Window.partitionBy($"flag").orderBy($"qty")
+        val wAll = Window.partitionBy($"flag")
+        val ranked = li
+          .withColumn("rn", row_number().over(wOrd).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+        val med = ranked
+          .where($"rn" === floor(($"n" + 1) / 2) || $"rn" === floor(($"n" + 2) / 2))
+          .groupBy($"flag")
+          .agg(
+            (sum($"qty".cast(DecimalType(14, 2))).cast("double") / count(lit(1)))
+              .as("median_qty"),
+            max($"n").as("n_rows"))
+        val wMode = Window.partitionBy($"flag").orderBy($"cnt".desc, $"qty".asc)
+        val mode = li.groupBy($"flag", $"qty").agg(count(lit(1)).as("cnt"))
+          .withColumn("mr", row_number().over(wMode)).where($"mr" === 1)
+          .select($"flag", $"qty".as("mode_qty"), $"cnt".as("mode_cnt"))
+        med.join(mode, "flag")
+          .select($"flag", $"n_rows", $"median_qty", $"mode_qty", $"mode_cnt")
+          .orderBy($"flag")
+      },
+      Some("""WITH ranked AS (SELECT l_returnflag AS flag, l_quantity AS qty,
+          CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem),
+        med AS (SELECT flag,
+          CAST(SUM(CAST(qty AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS median_qty,
+          MAX(n) AS n_rows
+          FROM ranked
+          WHERE rn = FLOOR((n + 1) / 2) OR rn = FLOOR((n + 2) / 2) GROUP BY flag),
+        cnts AS (SELECT l_returnflag AS flag, l_quantity AS qty, COUNT(*) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        modes AS (SELECT flag, qty AS mode_qty, cnt AS mode_cnt,
+          ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, qty ASC) AS mr FROM cnts)
+        SELECT m.flag AS flag, m.n_rows, m.median_qty, o.mode_qty, o.mode_cnt
+        FROM med m JOIN modes o ON m.flag = o.flag AND o.mr = 1 ORDER BY m.flag""")
+    ),
+
+    Q(
+      "q47_bitmap_segments",
+      "Bitmap segment encoding: bit_or-aggregated event-type mask + popcount per user",
+      (spark, dir) => {
+        import spark.implicits._
+        // Set membership as a bitmask: bit_or is commutative and
+        // map-side combinable, so 100 TB of events collapse to one
+        // int64 per user in a single exchange — the compact
+        // alternative to collect_set for bounded vocabularies, and
+        // the building block of bitmap indexes / audience segments.
+        val mask = when($"event_type" === "click", 1L)
+          .when($"event_type" === "error", 2L)
+          .when($"event_type" === "purchase", 4L)
+          .when($"event_type" === "signup", 8L)
+          .when($"event_type" === "view", 16L)
+          .otherwise(0L)
+        t(spark, dir, "events")
+          .withColumn("m", mask)
+          .groupBy($"user_id")
+          .agg(expr("bit_or(m)").as("segments"), count(lit(1)).as("n_events"))
+          .select($"user_id", $"segments",
+            expr("bit_count(segments)").cast("int").as("n_types"),
+            ($"segments".bitwiseAND(lit(4L)) =!= 0L).as("has_purchase"),
+            $"n_events")
+          .orderBy($"user_id")
+      },
+      Some("""WITH m AS (SELECT user_id,
+          CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+            WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+            WHEN 'view' THEN 16 ELSE 0 END AS m
+          FROM events)
+        SELECT user_id, CAST(bit_or(m) AS BIGINT) AS segments,
+          CAST(bit_count(bit_or(m)) AS INT) AS n_types,
+          (bit_or(m) & 4) <> 0 AS has_purchase,
+          COUNT(*) AS n_events
+        FROM m GROUP BY user_id ORDER BY user_id""")
+    ),
+
+    Q(
+      "q48_date_spine_gapfill",
+      "Time-series gap fill: generated date spine left-joined to daily revenue, zeros filled",
+      (spark, dir) => {
+        import spark.implicits._
+        // Resampling to a dense calendar: the spine (nation x day) is
+        // GENERATED (sequence + explode) and the fact side aggregates
+        // FIRST to (nation, day) grain, so the gap-filling join sees
+        // only pre-aggregated rows, never raw facts. The spine must
+        // stay outer-preserved, and Spark can't broadcast the
+        // preserved side — so the join runs as RIGHT outer with the
+        // (small, post-agg) daily side broadcast. At 100 TB the only
+        // exchange is the daily-revenue partial agg.
+        val spine = t(spark, dir, "nation")
+          .select($"n_nationkey", $"n_name")
+          .crossJoin(
+            spark.range(1).select(explode(sequence(
+              to_date(lit("1995-01-01")), to_date(lit("1995-03-31")),
+              expr("interval 1 day"))).as("day")))
+        val daily = t(spark, dir, "orders")
+          .where($"o_orderdate" >= ts("1995-01-01 00:00:00")
+            && $"o_orderdate" < ts("1995-04-01 00:00:00"))
+          .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_nationkey", to_date($"o_orderdate").as("day"))
+          .agg(sum(dec2($"o_totalprice")).as("rev"), count(lit(1)).as("n_orders"))
+        broadcast(daily)
+          .join(spine,
+            spine("n_nationkey") === daily("c_nationkey") && spine("day") === daily("day"),
+            "right")
+          .select($"n_name",
+            date_format(spine("day"), "yyyy-MM-dd").as("day"),
+            coalesce($"rev".cast("double"), lit(0.0)).as("revenue"),
+            coalesce($"n_orders", lit(0L)).as("n_orders"))
+          .orderBy($"n_name", $"day")
+      },
+      Some("""WITH spine AS (SELECT n.n_nationkey, n.n_name, CAST(gs AS DATE) AS day
+          FROM nation n, generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY) AS s(gs)),
+        daily AS (SELECT c.c_nationkey, CAST(o.o_orderdate AS DATE) AS day,
+            SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev, COUNT(*) AS n_orders
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o.o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+          GROUP BY 1, 2)
+        SELECT s.n_name, strftime(s.day, '%Y-%m-%d') AS day,
+          COALESCE(CAST(d.rev AS DOUBLE), 0.0) AS revenue,
+          COALESCE(d.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN daily d
+          ON d.c_nationkey = s.n_nationkey AND d.day = s.day
+        ORDER BY s.n_name, s.day""")
     )
   )
 }

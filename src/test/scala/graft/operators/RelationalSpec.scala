@@ -147,4 +147,91 @@ class RelationalSpec extends SparkTestBase {
       .agg(sum("cohort_size")).head().getLong(0)
     assert(cohortSum == totalUsers)
   }
+
+  test("q44 word-position stats conserve the corpus token count") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q44_explode_ordinality").get
+      .build(spark, sfDir).cache()
+    val totalTokens = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select(size(filter(split(col("text"), " "), x => x =!= "")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(df.agg(sum("n_occ")).head().getLong(0) == totalTokens)
+    assert(df.filter(col("first_pos") < 1).count() == 0)
+    // sum_pos of a word is at least first_pos per occurrence's lower bound
+    assert(df.filter(col("sum_pos") < col("n_occ") * col("first_pos")).count() == 0)
+  }
+
+  test("q45 merged intervals are disjoint, ordered, and conserve events") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q45_interval_merge").get
+      .build(spark, sfDir).cache()
+    assert(df.filter(col("end_us") <= col("start_us")).count() == 0)
+    // islands within a user never overlap: next start > previous end
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("island")
+    assert(df.withColumn("prev_end", lag(col("end_us"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_us") <= col("prev_end"))
+      .count() == 0)
+    val totalEvents = graft.tables.Tables.load(spark, sfDir, "events").count()
+    assert(df.agg(sum("n_events")).head().getLong(0) == totalEvents)
+  }
+
+  test("q46 median sits inside the value range and mode carries the max count") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q46_median_mode").get
+      .build(spark, sfDir).cache()
+    val bounds = graft.tables.Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(min("l_quantity").as("lo"), max("l_quantity").as("hi"),
+        count(lit(1)).as("n"))
+    val j = df.join(bounds, "flag").cache()
+    assert(j.filter(col("median_qty") < col("lo") || col("median_qty") > col("hi"))
+      .count() == 0)
+    assert(j.filter(col("n_rows") =!= col("n")).count() == 0)
+    // the mode's count is the max over all (flag, qty) counts
+    val maxCnt = graft.tables.Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("flag").agg(max("cnt").as("max_cnt"))
+    assert(df.join(maxCnt, "flag").filter(col("mode_cnt") =!= col("max_cnt"))
+      .count() == 0)
+  }
+
+  test("q47 bitmap popcount agrees with Long.bitCount and member flags") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q47_bitmap_segments").get
+      .build(spark, sfDir).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seg = r.getAs[Long]("segments")
+      assert(seg >= 1L && seg <= 31L)
+      assert(r.getAs[Int]("n_types") == java.lang.Long.bitCount(seg))
+      assert(r.getAs[Boolean]("has_purchase") == ((seg & 4L) != 0L))
+    }
+    // one row per distinct user
+    val users = graft.tables.Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.length == users)
+  }
+
+  test("q48 spine is dense and gap rows are exactly the zero-order days") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q48_date_spine_gapfill").get
+      .build(spark, sfDir).cache()
+    val nations = graft.tables.Tables.load(spark, sfDir, "nation").count()
+    assert(df.count() == nations * 90) // 1995-01-01..1995-03-31
+    // zero revenue iff zero orders (gap rows are true gaps)
+    assert(df.filter((col("n_orders") === 0) =!= (col("revenue") === 0.0))
+      .count() == 0)
+    // non-gap revenue reconciles to the direct fact aggregation total
+    val direct = graft.tables.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+        && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1995-04-01 00:00:00")))
+      .agg(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+      .head().getDecimal(0).doubleValue()
+    val filled = df.agg(sum(col("revenue").cast(org.apache.spark.sql.types.DecimalType(14, 2))))
+      .head().getDecimal(0).doubleValue()
+    assert(math.abs(filled - direct) < 1e-6)
+  }
 }
