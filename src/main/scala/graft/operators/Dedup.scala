@@ -593,6 +593,83 @@ object Dedup {
           ROUND(CAST(p.n_dup AS DOUBLE) / len(s2.s), 6) AS dup_frac
         FROM sh2 s2 JOIN perdoc p ON p.doc_id = s2.doc_id
         ORDER BY doc_id""")
+    ),
+
+    Q(
+      "d11_incremental_dedup",
+      "Day-2 ingestion: a new batch banded per-row against the standing corpus band index",
+      (spark, dir) => {
+        import spark.implicits._
+        // The incremental-dedup shape a production pipeline runs daily:
+        // an engine-neutral hash splits docs into a NEW batch (~20%)
+        // and the standing corpus whose (band, bh) index would be
+        // precomputed and stored. New docs derive band keys PER ROW
+        // (bandKeys — the same no-aggregation derivation ST6 runs on a
+        // stream) and equi-join the index; only collisions get the
+        // exact-Jaccard verify. At 100 TB the batch never self-joins
+        // and the corpus is touched only through its band index — cost
+        // is O(batch + collisions), not O(corpus), and the index join
+        // broadcasts the day's batch bands.
+        val docs = Tables.load(spark, dir, "documents")
+          .withColumn("b", pmod(
+            graft.functions.PortableHash.hash60(concat(lit("inc|"), $"doc_id".cast("string"))),
+            lit(5L)))
+        val batch = docs.where($"b" === 0L).drop("b")
+        val corpus = docs.where($"b" =!= 0L).drop("b")
+        val newBands = bandKeys(batch, "doc_id", "text")
+          .select($"doc_id".as("new_id"), $"band", $"bh")
+        val idxBands = bandKeys(corpus, "doc_id", "text")
+          .select($"doc_id".as("idx_id"), $"band", $"bh")
+        val cands = broadcast(newBands).join(idxBands, Seq("band", "bh"))
+          .select($"new_id", $"idx_id").distinct()
+        val shN = shingleArrays(batch).select($"doc_id".as("new_id"), $"sh".as("_sa"))
+        val shI = shingleArrays(corpus).select($"doc_id".as("idx_id"), $"sh".as("_sb"))
+        cands.join(shN, "new_id").join(shI, "idx_id")
+          .withColumn("c", size(array_intersect($"_sa", $"_sb")).cast("long"))
+          .withColumn("jaccard",
+            $"c".cast("double") / (size($"_sa") + size($"_sb") - $"c"))
+          .filter($"jaccard" >= 0.4)
+          .select($"new_id", $"idx_id", round($"jaccard", 6).as("jaccard"))
+          .orderBy($"new_id", $"idx_id")
+      },
+      Some {
+        val mhCols = (0 until numPerms)
+          .map(i => s"min(substr(md5(s || '|$i'), 1, 16)) AS mh$i").mkString(",\n    ")
+        val bandCases = (0 until 4).map { b =>
+          val cat = (b * 4 until b * 4 + 4).map(r => s"mh$r").mkString(" || '|' || ")
+          if (b < 3) s"WHEN $b THEN md5($cat)" else s"ELSE md5($cat)"
+        }.mkString(" ")
+        val splitHash = graft.functions.PortableHash.sqlHash60("'inc|' || CAST(doc_id AS VARCHAR)")
+        s"""$sqlShingleCtes,
+        spl AS (SELECT doc_id, CAST($splitHash % 5 AS BIGINT) AS sb FROM documents),
+        sig AS (SELECT doc_id,
+          $mhCols
+          FROM post GROUP BY doc_id),
+        bands AS (SELECT doc_id, b AS band,
+          CASE b $bandCases END AS bh
+          FROM sig, (VALUES (0), (1), (2), (3)) AS t(b)),
+        nb AS (SELECT bd.doc_id AS new_id, bd.band, bd.bh
+          FROM bands bd JOIN spl ON spl.doc_id = bd.doc_id WHERE spl.sb = 0),
+        ib AS (SELECT bd.doc_id AS idx_id, bd.band, bd.bh
+          FROM bands bd JOIN spl ON spl.doc_id = bd.doc_id WHERE spl.sb <> 0),
+        cands AS (SELECT DISTINCT n.new_id, i.idx_id
+          FROM nb n JOIN ib i ON n.band = i.band AND n.bh = i.bh),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        pairs AS (SELECT pa.doc_id AS new_id, pb.doc_id AS idx_id, COUNT(*) AS c
+          FROM post pa
+          JOIN spl qa ON qa.doc_id = pa.doc_id AND qa.sb = 0
+          JOIN post pb ON pa.s = pb.s
+          JOIN spl qb ON qb.doc_id = pb.doc_id AND qb.sb <> 0
+          GROUP BY 1, 2)
+        SELECT cd.new_id, cd.idx_id,
+          ROUND(CAST(p.c AS DOUBLE) / (sa.n + si.n - p.c), 6) AS jaccard
+        FROM cands cd
+        JOIN pairs p ON p.new_id = cd.new_id AND p.idx_id = cd.idx_id
+        JOIN sizes sa ON sa.doc_id = cd.new_id
+        JOIN sizes si ON si.doc_id = cd.idx_id
+        WHERE CAST(p.c AS DOUBLE) / (sa.n + si.n - p.c) >= 0.4
+        ORDER BY cd.new_id, cd.idx_id"""
+      }
     )
   )
 

@@ -462,6 +462,48 @@ object TextAnalysis {
           FROM t)
         SELECT doc_id, lang, shard, n_tokens, cum // 512 AS bin_id
         FROM c ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t14_freq_rank_score",
+      "LM-proxy quality score: corpus frequency rank of each document's tokens",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // A model-free perplexity proxy: rank the vocabulary by corpus
+        // frequency (rank 1 = most common; ties broken by token) and
+        // score each document by its tokens' mean rank and rare-token
+        // fraction — all-rare docs are gibberish candidates, all-common
+        // docs boilerplate. The rank's global window runs on the
+        // AGGREGATED vocabulary (orders of magnitude smaller than the
+        // corpus — it's the dictionary, never the data, on one
+        // partition), and the ranked dictionary is broadcast back onto
+        // the token stream, so the corpus-sized side sees one keyed
+        // groupBy per pass. Transcendental-free so both engines agree
+        // to the last bit.
+        val tok = Tables.load(spark, dir, "documents")
+          .select($"doc_id", explode(expr(sparkWords)).as("w"))
+        val ranked = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+          .withColumn("wrank",
+            row_number().over(Window.orderBy($"cnt".desc, $"w".asc)).cast("long"))
+        tok.join(broadcast(ranked.select($"w", $"wrank")), Seq("w"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum($"wrank").as("sum_rank"),
+            sum(when($"wrank" > 20, 1L).otherwise(0L)).as("n_rare"))
+          .select($"doc_id", $"n_tokens", $"sum_rank",
+            round($"sum_rank".cast("double") / $"n_tokens", 6).as("mean_rank"),
+            round($"n_rare".cast("double") / $"n_tokens", 6).as("rare_frac"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($duckWords) AS w FROM documents),
+        freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+        ranked AS (SELECT w,
+          CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS wrank FROM freq)
+        SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(r.wrank) AS sum_rank,
+          ROUND(CAST(SUM(r.wrank) AS DOUBLE) / COUNT(*), 6) AS mean_rank,
+          ROUND(CAST(SUM(CASE WHEN r.wrank > 20 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS rare_frac
+        FROM tok t JOIN ranked r ON r.w = t.w
+        GROUP BY t.doc_id ORDER BY t.doc_id""")
     )
   )
 }

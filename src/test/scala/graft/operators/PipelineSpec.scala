@@ -346,4 +346,50 @@ class PipelineSpec extends SparkTestBase {
     val mean = df.agg(avg(col("norm_ratio"))).head().getDouble(0)
     assert(mean > 0.5 && mean < 1.5, s"JL mean norm ratio drifted: $mean")
   }
+
+  test("d11 incremental == full-corpus d02 restricted to cross-split pairs") {
+    // The incremental path (new batch vs corpus index) must find
+    // exactly the full run's duplicate pairs that straddle the split:
+    // banding over a subset uses the same per-doc signatures, so a
+    // cross-split pair shares a band bucket in one run iff it does in
+    // the other.
+    val d11 = q("d11_incremental_dedup").cache()
+    val d02 = q("d02_dedup_minhash_lsh").cache()
+    val isBatch = pmod(
+      graft.functions.PortableHash.hash60(concat(lit("inc|"), col("doc_id").cast("string"))),
+      lit(5L)) === 0L
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), isBatch.as("in_batch"))
+    val expected = d02
+      .join(docs.select(col("doc_id").as("id_a"), col("in_batch").as("ba")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("in_batch").as("bb")), "id_b")
+      .filter(col("ba") =!= col("bb")) // exactly one endpoint is new
+      .select(
+        when(col("ba"), col("id_a")).otherwise(col("id_b")).as("new_id"),
+        when(col("ba"), col("id_b")).otherwise(col("id_a")).as("idx_id"),
+        col("jaccard"))
+    assert(expected.count() == d11.count())
+    assert(expected.except(d11).count() == 0)
+    assert(d11.except(expected).count() == 0)
+    // every pair straddles the split in the right direction
+    val sides = d11
+      .join(docs.select(col("doc_id").as("new_id"), col("in_batch").as("bn")), "new_id")
+      .join(docs.select(col("doc_id").as("idx_id"), col("in_batch").as("bi")), "idx_id")
+    assert(sides.filter(!col("bn") || col("bi")).count() == 0)
+  }
+
+  test("t14 frequency ranks: token conservation, bounded scores, rank-1 word is the corpus max") {
+    val df = q("t14_freq_rank_score").cache()
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+    val totalTokens = docs
+      .select(size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(df.agg(sum("n_tokens")).head().getLong(0) == totalTokens)
+    assert(df.filter(col("mean_rank") < 1.0).count() == 0)
+    assert(df.filter(col("rare_frac") < 0.0 || col("rare_frac") > 1.0).count() == 0)
+    // mean_rank is the exact ratio of its own components
+    assert(df.filter(
+      abs(col("mean_rank") - round(col("sum_rank").cast("double") / col("n_tokens"), 6)) > 0)
+      .count() == 0)
+  }
 }
