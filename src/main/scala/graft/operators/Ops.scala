@@ -564,4 +564,45 @@ object Ops {
       .withColumn("retention",
         round(col("n_active").cast("double") / col("cohort_size"), 6))
   }
+
+  /** O21: Morton (Z-order) code — bit-interleave of two non-negative
+    * dimensions bucketed to `bits` bits each. A range sort on the code
+    * co-locates 2-D rectangles, so parquet min/max row-group stats
+    * prune BOTH dimensions at scan time — the multi-dimensional
+    * clustering a single-column sort can't give (sorting by `a` leaves
+    * `b` uniform in every file; see ZorderSpec's measured file-prune
+    * counts). Pure long shifts/masks — codegen'd, engine-neutral, and
+    * reproducible in DuckDB SQL via [[sqlMortonCode]]. Inputs must be
+    * pre-bucketed into [0, 2^bits); higher bits are ignored.
+    */
+  def mortonCode(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** DuckDB SQL computing the identical Morton code. */
+  def sqlMortonCode(a: String, b: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) * ${1L << (2 * i)} + (($b >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order data layout: range-partition on the Morton code of two
+    * bucketed dimensions and sort within partitions, so a parquet
+    * write of the result yields `numFiles` files whose (a, b)
+    * bounding boxes tile the plane — the Delta/Iceberg OPTIMIZE
+    * ZORDER shape, expressed as a plain Spark repartition. The code
+    * column is internal; callers write the returned frame as-is.
+    */
+  def zorderLayout(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      bits: Int = 16,
+      numFiles: Int = 32
+  ): DataFrame =
+    df.withColumn("_z", mortonCode(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
 }

@@ -1327,6 +1327,45 @@ object Relational {
         FROM spine s LEFT JOIN daily d
           ON d.c_nationkey = s.n_nationkey AND d.day = s.day
         ORDER BY s.n_name, s.day""")
+    ),
+
+    Q(
+      "q49_zorder_clustering",
+      "Z-order (Morton) clustering codes + per-cell locality stats over two part dimensions",
+      (spark, dir) => {
+        import spark.implicits._
+        // The data-layout operator: interleaving the bits of (size,
+        // price-bucket) gives one sort key whose ranges are 2-D
+        // rectangles, so a range write on it lets parquet min/max
+        // stats prune BOTH dimensions (Ops.zorderLayout is the write
+        // path; file effects are spec-measured in ZorderSpec since
+        // file boundaries aren't SQL-observable). The canned query
+        // pins the code arithmetic and the locality witness: each
+        // cell (code >> 6 — the top bits, 8x8 rectangles) must span a
+        // bounded (a, b) box, which is exactly why the layout prunes.
+        val p = t(spark, dir, "part")
+          .select($"p_partkey", $"p_size".cast("long").as("a"),
+            floor($"p_retailprice" - 900.0).cast("long").as("b"))
+          .withColumn("z", Ops.mortonCode($"a", $"b", 8))
+        p.withColumn("cell", shiftright($"z", 6))
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n"),
+            min($"a").as("min_a"), max($"a").as("max_a"),
+            min($"b").as("min_b"), max($"b").as("max_b"))
+          .withColumn("box_area",
+            ($"max_a" - $"min_a" + 1) * ($"max_b" - $"min_b" + 1))
+          .orderBy($"cell")
+      },
+      Some {
+        val z = Ops.sqlMortonCode("a", "b", 8)
+        s"""WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS a,
+          CAST(FLOOR(p_retailprice - 900.0) AS BIGINT) AS b FROM part),
+        zc AS (SELECT p_partkey, a, b, $z >> 6 AS cell FROM p)
+        SELECT cell, COUNT(*) AS n,
+          MIN(a) AS min_a, MAX(a) AS max_a, MIN(b) AS min_b, MAX(b) AS max_b,
+          (MAX(a) - MIN(a) + 1) * (MAX(b) - MIN(b) + 1) AS box_area
+        FROM zc GROUP BY cell ORDER BY cell"""
+      }
     )
   )
 }
