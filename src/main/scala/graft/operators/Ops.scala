@@ -605,4 +605,55 @@ object Ops {
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+
+  /** O22: deterministic Lloyd k-means assignment (s05's library form,
+    * any iteration count). Initial centroids are the k lowest-id
+    * vectors; each iteration is one broadcast NL against the k
+    * centroid rows (assignment = argmin-as-aggregation over
+    * nano-scaled integer L² — map-side combinable) plus one keyed agg
+    * for the update. Centroid means are computed from micro-scaled
+    * BIGINT sums with a single double division — order-independent,
+    * so results are identical under any partitioning (and, for the
+    * canned 2-iteration run, oracle-verified against DuckDB).
+    * Returns (idCol, cell, dq) with dq the final nano-scaled L² to
+    * the vector's centroid. Caches the quantized input for the
+    * iteration loop — call spark.catalog.clearCache() after the
+    * terminal action when invoking repeatedly (Bench/Verify do).
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64
+  ): DataFrame = {
+    require(iters >= 1, "kmeansAssign needs at least one iteration")
+    val l2q = (a: String, b: String) => expr(
+      s"CAST(floor(aggregate(zip_with($a, $b, " +
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)")
+    val ev = df.select(col(idCol).as("_id"), col(vecCol).as("_x"),
+      expr(s"transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+        .as("_xq")).cache()
+    var cents = ev.orderBy(col("_id")).limit(k)
+      .select(col("_id").as("_cid"), col("_x").as("_cx"))
+    var assign: DataFrame = null
+    for (it <- 1 to iters) {
+      assign = ev.crossJoin(broadcast(cents))
+        .withColumn("_dq", l2q("_x", "_cx"))
+        .groupBy(col("_id")).agg(min(struct(col("_dq"), col("_cid"))).as("_m"))
+        .select(col("_id"), col("_m._cid").as("_cell"), col("_m._dq").as("_dq"))
+      if (it < iters) {
+        val dimSums = (1 to dim).map(j => sum(element_at(col("_xq"), j)).as(s"_s$j"))
+        cents = assign.join(ev.select(col("_id"), col("_xq")), "_id")
+          .groupBy(col("_cell"))
+          .agg(count(lit(1)).as("_nc"), dimSums: _*)
+          .select(col("_cell").as("_cid"),
+            array((1 to dim).map(j =>
+              col(s"_s$j").cast("double") / col("_nc") / lit(1000000.0)): _*).as("_cx"))
+      }
+    }
+    assign.select(col("_id").as(idCol), col("_cell").as("cell"), col("_dq").as("dq"))
+  }
 }

@@ -250,6 +250,83 @@ object Similarity {
           n_id, adc_q
         FROM adc QUALIFY rn <= 5 ORDER BY p_id, rn"""
       }
+    ),
+
+    Q(
+      "s05_kmeans_cells",
+      "TRAINED coarse quantizer: 2 deterministic Lloyd iterations, exact on both engines",
+      (spark, dir) => {
+        import spark.implicits._
+        // s03/d10 use fixed centroids and note "a trained quantizer
+        // slots in unchanged" — this IS that training loop, run as
+        // plain DataFrame ops and still oracle-exact. The float-sum
+        // trap: a centroid mean is order-dependent in FP, so each
+        // vector is quantized ONCE to micro-scaled BIGINTs and the
+        // centroid update is an exact integer sum (one double
+        // division at the end) — commutative, partial-agg-safe, and
+        // bit-identical in DuckDB. Distances are the nano-scaled
+        // integer L² folds from s04; assignment is argmin-as-
+        // aggregation (min over (dist, id) structs — map-side
+        // combinable, no per-vector sort). Per iteration: one
+        // broadcast NL against k centroid rows + one keyed agg —
+        // linear in the corpus, the Lloyd shape you'd run at 100 TB.
+        val l2q = (a: String, b: String) => expr(
+          s"CAST(floor(aggregate(zip_with($a, $b, " +
+            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)")
+        val e = Tables.load(spark, dir, "embeddings")
+        val ev = e.select($"vec_id".as("n_id"), $"embedding".as("x"),
+          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+            .as("xq"))
+        val c0 = e.orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("c_id"), $"embedding".as("cx"))
+        val as1 = ev.crossJoin(broadcast(c0))
+          .withColumn("dq", l2q("x", "cx"))
+          .groupBy($"n_id").agg(min(struct($"dq", $"c_id")).as("_m"))
+          .select($"n_id", $"_m.c_id".as("cell1"))
+        val dimSums = (1 to 64).map(j => sum(element_at($"xq", j)).as(s"s$j"))
+        val cent1 = as1.join(ev.select($"n_id", $"xq"), "n_id")
+          .groupBy($"cell1")
+          .agg(count(lit(1)).as("nc"), dimSums: _*)
+          .select($"cell1".as("c_id"),
+            array((1 to 64).map(j =>
+              col(s"s$j").cast("double") / $"nc" / lit(1000000.0)): _*).as("cx"))
+        val as2 = ev.crossJoin(broadcast(cent1))
+          .withColumn("dq", l2q("x", "cx"))
+          .groupBy($"n_id").agg(min(struct($"dq", $"c_id")).as("_m"))
+          .select($"n_id", $"_m.dq".as("dq"), $"_m.c_id".as("cell"))
+        as2.groupBy($"cell")
+          .agg(count(lit(1)).as("n"), sum($"dq").as("sse_q"))
+          .orderBy($"cell")
+      },
+      Some {
+        def sqlL2q(a: String, b: String) =
+          s"CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform(generate_series(1, 64), " +
+            s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+            "(acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)"
+        s"""WITH ev AS (SELECT vec_id AS n_id, embedding AS x,
+          list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS c_id, embedding AS cx FROM embeddings ORDER BY vec_id LIMIT 8),
+        a1 AS (SELECT n_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY ${sqlL2q("x", "cx")} ASC, c_id) AS r
+          FROM ev, c0),
+        as1 AS (SELECT n_id, c_id AS cell1 FROM a1 WHERE r = 1),
+        dim AS (SELECT unnest(generate_series(1, 64)) AS j),
+        sums AS (SELECT cell1, j, SUM(xq[j]) AS s, COUNT(*) AS nc
+          FROM as1 JOIN ev USING (n_id), dim GROUP BY cell1, j),
+        cent1 AS (SELECT cell1 AS c_id,
+            list(CAST(s AS DOUBLE) / nc / 1000000.0 ORDER BY j) AS cx
+          FROM sums GROUP BY cell1),
+        d2 AS (SELECT n_id, c_id, ${sqlL2q("x", "cx")} AS dq FROM ev, cent1),
+        a2 AS (SELECT n_id, c_id, dq,
+            ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY dq ASC, c_id) AS r
+          FROM d2),
+        fin AS (SELECT n_id, c_id AS cell, dq FROM a2 WHERE r = 1)
+        SELECT cell, COUNT(*) AS n, CAST(SUM(dq) AS BIGINT) AS sse_q
+        FROM fin GROUP BY cell ORDER BY cell"""
+      }
     )
   )
 }

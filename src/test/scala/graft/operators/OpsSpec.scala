@@ -247,4 +247,23 @@ class OpsSpec extends SparkTestBase {
       (1, 0) -> ((1L, 1L, 1.0)) // W+1 cohort: u3 alone (u1 already cohorted)
     ))
   }
+
+  test("kmeansAssign(iters=2) reproduces s05's cells; Lloyd SSE never increases") {
+    import org.apache.spark.sql.functions._
+    val e = graft.tables.Tables.load(spark, sfDir, "embeddings")
+    val canned = graft.SparkEntry.queries("s05_kmeans_cells")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("cell"), (r.getAs[Long]("n"), r.getAs[Long]("sse_q")))).toMap
+    val api = Ops.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 2)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("dq")).as("sse_q"))
+      .collect().map(r => (r.getAs[Long]("cell"), (r.getAs[Long]("n"), r.getAs[Long]("sse_q")))).toMap
+    assert(api == canned)
+    // Lloyd monotonicity on the quantized objective across iterations
+    def sse(iters: Int): Long =
+      Ops.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = iters)
+        .agg(sum(col("dq"))).head().getLong(0)
+    val s = (1 to 3).map(sse)
+    assert(s(1) <= s(0) && s(2) <= s(1), s"SSE increased across iterations: $s")
+    spark.catalog.clearCache()
+  }
 }
