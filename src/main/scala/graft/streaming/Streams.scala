@@ -154,6 +154,49 @@ object Streams {
       .where(col("doc_id") =!= col("corpus_id"))
       .select(col("doc_id"), col("band"), col("corpus_id"))
 
+  final case class DocTokens(doc_id: Long, lang: String, n_tokens: Long)
+
+  final case class PackedDoc(doc_id: Long, lang: String, n_tokens: Long, bin_id: Long)
+
+  // public: Catalyst's state Encoder generates constructor calls
+  final case class PackState(cum: Long)
+
+  /** ST7: streaming sequence packing — token-budget bin assignment at
+    * ingestion time (the streaming form of Ops.packBins / t10). State
+    * per key is ONE long: the running token count; a doc's bin is
+    * cum-before-it / budget, exactly the batch rule. Docs within a
+    * micro-batch are processed in doc_id order, so a stream delivered
+    * in id order (or any single batch) is spec-equal to the batch
+    * packing; out-of-order arrival packs arrival order — the honest
+    * semantics of an infinite stream, where "sort the corpus first"
+    * doesn't exist. Append-mode legal (no watermark needed:
+    * NoTimeout, each doc emits exactly once). At 100 TB key by
+    * (lang, shard) exactly like t13 to bound per-key throughput;
+    * state size is 8 bytes per key regardless of history.
+    */
+  def packBinsStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      budget: Long = 512L
+  ): Dataset[PackedDoc] = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "lang", "n_tokens").as[DocTokens]
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (lang, it, state: GroupState[PackState]) =>
+        var cum = state.getOption.map(_.cum).getOrElse(0L)
+        val out = it.toSeq.sortBy(_.doc_id).map { d =>
+          val bin = cum / budget
+          cum += d.n_tokens
+          PackedDoc(d.doc_id, lang, d.n_tokens, bin)
+        }
+        state.update(PackState(cum))
+        out.iterator
+      }
+  }
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

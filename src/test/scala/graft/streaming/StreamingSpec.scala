@@ -118,4 +118,28 @@ class StreamingSpec extends SparkTestBase {
     // near-dups exist in the corpus, so the check must actually fire
     assert(streamed.count() > 0)
   }
+
+  test("ST7: streaming bin packing equals batch packBins under id-ordered delivery") {
+    val counted = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("n_tokens"))
+      .cache()
+    // two micro-batches split by doc_id: delivery order == pack order
+    val cut = counted.agg(expr("percentile(CAST(doc_id AS DOUBLE), 0.5)")).head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-pack").toString
+    counted.filter(col("doc_id") <= cut).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    counted.filter(col("doc_id") > cut).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(counted.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val q = Streams.packBinsStream(spark, stream, budget = 512L)
+      .writeStream.format("memory").queryName("st7").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st7").select("doc_id", "lang", "n_tokens", "bin_id")
+    assert(streamed.count() == counted.count()) // every doc emitted exactly once
+    val batch = graft.operators.Ops
+      .packBins(counted, "n_tokens", Seq("lang"), "doc_id", budget = 512)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"))
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
 }
