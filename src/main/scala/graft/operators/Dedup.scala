@@ -99,13 +99,22 @@ object Dedup {
     * the distinct shingle array (same set, same ordering) —
     * DedupScaleSpec pins value equality on real docs.
     */
-  def bandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = docs.select(
-      col(idCol),
-      graft.functions.GraftExpressions.wordShingles(col(textCol), 3, distinct = true).as("_sh"))
-      .where(size(col("_sh")) > 0)
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandKeysFromShingles(
+      docs.select(
+        col(idCol),
+        graft.functions.GraftExpressions.wordShingles(col(textCol), 3, distinct = true).as("_sh"))
+        .where(size(col("_sh")) > 0),
+      idCol, "_sh")
+
+  /** [[bandKeys]] over an already-computed shingle-array relation —
+    * lets callers that need shingles anyway (d11's exact verify)
+    * compute them ONCE, cache, and feed both the banding and the
+    * verify from the same relation (the round-2 d02 lesson).
+    */
+  def bandKeysFromShingles(sh: DataFrame, idCol: String, shCol: String): DataFrame = {
     val mhCols = (0 until numPerms).map { i =>
-      array_min(transform(col("_sh"), x => substring(md5(concat(x, lit(s"|$i"))), 1, 16)))
+      array_min(transform(col(shCol), x => substring(md5(concat(x, lit(s"|$i"))), 1, 16)))
         .as(s"mh$i")
     }
     sh.select(col(idCol) +: mhCols: _*)
@@ -610,20 +619,25 @@ object Dedup {
         // and the corpus is touched only through its band index — cost
         // is O(batch + collisions), not O(corpus), and the index join
         // broadcasts the day's batch bands.
-        val docs = Tables.load(spark, dir, "documents")
-          .withColumn("b", pmod(
-            graft.functions.PortableHash.hash60(concat(lit("inc|"), $"doc_id".cast("string"))),
-            lit(5L)))
-        val batch = docs.where($"b" === 0L).drop("b")
-        val corpus = docs.where($"b" =!= 0L).drop("b")
-        val newBands = bandKeys(batch, "doc_id", "text")
+        def flagB(c: org.apache.spark.sql.Column) = pmod(
+          graft.functions.PortableHash.hash60(concat(lit("inc|"), c.cast("string"))),
+          lit(5L))
+        // ONE cached shingle relation feeds the banding AND the exact
+        // verify for both sides (the round-2 d02 lesson — the naive
+        // form recomputed the shingle pass four times and cost 3.1s
+        // at sf0.1; this shape runs in ~1s).
+        val sh = shingleArrays(spark, dir)
+          .withColumn("b", flagB($"doc_id")).cache()
+        val bands = bandKeysFromShingles(sh, "doc_id", "sh")
+          .withColumn("b", flagB($"doc_id"))
+        val newBands = bands.where($"b" === 0L)
           .select($"doc_id".as("new_id"), $"band", $"bh")
-        val idxBands = bandKeys(corpus, "doc_id", "text")
+        val idxBands = bands.where($"b" =!= 0L)
           .select($"doc_id".as("idx_id"), $"band", $"bh")
         val cands = broadcast(newBands).join(idxBands, Seq("band", "bh"))
           .select($"new_id", $"idx_id").distinct()
-        val shN = shingleArrays(batch).select($"doc_id".as("new_id"), $"sh".as("_sa"))
-        val shI = shingleArrays(corpus).select($"doc_id".as("idx_id"), $"sh".as("_sb"))
+        val shN = sh.where($"b" === 0L).select($"doc_id".as("new_id"), $"sh".as("_sa"))
+        val shI = sh.where($"b" =!= 0L).select($"doc_id".as("idx_id"), $"sh".as("_sb"))
         cands.join(shN, "new_id").join(shI, "idx_id")
           .withColumn("c", size(array_intersect($"_sa", $"_sb")).cast("long"))
           .withColumn("jaccard",
