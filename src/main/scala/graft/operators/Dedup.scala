@@ -628,8 +628,10 @@ object Dedup {
         // at sf0.1; this shape runs in ~1s).
         val sh = shingleArrays(spark, dir)
           .withColumn("b", flagB($"doc_id")).cache()
+        // bands cached too: its 16 md5 minhash transforms are d11's
+        // dominant cost and both split branches scan the same relation
         val bands = bandKeysFromShingles(sh, "doc_id", "sh")
-          .withColumn("b", flagB($"doc_id"))
+          .withColumn("b", flagB($"doc_id")).cache()
         val newBands = bands.where($"b" === 0L)
           .select($"doc_id".as("new_id"), $"band", $"bh")
         val idxBands = bands.where($"b" =!= 0L)
