@@ -504,6 +504,61 @@ object TextAnalysis {
           ROUND(CAST(SUM(CASE WHEN r.wrank > 20 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS rare_frac
         FROM tok t JOIN ranked r ON r.w = t.w
         GROUP BY t.doc_id ORDER BY t.doc_id""")
+    ),
+
+    Q(
+      "t15_mix_weights",
+      "Training-mix reweighting: per-language sampling weights toward a uniform token target",
+      (spark, dir) => {
+        import spark.implicits._
+        // The pretraining-mix operator (DoReMi-style shape with a
+        // fixed uniform target): per-language token shares → sampling
+        // weight = target/actual, capped (so rare languages aren't
+        // oversampled into repetition), then renormalized into the
+        // final resample distribution. The corpus-sized side is ONE
+        // keyed agg; everything after runs on the language dictionary.
+        // The single FP hazard — the renormalizer is a sum of doubles
+        // — is computed as an ORDERED left fold over the lang-sorted
+        // list in both engines, so partial-agg order can't drift.
+        val byLang = Tables.load(spark, dir, "documents")
+          .select($"lang", size(expr(sparkWords)).cast("long").as("n"))
+          .groupBy($"lang").agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+        val tot = byLang.agg(sum($"n_tokens").as("tot"), count(lit(1)).as("n_langs"))
+        val w = byLang.crossJoin(broadcast(tot))
+          .withColumn("actual_share", $"n_tokens".cast("double") / $"tot")
+          .withColumn("raw_weight",
+            (lit(1.0) / $"n_langs") / ($"n_tokens".cast("double") / $"tot"))
+          .withColumn("capped_weight", least($"raw_weight", lit(3.0)))
+          .withColumn("cw_a", $"capped_weight" * $"actual_share")
+        val z = w
+          .agg(sort_array(collect_list(struct($"lang", $"cw_a"))).as("l"))
+          .select(expr(
+            "aggregate(l, CAST(0 AS DOUBLE), (acc, x) -> acc + x.cw_a)").as("z"))
+        w.crossJoin(broadcast(z))
+          .select($"lang", $"n_docs", $"n_tokens",
+            round($"actual_share", 6).as("actual_share"),
+            round($"raw_weight", 6).as("raw_weight"),
+            round($"capped_weight", 6).as("capped_weight"),
+            round($"cw_a" / $"z", 6).as("resample_share"))
+          .orderBy($"lang")
+      },
+      Some(s"""WITH tok AS (SELECT lang, CAST(len($duckWords) AS BIGINT) AS n FROM documents),
+        bylang AS (SELECT lang, COUNT(*) AS n_docs, SUM(n) AS n_tokens FROM tok GROUP BY lang),
+        tot AS (SELECT SUM(n_tokens) AS tot, COUNT(*) AS n_langs FROM bylang),
+        w AS (SELECT lang, n_docs, n_tokens,
+            CAST(n_tokens AS DOUBLE) / tot AS actual_share,
+            (1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / tot) AS raw_weight,
+            LEAST((1.0 / n_langs) / (CAST(n_tokens AS DOUBLE) / tot), 3.0) AS capped_weight
+          FROM bylang, tot),
+        w2 AS (SELECT *, capped_weight * actual_share AS cw_a FROM w),
+        z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cw_a ORDER BY lang)),
+            (acc, x) -> acc + x) AS z FROM w2)
+        SELECT lang, n_docs, n_tokens,
+          ROUND(actual_share, 6) AS actual_share,
+          ROUND(raw_weight, 6) AS raw_weight,
+          ROUND(capped_weight, 6) AS capped_weight,
+          ROUND(cw_a / z, 6) AS resample_share
+        FROM w2, z ORDER BY lang""")
     )
   )
 }

@@ -266,4 +266,18 @@ class OpsSpec extends SparkTestBase {
     assert(s(1) <= s(0) && s(2) <= s(1), s"SSE increased across iterations: $s")
     spark.catalog.clearCache()
   }
+
+  test("kmeansAssign is partitioning-invariant (integer-sum centroid updates)") {
+    import org.apache.spark.sql.functions._
+    // The design claim behind the integer-scaled sums: the result may
+    // not depend on how the data is partitioned (FP means would).
+    val e = graft.tables.Tables.load(spark, sfDir, "embeddings")
+    def runOn(df: org.apache.spark.sql.DataFrame) =
+      Ops.kmeansAssign(df, "vec_id", "embedding", k = 8, iters = 2)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val base = runOn(e)
+    val repart = runOn(e.repartition(7, col("label")))
+    assert(base == repart)
+    spark.catalog.clearCache()
+  }
 }

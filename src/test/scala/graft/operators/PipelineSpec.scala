@@ -378,6 +378,29 @@ class PipelineSpec extends SparkTestBase {
     assert(sides.filter(!col("bn") || col("bi")).count() == 0)
   }
 
+  test("t15 mix weights: shares sum to 1, cap respected, resampling flattens the mix") {
+    val df = q("t15_mix_weights").cache()
+    val rows = df.collect()
+    assert(rows.length > 1)
+    def sumCol(c: String) = rows.map(_.getAs[Double](c)).sum
+    assert(math.abs(sumCol("actual_share") - 1.0) < 1e-4)
+    assert(math.abs(sumCol("resample_share") - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("capped_weight") <= 3.0 + 1e-9)
+      assert(r.getAs[Double]("capped_weight") <= r.getAs[Double]("raw_weight") + 1e-9)
+    }
+    // resampling moves every lang's share toward the uniform target:
+    // max share shrinks, min share grows (weak Pareto check)
+    val n = rows.length.toDouble
+    val maxActual = rows.map(_.getAs[Double]("actual_share")).max
+    val maxResample = rows.map(_.getAs[Double]("resample_share")).max
+    val minActual = rows.map(_.getAs[Double]("actual_share")).min
+    val minResample = rows.map(_.getAs[Double]("resample_share")).min
+    assert(maxResample <= maxActual + 1e-9)
+    assert(minResample >= minActual - 1e-9)
+    assert(math.abs(maxResample - 1.0 / n) <= math.abs(maxActual - 1.0 / n) + 1e-9)
+  }
+
   test("t14 frequency ranks: token conservation, bounded scores, rank-1 word is the corpus max") {
     val df = q("t14_freq_rank_score").cache()
     val docs = graft.tables.Tables.load(spark, sfDir, "documents")
