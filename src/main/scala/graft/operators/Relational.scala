@@ -1366,6 +1366,78 @@ object Relational {
           (MAX(a) - MIN(a) + 1) * (MAX(b) - MIN(b) + 1) AS box_area
         FROM zc GROUP BY cell ORDER BY cell"""
       }
+    ),
+
+    Q(
+      "q50_relational_division",
+      "Relational division: customers whose orders cover EVERY priority class",
+      (spark, dir) => {
+        import spark.implicits._
+        // Division ("for all") via the count trick: a customer covers
+        // the divisor set iff its distinct-priority count equals the
+        // global distinct count — two aggregations that share one
+        // custkey partitioning plus a broadcast of a 1-row frame. The
+        // textbook anti-join-of-cross-product formulation would
+        // materialize |customers| x |divisor| rows; this never builds
+        // the cross product, so it survives any divisor size.
+        val o = t(spark, dir, "orders")
+        val tot = o.agg(countDistinct($"o_orderpriority").as("np"))
+        o.groupBy($"o_custkey")
+          .agg(countDistinct($"o_orderpriority").as("nc"),
+            count(lit(1)).as("n_orders"))
+          .crossJoin(broadcast(tot))
+          .where($"nc" === $"np")
+          .select($"o_custkey", $"n_orders")
+          .orderBy($"o_custkey")
+      },
+      Some("""WITH tot AS (SELECT COUNT(DISTINCT o_orderpriority) AS np FROM orders),
+        per AS (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nc, COUNT(*) AS n_orders
+          FROM orders GROUP BY o_custkey)
+        SELECT o_custkey, n_orders FROM per, tot WHERE nc = np
+        ORDER BY o_custkey""")
+    ),
+
+    Q(
+      "q51_ratio_to_report",
+      "Ratio-to-report: each nation's share of its region's revenue (unordered partition window)",
+      (spark, dir) => {
+        import spark.implicits._
+        // The BI share-of-total shape: aggregate to (region, nation)
+        // grain FIRST, then a whole-partition window (no ORDER BY —
+        // every row is a peer) computes the region total without a
+        // second scan or a join back. Window input is the aggregate
+        // (one row per nation), so the single-partition-per-region
+        // state is trivially bounded; revenue stays DECIMAL through
+        // the window and divides once at the end.
+        val rev = t(spark, dir, "customer")
+          .join(t(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
+          .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t(spark, dir, "region")), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", $"n_name")
+          .agg(sum(dec2($"o_totalprice")).as("rev"))
+        val w = Window.partitionBy($"r_name")
+        rev
+          .withColumn("region_rev", sum($"rev").over(w))
+          .select($"r_name", $"n_name",
+            $"rev".cast("double").as("revenue"),
+            $"region_rev".cast("double").as("region_revenue"),
+            round($"rev".cast("double") / $"region_rev".cast("double"), 6).as("share"))
+          .orderBy($"r_name", $"n_name")
+      },
+      Some("""WITH rev AS (SELECT r.r_name, n.n_name,
+          SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name),
+      win AS (SELECT r_name, n_name, rev,
+          SUM(rev) OVER (PARTITION BY r_name) AS region_rev FROM rev)
+      SELECT r_name, n_name,
+        CAST(rev AS DOUBLE) AS revenue,
+        CAST(region_rev AS DOUBLE) AS region_revenue,
+        ROUND(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE), 6) AS share
+      FROM win ORDER BY r_name, n_name""")
     )
   )
 }

@@ -234,4 +234,35 @@ class RelationalSpec extends SparkTestBase {
       .head().getDecimal(0).doubleValue()
     assert(math.abs(filled - direct) < 1e-6)
   }
+
+  test("q50 division returns exactly the customers covering every priority") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q50_relational_division").get
+      .build(spark, sfDir).cache()
+    val o = graft.tables.Tables.load(spark, sfDir, "orders")
+    val np = o.agg(countDistinct(col("o_orderpriority"))).head().getLong(0)
+    val truth = o.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("nc"))
+      .filter(col("nc") === np).select("o_custkey")
+    assert(df.select("o_custkey").except(truth).count() == 0)
+    assert(truth.except(df.select("o_custkey")).count() == 0)
+  }
+
+  test("q51 shares sum to 1 within every region; totals consistent") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q51_ratio_to_report").get
+      .build(spark, sfDir).cache()
+    df.groupBy("r_name").agg(sum("share").as("s")).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-4, s"region shares: $r")
+    }
+    // region_revenue equals the sum of its nations' revenues
+    val chk = df.groupBy("r_name")
+      .agg(sum("revenue").as("s"), max("region_revenue").as("t"),
+        min("region_revenue").as("t2"))
+      .collect()
+    chk.foreach { r =>
+      assert(math.abs(r.getAs[Double]("s") - r.getAs[Double]("t")) < 1e-4)
+      assert(r.getAs[Double]("t") == r.getAs[Double]("t2"))
+    }
+  }
 }
