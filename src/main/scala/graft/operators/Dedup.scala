@@ -686,6 +686,42 @@ object Dedup {
         WHERE CAST(p.c AS DOUBLE) / (sa.n + si.n - p.c) >= 0.4
         ORDER BY cd.new_id, cd.idx_id"""
       }
+    ),
+
+    Q(
+      "d12_canonical_selection",
+      "Canonical-doc selection per dup cluster: keep the longest (lowest-id tiebreak), list the drops",
+      (spark, dir) => {
+        import spark.implicits._
+        // The last step of a dedup pipeline — turning clusters into an
+        // actionable keep/drop list. Keeper per cluster = argmax
+        // (n_chars, -doc_id), computed as min(struct(-n_chars,
+        // doc_id)): the map-side-combinable aggregation shape (the
+        // s04/SCALING.md rule), not a per-cluster sort. One broadcast
+        // of the (cluster, keeper) frame joins the verdict back.
+        val cl = clusterQuery(spark, dir, algo = "minlabel")
+        val meta = Tables.load(spark, dir, "documents").select($"doc_id", $"n_chars")
+        val j = cl.join(meta, "doc_id")
+        val keep = j.groupBy($"cluster_id")
+          .agg(min(struct((-$"n_chars").as("negc"), $"doc_id".as("kid"))).as("_k"))
+          .select($"cluster_id", $"_k.kid".as("keep_id"))
+        j.join(broadcast(keep), "cluster_id")
+          .select($"doc_id", $"cluster_id", $"n_members", $"keep_id",
+            ($"doc_id" =!= $"keep_id").as("to_drop"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""$d06OracleCtes,
+        meta AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+          FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+        keep AS (SELECT cluster_id, doc_id AS keep_id,
+            ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY n_chars DESC, doc_id ASC) AS rk
+          FROM meta)
+        SELECT m.doc_id, m.cluster_id,
+          CAST(COUNT(*) OVER (PARTITION BY m.cluster_id) AS BIGINT) AS n_members,
+          k.keep_id, m.doc_id <> k.keep_id AS to_drop
+        FROM meta m JOIN keep k ON k.cluster_id = m.cluster_id AND k.rk = 1
+        ORDER BY m.doc_id""")
     )
   )
 
@@ -717,7 +753,10 @@ object Dedup {
     * algorithms must produce identical clusters). Lazy: declared
     * after `all`, which captures it during object init.
     */
-  private lazy val d06OracleSql: String = {
+  /** CTE prefix (through `cl`: doc_id → cluster_id) shared by the
+    * d06/d08 cluster oracles and d12's canonical selection.
+    */
+  private lazy val d06OracleCtes: String = {
     val ctes = sqlShingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$ctes,
         sizes AS (SELECT doc_id, len(s) AS n FROM sh),
@@ -736,9 +775,12 @@ object Dedup {
           SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
         cl AS (SELECT n.src AS doc_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
           FROM (SELECT DISTINCT src FROM sym) n
-          LEFT JOIN reach r ON r.src = n.src GROUP BY n.src)
+          LEFT JOIN reach r ON r.src = n.src GROUP BY n.src)"""
+  }
+
+  private lazy val d06OracleSql: String =
+    s"""$d06OracleCtes
         SELECT doc_id, cluster_id,
           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
         FROM cl ORDER BY doc_id"""
-  }
 }

@@ -100,6 +100,52 @@ object Embeddings {
           ROUND(($projSq) / 16.0 / nsq, 6) AS norm_ratio
         FROM pr WHERE nsq > 0 ORDER BY vec_id"""
       }
+    ),
+
+    Q(
+      "e03_norm_outliers",
+      "Embedding data-quality check: per-label squared-norm outliers (exact integer norms)",
+      (spark, dir) => {
+        import spark.implicits._
+        // Broken embeddings (truncated, zeroed, double-scaled) show up
+        // as norm outliers within their label. Norms are EXACT: each
+        // vector quantizes to micro-scaled BIGINTs once and the
+        // squared norm is an integer fold, so the per-label mean is an
+        // exact integer sum with one double division (the s05
+        // machinery) — partial-agg order can't drift and DuckDB
+        // reproduces every value. The outlier flag compares UNROUNDED
+        // values (the d07 lesson): |norm2q - mean| > 0.5 * mean. One
+        // keyed agg + a broadcast join back; per-row otherwise.
+        val nq = Tables.load(spark, dir, "embeddings")
+          .select($"vec_id", $"label",
+            expr("aggregate(transform(embedding, " +
+              "v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").as("norm2q"))
+        val stats = nq.groupBy($"label")
+          .agg(count(lit(1)).as("n"), sum($"norm2q").as("s"))
+          .withColumn("label_mean", $"s".cast("double") / $"n")
+        nq.join(broadcast(stats.select($"label", $"label_mean")), "label")
+          .select($"vec_id", $"label", $"norm2q",
+            round($"label_mean", 6).as("label_mean"),
+            round(abs($"norm2q".cast("double") - $"label_mean") / $"label_mean", 6)
+              .as("rel_dev"),
+            (abs($"norm2q".cast("double") - $"label_mean") > $"label_mean" * 0.5)
+              .as("is_outlier"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH nq AS (SELECT vec_id, label,
+          CAST(list_aggregate(list_transform(
+            list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)),
+            x -> x * x), 'sum') AS BIGINT) AS norm2q
+          FROM embeddings),
+        stats AS (SELECT label, CAST(SUM(norm2q) AS DOUBLE) / COUNT(*) AS label_mean
+          FROM nq GROUP BY label)
+        SELECT n.vec_id, n.label, n.norm2q,
+          ROUND(s.label_mean, 6) AS label_mean,
+          ROUND(abs(CAST(n.norm2q AS DOUBLE) - s.label_mean) / s.label_mean, 6) AS rel_dev,
+          abs(CAST(n.norm2q AS DOUBLE) - s.label_mean) > s.label_mean * 0.5 AS is_outlier
+        FROM nq n JOIN stats s ON s.label = n.label
+        ORDER BY n.vec_id""")
     )
   )
 }

@@ -378,6 +378,40 @@ class PipelineSpec extends SparkTestBase {
     assert(sides.filter(!col("bn") || col("bi")).count() == 0)
   }
 
+  test("d12 canonical selection: one keeper per cluster, keeper is the longest member") {
+    val df = q("d12_canonical_selection").cache()
+    // exactly one non-dropped member per cluster, and it's the keep_id
+    val keepers = df.filter(!col("to_drop"))
+    assert(keepers.groupBy("cluster_id").count().filter(col("count") =!= 1).count() == 0)
+    assert(keepers.filter(col("doc_id") =!= col("keep_id")).count() == 0)
+    // keeper length >= every member's length (longest-doc policy)
+    val meta = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val withLen = df.join(meta, "doc_id")
+      .join(meta.select(col("doc_id").as("keep_id"), col("n_chars").as("keep_chars")), "keep_id")
+    assert(withLen.filter(col("n_chars") > col("keep_chars")).count() == 0)
+    // drops per cluster = members - 1
+    val agg = df.groupBy("cluster_id")
+      .agg(max("n_members").as("m"), sum(col("to_drop").cast("long")).as("d"))
+    assert(agg.filter(col("d") =!= col("m") - 1).count() == 0)
+  }
+
+  test("e03 norm outliers: flag consistent with recomputed relative deviation") {
+    val df = q("e03_norm_outliers").cache()
+    val e = graft.tables.Tables.load(spark, sfDir, "embeddings")
+    assert(df.count() == e.count())
+    // per label, mean of norm2q must equal label_mean (to rounding)
+    val recomputed = df.groupBy("label")
+      .agg((sum(col("norm2q")).cast("double") / count(lit(1))).as("m2"))
+    assert(df.join(recomputed, "label")
+      .filter(abs(col("label_mean") - round(col("m2"), 6)) > 0).count() == 0)
+    // flag == (unrounded deviation > 0.5 * mean), recomputed from components
+    val bad = df.join(recomputed, "label")
+      .filter(col("is_outlier") =!=
+        (abs(col("norm2q").cast("double") - col("m2")) > col("m2") * 0.5))
+    assert(bad.count() == 0)
+  }
+
   test("t15 mix weights: shares sum to 1, cap respected, resampling flattens the mix") {
     val df = q("t15_mix_weights").cache()
     val rows = df.collect()
