@@ -97,9 +97,54 @@ object DataPipeline {
     val kept20 = wkf.run("docs.packed", "pct" -> 20).asInstanceOf[DataFrame].count()
     println(s"packed_rows_at_20pct=$kept20")
     // near-dup pass over the deduped corpus via the capped 100TB path
-    val nearDups = Dedup.ngramJaccardAtScale(
-      wkf.run("docs.dedup").asInstanceOf[DataFrame], 0.4, 1000).count()
-    println(s"near_dup_pairs=$nearDups")
+    val deduped = wkf.run("docs.dedup").asInstanceOf[DataFrame].cache()
+    val pairs = Dedup.ngramJaccardAtScale(deduped, 0.4, 1000)
+      .select(col("id_a"), col("id_b")).cache()
+    println(s"near_dup_pairs=${pairs.count()}")
+
+    // cluster the near-dup pairs and emit the actionable drop list
+    // (d12's shape: keeper = longest member, lowest id on ties)
+    val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
+      idOut = "doc_id", labelOut = "cluster_id")
+    val keep = labels.join(deduped.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("n_chars")).as("negc"), col("doc_id").as("kid"))).as("_k"))
+      .select(col("cluster_id"), col("_k.kid").as("keep_id"))
+    val drops = labels.join(broadcast(keep), "cluster_id")
+      .where(col("doc_id") =!= col("keep_id")).count()
+    println(s"drop_list=$drops")
+
+    // training-mix reweighting toward a uniform per-lang token target
+    // (t15's shape, printed as lang:resample_share)
+    val byLang = deduped
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = byLang.agg(sum(col("n_tokens")).as("tot"), count(lit(1)).as("nl"))
+    val mixed = byLang.crossJoin(broadcast(tot))
+      .withColumn("w", least(
+        (lit(1.0) / col("nl")) / (col("n_tokens").cast("double") / col("tot")), lit(3.0)))
+      .withColumn("cw_a", col("w") * col("n_tokens").cast("double") / col("tot"))
+    val z = mixed.agg(sum(col("cw_a")).as("z"))
+    val mixOut = mixed.crossJoin(broadcast(z))
+      .select(col("lang"), round(col("cw_a") / col("z"), 3).as("share"))
+      .orderBy(col("lang")).collect()
+      .map(r => s"${r.getString(0)}:${r.getDouble(1)}").mkString(",")
+    println(s"mix_weights=$mixOut")
+
+    // Z-order layout of the curated corpus: interleave (lang-bucket,
+    // length-bucket) so scans filtered on EITHER dimension prune files
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Ops.zorderLayout(
+      deduped
+        .withColumn("lang_b", pmod(PortableHash.hash60(col("lang")), lit(32L)))
+        .withColumn("len_b", (col("n_chars") / lit(50)).cast("long")),
+      "lang_b", "len_b", bits = 6, numFiles = 8)
+      .write.mode("overwrite").parquet(zdir)
+    val boxes = spark.read.parquet(zdir)
+      .groupBy(input_file_name()).agg(min(col("len_b")).as("lo"), max(col("len_b")).as("hi"))
+      .collect()
+    val hit = boxes.count(r => r.getAs[Long]("lo") <= 2) // predicate: len_b <= 2
+    println(s"zorder_files_hit=$hit/${boxes.length}")
 
     // multimodal leg: raw image files on disk → binaryFile source (S4)
     // → structural header decode — the on-disk ingest path end to end
