@@ -559,6 +559,54 @@ object TextAnalysis {
           ROUND(capped_weight, 6) AS capped_weight,
           ROUND(cw_a / z, 6) AS resample_share
         FROM w2, z ORDER BY lang""")
+    ),
+
+    Q(
+      "t16_bigram_lm",
+      "Count-based bigram LM table: top-3 continuations per word with exact probabilities",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // The "train a tiny LM" step count-based quality filters rely
+        // on (fasttext/KenLM-shaped, transcendental-free): corpus
+        // bigram counts → conditional probability = bigram count over
+        // the word's continuation total (ONE exact division) → top-3
+        // continuations per word. Bigram extraction is the codegen
+        // WordShingles pass with distinct=false (all occurrences,
+        // in order) — zero shuffle until the bigram-keyed count; the
+        // window runs on the aggregated bigram table (vocabulary²
+        // scale at worst, dictionary-sized in practice, never the
+        // corpus).
+        val bi = Tables.load(spark, dir, "documents")
+          .select(explode(
+            graft.functions.GraftExpressions.wordShingles($"text", 2, distinct = false))
+            .as("bg"))
+          .select(split($"bg", " ").getItem(0).as("w1"),
+            split($"bg", " ").getItem(1).as("w2"))
+        val cnt = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt"))
+        val wTot = Window.partitionBy($"w1")
+        val wRank = Window.partitionBy($"w1").orderBy($"cnt".desc, $"w2".asc)
+        cnt
+          .withColumn("w1_total", sum($"cnt").over(wTot))
+          .withColumn("rk", row_number().over(wRank))
+          .where($"rk" <= 3)
+          .select($"w1", $"w2", $"cnt",
+            round($"cnt".cast("double") / $"w1_total", 6).as("p"),
+            $"rk".cast("int").as("rk"))
+          .orderBy($"w1", $"rk")
+      },
+      Some(s"""WITH w AS (SELECT $duckWords AS wd FROM documents),
+        bi AS (SELECT wd[i] AS w1, wd[i + 1] AS w2
+          FROM w, UNNEST(generate_series(1, len(wd) - 1)) AS t(i)
+          WHERE len(wd) >= 2),
+        cnt AS (SELECT w1, w2, COUNT(*) AS cnt FROM bi GROUP BY w1, w2),
+        r AS (SELECT w1, w2, cnt,
+          SUM(cnt) OVER (PARTITION BY w1) AS w1_total,
+          ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY cnt DESC, w2 ASC) AS rk
+          FROM cnt)
+        SELECT w1, w2, cnt, ROUND(CAST(cnt AS DOUBLE) / w1_total, 6) AS p,
+          CAST(rk AS INT) AS rk
+        FROM r WHERE rk <= 3 ORDER BY w1, rk""")
     )
   )
 }

@@ -435,6 +435,18 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(maxResample - 1.0 / n) <= math.abs(maxActual - 1.0 / n) + 1e-9)
   }
 
+  test("t16 bigram LM: probabilities bounded, top-3 per word, counts conserve bigrams") {
+    val df = q("t16_bigram_lm").cache()
+    assert(df.filter(col("p") <= 0.0 || col("p") > 1.0).count() == 0)
+    assert(df.groupBy("w1").count().filter(col("count") > 3).count() == 0)
+    // rank-1 continuation carries the max probability within its word
+    val r1 = df.filter(col("rk") === 1).select(col("w1"), col("p").as("p1"))
+    assert(df.join(r1, "w1").filter(col("p") > col("p1")).count() == 0)
+    // each word's kept probabilities are a sub-distribution (sum <= 1)
+    val sums = df.groupBy("w1").agg(sum("p").as("s"))
+    assert(sums.filter(col("s") > 1.0 + 1e-6).count() == 0)
+  }
+
   test("t14 frequency ranks: token conservation, bounded scores, rank-1 word is the corpus max") {
     val df = q("t14_freq_rank_score").cache()
     val docs = graft.tables.Tables.load(spark, sfDir, "documents")
