@@ -1197,43 +1197,51 @@ object Relational {
         import spark.implicits._
         // Native median()/mode() interpolate and tiebreak differently
         // across engines, so BOTH sides compose the same exact
-        // formulation: median = decimal sum of the middle one-or-two
-        // ranked rows over their count (one double division at the
-        // end), mode = row_number over (count DESC, value ASC). Two
-        // passes over the fact, each a single groupBy/window exchange
-        // on the group key — no sort of the full table on one node.
+        // formulation — and the formulation is the HISTOGRAM method,
+        // not a full-table rank: a row_number over the fact would
+        // window-partition 600k rows by a 3-value key (parallelism 3
+        // at any scale — a guaranteed straggler at 100 TB). Instead
+        // ONE map-side-combinable groupBy collapses the fact to a
+        // (flag, qty) histogram (~150 rows here; bounded by value
+        // cardinality); the median is the value whose cumulative
+        // count straddles the middle position, found by windows over
+        // the histogram. Mode falls out of the same histogram.
         val li = t(spark, dir, "lineitem")
           .select($"l_returnflag".as("flag"), $"l_quantity".as("qty"))
-        val wOrd = Window.partitionBy($"flag").orderBy($"qty")
+        val cnts = li.groupBy($"flag", $"qty").agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy($"flag").orderBy($"qty")
+          .rowsBetween(Window.unboundedPreceding, 0)
         val wAll = Window.partitionBy($"flag")
-        val ranked = li
-          .withColumn("rn", row_number().over(wOrd).cast("long"))
-          .withColumn("n", count(lit(1)).over(wAll))
-        val med = ranked
-          .where($"rn" === floor(($"n" + 1) / 2) || $"rn" === floor(($"n" + 2) / 2))
-          .groupBy($"flag")
-          .agg(
-            (sum($"qty".cast(DecimalType(14, 2))).cast("double") / count(lit(1)))
-              .as("median_qty"),
-            max($"n").as("n_rows"))
+        val c2 = cnts
+          .withColumn("cum", sum($"cnt").over(wCum))
+          .withColumn("n", sum($"cnt").over(wAll))
+        def straddles(pos: Column) = $"cum" >= pos && $"cum" - $"cnt" < pos
+        val qlo = c2.where(straddles(floor(($"n" + 1) / 2)))
+          .select($"flag", $"qty".as("q_lo"), $"n".as("n_rows"))
+        val qhi = c2.where(straddles(floor(($"n" + 2) / 2)))
+          .select($"flag", $"qty".as("q_hi"))
+        val med = qlo.join(qhi, "flag")
+          .withColumn("median_qty", ($"q_lo" + $"q_hi") / 2)
         val wMode = Window.partitionBy($"flag").orderBy($"cnt".desc, $"qty".asc)
-        val mode = li.groupBy($"flag", $"qty").agg(count(lit(1)).as("cnt"))
+        val mode = cnts
           .withColumn("mr", row_number().over(wMode)).where($"mr" === 1)
           .select($"flag", $"qty".as("mode_qty"), $"cnt".as("mode_cnt"))
         med.join(mode, "flag")
           .select($"flag", $"n_rows", $"median_qty", $"mode_qty", $"mode_cnt")
           .orderBy($"flag")
       },
-      Some("""WITH ranked AS (SELECT l_returnflag AS flag, l_quantity AS qty,
-          CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS BIGINT) AS rn,
-          COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem),
-        med AS (SELECT flag,
-          CAST(SUM(CAST(qty AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS median_qty,
-          MAX(n) AS n_rows
-          FROM ranked
-          WHERE rn = FLOOR((n + 1) / 2) OR rn = FLOOR((n + 2) / 2) GROUP BY flag),
-        cnts AS (SELECT l_returnflag AS flag, l_quantity AS qty, COUNT(*) AS cnt
+      Some("""WITH cnts AS (SELECT l_returnflag AS flag, l_quantity AS qty, COUNT(*) AS cnt
           FROM lineitem GROUP BY 1, 2),
+        c2 AS (SELECT flag, qty, cnt,
+          SUM(cnt) OVER (PARTITION BY flag ORDER BY qty
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(cnt) OVER (PARTITION BY flag) AS n FROM cnts),
+        qlo AS (SELECT flag, qty AS q_lo, n AS n_rows FROM c2
+          WHERE cum >= FLOOR((n + 1) / 2) AND cum - cnt < FLOOR((n + 1) / 2)),
+        qhi AS (SELECT flag, qty AS q_hi FROM c2
+          WHERE cum >= FLOOR((n + 2) / 2) AND cum - cnt < FLOOR((n + 2) / 2)),
+        med AS (SELECT l.flag, l.n_rows, (l.q_lo + h.q_hi) / 2 AS median_qty
+          FROM qlo l JOIN qhi h ON h.flag = l.flag),
         modes AS (SELECT flag, qty AS mode_qty, cnt AS mode_cnt,
           ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, qty ASC) AS mr FROM cnts)
         SELECT m.flag AS flag, m.n_rows, m.median_qty, o.mode_qty, o.mode_cnt
