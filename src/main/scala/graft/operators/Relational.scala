@@ -772,6 +772,16 @@ object Relational {
       "Distribution window functions: ntile / percent_rank / cume_dist",
       (spark, dir) => {
         import spark.implicits._
+        // Scale note: this partitions by a 5-value key, so each
+        // segment sorts on one task. Unlike q46 (which collapsed to a
+        // histogram), the per-row output resists that fully: ntile
+        // needs every row's total position. The 100 TB decomposition
+        // is hybrid — percent_rank/cume_dist from a (segment,
+        // acctbal) histogram cum-count joined back (rank(x) = #{y<x},
+        // tie-exact), ntile via range-partitioned sort +
+        // per-partition offset (Spark's global-orderBy machinery).
+        // Kept as the native window here: customer is dim-scale and
+        // the composed form is the documented escape hatch.
         val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
         t(spark, dir, "customer")
           .select(
