@@ -1456,6 +1456,40 @@ object Relational {
         CAST(region_rev AS DOUBLE) AS region_revenue,
         ROUND(CAST(rev AS DOUBLE) / CAST(region_rev AS DOUBLE), 6) AS share
       FROM win ORDER BY r_name, n_name""")
+    ),
+
+    Q(
+      "q52_ewma",
+      "Exponential smoothing per key: zero-seeded EWMA (alpha=0.25) over time-ordered values",
+      (spark, dir) => {
+        import spark.implicits._
+        // Exponential smoothing is inherently sequential, so it's
+        // computed as an ORDERED left fold over each key's
+        // (ts, event_id)-sorted values — the t15 renormalizer trick at
+        // per-key scale, which also makes it cross-engine exact
+        // (alpha = 0.25 is a binary-exact fraction; both engines
+        // perform the identical multiply-add chain). One groupBy
+        // shuffle; per-key state is that key's event list — the same
+        // bound a streaming mapGroups EWMA carries. Zero-seeded
+        // (acc starts at 0) so the semantics need no first-element
+        // special case on either engine.
+        t(spark, dir, "events")
+          .groupBy($"user_id")
+          .agg(sort_array(collect_list(struct($"ts", $"event_id", $"value"))).as("l"))
+          .select($"user_id",
+            size($"l").cast("long").as("n_events"),
+            round(expr(
+              "aggregate(l, CAST(0 AS DOUBLE), (acc, e) -> acc * 0.75 + CAST(e.value AS DOUBLE) * 0.25)"
+            ), 6).as("ewma"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH l AS (SELECT user_id,
+          list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id)
+        SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+          ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+            (acc, x) -> acc * 0.75 + x * 0.25), 6) AS ewma
+        FROM l ORDER BY user_id""")
     )
   )
 }

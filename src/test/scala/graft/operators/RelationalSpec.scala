@@ -265,4 +265,22 @@ class RelationalSpec extends SparkTestBase {
       assert(r.getAs[Double]("t") == r.getAs[Double]("t2"))
     }
   }
+
+  test("q52 EWMA matches a driver-side sequential replay per user") {
+    import org.apache.spark.sql.functions._
+    val df = Relational.all.find(_.name == "q52_ewma").get.build(spark, sfDir).cache()
+    val truth = graft.tables.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val vs = rows.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2))).map(_.getDouble(3))
+        u -> vs.foldLeft(0.0)((acc, x) => acc * 0.75 + x * 0.25)
+      }
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (u, e) =>
+      assert(math.abs(e - truth(u)) < 1e-5, s"user $u: $e vs ${truth(u)}")
+    }
+  }
 }
