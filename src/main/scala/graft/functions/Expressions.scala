@@ -43,6 +43,12 @@ object GraftExpressions {
 
   /** Column API: embedded-BPE token count of a text column. */
   def bpeCount(text: Column): Column = column(BpeCount(expression(text)))
+
+  /** Column API: all minhash permutations of a shingle array in one
+    * pass (X8).
+    */
+  def minHashHex(shingles: Column, perms: Int): Column =
+    column(MinHashHex(expression(shingles), perms))
 }
 
 /** Word n-gram shingles of a text column in ONE pass over the UTF-8
@@ -281,4 +287,103 @@ case class SimHashAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(c: Expression): SimHashAgg =
     copy(child = c)
+}
+
+/** X8: every minhash permutation of a shingle array in ONE pass.
+  * Value-identical to the HOF chain
+  * `array_min(transform(sh, s -> substring(md5(concat(s, '|i')), 1, 16)))`
+  * repeated for i < perms — the derivation d02/d11/bandKeys (and the
+  * DuckDB oracles) define — but Spark's higher-order functions are
+  * CodegenFallback (an interpreted lambda per element), and the chain
+  * builds `perms` intermediate arrays per row. This computes all
+  * permutation minima in one traversal with no intermediates:
+  * lexicographic min of fixed-width lowercase hex equals unsigned
+  * byte order of the first 8 md5 bytes, so minima are tracked as raw
+  * bytes and hex-encoded once at the end. Returns null for an empty
+  * array (as array_min over an empty transform does).
+  */
+case class MinHashHex(child: Expression, perms: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashHex.compute(input.asInstanceOf[ArrayData], perms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = nullSafeCodeGen(ctx, ev, in =>
+      s"""${ev.value} = graft.functions.MinHashHex$$.MODULE$$.compute($in, $perms);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+    c
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashHex =
+    copy(child = c)
+}
+
+object MinHashHex {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  // "|i" suffix bytes per permutation, cached per perm count
+  private val suffixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def suffixes(perms: Int): Array[Array[Byte]] =
+    suffixCache.computeIfAbsent(perms,
+      p => Array.tabulate(p)(i => s"|$i".getBytes("UTF-8")))
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Static entry shared by eval and generated code. */
+  def compute(arr: ArrayData, perms: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = md5.get()
+    val sfx = suffixes(perms)
+    val mins = Array.fill(perms)(null: Array[Byte])
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j).getBytes
+      var i = 0
+      while (i < perms) {
+        md.reset()
+        md.update(s)
+        md.update(sfx(i))
+        val d = md.digest()
+        if (mins(i) == null || unsignedLess(d, mins(i))) mins(i) = d
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[AnyRef](perms)
+    var i = 0
+    while (i < perms) {
+      val m = mins(i)
+      val cs = new Array[Char](16)
+      var k = 0
+      while (k < 8) {
+        cs(2 * k) = HEX((m(k) >> 4) & 0xf)
+        cs(2 * k + 1) = HEX(m(k) & 0xf)
+        k += 1
+      }
+      out(i) = UTF8String.fromString(new String(cs))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var k = 0
+    while (k < 8) {
+      val x = a(k) & 0xff
+      val y = b(k) & 0xff
+      if (x != y) return x < y
+      k += 1
+    }
+    false
+  }
 }

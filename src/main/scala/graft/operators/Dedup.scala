@@ -113,22 +113,45 @@ object Dedup {
     * verify from the same relation (the round-2 d02 lesson).
     */
   def bandKeysFromShingles(sh: DataFrame, idCol: String, shCol: String): DataFrame = {
-    val mhCols = (0 until numPerms).map { i =>
-      array_min(transform(col(shCol), x => substring(md5(concat(x, lit(s"|$i"))), 1, 16)))
-        .as(s"mh$i")
-    }
-    sh.select(col(idCol) +: mhCols: _*)
+    // All 16 permutation minima in ONE codegen pass (X8 MinHashHex) —
+    // the HOF chain (array_min over transform) is CodegenFallback and
+    // traverses the shingle array 16 times with an interpreted lambda;
+    // value equality with that chain is spec-pinned (MinHashSpec).
+    sh.select(col(idCol),
+      graft.functions.GraftExpressions.minHashHex(col(shCol), numPerms).as("_mh"))
       .select(
         col(idCol),
         posexplode(
           array((0 until 4).map(bnd =>
-            md5(concat_ws("|", (bnd * 4 until bnd * 4 + 4).map(r => col(s"mh$r")): _*))
+            md5(concat_ws("|",
+              (bnd * 4 until bnd * 4 + 4).map(r => element_at(col("_mh"), r + 1)): _*))
           ): _*)
         ).as(Seq("band", "bh"))
       )
   }
 
-  private[operators] def minhashCandidates(posting: DataFrame): DataFrame = {
+  /** Candidate pairs from a (doc_id, sh) shingle-ARRAY relation: band
+    * keys via the one-pass MinHashHex derivation, equi-joined on
+    * (band, bh). Since the round-3 continuation this replaces the
+    * posting-groupBy signature path in d02/minhashLshAtScale — same
+    * values (min over exploded postings == array minimum), one fewer
+    * shuffle (no per-doc min aggregation), and the codegen pass
+    * instead of 16 interpreted HOF traversals.
+    */
+  private[operators] def minhashCandidates(sh: DataFrame): DataFrame = {
+    val bands = bandKeysFromShingles(sh, "doc_id", "sh")
+    val la = bands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+    val lb = bands.select(col("doc_id").as("id_b"), col("band"), col("bh"))
+    la.join(lb, Seq("band", "bh")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** The original posting-groupBy signature derivation, kept as the
+    * independent reference formulation for DedupScaleSpec's equality
+    * pin (min() aggregate over exploded postings, HOF-free but one
+    * extra shuffle).
+    */
+  private[operators] def minhashCandidatesPostingRef(posting: DataFrame): DataFrame = {
     val mhAggs = (0 until numPerms).map { i =>
       min(substring(md5(concat(col("s"), lit(s"|$i"))), 1, 16)).as(s"mh$i")
     }
@@ -161,8 +184,7 @@ object Dedup {
     */
   def minhashLshAtScale(docs: DataFrame, threshold: Double = 0.4): DataFrame = {
     val sh = shingleArrays(docs).cache()
-    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cands = minhashCandidates(posting).distinct()
+    val cands = minhashCandidates(sh).distinct()
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("_ta")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("_tb")), "id_b")
@@ -215,7 +237,7 @@ object Dedup {
         // uncached — that alone was most of its bench cost).
         val sh = shingleArrays(spark, dir).cache()
         val posting = sh.select($"doc_id", explode($"sh").as("s"))
-        val cands = minhashCandidates(posting).cache()
+        val cands = minhashCandidates(sh).cache()
         // exact verify on candidates only: restrict posting lists to
         // candidate docs (semi-join), count shared shingles per pair,
         // keep only LSH candidate pairs — no array payloads anywhere,

@@ -124,4 +124,26 @@ class ExtensionsSpec extends graft.SparkTestBase {
     val h = spark.sql("SELECT poly_hash(text) AS h FROM docs LIMIT 5").collect()
     assert(h.forall(x => x.getLong(0) >= 0 && x.getLong(0) < 1000000007L))
   }
+
+  test("MinHashHex == the 16x array_min(transform(md5)) HOF chain, all documents") {
+    import spark.implicits._
+    val sh = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        GraftExpressions.wordShingles($"text", 3, distinct = true).as("sh"))
+      .where(org.apache.spark.sql.functions.size($"sh") > 0)
+    val viaHof = sh.select(
+      ($"doc_id" +: (0 until 16).map(i =>
+        org.apache.spark.sql.functions.expr(
+          s"array_min(transform(sh, x -> substring(md5(concat(x, '|$i')), 1, 16)))").as(s"mh$i"))): _*)
+    val viaExpr = sh
+      .select($"doc_id", GraftExpressions.minHashHex($"sh", 16).as("mh"))
+      .select(($"doc_id" +: (0 until 16).map(i =>
+        org.apache.spark.sql.functions.element_at($"mh", i + 1).as(s"mh$i"))): _*)
+    assert(viaExpr.count() > 0)
+    assert(viaExpr.except(viaHof).count() == 0 && viaHof.except(viaExpr).count() == 0)
+    // null on empty arrays, like array_min over an empty transform
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+      .select(GraftExpressions.minHashHex($"sh", 16).as("mh")).collect()
+    assert(empty.head.isNullAt(0))
+  }
 }

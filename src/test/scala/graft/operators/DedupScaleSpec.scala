@@ -83,7 +83,7 @@ class DedupScaleSpec extends SparkTestBase {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val grouped = Dedup.minhashCandidates(Dedup.shinglePosting(spark, sfDir))
+    val grouped = Dedup.minhashCandidatesPostingRef(Dedup.shinglePosting(spark, sfDir))
       .distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(perRow == grouped && perRow.nonEmpty)
