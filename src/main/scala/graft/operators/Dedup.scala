@@ -711,6 +711,81 @@ object Dedup {
     ),
 
     Q(
+      "d13_sketch_accuracy",
+      "Sketch-quality audit: minhash-estimated vs exact Jaccard per LSH candidate pair",
+      (spark, dir) => {
+        import spark.implicits._
+        // The tuning loop behind every banding threshold: how good is
+        // the 16-perm estimator actually? Estimated Jaccard = the
+        // fraction of matching permutation minima — an exact integer
+        // count on both engines (md5-derived minima, X8) — next to
+        // the true Jaccard from the shingle arrays, with the absolute
+        // error. At 100 TB this runs on a candidate SAMPLE and its
+        // error distribution decides bands x rows; here it runs on
+        // all LSH candidates and is value-level oracle-gated, which
+        // q30's HLL (engine-specific sketch) could never be.
+        val sh = shingleArrays(spark, dir).cache()
+        val mh = sh.select($"doc_id",
+          graft.functions.GraftExpressions.minHashHex($"sh", 16).as("mh"))
+        val cands = minhashCandidates(sh).distinct()
+        cands
+          .join(mh.select($"doc_id".as("id_a"), $"mh".as("ma")), "id_a")
+          .join(mh.select($"doc_id".as("id_b"), $"mh".as("mb")), "id_b")
+          .withColumn("n_match",
+            expr("size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v))").cast("int"))
+          .join(sh.select($"doc_id".as("id_a"), $"sh".as("_sa")), "id_a")
+          .join(sh.select($"doc_id".as("id_b"), $"sh".as("_sb")), "id_b")
+          .withColumn("c", size(array_intersect($"_sa", $"_sb")).cast("long"))
+          .withColumn("jaccard",
+            $"c".cast("double") / (size($"_sa") + size($"_sb") - $"c"))
+          .withColumn("est_jaccard", $"n_match".cast("double") / 16)
+          .select($"id_a", $"id_b", $"n_match",
+            round($"est_jaccard", 6).as("est_jaccard"),
+            round($"jaccard", 6).as("jaccard"),
+            round(abs($"est_jaccard" - $"jaccard"), 6).as("abs_err"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        val mhCols = (0 until numPerms)
+          .map(i => s"min(substr(md5(s || '|$i'), 1, 16)) AS mh$i").mkString(",\n    ")
+        val bandCases = (0 until 4).map { b =>
+          val cat = (b * 4 until b * 4 + 4).map(r => s"mh$r").mkString(" || '|' || ")
+          if (b < 3) s"WHEN $b THEN md5($cat)" else s"ELSE md5($cat)"
+        }.mkString(" ")
+        val matchSum = (0 until numPerms)
+          .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""$sqlShingleCtes,
+        sig AS (SELECT doc_id,
+          $mhCols
+          FROM post GROUP BY doc_id),
+        bands AS (SELECT doc_id, b AS band,
+          CASE b $bandCases END AS bh
+          FROM sig, (VALUES (0), (1), (2), (3)) AS t(b)),
+        cands AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        mm AS (SELECT cd.id_a, cd.id_b,
+            CAST($matchSum AS INT) AS n_match
+          FROM cands cd
+          JOIN sig a ON a.doc_id = cd.id_a
+          JOIN sig b ON b.doc_id = cd.id_b),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        pairs AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, COUNT(*) AS c
+          FROM post pa JOIN post pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+          GROUP BY 1, 2)
+        SELECT m.id_a, m.id_b, m.n_match,
+          ROUND(CAST(m.n_match AS DOUBLE) / 16, 6) AS est_jaccard,
+          ROUND(CAST(COALESCE(p.c, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(p.c, 0)), 6) AS jaccard,
+          ROUND(ABS(CAST(m.n_match AS DOUBLE) / 16 -
+            CAST(COALESCE(p.c, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(p.c, 0))), 6) AS abs_err
+        FROM mm m
+        LEFT JOIN pairs p ON p.id_a = m.id_a AND p.id_b = m.id_b
+        JOIN sizes sa ON sa.doc_id = m.id_a
+        JOIN sizes sb ON sb.doc_id = m.id_b
+        ORDER BY m.id_a, m.id_b"""
+      }
+    ),
+
+    Q(
       "d12_canonical_selection",
       "Canonical-doc selection per dup cluster: keep the longest (lowest-id tiebreak), list the drops",
       (spark, dir) => {

@@ -378,6 +378,23 @@ class PipelineSpec extends SparkTestBase {
     assert(sides.filter(!col("bn") || col("bi")).count() == 0)
   }
 
+  test("d13 sketch accuracy: estimator bounded, unbiased-ish on near-dups, exact on identicals") {
+    val df = q("d13_sketch_accuracy").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("n_match") < 0 || col("n_match") > 16).count() == 0)
+    assert(df.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).count() == 0)
+    // abs_err is |est - exact| recomputed from its own components
+    assert(df.filter(
+      abs(col("abs_err") - round(abs(col("est_jaccard") - col("jaccard")), 6)) > 1e-9)
+      .count() == 0)
+    // identical shingle sets (jaccard == 1) must match on every perm
+    assert(df.filter(col("jaccard") === 1.0 && col("n_match") =!= 16).count() == 0)
+    // the 16-perm estimator should track truth within ~0.31 (4 sigma
+    // of sqrt(J(1-J)/16) <= 0.125) on the LSH-selected pairs
+    val maxErr = df.agg(max("abs_err")).head().getDouble(0)
+    assert(maxErr <= 0.5, s"sketch error implausibly large: $maxErr")
+  }
+
   test("d12 canonical selection: one keeper per cluster, keeper is the longest member") {
     val df = q("d12_canonical_selection").cache()
     // exactly one non-dropped member per cluster, and it's the keep_id
