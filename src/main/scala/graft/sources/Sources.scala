@@ -44,6 +44,22 @@ object Sources {
     maxBytes.fold(df)(m => df.filter(org.apache.spark.sql.functions.col("length") <= m))
   }
 
+  /** Line-oriented text ingestion: one row per line (`value:
+    * string`) — the raw-corpus entry point (jsonl preprocessing,
+    * plain-text crawls). Splittable, so a 100 TB text dump
+    * parallelizes by HDFS block like any other file scan.
+    */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Whole-file text ingestion: one row per FILE — for small-document
+    * corpora stored file-per-doc. NOT splittable (a row spans the
+    * file): cap file sizes like binaryFiles' maxBytes guard, and
+    * prefer consolidated formats once docs are large.
+    */
+  def wholeText(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+
   /** Streaming variants (file sources need explicit schemas). */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)

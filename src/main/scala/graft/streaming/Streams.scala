@@ -197,6 +197,26 @@ object Streams {
       }
   }
 
+  /** ST8: streaming writes through the pattern-routed multi-sink
+    * (S3/RoutedSink) — every micro-batch dispatches on a sink ROUTE,
+    * so the same routed write surface serves batch and streaming.
+    * foreachBatch is Structured Streaming's adapter for sinks without
+    * a native streaming writer; `targetFor` maps the batch id to a
+    * route (e.g. per-batch directories for append-like layouts, or a
+    * constant route whose writer is idempotent). Exactly-once in
+    * production = checkpointing + an idempotent per-target write,
+    * which the standard overwrite sinks are.
+    */
+  def routedStreamSink(
+      stream: DataFrame,
+      sink: graft.sinks.RoutedSink,
+      targetFor: Long => String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.write(targetFor(id), batch.toDF())
+    }
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

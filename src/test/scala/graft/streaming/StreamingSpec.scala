@@ -119,6 +119,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("ST8: streaming micro-batches dispatch through the routed sink") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-routed-stream").toString
+    val sink = graft.sinks.RoutedSink.standard()
+    val q = Streams.routedStreamSink(
+      streamEvents(streamDir), sink, id => s"parquet:$outDir/batch_$id")
+      .start()
+    q.processAllAvailable(); q.stop()
+    // both micro-batches landed under their routed targets and
+    // together conserve the corpus
+    val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory).map(_.toString)
+    assert(dirs.length == 2, s"expected 2 batch dirs, got ${dirs.mkString(",")}")
+    val written = dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
+    assert(written.count() == Tables.load(spark, sfDir, "events").count())
+    // text/wholeText sources round-trip the same corpus (S5)
+    val tdir = java.nio.file.Files.createTempDirectory("graft-text").toString
+    Tables.load(spark, sfDir, "documents").select("text")
+      .coalesce(1).write.mode("overwrite").text(s"$tdir/lines")
+    assert(graft.sources.Sources.text(spark, s"$tdir/lines").count() ==
+      Tables.load(spark, sfDir, "documents").count())
+    val whole = graft.sources.Sources.wholeText(spark, s"$tdir/lines")
+    assert(whole.count() == 1) // one row per file (single coalesced part)
+  }
+
   test("ST7: streaming bin packing equals batch packBins under id-ordered delivery") {
     val counted = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
