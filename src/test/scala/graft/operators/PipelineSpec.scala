@@ -378,6 +378,18 @@ class PipelineSpec extends SparkTestBase {
     assert(sides.filter(!col("bn") || col("bi")).count() == 0)
   }
 
+  test("u02 typed Aggregator equals the DataFrame aggregation, any partitioning") {
+    val df = q("u02_typed_spend_agg").cache()
+    val truth = graft.tables.Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).cast("double") / 100.0)
+          .as("total_spend"),
+        (max(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).cast("double") / 100.0)
+          .as("max_spend"))
+    assert(df.except(truth).count() == 0 && truth.except(df).count() == 0)
+  }
+
   test("d13 sketch accuracy: estimator bounded, unbiased-ish on near-dups, exact on identicals") {
     val df = q("d13_sketch_accuracy").cache()
     assert(df.count() > 0)
