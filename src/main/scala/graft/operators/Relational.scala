@@ -1150,7 +1150,7 @@ object Relational {
         x AS (SELECT doc_id, CAST(i AS INT) AS pos, wd[i] AS word
           FROM w, UNNEST(generate_series(1, len(wd))) AS t(i))
         SELECT word, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
-          MIN(pos) AS first_pos, SUM(CAST(pos AS BIGINT)) AS sum_pos
+          MIN(pos) AS first_pos, CAST(SUM(pos) AS BIGINT) AS sum_pos
         FROM x GROUP BY word ORDER BY word""")
     ),
 
@@ -1254,7 +1254,7 @@ object Relational {
           FROM qlo l JOIN qhi h ON h.flag = l.flag),
         modes AS (SELECT flag, qty AS mode_qty, cnt AS mode_cnt,
           ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cnt DESC, qty ASC) AS mr FROM cnts)
-        SELECT m.flag AS flag, m.n_rows, m.median_qty, o.mode_qty, o.mode_cnt
+        SELECT m.flag AS flag, CAST(m.n_rows AS BIGINT) AS n_rows, m.median_qty, o.mode_qty, o.mode_cnt
         FROM med m JOIN modes o ON m.flag = o.flag AND o.mr = 1 ORDER BY m.flag""")
     ),
 

@@ -499,7 +499,7 @@ object TextAnalysis {
         freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
         ranked AS (SELECT w,
           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS wrank FROM freq)
-        SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(r.wrank) AS sum_rank,
+        SELECT t.doc_id, COUNT(*) AS n_tokens, CAST(SUM(r.wrank) AS BIGINT) AS sum_rank,
           ROUND(CAST(SUM(r.wrank) AS DOUBLE) / COUNT(*), 6) AS mean_rank,
           ROUND(CAST(SUM(CASE WHEN r.wrank > 20 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS rare_frac
         FROM tok t JOIN ranked r ON r.w = t.w
@@ -553,7 +553,7 @@ object TextAnalysis {
         w2 AS (SELECT *, capped_weight * actual_share AS cw_a FROM w),
         z AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(cw_a ORDER BY lang)),
             (acc, x) -> acc + x) AS z FROM w2)
-        SELECT lang, n_docs, n_tokens,
+        SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
           ROUND(actual_share, 6) AS actual_share,
           ROUND(raw_weight, 6) AS raw_weight,
           ROUND(capped_weight, 6) AS capped_weight,

@@ -8,6 +8,18 @@ For each query dir in <verifyOutDir>: load the Spark parquet result,
 run the matching oracle_sql.json SQL in DuckDB with the sf tables
 registered as views, sort columns by name + rows by all columns, and
 compare values exactly.
+
+The check is DTYPE-STRICT in two layers (the round-3 lesson: DuckDB
+SUM(BIGINT) returns HUGEINT, pandas renders it float64, and a purely
+numeric comparison green-lights 55.0 == 55 while the driver's
+representation-sensitive hash fails it):
+
+1. Oracle type audit: the DuckDB result schema itself must not
+   contain HUGEINT/UHUGEINT — any such column is an uncast SUM the
+   oracle must wrap in CAST(... AS BIGINT).
+2. Pandas dtype comparison: after canon(), each column's dtype must
+   match between the Spark parquet result and the DuckDB frame
+   (int64 vs float64 is a FAIL even when the values compare equal).
 """
 import json
 import math
@@ -44,6 +56,37 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def dtype_mismatches(spark_df: pd.DataFrame, duck_df: pd.DataFrame):
+    """Columns whose pandas dtype KIND differs between the two frames.
+
+    The driver hashes rendered values, so what matters is whether the
+    dtypes RENDER differently: float64 vs int64 ("55.0" vs "55") fails
+    the driver; int32 vs int64 or datetime64[ns] vs [us] render
+    identically and pass it. Comparing dtype.kind (i/u merged) mirrors
+    that exactly — it catches the HUGEINT→float64 class while not
+    flagging pure width differences.
+    """
+    def kind(dt):
+        k = dt.kind
+        return "i" if k in ("i", "u") else k
+
+    out = []
+    for col in spark_df.columns:
+        sd, dd = spark_df[col].dtype, duck_df[col].dtype
+        if kind(sd) != kind(dd):
+            out.append((col, str(sd), str(dd)))
+    return out
+
+
+def hugeint_columns(con, sql: str):
+    """DuckDB result columns typed HUGEINT/UHUGEINT (uncast SUM leak)."""
+    rel = con.sql(sql)
+    return [
+        c for c, t in zip(rel.columns, rel.types)
+        if "HUGEINT" in str(t).upper()
+    ]
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -54,6 +97,12 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            huge = hugeint_columns(con, sql)
+            if huge:
+                print(f"FAIL {name}: oracle returns HUGEINT column(s) {huge} "
+                      f"— wrap in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
             spark_df = canon(pd.read_parquet(f"{out_dir}/{name}"))
             duck_df = canon(con.sql(sql).df())
         except Exception as e:  # noqa: BLE001
@@ -66,6 +115,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
+            n_fail += 1
+            continue
+        dt_bad = dtype_mismatches(spark_df, duck_df)
+        if dt_bad:
+            col, sd, dd = dt_bad[0]
+            print(f"FAIL {name}: dtype mismatch col={col}: spark={sd} duck={dd} "
+                  f"(+{len(dt_bad) - 1} more)" if len(dt_bad) > 1 else
+                  f"FAIL {name}: dtype mismatch col={col}: spark={sd} duck={dd}")
             n_fail += 1
             continue
         bad = None
