@@ -606,6 +606,52 @@ object Ops {
       .sortWithinPartitions("_z")
       .drop("_z")
 
+  /** O23: scale-safe global ranking — the two-phase row_number. A
+    * `row_number().over(Window.orderBy(...))` is a SINGLE-partition
+    * sort+rank: fine on a 60k dictionary, a straggler on the 10⁸–10⁹
+    * vocabulary a 100 TB web corpus produces. This form never funnels
+    * the data through one task:
+    *
+    *   1. `repartitionByRange` on the sort key — N parallel,
+    *      boundary-ordered partitions (RangePartitioner assigns
+    *      ascending key ranges to ascending partition ids);
+    *   2. sort within partitions, local rank from
+    *      `monotonically_increasing_id`'s documented layout (record
+    *      number = lower 33 bits) — no window, no extra exchange;
+    *   3. global rank = local rank + the cumulative row count of all
+    *      earlier partitions, joined back as a BROADCAST of the
+    *      N-row offsets table. The only `Window.orderBy` left runs
+    *      over those N rows — bounded by partition count, never data.
+    *
+    * `orderBy` must be a TOTAL order (include a unique tiebreak
+    * column) — ranks on ties would otherwise depend on partition
+    * placement. Determinism note: the offsets branch and the join
+    * branch share one range exchange (ReuseExchange); even unshared,
+    * RangePartitioner's seeded sampling yields identical boundaries
+    * for identical input, and explicit `numPartitions` keeps AQE from
+    * re-coalescing the two branches differently.
+    */
+  def rankGlobal(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      outCol: String = "rank",
+      numPartitions: Int = 32
+  ): DataFrame = {
+    val parts = df
+      .repartitionByRange(numPartitions, orderBy: _*)
+      .sortWithinPartitions(orderBy: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrank",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+    val wOff = Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    parts.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(outCol, col("_lrank") + col("_off"))
+      .drop("_pid", "_lrank")
+  }
+
   /** O22: deterministic Lloyd k-means assignment (s05's library form,
     * any iteration count). Initial centroids are the k lowest-id
     * vectors; each iteration is one broadcast NL against the k

@@ -474,18 +474,22 @@ object TextAnalysis {
         // frequency (rank 1 = most common; ties broken by token) and
         // score each document by its tokens' mean rank and rare-token
         // fraction — all-rare docs are gibberish candidates, all-common
-        // docs boilerplate. The rank's global window runs on the
-        // AGGREGATED vocabulary (orders of magnitude smaller than the
-        // corpus — it's the dictionary, never the data, on one
-        // partition), and the ranked dictionary is broadcast back onto
-        // the token stream, so the corpus-sized side sees one keyed
-        // groupBy per pass. Transcendental-free so both engines agree
-        // to the last bit.
+        // docs boilerplate. The ranking runs on the AGGREGATED
+        // vocabulary via Ops.rankGlobal — a two-phase range-partitioned
+        // rank with NO single-partition window, because a 100 TB web
+        // corpus has a 10⁸–10⁹ vocabulary (typos, URLs, code) that a
+        // global Window.orderBy would funnel through one task. The
+        // ranked dictionary is broadcast back onto the token stream,
+        // so the corpus-sized side sees one keyed groupBy per pass.
+        // Transcendental-free so both engines agree to the last bit.
         val tok = Tables.load(spark, dir, "documents")
           .select($"doc_id", explode(expr(sparkWords)).as("w"))
-        val ranked = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
-          .withColumn("wrank",
-            row_number().over(Window.orderBy($"cnt".desc, $"w".asc)).cast("long"))
+        val dict = tok.groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val ranked = Ops.rankGlobal(dict, Seq($"cnt".desc, $"w".asc), "wrank")
+        // broadcast is right while the ranked dict fits an executor
+        // (vocab ≪ corpus); past broadcast capacity drop the hint and
+        // the join degrades gracefully to a shuffled hash join keyed
+        // on w — the same single corpus-side exchange either way.
         tok.join(broadcast(ranked.select($"w", $"wrank")), Seq("w"))
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_tokens"), sum($"wrank").as("sum_rank"),

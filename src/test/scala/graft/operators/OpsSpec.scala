@@ -280,4 +280,44 @@ class OpsSpec extends SparkTestBase {
     assert(base == repart)
     spark.catalog.clearCache()
   }
+
+  test("rankGlobal equals the single-window row_number form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // The t14 vocabulary shape: rank words by (cnt DESC, w ASC) — a
+    // total order. The two-phase form must agree with the global
+    // window rank on every row, across partition counts that leave
+    // some range partitions empty (numPartitions > distinct keys /
+    // rows-per-partition) and counts smaller than the data.
+    val dict = Tables.load(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val windowed = dict.withColumn("expected",
+      row_number().over(Window.orderBy($"cnt".desc, $"w".asc)).cast("long"))
+    for (n <- Seq(1, 3, 8, 64)) {
+      val two = Ops.rankGlobal(dict, Seq($"cnt".desc, $"w".asc), "rank", numPartitions = n)
+      val joined = two.join(windowed.select($"w", $"expected"), "w")
+      assert(joined.filter($"rank" =!= $"expected").count() == 0,
+        s"rankGlobal($n) diverged from window rank")
+      assert(two.count() == dict.count())
+    }
+  }
+
+  test("rankGlobal executes with no single-partition sort of the data") {
+    import spark.implicits._
+    val dict = Tables.load(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val ranked = Ops.rankGlobal(dict, Seq($"cnt".desc, $"w".asc), "rank", numPartitions = 8)
+    ranked.collect()
+    // the data-bearing exchange is the 8-way range partition; the only
+    // SinglePartition exchange allowed is the 8-row offsets window
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(500))
+    // rank column must come from the broadcast offsets join, not a window
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(500))
+  }
 }
