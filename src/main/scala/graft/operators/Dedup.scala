@@ -130,6 +130,66 @@ object Dedup {
       )
   }
 
+  /** Persist the standing corpus band index — the production form of
+    * d11's "standing corpus whose (band, bh) index would be
+    * precomputed and stored". Written through the pattern-routed sink
+    * (S3), hive-partitioned by (band, bh-prefix): `pfx` is the first
+    * hex char of the band hash, giving band-count × 16 directories.
+    * Day-2 ingestion probes the stored files and NEVER re-shingles
+    * the corpus — index build cost is paid once, at corpus-write
+    * time — and because the probe join carries `pfx` as a key,
+    * DYNAMIC PARTITION PRUNING cuts the scan to only the buckets the
+    * batch's band keys hit: the day-2 read is O(buckets probed), not
+    * O(index). At 100 TB widen the prefix (2–3 hex chars → 256–4096
+    * buckets per band) so each directory stays file-pruned.
+    */
+  def writeBandIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String
+  ): Unit =
+    graft.sinks.RoutedSink.standard()
+      .write(s"parquet:$path:by:band+pfx",
+        bandKeys(docs, idCol, textCol).withColumnRenamed(idCol, "doc_id")
+          .withColumn("pfx", substring(col("bh"), 1, 1)))
+
+  /** Read a band index persisted by [[writeBandIndex]]. The result
+    * feeds [[probeBandIndex]] (batch day-2) and
+    * [[graft.streaming.Streams.dupCandidatesStream]] (ST6) unchanged —
+    * one stored artifact serves both ingestion surfaces.
+    */
+  def readBandIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("doc_id"), col("band").cast("int"),
+        col("pfx").cast("string"), col("bh"))
+
+  /** Day-2 probe of a new batch against a PERSISTED band index:
+    * band the batch per row (no aggregation), broadcast it against
+    * the stored index, return distinct (new_id, idx_id) candidate
+    * pairs. The corpus appears ONLY through its index files — cost is
+    * O(batch + collisions) regardless of corpus size: the plan
+    * contains no corpus scan, and the broadcast side dynamically
+    * prunes the index's (band, pfx) partitions so unprobed buckets
+    * are never read (both pinned by BandIndexSpec). Downstream exact
+    * verification touches just the colliding ids.
+    */
+  def probeBandIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame
+  ): DataFrame = {
+    val nb = bandKeys(batch, idCol, textCol)
+      .withColumn("pfx", substring(col("bh"), 1, 1))
+      .select(col(idCol).as("new_id"), col("band"), col("pfx"), col("bh"))
+    broadcast(nb)
+      .join(index.select(col("doc_id").as("idx_id"), col("band"), col("pfx"), col("bh")),
+        Seq("band", "pfx", "bh"))
+      .where(col("new_id") =!= col("idx_id"))
+      .select(col("new_id"), col("idx_id")).distinct()
+  }
+
   /** Candidate pairs from a (doc_id, sh) shingle-ARRAY relation: band
     * keys via the one-pass MinHashHex derivation, equi-joined on
     * (band, bh). Since the round-3 continuation this replaces the
@@ -634,7 +694,13 @@ object Dedup {
         // The incremental-dedup shape a production pipeline runs daily:
         // an engine-neutral hash splits docs into a NEW batch (~20%)
         // and the standing corpus whose (band, bh) index would be
-        // precomputed and stored. New docs derive band keys PER ROW
+        // precomputed and stored — which it now IS, as an artifact:
+        // [[writeBandIndex]]/[[readBandIndex]]/[[probeBandIndex]]
+        // persist the index hive-partitioned by (band, pfx) and probe
+        // it with dynamic partition pruning (BandIndexSpec measures
+        // 16/64 buckets read for a narrow batch). The canned query
+        // keeps the self-contained rebuild form so the oracle stays a
+        // single SQL statement. New docs derive band keys PER ROW
         // (bandKeys — the same no-aggregation derivation ST6 runs on a
         // stream) and equi-join the index; only collisions get the
         // exact-Jaccard verify. At 100 TB the batch never self-joins
