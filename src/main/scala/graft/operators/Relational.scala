@@ -983,8 +983,9 @@ object Relational {
         // Spark as size(collect_set() OVER), DuckDB independently as
         // len(list_distinct(list() OVER)). Fine at bounded cardinality
         // (5 event types); for high-cardinality columns the 100 TB
-        // form is the dense_rank+max two-pass, which trades a second
-        // shuffle for O(1) state per row.
+        // form is q53_window_distinct_hc (first-seen flag + running
+        // sum), which trades a second shuffle for O(1) state per row —
+        // oracle-gated below and equality-pinned in RelationalSpec.
         val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
           .rowsBetween(Window.unboundedPreceding, 0)
         t(spark, dir, "events")
@@ -1490,6 +1491,45 @@ object Relational {
           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
             (acc, x) -> acc * 0.75 + x * 0.25), 6) AS ewma
         FROM l ORDER BY user_id""")
+    ),
+
+    Q(
+      "q53_window_distinct_hc",
+      "Running COUNT(DISTINCT) over a window, high-cardinality form (first-seen flag + running sum)",
+      (spark, dir) => {
+        import spark.implicits._
+        // q40's scale-out twin: collect_set-over-window carries the
+        // whole distinct SET as per-row window state — fine for 5
+        // event types, fatal when the distinct column has millions of
+        // values (URLs, SKUs). This form keeps O(1) state per row:
+        // pass 1 flags each (user, value)'s FIRST occurrence with a
+        // row_number over (user_id, event_type); pass 2 running-sums
+        // the flags per user. The price is one extra exchange (the
+        // (user_id, event_type) window isn't subsumed by the user_id
+        // one); the win is state independent of cardinality. The
+        // cardinality crossover: below ~thousands of distinct values
+        // per key, q40's one-shuffle set form wins; above it, only
+        // this form finishes. Equality with q40 is oracle-checked
+        // here and spec-pinned in RelationalSpec.
+        val wFirst = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"ts", $"event_id")
+        val wRun = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        t(spark, dir, "events")
+          .withColumn("first_seen",
+            when(row_number().over(wFirst) === 1, 1).otherwise(0))
+          .select($"user_id", $"event_id",
+            sum($"first_seen").over(wRun).cast("int").as("n_types_seen"))
+          .orderBy($"user_id", $"event_id")
+      },
+      Some("""WITH f AS (SELECT user_id, event_id, ts,
+          CASE WHEN ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+          THEN 1 ELSE 0 END AS first_seen FROM events)
+        SELECT user_id, event_id,
+          CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS n_types_seen
+        FROM f ORDER BY user_id, event_id""")
     )
   )
 }

@@ -283,4 +283,15 @@ class RelationalSpec extends SparkTestBase {
       assert(math.abs(e - truth(u)) < 1e-5, s"user $u: $e vs ${truth(u)}")
     }
   }
+
+  test("q53 high-cardinality running distinct equals q40's set form") {
+    // the two formulations of COUNT(DISTINCT) OVER must agree row for
+    // row — q40 carries the set, q53 carries a flag; same semantics
+    val q40 = graft.SparkEntry.queries("q40_window_distinct")(spark, sfDir)
+    val q53 = graft.SparkEntry.queries("q53_window_distinct_hc")(spark, sfDir)
+    assert(q40.schema.map(f => (f.name, f.dataType)) ==
+      q53.schema.map(f => (f.name, f.dataType)))
+    assert(q40.except(q53).count() == 0 && q53.except(q40).count() == 0)
+    assert(q53.count() > 0)
+  }
 }
