@@ -792,7 +792,7 @@ object Dedup {
         // q30's HLL (engine-specific sketch) could never be.
         val sh = shingleArrays(spark, dir).cache()
         val mh = sh.select($"doc_id",
-          graft.functions.GraftExpressions.minHashHex($"sh", 16).as("mh"))
+          graft.functions.GraftExpressions.minHashHex($"sh", numPerms).as("mh"))
         val cands = minhashCandidates(sh).distinct()
         cands
           .join(mh.select($"doc_id".as("id_a"), $"mh".as("ma")), "id_a")
@@ -804,7 +804,7 @@ object Dedup {
           .withColumn("c", size(array_intersect($"_sa", $"_sb")).cast("long"))
           .withColumn("jaccard",
             $"c".cast("double") / (size($"_sa") + size($"_sb") - $"c"))
-          .withColumn("est_jaccard", $"n_match".cast("double") / 16)
+          .withColumn("est_jaccard", $"n_match".cast("double") / numPerms)
           .select($"id_a", $"id_b", $"n_match",
             round($"est_jaccard", 6).as("est_jaccard"),
             round($"jaccard", 6).as("jaccard"),
@@ -839,9 +839,9 @@ object Dedup {
           FROM post pa JOIN post pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
           GROUP BY 1, 2)
         SELECT m.id_a, m.id_b, m.n_match,
-          ROUND(CAST(m.n_match AS DOUBLE) / 16, 6) AS est_jaccard,
+          ROUND(CAST(m.n_match AS DOUBLE) / $numPerms, 6) AS est_jaccard,
           ROUND(CAST(COALESCE(p.c, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(p.c, 0)), 6) AS jaccard,
-          ROUND(ABS(CAST(m.n_match AS DOUBLE) / 16 -
+          ROUND(ABS(CAST(m.n_match AS DOUBLE) / $numPerms -
             CAST(COALESCE(p.c, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(p.c, 0))), 6) AS abs_err
         FROM mm m
         LEFT JOIN pairs p ON p.id_a = m.id_a AND p.id_b = m.id_b

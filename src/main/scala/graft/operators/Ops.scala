@@ -593,6 +593,14 @@ object Ops {
     * bounding boxes tile the plane — the Delta/Iceberg OPTIMIZE
     * ZORDER shape, expressed as a plain Spark repartition. The code
     * column is internal; callers write the returned frame as-is.
+    * Inputs outside [0, 2^bits) would silently alias distant cells
+    * onto the same code (mortonCode only reads the low `bits` bits)
+    * and quietly destroy the bounding-box invariant — so the layout
+    * FAILS LOUDLY instead: the code column itself raises on the
+    * first out-of-range row (the guard lives inside `_z`, which the
+    * range partitioner must evaluate, so column pruning cannot elide
+    * it). Two comparisons per row in a one-time write job; callers
+    * bucket into range (or widen `bits`) to pass.
     */
   def zorderLayout(
       df: DataFrame,
@@ -600,11 +608,19 @@ object Ops {
       bCol: String,
       bits: Int = 16,
       numFiles: Int = 32
-  ): DataFrame =
-    df.withColumn("_z", mortonCode(col(aCol), col(bCol), bits))
+  ): DataFrame = {
+    val hi = (1L << bits) - 1
+    val inRange = (c: Column) => c.between(0, hi)
+    df.withColumn("_z",
+        when(inRange(col(aCol)) && inRange(col(bCol)),
+          mortonCode(col(aCol), col(bCol), bits))
+          .otherwise(raise_error(concat(
+            lit(s"zorderLayout: $aCol or $bCol outside [0, ${1L << bits}) for bits=$bits: ("),
+            col(aCol).cast("string"), lit(", "), col(bCol).cast("string"), lit(")")))))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+  }
 
   /** O23: scale-safe global ranking — the two-phase row_number. A
     * `row_number().over(Window.orderBy(...))` is a SINGLE-partition
@@ -662,9 +678,14 @@ object Ops {
     * so results are identical under any partitioning (and, for the
     * canned 2-iteration run, oracle-verified against DuckDB).
     * Returns (idCol, cell, dq) with dq the final nano-scaled L² to
-    * the vector's centroid. Caches the quantized input for the
-    * iteration loop — call spark.catalog.clearCache() after the
-    * terminal action when invoking repeatedly (Bench/Verify do).
+    * the vector's centroid. Iterative hygiene: each iteration's k-row
+    * centroid frame is localCheckpoint-ed (plan depth stays linear in
+    * `iters`, the d06 lesson), and the returned assignment is
+    * materialized via localCheckpoint so the quantized-input cache
+    * can be unpersisted HERE — callers get a self-contained frame and
+    * no leaked cache entry. The materialization is one (id, cell, dq)
+    * row per vector — what a pipeline would persist before downstream
+    * use anyway.
     */
   def kmeansAssign(
       df: DataFrame,
@@ -698,8 +719,13 @@ object Ops {
           .select(col("_cell").as("_cid"),
             array((1 to dim).map(j =>
               col(s"_s$j").cast("double") / col("_nc") / lit(1000000.0)): _*).as("_cx"))
+          .localCheckpoint()
       }
     }
-    assign.select(col("_id").as(idCol), col("_cell").as("cell"), col("_dq").as("dq"))
+    val out = assign
+      .select(col("_id").as(idCol), col("_cell").as("cell"), col("_dq").as("dq"))
+      .localCheckpoint()
+    ev.unpersist()
+    out
   }
 }

@@ -258,44 +258,19 @@ object Similarity {
       (spark, dir) => {
         import spark.implicits._
         // s03/d10 use fixed centroids and note "a trained quantizer
-        // slots in unchanged" — this IS that training loop, run as
-        // plain DataFrame ops and still oracle-exact. The float-sum
-        // trap: a centroid mean is order-dependent in FP, so each
-        // vector is quantized ONCE to micro-scaled BIGINTs and the
-        // centroid update is an exact integer sum (one double
-        // division at the end) — commutative, partial-agg-safe, and
-        // bit-identical in DuckDB. Distances are the nano-scaled
-        // integer L² folds from s04; assignment is argmin-as-
-        // aggregation (min over (dist, id) structs — map-side
-        // combinable, no per-vector sort). Per iteration: one
-        // broadcast NL against k centroid rows + one keyed agg —
-        // linear in the corpus, the Lloyd shape you'd run at 100 TB.
-        val l2q = (a: String, b: String) => expr(
-          s"CAST(floor(aggregate(zip_with($a, $b, " +
-            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)")
-        val e = Tables.load(spark, dir, "embeddings")
-        val ev = e.select($"vec_id".as("n_id"), $"embedding".as("x"),
-          expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
-            .as("xq"))
-        val c0 = e.orderBy($"vec_id").limit(8)
-          .select($"vec_id".as("c_id"), $"embedding".as("cx"))
-        val as1 = ev.crossJoin(broadcast(c0))
-          .withColumn("dq", l2q("x", "cx"))
-          .groupBy($"n_id").agg(min(struct($"dq", $"c_id")).as("_m"))
-          .select($"n_id", $"_m.c_id".as("cell1"))
-        val dimSums = (1 to 64).map(j => sum(element_at($"xq", j)).as(s"s$j"))
-        val cent1 = as1.join(ev.select($"n_id", $"xq"), "n_id")
-          .groupBy($"cell1")
-          .agg(count(lit(1)).as("nc"), dimSums: _*)
-          .select($"cell1".as("c_id"),
-            array((1 to 64).map(j =>
-              col(s"s$j").cast("double") / $"nc" / lit(1000000.0)): _*).as("cx"))
-        val as2 = ev.crossJoin(broadcast(cent1))
-          .withColumn("dq", l2q("x", "cx"))
-          .groupBy($"n_id").agg(min(struct($"dq", $"c_id")).as("_m"))
-          .select($"n_id", $"_m.dq".as("dq"), $"_m.c_id".as("cell"))
-        as2.groupBy($"cell")
+        // slots in unchanged" — this IS that training loop, and since
+        // round 4 it IS the library API: Ops.kmeansAssign (O22) runs
+        // the deterministic Lloyd iterations (micro-scaled BIGINT
+        // centroid sums — order-independent; nano-scaled integer L²
+        // distances; argmin-as-aggregation) and this query is just
+        // its per-cell aggregation, so the canned form and the API
+        // cannot drift (OpsSpec pins them equal anyway). Per
+        // iteration: one broadcast NL against k centroid rows + one
+        // keyed agg — linear in the corpus, the Lloyd shape you'd run
+        // at 100 TB.
+        Ops.kmeansAssign(Tables.load(spark, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+          .groupBy($"cell")
           .agg(count(lit(1)).as("n"), sum($"dq").as("sse_q"))
           .orderBy($"cell")
       },

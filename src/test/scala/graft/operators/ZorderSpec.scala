@@ -67,6 +67,23 @@ class ZorderSpec extends SparkTestBase {
     assert(rectHits <= 2, s"z-layout hit $rectHits/16 files for the rectangle")
   }
 
+  test("zorderLayout fails loudly on inputs outside [0, 2^bits)") {
+    // silent aliasing (2098 & 255 landing on 50's cell) would quietly
+    // destroy the bounding-box invariant — the guard must raise
+    val bad = spark.range(0, 100)
+      .select(col("id").as("a"), (col("id") + lit(200L)).as("b"))
+    val ex = intercept[Exception] {
+      Ops.zorderLayout(bad, "a", "b", bits = 8, numFiles = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("zorderLayout")), msgs(ex).mkString(" | "))
+    // in-range data on the same call path stays fine
+    val ok = spark.range(0, 100)
+      .select(col("id").as("a"), (col("id") % 7).as("b"))
+    assert(Ops.zorderLayout(ok, "a", "b", bits = 8, numFiles = 4).count() == 100)
+  }
+
   test("q49 cells are bounded 8x8 boxes and partition the part table") {
     val df = graft.SparkEntry.queries("q49_zorder_clustering")(spark, sfDir).cache()
     assert(df.filter(col("box_area") > 64).count() == 0)
