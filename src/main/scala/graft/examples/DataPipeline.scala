@@ -52,6 +52,30 @@ object DataPipeline {
       }
       .depend("in" -> "docs.dedup")
 
+    // language slice — the cross-cell pushdown proof point: this
+    // filter is declared two cells DOWNSTREAM of the parquet scan,
+    // and because every cell returns a lazy frame, Catalyst carries
+    // it through docs.clean's projection into the scan's
+    // PushedFilters (DataPipelineSpec reads it off the executed
+    // plan). The reference's eager per-cell execution can never do
+    // this — each Python node materializes before the next sees it.
+    wkf
+      .provide("docs.lang.{lang}") { ctx =>
+        ctx.as[DataFrame]("in").where(col("lang") === ctx.str("lang"))
+      }
+      .depend("in" -> "docs.clean")
+
+    // per-language stats — the column-pruning proof point: counting
+    // needs no text, so the scan's ReadSchema drops it even though
+    // the upstream clean cell rewrites it (project elimination
+    // across cells; also spec-pinned).
+    wkf
+      .provide("docs.langstats.{lang}") { ctx =>
+        ctx.as[DataFrame]("in")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      }
+      .depend("in" -> "docs.lang.{lang}")
+
     // pack into ~512-token bins per lang for batch assembly
     wkf
       .provide("docs.packed") { ctx =>

@@ -1,0 +1,69 @@
+package graft.examples
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY §1's load-bearing claim, made measurable: because every
+  * workflow cell returns a LAZY DataFrame, resolving a route composes
+  * ONE Catalyst plan across all upstream cells — so a predicate
+  * declared in a downstream cell lands in the upstream cell's parquet
+  * scan (PushedFilters), and a downstream aggregation prunes columns
+  * the upstream cell computed (ReadSchema). The reference's eager
+  * per-node execution structurally cannot do either.
+  */
+class DataPipelineSpec extends SparkTestBase {
+
+  private lazy val wkf = DataPipeline.build(spark, sfDir)
+
+  private def docScan(df: DataFrame) = {
+    df.collect()
+    val scan = fileScans(df.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
+    assert(scan.isDefined, "no documents scan in the executed plan")
+    scan.get
+  }
+
+  test("a filter declared 2 cells downstream reaches the scan's PushedFilters") {
+    val df = wkf.run("docs.lang.de").asInstanceOf[DataFrame]
+    val pushed = docScan(df).metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(lang,de)"), s"PushedFilters: $pushed")
+    assert(df.count() > 0, "the de slice must be non-empty for the pin to bite")
+  }
+
+  test("a downstream aggregation prunes upstream-computed columns from the scan") {
+    val df = wkf.run("docs.langstats.de").asInstanceOf[DataFrame]
+    val schema = docScan(df).metadata("ReadSchema")
+    // docs.clean rewrites text, but the stats route never reads it —
+    // project elimination must drop it from the physical scan
+    assert(!schema.contains("text"), s"ReadSchema still reads text: $schema")
+    assert(schema.contains("lang"), s"ReadSchema: $schema")
+  }
+
+  test("the packed route runs end-to-end through the routed sink and round-trips") {
+    val packed = wkf.run("docs.packed").asInstanceOf[DataFrame]
+    val out = java.nio.file.Files.createTempDirectory("graft-pipeline-out").toString
+    graft.sinks.RoutedSink.standard().write(s"parquet:$out/packed:by:lang", packed)
+    val back = spark.read.parquet(s"$out/packed")
+    assert(back.count() == packed.count() && packed.count() > 0)
+    // per-bin budget invariant survives the round-trip: a bin's sum
+    // minus its largest doc stays under the budget (sum < 512 + last
+    // doc's tokens by construction)
+    val over = back.groupBy(col("lang"), col("bin_id"))
+      .agg(sum(col("n_tokens")).as("s"), max(col("n_tokens")).as("mx"))
+      .filter(col("s") - col("mx") >= 512L)
+    assert(over.isEmpty, "a bin exceeds budget + one row")
+  }
+
+  private def fileScans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = plan match {
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      fileScans(r.child)
+    case other => other.children.flatMap(fileScans)
+  }
+}
