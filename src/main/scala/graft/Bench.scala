@@ -11,38 +11,69 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  final case class QueryResult(name: String, times: Seq[Double], error: Option[String]) {
+  final case class QueryResult(
+      name: String,
+      times: Seq[Double],
+      error: Option[String],
+      retries: Int = 0
+  ) {
     def ok: Boolean = error.isEmpty
     def best: Double = times.min
   }
 
+  /** A sample set needs another run when its spread says the host was
+    * interfering: best-of-N is only trustworthy if at least one run
+    * was clean, and a min/max ratio past `spreadLimit` under real
+    * load says none was. Pure so it's unit-testable.
+    */
+  def needsRetry(
+      times: Seq[Double],
+      load: Double,
+      noiseLoad: Double = 8.0,
+      spreadLimit: Double = 3.0
+  ): Boolean =
+    times.nonEmpty && times.max / times.min > spreadLimit && load > noiseLoad
+
   /** Run each query `runs` times (best-of wins); first failure aborts
     * that query's loop and records the error instead of a time.
+    * `maxExtra` > 0 enables loadavg-gated retry: a query whose
+    * min/max spread exceeds 3x while the 1-minute loadavg is above
+    * `noiseLoad` gets up to that many extra samples — the committed
+    * artifact converges toward the quiet-host number instead of
+    * whatever the driver's co-tenants left of it.
     */
   def run(
       spark: SparkSession,
       sfDir: String,
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
-      runs: Int
+      runs: Int,
+      maxExtra: Int = 0,
+      noiseLoad: Double = 8.0
   ): Seq[QueryResult] =
     queries.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to runs).flatMap { _ =>
-        if (err.nonEmpty) None
-        else {
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              err = Some(
-                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
-              None
-          } finally spark.catalog.clearCache()
-        }
+      def sample(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            err = Some(
+              s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+            None
+        } finally spark.catalog.clearCache()
       }
-      QueryResult(name, times, err)
+      var times = (1 to runs).flatMap { _ =>
+        if (err.nonEmpty) None else sample()
+      }
+      var extra = 0
+      while (err.isEmpty && extra < maxExtra &&
+          needsRetry(times, loadAvg(), noiseLoad)) {
+        sample().foreach(t => times = times :+ t)
+        extra += 1
+      }
+      QueryResult(name, times, err, retries = extra)
     }
 
   /** 1-minute loadavg (host-noise marker; -1.0 if unavailable). */
@@ -75,9 +106,12 @@ object Bench {
     val failed = results.collect { case r if !r.ok =>
       s"${j(r.name)}:${j(r.error.get)}"
     }.mkString("{", ",", "}")
+    val retried = results.collect { case r if r.retries > 0 =>
+      s"${j(r.name)}:${r.retries}"
+    }.mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.best).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${sfDir}",""" +
-      s""""runs":$runs,"spread":$spread,"failed":$failed,""" +
+      s""""runs":$runs,"spread":$spread,"failed":$failed,"retried":$retried,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""ok":${results.forall(_.ok)}}"""
   }
@@ -98,7 +132,8 @@ object Bench {
     // warmup: JVM/codegen/IO spin-up paid once, not by the first query
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val loadBefore = loadAvg()
-    val results = run(spark, sfDir, SparkEntry.queries.toSeq, runs)
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    val results = run(spark, sfDir, SparkEntry.queries.toSeq, runs, maxExtra = maxExtra)
     val json = toJson(results, sfDir, runs, loadBefore, loadAvg())
     println(json)
     // the committed artifact must never be a truncated log tail: write

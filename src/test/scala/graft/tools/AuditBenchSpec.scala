@@ -43,4 +43,19 @@ class AuditBenchSpec extends SparkTestBase {
     assert(json.contains("\"ok\":false"), json)
     assert(json.contains("\"failed\":{\"broken\":"), json)
   }
+
+  test("bench retry fires only on wide spread under real load") {
+    import graft.Bench.needsRetry
+    // wide spread + loaded host: the sample set is untrustworthy
+    assert(needsRetry(Seq(0.2, 0.9), load = 12.0))
+    // wide spread but quiet host: spread is the query's own variance
+    assert(!needsRetry(Seq(0.2, 0.9), load = 1.0))
+    // tight spread under load: best-of already converged
+    assert(!needsRetry(Seq(0.50, 0.55, 0.52), load = 12.0))
+    assert(!needsRetry(Nil, load = 12.0))
+    // retried counts surface in the artifact
+    val r = graft.Bench.QueryResult("q", Seq(0.9, 0.2, 0.21), None, retries = 1)
+    val json = graft.Bench.toJson(Seq(r), "sfX", 2)
+    assert(json.contains("\"retried\":{\"q\":1}"), json)
+  }
 }
