@@ -1530,6 +1530,59 @@ object Relational {
           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS n_types_seen
         FROM f ORDER BY user_id, event_id""")
+    ),
+
+    Q(
+      "q54_rollup",
+      "ROLLUP hierarchy totals: revenue at (region, nation), per-region, and grand-total grains",
+      (spark, dir) => {
+        import spark.implicits._
+        // The OLAP subtotal operator: one pass emits all three grains.
+        // Spark plans rollup as Expand (3 output rows per input group
+        // pre-agg, partial-agg combined map-side) — one shuffle keyed
+        // on the expanded grouping sets, NOT one job per grain; at
+        // 100 TB that beats 3 separate aggregations + union by reading
+        // and shuffling the fact once. grouping_id disambiguates a
+        // real NULL key from a subtotal row (both engines emit the
+        // same integer), and names are COALESCEd to 'ALL' so the
+        // output is join-friendly. Revenue follows the q03 decimal
+        // convention: exact DECIMAL through the agg, one double cast
+        // at the end.
+        val region = t(spark, dir, "region").select($"r_regionkey", $"r_name")
+        val nation = t(spark, dir, "nation")
+          .select($"n_nationkey", $"n_regionkey", $"n_name")
+        val cust = t(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+        val ord = t(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
+        val li = t(spark, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .join(nation, $"c_nationkey" === $"n_nationkey")
+          .join(region, $"n_regionkey" === $"r_regionkey")
+          .rollup($"r_name", $"n_name")
+          .agg(
+            sumd(dec2($"l_extendedprice") * (lit(1) - dec4($"l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"),
+            grouping_id().cast("int").as("gid"))
+          .select(
+            coalesce($"r_name", lit("ALL")).as("region"),
+            coalesce($"n_name", lit("ALL")).as("nation"),
+            $"gid", $"revenue", $"n_items")
+          .orderBy($"gid", $"region", $"nation")
+      },
+      Some("""SELECT
+          COALESCE(r_name, 'ALL') AS region,
+          COALESCE(n_name, 'ALL') AS nation,
+          CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY gid, region, nation""")
     )
   )
 }

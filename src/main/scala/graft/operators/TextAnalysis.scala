@@ -611,6 +611,60 @@ object TextAnalysis {
         SELECT w1, w2, cnt, ROUND(CAST(cnt AS DOUBLE) / w1_total, 6) AS p,
           CAST(rk AS INT) AS rk
         FROM r WHERE rk <= 3 ORDER BY w1, rk""")
+    ),
+
+    Q(
+      "t17_repetition",
+      "Gopher-style repetition signals: duplicate 3-gram fraction + heaviest repeat per doc",
+      (spark, dir) => {
+        import spark.implicits._
+        // The Gopher quality family t12 does NOT cover: repetition.
+        // Machine-generated and boilerplate text repeats itself;
+        // Gopher filters on "fraction of n-grams occurring more than
+        // once" — here dup_frac = 1 - distinct/total 3-grams, plus
+        // max_rep (the heaviest single 3-gram's occurrence count) and
+        // the Gopher-style keep flag. 3-grams come from the codegen
+        // WordShingles pass with distinct=false (all occurrences, in
+        // order) — zero shuffle until the (doc, gram)-keyed count,
+        // whose cardinality the map-side partial agg collapses; the
+        // per-doc rollup reuses the SAME doc_id hash partitioning.
+        // Docs under 3 words have no 3-grams and drop (oracle CASE
+        // agrees).
+        val grams = Tables.load(spark, dir, "documents")
+          .select($"doc_id", explode(
+            graft.functions.GraftExpressions.wordShingles($"text", 3, distinct = false))
+            .as("g"))
+        grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(
+            sum($"c").as("n_grams"),
+            count(lit(1)).as("n_distinct"),
+            max($"c").cast("int").as("max_rep"))
+          .select(
+            $"doc_id",
+            $"n_grams",
+            $"n_distinct",
+            round(lit(1.0) - $"n_distinct".cast("double") / $"n_grams", 6).as("dup_frac"),
+            $"max_rep",
+            (round(lit(1.0) - $"n_distinct".cast("double") / $"n_grams", 6) < 0.3)
+              .as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS wd FROM documents),
+        g AS (SELECT doc_id, wd[i] || ' ' || wd[i + 1] || ' ' || wd[i + 2] AS g
+          FROM w, UNNEST(generate_series(1, len(wd) - 2)) AS t(i)
+          WHERE len(wd) >= 3),
+        cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+        agg AS (SELECT doc_id,
+            CAST(SUM(c) AS BIGINT) AS n_grams,
+            CAST(COUNT(*) AS BIGINT) AS n_distinct,
+            CAST(MAX(c) AS INT) AS max_rep
+          FROM cnt GROUP BY doc_id)
+        SELECT doc_id, n_grams, n_distinct,
+          ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_frac,
+          max_rep,
+          ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) < 0.3 AS keep
+        FROM agg ORDER BY doc_id""")
     )
   )
 }

@@ -39,6 +39,48 @@ class PipelineSpec extends SparkTestBase {
     assert(a.forall { case (_, fp) => fp >= 0 && fp < 1000000007L })
   }
 
+  test("t17 repetition matches a driver-side recount on sample docs") {
+    val df = q("t17_repetition").cache()
+    // internal consistency over every doc
+    assert(df.filter(col("n_distinct") > col("n_grams")).count() == 0)
+    assert(df.filter(col("dup_frac") < 0 || col("dup_frac") >= 1).count() == 0)
+    // exact recount on the 20 lowest doc_ids
+    val got = df.orderBy(col("doc_id")).limit(20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    val texts = graft.tables.Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id").isin(got.keys.toSeq: _*))
+      .select("doc_id", "text").collect()
+    texts.foreach { r =>
+      val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+      val grams = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val cnts = grams.groupBy(identity).map(_._2.size)
+      val (ng, nd, mx) = got(r.getLong(0))
+      assert(ng == grams.size && nd == cnts.size && mx == cnts.max,
+        s"doc ${r.getLong(0)}: got ($ng,$nd,$mx) want (${grams.size},${cnts.size},${cnts.max})")
+    }
+    df.unpersist()
+  }
+
+  test("s06 IVF+PQ candidates come from probed cells; ADC values equal s04's") {
+    val s06 = q("s06_ivf_pq_topk").cache()
+    val s04 = q("s04_sim_pq_topk").cache()
+    // where both rankings surface the same (probe, neighbor) pair, the
+    // integer ADC distance must be identical — s06 only RESTRICTS the
+    // candidate set, it never changes the metric
+    val joined = s06.select(col("p_id"), col("n_id"), col("adc_q").as("a6"))
+      .join(s04.select(col("p_id"), col("n_id"), col("adc_q").as("a4")),
+        Seq("p_id", "n_id"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("a6") =!= col("a4")).count() == 0)
+    // every probe answered, ranks contiguous from 1
+    val ranks = s06.groupBy(col("p_id"))
+      .agg(min(col("rn")).as("lo"), max(col("rn")).as("hi"), count(lit(1)).as("n"))
+      .collect()
+    assert(ranks.length == 10)
+    ranks.foreach(r => assert(r.getInt(1) == 1 && r.getInt(2) == r.getLong(3).toInt))
+    s06.unpersist(); s04.unpersist()
+  }
+
   test("d01 exact dedup covers all docs") {
     val df = q("d01_dedup_exact")
     val docs = graft.tables.Tables.load(spark, sfDir, "documents").count()

@@ -284,6 +284,31 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("q54 rollup grains are internally consistent") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkEntry.queries("q54_rollup")(spark, sfDir).cache()
+    val detail = df.filter(col("gid") === 0)
+    val regionTot = df.filter(col("gid") === 1)
+    val grand = df.filter(col("gid") === 3)
+    assert(grand.count() == 1)
+    // each region subtotal equals the sum of its detail rows (money in
+    // cents to dodge FP summation order)
+    val fromDetail = detail.groupBy(col("region"))
+      .agg(round(sum(col("revenue")) * 100).as("cents"),
+        sum(col("n_items")).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    regionTot.collect().foreach { r =>
+      val (cents, n) = fromDetail(r.getAs[String]("region"))
+      assert(math.round(r.getAs[Double]("revenue") * 100).toDouble == cents,
+        s"region ${r.getString(0)} revenue mismatch")
+      assert(r.getAs[Long]("n_items") == n)
+    }
+    // grand total equals the sum of region subtotals
+    val gn = grand.head().getAs[Long]("n_items")
+    assert(gn == regionTot.agg(sum(col("n_items"))).head().getLong(0))
+    df.unpersist()
+  }
+
   test("q53 high-cardinality running distinct equals q40's set form") {
     // the two formulations of COUNT(DISTINCT) OVER must agree row for
     // row — q40 carries the set, q53 carries a flag; same semantics
