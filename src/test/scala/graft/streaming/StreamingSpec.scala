@@ -105,7 +105,11 @@ class StreamingSpec extends SparkTestBase {
     docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/f1")
     Thread.sleep(1100)
     docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/f2")
-    val index = graft.operators.Dedup.bandKeys(docs, "doc_id", "text")
+    // the index is the PERSISTED artifact (O24), not a live rebuild —
+    // the same stored files probeBandIndex reads in BandIndexSpec
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
+    graft.operators.Dedup.writeBandIndex(docs, "doc_id", "text", idxDir)
+    val index = graft.operators.Dedup.readBandIndex(spark, idxDir)
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
     val q = Streams.dupCandidatesStream(stream, index)
