@@ -52,6 +52,33 @@ object DataPipeline {
       }
       .depend("in" -> "docs.dedup")
 
+    // quality gate — the t12/t17 filter families as ONE cell: C4/
+    // Gopher length+shape rules are per-row expressions; the
+    // repetition rule needs the (doc, 3-gram) count, joined back as
+    // a keep verdict. Downstream cells see only surviving docs, and
+    // because the whole route is one plan, the verdict join and the
+    // downstream work share the scan.
+    wkf
+      .provide("docs.quality") { ctx =>
+        val in = ctx.as[DataFrame]("in")
+        val shape = in
+          .withColumn("_w", expr("filter(split(text, ' '), x -> x <> '')"))
+          .withColumn("_nw", size(col("_w")).cast("long"))
+          .where(col("_nw") >= 20 && col("_nw") <= 100000)
+          .drop("_w", "_nw")
+        val rep = shape
+          .select(col("doc_id"), explode(
+            graft.functions.GraftExpressions.wordShingles(col("text"), 3, distinct = false))
+            .as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg((lit(1.0) - count(lit(1)).cast("double") / sum(col("c"))).as("dup_frac"))
+          .where(col("dup_frac") < 0.3)
+          .select(col("doc_id"))
+        shape.join(rep, Seq("doc_id"), "left_semi")
+      }
+      .depend("in" -> "docs.clean")
+
     // language slice — the cross-cell pushdown proof point: this
     // filter is declared two cells DOWNSTREAM of the parquet scan,
     // and because every cell returns a lazy frame, Catalyst carries
@@ -114,6 +141,8 @@ object DataPipeline {
     val bins = packed.agg(countDistinct(col("lang"), col("bin_id"))).head().getLong(0)
     val kept = packed.count()
     println(s"raw=$raw dedup=$dedup packed_rows=$kept bins=$bins")
+    val quality = wkf.run("docs.quality").asInstanceOf[DataFrame].count()
+    println(s"kept_after_quality=$quality")
     // the terminal route is ONE plan: show that sampling's filter sits
     // below the packing window in the same Catalyst tree
     packed.explain("simple")
