@@ -622,6 +622,46 @@ object Ops {
       .drop("_z")
   }
 
+  /** O25: Bloom-prefiltered semi-join — the shuffle-volume cut for
+    * the regime d07's broadcast semi-join can't reach. A broadcast
+    * hash semi works while the key set fits an executor as a hashed
+    * relation; past that the join shuffles BOTH sides on the key. A
+    * Bloom filter of the keys (built distributed via the same
+    * treeAggregate `df.stat.bloomFilter` uses, over xxhash64 of the
+    * key) is a fixed, fpp-tunable fraction of that size and has NO
+    * false negatives — so filtering the big side through it BEFORE
+    * the exact semi-join drops ~(1 - selectivity - fpp) of the rows
+    * ahead of the exchange, and the exact semi-join on the survivors
+    * restores exact semantics. The probe is Spark's own codegen'd
+    * `BloomFilterMightContain` over a binary literal (the expression
+    * behind spark.sql.optimizer.runtime.bloomFilter, which injects
+    * this same shape automatically for selective equi-joins the
+    * optimizer can see through; this API is the manual form for semi
+    * joins and key sets the optimizer can't size). Result is
+    * spec-pinned equal to the plain left_semi join.
+    */
+  def bloomSemiJoin(
+      df: DataFrame,
+      keyCol: String,
+      keys: DataFrame,
+      keysCol: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.03
+  ): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val bf = keys.select(xxhash64(col(keysCol)).as("_h"))
+      .stat.bloomFilter("_h", expectedItems, fpp)
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(baos.toByteArray),
+      Bridge.expression(xxhash64(col(keyCol)))))
+    df.filter(mightContain)
+      .join(keys.select(col(keysCol)).distinct(),
+        col(keyCol) === col(keysCol), "left_semi")
+  }
+
   /** O23: scale-safe global ranking — the two-phase row_number. A
     * `row_number().over(Window.orderBy(...))` is a SINGLE-partition
     * sort+rank: fine on a 60k dictionary, a straggler on the 10⁸–10⁹

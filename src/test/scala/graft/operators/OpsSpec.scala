@@ -281,6 +281,25 @@ class OpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("bloomSemiJoin equals the plain left_semi join and pre-filters rows") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    // selective key set: 50 of the 1000 event_ids
+    val keys = Tables.load(spark, sfDir, "events")
+      .select($"event_id".as("eid")).distinct().orderBy($"eid").limit(50)
+    val got = Ops.bloomSemiJoin(ev, "event_id", keys, "eid",
+      expectedItems = 100L, fpp = 0.01)
+    val want = ev.join(keys, $"event_id" === $"eid", "left_semi")
+    assert(got.count() == want.count())
+    assert(got.select("event_id").except(want.select("event_id")).count() == 0 &&
+      want.select("event_id").except(got.select("event_id")).count() == 0)
+    // the bloom pre-filter must be planned (might_contain over the
+    // binary literal) and the result strictly selective
+    val pre = got.queryExecution.optimizedPlan.toString
+    assert(pre.contains("might_contain"), pre.take(400))
+    assert(got.count() > 0 && got.count() < ev.count())
+  }
+
   test("rankGlobal equals the single-window row_number form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
