@@ -657,9 +657,10 @@ object Ops {
     val mightContain = Bridge.column(BloomFilterMightContain(
       Literal(baos.toByteArray),
       Bridge.expression(xxhash64(col(keyCol)))))
+    // rename the key side so keyCol == keysCol stays unambiguous
     df.filter(mightContain)
-      .join(keys.select(col(keysCol)).distinct(),
-        col(keyCol) === col(keysCol), "left_semi")
+      .join(keys.select(col(keysCol).as("_bsj_key")).distinct(),
+        col(keyCol) === col("_bsj_key"), "left_semi")
   }
 
   /** O23: scale-safe global ranking — the two-phase row_number. A

@@ -298,6 +298,10 @@ class OpsSpec extends SparkTestBase {
     val pre = got.queryExecution.optimizedPlan.toString
     assert(pre.contains("might_contain"), pre.take(400))
     assert(got.count() > 0 && got.count() < ev.count())
+    // same column name on both sides must not be ambiguous
+    val sameName = Ops.bloomSemiJoin(ev,
+      "event_id", keys.select($"eid".as("event_id")), "event_id", 100L, 0.01)
+    assert(sameName.count() == want.count())
   }
 
   test("rankGlobal equals the single-window row_number form") {
