@@ -31,6 +31,7 @@ object RoutedSink {
     *   - `parquet:{path:path}` (+ `parquet:{path:path}:by:{cols}` for
     *     hive-style partitioned layout),
     *   - `csv:{path:path}`, `json:{path:path}`, `orc:{path:path}`,
+    *     `xml:{path:path}:row:{tag}` (native Spark 4 xml source),
     *     `noop:{name}`.
     */
   def standard(): RoutedSink = {
@@ -45,6 +46,10 @@ object RoutedSink {
       df.write.mode("overwrite").json(kw("path")))
     r.add("orc:{path:path}", (df, kw) =>
       df.write.mode("overwrite").orc(kw("path")))
+    r.add("xml:{path:path}:row:{tag}", (df, kw) =>
+      df.write.mode("overwrite")
+        .option("rootTag", kw("tag") + "s").option("rowTag", kw("tag"))
+        .format("xml").save(kw("path")))
     r.add("noop:{name}", (df, _) => { df.count(); () })
     new RoutedSink(r)
   }

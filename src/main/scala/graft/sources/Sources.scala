@@ -60,6 +60,24 @@ object Sources {
   def wholeText(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", "true").text(path)
 
+  /** XML ingestion (S6) via Spark 4's NATIVE xml data source — no
+    * external connector. `rowTag` names the repeated element that
+    * becomes a row; schema explicit for the same
+    * no-inference-pass reason as csv/json. XML at scale is splittable
+    * only between rowTag boundaries, so keep documents
+    * element-per-record (exports, feeds, sitemaps) rather than one
+    * giant root.
+    */
+  def xml(
+      spark: SparkSession,
+      path: String,
+      rowTag: String,
+      schema: Option[StructType] = None
+  ): DataFrame = {
+    val r = spark.read.option("rowTag", rowTag)
+    schema.fold(r)(s => r.schema(s)).format("xml").load(path)
+  }
+
   /** Streaming variants (file sources need explicit schemas). */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)

@@ -24,6 +24,20 @@ class SinksSpec extends SparkTestBase {
     assert(Sources.orc(spark, s"$base/nat_orc").count() == 25)
   }
 
+  test("xml sink + source round-trip values through the native xml format (S6)") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sfDir, "nation")
+    val base = tmp()
+    RoutedSink.standard().write(s"xml:$base/nat_xml:row:nation", df)
+    val back = Sources.xml(spark, s"$base/nat_xml", rowTag = "nation",
+      schema = Some(df.schema))
+    assert(back.count() == 25)
+    // value-level parity, not just counts
+    val a = df.orderBy(col("n_nationkey")).collect().map(_.toSeq)
+    val b = back.orderBy(col("n_nationkey")).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   test("partitioned parquet sink produces hive layout") {
     val df = Tables.load(spark, sfDir, "customer")
     val base = tmp()
