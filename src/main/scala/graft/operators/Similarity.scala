@@ -308,12 +308,18 @@ object Similarity {
           .select($"p_id", $"m", expr(s"slice(pe, m * $sub + 1, $sub)").as("ps"))
           .join(broadcast(subCents), Seq("m"))
           .select($"p_id", $"m", $"c_id".as("code"), l2q("ps", "cs").as("dq"))
-        // candidates from the probed cells only, then integer ADC
+        // candidates from the probed cells only, then integer ADC.
+        // candIds is deliberately NOT broadcast-hinted: it grows with
+        // nprobe x cell size (measured 38 -> 55 MB of broadcast at
+        // 100x with the hint), so AQE decides — broadcast while it
+        // fits, shuffle keyed on n_id past capacity (the d11
+        // degradation pattern). The probe-sided dtab stays hinted:
+        // its size is probes x M x k, corpus-independent.
         val candIds = cells.join(broadcast(probeCells), Seq("cell"))
           .where($"n_id" =!= $"p_id")
           .select($"p_id", $"n_id").distinct()
         val w = Window.partitionBy($"p_id").orderBy($"adc_q".asc, $"n_id")
-        codes.join(broadcast(candIds), Seq("n_id"))
+        codes.join(candIds, Seq("n_id"))
           .join(broadcast(dtab), Seq("p_id", "m", "code"))
           .groupBy($"p_id", $"n_id").agg(sum($"dq").as("adc_q"))
           .withColumn("rn", row_number().over(w).cast("int"))
