@@ -724,7 +724,13 @@ object Dedup {
           .select($"doc_id".as("new_id"), $"band", $"bh")
         val idxBands = bands.where($"b" =!= 0L)
           .select($"doc_id".as("idx_id"), $"band", $"bh")
-        val cands = broadcast(newBands).join(idxBands, Seq("band", "bh"))
+        // no broadcast hint on the batch side: the canned split makes
+        // it 20% of the corpus (corpus-LINEAR), so the decision is
+        // AQE's — broadcast while the day's batch fits, shuffle on
+        // (band, bh) past it. This is where the 100x probe observed
+        // the broadcast→shuffle fallback; a hard hint would have
+        // forced the build past executor memory instead.
+        val cands = newBands.join(idxBands, Seq("band", "bh"))
           .select($"new_id", $"idx_id").distinct()
         val shN = sh.where($"b" === 0L).select($"doc_id".as("new_id"), $"sh".as("_sa"))
         val shI = sh.where($"b" =!= 0L).select($"doc_id".as("idx_id"), $"sh".as("_sb"))
@@ -868,7 +874,11 @@ object Dedup {
         val keep = j.groupBy($"cluster_id")
           .agg(min(struct((-$"n_chars").as("negc"), $"doc_id".as("kid"))).as("_k"))
           .select($"cluster_id", $"_k.kid".as("keep_id"))
-        j.join(broadcast(keep), "cluster_id")
+        // keep is one row per CLUSTER — corpus-linear, so no hard
+        // broadcast hint: AQE broadcasts the verdict while it fits
+        // and shuffles on cluster_id past capacity (both sides of
+        // that join already share the cluster_id partitioning).
+        j.join(keep, "cluster_id")
           .select($"doc_id", $"cluster_id", $"n_members", $"keep_id",
             ($"doc_id" =!= $"keep_id").as("to_drop"))
           .orderBy($"doc_id")
