@@ -1,13 +1,18 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
-/** Benchmark main: one JSON line with per-query best-of-3 seconds.
+/** Benchmark main: one JSON line with per-query best-of-N seconds.
   *
   * Failure-honest: a query that throws is reported with ok=false and
   * excluded from the total (round 1 swallowed exceptions, scoring a
   * crash as its near-zero time-to-failure), and the process exits
-  * nonzero. Per-query min/max spread is emitted so round-over-round
-  * comparisons can be read against host noise (BenchSpec pins both).
+  * nonzero. Per-query min/max spread AND median are emitted so
+  * round-over-round comparisons can be read against host noise, and
+  * per-sample JVM GC / executor-run task-metric deltas make a noisy
+  * artifact diagnosable post-hoc (a slow sample with flat GC and flat
+  * executor time is host contention, not the query).
   */
 object Bench {
 
@@ -15,32 +20,53 @@ object Bench {
       name: String,
       times: Seq[Double],
       error: Option[String],
-      retries: Int = 0
+      retries: Int = 0,
+      gcMs: Seq[Long] = Nil,
+      execMs: Seq[Long] = Nil
   ) {
     def ok: Boolean = error.isEmpty
     def best: Double = times.min
+    def median: Double = {
+      val s = times.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
   }
 
-  /** A sample set needs another run when its spread says the host was
-    * interfering: best-of-N is only trustworthy if at least one run
-    * was clean, and a min/max ratio past `spreadLimit` under real
-    * load says none was. Pure so it's unit-testable.
+  /** A sample set needs another run when its min/max spread says no
+    * two samples agree: best-of-N is only trustworthy if at least one
+    * run was clean, and a spread past `spreadLimit` says the set never
+    * converged. Spread ALONE triggers (round 4's `loadavg > 8`
+    * conjunct was blind to a slow-but-idle host — the exact failure
+    * mode that let d08 commit a [28.6, 90.7] s sample set with
+    * loadavg ~2); host load now only widens the retry budget in
+    * `run`. Pure so it's unit-testable.
     */
-  def needsRetry(
-      times: Seq[Double],
-      load: Double,
-      noiseLoad: Double = 8.0,
-      spreadLimit: Double = 3.0
-  ): Boolean =
-    times.nonEmpty && times.max / times.min > spreadLimit && load > noiseLoad
+  def needsRetry(times: Seq[Double], spreadLimit: Double = 3.0): Boolean =
+    times.nonEmpty && times.max / times.min > spreadLimit
+
+  /** Accumulates jvmGCTime / executorRunTime across all tasks; Bench
+    * reads deltas around each sample (queries run sequentially and the
+    * listener bus is flushed first, so deltas attribute cleanly).
+    */
+  final class TaskMetricsListener extends SparkListener {
+    private val gc = new AtomicLong(0L)
+    private val exec = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) { gc.addAndGet(m.jvmGCTime); exec.addAndGet(m.executorRunTime) }
+    }
+    def snapshot: (Long, Long) = (gc.get, exec.get)
+  }
 
   /** Run each query `runs` times (best-of wins); first failure aborts
     * that query's loop and records the error instead of a time.
-    * `maxExtra` > 0 enables loadavg-gated retry: a query whose
-    * min/max spread exceeds 3x while the 1-minute loadavg is above
-    * `noiseLoad` gets up to that many extra samples — the committed
-    * artifact converges toward the quiet-host number instead of
-    * whatever the driver's co-tenants left of it.
+    * `maxExtra` > 0 enables spread-gated retry: a query whose min/max
+    * spread exceeds 3x gets extra samples until the set converges or
+    * the budget runs out — the committed artifact converges toward
+    * the quiet-host number instead of whatever the host's co-tenants
+    * left of it. A loaded host (1-min loadavg > `noiseLoad`) doubles
+    * the budget rather than gating the trigger.
     */
   def run(
       spark: SparkSession,
@@ -49,14 +75,27 @@ object Bench {
       runs: Int,
       maxExtra: Int = 0,
       noiseLoad: Double = 8.0
-  ): Seq[QueryResult] =
-    queries.sortBy(_._1).map { case (name, fn) =>
+  ): Seq[QueryResult] = {
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def flush(): Unit =
+      try org.apache.spark.graftbridge.SparkCoreBridge.flushListenerBus(spark.sparkContext)
+      catch { case _: Throwable => () }
+    try queries.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
+      var gcs = Vector.empty[Long]
+      var execs = Vector.empty[Long]
       def sample(): Option[Double] = {
+        flush()
+        val (gc0, ex0) = listener.snapshot
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
+          val t = (System.nanoTime() - t0) / 1e9
+          flush()
+          val (gc1, ex1) = listener.snapshot
+          gcs :+= (gc1 - gc0); execs :+= (ex1 - ex0)
+          Some(t)
         } catch {
           case e: Throwable =>
             err = Some(
@@ -67,14 +106,15 @@ object Bench {
       var times = (1 to runs).flatMap { _ =>
         if (err.nonEmpty) None else sample()
       }
+      val budget = if (loadAvg() > noiseLoad) maxExtra * 2 else maxExtra
       var extra = 0
-      while (err.isEmpty && extra < maxExtra &&
-          needsRetry(times, loadAvg(), noiseLoad)) {
+      while (err.isEmpty && extra < budget && needsRetry(times)) {
         sample().foreach(t => times = times :+ t)
         extra += 1
       }
-      QueryResult(name, times, err, retries = extra)
-    }
+      QueryResult(name, times, err, retries = extra, gcMs = gcs, execMs = execs)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 
   /** 1-minute loadavg (host-noise marker; -1.0 if unavailable). */
   def loadAvg(): Double =
@@ -96,22 +136,34 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map {
+    def obj(parts: Seq[String]): String = parts.mkString("{", ",", "}")
+    val qs = obj(results.map {
       case r if r.ok => s"${j(r.name)}:${r.best}"
       case r => s"${j(r.name)}:null"
-    }.mkString("{", ",", "}")
-    val spread = results.collect { case r if r.ok =>
+    })
+    val medians = obj(results.collect { case r if r.ok =>
+      s"${j(r.name)}:${r.median}"
+    })
+    val spread = obj(results.collect { case r if r.ok =>
       s"${j(r.name)}:[${r.times.min},${r.times.max}]"
-    }.mkString("{", ",", "}")
-    val failed = results.collect { case r if !r.ok =>
+    })
+    val gc = obj(results.collect { case r if r.ok && r.gcMs.nonEmpty =>
+      s"${j(r.name)}:[${r.gcMs.mkString(",")}]"
+    })
+    val exec = obj(results.collect { case r if r.ok && r.execMs.nonEmpty =>
+      s"${j(r.name)}:[${r.execMs.mkString(",")}]"
+    })
+    val failed = obj(results.collect { case r if !r.ok =>
       s"${j(r.name)}:${j(r.error.get)}"
-    }.mkString("{", ",", "}")
-    val retried = results.collect { case r if r.retries > 0 =>
+    })
+    val retried = obj(results.collect { case r if r.retries > 0 =>
       s"${j(r.name)}:${r.retries}"
-    }.mkString("{", ",", "}")
+    })
     val total = results.filter(_.ok).map(_.best).sum
+    val totalMedian = results.filter(_.ok).map(_.median).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${sfDir}",""" +
-      s""""runs":$runs,"spread":$spread,"failed":$failed,"retried":$retried,""" +
+      s""""runs":$runs,"total_median":$totalMedian,"median":$medians,"spread":$spread,""" +
+      s""""gc_ms":$gc,"exec_ms":$exec,"failed":$failed,"retried":$retried,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""ok":${results.forall(_.ok)}}"""
   }

@@ -1,0 +1,13 @@
+package org.apache.spark.graftbridge
+
+import org.apache.spark.SparkContext
+
+/** Core-side twin of the sql Bridge: `LiveListenerBus.waitUntilEmpty`
+  * is `private[spark]`, and Bench needs it so per-sample task-metric
+  * deltas (GC / executor run time) are read only after every TaskEnd
+  * event for the sample has been delivered — without the flush the
+  * async bus attributes a sample's tail events to the next sample.
+  */
+object SparkCoreBridge {
+  def flushListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+}

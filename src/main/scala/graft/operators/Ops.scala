@@ -245,7 +245,7 @@ object Ops {
     val edges = pairs.union(pairs.select(col("dst"), col("src"))).toDF("src", "dst").cache()
     var labels = edges.groupBy(col("src"))
       .agg(least(first(col("src")), min(col("dst"))).as("lbl"))
-      .select(col("src").as("id"), col("lbl")).localCheckpoint()
+      .select(col("src").as("id"), col("lbl")).localCheckpoint(eager = false)
     var prevSum = Long.MaxValue
     var converged = false
     var iter = 0
@@ -254,11 +254,12 @@ object Ops {
         .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
       // localCheckpoint, not cache: iterative rounds compound the
       // logical plan, and cached frames still carry full lineage —
-      // past ~30 rounds the plan strings alone exhaust the driver
+      // past ~30 rounds the plan strings alone exhaust the driver.
+      // Lazy: the convergence sum below materializes it, one job/round
       val next = labels
         .join(nmin.select(col("dst").as("id"), col("nlbl")), Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // sum over an empty labels frame is null — read through Option
       // so a zero-edge graph converges to an empty result, not an NPE
       val s = Option(next.agg(sum(col("lbl"))).head().get(0))
@@ -322,13 +323,19 @@ object Ops {
     // the logical plan geometrically, so lineage MUST be truncated or
     // the driver chokes on plan strings long before the data is big —
     // the standard iterative-graph pattern (a real cluster job may
-    // prefer reliable checkpoints to survive executor loss)
-    var edges = pairs.where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // prefer reliable checkpoints to survive executor loss).
+    // LAZY checkpoints: the convergence aggregate right below is the
+    // materializing action, so each round runs ONE Spark job, not two
+    // (an eager checkpoint ran its own job and the agg a second one —
+    // at ~25 rounds on a near-clique graph the per-job overhead, not
+    // the data, dominated round 4's driver-env d08 time).
+    var edges = pairs.where(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = false)
     var prev = (-1L, -1L, -1L)
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged && rounds < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val stat = next.agg(count(lit(1)), sum(col("src")), sum(col("dst"))).head()
       val cur = (stat.getLong(0),
         Option(stat.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),

@@ -44,18 +44,42 @@ class AuditBenchSpec extends SparkTestBase {
     assert(json.contains("\"failed\":{\"broken\":"), json)
   }
 
-  test("bench retry fires only on wide spread under real load") {
+  test("bench retry fires on wide spread alone (host load no longer gates it)") {
     import graft.Bench.needsRetry
-    // wide spread + loaded host: the sample set is untrustworthy
-    assert(needsRetry(Seq(0.2, 0.9), load = 12.0))
-    // wide spread but quiet host: spread is the query's own variance
-    assert(!needsRetry(Seq(0.2, 0.9), load = 1.0))
-    // tight spread under load: best-of already converged
-    assert(!needsRetry(Seq(0.50, 0.55, 0.52), load = 12.0))
-    assert(!needsRetry(Nil, load = 12.0))
+    // wide spread: the sample set never converged — retry regardless
+    // of loadavg (round 4's load>8 conjunct was blind to a
+    // slow-but-idle host and let d08 commit a [28.6, 90.7]s set)
+    assert(needsRetry(Seq(0.2, 0.9)))
+    // tight spread: best-of already converged
+    assert(!needsRetry(Seq(0.50, 0.55, 0.52)))
+    assert(!needsRetry(Nil))
     // retried counts surface in the artifact
     val r = graft.Bench.QueryResult("q", Seq(0.9, 0.2, 0.21), None, retries = 1)
     val json = graft.Bench.toJson(Seq(r), "sfX", 2)
     assert(json.contains("\"retried\":{\"q\":1}"), json)
+  }
+
+  test("bench artifact carries median and per-sample GC/executor metrics") {
+    val r = graft.Bench.QueryResult("q", Seq(0.9, 0.2, 0.21), None,
+      gcMs = Seq(120L, 5L, 6L), execMs = Seq(8000L, 900L, 880L))
+    assert(r.best == 0.2 && math.abs(r.median - 0.21) < 1e-12)
+    val json = graft.Bench.toJson(Seq(r), "sfX", 3)
+    assert(json.contains("\"median\":{\"q\":0.21}"), json)
+    assert(json.contains("\"total_median\":0.21"), json)
+    assert(json.contains("\"gc_ms\":{\"q\":[120,5,6]}"), json)
+    assert(json.contains("\"exec_ms\":{\"q\":[8000,900,880]}"), json)
+    // even-count median averages the middle pair
+    val even = graft.Bench.QueryResult("e", Seq(1.0, 3.0), None)
+    assert(even.median == 2.0)
+  }
+
+  test("bench run measures real GC/executor deltas per sample") {
+    val fine: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(100000).selectExpr("sum(id) as s")
+    val rs = graft.Bench.run(spark, sfDir, Seq("fine" -> fine), runs = 2)
+    val r = rs.head
+    assert(r.gcMs.size == 2 && r.execMs.size == 2, r)
+    // tasks ran, so executor run time must be nonzero for each sample
+    assert(r.execMs.forall(_ >= 0) && r.execMs.sum > 0, r.execMs)
   }
 }
