@@ -647,27 +647,63 @@ object Ops {
     * joins and key sets the optimizer can't size). Result is
     * spec-pinned equal to the plain left_semi join.
     */
+  /** Realized Bloom-filter geometry for [[bloomSemiJoinWithStats]]:
+    * `expectedFpp` is computed from the actual bit saturation after
+    * insertion, so an undersized filter REPORTS its degradation (fpp
+    * well above the requested target) even though results stay exact
+    * — the failure mode is visible instead of silently eating the
+    * shuffle reduction.
+    */
+  final case class BloomSemiStats(
+      sizedFor: Long,
+      bitSize: Long,
+      expectedFpp: Double,
+      requestedFpp: Double
+  )
+
   def bloomSemiJoin(
       df: DataFrame,
       keyCol: String,
       keys: DataFrame,
       keysCol: String,
-      expectedItems: Long = 1000000L,
+      expectedItems: Option[Long] = None,
       fpp: Double = 0.03
-  ): DataFrame = {
+  ): DataFrame =
+    bloomSemiJoinWithStats(df, keyCol, keys, keysCol, expectedItems, fpp)._1
+
+  /** As [[bloomSemiJoin]], also returning the realized filter stats.
+    * `expectedItems = None` (the default) SELF-SIZES: one cheap
+    * count(keys) action sizes the filter — a fixed default capacity
+    * at 10⁸–10⁹ keys would silently blow the fpp while results stayed
+    * correct, an invisible performance failure. Callers that already
+    * know the cardinality pass `Some(n)` and skip the count.
+    */
+  def bloomSemiJoinWithStats(
+      df: DataFrame,
+      keyCol: String,
+      keys: DataFrame,
+      keysCol: String,
+      expectedItems: Option[Long] = None,
+      fpp: Double = 0.03
+  ): (DataFrame, BloomSemiStats) = {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    // non-distinct count: over-counting duplicate keys only oversizes
+    // the filter (safe); distinct would add a shuffle to save bits
+    val sizedFor = expectedItems.getOrElse(math.max(1L, keys.count()))
     val bf = keys.select(xxhash64(col(keysCol)).as("_h"))
-      .stat.bloomFilter("_h", expectedItems, fpp)
+      .stat.bloomFilter("_h", sizedFor, fpp)
+    val stats = BloomSemiStats(sizedFor, bf.bitSize(), bf.expectedFpp(), fpp)
     val baos = new java.io.ByteArrayOutputStream()
     bf.writeTo(baos)
     val mightContain = Bridge.column(BloomFilterMightContain(
       Literal(baos.toByteArray),
       Bridge.expression(xxhash64(col(keyCol)))))
     // rename the key side so keyCol == keysCol stays unambiguous
-    df.filter(mightContain)
+    val out = df.filter(mightContain)
       .join(keys.select(col(keysCol).as("_bsj_key")).distinct(),
         col(keyCol) === col("_bsj_key"), "left_semi")
+    (out, stats)
   }
 
   /** O23: scale-safe global ranking — the two-phase row_number. A

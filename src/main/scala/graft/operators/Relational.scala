@@ -1583,6 +1583,46 @@ object Relational {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
         ORDER BY gid, region, nation""")
+    ),
+
+    Q(
+      "q55_bloom_semi_join",
+      "Bloom-prefiltered semi-join: lineitem vs high-value order keys past broadcast capacity",
+      (spark, dir) => {
+        import spark.implicits._
+        // The O25 operator in a canned query. A key set that scales
+        // WITH the corpus (here: high-value orders, ~10% of the
+        // orders table) eventually outgrows broadcast capacity, and a
+        // plain left_semi then shuffles BOTH full sides on the key.
+        // bloomSemiJoin builds a fixed-size Bloom of the keys
+        // (self-sized from one count — no fixed capacity to undersize)
+        // and plans codegen'd might_contain AHEAD of the exchange, so
+        // ~90% of lineitem never transits the shuffle; the exact
+        // left_semi on the survivors restores exact semantics — the
+        // oracle is a full value-level IN (subquery), not a weaker
+        // rows-only check, precisely because the Bloom is
+        // filter-only.
+        val li = t(spark, dir, "lineitem")
+          .select($"l_orderkey", $"l_returnflag", $"l_quantity",
+            $"l_extendedprice", $"l_discount")
+        val keys = t(spark, dir, "orders")
+          .filter($"o_totalprice" > 450000.0)
+          .select($"o_orderkey")
+        Ops.bloomSemiJoin(li, "l_orderkey", keys, "o_orderkey")
+          .groupBy($"l_returnflag")
+          .agg(
+            sumd(dec2($"l_quantity")).as("sum_qty"),
+            sumd(dec2($"l_extendedprice") * (lit(1) - dec4($"l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
     )
   )
 }

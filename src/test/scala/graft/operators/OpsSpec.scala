@@ -288,7 +288,7 @@ class OpsSpec extends SparkTestBase {
     val keys = Tables.load(spark, sfDir, "events")
       .select($"event_id".as("eid")).distinct().orderBy($"eid").limit(50)
     val got = Ops.bloomSemiJoin(ev, "event_id", keys, "eid",
-      expectedItems = 100L, fpp = 0.01)
+      expectedItems = Some(100L), fpp = 0.01)
     val want = ev.join(keys, $"event_id" === $"eid", "left_semi")
     assert(got.count() == want.count())
     assert(got.select("event_id").except(want.select("event_id")).count() == 0 &&
@@ -300,8 +300,57 @@ class OpsSpec extends SparkTestBase {
     assert(got.count() > 0 && got.count() < ev.count())
     // same column name on both sides must not be ambiguous
     val sameName = Ops.bloomSemiJoin(ev,
-      "event_id", keys.select($"eid".as("event_id")), "event_id", 100L, 0.01)
+      "event_id", keys.select($"eid".as("event_id")), "event_id", Some(100L), 0.01)
     assert(sameName.count() == want.count())
+  }
+
+  test("bloomSemiJoin self-sizes from the key count; undersizing stays exact but reports") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sfDir, "events")
+    val keys = ev.select($"event_id".as("eid")).distinct().orderBy($"eid").limit(50)
+    val want = ev.join(keys, $"event_id" === $"eid", "left_semi").count()
+    // default: no fixed capacity anywhere — sized from count(keys)
+    val (auto, autoStats) = Ops.bloomSemiJoinWithStats(ev, "event_id", keys, "eid")
+    assert(auto.count() == want)
+    assert(autoStats.sizedFor == 50L, autoStats)
+    // a well-sized filter realizes roughly its requested fpp
+    assert(autoStats.expectedFpp <= autoStats.requestedFpp * 2, autoStats)
+    // deliberately undersized 10x: results MUST stay exact (no false
+    // negatives), and the degradation must be visible in the stats —
+    // the realized fpp blows far past the request instead of failing
+    // silently
+    val (under, underStats) = Ops.bloomSemiJoinWithStats(
+      ev, "event_id", keys, "eid", expectedItems = Some(5L), fpp = 0.01)
+    assert(under.count() == want)
+    assert(underStats.expectedFpp > underStats.requestedFpp * 5,
+      s"undersized filter should report degraded fpp: $underStats")
+    assert(underStats.bitSize < autoStats.bitSize)
+  }
+
+  test("bloomSemiJoin cuts measured shuffle records past broadcast capacity") {
+    import spark.implicits._
+    import graft.tools.RuntimeAudit
+    // The regime the operator exists for: keys too big to broadcast
+    // (simulated by disabling auto-broadcast), so the plain left_semi
+    // shuffles BOTH full sides on the key. The bloom pre-filter must
+    // keep most of the big side out of the exchange entirely.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+      val keys = Tables.load(spark, sfDir, "orders")
+        .filter($"o_totalprice" > 450000.0).select($"o_orderkey")
+      val plain = RuntimeAudit.run(
+        li.join(keys, $"l_orderkey" === $"o_orderkey", "left_semi"))
+      val bloomed = RuntimeAudit.run(
+        Ops.bloomSemiJoin(li, "l_orderkey", keys, "o_orderkey"))
+      assert(bloomed.rows == plain.rows, s"$bloomed vs $plain")
+      // ~10% key selectivity + fpp: the bloomed exchanges must carry
+      // well under half of what the plain semi-join shuffles
+      assert(bloomed.shuffleRecords < plain.shuffleRecords / 2,
+        s"bloom=${bloomed.shuffleRecords} plain=${plain.shuffleRecords}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
   test("rankGlobal equals the single-window row_number form") {
