@@ -185,7 +185,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val loadBefore = loadAvg()
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
-    val results = run(spark, sfDir, SparkEntry.queries.toSeq, runs, maxExtra = maxExtra)
+    // optional comma-separated name filter for isolating one query's
+    // timing (diagnosis only — committed artifacts run the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val qset = SparkEntry.queries.toSeq.filter(q => only.forall(_.contains(q._1)))
+    val results = run(spark, sfDir, qset, runs, maxExtra = maxExtra)
     val json = toJson(results, sfDir, runs, loadBefore, loadAvg())
     println(json)
     // the committed artifact must never be a truncated log tail: write
