@@ -35,13 +35,17 @@ object DataPipeline {
       }
       .depend("in" -> "docs.raw")
 
-    // exact dedup on normalized content, keep the lowest doc_id
+    // exact dedup on normalized content, keep the lowest doc_id.
+    // Sits DOWNSTREAM of the quality gate (cheap row-local rules
+    // first, then the content-keyed shuffle over survivors only) —
+    // so the whole curation chain raw → clean → quality → dedup →
+    // sample → packed is one route.
     wkf
       .provide("docs.dedup") { ctx =>
         val df = ctx.as[DataFrame]("in").withColumn("h", md5(col("text")))
         Ops.dedupExact(df, Seq("h"), keepBy = "doc_id").drop("h")
       }
-      .depend("in" -> "docs.clean")
+      .depend("in" -> "docs.quality")
 
     // deterministic hash-mod downsampling to {pct}% of the corpus
     wkf
@@ -55,9 +59,13 @@ object DataPipeline {
     // quality gate — the t12/t17 filter families as ONE cell: C4/
     // Gopher length+shape rules are per-row expressions; the
     // repetition rule needs the (doc, 3-gram) count, joined back as
-    // a keep verdict. Downstream cells see only surviving docs, and
+    // a keep verdict. docs.dedup (and everything below it) consumes
+    // this cell, so downstream cells see only surviving docs, and
     // because the whole route is one plan, the verdict join and the
-    // downstream work share the scan.
+    // downstream work share the scan. (docs.lang/.langstats stay on
+    // docs.clean on purpose — they are the §1 pushdown/pruning proof
+    // points, which need a scan the quality join doesn't force to
+    // read text.)
     wkf
       .provide("docs.quality") { ctx =>
         val in = ctx.as[DataFrame]("in")

@@ -725,7 +725,17 @@ object Ops {
     *
     * `orderBy` must be a TOTAL order (include a unique tiebreak
     * column) — ranks on ties would otherwise depend on partition
-    * placement. Determinism note: the offsets branch and the join
+    * placement. `checkTotalOrder = true` ENFORCES that contract at
+    * runtime: a partition-local adjacent-duplicate probe (lag over
+    * the existing sort — no extra exchange; range partitioning sends
+    * equal keys to one partition, so adjacency sees every duplicate)
+    * raises a descriptive error on the first tied key instead of
+    * returning placement-dependent ranks. The guard is folded into
+    * the output rank column itself so Catalyst cannot prune it away
+    * (the zorderLayout lesson). Off by default: it costs one
+    * partition-local window pass over the data.
+    *
+    * Determinism note: the offsets branch and the join
     * branch share one range exchange (ReuseExchange); even unshared,
     * RangePartitioner's seeded sampling yields identical boundaries
     * for identical input, and explicit `numPartitions` keeps AQE from
@@ -735,7 +745,8 @@ object Ops {
       df: DataFrame,
       orderBy: Seq[Column],
       outCol: String = "rank",
-      numPartitions: Int = 32
+      numPartitions: Int = 32,
+      checkTotalOrder: Boolean = false
   ): DataFrame = {
     val parts = df
       .repartitionByRange(numPartitions, orderBy: _*)
@@ -747,9 +758,24 @@ object Ops {
     val offsets = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
       .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))
       .select(col("_pid"), col("_off"))
-    parts.join(broadcast(offsets), Seq("_pid"))
-      .withColumn(outCol, col("_lrank") + col("_off"))
-      .drop("_pid", "_lrank")
+    val joined = parts.join(broadcast(offsets), Seq("_pid"))
+    val rank = col("_lrank") + col("_off")
+    val guarded =
+      if (!checkTotalOrder) joined.withColumn(outCol, rank)
+      else {
+        // strip SortOrder wrappers (e.g. $"cnt".desc) down to the
+        // bare key expressions so they can be compared for equality
+        val keys = orderBy.map(org.apache.spark.sql.graftbridge.Bridge.stripSortOrder)
+        val key = struct(keys: _*)
+        val wl = Window.partitionBy(col("_pid")).orderBy(orderBy: _*)
+        joined.withColumn(outCol,
+          when(lag(key, 1).over(wl) === key,
+            raise_error(concat(
+              lit("rankGlobal: orderBy is not a total order — duplicate sort key "),
+              key.cast("string"))).cast("long"))
+            .otherwise(rank))
+      }
+    guarded.drop("_pid", "_lrank")
   }
 
   /** O22: deterministic Lloyd k-means assignment (s05's library form,

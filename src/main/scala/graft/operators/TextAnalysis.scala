@@ -618,10 +618,10 @@ object TextAnalysis {
       "Gopher-style repetition signals: duplicate 3-gram fraction + heaviest repeat per doc",
       (spark, dir) => {
         import spark.implicits._
-        // The Gopher quality family t12 does NOT cover: repetition.
-        // Machine-generated and boilerplate text repeats itself;
-        // Gopher filters on "fraction of n-grams occurring more than
-        // once" — here dup_frac = 1 - distinct/total 3-grams, plus
+        // t07 already measures repetition as the DOMINANT trigram's
+        // share (max_rep / total); this adds the Gopher form that
+        // ratio does not express: "fraction of n-grams occurring more
+        // than once" — dup_frac = 1 - distinct/total 3-grams, plus
         // max_rep (the heaviest single 3-gram's occurrence count) and
         // the Gopher-style keep flag. 3-grams come from the codegen
         // WordShingles pass with distinct=false (all occurrences, in

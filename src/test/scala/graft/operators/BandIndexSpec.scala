@@ -87,9 +87,13 @@ class BandIndexSpec extends SparkTestBase {
     val scans = collectFileScans(probe.queryExecution.executedPlan)
     val idxScan = scans.find(_.toString.contains(indexPath.split('/').last))
     assert(idxScan.isDefined, s"no index scan among ${scans.size} scans")
-    val filesRead = idxScan.get.metrics("numFiles").value
-    assert(filesRead <= 16 && filesRead < totalDirs,
-      s"probe read $filesRead index files of $totalDirs buckets")
+    // assert on partition DIRECTORIES, not raw file count — a bucket
+    // may hold several part-files under higher write parallelism, and
+    // the pruning contract is per-(band, pfx) bucket
+    val dirsRead = idxScan.get.metrics.get("numPartitions")
+      .fold(fail("index scan exposes no numPartitions metric"))(_.value)
+    assert(dirsRead <= 16 && dirsRead < totalDirs,
+      s"probe read $dirsRead index buckets of $totalDirs")
   }
 
   test("ST6's stream probe consumes the same stored index (batch plan)") {

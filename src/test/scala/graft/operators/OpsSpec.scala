@@ -392,4 +392,27 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       plan.take(500))
   }
+
+  test("rankGlobal checkTotalOrder: tied keys raise, unique keys rank unchanged") {
+    import spark.implicits._
+    // a deliberately NON-total order: cnt alone collides constantly
+    val dict = Tables.load(spark, sfDir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val err = intercept[Exception] {
+      Ops.rankGlobal(dict, Seq($"cnt".desc), "rank",
+        numPartitions = 8, checkTotalOrder = true).collect()
+    }
+    assert(err.getMessage.contains("not a total order"),
+      s"wrong failure: ${err.getMessage}")
+    // with the tiebreak restored, the guard must not change a single
+    // rank (including through SortOrder-wrapped keys like .desc)
+    val unguarded = Ops.rankGlobal(dict, Seq($"cnt".desc, $"w".asc), "rank",
+      numPartitions = 8)
+    val guarded = Ops.rankGlobal(dict, Seq($"cnt".desc, $"w".asc), "rank",
+      numPartitions = 8, checkTotalOrder = true)
+    assert(guarded.join(unguarded.withColumnRenamed("rank", "r0"), Seq("w"))
+      .filter($"rank" =!= $"r0").count() == 0)
+  }
 }
