@@ -154,6 +154,60 @@ object Dedup {
         bandKeys(docs, idCol, textCol).withColumnRenamed(idCol, "doc_id")
           .withColumn("pfx", substring(col("bh"), 1, 1)))
 
+  /** Day-N index maintenance (the day-3 story): after a batch's
+    * near-dup verdicts are in and its KEPT docs selected (d12's
+    * keeper rule), their band keys must join the standing index —
+    * otherwise tomorrow's batch can near-duplicate today's keepers
+    * undetected. Routed-sink APPEND into the same (band, pfx) hive
+    * layout: new files land only in the buckets the kept docs hash
+    * to, nothing existing is rewritten, and the very next
+    * [[probeBandIndex]] sees day-2 keepers with zero corpus
+    * recompute. Pass only the KEPT docs — appending dropped
+    * near-dups would make the index flag every future re-ingest of
+    * content it already rejected against a doc_id that no longer
+    * exists downstream.
+    */
+  def appendBandIndex(
+      kept: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String
+  ): Unit =
+    graft.sinks.RoutedSink.standard()
+      .write(s"parquet-append:$path:by:band+pfx",
+        bandKeys(kept, idCol, textCol).withColumnRenamed(idCol, "doc_id")
+          .withColumn("pfx", substring(col("bh"), 1, 1)))
+
+  /** Periodic compaction for the append-maintained index: daily
+    * appends leave one small file per (bucket, day), and a year of
+    * them turns the probe's pruned read into a small-file storm.
+    * Rewrites each (band, pfx) bucket into a single file — one
+    * hash-repartition pass keyed on the bucket columns, so every
+    * bucket's rows land in exactly one task (for a 100 TB index,
+    * salt the repartition key to target N files per bucket instead).
+    * The rewrite goes to a sibling directory then swaps in via two
+    * renames — readers racing the swap should retry, the same
+    * contract as any non-transactional hive-layout rewrite.
+    */
+  def compactBandIndex(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val tmp = path + "__compacting"
+    spark.read.parquet(path)
+      .repartition(col("band"), col("pfx"))
+      .write.mode("overwrite").partitionBy("band", "pfx").parquet(tmp)
+    val fs = FileSystem.get(new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
+    val staged = new Path(tmp)
+    val retired = new Path(path + "__pre_compact")
+    if (!fs.rename(live, retired))
+      throw new java.io.IOException(s"compactBandIndex: cannot retire $path")
+    if (!fs.rename(staged, live)) {
+      fs.rename(retired, live) // roll back
+      throw new java.io.IOException(s"compactBandIndex: cannot publish $tmp")
+    }
+    fs.delete(retired, true)
+  }
+
   /** Read a band index persisted by [[writeBandIndex]]. The result
     * feeds [[probeBandIndex]] (batch day-2) and
     * [[graft.streaming.Streams.dupCandidatesStream]] (ST6) unchanged —

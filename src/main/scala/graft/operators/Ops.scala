@@ -805,14 +805,64 @@ object Ops {
       iters: Int = 2,
       dim: Int = 64
   ): DataFrame = {
-    require(iters >= 1, "kmeansAssign needs at least one iteration")
-    val l2q = (a: String, b: String) => expr(
-      s"CAST(floor(aggregate(zip_with($a, $b, " +
-        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)")
-    val ev = df.select(col(idCol).as("_id"), col(vecCol).as("_x"),
+    val ev = quantizedVecs(df, idCol, vecCol).cache()
+    val (_, assign) = lloydLoop(ev, k, iters, dim)
+    val out = assign
+      .select(col("_id").as(idCol), col("_cell").as("cell"), col("_dq").as("dq"))
+      .localCheckpoint()
+    ev.unpersist()
+    out
+  }
+
+  /** The trained centroids behind [[kmeansAssign]]: the coordinate
+    * frame (_cid, _cx) its `iters`-th assignment pass compares
+    * against (i.e. after iters-1 mean updates). Returned as a k-row
+    * localCheckpoint — the bounded artifact a pipeline stores next to
+    * the assignment, and what [[ivfPqTrained]] probes queries with.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64
+  ): DataFrame = {
+    val ev = quantizedVecs(df, idCol, vecCol).cache()
+    val (cents, _) = lloydLoop(ev, k, iters, dim)
+    val out = cents.localCheckpoint()
+    ev.unpersist()
+    out
+  }
+
+  /** Nano-scaled integer squared-L² — the exact-on-both-engines
+    * distance every trained-quantizer op shares (e01's trick).
+    */
+  private[operators] def l2q(a: String, b: String) = expr(
+    s"CAST(floor(aggregate(zip_with($a, $b, " +
+      "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)")
+
+  /** (_id, _x, _xq): the vector plus its micro-scaled BIGINT image —
+    * integer centroid sums are order-independent, so Lloyd results
+    * don't depend on partitioning.
+    */
+  private def quantizedVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("_id"), col(vecCol).as("_x"),
       expr(s"transform($vecCol, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
-        .as("_xq")).cache()
+        .as("_xq"))
+
+  /** Deterministic Lloyd: init = k lowest-id vectors; per iteration
+    * one broadcast NL (argmin-as-aggregation) + one keyed mean
+    * update from integer sums; each k-row centroid frame is
+    * localCheckpoint-ed so plan depth stays linear in `iters`.
+    * Returns (the centroids the FINAL assignment used, that final
+    * (_id, _cell, _dq) assignment) — both lazy except the
+    * checkpointed centroid frames.
+    */
+  private def lloydLoop(
+      ev: DataFrame, k: Int, iters: Int, dim: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, "Lloyd needs at least one iteration")
     var cents = ev.orderBy(col("_id")).limit(k)
       .select(col("_id").as("_cid"), col("_x").as("_cx"))
     var assign: DataFrame = null
@@ -832,10 +882,134 @@ object Ops {
           .localCheckpoint()
       }
     }
-    val out = assign
-      .select(col("_id").as(idCol), col("_cell").as("cell"), col("_dq").as("dq"))
-      .localCheckpoint()
+    (cents, assign)
+  }
+
+  /** O26: per-subspace TRAINED PQ codebooks — the same deterministic
+    * integer-sum Lloyd as [[kmeansCentroids]], run on the m sliced
+    * sub-vectors simultaneously (the subspace id is folded into every
+    * group key, so all m trainings share each broadcast-NL and
+    * keyed-agg pass instead of launching m job chains). Init per
+    * subspace = slices of the k lowest-id vectors, matching the
+    * untrained s04/s06 codebooks at iters=1. Returns the (m-times-k)-
+    * row frame (_m, _cid, _cs), localCheckpoint-ed.
+    */
+  def pqCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      k: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64
+  ): DataFrame = {
+    require(iters >= 1, "Lloyd needs at least one iteration")
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val sub = dim / m
+    val ev = quantizedVecs(df, idCol, vecCol).cache()
+    val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
+    val evs = ev.select(col("_id"), ms, col("_x"), col("_xq"))
+      .select(col("_id"), col("_m"),
+        expr(s"slice(_x, _m * $sub + 1, $sub)").as("_xs"),
+        expr(s"slice(_xq, _m * $sub + 1, $sub)").as("_xqs"))
+    var cents = ev.orderBy(col("_id")).limit(k)
+      .select(col("_id").as("_cid"), ms, col("_x"))
+      .select(col("_m"), col("_cid"), expr(s"slice(_x, _m * $sub + 1, $sub)").as("_cs"))
+    var codes: DataFrame = null
+    for (it <- 1 to iters) {
+      codes = evs.join(broadcast(cents), Seq("_m"))
+        .withColumn("_dq", l2q("_xs", "_cs"))
+        .groupBy(col("_id"), col("_m"))
+        .agg(min(struct(col("_dq"), col("_cid"))).as("_mc"))
+        .select(col("_id"), col("_m"), col("_mc._cid").as("_cell"))
+      if (it < iters) {
+        val dimSums = (1 to sub).map(j => sum(element_at(col("_xqs"), j)).as(s"_s$j"))
+        cents = codes.join(evs.select(col("_id"), col("_m"), col("_xqs")), Seq("_id", "_m"))
+          .groupBy(col("_cell"), col("_m"))
+          .agg(count(lit(1)).as("_nc"), dimSums: _*)
+          .select(col("_m"), col("_cell").as("_cid"),
+            array((1 to sub).map(j =>
+              col(s"_s$j").cast("double") / col("_nc") / lit(1000000.0)): _*).as("_cs"))
+          .localCheckpoint()
+      }
+    }
+    val out = cents.localCheckpoint()
     ev.unpersist()
     out
+  }
+
+  /** O27: IVF+PQ with TRAINED quantizers end-to-end — closes s06's
+    * "trained centroids slot in unchanged" claim by actually
+    * composing them: coarse cells come from [[kmeansAssign]] (and
+    * probes rank against ITS [[kmeansCentroids]] frame), PQ codes
+    * from [[pqCodebooks]]; the query plan downstream of training is
+    * s06's exactly — candidate generation joins cell ids, ranking
+    * joins int codes against the broadcast per-probe distance table,
+    * no float array transits a shuffle after encoding.
+    *
+    * The corpus-sized artifacts (cells = the inverted lists, codes =
+    * the PQ code table) are localCheckpoint-ed: that IS the IVFPQ
+    * index build — paid once, stored, probed cheaply — and it lets
+    * the internal vector cache be unpersisted here instead of leaking.
+    * Output: (p_id, rn, n_id, adc_q) — probe, rank, neighbor id,
+    * nano-scaled integer ADC distance.
+    */
+  def ivfPqTrained(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probes: DataFrame,
+      probeIdCol: String,
+      probeVecCol: String,
+      k: Int = 8,
+      nprobe: Int = 2,
+      m: Int = 4,
+      kSub: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64,
+      topK: Int = 5
+  ): DataFrame = {
+    val sub = dim / m
+    // trained coarse quantizer: inverted lists + the centroid frame
+    val cells = kmeansAssign(corpus, idCol, vecCol, k, iters, dim)
+      .select(col(idCol).as("n_id"), col("cell"))
+    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters, dim)
+    // trained PQ codebooks + the corpus code table
+    val books = pqCodebooks(corpus, idCol, vecCol, m, kSub, iters, dim)
+    val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
+    val codes = quantizedVecs(corpus, idCol, vecCol)
+      .select(col("_id").as("n_id"), ms, col("_x"))
+      .select(col("n_id"), col("_m"), expr(s"slice(_x, _m * $sub + 1, $sub)").as("_vs"))
+      .join(broadcast(books), Seq("_m"))
+      .withColumn("_dq", l2q("_vs", "_cs"))
+      .groupBy(col("n_id"), col("_m"))
+      .agg(min(struct(col("_dq"), col("_cid"))).as("_mc"))
+      .select(col("n_id"), col("_m"), col("_mc._cid").as("code"))
+      .localCheckpoint()
+    // probes rank the TRAINED centroids for their nprobe cells
+    val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
+    val wProbe = Window.partitionBy(col("p_id")).orderBy(col("_dq").asc, col("_cid"))
+    val probeCells = p.crossJoin(broadcast(cents))
+      .withColumn("_dq", l2q("pe", "_cx"))
+      .withColumn("_rnp", row_number().over(wProbe))
+      .filter(col("_rnp") <= nprobe)
+      .select(col("p_id"), col("_cid").as("cell"))
+    // per-probe ADC distance table vs the TRAINED codebooks
+    val dtab = p.select(col("p_id"), ms, col("pe"))
+      .select(col("p_id"), col("_m"), expr(s"slice(pe, _m * $sub + 1, $sub)").as("_ps"))
+      .join(broadcast(books), Seq("_m"))
+      .select(col("p_id"), col("_m"), col("_cid").as("code"), l2q("_ps", "_cs").as("_dq"))
+    // candidates from probed cells only; deliberately un-hinted (the
+    // s06 rule: this side grows with nprobe x cell size — AQE sizes it)
+    val candIds = cells.join(broadcast(probeCells), Seq("cell"))
+      .where(col("n_id") =!= col("p_id"))
+      .select(col("p_id"), col("n_id")).distinct()
+    val w = Window.partitionBy(col("p_id")).orderBy(col("adc_q").asc, col("n_id"))
+    codes.join(candIds, Seq("n_id"))
+      .join(broadcast(dtab), Seq("p_id", "_m", "code"))
+      .groupBy(col("p_id"), col("n_id")).agg(sum(col("_dq")).as("adc_q"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= topK)
+      .select(col("p_id"), col("rn"), col("n_id"), col("adc_q"))
   }
 }

@@ -371,6 +371,90 @@ object Similarity {
     ),
 
     Q(
+      "s07_ivf_pq_trained",
+      "IVF+PQ with TRAINED quantizers: Lloyd coarse cells + Lloyd sub-codebooks, integer ADC",
+      (spark, dir) => {
+        import spark.implicits._
+        // s06's parting claim — "trained s05 centroids slot in
+        // unchanged" — COMPOSED and oracle-gated: coarse cells and
+        // probe routing come from kmeansAssign/kmeansCentroids (O22),
+        // sub-codebooks from pqCodebooks (O26), all trained with the
+        // same deterministic integer-sum Lloyd the s05 oracle
+        // reproduces, so the full trained pipeline carries a
+        // value-level DuckDB oracle end-to-end. Downstream of
+        // training the plan is s06's: candidates join on cell ids,
+        // ranking joins int codes to the broadcast distance table,
+        // no float array in any post-encode shuffle.
+        val e = Tables.load(spark, dir, "embeddings")
+        val probes = e.orderBy($"vec_id").limit(10)
+        Ops.ivfPqTrained(e, "vec_id", "embedding",
+            probes, "vec_id", "embedding",
+            k = 8, nprobe = 2, m = 4, kSub = 8, iters = 2, dim = 64, topK = 5)
+          .orderBy($"p_id", $"rn")
+      },
+      Some {
+        def sqlL2q(a: String, b: String, n: Int) =
+          s"CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform(generate_series(1, $n), " +
+            s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+            "(acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)"
+        s"""WITH ev AS (SELECT vec_id AS n_id, embedding AS x,
+            list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS c_id, embedding AS cx FROM embeddings ORDER BY vec_id LIMIT 8),
+        a1 AS (SELECT n_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY ${sqlL2q("x", "cx", 64)} ASC, c_id) AS r
+          FROM ev, c0),
+        as1 AS (SELECT n_id, c_id AS cell1 FROM a1 WHERE r = 1),
+        dim AS (SELECT unnest(generate_series(1, 64)) AS j),
+        sums AS (SELECT cell1, j, SUM(xq[j]) AS s, COUNT(*) AS nc
+          FROM as1 JOIN ev USING (n_id), dim GROUP BY cell1, j),
+        cent1 AS (SELECT cell1 AS c_id,
+            list(CAST(s AS DOUBLE) / nc / 1000000.0 ORDER BY j) AS cx
+          FROM sums GROUP BY cell1),
+        a2 AS (SELECT n_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY ${sqlL2q("x", "cx", 64)} ASC, c_id) AS r
+          FROM ev, cent1),
+        cells AS (SELECT n_id, c_id AS cell FROM a2 WHERE r = 1),
+        p AS (SELECT vec_id AS p_id, embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 10),
+        pa AS (SELECT p.p_id, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY ${sqlL2q("pe", "cx", 64)} ASC, c.c_id) AS rnp
+          FROM p, cent1 c),
+        pcells AS (SELECT p_id, c_id AS cell FROM pa WHERE rnp <= 2),
+        m AS (SELECT unnest([0, 1, 2, 3]) AS m),
+        evs AS (SELECT n_id, m.m, x[m.m * 16 + 1 : m.m * 16 + 16] AS xs FROM ev, m),
+        sc0 AS (SELECT m.m, c.c_id, c.cx[m.m * 16 + 1 : m.m * 16 + 16] AS cs FROM c0 c, m),
+        sa1 AS (SELECT n_id, evs.m, c_id,
+            ROW_NUMBER() OVER (PARTITION BY n_id, evs.m ORDER BY ${sqlL2q("xs", "cs", 16)} ASC, c_id) AS r
+          FROM evs JOIN sc0 ON sc0.m = evs.m),
+        scell1 AS (SELECT n_id, m, c_id AS cell1 FROM sa1 WHERE r = 1),
+        sdim AS (SELECT unnest(generate_series(1, 16)) AS j),
+        ssums AS (SELECT cell1, m, j, SUM(xq[m * 16 + j]) AS s, COUNT(*) AS nc
+          FROM scell1 JOIN ev USING (n_id), sdim GROUP BY cell1, m, j),
+        scent1 AS (SELECT m, cell1 AS c_id,
+            list(CAST(s AS DOUBLE) / nc / 1000000.0 ORDER BY j) AS cs
+          FROM ssums GROUP BY m, cell1),
+        enc AS (SELECT n_id, evs.m, c_id,
+            ROW_NUMBER() OVER (PARTITION BY n_id, evs.m ORDER BY ${sqlL2q("xs", "cs", 16)} ASC, c_id) AS r
+          FROM evs JOIN scent1 ON scent1.m = evs.m),
+        codes AS (SELECT n_id, m, c_id AS code FROM enc WHERE r = 1),
+        psub AS (SELECT p.p_id, m.m, p.pe[m.m * 16 + 1 : m.m * 16 + 16] AS ps FROM p, m),
+        dt AS (SELECT p_id, psub.m, c_id AS code, ${sqlL2q("ps", "cs", 16)} AS dq
+          FROM psub JOIN scent1 ON scent1.m = psub.m),
+        cand AS (SELECT DISTINCT pc.p_id, ce.n_id
+          FROM pcells pc JOIN cells ce ON pc.cell = ce.cell AND ce.n_id <> pc.p_id),
+        adc AS (SELECT dt.p_id, codes.n_id, CAST(SUM(dq) AS BIGINT) AS adc_q
+          FROM codes JOIN cand ON cand.n_id = codes.n_id
+          JOIN dt ON dt.p_id = cand.p_id AND dt.m = codes.m AND dt.code = codes.code
+          GROUP BY 1, 2)
+        SELECT p_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY adc_q ASC, n_id) AS INT) AS rn,
+          n_id, adc_q
+        FROM adc QUALIFY rn <= 5 ORDER BY p_id, rn"""
+      }
+    ),
+
+    Q(
       "s05_kmeans_cells",
       "TRAINED coarse quantizer: 2 deterministic Lloyd iterations, exact on both engines",
       (spark, dir) => {

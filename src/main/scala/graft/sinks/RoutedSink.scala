@@ -40,6 +40,12 @@ object RoutedSink {
       df.write.mode("overwrite").parquet(kw("path")))
     r.add("parquet:{path:path}:by:{cols}", (df, kw) =>
       df.write.mode("overwrite").partitionBy(kw("cols").split('+').toIndexedSeq: _*).parquet(kw("path")))
+    // append variant: day-N maintenance of partitioned artifacts
+    // (e.g. the band index) adds new rows without rewriting history.
+    // Distinct scheme (not a `:append` suffix) because `{cols}`
+    // would swallow a trailing literal segment.
+    r.add("parquet-append:{path:path}:by:{cols}", (df, kw) =>
+      df.write.mode("append").partitionBy(kw("cols").split('+').toIndexedSeq: _*).parquet(kw("path")))
     r.add("csv:{path:path}", (df, kw) =>
       df.write.mode("overwrite").option("header", "true").csv(kw("path")))
     r.add("json:{path:path}", (df, kw) =>

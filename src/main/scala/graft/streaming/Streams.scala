@@ -217,6 +217,29 @@ object Streams {
         sink.write(targetFor(id), batch.toDF())
     }
 
+  /** ST6's write half: streaming maintenance of the persisted band
+    * index. Each micro-batch of KEPT docs (post-verdict, the
+    * [[graft.operators.Dedup.appendBandIndex]] contract) bands per
+    * row — stateless, append-mode legal — and appends through the
+    * same routed `:append` sink route the batch maintainer uses, so
+    * one write surface serves both ingestion modes. Exactly-once =
+    * checkpointing + the replay caveat of any file-append sink: a
+    * replayed micro-batch appends its band keys twice, which is
+    * HARMLESS to probe semantics (candidates are distinct-ed) and
+    * reclaimed by the next [[graft.operators.Dedup.compactBandIndex]]
+    * if dedup-on-compact is added; strict once-only needs per-batch
+    * subdirectories (the `targetFor(batchId)` form below).
+    */
+  def appendBandIndexStream(
+      keptDocs: DataFrame,
+      path: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    routedStreamSink(
+      graft.operators.Dedup.bandKeys(keptDocs, "doc_id", "text")
+        .withColumn("pfx", substring(col("bh"), 1, 1)),
+      graft.sinks.RoutedSink.standard(),
+      _ => s"parquet-append:$path:by:band+pfx")
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

@@ -81,6 +81,42 @@ class PipelineSpec extends SparkTestBase {
     s06.unpersist(); s04.unpersist()
   }
 
+  test("s07 trained IVF+PQ: recall@5 >= untrained s06's; codebook init matches s04's") {
+    val brute = q("s01_sim_bruteforce_topk")
+      .select(col("p_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val untrained = q("s06_ivf_pq_topk")
+      .select(col("p_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = q("s07_ivf_pq_trained").cache()
+    val trainedSet = trained
+      .select(col("p_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r6 = untrained.intersect(brute).size.toDouble / brute.size
+    val r7 = trainedSet.intersect(brute).size.toDouble / brute.size
+    info(s"recall@5 vs s01: trained s07 = $r7, untrained s06 = $r6")
+    assert(r7 >= r6, s"training must not LOSE recall: s07 $r7 < s06 $r6")
+    // every probe answered with contiguous ranks (the s06 shape pin)
+    val ranks = trained.groupBy(col("p_id"))
+      .agg(min(col("rn")).as("lo"), max(col("rn")).as("hi"), count(lit(1)).as("n"))
+      .collect()
+    assert(ranks.length == 10)
+    ranks.foreach(r => assert(r.getInt(1) == 1 && r.getInt(2) == r.getLong(3).toInt))
+    trained.unpersist()
+    // composition pin for the training init: pqCodebooks at iters=1
+    // IS the untrained s04/s06 codebook (slices of the 8 lowest-id
+    // vectors) — so the trained path demonstrably starts from the
+    // oracle-pinned untrained one and only the Lloyd updates differ
+    val e = graft.tables.Tables.load(spark, sfDir, "embeddings")
+    val books1 = Ops.pqCodebooks(e, "vec_id", "embedding", m = 4, k = 8, iters = 1, dim = 64)
+    val expect = e.orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("_cid"),
+        explode(array((0 until 4).map(lit(_)): _*)).as("_m"), col("embedding"))
+      .select(col("_m"), col("_cid"),
+        expr("slice(embedding, _m * 16 + 1, 16)").as("_cs0"))
+    val cmp = books1.join(expect, Seq("_m", "_cid"))
+    assert(cmp.count() == 32)
+    assert(cmp.filter(col("_cs") =!= col("_cs0")).count() == 0,
+      "iters=1 codebooks must equal the untrained slices")
+  }
+
   test("d01 exact dedup covers all docs") {
     val df = q("d01_dedup_exact")
     val docs = graft.tables.Tables.load(spark, sfDir, "documents").count()
