@@ -368,8 +368,16 @@ object Multimodal {
   /** Documents framed as byte-correct minimal MP4 (ISO-BMFF)
     * containers: `ftyp` (isom), `moov` holding an mvhd v0
     * (deterministic timescale, duration = 25 media units per body
-    * byte) and one `trak`/`tkhd` (width/height as 16.16 fixed point),
-    * and an `mdat` whose payload is the text bytes. Same idea as
+    * byte), one `trak` with `tkhd` (width/height as 16.16 fixed
+    * point) AND a full sample-table chain `mdia`/`mdhd`/`hdlr`/
+    * `minf`/`stbl` — `stts` (one run of n_frames samples, 1250 media
+    * units each), `stsz` (uniform 50-byte samples), `stco` (one
+    * chunk at absolute file offset 408, where mdat's payload
+    * starts) — and an `mdat` whose payload is the text bytes, so
+    * every sample the table indexes is 50 REAL payload bytes
+    * addressable by (offset, size). n_frames = body_bytes / 50;
+    * trailing bytes past the last whole sample are unindexed mdat
+    * padding, exactly what a real muxer leaves. Same idea as
     * [[imagePayloads]]: no video files exist in the corpus, so
     * format-true containers are built deterministically and the
     * parser walks them exactly as it would on-disk assets.
@@ -381,6 +389,7 @@ object Multimodal {
       .withColumn("_ds", length($"_body").cast("long"))
       .withColumn("_ts", (lit(600) + pmod($"doc_id" * 7, lit(30000))).cast("long"))
       .withColumn("_dur", $"_ds" * 25)
+      .withColumn("_nf", ($"_ds" / 50).cast("long"))
     val mvhd = concat(
       lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
       hexN($"_ts", 8), hexN($"_dur", 8),
@@ -392,15 +401,125 @@ object Multimodal {
       hexN($"_dur", 8),
       lit("00000000" * 2 + "0000" + "0000" + "0000" + "0000" + MatrixHex),
       hexN($"_w", 4), lit("0000"), hexN($"_h", 4), lit("0000"))
+    // mdia(168) = mdhd(32) + hdlr(32) + minf(96 = stbl(88 =
+    // stsd(16) + stts(24) + stsz(20) + stco(20)))
+    val mdhd = concat(
+      lit("00000020" + "6D646864" + "00000000" + "00000000" + "00000000"),
+      hexN($"_ts", 8), hexN($"_nf" * 1250L, 8), lit("0000" + "0000"))
+    val hdlr = lit("00000020" + "68646C72" + "00000000" + "00000000" +
+      "76696465" + "00000000" * 3) // handler 'vide'
+    val stts = concat(
+      lit("00000018" + "73747473" + "00000000"),
+      when($"_nf" > 0, lit("00000001")).otherwise(lit("00000000")),
+      hexN($"_nf", 8), lit("000004E2")) // 1250 units per sample
+    val stsz = concat(
+      lit("00000014" + "7374737A" + "00000000" + "00000032"), // uniform 50
+      hexN($"_nf", 8))
+    val stco = lit("00000014" + "7374636F" + "00000000" + "00000001" +
+      "00000198") // one chunk @ 408 = the fixed header length below
+    val stbl = concat(
+      lit("00000058" + "7374626C" + "00000010" + "73747364" +
+        "00000000" + "00000000"), // empty stsd
+      stts, stsz, stco)
+    val mdia = concat(lit("000000A8" + "6D646961"), mdhd, hdlr,
+      concat(lit("00000060" + "6D696E66"), stbl))
     val hdr = concat(
       lit("00000010" + "66747970" + "69736F6D" + "00000200"), // ftyp
-      lit("000000D8" + "6D6F6F76"), // moov (8 + 108 + 100)
+      lit("00000180" + "6D6F6F76"), // moov (8 + 108 + 268)
       mvhd,
-      lit("00000064" + "7472616B"), // trak (8 + 92)
+      lit("0000010C" + "7472616B"), // trak (8 + 92 + 168)
       tkhd,
-      hexN(lit(8L) + $"_ds", 8), lit("6D646174") // mdat header
+      mdia,
+      hexN(lit(8L) + $"_ds", 8), lit("6D646174") // mdat header @ 400
     )
     d.select($"doc_id", concat(unhex(hdr), $"_body").as("payload"))
+  }
+
+  final case class FrameInfo(
+      doc_id: Long,
+      frame_idx: Long,
+      f_offset: Long,
+      f_size: Long
+  )
+
+  /** Structural per-frame (offset, size) extraction from an ISO-BMFF
+    * sample table (ISO/IEC 14496-12 §8.6–8.7, pure byte arithmetic):
+    * walks ftyp → moov → first trak → mdia → minf → stbl and reads
+    *   stsz — sample count + sizes (uniform `sample_size` field or
+    *          the per-sample entry table),
+    *   stco — chunk offsets (the single-chunk layout puts every
+    *          sample in chunk 1; multi-chunk needs stsc, which this
+    *          minimal walk treats as one run — documented limit).
+    * Frame k's offset is chunk_offset + sum of sizes of samples
+    * 0..k-1 — REAL addressable mdat bytes, not an index fiction.
+    * Non-MP4 / truncated / sample-table-free payloads yield no
+    * frames (the side-channel rule of [[parseVideo]]).
+    */
+  def parseFrames(id: Long, b: Array[Byte]): Seq[FrameInfo] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def boxBounds(off: Int): (Int, Long) = {
+      val sz = be32(off)
+      if (sz == 1L && off + 16 <= b.length) (off + 16, off + be64(off + 8))
+      else if (sz == 0L) (off + 8, b.length.toLong)
+      else (off + 8, off + sz)
+    }
+    // descend into the first child box named `want` within [from, to)
+    def child(want: String, from: Int, to: Long): Option[(Int, Long)] = {
+      var c = from
+      val end = math.min(to, b.length.toLong)
+      while (c + 8 <= end) {
+        val (pay, cEnd) = boxBounds(c)
+        if (cEnd <= c) return None // corrupt size
+        if (tag(c + 4) == want) return Some((pay, cEnd))
+        c = cEnd.toInt
+      }
+      None
+    }
+    if (b.length < 16 || tag(4) != "ftyp") return Seq.empty
+    val stbl = for {
+      (moovPay, moovEnd) <- child("moov", 0, b.length.toLong)
+      (trakPay, trakEnd) <- child("trak", moovPay, moovEnd)
+      (mdiaPay, mdiaEnd) <- child("mdia", trakPay, trakEnd)
+      (minfPay, minfEnd) <- child("minf", mdiaPay, mdiaEnd)
+      s <- child("stbl", minfPay, minfEnd)
+    } yield s
+    stbl match {
+      case None => Seq.empty
+      case Some((sPay, sEnd)) =>
+        val stsz = child("stsz", sPay, sEnd)
+        val stco = child("stco", sPay, sEnd)
+        (stsz, stco) match {
+          case (Some((zPay, _)), Some((cPay, _)))
+              if zPay + 12 <= b.length && cPay + 12 <= b.length =>
+            val uniform = be32(zPay + 4)
+            val n = be32(zPay + 8).toInt
+            if (be32(cPay + 4) < 1) return Seq.empty
+            val chunk0 = be32(cPay + 8)
+            if (uniform == 0L && zPay + 12 + 4 * n > b.length) return Seq.empty
+            var off = chunk0
+            (0 until n).map { k =>
+              val sz = if (uniform > 0) uniform else be32(zPay + 12 + 4 * k)
+              val f = FrameInfo(id, k.toLong, off, sz)
+              off += sz
+              f
+            }
+          case _ => Seq.empty
+        }
+    }
+  }
+
+  /** Partition-wise frame-table decode — one row per indexed sample. */
+  def decodeFrames(df: DataFrame): Dataset[FrameInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) => parseFrames(id, bytes) })
   }
 
   /** Documents re-cast as a media table for the frame-sampling query:
@@ -427,6 +546,50 @@ object Multimodal {
     s"list_aggregate(list_transform(generate_series(1, $n), " +
       s"i -> (CAST(strpos('0123456789ABCDEF', substr($hexExpr, CAST(i AS INT), 1)) AS BIGINT) - 1) " +
       s"<< (4 * ($n - i))), 'sum')"
+
+  /** DuckDB image of [[videoPayloads]]'s container (shared by the
+    * m02/m04 oracles): the identical ftyp/moov/trak/mdia/stbl/mdat
+    * hex built with blob functions, then each payload's hex image.
+    */
+  private def sqlVideoPayloadCtes(filterSql: String): String =
+    s"""WITH d AS (
+      SELECT doc_id,
+        16 + (doc_id * 37) % 2000 AS w,
+        16 + octet_length(encode(text)) % 1500 AS h,
+        600 + (doc_id * 7) % 30000 AS ts,
+        octet_length(encode(text)) * 25 AS dur,
+        octet_length(encode(text)) // 50 AS nf,
+        encode(text) AS body
+      FROM documents $filterSql),
+    p AS (SELECT doc_id, unhex(
+        '00000010' || '66747970' || '69736F6D' || '00000200' ||
+        '00000180' || '6D6F6F76' ||
+        '0000006C' || '6D766864' || '00000000' || '00000000' || '00000000' ||
+        printf('%08X', ts) || printf('%08X', dur) ||
+        '00010000' || '0100' || '0000' || repeat('00000000', 2) ||
+        '$MatrixHex' || repeat('00000000', 6) || '00000002' ||
+        '0000010C' || '7472616B' ||
+        '0000005C' || '746B6864' || '00000007' || '00000000' || '00000000' ||
+        '00000001' || '00000000' || printf('%08X', dur) ||
+        repeat('00000000', 2) || '0000' || '0000' || '0000' || '0000' ||
+        '$MatrixHex' ||
+        printf('%04X', w) || '0000' || printf('%04X', h) || '0000' ||
+        '000000A8' || '6D646961' ||
+        '00000020' || '6D646864' || '00000000' || '00000000' || '00000000' ||
+        printf('%08X', ts) || printf('%08X', nf * 1250) || '0000' || '0000' ||
+        '00000020' || '68646C72' || '00000000' || '00000000' ||
+        '76696465' || repeat('00000000', 3) ||
+        '00000060' || '6D696E66' ||
+        '00000058' || '7374626C' || '00000010' || '73747364' ||
+        '00000000' || '00000000' ||
+        '00000018' || '73747473' || '00000000' ||
+        CASE WHEN nf > 0 THEN '00000001' ELSE '00000000' END ||
+        printf('%08X', nf) || '000004E2' ||
+        '00000014' || '7374737A' || '00000000' || '00000032' || printf('%08X', nf) ||
+        '00000014' || '7374636F' || '00000000' || '00000001' || '00000198' ||
+        printf('%08X', 8 + octet_length(body)) || '6D646174'
+      ) || body AS payload FROM d),
+    hx AS (SELECT doc_id, hex(payload) AS hp FROM p)"""
 
   /** The payload-construction CTE shared by the m01 oracle — the same
     * deterministic framing as [[imagePayloads]], built with DuckDB
@@ -490,27 +653,41 @@ object Multimodal {
 
     Q(
       "m02_frame_sample",
-      "Deterministic frame sampling for video payloads (every 10th of n_bytes/50 frames)",
+      "Real frame sampling: every 10th sample of the parsed stts/stsz/stco table, with structural (offset, size)",
       (spark, dir) => {
         import spark.implicits._
-        mediaTable(spark, dir)
-          .filter($"media_type" === "video")
-          .withColumn("n_frames", (length($"payload").cast("long") / 50).cast("long"))
-          .filter($"n_frames" > 0)
-          .select(
-            $"doc_id",
-            explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, 10)")).as("frame_idx")
-          )
+        // Spark side: the REAL box walk (ftyp → moov → trak → mdia →
+        // minf → stbl), frames addressed by the sample table's actual
+        // (chunk offset + cumulative size) — every emitted row is a
+        // readable mdat byte range, not an index fiction. Oracle
+        // side: independent fixed-offset decode of stsz/stco from the
+        // same blob. The media-type routing stays doc_id % 3 == 2
+        // (mediaTable's "video" slice).
+        decodeFrames(videoPayloads(spark, dir).filter($"doc_id" % 3 === 2))
+          .toDF()
+          .filter($"frame_idx" % 10 === 0)
           .withColumn("frame_key", md5(concat($"doc_id", lit(":"), $"frame_idx")))
+          .select($"doc_id", $"frame_idx", $"f_offset", $"f_size", $"frame_key")
           .orderBy($"doc_id", $"frame_idx")
       },
-      Some("""WITH v AS (
-          SELECT doc_id, octet_length(encode(text)) // 50 AS n_frames
-          FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) // 50 > 0)
-        SELECT doc_id,
-          unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1, 10)) AS frame_idx,
-          md5(doc_id || ':' || unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1, 10))) AS frame_key
-        FROM v ORDER BY doc_id, frame_idx""")
+      Some {
+        // stsz sample_size@372 sample_count@376, stco chunk_offset@396
+        def be32dec(k: Int) = sqlHexToInt(s"substr(hp, ${2 * k + 1}, 8)", 8)
+        s"""${sqlVideoPayloadCtes("WHERE doc_id % 3 = 2")},
+        t AS (SELECT doc_id,
+            CAST(${be32dec(372)} AS BIGINT) AS f_size,
+            CAST(${be32dec(376)} AS BIGINT) AS n_frames,
+            CAST(${be32dec(396)} AS BIGINT) AS chunk
+          FROM hx),
+        f AS (SELECT doc_id, f_size, chunk,
+            unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1, 10)) AS frame_idx
+          FROM t WHERE n_frames > 0)
+        SELECT doc_id, frame_idx,
+          CAST(chunk + frame_idx * f_size AS BIGINT) AS f_offset,
+          f_size,
+          md5(doc_id || ':' || frame_idx) AS frame_key
+        FROM f ORDER BY doc_id, frame_idx"""
+      }
     ),
 
     Q(
@@ -575,33 +752,12 @@ object Multimodal {
       Some {
         // Byte offsets in the framed container (hex pos = 2k+1):
         // ftyp tag@4, moov tag@20, mvhd timescale@44 duration@48,
-        // tkhd width@224 height@228 (16.16 — int part is the be16).
+        // tkhd width@224 height@228 (16.16 — int part is the be16);
+        // the round-5 sample-table boxes sit AFTER tkhd, so these
+        // offsets are unchanged.
         def be32dec(k: Int) = sqlHexToInt(s"substr(hp, ${2 * k + 1}, 8)", 8)
         def be16dec(k: Int) = sqlHexToInt(s"substr(hp, ${2 * k + 1}, 4)", 4)
-        s"""WITH d AS (
-          SELECT doc_id,
-            16 + (doc_id * 37) % 2000 AS w,
-            16 + octet_length(encode(text)) % 1500 AS h,
-            600 + (doc_id * 7) % 30000 AS ts,
-            octet_length(encode(text)) * 25 AS dur,
-            encode(text) AS body
-          FROM documents),
-        p AS (SELECT doc_id, unhex(
-            '00000010' || '66747970' || '69736F6D' || '00000200' ||
-            '000000D8' || '6D6F6F76' ||
-            '0000006C' || '6D766864' || '00000000' || '00000000' || '00000000' ||
-            printf('%08X', ts) || printf('%08X', dur) ||
-            '00010000' || '0100' || '0000' || repeat('00000000', 2) ||
-            '$MatrixHex' || repeat('00000000', 6) || '00000002' ||
-            '00000064' || '7472616B' ||
-            '0000005C' || '746B6864' || '00000007' || '00000000' || '00000000' ||
-            '00000001' || '00000000' || printf('%08X', dur) ||
-            repeat('00000000', 2) || '0000' || '0000' || '0000' || '0000' ||
-            '$MatrixHex' ||
-            printf('%04X', w) || '0000' || printf('%04X', h) || '0000' ||
-            printf('%08X', 8 + octet_length(body)) || '6D646174'
-          ) || body AS payload FROM d),
-        hx AS (SELECT doc_id, hex(payload) AS hp FROM p)
+        s"""${sqlVideoPayloadCtes("")}
         SELECT doc_id,
           CASE WHEN substr(hp, 9, 8) = '66747970' AND substr(hp, 41, 8) = '6D6F6F76'
                THEN 'mp4' ELSE 'unknown' END AS format,

@@ -328,6 +328,28 @@ class PipelineSpec extends SparkTestBase {
     assert(df.filter(col("doc_id") % 3 =!= 2).count() == 0)
   }
 
+  test("m02 frame offsets address REAL payload bytes (sample k = body bytes 50k..50k+49)") {
+    // the structural-truth pin: every (f_offset, f_size) the parsed
+    // sample table emits must read back exactly the body slice the
+    // muxer put there — offsets are addressable bytes, not fiction
+    val payloads = Multimodal.videoPayloads(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2)
+    val frames = Multimodal.decodeFrames(payloads).toDF()
+    val checked = frames.join(payloads, "doc_id")
+      .withColumn("_framed",
+        expr("substring(payload, CAST(f_offset + 1 AS INT), CAST(f_size AS INT))"))
+      .join(graft.tables.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("_body")), "doc_id")
+      .withColumn("_expect",
+        expr("substring(_body, CAST(frame_idx * 50 + 1 AS INT), CAST(f_size AS INT))"))
+    assert(checked.count() > 0)
+    assert(checked.filter(col("_framed") =!= col("_expect")).count() == 0,
+      "a sample-table range did not read back its body slice")
+    // and the table never indexes past mdat's end
+    assert(checked.filter(
+      col("f_offset") + col("f_size") > expr("octet_length(payload)")).count() == 0)
+  }
+
   test("multimodal decode is deterministic with real byte-moment features") {
     val a = Multimodal.decode(Multimodal.imagePayloads(spark, sfDir)).collect()
     val b = Multimodal.decode(Multimodal.imagePayloads(spark, sfDir)).collect()
