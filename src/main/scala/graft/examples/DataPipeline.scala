@@ -11,18 +11,26 @@ import graft.tables.Tables
   * declared as a pattern-routed workflow (the reference's
   * provide/depend shape) whose nodes are the graft operators. Because
   * every node returns a LAZY DataFrame, the whole route chain
-  * collapses into one Catalyst plan at the terminal action — filters
-  * from `sample` push below `clean`'s projections, and nothing
-  * materializes between stages unless a cell opts into a
-  * materialization policy.
+  * collapses into one Catalyst plan at the terminal action — a
+  * language filter declared in the TERMINAL export cell reaches the
+  * parquet scan through seven upstream cells (every cell between is
+  * pushdown-transparent by construction: semi/anti joins on doc_id,
+  * the dedup window and packing window keyed on lang, row-local
+  * filters), and nothing materializes between stages unless a cell
+  * opts into a materialization policy (`pinCanonical = true` pins the
+  * expensive canonical-selection cell via cache — the day-to-day
+  * trade: one fused plan vs a reused intermediate).
   *
-  *   docs.raw → docs.clean → docs.dedup → docs.sample.{pct:int} → docs.packed
+  *   docs.raw → docs.clean → docs.quality → docs.dedup →
+  *     docs.canonical → docs.sample.{pct:int} → docs.packed →
+  *       docs.export.{lang} | docs.sinks.{out:path}
   *
   * Run: sbt "runMain graft.examples.DataPipeline"
   */
 object DataPipeline {
 
-  def build(spark: SparkSession, dir: String): Workflow = {
+  def build(spark: SparkSession, dir: String,
+      pinCanonical: Boolean = false): Workflow = {
     val wkf = new Workflow("")
 
     wkf.provide("docs.raw") { _ => Tables.load(spark, dir, "documents") }
@@ -37,15 +45,46 @@ object DataPipeline {
 
     // exact dedup on normalized content, keep the lowest doc_id.
     // Sits DOWNSTREAM of the quality gate (cheap row-local rules
-    // first, then the content-keyed shuffle over survivors only) —
-    // so the whole curation chain raw → clean → quality → dedup →
-    // sample → packed is one route.
+    // first, then the content-keyed shuffle over survivors only).
+    // Keyed on (content hash, lang): the same bytes in two languages
+    // are distinct corpus entries — and because lang is a PARTITION
+    // key of the dedup window, a downstream language slice pushes
+    // straight through this cell to the scan.
     wkf
       .provide("docs.dedup") { ctx =>
         val df = ctx.as[DataFrame]("in").withColumn("h", md5(col("text")))
-        Ops.dedupExact(df, Seq("h"), keepBy = "doc_id").drop("h")
+        Ops.dedupExact(df, Seq("h", "lang"), keepBy = "doc_id").drop("h")
       }
       .depend("in" -> "docs.quality")
+
+    // canonical selection (d12's shape): near-dup candidate pairs via
+    // the capped 100TB path, connected components label the clusters,
+    // the keeper is the longest member (lowest id on ties), and
+    // non-keepers are anti-joined away. The CC loop materializes its
+    // own (bounded) label/keeper frames internally; the corpus side
+    // stays LAZY — an anti join on doc_id is pushdown-transparent for
+    // downstream predicates. `pinCanonical` additionally marks the
+    // cell `cached()`: the realistic policy when several terminal
+    // routes (export slices, sinks) fan out below it.
+    val canonical = wkf
+      .provide("docs.canonical") { ctx =>
+        val in = ctx.as[DataFrame]("in")
+        val pairs = Dedup.ngramJaccardAtScale(in, 0.4, 1000)
+          .select(col("id_a"), col("id_b"))
+        val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
+          idOut = "doc_id", labelOut = "cluster_id")
+        val keep = labels
+          .join(in.select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy(col("cluster_id"))
+          .agg(min(struct((-col("n_chars")).as("negc"), col("doc_id").as("kid"))).as("_k"))
+          .select(col("cluster_id"), col("_k.kid").as("keep_id"))
+        val drops = labels.join(broadcast(keep), "cluster_id")
+          .where(col("doc_id") =!= col("keep_id"))
+          .select(col("doc_id"))
+        in.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      }
+      .depend("in" -> "docs.dedup")
+    if (pinCanonical) canonical.cached()
 
     // deterministic hash-mod downsampling to {pct}% of the corpus
     wkf
@@ -54,7 +93,7 @@ object DataPipeline {
         ctx.as[DataFrame]("in")
           .where(pmod(PortableHash.hash60(col("doc_id").cast("string")), lit(100L)) < pct)
       }
-      .depend("in" -> "docs.dedup")
+      .depend("in" -> "docs.canonical")
 
     // quality gate — the t12/t17 filter families as ONE cell: C4/
     // Gopher length+shape rules are per-row expressions; the
@@ -125,11 +164,43 @@ object DataPipeline {
           .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"))
       }
       .depend("in" -> "docs.sample.{pct}")
+    // terminal export slice — the full-width pushdown proof point:
+    // this lang predicate is declared EIGHT cells from the scan
+    // (raw → clean → quality → dedup → canonical → sample → packed →
+    // export) and still lands in the documents scan's PushedFilters,
+    // because every intermediate cell is pushdown-transparent
+    // (DataPipelineSpec pins it on the executed plan).
+    wkf
+      .provide("docs.export.{lang}") { ctx =>
+        ctx.as[DataFrame]("in").where(col("lang") === ctx.str("lang"))
+      }
+      .depend("in" -> "docs.packed")
+
+    // routed multi-sink fan-out: ONE cell dispatches the curated
+    // corpus to three sink routes (hive-partitioned parquet for
+    // training, csv stats for ops, json bin manifest for the loader)
+    // through the same pattern-routed write surface (S3)
+    wkf
+      .provide("docs.sinks.{out:path}") { ctx =>
+        val packed = ctx.as[DataFrame]("packed")
+        val out = ctx.str("out")
+        val sink = graft.sinks.RoutedSink.standard()
+        sink.write(s"parquet:$out/packed:by:lang", packed)
+        sink.write(s"csv:$out/langstats",
+          packed.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens")))
+        sink.write(s"json:$out/bins",
+          packed.groupBy(col("lang"), col("bin_id"))
+            .agg(sum(col("n_tokens")).as("bin_tokens")))
+        out
+      }
+      .depend("packed" -> "docs.packed")
+
     // default sample rate for the packed route; override per run via
     // extra kwargs or config
     wkf.setConfig(Map("docs.packed" -> Map("pct" -> 50)))
 
-    wkf
+    graft.Materializers.spark(wkf)
   }
 
   def main(args: Array[String]): Unit = {
@@ -157,23 +228,16 @@ object DataPipeline {
     // the knob: rerun at 20% without touching the workflow definition
     val kept20 = wkf.run("docs.packed", "pct" -> 20).asInstanceOf[DataFrame].count()
     println(s"packed_rows_at_20pct=$kept20")
-    // near-dup pass over the deduped corpus via the capped 100TB path
-    val deduped = wkf.run("docs.dedup").asInstanceOf[DataFrame].cache()
-    val pairs = Dedup.ngramJaccardAtScale(deduped, 0.4, 1000)
-      .select(col("id_a"), col("id_b")).cache()
-    println(s"near_dup_pairs=${pairs.count()}")
-
-    // cluster the near-dup pairs and emit the actionable drop list
-    // (d12's shape: keeper = longest member, lowest id on ties)
-    val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
-      idOut = "doc_id", labelOut = "cluster_id")
-    val keep = labels.join(deduped.select(col("doc_id"), col("n_chars")), "doc_id")
-      .groupBy(col("cluster_id"))
-      .agg(min(struct((-col("n_chars")).as("negc"), col("doc_id").as("kid"))).as("_k"))
-      .select(col("cluster_id"), col("_k.kid").as("keep_id"))
-    val drops = labels.join(broadcast(keep), "cluster_id")
-      .where(col("doc_id") =!= col("keep_id")).count()
-    println(s"drop_list=$drops")
+    // canonical selection IS a cell now (near-dup CC + keeper rule);
+    // the drop list is the dedup/canonical delta
+    val deduped = wkf.run("docs.canonical").asInstanceOf[DataFrame].cache()
+    val canonical = deduped.count()
+    println(s"drop_list=${dedup - canonical} canonical=$canonical")
+    // terminal fan-out: one routed cell, three sink formats
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sinks").toString
+    wkf.run(s"docs.sinks.$outDir")
+    println("sink_fanout=" + new java.io.File(outDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.mkString(","))
 
     // training-mix reweighting toward a uniform per-lang token target
     // (t15's shape, printed as lang:resample_share)

@@ -40,6 +40,59 @@ class DataPipelineSpec extends SparkTestBase {
     assert(schema.contains("lang"), s"ReadSchema: $schema")
   }
 
+  test("a lang filter in the TERMINAL export cell reaches the scan through 7 cells") {
+    // raw → clean → quality → dedup → canonical → sample → packed →
+    // export: every intermediate cell is pushdown-transparent (semi/
+    // anti joins on doc_id, windows PARTITIONED on lang — dedup keys
+    // (h, lang) precisely so this predicate can cross it, row-local
+    // filters), so the terminal predicate must land in the parquet
+    // scan — SURVEY §1's thesis at full pipeline width
+    val df = wkf.run("docs.export.de").asInstanceOf[DataFrame]
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
+    assert(scans.nonEmpty, "no documents scan in the export plan")
+    val pushed = scans.map(_.metadata("PushedFilters"))
+    assert(pushed.exists(_.contains("EqualTo(lang,de)")),
+      s"lang filter did not reach any documents scan: $pushed")
+    assert(df.count() > 0, "the de export must be non-empty for the pin to bite")
+  }
+
+  test("pinCanonical exercises the materialization policy over the composed DAG") {
+    // default build: one fused plan — the packed route reads parquet
+    // directly, no in-memory relation anywhere
+    val fused = wkf.run("docs.packed").asInstanceOf[DataFrame]
+    fused.collect()
+    assert(!fused.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "default build must stay one fused plan")
+    // pinned build: the canonical cell is cached, so the packed route
+    // consumes the pinned intermediate instead of recomputing the
+    // upstream chain — the cache/checkpoint trade made per-cell (C9)
+    val pinned = DataPipeline.build(spark, sfDir, pinCanonical = true)
+    val packed = pinned.run("docs.packed").asInstanceOf[DataFrame]
+    packed.collect()
+    assert(packed.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "pinned build must consume the cached canonical cell")
+    assert(packed.count() == fused.count(), "policy must not change results")
+    spark.catalog.clearCache()
+  }
+
+  test("the sinks cell fans the corpus out through three routed formats") {
+    val out = java.nio.file.Files.createTempDirectory("graft-fanout").toString
+    wkf.run(s"docs.sinks.$out")
+    val packed = spark.read.parquet(s"$out/packed")
+    val stats = spark.read.option("header", "true").csv(s"$out/langstats")
+    val bins = spark.read.json(s"$out/bins")
+    assert(packed.count() > 0)
+    // hive layout by lang: per-lang directories under packed/
+    assert(new java.io.File(s"$out/packed").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("lang=")))
+    assert(stats.count() == packed.select("lang").distinct().count())
+    assert(bins.agg(sum(col("bin_tokens"))).head().getLong(0) ==
+      packed.agg(sum(col("n_tokens"))).head().getLong(0),
+      "bin manifest must conserve the packed token total")
+  }
+
   test("the packed route runs end-to-end through the routed sink and round-trips") {
     val packed = wkf.run("docs.packed").asInstanceOf[DataFrame]
     val out = java.nio.file.Files.createTempDirectory("graft-pipeline-out").toString
