@@ -393,6 +393,40 @@ class OpsSpec extends SparkTestBase {
       plan.take(500))
   }
 
+  test("rankGlobal stays balanced on a Zipf(1.1) vocabulary (skew-measured)") {
+    import spark.implicits._
+    // The 100 TB concern: a web-corpus vocabulary is Zipfian, so
+    // ordering by (cnt DESC, w) concentrates a huge cnt=1 tail into
+    // one key-range neighborhood. RangePartitioner samples the SORT
+    // KEY INCLUDING the tiebreak column, so the tail still splits
+    // across partitions — measure it instead of arguing it.
+    val n = 200000
+    val dict = spark.range(1, n + 1)
+      .select(
+        concat(lit("w"), lpad($"id".cast("string"), 7, "0")).as("w"),
+        // Zipf(1.1): rank r gets floor(C / r^1.1) + 1 occurrences —
+        // head word ~100k, half the vocabulary lands on cnt=1
+        (floor(lit(100000.0) / pow($"id".cast("double"), 1.1)) + 1).cast("long").as("cnt"))
+    val parts = 32
+    val ranked = Ops.rankGlobal(dict, Seq($"cnt".desc, $"w".asc), "rank",
+      numPartitions = parts)
+    // correctness on the skewed corpus first
+    val expected = dict.withColumn("expected", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy($"cnt".desc, $"w".asc)).cast("long"))
+    assert(ranked.join(expected.select($"w", $"expected"), "w")
+      .filter($"rank" =!= $"expected").count() == 0)
+    // then the balance: per-partition row counts of the SAME range
+    // partitioning rankGlobal executes
+    val sizes = dict.repartitionByRange(parts, $"cnt".desc, $"w".asc)
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(_.getLong(1))
+    val mean = sizes.sum.toDouble / parts
+    val ratio = sizes.max / mean
+    info(f"Zipf(1.1) $n-word dict over $parts partitions: max/mean = $ratio%.2f")
+    assert(sizes.length == parts, s"empty partitions: only ${sizes.length} of $parts")
+    assert(ratio < 2.0, f"range partitioning skewed: max/mean $ratio%.2f >= 2")
+  }
+
   test("rankGlobal checkTotalOrder: tied keys raise, unique keys rank unchanged") {
     import spark.implicits._
     // a deliberately NON-total order: cnt alone collides constantly
