@@ -124,9 +124,15 @@ object Embeddings {
         val stats = nq.groupBy($"label")
           .agg(count(lit(1)).as("n"), sum($"norm2q").as("s"))
           .withColumn("label_mean", $"s".cast("double") / $"n")
+        // label_mean is emitted UNROUNDED: at 1e12 magnitude a
+        // 6-decimal round exceeds double resolution, and DuckDB's
+        // ROUND (scale-multiply at 1e18 — past 2^53) lands one ulp
+        // off Spark's exact BigDecimal round when a mean hits an
+        // integer; the raw division of the identical exact integer
+        // sum is IEEE-deterministic on both engines.
         nq.join(broadcast(stats.select($"label", $"label_mean")), "label")
           .select($"vec_id", $"label", $"norm2q",
-            round($"label_mean", 6).as("label_mean"),
+            $"label_mean",
             round(abs($"norm2q".cast("double") - $"label_mean") / $"label_mean", 6)
               .as("rel_dev"),
             (abs($"norm2q".cast("double") - $"label_mean") > $"label_mean" * 0.5)
@@ -141,7 +147,7 @@ object Embeddings {
         stats AS (SELECT label, CAST(SUM(norm2q) AS DOUBLE) / COUNT(*) AS label_mean
           FROM nq GROUP BY label)
         SELECT n.vec_id, n.label, n.norm2q,
-          ROUND(s.label_mean, 6) AS label_mean,
+          s.label_mean AS label_mean,
           ROUND(abs(CAST(n.norm2q AS DOUBLE) - s.label_mean) / s.label_mean, 6) AS rel_dev,
           abs(CAST(n.norm2q AS DOUBLE) - s.label_mean) > s.label_mean * 0.5 AS is_outlier
         FROM nq n JOIN stats s ON s.label = n.label
