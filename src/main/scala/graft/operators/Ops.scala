@@ -903,10 +903,26 @@ object Ops {
       iters: Int = 2,
       dim: Int = 64
   ): DataFrame = {
+    val ev = quantizedVecs(df, idCol, vecCol).cache()
+    val out = pqCodebooksFromQuantized(ev, m, k, iters, dim)
+    ev.unpersist()
+    out
+  }
+
+  /** [[pqCodebooks]] over an already-quantized (_id, _x, _xq)
+    * relation — lets [[ivfPqTrained]] feed the coarse training and
+    * the subspace training from ONE quantization pass.
+    */
+  private def pqCodebooksFromQuantized(
+      ev: DataFrame,
+      m: Int,
+      k: Int,
+      iters: Int,
+      dim: Int
+  ): DataFrame = {
     require(iters >= 1, "Lloyd needs at least one iteration")
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val sub = dim / m
-    val ev = quantizedVecs(df, idCol, vecCol).cache()
     val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
     val evs = ev.select(col("_id"), ms, col("_x"), col("_xq"))
       .select(col("_id"), col("_m"),
@@ -933,9 +949,7 @@ object Ops {
           .localCheckpoint()
       }
     }
-    val out = cents.localCheckpoint()
-    ev.unpersist()
-    out
+    cents.localCheckpoint()
   }
 
   /** O27: IVF+PQ with TRAINED quantizers end-to-end — closes s06's
@@ -970,14 +984,21 @@ object Ops {
       topK: Int = 5
   ): DataFrame = {
     val sub = dim / m
-    // trained coarse quantizer: inverted lists + the centroid frame
-    val cells = kmeansAssign(corpus, idCol, vecCol, k, iters, dim)
-      .select(col(idCol).as("n_id"), col("cell"))
-    val cents = kmeansCentroids(corpus, idCol, vecCol, k, iters, dim)
-    // trained PQ codebooks + the corpus code table
-    val books = pqCodebooks(corpus, idCol, vecCol, m, kSub, iters, dim)
+    // ONE quantization pass + ONE coarse training feed every trained
+    // artifact: running kmeansAssign and kmeansCentroids separately
+    // would train the identical Lloyd loop twice and re-quantize the
+    // corpus three times — at 100 TB that's two wasted full-corpus
+    // training sweeps. Values are unchanged (the public APIs wrap
+    // this same lloydLoop; the spec pins s07's oracle either way).
+    val ev = quantizedVecs(corpus, idCol, vecCol).cache()
+    val (centsRaw, assign) = lloydLoop(ev, k, iters, dim)
+    val cells = assign.select(col("_id").as("n_id"), col("_cell").as("cell"))
+      .localCheckpoint()
+    val cents = centsRaw.localCheckpoint()
+    // trained PQ codebooks from the SAME quantized relation
+    val books = pqCodebooksFromQuantized(ev, m, kSub, iters, dim)
     val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
-    val codes = quantizedVecs(corpus, idCol, vecCol)
+    val codes = ev
       .select(col("_id").as("n_id"), ms, col("_x"))
       .select(col("n_id"), col("_m"), expr(s"slice(_x, _m * $sub + 1, $sub)").as("_vs"))
       .join(broadcast(books), Seq("_m"))
@@ -986,6 +1007,7 @@ object Ops {
       .agg(min(struct(col("_dq"), col("_cid"))).as("_mc"))
       .select(col("n_id"), col("_m"), col("_mc._cid").as("code"))
       .localCheckpoint()
+    ev.unpersist()
     // probes rank the TRAINED centroids for their nprobe cells
     val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
     val wProbe = Window.partitionBy(col("p_id")).orderBy(col("_dq").asc, col("_cid"))
