@@ -39,17 +39,23 @@ object PipelineAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val wkf = graft.examples.DataPipeline.build(spark, dir)
-    val routes = Seq("docs.dedup", "docs.lang.de", "docs.langstats.de", "docs.packed")
+    // docs.export.de is the round-5 full-width route: the lang
+    // predicate declared in the terminal cell crosses quality's
+    // semi-join, the (h, lang)-keyed dedup window, canonical's anti
+    // join, the sample filter and the packing window on its way to
+    // the scan — PushedFilters on the executed plan is the proof
+    val routes = Seq("docs.dedup", "docs.lang.de", "docs.langstats.de",
+      "docs.packed", "docs.export.de")
     routes.foreach { route =>
       spark.catalog.clearCache()
       val df = wkf.run(route).asInstanceOf[DataFrame]
       val audit = RuntimeAudit.run(df)
       println(audit.line(route))
-      val docScan = fileScans(df.queryExecution.executedPlan)
-        .find(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
-      docScan.foreach { s =>
-        println(s"  $route documents-scan PushedFilters=${s.metadata("PushedFilters")}")
-        println(s"  $route documents-scan ReadSchema=${s.metadata("ReadSchema")}")
+      val scans = fileScans(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
+      scans.zipWithIndex.foreach { case (s, i) =>
+        println(s"  $route documents-scan#$i PushedFilters=${s.metadata("PushedFilters")}")
+        println(s"  $route documents-scan#$i ReadSchema=${s.metadata("ReadSchema")}")
       }
     }
     spark.stop()
