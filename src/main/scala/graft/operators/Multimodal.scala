@@ -118,6 +118,82 @@ object Multimodal {
     Decoded(id, format, n.toLong, w, h, Array(mean, variance, mn, mx))
   }
 
+  /** One cell of a g×g thumbnail grid: exact integer byte-sum and
+    * count over the cell's raster slice, px = sum_b / n_b (floor).
+    */
+  final case class ThumbCell(
+      doc_id: Long,
+      format: String,
+      cell: Int,
+      sum_b: Long,
+      n_b: Long,
+      px: Long
+  )
+
+  /** The RESIZE/downsample step of a multimodal pipeline, with the
+    * honest stub boundary this container allows: a real pixel decode
+    * needs codecs, so the "raster" is the payload's body bytes —
+    * but the body OFFSET is found by a real structural walk (PNG:
+    * past the IHDR chunk via its length field; JPEG: marker walk to
+    * the end of the SOF0 segment; GIF: past the 13-byte logical
+    * screen descriptor), and the downsample itself is the real
+    * shape: the raster split into g² contiguous cells, each reduced
+    * to its exact integer byte-sum/count and floor-mean sample —
+    * deterministic, partition-local, and reproducible byte-for-byte
+    * by the blob-offset oracle. Swapping in a codec changes ONE
+    * function (bytes → raster); the Spark plumbing, schema and
+    * aggregation are what they would be in production.
+    */
+  def parseThumb(id: Long, b: Array[Byte], g: Int = 4): Seq[ThumbCell] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    val png = b.length >= 8 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G'
+    val jpeg = b.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8
+    val gif = b.length >= 13 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8'
+    val (format, start) =
+      if (png && b.length >= 16) {
+        // body follows the first (IHDR) chunk: 8 magic + 12 framing
+        // + the chunk's own length field (a real decoder walks on to
+        // IDAT; this container puts the raster right after IHDR)
+        ("png", 8 + 12 + be32(8).toInt)
+      } else if (jpeg) {
+        // marker walk to the end of the SOF0 segment
+        var off = 2
+        var found = -1
+        while (found < 0 && off + 4 <= b.length) {
+          if (u8(off) == 0xff && u8(off + 1) == 0xc0) found = off + 2 + be16(off + 2)
+          else off += 2 + be16(off + 2)
+        }
+        ("jpeg", if (found >= 0) found else b.length)
+      } else if (gif) ("gif", 13)
+      else return Seq.empty
+    val n = b.length - start
+    if (n <= 0) return Seq.empty
+    val cells = g * g
+    (0 until cells).flatMap { k =>
+      val lo = start + (k.toLong * n / cells).toInt
+      val hi = start + ((k + 1).toLong * n / cells).toInt
+      if (hi <= lo) None
+      else {
+        var s = 0L
+        var i = lo
+        while (i < hi) { s += u8(i); i += 1 }
+        Some(ThumbCell(id, format, k, s, (hi - lo).toLong, s / (hi - lo)))
+      }
+    }
+  }
+
+  /** Partition-wise thumbnail downsample — one row per grid cell. */
+  def decodeThumbs(df: DataFrame, g: Int = 4): Dataset[ThumbCell] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) => parseThumb(id, bytes, g) })
+  }
+
   /** A decoded audio record: RIFF/WAVE structural metadata. */
   final case class AudioDecoded(
       doc_id: Long,
@@ -687,6 +763,50 @@ object Multimodal {
           f_size,
           md5(doc_id || ':' || frame_idx) AS frame_key
         FROM f ORDER BY doc_id, frame_idx"""
+      }
+    ),
+
+    Q(
+      "m05_thumbnail_grid",
+      "Resize/downsample plumbing: 4x4 grid of exact integer byte samples per image raster",
+      (spark, dir) => {
+        import spark.implicits._
+        // Spark side: structural body-offset walk (PNG chunk length /
+        // JPEG marker walk / GIF descriptor) + partition-local exact
+        // integer downsample. Oracle side: the same offsets decoded
+        // independently from the blob's hex image, byte sums redone
+        // with DuckDB list folds — every cell value matches exactly.
+        decodeThumbs(imagePayloads(spark, dir), g = 4)
+          .toDF()
+          .orderBy($"doc_id", $"cell")
+      },
+      Some {
+        val byteVal = (pos: String) =>
+          s"(CAST(strpos('0123456789ABCDEF', substr(hp, CAST($pos AS INT), 1)) AS BIGINT) - 1) * 16 + " +
+            s"(CAST(strpos('0123456789ABCDEF', substr(hp, CAST($pos + 1 AS INT), 1)) AS BIGINT) - 1)"
+        s"""$sqlPayloadCtes,
+        st AS (SELECT doc_id, hp, nb,
+            CASE WHEN substr(hp, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+                 WHEN substr(hp, 1, 4) = 'FFD8' THEN 'jpeg'
+                 ELSE 'gif' END AS format,
+            CAST(CASE WHEN substr(hp, 1, 16) = '89504E470D0A1A0A'
+                   THEN 20 + ${sqlHexToInt("substr(hp, 17, 8)", 8)}
+                 WHEN substr(hp, 1, 4) = 'FFD8'
+                   THEN 4 + ${sqlHexToInt("substr(hp, 9, 4)", 4)}
+                 ELSE 13 END AS BIGINT) AS strt
+          FROM hx),
+        cells AS (SELECT doc_id, hp, format, CAST(k AS INT) AS cell,
+            strt + (k * (nb - strt)) // 16 AS lo,
+            strt + ((k + 1) * (nb - strt)) // 16 AS hi
+          FROM st, (SELECT unnest(generate_series(0, 15)) AS k) ks
+          WHERE nb - strt > 0),
+        vals AS (SELECT doc_id, format, cell,
+            CAST(list_aggregate(list_transform(generate_series(lo, hi - 1),
+              bi -> ${byteVal("2 * bi + 1")}), 'sum') AS BIGINT) AS sum_b,
+            CAST(hi - lo AS BIGINT) AS n_b
+          FROM cells WHERE hi > lo)
+        SELECT doc_id, format, cell, sum_b, n_b, sum_b // n_b AS px
+        FROM vals ORDER BY doc_id, cell"""
       }
     ),
 

@@ -117,5 +117,10 @@ object ScaleProbeR5 {
         graft.operators.Dedup.readBandIndex(spark, idxDir))
     }
     spark.stop()
+    // the staged corpus is GBs at x100 — don't leave it in /tmp
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
   }
 }

@@ -350,6 +350,27 @@ class PipelineSpec extends SparkTestBase {
       col("f_offset") + col("f_size") > expr("octet_length(payload)")).count() == 0)
   }
 
+  test("m05 thumbnail cells partition each raster exactly (conservation + bounds)") {
+    val df = q("m05_thumbnail_grid").cache()
+    assert(df.filter(col("px") < 0 || col("px") > 255).count() == 0)
+    assert(df.filter(col("cell") < 0 || col("cell") > 15).count() == 0)
+    // the 16 cells tile the body: per-doc n_b sums to the raster size
+    // (payload bytes minus the structurally-walked header offset)
+    val bodies = Multimodal.imagePayloads(spark, sfDir)
+      .select(col("doc_id"), expr("octet_length(payload)").cast("long").as("nb"))
+    val starts = Map("png" -> 33L, "jpeg" -> 21L, "gif" -> 13L)
+    val tiled = df.groupBy(col("doc_id"), col("format"))
+      .agg(sum(col("n_b")).as("covered"), sum(col("sum_b") - col("px") * col("n_b")).as("rem"))
+      .join(bodies, "doc_id")
+    val bad = tiled.collect().filter { r =>
+      r.getLong(2) != r.getLong(4) - starts(r.getString(1))
+    }
+    assert(bad.isEmpty, s"cells don't tile the raster: ${bad.take(3).mkString}")
+    // floor-mean residue is always in [0, n_b)
+    assert(df.filter(col("sum_b") - col("px") * col("n_b") >= col("n_b")).count() == 0)
+    df.unpersist()
+  }
+
   test("multimodal decode is deterministic with real byte-moment features") {
     val a = Multimodal.decode(Multimodal.imagePayloads(spark, sfDir)).collect()
     val b = Multimodal.decode(Multimodal.imagePayloads(spark, sfDir)).collect()
