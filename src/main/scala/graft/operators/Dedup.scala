@@ -188,11 +188,19 @@ object Dedup {
     * The rewrite goes to a sibling directory then swaps in via two
     * renames — readers racing the swap should retry, the same
     * contract as any non-transactional hive-layout rewrite.
+    *
+    * Compaction also DISTINCTs: the index is semantically a set of
+    * (doc_id, band, bh) keys, and a replayed streaming micro-batch
+    * (the at-least-once file-append caveat) or a re-run batch append
+    * leaves exact duplicate rows — harmless to probe results (the
+    * probe distincts candidates) but wasted bytes; compaction is
+    * where they're reclaimed.
     */
   def compactBandIndex(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val tmp = path + "__compacting"
     spark.read.parquet(path)
+      .distinct()
       .repartition(col("band"), col("pfx"))
       .write.mode("overwrite").partitionBy("band", "pfx").parquet(tmp)
     val fs = FileSystem.get(new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)

@@ -63,18 +63,22 @@ object Multimodal {
     var h = 0
     if (b.length >= 24 && (0 until 8).forall(i => u8(i) == PngMagic(i))) {
       format = "png"
-      // chunk walk: [len:4][type:4][data:len][crc:4] ...
-      var off = 8
+      // chunk walk: [len:4][type:4][data:len][crc:4] ... — length is
+      // attacker-controlled: walk in Long and stop on any non-forward
+      // or out-of-range advance instead of wrapping into the array
+      var off = 8L
       var found = false
       while (!found && off + 8 <= b.length) {
-        val clen = be32(off)
-        val ctype = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val clen = be32(off.toInt).toLong & 0xffffffffL
+        val ctype = new String(b, off.toInt + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
         if (ctype == "IHDR" && off + 16 <= b.length) {
-          w = be32(off + 8)
-          h = be32(off + 12)
+          w = be32(off.toInt + 8)
+          h = be32(off.toInt + 12)
           found = true
         }
-        off += 8 + clen + 4
+        val next = off + 8 + clen + 4
+        if (next <= off) found = true // corrupt size: refuse to loop
+        off = next
       }
     } else if (b.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
       format = "jpeg"
@@ -156,8 +160,11 @@ object Multimodal {
       if (png && b.length >= 16) {
         // body follows the first (IHDR) chunk: 8 magic + 12 framing
         // + the chunk's own length field (a real decoder walks on to
-        // IDAT; this container puts the raster right after IHDR)
-        ("png", 8 + 12 + be32(8).toInt)
+        // IDAT; this container puts the raster right after IHDR).
+        // Length is attacker-controlled: clamp in Long — a 4 GB
+        // field must yield "no body", not an Int-wrapped offset
+        val s = 8L + 12L + be32(8)
+        ("png", math.min(s, b.length.toLong).toInt)
       } else if (jpeg) {
         // marker walk to the end of the SOF0 segment
         var off = 2
@@ -222,16 +229,18 @@ object Multimodal {
       new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
     val bad = AudioDecoded(id, "unknown", 0, 0, 0, 0L, 0L)
     if (b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE") {
-      var off = 12
+      // chunk sizes are attacker-controlled: advance in Long so a
+      // 4 GB size field can't wrap the offset into the array
+      var off = 12L
       var ch = 0; var sr = 0; var bits = 0; var ba = 0; var br = 0L; var ds = -1L
       while (off + 8 <= b.length && (ch == 0 || ds < 0)) {
-        val ctag = tag(off)
-        val csz = le32(off + 4)
+        val ctag = tag(off.toInt)
+        val csz = le32(off.toInt + 4)
         if (ctag == "fmt " && off + 24 <= b.length) {
-          ch = le16(off + 10); sr = le32(off + 12).toInt
-          br = le32(off + 16); ba = le16(off + 20); bits = le16(off + 22)
+          ch = le16(off.toInt + 10); sr = le32(off.toInt + 12).toInt
+          br = le32(off.toInt + 16); ba = le16(off.toInt + 20); bits = le16(off.toInt + 22)
         } else if (ctag == "data") ds = csz
-        off += 8 + csz.toInt + (csz.toInt & 1) // odd chunks are padded
+        off += 8 + csz + (csz & 1) // odd chunks are padded
       }
       if (ch > 0 && ds >= 0 && ba > 0 && br > 0)
         AudioDecoded(id, "wav", ch, sr, bits, ds / ba, ds * 1000 / br)
@@ -296,7 +305,8 @@ object Multimodal {
             }
           } else if (ctag == "trak" && w == 0) {
             var t = cPay
-            while (t + 8 <= math.min(cEnd, b.length.toLong)) {
+            var tOk = true
+            while (tOk && t + 8 <= math.min(cEnd, b.length.toLong)) {
               val (tPay, tEnd) = boxBounds(t)
               if (tag(t + 4) == "tkhd" && tPay + 4 <= b.length) {
                 // width/height close the fixed 84/96-byte v0/v1 payload
@@ -306,10 +316,12 @@ object Multimodal {
                   h = be16(tPay + fix + 4)
                 }
               }
-              t = tEnd.toInt
+              if (tEnd <= t) tOk = false // corrupt size: refuse to loop
+              else t = math.min(tEnd, b.length.toLong).toInt
             }
           }
-          c = cEnd.toInt
+          if (cEnd <= c) return bad // corrupt size: refuse to loop
+          c = math.min(cEnd, moovEnd).toInt
         }
       }
       if (end <= off) return bad // corrupt size: refuse to loop
@@ -552,7 +564,8 @@ object Multimodal {
         val (pay, cEnd) = boxBounds(c)
         if (cEnd <= c) return None // corrupt size
         if (tag(c + 4) == want) return Some((pay, cEnd))
-        c = cEnd.toInt
+        // clamp: a 4 GB/largesize box end would wrap .toInt negative
+        c = math.min(cEnd, end).toInt
       }
       None
     }
@@ -574,9 +587,14 @@ object Multimodal {
               if zPay + 12 <= b.length && cPay + 12 <= b.length =>
             val uniform = be32(zPay + 4)
             val n = be32(zPay + 8).toInt
+            // sample-count sanity: a count that is negative (Int wrap
+            // of a 4-byte field), larger than the file itself (every
+            // real sample is >= 1 byte), or whose size table would sit
+            // past EOF (Long math — 4 * n overflows Int) is corrupt
+            if (n < 0 || n > b.length) return Seq.empty
             if (be32(cPay + 4) < 1) return Seq.empty
             val chunk0 = be32(cPay + 8)
-            if (uniform == 0L && zPay + 12 + 4 * n > b.length) return Seq.empty
+            if (uniform == 0L && zPay + 12L + 4L * n > b.length) return Seq.empty
             var off = chunk0
             (0 until n).map { k =>
               val sz = if (uniform > 0) uniform else be32(zPay + 12 + 4 * k)

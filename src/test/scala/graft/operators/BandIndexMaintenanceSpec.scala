@@ -65,10 +65,19 @@ class BandIndexMaintenanceSpec extends SparkTestBase {
     val before = bucketFiles()
     assert(before.values.exists(_ > 1),
       s"append should leave multi-file buckets, got ${before.values.max} max")
+    // a replayed append (the at-least-once streaming caveat) leaves
+    // exact duplicate rows; compaction must reclaim them
+    Dedup.appendBandIndex(day2, "doc_id", "text", dir)
+    val dupRows = spark.read.parquet(dir)
+      .groupBy("doc_id", "band", "bh").count().filter(col("count") > 1).count()
+    assert(dupRows > 0, "replay should have produced duplicate index rows")
     Dedup.compactBandIndex(spark, dir)
     val after = bucketFiles()
     assert(after.values.forall(_ == 1),
       s"compaction must leave one file per bucket: $after")
+    assert(spark.read.parquet(dir)
+      .groupBy("doc_id", "band", "bh").count().filter(col("count") > 1).count() == 0,
+      "compaction must reclaim replayed duplicate rows")
     assert(!new java.io.File(dir + "__compacting").exists())
     assert(!new java.io.File(dir + "__pre_compact").exists())
     // identical probe results from the compacted index

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Fuzz guards for every structural binary parser: on ARBITRARY byte
+  * soup — including soup behind valid magics, truncation points and
+  * hostile size fields — a 100 TB ingest parser must return a
+  * well-formed "unknown"/empty result, never throw and never emit an
+  * out-of-bounds offset. (Raw ScalaCheck generators with fixed
+  * seeds, like PatternPropSpec — the scalatest bridge isn't on the
+  * offline classpath.)
+  */
+class ParserFuzzSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+
+  // byte soup stamped with a real magic: forces the deep parse path
+  private def magicked(magic: Array[Int]): Gen[Array[Byte]] =
+    bytesGen.map { b =>
+      val out = new Array[Byte](magic.length + b.length)
+      magic.indices.foreach(i => out(i) = magic(i).toByte)
+      System.arraycopy(b, 0, out, magic.length, b.length)
+      out
+    }
+
+  private val magics = Seq(
+    "png" -> Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a),
+    "jpeg" -> Array(0xff, 0xd8),
+    "gif" -> Array('G'.toInt, 'I'.toInt, 'F'.toInt, '8'.toInt, '9'.toInt, 'a'.toInt),
+    "riff" -> Array('R'.toInt, 'I'.toInt, 'F'.toInt, 'F'.toInt),
+    "ftyp" -> Array(0, 0, 0, 16, 'f'.toInt, 't'.toInt, 'y'.toInt, 'p'.toInt)
+  )
+
+  private def allInputs: Seq[Array[Byte]] =
+    samples(bytesGen) ++ magics.flatMap { case (_, m) => samples(magicked(m), 120) }
+
+  test("parseImage / parseAudio / parseVideo never throw on byte soup") {
+    allInputs.foreach { b =>
+      val d = Multimodal.parseImage(1L, b)
+      assert(d.n_bytes == b.length)
+      Multimodal.parseAudio(2L, b)
+      Multimodal.parseVideo(3L, b)
+    }
+  }
+
+  test("parseFrames emits only in-bounds, non-overlapping ranges") {
+    allInputs.foreach { b =>
+      val frames = Multimodal.parseFrames(4L, b)
+      frames.foreach { f =>
+        assert(f.f_size >= 0 && f.f_offset >= 0,
+          s"negative range ${f.f_offset}/${f.f_size} on ${b.length}B input")
+      }
+      // consecutive samples from one chunk must be contiguous
+      frames.sliding(2).foreach {
+        case Seq(a, c) => assert(c.f_offset == a.f_offset + a.f_size)
+        case _ =>
+      }
+    }
+  }
+
+  test("parseThumb cells stay inside the payload and tile contiguously") {
+    allInputs.foreach { b =>
+      val cells = Multimodal.parseThumb(5L, b)
+      cells.foreach { c =>
+        assert(c.n_b > 0 && c.sum_b >= 0 && c.px >= 0 && c.px <= 255)
+      }
+      if (cells.nonEmpty) {
+        assert(cells.map(_.n_b).sum <= b.length)
+        assert(cells.map(_.px).forall(p => p == (cells.find(_.px == p).get.sum_b /
+          cells.find(_.px == p).get.n_b)))
+      }
+    }
+  }
+}
