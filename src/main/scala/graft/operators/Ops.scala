@@ -992,8 +992,11 @@ object Ops {
     // this same lloydLoop; the spec pins s07's oracle either way).
     val ev = quantizedVecs(corpus, idCol, vecCol).cache()
     val (centsRaw, assign) = lloydLoop(ev, k, iters, dim)
+    // lazy checkpoints: cells/codes are each consumed once by the
+    // final query, so materialization rides the query's own action
+    // instead of paying a separate job per artifact (the d06 lesson)
     val cells = assign.select(col("_id").as("n_id"), col("_cell").as("cell"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cents = centsRaw.localCheckpoint()
     // trained PQ codebooks from the SAME quantized relation
     val books = pqCodebooksFromQuantized(ev, m, kSub, iters, dim)
@@ -1006,7 +1009,7 @@ object Ops {
       .groupBy(col("n_id"), col("_m"))
       .agg(min(struct(col("_dq"), col("_cid"))).as("_mc"))
       .select(col("n_id"), col("_m"), col("_mc._cid").as("code"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     ev.unpersist()
     // probes rank the TRAINED centroids for their nprobe cells
     val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
