@@ -1037,4 +1037,163 @@ object Ops {
       .filter(col("rn") <= topK)
       .select(col("p_id"), col("rn"), col("n_id"), col("adc_q"))
   }
+
+  /** A persisted trained-IVFPQ index (see [[writeAnnIndex]]):
+    * `lists` — the inverted lists, (cell, n_id, m, code), stored
+    * hive-partitioned BY CELL so a probe reads only its nprobe
+    * cells' directories; `centroids` — the k trained coarse rows;
+    * `codebooks` — the m·k trained subspace rows.
+    */
+  final case class AnnIndex(lists: DataFrame, centroids: DataFrame, codebooks: DataFrame)
+
+  /** O29: persist the trained IVFPQ index — the O24 band-index
+    * production pattern applied to ANN. Training cost (the s07
+    * pipeline: one quantization pass, coarse Lloyd, subspace Lloyd,
+    * encode) is paid ONCE at write time; the stored artifact is what
+    * every real ANN service ships: inverted lists of (4-byte codes)
+    * partitioned by coarse cell, plus the two tiny quantizer frames.
+    * Day-2 queries and day-2 inserts ([[probeAnnIndex]],
+    * [[appendAnnIndex]]) never retrain and never touch float arrays
+    * of the corpus again.
+    */
+  def writeAnnIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int = 8,
+      m: Int = 4,
+      kSub: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64
+  ): Unit = {
+    val sub = dim / m
+    val ev = quantizedVecs(corpus, idCol, vecCol).cache()
+    val (centsRaw, assign) = lloydLoop(ev, k, iters, dim)
+    val cents = centsRaw.localCheckpoint()
+    val books = pqCodebooksFromQuantized(ev, m, kSub, iters, dim)
+    val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
+    val codes = ev
+      .select(col("_id").as("n_id"), ms, col("_x"))
+      .select(col("n_id"), col("_m"), expr(s"slice(_x, _m * $sub + 1, $sub)").as("_vs"))
+      .join(broadcast(books), Seq("_m"))
+      .withColumn("_dq", l2q("_vs", "_cs"))
+      .groupBy(col("n_id"), col("_m"))
+      .agg(min(struct(col("_dq"), col("_cid"))).as("_mc"))
+      .select(col("n_id"), col("_m").as("m"), col("_mc._cid").as("code"))
+    val lists = assign.select(col("_id").as("n_id"), col("_cell").as("cell"))
+      .join(codes, "n_id")
+      .select(col("cell"), col("n_id"), col("m"), col("code"))
+    graft.sinks.RoutedSink.standard().write(s"parquet:$path/lists:by:cell", lists)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    books.write.mode("overwrite").parquet(s"$path/codebooks")
+    ev.unpersist()
+  }
+
+  /** Read an index persisted by [[writeAnnIndex]]. The partition
+    * column comes back type-inferred — cast to long so probe joins
+    * line up (the readBandIndex recipe).
+    */
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex =
+    AnnIndex(
+      spark.read.parquet(s"$path/lists")
+        .select(col("cell").cast("long"), col("n_id"), col("m"), col("code")),
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"))
+
+  /** O29: rank a probe batch against the STORED index — identical
+    * integer-ADC values to [[ivfPqTrained]] (AnnIndexSpec pins row
+    * equality), but the corpus appears only through its stored lists,
+    * and a probe touches O(nprobe · list length) stored rows, never
+    * the index: with `routeOnDriver = true` (default) the probe→cell
+    * routing table — AT MOST probes × nprobe rows against a k-row
+    * centroid frame, the bounded-batch ingestion contract — is
+    * collected and the probed cells pushed into the lists scan as
+    * PARTITION-KEY LITERALS, so the hive layout statically prunes to
+    * exactly those directories (AnnIndexSpec measures ≤ nprobe of k
+    * read). This is how every real ANN service routes: the coarse
+    * quantizer is driver/router-resident by design, and the routing
+    * collect is bounded by probes × nprobe — a routing table, not
+    * data (the rankGlobal-offsets class of driver state, NOT a
+    * corpus-sized collect). For an unbounded probe RELATION pass
+    * false: pure joins, AQE-sized, full-index read traded for no
+    * driver bound.
+    */
+  def probeAnnIndex(
+      probes: DataFrame,
+      probeIdCol: String,
+      probeVecCol: String,
+      index: AnnIndex,
+      nprobe: Int = 2,
+      m: Int = 4,
+      dim: Int = 64,
+      topK: Int = 5,
+      routeOnDriver: Boolean = true
+  ): DataFrame = {
+    val sub = dim / m
+    val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
+    val wProbe = Window.partitionBy(col("p_id")).orderBy(col("_dq").asc, col("_cid"))
+    val probeCells = p.crossJoin(broadcast(index.centroids))
+      .withColumn("_dq", l2q("pe", "_cx"))
+      .withColumn("_rnp", row_number().over(wProbe))
+      .filter(col("_rnp") <= nprobe)
+      .select(col("p_id"), col("_cid").as("cell"))
+    val lists =
+      if (!routeOnDriver) index.lists
+      else {
+        val cellIds = probeCells.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        index.lists.where(col("cell").isin(cellIds: _*))
+      }
+    val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
+    val dtab = p.select(col("p_id"), ms, col("pe"))
+      .select(col("p_id"), col("_m").as("m"), expr(s"slice(pe, _m * $sub + 1, $sub)").as("_ps"))
+      .join(broadcast(index.codebooks.withColumnRenamed("_m", "m")), Seq("m"))
+      .select(col("p_id"), col("m"), col("_cid").as("code"), l2q("_ps", "_cs").as("_dq"))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("adc_q").asc, col("n_id"))
+    lists.join(broadcast(probeCells), Seq("cell"))
+      .where(col("n_id") =!= col("p_id"))
+      .join(broadcast(dtab), Seq("p_id", "m", "code"))
+      .groupBy(col("p_id"), col("n_id")).agg(sum(col("_dq")).as("adc_q"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= topK)
+      .select(col("p_id"), col("rn"), col("n_id"), col("adc_q"))
+  }
+
+  /** O29's insert path — the reason real ANN services separate
+    * training from serving: day-2 vectors are encoded against the
+    * STORED quantizers (one broadcast pass each for cell assignment
+    * and codes — no retraining, no corpus access) and their list
+    * rows appended into the hive layout, landing only in the cells
+    * the new vectors hash to. Probes see them immediately.
+    * Periodically retrain + rewrite when drift accumulates — that's
+    * [[writeAnnIndex]] again.
+    */
+  def appendAnnIndex(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      m: Int = 4,
+      dim: Int = 64
+  ): Unit = {
+    val spark = newVecs.sparkSession
+    val sub = dim / m
+    val idx = readAnnIndex(spark, path)
+    val v = newVecs.select(col(idCol).as("n_id"), col(vecCol).as("_x"))
+    val cells = v.crossJoin(broadcast(idx.centroids))
+      .withColumn("_dq", l2q("_x", "_cx"))
+      .groupBy(col("n_id")).agg(min(struct(col("_dq"), col("_cid"))).as("_mc"))
+      .select(col("n_id"), col("_mc._cid").as("cell"))
+    val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
+    val codes = v.select(col("n_id"), ms, col("_x"))
+      .select(col("n_id"), col("_m").as("m"), expr(s"slice(_x, _m * $sub + 1, $sub)").as("_vs"))
+      .join(broadcast(idx.codebooks.withColumnRenamed("_m", "m")), Seq("m"))
+      .withColumn("_dq", l2q("_vs", "_cs"))
+      .groupBy(col("n_id"), col("m"))
+      .agg(min(struct(col("_dq"), col("_cid"))).as("_mc"))
+      .select(col("n_id"), col("m"), col("_mc._cid").as("code"))
+    graft.sinks.RoutedSink.standard().write(s"parquet-append:$path/lists:by:cell",
+      cells.join(codes, "n_id").select(col("cell"), col("n_id"), col("m"), col("code")))
+  }
 }

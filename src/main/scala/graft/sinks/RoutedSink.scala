@@ -46,6 +46,8 @@ object RoutedSink {
     // would swallow a trailing literal segment.
     r.add("parquet-append:{path:path}:by:{cols}", (df, kw) =>
       df.write.mode("append").partitionBy(kw("cols").split('+').toIndexedSeq: _*).parquet(kw("path")))
+    r.add("parquet-append:{path:path}", (df, kw) =>
+      df.write.mode("append").parquet(kw("path")))
     r.add("csv:{path:path}", (df, kw) =>
       df.write.mode("overwrite").option("header", "true").csv(kw("path")))
     r.add("json:{path:path}", (df, kw) =>

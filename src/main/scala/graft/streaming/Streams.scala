@@ -240,6 +240,32 @@ object Streams {
       graft.sinks.RoutedSink.standard(),
       _ => s"parquet-append:$path:by:band+pfx")
 
+  /** ST9: streaming ANN lookup against the PERSISTED trained-IVFPQ
+    * index (O29) — the ingestion-time "what does this new embedding
+    * near-duplicate" check, the vector analogue of ST6. Each
+    * micro-batch of probe vectors is ranked by
+    * [[graft.operators.Ops.probeAnnIndex]] — top-k per probe needs a
+    * per-probe aggregation and window, which append-mode streaming
+    * forbids mid-plan, so the batch ranking runs per micro-batch in
+    * foreachBatch (exactly how a serving layer drains a probe queue)
+    * and results append through the routed sink. The index is the
+    * state; the stream holds none.
+    */
+  def annProbeStream(
+      probeStream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      nprobe: Int = 2,
+      topK: Int = 5
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probeStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val idx = graft.operators.Ops.readAnnIndex(batch.sparkSession, indexPath)
+        graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+          graft.operators.Ops.probeAnnIndex(batch.toDF(), "vec_id", "embedding",
+            idx, nprobe = nprobe, topK = topK))
+    }
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

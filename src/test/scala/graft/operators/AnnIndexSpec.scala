@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** The persisted trained-IVFPQ index (O29) — the O24 band-index
+  * production posture applied to ANN. Pins (1) a probe against the
+  * STORED artifact returns row-for-row the in-query s07 pipeline's
+  * results, (2) the probe plan reads only the probed cells'
+  * hive partitions (measured partition pruning), (3) day-2 vectors
+  * appended via the stored quantizers (no retraining) are
+  * immediately probe-visible with exact self-match distances, and
+  * (4) the ST9 streaming probe equals the batch probe.
+  */
+class AnnIndexSpec extends SparkTestBase {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  private lazy val indexPath = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", dir)
+    dir
+  }
+
+  test("probe against the stored index equals the in-query trained pipeline") {
+    val probes = emb.orderBy(col("vec_id")).limit(10)
+    val stored = Ops.probeAnnIndex(probes, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, indexPath))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val inQuery = Ops.ivfPqTrained(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stored == inQuery && stored.nonEmpty)
+    // the unbounded-probe path (pure joins, no driver routing) must
+    // return the same rows — only the scan pruning differs
+    val unrouted = Ops.probeAnnIndex(probes, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, indexPath), routeOnDriver = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(unrouted == inQuery)
+  }
+
+  test("a one-probe query reads only its nprobe cell partitions") {
+    val totalCells = new java.io.File(s"$indexPath/lists").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(totalCells > 2, s"index should span several cells, got $totalCells")
+    // parquet-backed single probe (a real Filter in its plan — the
+    // BandIndexSpec DPP recipe)
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-ann-probe").toString
+    emb.orderBy(col("vec_id")).limit(1).write.mode("overwrite").parquet(oneDir)
+    val oneId = spark.read.parquet(oneDir).head().getLong(0)
+    val one = spark.read.parquet(oneDir).filter(col("vec_id") === oneId)
+    val probed = Ops.probeAnnIndex(one, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, indexPath))
+    probed.collect()
+    val scans = collectFileScans(probed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
+    assert(scans.nonEmpty, "no lists scan in the probe plan")
+    val dirsRead = scans.map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).max
+    assert(dirsRead <= 2 && dirsRead < totalCells,
+      s"one probe read $dirsRead of $totalCells cell partitions (nprobe=2)")
+  }
+
+  test("day-2 vectors append via stored quantizers and are probe-visible") {
+    // synthetic new vectors: copies of two existing ones under new ids
+    // (deterministic; they inherit their twins' cells and codes)
+    val twins = emb.orderBy(col("vec_id").desc).limit(2)
+      .select((col("vec_id") + lit(900000L)).as("vec_id"), col("embedding"))
+    Ops.appendAnnIndex(twins, "vec_id", "embedding", indexPath)
+    val probe = Ops.probeAnnIndex(twins, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, indexPath))
+    val rows = probe.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // probing an appended vector with ITSELF: its original (identical
+    // codes) attains adc = sum_m min_c dq(p_m, book[c]) — the global
+    // ADC minimum — so the original must sit at the rank-1 distance
+    val originals = twins.collect().map(r => r.getLong(0) - 900000L).toSet
+    twins.collect().map(_.getLong(0)).foreach { id =>
+      val mine = rows.filter(_._1 == id).sortBy(_._2)
+      assert(mine.nonEmpty, s"appended $id returned no neighbors")
+      val best = mine.head._4
+      val orig = mine.filter(x => originals.contains(x._3))
+      assert(orig.nonEmpty && orig.head._4 == best,
+        s"appended $id: original not at the rank-1 ADC distance: ${mine.mkString(",")}")
+    }
+  }
+
+  test("ST9: streaming probes against the stored index equal the batch probe") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ann-stream").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ann-out").toString
+    val probes = emb.orderBy(col("vec_id")).limit(6).cache()
+    probes.limit(3).write.parquet(s"$srcDir/f1")
+    Thread.sleep(1100)
+    probes.orderBy(col("vec_id").desc).limit(3).write.parquet(s"$srcDir/f2")
+    val stream = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir + "/f*")
+    val q = graft.streaming.Streams.annProbeStream(stream, indexPath, outDir).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Ops.probeAnnIndex(probes, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, indexPath))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    probes.unpersist()
+  }
+
+  private def collectFileScans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = plan match {
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectFileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectFileScans(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      collectFileScans(r.child)
+    case other => other.children.flatMap(collectFileScans)
+  }
+}
