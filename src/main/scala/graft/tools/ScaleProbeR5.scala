@@ -116,6 +116,23 @@ object ScaleProbeR5 {
         day2.withColumn("doc_id", $"doc_id" + lit(1000L)), "doc_id", "text",
         graft.operators.Dedup.readBandIndex(spark, idxDir))
     }
+    // O29 day-2 ANN: one-time index build, then bounded probes that
+    // read only their nprobe cell partitions regardless of corpus
+    val annDir = s"$dir/annindex"
+    val t2 = System.nanoTime()
+    graft.operators.Ops.writeAnnIndex(emb, "vec_id", "embedding", annDir)
+    println(f"writeAnnIndex x$factor: ${(System.nanoTime() - t2) / 1e9}%.2f s (one-time)")
+    audit(s"probeAnnIndex 10 probes x$factor") {
+      graft.operators.Ops.probeAnnIndex(
+        emb.orderBy($"vec_id").limit(10), "vec_id", "embedding",
+        graft.operators.Ops.readAnnIndex(spark, annDir))
+    }
+    val t3 = System.nanoTime()
+    graft.operators.Ops.appendAnnIndex(
+      spark.read.parquet(s"$base/embeddings.parquet")
+        .withColumn("vec_id", $"vec_id" + lit(900000000L)).limit(100),
+      "vec_id", "embedding", annDir)
+    println(f"appendAnnIndex 100 vecs: ${(System.nanoTime() - t3) / 1e9}%.2f s")
     spark.stop()
     // the staged corpus is GBs at x100 — don't leave it in /tmp
     def rm(f: java.io.File): Unit = {
