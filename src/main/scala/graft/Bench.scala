@@ -22,7 +22,8 @@ object Bench {
       error: Option[String],
       retries: Int = 0,
       gcMs: Seq[Long] = Nil,
-      execMs: Seq[Long] = Nil
+      execMs: Seq[Long] = Nil,
+      warmup: Option[Double] = None
   ) {
     def ok: Boolean = error.isEmpty
     def best: Double = times.min
@@ -74,7 +75,8 @@ object Bench {
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
       runs: Int,
       maxExtra: Int = 0,
-      noiseLoad: Double = 8.0
+      noiseLoad: Double = 8.0,
+      warmups: Int = 0
   ): Seq[QueryResult] = {
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
@@ -103,6 +105,16 @@ object Bench {
             None
         } finally spark.catalog.clearCache()
       }
+      // Optional per-query warmup sample, RECORDED in the artifact but
+      // excluded from best/median (and from the per-sample gc/exec
+      // series): round-5 diagnosis showed first-sample times up to 10x
+      // the converged run on some queries (d01: 3.17 s then 0.32 s —
+      // Janino codegen compile + first-touch IO, not the query), which
+      // skewed medians and burned spread-retry budget. Excluding an
+      // honest, visible warmup is the standard steady-state bench
+      // protocol; the warmup_s field keeps the artifact auditable.
+      val warm = (1 to warmups).flatMap(_ => if (err.nonEmpty) None else sample())
+      gcs = Vector.empty; execs = Vector.empty
       var times = (1 to runs).flatMap { _ =>
         if (err.nonEmpty) None else sample()
       }
@@ -112,7 +124,8 @@ object Bench {
         sample().foreach(t => times = times :+ t)
         extra += 1
       }
-      QueryResult(name, times, err, retries = extra, gcMs = gcs, execMs = execs)
+      QueryResult(name, times, err, retries = extra, gcMs = gcs, execMs = execs,
+        warmup = warm.headOption)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -127,7 +140,8 @@ object Bench {
       sfDir: String,
       runs: Int,
       loadBefore: Double = -1.0,
-      loadAfter: Double = -1.0
+      loadAfter: Double = -1.0,
+      only: Option[Seq[String]] = None
   ): String = {
     def j(s: String): String =
       "\"" + s.flatMap {
@@ -159,11 +173,21 @@ object Bench {
     val retried = obj(results.collect { case r if r.retries > 0 =>
       s"${j(r.name)}:${r.retries}"
     })
+    val warm = obj(results.collect { case r if r.warmup.nonEmpty =>
+      s"${j(r.name)}:${r.warmup.get}"
+    })
     val total = results.filter(_.ok).map(_.best).sum
     val totalMedian = results.filter(_.ok).map(_.median).sum
+    // a filtered (diagnostic) run must be self-identifying: its small
+    // "total" is otherwise indistinguishable from a full-suite number
+    // — the exact class of silently-misleading artifact the round-1
+    // fix targeted. n_queries makes the same check mechanical.
+    val onlyField = only.map(o => s""""only":[${o.sorted.map(j).mkString(",")}],""").getOrElse("")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${sfDir}",""" +
-      s""""runs":$runs,"total_median":$totalMedian,"median":$medians,"spread":$spread,""" +
+      s""""runs":$runs,"n_queries":${results.size},$onlyField""" +
+      s""""total_median":$totalMedian,"median":$medians,"spread":$spread,""" +
       s""""gc_ms":$gc,"exec_ms":$exec,"failed":$failed,"retried":$retried,""" +
+      s""""warmup_s":$warm,""" +
       s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter,""" +
       s""""ok":${results.forall(_.ok)}}"""
   }
@@ -189,14 +213,24 @@ object Bench {
     // timing (diagnosis only — committed artifacts run the full set)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qset = SparkEntry.queries.toSeq.filter(q => only.forall(_.contains(q._1)))
-    val results = run(spark, sfDir, qset, runs, maxExtra = maxExtra)
-    val json = toJson(results, sfDir, runs, loadBefore, loadAvg())
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    val results = run(spark, sfDir, qset, runs, maxExtra = maxExtra, warmups = warmups)
+    val json = toJson(results, sfDir, runs, loadBefore, loadAvg(),
+      only = only.map(_.toSeq))
     println(json)
     // the committed artifact must never be a truncated log tail: write
-    // the complete JSON (including its own total) to a file as well
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    // the complete JSON (including its own total) to a file as well.
+    // A name-filtered diagnostic run only writes a file when the
+    // caller EXPLICITLY names one — the default artifact path must
+    // never be silently overwritten by a partial total (the JSON
+    // itself also carries "only"/"n_queries" either way).
+    val outFileOpt =
+      if (only.isEmpty) Some(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json"))
+      else sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outFileOpt.foreach { outFile =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    }
     spark.stop()
     if (!results.forall(_.ok)) sys.exit(1)
   }

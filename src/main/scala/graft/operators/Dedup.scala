@@ -148,11 +148,20 @@ object Dedup {
       idCol: String,
       textCol: String,
       path: String
-  ): Unit =
+  ): Unit = {
+    val spark = docs.sparkSession
+    // versioned publish (IndexLayout): build the hive layout in a
+    // fresh version directory, then atomically flip the manifest —
+    // a rewrite over an existing index never touches live data, and
+    // readers racing the flip see the old version or the new one.
+    val v = IndexLayout.nextVersion(spark, path)
     graft.sinks.RoutedSink.standard()
-      .write(s"parquet:$path:by:band+pfx",
+      .write(s"parquet:$path/$v:by:band+pfx",
         bandKeys(docs, idCol, textCol).withColumnRenamed(idCol, "doc_id")
           .withColumn("pfx", substring(col("bh"), 1, 1)))
+    IndexLayout.publish(spark, path, v)
+    IndexLayout.gcVersions(spark, path, keep = 1)
+  }
 
   /** Day-N index maintenance (the day-3 story): after a batch's
     * near-dup verdicts are in and its KEPT docs selected (d12's
@@ -173,10 +182,28 @@ object Dedup {
       textCol: String,
       path: String
   ): Unit =
+    // appends land inside the CURRENT version directory (manifest-
+    // resolved). Single-maintainer contract: an append racing a
+    // compaction's publish can land in the version the compaction
+    // already read — serialize appends and compactions in one
+    // maintenance queue (the norm for index upkeep), as with any
+    // non-transactional hive layout.
     graft.sinks.RoutedSink.standard()
-      .write(s"parquet-append:$path:by:band+pfx",
+      .write(s"parquet-append:${IndexLayout.resolveDir(kept.sparkSession, path)}:by:band+pfx",
         bandKeys(kept, idCol, textCol).withColumnRenamed(idCol, "doc_id")
           .withColumn("pfx", substring(col("bh"), 1, 1)))
+
+  /** Register documents for DELETION from the persisted band index —
+    * the takedown/retention obligation of a 100 TB training corpus.
+    * The ids are appended to the index's tombstone set: the very next
+    * [[readBandIndex]] masks them from every probe (batch and ST6
+    * streaming — no waiting for a maintenance window), and the next
+    * [[compactBandIndex]] applies them permanently (their band keys
+    * leave the stored files; the consumed tombstone files are
+    * reclaimed). d12's drop list is the natural producer.
+    */
+  def tombstoneBandIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    IndexLayout.addTombstones(ids, idCol, "doc_id", path)
 
   /** Periodic compaction for the append-maintained index: daily
     * appends leave one small file per (bucket, day), and a year of
@@ -185,46 +212,75 @@ object Dedup {
     * hash-repartition pass keyed on the bucket columns, so every
     * bucket's rows land in exactly one task (for a 100 TB index,
     * salt the repartition key to target N files per bucket instead).
-    * The rewrite goes to a sibling directory then swaps in via two
-    * renames — readers racing the swap should retry, the same
-    * contract as any non-transactional hive-layout rewrite.
     *
-    * Compaction also DISTINCTs: the index is semantically a set of
+    * Publishing is crash-safe and reader-atomic since round 6: the
+    * rewrite builds the next VERSION directory and atomically flips
+    * the `_CURRENT` manifest (see [[IndexLayout]] — the round-5
+    * two-rename swap had a no-directory window for racing readers and
+    * no crash recovery). On entry, [[IndexLayout.recover]] cleans
+    * anything a previous crash left (stale legacy swap dirs,
+    * unpublished version dirs) and a legacy unversioned index is
+    * migrated in place by metadata-only renames.
+    *
+    * Compaction also DISTINCTs — the index is semantically a set of
     * (doc_id, band, bh) keys, and a replayed streaming micro-batch
     * (the at-least-once file-append caveat) or a re-run batch append
-    * leaves exact duplicate rows — harmless to probe results (the
-    * probe distincts candidates) but wasted bytes; compaction is
-    * where they're reclaimed.
+    * leaves exact duplicate rows — and applies pending TOMBSTONES
+    * ([[tombstoneBandIndex]]): an anti-join (AQE-sized; the tombstone
+    * side is takedown-list sized, not corpus-sized) drops deleted
+    * docs' band keys from the rewrite. Only the tombstone files
+    * present when compaction STARTED are deleted afterwards, so ids
+    * arriving mid-compaction survive to the next cycle.
+    *
+    * `keepVersions` retired versions are retained as the reader grace
+    * window before GC.
     */
-  def compactBandIndex(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.{FileSystem, Path}
-    val tmp = path + "__compacting"
-    spark.read.parquet(path)
-      .distinct()
+  def compactBandIndex(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+    IndexLayout.recover(spark, path)
+    IndexLayout.ensureVersioned(spark, path)
+    val src = IndexLayout.resolveDir(spark, path)
+    val tombFiles = IndexLayout.tombstoneFiles(spark, path)
+    val base = spark.read.parquet(src).distinct()
+    val pruned =
+      if (tombFiles.isEmpty) base
+      else base.join(
+        spark.read.parquet(tombFiles.map(_.toString): _*).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val next = IndexLayout.nextVersion(spark, path)
+    pruned
       .repartition(col("band"), col("pfx"))
-      .write.mode("overwrite").partitionBy("band", "pfx").parquet(tmp)
-    val fs = FileSystem.get(new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val live = new Path(path)
-    val staged = new Path(tmp)
-    val retired = new Path(path + "__pre_compact")
-    if (!fs.rename(live, retired))
-      throw new java.io.IOException(s"compactBandIndex: cannot retire $path")
-    if (!fs.rename(staged, live)) {
-      fs.rename(retired, live) // roll back
-      throw new java.io.IOException(s"compactBandIndex: cannot publish $tmp")
-    }
-    fs.delete(retired, true)
+      .write.mode("overwrite").partitionBy("band", "pfx").parquet(s"$path/$next")
+    IndexLayout.publish(spark, path, next)
+    IndexLayout.deleteTombstoneFiles(spark, path, tombFiles)
+    IndexLayout.gcVersions(spark, path, keepVersions)
   }
 
   /** Read a band index persisted by [[writeBandIndex]]. The result
     * feeds [[probeBandIndex]] (batch day-2) and
     * [[graft.streaming.Streams.dupCandidatesStream]] (ST6) unchanged —
-    * one stored artifact serves both ingestion surfaces.
+    * one stored artifact serves both ingestion surfaces. The manifest
+    * is resolved HERE, so every read sees the latest published
+    * version (legacy unversioned paths read as before).
+    *
+    * Pending tombstones ([[tombstoneBandIndex]]) are masked
+    * immediately via an anti-join over the scan — a taken-down doc
+    * never surfaces as a candidate even before the compaction that
+    * deletes its rows. The mask sits between the scan and the probe
+    * join, which costs the probe its dynamic partition pruning WHILE
+    * tombstones are pending (Catalyst's DPP rule only looks through
+    * project/filter, not joins) — correctness outranks the scan cut,
+    * the window lasts until the next [[compactBandIndex]] reclaims
+    * the tombstone set, and the no-tombstone plan is byte-identical
+    * to round 5's (BandIndexSpec still pins the pruning).
     */
-  def readBandIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def readBandIndex(spark: SparkSession, path: String): DataFrame = {
+    val idx = spark.read.parquet(IndexLayout.resolveDir(spark, path))
       .select(col("doc_id"), col("band").cast("int"),
         col("pfx").cast("string"), col("bh"))
+    if (!IndexLayout.hasTombstones(spark, path)) idx
+    else idx.join(IndexLayout.readTombstones(spark, path, "doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
 
   /** Day-2 probe of a new batch against a PERSISTED band index:
     * band the batch per row (no aggregation), broadcast it against

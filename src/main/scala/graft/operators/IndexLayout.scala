@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-directory + manifest layout shared by the persisted band
+  * index (O24/O28) and the persisted ANN index (O29).
+  *
+  * Round 5 published compactions by a two-rename directory swap, which
+  * has a window where a racing reader sees NO directory and no crash
+  * recovery at all (a death between the renames loses the live index
+  * to a `__pre_compact` sibling). This layout closes both holes the
+  * way table formats do:
+  *
+  *  - data lives in immutable version directories `path/v00001`,
+  *    `path/v00002`, ... — a rewrite builds the next version OFF to
+  *    the side and the live data is never touched;
+  *  - a one-line manifest file `path/_CURRENT` names the live version;
+  *    readers resolve it at read time ([[resolveDir]]);
+  *  - publishing = atomically replacing the manifest ([[publish]]):
+  *    write `_CURRENT.tmp`, then an atomic rename over `_CURRENT`
+  *    (POSIX rename on file://, FileContext OVERWRITE rename — atomic
+  *    at the NameNode — on HDFS). A reader sees the old pointer or the
+  *    new pointer, never a missing one;
+  *  - a crash before publish leaves an unreferenced version directory,
+  *    deleted by [[recover]] on the next maintenance entry; a crash
+  *    after publish leaves a stale retired version, deleted by
+  *    [[gcVersions]];
+  *  - retired versions are kept for `keep` publish cycles before GC —
+  *    the grace window for readers that resolved the manifest just
+  *    before a flip (at 100 TB, size `keep` to cover the longest
+  *    query's runtime across compaction cadences).
+  *
+  * Tombstones (takedown / retention deletion — a real obligation for a
+  * 100 TB training corpus) live beside the versions in
+  * `path/_tombstones` as plain parquet id files: [[addTombstones]]
+  * appends, the read paths mask pending ids immediately, and
+  * compaction applies them permanently — it snapshots the tombstone
+  * FILES it read and deletes exactly those after publish, so ids
+  * arriving mid-compaction survive to the next cycle.
+  *
+  * Legacy compatibility: a pre-round-6 index (hive dirs directly under
+  * `path`, no manifest) still reads — [[resolveDir]] falls back to
+  * `path` — and [[ensureVersioned]] migrates it in place by renaming
+  * the children into `v00001` (metadata-only) before the first
+  * versioned compaction.
+  */
+object IndexLayout {
+
+  val ManifestName = "_CURRENT"
+  val TombstoneDirName = "_tombstones"
+
+  private val VersionRe = "^v(\\d{5})$".r
+
+  private def hfs(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Current version name from the manifest, None for a legacy or
+    * empty layout.
+    */
+  def currentVersion(spark: SparkSession, path: String): Option[String] = {
+    val fs = hfs(spark, path)
+    val mf = new Path(path, ManifestName)
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      try {
+        val v = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        if (v.isEmpty) None else Some(v)
+      } finally in.close()
+    }
+  }
+
+  /** The directory holding the CURRENT data: `path/<version>` when a
+    * manifest exists, `path` itself for a legacy unversioned layout.
+    */
+  def resolveDir(spark: SparkSession, path: String): String =
+    currentVersion(spark, path).map(v => s"$path/$v").getOrElse(path)
+
+  private def versionNumber(v: String): Int = v match {
+    case VersionRe(n) => n.toInt
+    case other => throw new IllegalArgumentException(s"bad index version name '$other'")
+  }
+
+  private def versionName(n: Int): String = f"v$n%05d"
+
+  /** The version name a new rewrite should build into. */
+  def nextVersion(spark: SparkSession, path: String): String =
+    versionName(currentVersion(spark, path).map(versionNumber).getOrElse(0) + 1)
+
+  /** Atomically flip the manifest to `version` (see class doc). */
+  def publish(spark: SparkSession, path: String, version: String): Unit = {
+    val fs = hfs(spark, path)
+    val tmp = new Path(path, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(path, ManifestName)
+    val qTmp = fs.makeQualified(tmp)
+    val qDst = fs.makeQualified(dst)
+    if (qTmp.toUri.getScheme == "file") {
+      // POSIX rename(2): atomic, replaces the destination
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(qTmp.toUri.getPath),
+        java.nio.file.Paths.get(qDst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val fc = FileContext.getFileContext(qTmp.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(qTmp, qDst, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Migrate a legacy in-place layout (hive dirs directly under
+    * `path`, no manifest) to `v00001` via child renames — metadata
+    * operations only, no data rewrite. No-op when a manifest already
+    * exists. Call [[recover]] FIRST so an unpublished version dir from
+    * a crashed rewrite is not mistaken for data.
+    */
+  def ensureVersioned(spark: SparkSession, path: String): Unit =
+    if (currentVersion(spark, path).isEmpty) {
+      val fs = hfs(spark, path)
+      val root = new Path(path)
+      if (fs.exists(root)) {
+        val v1 = new Path(root, versionName(1))
+        val kids = fs.listStatus(root).filter { st =>
+          val n = st.getPath.getName
+          n != TombstoneDirName && !n.startsWith(ManifestName) &&
+            !n.startsWith("_") && !n.startsWith(".") &&
+            VersionRe.findFirstIn(n).isEmpty
+        }
+        fs.mkdirs(v1)
+        kids.foreach(st => fs.rename(st.getPath, new Path(v1, st.getPath.getName)))
+        publish(spark, path, versionName(1))
+      }
+    }
+
+  /** Crash recovery, run on entry to any compaction:
+    *  - legacy `path__compacting` staging dirs → delete (incomplete
+    *    pre-round-6 rewrite);
+    *  - legacy `path__pre_compact` retired dirs → restore if the live
+    *    path lost its data to the crash, else delete;
+    *  - version dirs NEWER than the manifest (or any version dir when
+    *    no manifest exists) → delete: a rewrite that died before its
+    *    publish, invisible to readers and safe to drop.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fs = hfs(spark, path)
+    val compacting = new Path(path + "__compacting")
+    if (fs.exists(compacting)) fs.delete(compacting, true)
+    val retired = new Path(path + "__pre_compact")
+    if (fs.exists(retired)) {
+      val live = new Path(path)
+      val liveHasData = fs.exists(live) && fs.listStatus(live).nonEmpty
+      if (!liveHasData) {
+        if (fs.exists(live)) fs.delete(live, true)
+        fs.rename(retired, live)
+      } else fs.delete(retired, true)
+    }
+    val cur = currentVersion(spark, path).map(versionNumber).getOrElse(0)
+    val root = new Path(path)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        st.getPath.getName match {
+          case VersionRe(n) if n.toInt > cur => fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+  }
+
+  /** Delete retired versions older than the `keep` most recent below
+    * the current one — the reader grace window (see class doc).
+    */
+  def gcVersions(spark: SparkSession, path: String, keep: Int): Unit =
+    currentVersion(spark, path).foreach { curName =>
+      val cur = versionNumber(curName)
+      val fs = hfs(spark, path)
+      fs.listStatus(new Path(path)).foreach { st =>
+        st.getPath.getName match {
+          case VersionRe(n) if n.toInt < cur - keep => fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+    }
+
+  /** Register ids for deletion: append them (distinct, as a single
+    * `outName` long column) to `path/_tombstones`. Read paths mask
+    * them immediately; the next compaction applies them permanently
+    * and reclaims the files.
+    */
+  def addTombstones(ids: DataFrame, idCol: String, outName: String, path: String): Unit =
+    ids.select(col(idCol).cast("long").as(outName)).distinct()
+      .write.mode("append").parquet(s"$path/$TombstoneDirName")
+
+  /** Tombstone parquet files present right now. Compaction snapshots
+    * this list, applies exactly these files, and deletes exactly these
+    * files after publish — ids appended mid-compaction survive.
+    */
+  def tombstoneFiles(spark: SparkSession, path: String): Seq[Path] = {
+    val fs = hfs(spark, path)
+    val dir = new Path(path, TombstoneDirName)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath)
+      .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+      .toSeq
+  }
+
+  /** The pending tombstone id set as a one-column frame named
+    * `outName`; empty frame when none exist.
+    */
+  def readTombstones(spark: SparkSession, path: String, outName: String): DataFrame = {
+    val files = tombstoneFiles(spark, path)
+    if (files.isEmpty) spark.range(0).select(col("id").as(outName))
+    else spark.read.parquet(files.map(_.toString): _*).select(col(outName))
+  }
+
+  /** True when any tombstone id file is pending. */
+  def hasTombstones(spark: SparkSession, path: String): Boolean =
+    tombstoneFiles(spark, path).nonEmpty
+
+  /** Delete a consumed tombstone-file snapshot (and the directory
+    * itself once empty, so the read paths' existence probe stays
+    * cheap and the no-tombstone plan shape returns).
+    */
+  def deleteTombstoneFiles(spark: SparkSession, path: String, files: Seq[Path]): Unit = {
+    val fs = hfs(spark, path)
+    files.foreach(f => fs.delete(f, false))
+    val dir = new Path(path, TombstoneDirName)
+    if (fs.exists(dir) && fs.listStatus(dir).forall(st =>
+        st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith(".")))
+      fs.delete(dir, true)
+  }
+}

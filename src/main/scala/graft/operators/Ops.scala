@@ -768,8 +768,13 @@ object Ops {
         val keys = orderBy.map(org.apache.spark.sql.graftbridge.Bridge.stripSortOrder)
         val key = struct(keys: _*)
         val wl = Window.partitionBy(col("_pid")).orderBy(orderBy: _*)
+        // null-safe <=>: a === comparison yields NULL (not true) when
+        // any sort-key field is NULL, letting NULL-keyed ties slip
+        // past the guard; <=> treats matching NULLs as equal. The
+        // first row of each partition is safe either way (lag yields
+        // a true NULL struct, never equal to a non-null struct value).
         joined.withColumn(outCol,
-          when(lag(key, 1).over(wl) === key,
+          when(lag(key, 1).over(wl) <=> key,
             raise_error(concat(
               lit("rankGlobal: orderBy is not a total order — duplicate sort key "),
               key.cast("string"))).cast("long"))
@@ -992,11 +997,15 @@ object Ops {
     // this same lloydLoop; the spec pins s07's oracle either way).
     val ev = quantizedVecs(corpus, idCol, vecCol).cache()
     val (centsRaw, assign) = lloydLoop(ev, k, iters, dim)
-    // lazy checkpoints: cells/codes are each consumed once by the
-    // final query, so materialization rides the query's own action
-    // instead of paying a separate job per artifact (the d06 lesson)
+    // EAGER checkpoints, materialized while `ev` is still cached: a
+    // lazy checkpoint here would only materialize at the caller's
+    // terminal action — after the unpersist below — recomputing the
+    // corpus quantization from scratch once per artifact (two wasted
+    // full-corpus sweeps; the round-5 advisor caught exactly that).
+    // Each materialization job runs cache-fed, so the quantization
+    // pass is genuinely paid once.
     val cells = assign.select(col("_id").as("n_id"), col("_cell").as("cell"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val cents = centsRaw.localCheckpoint()
     // trained PQ codebooks from the SAME quantized relation
     val books = pqCodebooksFromQuantized(ev, m, kSub, iters, dim)
@@ -1009,7 +1018,7 @@ object Ops {
       .groupBy(col("n_id"), col("_m"))
       .agg(min(struct(col("_dq"), col("_cid"))).as("_mc"))
       .select(col("n_id"), col("_m"), col("_mc._cid").as("code"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     ev.unpersist()
     // probes rank the TRAINED centroids for their nprobe cells
     val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
@@ -1084,7 +1093,13 @@ object Ops {
     val lists = assign.select(col("_id").as("n_id"), col("_cell").as("cell"))
       .join(codes, "n_id")
       .select(col("cell"), col("n_id"), col("m"), col("code"))
-    graft.sinks.RoutedSink.standard().write(s"parquet:$path/lists:by:cell", lists)
+    // versioned publish for the lists (the mutable half — appends and
+    // compactions target it); quantizers are immutable once written
+    val spark = corpus.sparkSession
+    val v = IndexLayout.nextVersion(spark, s"$path/lists")
+    graft.sinks.RoutedSink.standard().write(s"parquet:$path/lists/$v:by:cell", lists)
+    IndexLayout.publish(spark, s"$path/lists", v)
+    IndexLayout.gcVersions(spark, s"$path/lists", keep = 1)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     books.write.mode("overwrite").parquet(s"$path/codebooks")
     ev.unpersist()
@@ -1092,14 +1107,29 @@ object Ops {
 
   /** Read an index persisted by [[writeAnnIndex]]. The partition
     * column comes back type-inferred — cast to long so probe joins
-    * line up (the readBandIndex recipe).
+    * line up (the readBandIndex recipe). The lists manifest is
+    * resolved here, so reads always see the latest published version.
+    *
+    * Pending tombstones ([[tombstoneAnnIndex]]) are masked
+    * immediately via an anti-join on n_id — a deleted vector never
+    * surfaces as a neighbor even before compaction applies the
+    * deletion. Unlike the band index, the probe KEEPS its partition
+    * pruning during the pending window: probeAnnIndex's cell
+    * predicate is a plain filter, which Catalyst pushes through the
+    * anti-join's left side down to the scan.
     */
-  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex =
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
+    val raw = spark.read.parquet(IndexLayout.resolveDir(spark, s"$path/lists"))
+      .select(col("cell").cast("long"), col("n_id"), col("m"), col("code"))
+    val lists =
+      if (!IndexLayout.hasTombstones(spark, path)) raw
+      else raw.join(IndexLayout.readTombstones(spark, path, "n_id"),
+        Seq("n_id"), "left_anti")
     AnnIndex(
-      spark.read.parquet(s"$path/lists")
-        .select(col("cell").cast("long"), col("n_id"), col("m"), col("code")),
+      lists,
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"))
+  }
 
   /** O29: rank a probe batch against the STORED index — identical
     * integer-ADC values to [[ivfPqTrained]] (AnnIndexSpec pins row
@@ -1151,8 +1181,20 @@ object Ops {
       .join(broadcast(index.codebooks.withColumnRenamed("_m", "m")), Seq("m"))
       .select(col("p_id"), col("m"), col("_cid").as("code"), l2q("_ps", "_cs").as("_dq"))
     val w = Window.partitionBy(col("p_id")).orderBy(col("adc_q").asc, col("n_id"))
+    // Replay guard: an at-least-once re-run of appendAnnIndex (or a
+    // replayed appendAnnIndexStream micro-batch) leaves EXACT
+    // duplicate (cell, n_id, m, code) rows in the stored lists. The
+    // band-index probe is naturally immune (it distincts candidate
+    // pairs); here a duplicated row would double-count that
+    // subspace's distance in the ADC sum and silently corrupt the
+    // ranking. Distinct AFTER the probe-cell join so both routing
+    // paths stay pruned first (cell directories via isin literals or
+    // the broadcast join) — the dedup shuffle is bounded by matched
+    // candidates, never the index. Duplicates are permanently
+    // reclaimed by [[compactAnnIndex]].
     lists.join(broadcast(probeCells), Seq("cell"))
       .where(col("n_id") =!= col("p_id"))
+      .select(col("p_id"), col("n_id"), col("m"), col("code")).distinct()
       .join(broadcast(dtab), Seq("p_id", "m", "code"))
       .groupBy(col("p_id"), col("n_id")).agg(sum(col("_dq")).as("adc_q"))
       .withColumn("rn", row_number().over(w).cast("int"))
@@ -1168,6 +1210,13 @@ object Ops {
     * the new vectors hash to. Probes see them immediately.
     * Periodically retrain + rewrite when drift accumulates — that's
     * [[writeAnnIndex]] again.
+    *
+    * Replay caveat (same as every file-append sink): a re-run of this
+    * call — or an at-least-once replayed
+    * [[graft.streaming.Streams.appendAnnIndexStream]] micro-batch —
+    * appends its (cell, n_id, m, code) rows AGAIN. [[probeAnnIndex]]
+    * distincts candidate rows so rankings stay correct, and the next
+    * [[compactAnnIndex]] reclaims the duplicate bytes.
     */
   def appendAnnIndex(
       newVecs: DataFrame,
@@ -1193,7 +1242,52 @@ object Ops {
       .groupBy(col("n_id"), col("m"))
       .agg(min(struct(col("_dq"), col("_cid"))).as("_mc"))
       .select(col("n_id"), col("m"), col("_mc._cid").as("code"))
-    graft.sinks.RoutedSink.standard().write(s"parquet-append:$path/lists:by:cell",
+    graft.sinks.RoutedSink.standard().write(
+      s"parquet-append:${IndexLayout.resolveDir(spark, s"$path/lists")}:by:cell",
       cells.join(codes, "n_id").select(col("cell"), col("n_id"), col("m"), col("code")))
+  }
+
+  /** Register vectors for DELETION from the persisted ANN index — the
+    * takedown/retention path ([[Dedup.tombstoneBandIndex]]'s vector
+    * twin). The very next [[readAnnIndex]] masks the ids from every
+    * probe; [[compactAnnIndex]] applies them permanently.
+    */
+  def tombstoneAnnIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    IndexLayout.addTombstones(ids, idCol, "n_id", path)
+
+  /** Periodic maintenance for the appended ANN index — the
+    * [[Dedup.compactBandIndex]] pattern on the inverted lists:
+    * crash-recover + migrate the layout, rewrite each cell into one
+    * file (one repartition keyed on the partition column), DISTINCT
+    * away replayed append duplicates, anti-join pending tombstones
+    * (AQE-sized — the tombstone side is takedown-list sized), then
+    * publish by atomically flipping the lists manifest. Only the
+    * tombstone files present at entry are deleted afterwards; ids
+    * arriving mid-compaction survive to the next cycle. Quantizer
+    * frames are immutable and untouched.
+    */
+  def compactAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keepVersions: Int = 1
+  ): Unit = {
+    val listsPath = s"$path/lists"
+    IndexLayout.recover(spark, listsPath)
+    IndexLayout.ensureVersioned(spark, listsPath)
+    val src = IndexLayout.resolveDir(spark, listsPath)
+    val tombFiles = IndexLayout.tombstoneFiles(spark, path)
+    val base = spark.read.parquet(src).distinct()
+    val pruned =
+      if (tombFiles.isEmpty) base
+      else base.join(
+        spark.read.parquet(tombFiles.map(_.toString): _*).select(col("n_id")),
+        Seq("n_id"), "left_anti")
+    val next = IndexLayout.nextVersion(spark, listsPath)
+    pruned
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$listsPath/$next")
+    IndexLayout.publish(spark, listsPath, next)
+    IndexLayout.deleteTombstoneFiles(spark, path, tombFiles)
+    IndexLayout.gcVersions(spark, listsPath, keepVersions)
   }
 }

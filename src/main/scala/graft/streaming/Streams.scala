@@ -238,7 +238,43 @@ object Streams {
       graft.operators.Dedup.bandKeys(keptDocs, "doc_id", "text")
         .withColumn("pfx", substring(col("bh"), 1, 1)),
       graft.sinks.RoutedSink.standard(),
-      _ => s"parquet-append:$path:by:band+pfx")
+      // resolve the manifest PER micro-batch (targetFor runs at each
+      // trigger): appends land inside the current version directory,
+      // and a compaction publishing mid-stream redirects the next
+      // batch to the new version automatically
+      _ => "parquet-append:" +
+        graft.operators.IndexLayout.resolveDir(keptDocs.sparkSession, path) +
+        ":by:band+pfx")
+
+  /** ST9's write half (ST10): streaming maintenance of the persisted
+    * trained-IVFPQ index — a vector-ingestion stream grows the stored
+    * inverted lists, the O28 appendBandIndexStream pattern applied to
+    * ANN. Encoding a micro-batch needs two broadcast-argmin
+    * aggregations against the stored quantizers (cell assignment +
+    * PQ codes), which append-mode streaming forbids mid-plan, so each
+    * batch runs [[graft.operators.Ops.appendAnnIndex]] inside
+    * foreachBatch — reading the two tiny quantizer frames per batch,
+    * never the corpus — and appends through the routed
+    * `parquet-append` sink into only the cells the new vectors hash
+    * to. Probes see streamed vectors immediately. Exactly-once =
+    * checkpointing + the file-append replay caveat documented on
+    * appendAnnIndex: a replayed micro-batch appends duplicate rows,
+    * which probeAnnIndex's candidate distinct keeps harmless and
+    * [[graft.operators.Ops.compactAnnIndex]] reclaims.
+    */
+  def appendAnnIndexStream(
+      vecStream: DataFrame,
+      indexPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      m: Int = 4,
+      dim: Int = 64
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Ops.appendAnnIndex(batch.toDF(), idCol, vecCol, indexPath,
+          m = m, dim = dim)
+    }
 
   /** ST9: streaming ANN lookup against the PERSISTED trained-IVFPQ
     * index (O29) — the ingestion-time "what does this new embedding

@@ -41,8 +41,9 @@ class AnnIndexSpec extends SparkTestBase {
   }
 
   test("a one-probe query reads only its nprobe cell partitions") {
-    val totalCells = new java.io.File(s"$indexPath/lists").listFiles()
-      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val totalCells =
+      new java.io.File(IndexLayout.resolveDir(spark, s"$indexPath/lists")).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(totalCells > 2, s"index should span several cells, got $totalCells")
     // parquet-backed single probe (a real Filter in its plan — the
     // BandIndexSpec DPP recipe)
@@ -102,6 +103,79 @@ class AnnIndexSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(streamed == batch && streamed.nonEmpty)
     probes.unpersist()
+  }
+
+  test("ST10 + lifecycle: streamed appends, replay guard, tombstone, compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-life").toString
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", dir)
+    val twins = emb.orderBy(col("vec_id").desc).limit(2)
+      .select((col("vec_id") + lit(900000L)).as("vec_id"), col("embedding")).cache()
+
+    // streamed vector ingestion grows the stored index (ST9's write
+    // half): two micro-batches through appendAnnIndexStream
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ann-ingest").toString
+    twins.orderBy(col("vec_id")).limit(1).write.parquet(s"$srcDir/f1")
+    Thread.sleep(1100)
+    twins.orderBy(col("vec_id").desc).limit(1).write.parquet(s"$srcDir/f2")
+    val stream = spark.readStream.schema(twins.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir + "/f*")
+    val q = graft.streaming.Streams.appendAnnIndexStream(stream, dir).start()
+    q.processAllAvailable(); q.stop()
+
+    // streamed vectors are probe-visible from the stored files alone,
+    // with the original twin at the rank-1 ADC distance (same pin as
+    // the batch-append test)
+    def probeRows() = Ops.probeAnnIndex(twins, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val originals = twins.collect().map(r => r.getLong(0) - 900000L).toSet
+    val streamedIds = twins.collect().map(_.getLong(0)).sorted
+    val baseline = probeRows()
+    streamedIds.foreach { id =>
+      val mine = baseline.filter(_._1 == id).sortBy(_._2)
+      assert(mine.nonEmpty, s"streamed $id returned no neighbors")
+      val orig = mine.filter(x => originals.contains(x._3))
+      assert(orig.nonEmpty && orig.head._4 == mine.head._4,
+        s"streamed $id: original not at the rank-1 ADC distance")
+    }
+
+    // replay: re-running the append leaves exact duplicate list rows;
+    // the probe's candidate distinct must keep rankings EXACT
+    Ops.appendAnnIndex(twins, "vec_id", "embedding", dir)
+    val listsDir = IndexLayout.resolveDir(spark, s"$dir/lists")
+    assert(spark.read.parquet(listsDir)
+      .groupBy("cell", "n_id", "m", "code").count()
+      .filter(col("count") > 1).count() > 0,
+      "replay should have produced duplicate list rows")
+    assert(probeRows().toSet == baseline.toSet,
+      "replayed duplicate rows must not change ADC rankings")
+
+    // takedown: tombstone the ORIGINAL of the first streamed twin —
+    // the baseline provably lists it (rank-1 assert above), so the
+    // mask is observable. It must never appear as a neighbor again.
+    val dropped = streamedIds.head - 900000L
+    assert(baseline.exists(_._3 == dropped),
+      "precondition: the doomed original must be a neighbor before the takedown")
+    Ops.tombstoneAnnIndex(
+      emb.filter(col("vec_id") === dropped).select("vec_id"), "vec_id", dir)
+    val masked = probeRows()
+    assert(!masked.exists(_._3 == dropped),
+      "pending tombstone must mask the vector from all neighbor lists")
+
+    // compaction applies the deletion + reclaims replay duplicates
+    Ops.compactAnnIndex(spark, dir)
+    val compacted = IndexLayout.resolveDir(spark, s"$dir/lists")
+    assert(spark.read.parquet(compacted)
+      .filter(col("n_id") === dropped).count() == 0,
+      "compaction must delete the tombstoned vector's list rows")
+    assert(spark.read.parquet(compacted)
+      .groupBy("cell", "n_id", "m", "code").count()
+      .filter(col("count") > 1).count() == 0,
+      "compaction must reclaim replayed duplicates")
+    assert(!IndexLayout.hasTombstones(spark, dir))
+    assert(probeRows().toSet == masked.toSet,
+      "compaction must not change probe results")
+    twins.unpersist()
   }
 
   private def collectFileScans(plan: org.apache.spark.sql.execution.SparkPlan)

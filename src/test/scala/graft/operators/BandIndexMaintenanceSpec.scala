@@ -54,8 +54,9 @@ class BandIndexMaintenanceSpec extends SparkTestBase {
     assert(!plan.contains("documents.parquet"), plan.take(600))
 
     // compaction: the appended buckets now hold >1 file...
+    // (data lives in the manifest-resolved version directory)
     def bucketFiles(): Map[String, Int] = {
-      val root = new java.io.File(dir)
+      val root = new java.io.File(IndexLayout.resolveDir(spark, dir))
       (for {
         band <- root.listFiles().filter(_.isDirectory)
         pfx <- band.listFiles().filter(_.isDirectory)
@@ -68,14 +69,14 @@ class BandIndexMaintenanceSpec extends SparkTestBase {
     // a replayed append (the at-least-once streaming caveat) leaves
     // exact duplicate rows; compaction must reclaim them
     Dedup.appendBandIndex(day2, "doc_id", "text", dir)
-    val dupRows = spark.read.parquet(dir)
+    val dupRows = spark.read.parquet(IndexLayout.resolveDir(spark, dir))
       .groupBy("doc_id", "band", "bh").count().filter(col("count") > 1).count()
     assert(dupRows > 0, "replay should have produced duplicate index rows")
     Dedup.compactBandIndex(spark, dir)
     val after = bucketFiles()
     assert(after.values.forall(_ == 1),
       s"compaction must leave one file per bucket: $after")
-    assert(spark.read.parquet(dir)
+    assert(spark.read.parquet(IndexLayout.resolveDir(spark, dir))
       .groupBy("doc_id", "band", "bh").count().filter(col("count") > 1).count() == 0,
       "compaction must reclaim replayed duplicate rows")
     assert(!new java.io.File(dir + "__compacting").exists())

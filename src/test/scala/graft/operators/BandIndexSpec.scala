@@ -62,7 +62,8 @@ class BandIndexSpec extends SparkTestBase {
   test("(band, pfx) layout dynamically prunes: a narrow probe reads few buckets") {
     val index = Dedup.readBandIndex(spark, indexPath)
     val totalDirs = {
-      val root = new java.io.File(indexPath)
+      // data lives in the manifest-resolved version directory
+      val root = new java.io.File(IndexLayout.resolveDir(spark, indexPath))
       root.listFiles().filter(_.isDirectory)
         .flatMap(_.listFiles().filter(_.isDirectory)).length
     }

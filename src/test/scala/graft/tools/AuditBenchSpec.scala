@@ -73,6 +73,25 @@ class AuditBenchSpec extends SparkTestBase {
     assert(even.median == 2.0)
   }
 
+  test("warmup sample is excluded from stats but recorded; a filtered run self-identifies") {
+    val fine: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(10).toDF()
+    val rs = graft.Bench.run(spark, sfDir, Seq("fine" -> fine), runs = 2, warmups = 1)
+    val r = rs.head
+    assert(r.times.size == 2 && r.warmup.nonEmpty,
+      s"warmup must run and be excluded from the scored samples: $r")
+    assert(r.gcMs.size == 2 && r.execMs.size == 2,
+      "warmup must not pollute the per-sample metric series")
+    val json = graft.Bench.toJson(rs, "sfX", 2, only = Some(Seq("fine")))
+    assert(json.contains("\"warmup_s\":{\"fine\":"), json)
+    // a name-filtered diagnostic artifact is distinguishable from a
+    // full-suite one (the round-5 ADVICE hole)
+    assert(json.contains("\"only\":[\"fine\"]"), json)
+    assert(json.contains("\"n_queries\":1"), json)
+    val full = graft.Bench.toJson(rs, "sfX", 2)
+    assert(!full.contains("\"only\":"), full)
+  }
+
   test("bench run measures real GC/executor deltas per sample") {
     val fine: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
       (s, _) => s.range(100000).selectExpr("sum(id) as s")

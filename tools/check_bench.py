@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Per-query bench regression gate: fail any query whose best-of-N
+exceeds 2x its BASELINE.md best.
+
+Usage: python3 tools/check_bench.py <bench.json> [BASELINE.md] [factor]
+Exit 1 on any regression (or a failed/missing query); prints one line
+per query outcome class.
+
+Rules:
+  - regression: bench best > factor x baseline best          -> FAIL
+  - failed:     query errored in the bench run               -> FAIL
+  - missing:    baseline query absent from the bench run     -> FAIL
+                (unless the artifact declares an `only` filter)
+  - no-baseline: new query, no frozen number yet             -> info
+  - a filtered artifact (`only` field) gates just its subset.
+"""
+import json
+import re
+import sys
+
+bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH.out.json"
+base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+factor = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+
+baseline = {}
+for line in open(base_path):
+    m = re.match(r"\|\s*(\w+)\s*\|\s*([0-9.]+|null)\s*\|\s*([0-9.]+|null)\s*\|", line)
+    if m and m.group(2) != "null":
+        baseline[m.group(1)] = float(m.group(2))
+if not baseline:
+    print(f"ERROR: no baseline rows parsed from {base_path}")
+    sys.exit(2)
+
+d = json.load(open(bench_path))
+queries = d["queries"]
+only = set(d.get("only", [])) or None
+
+regressions, failed, infos = [], [], []
+for name, best in sorted(queries.items()):
+    if best is None:
+        failed.append(name)
+    elif name not in baseline:
+        infos.append(f"no-baseline {name}: {best:.3f}s (freeze on next refresh)")
+    elif best > factor * baseline[name]:
+        regressions.append(
+            f"{name}: {best:.3f}s > {factor:g}x baseline {baseline[name]:.3f}s "
+            f"({best / baseline[name]:.2f}x)")
+
+missing = sorted(set(baseline) - set(queries))
+if only is not None:
+    missing = []  # a declared diagnostic subset gates only itself
+
+for msg in infos:
+    print(f"[info] {msg}")
+for name in failed:
+    print(f"[FAIL] {name}: query errored in the bench run")
+for name in missing:
+    print(f"[FAIL] {name}: in baseline but absent from the bench artifact")
+for msg in regressions:
+    print(f"[FAIL] regression {msg}")
+
+n_ok = len([q for q in queries if q in baseline and queries[q] is not None
+            and queries[q] <= factor * baseline[q]])
+print(f"checked {len(queries)} queries vs {base_path}: "
+      f"{n_ok} within {factor:g}x, {len(regressions)} regressions, "
+      f"{len(failed)} failed, {len(missing)} missing, {len(infos)} unbaselined")
+sys.exit(1 if (regressions or failed or missing) else 0)
