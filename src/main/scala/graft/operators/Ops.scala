@@ -1105,22 +1105,32 @@ object Ops {
     ev.unpersist()
   }
 
-  /** Read an index persisted by [[writeAnnIndex]]. The partition
-    * column comes back type-inferred — cast to long so probe joins
-    * line up (the readBandIndex recipe). The lists manifest is
-    * resolved here, so reads always see the latest published version.
+  /** Read an index persisted by [[writeAnnIndex]]. The lists manifest
+    * is resolved here, so reads always see the latest published
+    * version.
+    *
+    * The `cell` partition column keeps its INFERRED type (int when the
+    * stored ids are small) instead of being cast to long: wrapping the
+    * partition attribute in a Cast at the scan breaks DYNAMIC
+    * partition pruning on the pure-join probe path — Catalyst's DPP
+    * rule prunes only when the join key is the raw partition
+    * attribute. [[probeAnnIndex]] casts its probe-side routing column
+    * to this type instead (the broadcast side, where a cast costs
+    * nothing). The band index never hit this because its band/pfx
+    * casts are no-ops that the optimizer erases.
     *
     * Pending tombstones ([[tombstoneAnnIndex]]) are masked
     * immediately via an anti-join on n_id — a deleted vector never
     * surfaces as a neighbor even before compaction applies the
-    * deletion. Unlike the band index, the probe KEEPS its partition
-    * pruning during the pending window: probeAnnIndex's cell
-    * predicate is a plain filter, which Catalyst pushes through the
-    * anti-join's left side down to the scan.
+    * deletion. On the driver-routed path the probe KEEPS its static
+    * partition pruning during the pending window (the cell isin
+    * filter pushes through the anti-join's left side down to the
+    * scan); the join path's DPP, like the band index's, waits for
+    * compaction to reclaim the tombstone set.
     */
   def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): AnnIndex = {
     val raw = spark.read.parquet(IndexLayout.resolveDir(spark, s"$path/lists"))
-      .select(col("cell").cast("long"), col("n_id"), col("m"), col("code"))
+      .select(col("cell"), col("n_id"), col("m"), col("code"))
     val lists =
       if (!IndexLayout.hasTombstones(spark, path)) raw
       else raw.join(IndexLayout.readTombstones(spark, path, "n_id"),
@@ -1146,8 +1156,19 @@ object Ops {
     * collect is bounded by probes × nprobe — a routing table, not
     * data (the rankGlobal-offsets class of driver state, NOT a
     * corpus-sized collect). For an unbounded probe RELATION pass
-    * false: pure joins, AQE-sized, full-index read traded for no
-    * driver bound.
+    * false: pure joins, AQE-sized — and since round 6 the join path
+    * ALSO partition-prunes: the probe→cell join carries the RAW
+    * partition attribute (see readAnnIndex's cell-type note), so
+    * Catalyst plans a DPP filter on the lists scan. Its pruning side
+    * has shuffle stages beneath it (the per-probe top-nprobe window),
+    * which AQE cannot reuse as a broadcast, so the filter only
+    * survives physical planning when
+    * `spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly`
+    * is false (Spark then runs the pruning subquery as its own small
+    * job — probes × k rows — before the index scan; set in this
+    * library's session builders and recommended for any deployment
+    * probing partitioned indexes). With the default conf the filter
+    * degrades to a full-index read — correct, just unpruned.
     */
   def probeAnnIndex(
       probes: DataFrame,
@@ -1163,16 +1184,25 @@ object Ops {
     val sub = dim / m
     val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
     val wProbe = Window.partitionBy(col("p_id")).orderBy(col("_dq").asc, col("_cid"))
+    // the routing column is cast to the STORED partition column's
+    // inferred type on THIS (broadcast) side — keeping the lists side
+    // the raw partition attribute is what lets both static pruning
+    // (isin literals) and the join path's dynamic partition pruning
+    // reach the hive layout (see readAnnIndex's cell-type note)
+    val cellType = index.lists.schema("cell").dataType
     val probeCells = p.crossJoin(broadcast(index.centroids))
       .withColumn("_dq", l2q("pe", "_cx"))
       .withColumn("_rnp", row_number().over(wProbe))
       .filter(col("_rnp") <= nprobe)
-      .select(col("p_id"), col("_cid").as("cell"))
+      .select(col("p_id"), col("_cid").cast(cellType).as("cell"))
     val lists =
       if (!routeOnDriver) index.lists
       else {
-        val cellIds = probeCells.select(col("cell")).distinct()
-          .collect().map(_.getLong(0)).toSeq
+        val cellIds: Seq[Any] = probeCells.select(col("cell").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSeq match {
+          case ids if cellType == org.apache.spark.sql.types.IntegerType => ids.map(_.toInt)
+          case ids => ids
+        }
         index.lists.where(col("cell").isin(cellIds: _*))
       }
     val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")

@@ -62,6 +62,25 @@ class AnnIndexSpec extends SparkTestBase {
       s"one probe read $dirsRead of $totalCells cell partitions (nprobe=2)")
   }
 
+  test("the pure-join probe path (routeOnDriver=false) also prunes cell partitions") {
+    val totalCells =
+      new java.io.File(IndexLayout.resolveDir(spark, s"$indexPath/lists")).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-ann-djoin").toString
+    emb.orderBy(col("vec_id")).limit(1).write.mode("overwrite").parquet(oneDir)
+    val oneId = spark.read.parquet(oneDir).head().getLong(0)
+    val one = spark.read.parquet(oneDir).filter(col("vec_id") === oneId)
+    val probed = Ops.probeAnnIndex(one, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, indexPath), routeOnDriver = false)
+    probed.collect()
+    val scans = collectFileScans(probed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
+    assert(scans.nonEmpty, "no lists scan in the join-path probe plan")
+    val dirsRead = scans.map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).max
+    assert(dirsRead <= 2 && dirsRead < totalCells,
+      s"join-path probe read $dirsRead of $totalCells cell partitions (nprobe=2)")
+  }
+
   test("day-2 vectors append via stored quantizers and are probe-visible") {
     // synthetic new vectors: copies of two existing ones under new ids
     // (deterministic; they inherit their twins' cells and codes)
