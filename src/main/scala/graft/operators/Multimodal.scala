@@ -248,6 +248,93 @@ object Multimodal {
     } else bad
   }
 
+  /** One analysis window of PCM16 audio: exact integer fold over the
+    * data chunk's samples. `sum_sq` is the integer sum of v² over all
+    * samples in the window (across channels), `peak` = max |v|
+    * (32768 for a full-scale negative sample), `ms_q` = sum_sq /
+    * n_samp — the floor mean square, the exact-integer carrier of
+    * RMS² (RMS itself is sqrt(ms_q) downstream when a float is
+    * wanted; keeping the table integral keeps it bit-reproducible).
+    */
+  final case class PcmWindow(
+      doc_id: Long,
+      win: Long,
+      n_samp: Long,
+      sum_sq: Long,
+      peak: Long,
+      ms_q: Long
+  )
+
+  /** Windowed RMS/peak analysis of a PCM16 WAV payload — the
+    * sample-level step m03's header decode stops short of. The fmt
+    * and data chunks are located by the same real RIFF walk as
+    * [[parseAudio]] (LIST/junk chunks before them are skipped via
+    * their size fields), then window w folds frames
+    * [w·winFrames, (w+1)·winFrames) with pure integer arithmetic —
+    * no float enters the pipeline. Trailing bytes past the last
+    * whole frame are ignored, exactly what a sample-aligned decoder
+    * does; a data size field larger than the actual payload is
+    * clamped to the bytes present (hostile-size hardening, same
+    * policy as the image/video walks). Non-WAV or non-PCM16 payloads
+    * yield no rows (a 100 TB ingest routes them to a side channel,
+    * it doesn't die).
+    */
+  def parsePcmWindows(id: Long, b: Array[Byte], winFrames: Int = 256): Seq[PcmWindow] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (!(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE")) return Seq.empty
+    var off = 12L
+    var ch = 0; var bits = 0; var ba = 0; var dOff = -1L; var dSz = -1L
+    while (off + 8 <= b.length && (ch == 0 || dOff < 0)) {
+      val ctag = tag(off.toInt)
+      val csz = le32(off.toInt + 4)
+      if (ctag == "fmt " && off + 24 <= b.length) {
+        ch = le16(off.toInt + 10); ba = le16(off.toInt + 20); bits = le16(off.toInt + 22)
+      } else if (ctag == "data") { dOff = off + 8; dSz = csz }
+      off += 8 + csz + (csz & 1) // odd chunks are padded
+    }
+    if (ch <= 0 || bits != 16 || ba < 2 * ch || dOff < 0) return Seq.empty
+    val avail = math.min(dSz, b.length - dOff)
+    val nfr = avail / ba
+    if (nfr <= 0) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[PcmWindow]
+    var w = 0L
+    while (w * winFrames < nfr) {
+      val f0 = w * winFrames
+      val f1 = math.min(f0 + winFrames, nfr)
+      var sumSq = 0L; var peak = 0L; var n = 0L
+      var f = f0
+      while (f < f1) {
+        val base = (dOff + f * ba).toInt
+        var j = 0
+        while (j < ch) {
+          val v = le16(base + 2 * j).toShort.toLong
+          sumSq += v * v
+          if (-v > peak) peak = -v else if (v > peak) peak = v
+          n += 1
+          j += 1
+        }
+        f += 1
+      }
+      out += PcmWindow(id, w, n, sumSq, peak, sumSq / n)
+      w += 1
+    }
+    out.toSeq
+  }
+
+  /** Partition-wise PCM window fold — one row per (doc, window). */
+  def decodePcm(df: DataFrame, winFrames: Int = 256): Dataset[PcmWindow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) => parsePcmWindows(id, bytes, winFrames) })
+  }
+
   /** A decoded video record: ISO-BMFF (MP4) structural metadata. */
   final case class VideoDecoded(
       doc_id: Long,
@@ -873,6 +960,47 @@ object Multimodal {
           CAST(${le32dec(81)} // ${le16dec(65)} AS BIGINT) AS n_samples,
           CAST(${le32dec(81)} * 1000 // ${le32dec(57)} AS BIGINT) AS duration_ms
         FROM hx ORDER BY doc_id"""
+      }
+    ),
+
+    Q(
+      "m06_pcm_windows",
+      "Windowed RMS/peak over the data chunk's PCM16 samples (exact integer folds, partition-local)",
+      (spark, dir) => {
+        import spark.implicits._
+        // Spark side: real RIFF chunk walk to the data chunk, then a
+        // partition-local integer fold per 64-frame window. Oracle
+        // side: the data chunk IS the text body, so the oracle
+        // indexes the body hex directly — a fully independent
+        // per-sample decode at the same byte offsets.
+        decodePcm(audioPayloads(spark, dir), winFrames = 64)
+          .toDF()
+          .orderBy($"doc_id", $"win")
+      },
+      Some {
+        val byteVal = (pos: String) =>
+          s"(CAST(strpos('0123456789ABCDEF', substr(hb, CAST($pos AS INT), 1)) AS BIGINT) - 1) * 16 + " +
+            s"(CAST(strpos('0123456789ABCDEF', substr(hb, CAST($pos + 1 AS INT), 1)) AS BIGINT) - 1)"
+        // sample (frame f, channel j)'s low byte is body byte
+        // f*2*ch + 2*j (hex pos of byte k is 2k+1); signed le16
+        s"""WITH d AS (
+          SELECT doc_id, 1 + doc_id % 2 AS ch, encode(text) AS body FROM documents),
+        hx AS (SELECT doc_id, ch, hex(body) AS hb, octet_length(body) AS ds FROM d),
+        fr AS (SELECT doc_id, ch, hb,
+            unnest(generate_series(CAST(0 AS BIGINT), ds // (2 * ch) - 1)) AS f
+          FROM hx WHERE ds // (2 * ch) > 0),
+        sm AS (SELECT doc_id, ch, hb, f, unnest(generate_series(0, ch - 1)) AS j FROM fr),
+        v AS (SELECT doc_id, f // 64 AS win,
+            CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+          FROM (SELECT doc_id, f,
+              (${byteVal("2 * (f * 2 * ch + 2 * j) + 1")}) +
+              256 * (${byteVal("2 * (f * 2 * ch + 2 * j + 1) + 1")}) AS raw
+            FROM sm) rv)
+        SELECT doc_id, win, CAST(count(*) AS BIGINT) AS n_samp,
+          CAST(sum(v * v) AS BIGINT) AS sum_sq,
+          CAST(max(abs(v)) AS BIGINT) AS peak,
+          CAST(CAST(sum(v * v) AS BIGINT) // count(*) AS BIGINT) AS ms_q
+        FROM v GROUP BY doc_id, win ORDER BY doc_id, win"""
       }
     ),
 

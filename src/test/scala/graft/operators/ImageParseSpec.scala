@@ -120,6 +120,46 @@ class ImageParseSpec extends AnyFunSuite {
     assert(Multimodal.parseAudio(15L, noData).format == "unknown") // fmt but no data chunk
   }
 
+  test("PCM windows: known samples fold to exact sum_sq/peak/ms_q") {
+    // mono, 6 samples, window=4: [3, -4, 0, 32767] then [-32768, 1]
+    val data = le16(3) ++ le16(-4 & 0xffff) ++ le16(0) ++ le16(32767) ++
+      le16(-32768 & 0xffff) ++ le16(1)
+    val ws = Multimodal.parsePcmWindows(30L, wav(Array.emptyByteArray, 1, 8000, 16, data), winFrames = 4)
+    assert(ws.map(w => (w.win, w.n_samp, w.sum_sq, w.peak, w.ms_q)) == Seq(
+      (0L, 4L, 9L + 16L + 0L + 32767L * 32767L, 32767L, (25L + 32767L * 32767L) / 4),
+      (1L, 2L, 32768L * 32768L + 1L, 32768L, (32768L * 32768L + 1L) / 2)
+    ))
+  }
+
+  test("PCM windows: stereo interleave folds both channels per frame") {
+    // 2 channels × 3 frames: L=[100, -200, 300], R=[1, 2, -3]
+    val data = le16(100) ++ le16(1) ++ le16(-200 & 0xffff) ++ le16(2) ++
+      le16(300) ++ le16(-3 & 0xffff)
+    val ws = Multimodal.parsePcmWindows(31L, wav(Array.emptyByteArray, 2, 44100, 16, data), winFrames = 2)
+    assert(ws.map(w => (w.win, w.n_samp, w.sum_sq, w.peak)) == Seq(
+      (0L, 4L, 10000L + 1 + 40000L + 4, 200L),
+      (1L, 2L, 90000L + 9, 300L)
+    ))
+  }
+
+  test("PCM windows: data behind a LIST chunk; trailing partial frame ignored") {
+    val list = "LIST".getBytes("US-ASCII") ++ le32(4) ++ "INFO".getBytes("US-ASCII")
+    // stereo: 1 whole frame (4 bytes) + 3 trailing bytes
+    val data = le16(7) ++ le16(-7 & 0xffff) ++ bytes(9, 9, 9)
+    val ws = Multimodal.parsePcmWindows(32L, wav(list, 2, 8000, 16, data), winFrames = 4)
+    assert(ws == Seq(Multimodal.PcmWindow(32L, 0L, 2L, 98L, 7L, 49L)))
+  }
+
+  test("PCM windows: non-WAV, non-16-bit and truncated-data payloads yield no rows") {
+    assert(Multimodal.parsePcmWindows(33L, "just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parsePcmWindows(34L, wav(Array.emptyByteArray, 1, 8000, 8, bytes(1, 2, 3, 4))).isEmpty)
+    // data size field claims 8 bytes, only 2 present: clamp, fold the 1 real frame
+    val lying = "RIFF".getBytes("US-ASCII") ++ le32(100) ++ "WAVE".getBytes("US-ASCII") ++
+      fmtChunk(1, 8000, 16) ++ "data".getBytes("US-ASCII") ++ le32(8) ++ le16(5)
+    val ws = Multimodal.parsePcmWindows(35L, lying)
+    assert(ws == Seq(Multimodal.PcmWindow(35L, 0L, 1L, 25L, 5L, 25L)))
+  }
+
   // ----- ISO-BMFF / MP4 (handcrafted, independent of videoPayloads) -----
 
   private def be64(v: Long) = be32((v >>> 32).toInt) ++ be32(v.toInt)

@@ -50,6 +50,18 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("parsePcmWindows never throws; windows are consistent integer folds") {
+    allInputs.foreach { b =>
+      val ws = Multimodal.parsePcmWindows(6L, b, winFrames = 8)
+      ws.foreach { w =>
+        assert(w.n_samp > 0 && w.sum_sq >= 0 && w.peak >= 0 && w.peak <= 32768)
+        assert(w.ms_q == w.sum_sq / w.n_samp)
+        assert(w.sum_sq <= w.n_samp * w.peak * w.peak)
+      }
+      assert(ws.map(_.win) == ws.indices.map(_.toLong))
+    }
+  }
+
   test("parseFrames emits only in-bounds, non-overlapping ranges") {
     allInputs.foreach { b =>
       val frames = Multimodal.parseFrames(4L, b)
