@@ -87,15 +87,30 @@ def hugeint_columns(con, sql: str):
     ]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, overrides_path: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Optional per-query oracle overrides for large scale factors:
+    # some committed oracles are deliberately brute-force for
+    # independence (d04's all-pairs list_intersect) and become
+    # infeasible at sf1; an override supplies an EQUIVALENT scalable
+    # formulation (equivalence itself checked at sf0.01 — see
+    # tools/oracle_scale_overrides.json). Overridden queries are
+    # labelled in the output so the artifact is honest about it.
+    overrides = {}
+    if overrides_path:
+        raw = json.load(open(overrides_path))
+        overrides = {k: v for k, v in raw.items() if not k.startswith("_")}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        tag = ""
+        if name in overrides:
+            sql = overrides[name]
+            tag = " [scale-form oracle]"
         try:
             huge = hugeint_columns(con, sql)
             if huge:
@@ -139,11 +154,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: first diff col={col} row={i}: spark={x!r} duck={y!r}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(spark_df)} rows)")
+            print(f"PASS {name} ({len(spark_df)} rows){tag}")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+             sys.argv[3] if len(sys.argv) > 3 else None))
