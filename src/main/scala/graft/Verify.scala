@@ -40,8 +40,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The oracle dump is ALWAYS complete, even under an `only` filter:
+    // a filtered iteration run must not truncate a full dump sitting
+    // in the same outDir (the checker iterates oracle_sql.json, so a
+    // 1-entry overwrite silently shrinks the gate to 1 query).
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -23,6 +23,7 @@ representation-sensitive hash fails it):
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -105,8 +106,16 @@ def main(sf_dir: str, out_dir: str, overrides_path: str = None) -> int:
     if overrides_path:
         raw = json.load(open(overrides_path))
         overrides = {k: v for k, v in raw.items() if not k.startswith("_")}
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        # oracle_sql.json is always the COMPLETE dump (Verify writes it
+        # unfiltered); a filtered Verify run only produces SOME output
+        # dirs. Skip absent ones with a notice — a FULL gate run must
+        # see 0 skipped, so the summary makes truncation visible.
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            print(f"SKIP {name}: no output dir (filtered Verify run?)")
+            n_skip += 1
+            continue
         tag = ""
         if name in overrides:
             sql = overrides[name]
@@ -156,7 +165,8 @@ def main(sf_dir: str, out_dir: str, overrides_path: str = None) -> int:
         else:
             print(f"PASS {name} ({len(spark_df)} rows){tag}")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    skip_note = f", {n_skip} skipped" if n_skip else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skip_note} ==")
     return 1 if n_fail else 0
 
 
