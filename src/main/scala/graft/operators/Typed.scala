@@ -62,7 +62,7 @@ object Typed {
       },
       Some("""SELECT user_id, COUNT(*) AS n_events,
         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
-        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value,
         MIN(ts) AS first_ts
         FROM events GROUP BY user_id ORDER BY user_id""")
     ),
