@@ -209,6 +209,54 @@ object Ops {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** SemDeDup (d10's shape) with the scale knob TURNED: the cell
+    * count derives from the corpus size (`cells = max(8,
+    * n / targetCellSize)`), so average cell occupancy — and with it
+    * the within-cell candidate-pair volume per cell — stays CONSTANT
+    * as the corpus grows, where the canned d10's pinned 8 cells grow
+    * occupancy linearly and pair volume quadratically
+    * (docs/SCALING.md round 6 measures that curve: 17.8× wall for
+    * 10× data at the pinned knob). Total pair volume here is
+    * n/2 × targetCellSize — linear in n.
+    *
+    * Centroids are the lowest-id vectors (deterministic, the d10 /
+    * s05-init convention); the assignment pass is a plain
+    * cells-per-vector argmin, UN-hinted so AQE sizes the centroid
+    * side (it is n/targetCellSize rows — corpus-linear, the class
+    * the round-4 broadcast audit bans from forced hints). At real
+    * scale the assignment itself is the trained+persisted quantizer
+    * machinery (kmeansCentroids feeding probeAnnIndex's routing,
+    * O22/O29) — this operator is the exact-verify stage downstream
+    * of it, with brute-force assignment kept for determinism.
+    */
+  def semanticDedupAtScale(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      targetCellSize: Int = 128,
+      minCosine: Double = 0.3
+  ): DataFrame = {
+    import graft.functions.VectorFunctions
+    val e = emb.select(col(idCol).as("n_id"), col(vecCol).as("ne"))
+    val n = e.count()
+    val k = math.max(8L, n / math.max(1, targetCellSize)).toInt
+    val cents = e.orderBy(col("n_id")).limit(k)
+      .select(col("n_id").as("c_id"), col("ne").as("ce"))
+    val cells = e.crossJoin(cents)
+      .withColumn("negcos", -VectorFunctions.cosine("ne", "ce"))
+      .groupBy(col("n_id")).agg(min(struct(col("negcos"), col("c_id"))).as("_mc"))
+      .select(col("n_id"), col("_mc.c_id").as("cell"))
+    val pairs = cells.select(col("n_id").as("id_a"), col("cell"))
+      .join(cells.select(col("n_id").as("id_b"), col("cell")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+    pairs
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("ea")), Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("eb")), Seq("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine("ea", "eb"))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cell"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Connected components over an undirected edge list (two BIGINT
     * columns). Two algorithms, same output contract — (idOut,
     * labelOut): every node appearing in an edge, labeled by its

@@ -665,6 +665,52 @@ object TextAnalysis {
           max_rep,
           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) < 0.3 AS keep
         FROM agg ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t18_chunk_overlap",
+      "Overlapping sequence chunking: fixed token windows with stride (context-window prep)",
+      (spark, dir) => {
+        import spark.implicits._
+        // The chunking step between cleaning and packing in a training
+        // pipeline: each doc's token sequence is cut into windows of
+        // W=32 tokens at stride S=24 (8-token overlap preserves
+        // context across boundaries), the last window keeping its
+        // natural short length. Pure per-row work — tokenize, compute
+        // the chunk count with INTEGER arithmetic (ceil via
+        // (extra + S-1) div S on a non-negative value: DuckDB's //
+        // floors while Spark's div truncates, so the operand must
+        // never be negative), explode, slice. Zero shuffle before the
+        // output sort; chunk_hash is the md5 of the chunk's joined
+        // tokens, so the oracle checks CONTENT, not just shape.
+        val (w, s) = (32, 24)
+        Tables.load(spark, dir, "documents")
+          .withColumn("wd", expr(sparkWords))
+          .withColumn("n", size($"wd").cast("long"))
+          .filter($"n" > 0)
+          .withColumn("n_chunks",
+            expr(s"1 + (greatest(CAST(0 AS LONG), n - $w) + ${s - 1}) div $s"))
+          .withColumn("chunk_id",
+            explode(expr("sequence(CAST(0 AS LONG), n_chunks - 1)")))
+          .withColumn("start_tok", $"chunk_id" * s)
+          .withColumn("cw", expr(s"slice(wd, cast(start_tok + 1 as int), $w)"))
+          .select(
+            $"doc_id", $"chunk_id",
+            $"start_tok",
+            size($"cw").cast("long").as("n_tok"),
+            md5(concat_ws(" ", $"cw")).as("chunk_hash"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS wd FROM documents),
+        t AS (SELECT doc_id, wd, CAST(len(wd) AS BIGINT) AS n FROM w WHERE len(wd) > 0),
+        c AS (SELECT doc_id, wd, n,
+            1 + (greatest(0, n - 32) + 23) // 24 AS n_chunks FROM t),
+        e AS (SELECT doc_id, wd, n,
+            unnest(generate_series(CAST(0 AS BIGINT), n_chunks - 1)) AS chunk_id FROM c)
+        SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+          CAST(len(wd[CAST(chunk_id * 24 + 1 AS INT) : CAST(chunk_id * 24 + 32 AS INT)]) AS BIGINT) AS n_tok,
+          md5(array_to_string(wd[CAST(chunk_id * 24 + 1 AS INT) : CAST(chunk_id * 24 + 32 AS INT)], ' ')) AS chunk_hash
+        FROM e ORDER BY doc_id, chunk_id""")
     )
   )
 }

@@ -116,6 +116,47 @@ class OpsSpec extends SparkTestBase {
       s"scaling planes should cut candidates vs fixed planes: $bigFixed vs $big")
   }
 
+  test("semanticDedupAtScale equals canned d10 when the knob lands on 8 cells") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val n = emb.count().toInt
+    val got = Ops.semanticDedupAtScale(emb, "vec_id", "embedding",
+      targetCellSize = n / 8, minCosine = 0.3)
+      .orderBy(col("id_a"), col("id_b")).collect().toSeq
+    val expected = graft.SparkEntry.queries("d10_dedup_semantic")(spark, sfDir)
+      .collect().toSeq
+    assert(got == expected)
+  }
+
+  test("semanticDedupAtScale pair volume stays ~linear when cells track n") {
+    import org.apache.spark.sql.functions._
+    // same pseudo-random corpus as the d05 scale spec; minCosine = -1
+    // makes every within-cell pair survive, so the output count IS
+    // the candidate volume. Doubling n at a FIXED targetCellSize
+    // doubles the cell count and keeps occupancy flat → ~2× pairs;
+    // the pinned-knob variant (same 8 cells for the doubled corpus —
+    // d10's canned configuration) quadruples them. This is the
+    // measured 17.8×-at-sf1 curve (docs/SCALING.md round 6) reduced
+    // to a spec.
+    def corpus(n: Int) =
+      spark.range(n).select(
+        col("id"),
+        expr("transform(sequence(0, 15), j -> " +
+          "CAST(pmod(xxhash64(id * 16 + j), 1000) / 499.5 - 1.0 AS FLOAT))").as("emb")
+      )
+    val small = Ops.semanticDedupAtScale(corpus(400), "id", "emb",
+      targetCellSize = 50, minCosine = -1.0).count()
+    val scaled = Ops.semanticDedupAtScale(corpus(800), "id", "emb",
+      targetCellSize = 50, minCosine = -1.0).count()
+    val pinned = Ops.semanticDedupAtScale(corpus(800), "id", "emb",
+      targetCellSize = 100, minCosine = -1.0).count() // k stays 8: d10's shape
+    assert(small > 0 && scaled > 0)
+    assert(scaled.toDouble / small < 3.0,
+      s"pair volume not ~linear under a tracking knob: $small -> $scaled")
+    assert(pinned.toDouble / scaled > 1.5,
+      s"pinned knob should blow up pair volume vs tracking knob: $pinned vs $scaled")
+  }
+
   test("connectedComponents labels a hand-built graph by min member") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {7,9}, and 11-12-13 (triangle)
