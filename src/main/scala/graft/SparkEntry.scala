@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Workflow
-import graft.operators.{Dedup, Embeddings, Multimodal, Q, Relational, Similarity, TextAnalysis, Typed}
+import graft.operators.{Dedup, Embeddings, Graph, Multimodal, Q, Relational, Similarity, TextAnalysis, Typed}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -11,7 +11,7 @@ object SparkEntry {
   /** All engine operators exposed through the driver contract. */
   def allQ: Seq[Q] =
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Embeddings.all ++ Multimodal.all ++ Typed.all
+      Embeddings.all ++ Multimodal.all ++ Typed.all ++ Graph.all
 
   /** Flagship: the workflow engine wiring tables through a routed DAG
     * (the reference's provide/depend shape driving Spark plans), run

@@ -384,6 +384,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Shared DuckDB CTE chain through `cands`: the d02 MinHash(16) +
+    * LSH(4x4) banding over the shingle postings, used by every oracle
+    * that starts from banded candidate pairs (d02, d14). Lazy so Qs
+    * declared before it in `all` capture it safely at object init.
+    */
+  private lazy val sqlCandCtes: String = {
+    val mhCols = (0 until numPerms)
+      .map(i => s"min(substr(md5(s || '|$i'), 1, 16)) AS mh$i").mkString(",\n    ")
+    val bandCases = (0 until 4).map { b =>
+      val cat = (b * 4 until b * 4 + 4).map(r => s"mh$r").mkString(" || '|' || ")
+      if (b < 3) s"WHEN $b THEN md5($cat)" else s"ELSE md5($cat)"
+    }.mkString(" ")
+    s"""$sqlShingleCtes,
+        sig AS (SELECT doc_id,
+          $mhCols
+          FROM post GROUP BY doc_id),
+        bands AS (SELECT doc_id, b AS band,
+          CASE b $bandCases END AS bh
+          FROM sig, (VALUES (0), (1), (2), (3)) AS t(b)),
+        cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+  }
+
   /** Shared DuckDB CTE prefix: words / shingle arrays / postings. */
   private val sqlShingleCtes =
     """WITH w AS (
@@ -448,21 +471,7 @@ object Dedup {
           .orderBy($"id_a", $"id_b")
       },
       Some {
-        val mhCols = (0 until numPerms)
-          .map(i => s"min(substr(md5(s || '|$i'), 1, 16)) AS mh$i").mkString(",\n    ")
-        val bandCases = (0 until 4).map { b =>
-          val cat = (b * 4 until b * 4 + 4).map(r => s"mh$r").mkString(" || '|' || ")
-          if (b < 3) s"WHEN $b THEN md5($cat)" else s"ELSE md5($cat)"
-        }.mkString(" ")
-        s"""$sqlShingleCtes,
-        sig AS (SELECT doc_id,
-          $mhCols
-          FROM post GROUP BY doc_id),
-        bands AS (SELECT doc_id, b AS band,
-          CASE b $bandCases END AS bh
-          FROM sig, (VALUES (0), (1), (2), (3)) AS t(b)),
-        cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        s"""$sqlCandCtes,
         pairs AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, COUNT(*) AS c
           FROM post pa JOIN post pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
           GROUP BY 1, 2),
@@ -1024,6 +1033,57 @@ object Dedup {
           k.keep_id, m.doc_id <> k.keep_id AS to_drop
         FROM meta m JOIN keep k ON k.cluster_id = m.cluster_id AND k.rk = 1
         ORDER BY m.doc_id""")
+    ),
+
+    Q(
+      "d14_fuzzy_edit_distance",
+      "Fuzzy dedup: MinHash-LSH candidates verified by normalized Levenshtein distance",
+      (spark, dir) => {
+        import spark.implicits._
+        // The record-linkage shape: candidate GENERATION is d02's
+        // banded equi-join (never the O(n^2) pair space) and VERIFY is
+        // character-level — Levenshtein over the whitespace-normalized
+        // text, relative to the longer side. This catches
+        // near-identical docs whose small in-place edits defeat the
+        // exact-hash dedup (d01) while shingle overlap keeps LSH
+        // recall high. levenshtein() is a codegen'd binary expression
+        // evaluated ONLY on candidate pairs; the verify joins carry
+        // (id, norm) strings, no arrays. At 100 TB: the candidate join
+        // shuffles on (band, bh) exactly like d02 and the verify is
+        // per-pair map work — for unbounded docs cap the compared
+        // length (levenshtein cost is len_a*len_b per pair); corpus
+        // docs here are <= ~600 chars so full norm is compared.
+        val sh = shingleArrays(spark, dir).cache()
+        val cands = minhashCandidates(sh).distinct()
+        val norm = Tables.load(spark, dir, "documents")
+          .select($"doc_id", trim(regexp_replace(lower($"text"), "\\s+", " ")).as("norm"))
+        cands
+          .join(norm.select($"doc_id".as("id_a"), $"norm".as("_na")), "id_a")
+          .join(norm.select($"doc_id".as("id_b"), $"norm".as("_nb")), "id_b")
+          .withColumn("edit_dist", levenshtein($"_na", $"_nb").cast("long"))
+          .withColumn("max_len", greatest(length($"_na"), length($"_nb")).cast("long"))
+          .where($"max_len" > 0)
+          .withColumn("_rel", $"edit_dist".cast("double") / $"max_len")
+          .where($"_rel" <= 0.4)
+          .select($"id_a", $"id_b", $"edit_dist", $"max_len",
+            round($"_rel", 6).as("rel_dist"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some {
+        s"""$sqlCandCtes,
+        n AS (SELECT doc_id,
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+        v AS (SELECT c.id_a, c.id_b,
+            CAST(levenshtein(na.norm, nb.norm) AS BIGINT) AS edit_dist,
+            CAST(greatest(len(na.norm), len(nb.norm)) AS BIGINT) AS max_len
+          FROM cands c
+          JOIN n na ON na.doc_id = c.id_a
+          JOIN n nb ON nb.doc_id = c.id_b)
+        SELECT id_a, id_b, edit_dist, max_len,
+          ROUND(CAST(edit_dist AS DOUBLE) / max_len, 6) AS rel_dist
+        FROM v WHERE max_len > 0 AND CAST(edit_dist AS DOUBLE) / max_len <= 0.4
+        ORDER BY id_a, id_b"""
+      }
     )
   )
 

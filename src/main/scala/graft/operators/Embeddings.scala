@@ -152,6 +152,66 @@ object Embeddings {
           abs(CAST(n.norm2q AS DOUBLE) - s.label_mean) > s.label_mean * 0.5 AS is_outlier
         FROM nq n JOIN stats s ON s.label = n.label
         ORDER BY n.vec_id""")
+    ),
+
+    Q(
+      "e04_dim_covariance",
+      "PCA prep: exact-integer covariance over the top-8 highest-variance embedding dims",
+      (spark, dir) => {
+        import spark.implicits._
+        // The first step of a distributed PCA / whitening pass:
+        // the dim-by-dim covariance block over the dims that matter.
+        // Values quantize once to milli-scaled BIGINTs so every sum
+        // (s_i, ss_i, sum of cross products) is an EXACT integer —
+        // partial-agg order can't drift and the covariance numerator
+        // n*sp_ij - s_i*s_j is computed entirely in int64 (bounded:
+        // |q| <= ~2000, so n*sp < 2^45 even at sf1). Shuffle shape:
+        // one explode (d rows/vector, map-local) + a d-key agg for
+        // the variance ranking, then the cross-product pass self-joins
+        // the k-dim slice per vec_id — ONE vec_id shuffle with a k^2/2
+        // fanout bounded by k=8, and the 8-row dim list + 64-row stats
+        // frames broadcast. At 100 TB everything stays keyed: no
+        // d^2-per-row explode (64^2 rows/vec) — only k^2 for chosen k.
+        val ex = Tables.load(spark, dir, "embeddings")
+          .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+          .select($"vec_id", $"dim".cast("int").as("dim"),
+            floor($"x".cast("double") * 1000).cast("long").as("q"))
+        val st = ex.groupBy($"dim")
+          .agg(sum($"q").as("s"), sum($"q" * $"q").as("ss"), count(lit(1)).as("n"))
+        // top-8 by integer variance numerator ss*n - s^2, dim asc ties
+        val top = st.orderBy(($"ss" * $"n" - $"s" * $"s").desc, $"dim".asc).limit(8)
+        val ch = ex.join(broadcast(top.select($"dim")), "dim")
+        val pr = ch.select($"vec_id", $"dim".as("dim_i"), $"q".as("_qa"))
+          .join(ch.select($"vec_id", $"dim".as("dim_j"), $"q".as("_qb")), "vec_id")
+          .where($"dim_i" <= $"dim_j")
+          .groupBy($"dim_i", $"dim_j")
+          .agg(sum($"_qa" * $"_qb").as("sp"))
+        pr
+          .join(broadcast(top.select($"dim".as("dim_i"), $"s".as("_si"), $"n".as("_n"))), "dim_i")
+          .join(broadcast(top.select($"dim".as("dim_j"), $"s".as("_sj"))), "dim_j")
+          .select($"dim_i", $"dim_j",
+            ($"sp" * $"_n" - $"_si" * $"_sj").as("cov_num"),
+            round(($"sp" * $"_n" - $"_si" * $"_sj").cast("double") /
+              ($"_n".cast("double") * $"_n" * 1000000), 9).as("cov"))
+          .orderBy($"dim_i", $"dim_j")
+      },
+      Some("""WITH ex AS (
+          SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+        st AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS ss,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM ex GROUP BY dim),
+        top AS (SELECT dim, s, n FROM st ORDER BY ss * n - s * s DESC, dim ASC LIMIT 8),
+        ch AS (SELECT ex.* FROM ex JOIN top ON top.dim = ex.dim),
+        pr AS (SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(SUM(a.q * b.q) AS BIGINT) AS sp
+          FROM ch a JOIN ch b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY 1, 2)
+        SELECT p.dim_i, p.dim_j, p.sp * ti.n - ti.s * tj.s AS cov_num,
+          ROUND(CAST(p.sp * ti.n - ti.s * tj.s AS DOUBLE) /
+            (CAST(ti.n AS DOUBLE) * ti.n * 1000000), 9) AS cov
+        FROM pr p JOIN top ti ON ti.dim = p.dim_i JOIN top tj ON tj.dim = p.dim_j
+        ORDER BY dim_i, dim_j""")
     )
   )
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Graph-analytics operators over interaction data (SURVEY.md §2.3).
+  *
+  * A training-data pipeline ranks ENTITIES, not just documents: crawl
+  * pipelines weight domains by link-graph importance before sampling,
+  * and interaction graphs (user x item, doc x cluster) need the same
+  * machinery. d06/d08 already cover connected components; g01 adds the
+  * other classic — PageRank — in a fully deterministic fixed-point
+  * integer formulation so it carries a value-level DuckDB oracle
+  * (floating-point PageRank cannot: per-iteration double summation
+  * order differs between engines and the drift compounds).
+  */
+object Graph {
+
+  /** Rank scale: 1.0 == 1e12 micro-units. All arithmetic is int64. */
+  private val Scale = 1000000000000L
+
+  /** Weighted PageRank over an edge list, `iters` synchronous
+    * iterations, damping 0.85 held EXACT as the integer form
+    * r' = 0.15*Scale + (17 * sum(contrib)) div 20 with
+    * contrib = (r * w) div w_out — floor division on non-negative
+    * int64 is identical in Spark (`div`) and DuckDB (`//`), so every
+    * iteration is bit-reproducible across engines.
+    *
+    * Scale shape (the d06/d08 iterative-plan discipline): `edges` and
+    * the out-weight frame are computed once, cached and reused across
+    * iterations; each iteration is ONE join keyed on src (ranks are
+    * node-keyed, co-partitioned with the out-weights) and ONE dst-keyed
+    * aggregation — the canonical Spark PageRank shuffle pattern. Rank
+    * state is 16 bytes/node. Overflow bound: r*w needs
+    * max_r * max_w < 2^63; with max_r ~ n*Scale mass concentration
+    * impossible below ~9e6 total weight per edge — for heavier graphs
+    * pre-scale weights (divide by their gcd or bucket them), or drop
+    * Scale; documented rather than auto-rescaled so the oracle stays
+    * a literal transcription.
+    *
+    * Plans grow linearly with `iters` (5 here); for big graphs
+    * checkpoint every few iterations like Ops.connectedComponents —
+    * at iters=5 the plan is small enough that lineage is cheaper.
+    */
+  def pageRankWeighted(
+      edges: DataFrame, // src, dst, w (directed; pass both directions for undirected)
+      iters: Int
+  ): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w")).cache()
+    val outW = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("w_out")).cache()
+    var ranks = outW.select(col("node"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(outW, "node")
+        .join(e, col("node") === col("src"))
+        .select(col("dst"), expr("(r * w) div w_out").as("_c"))
+      ranks = contrib.groupBy(col("dst").as("node"))
+        .agg((lit(3L * Scale / 20L) + expr("(17 * sum(_c)) div 20")).as("r"))
+    }
+    ranks
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "g01_pagerank_weighted",
+      "Deterministic integer PageRank over the bipartite user<->event_type interaction graph",
+      (spark, dir) => {
+        import spark.implicits._
+        // The domain-ranking shape crawl curation runs before
+        // sampling: project events into a weighted bipartite graph
+        // (edge weight = interaction count), walk 5 damped iterations,
+        // rank every node. Node ids are namespaced strings so the two
+        // partitions share one id space. All-integer: see
+        // [[pageRankWeighted]].
+        val ue = Tables.load(spark, dir, "events")
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("w"))
+          .select(concat(lit("u"), $"user_id".cast("string")).as("u"),
+            concat(lit("t"), $"event_type").as("t"), $"w")
+        val edges = ue.select($"u".as("src"), $"t".as("dst"), $"w")
+          .unionAll(ue.select($"t".as("src"), $"u".as("dst"), $"w"))
+        pageRankWeighted(edges, iters = 5)
+          .select($"node", $"r".as("rank_fp"),
+            round($"r".cast("double") / Scale, 9).as("rank"))
+          .orderBy($"rank_fp".desc, $"node")
+      },
+      Some {
+        val iterCtes = (1 to 5).map { t =>
+          s"""it$t AS (SELECT e.dst AS node,
+            CAST(150000000000 + (17 * SUM((p.r * e.w) // d.w_out)) // 20 AS BIGINT) AS r
+          FROM it${t - 1} p
+          JOIN edges e ON e.src = p.node
+          JOIN deg d ON d.node = p.node
+          GROUP BY e.dst)"""
+        }.mkString(",\n        ")
+        s"""WITH ue AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS u,
+            't' || event_type AS t, CAST(COUNT(*) AS BIGINT) AS w
+          FROM events GROUP BY user_id, event_type),
+        edges AS (SELECT u AS src, t AS dst, w FROM ue
+          UNION ALL SELECT t AS src, u AS dst, w FROM ue),
+        deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS w_out FROM edges GROUP BY src),
+        it0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+        $iterCtes
+        SELECT node, r AS rank_fp, ROUND(CAST(r AS DOUBLE) / 1000000000000, 9) AS rank
+        FROM it5 ORDER BY rank_fp DESC, node"""
+      }
+    )
+  )
+}

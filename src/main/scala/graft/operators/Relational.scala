@@ -1629,6 +1629,40 @@ object Relational {
         FROM lineitem
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
         GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+
+    Q(
+      "q56_salted_skew_join",
+      "Skew-mitigated fact join through Ops.saltedJoin, exact vs the plain join oracle",
+      (spark, dir) => {
+        import spark.implicits._
+        // The O7 skew machinery in a canned query: events (the skewed
+        // fact — a hot user_id concentrates a partition) joined to
+        // customer through an 8-way salt. saltedJoin explodes the
+        // DIM side 8x (bounded: dims are small by definition) and
+        // spreads each hot fact key across 8 sub-partitions, so the
+        // per-task row bound drops 8x for the hottest key at any
+        // scale — AQE's skew split handles post-shuffle skew, the
+        // salt handles it at shuffle time deterministically. Values
+        // are EXACT: the measure is integer cents (floor(value*100)),
+        // so the salted re-aggregation cannot drift vs the plain
+        // join — the oracle is the unsalted formulation, pinning
+        // result-equality of the two plans, not just plausibility.
+        val ev = t(spark, dir, "events")
+          .select($"user_id".as("k"),
+            floor($"value" * 100).cast("long").as("_cents"))
+        val cust = t(spark, dir, "customer")
+          .select($"c_custkey".as("k"), $"c_mktsegment")
+        Ops.saltedJoin(ev, cust, "k", salts = 8)
+          .groupBy($"c_mktsegment".as("segment"))
+          .agg(count(lit(1)).as("n_events"), sum($"_cents").as("sum_cents"))
+          .orderBy($"segment")
+      },
+      Some("""SELECT c.c_mktsegment AS segment,
+          COUNT(*) AS n_events,
+          CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY segment""")
     )
   )
 }
