@@ -611,4 +611,66 @@ class PipelineSpec extends SparkTestBase {
       abs(col("mean_rank") - round(col("sum_rank").cast("double") / col("n_tokens"), 6)) > 0)
       .count() == 0)
   }
+
+  test("d14 fuzzy pairs: driver-recomputed Levenshtein matches, bounds hold") {
+    val df = q("d14_fuzzy_edit_distance").cache()
+    assert(df.filter(col("rel_dist") < 0.0 || col("rel_dist") > 0.4).count() == 0)
+    assert(df.filter(col("edit_dist") < 0 || col("edit_dist") > col("max_len")).count() == 0)
+    // exact recount of every reported pair with an independent DP
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    if (ids.nonEmpty) {
+      val norm = graft.tables.Tables.load(spark, sfDir, "documents")
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(b.length + 1)(identity)
+        for (i <- 1 to a.length) {
+          var prev = d(0); d(0) = i
+          for (j <- 1 to b.length) {
+            val t = d(j)
+            d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+              prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+            prev = t
+          }
+        }
+        d(b.length)
+      }
+      pairs.foreach { case (a, b, dist, mx) =>
+        assert(lev(norm(a), norm(b)) == dist, s"pair ($a,$b) dist")
+        assert(math.max(norm(a).length, norm(b).length) == mx, s"pair ($a,$b) len")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("e04 covariance: exact driver replay over the quantized slice") {
+    val df = q("e04_dim_covariance").cache()
+    // upper triangle of an 8x8 block = 36 cells; diagonal = variances >= 0
+    assert(df.count() == 36)
+    assert(df.filter(col("dim_i") === col("dim_j") && col("cov_num") < 0).count() == 0)
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val vecs = graft.tables.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val n = vecs.length.toLong
+    val dims = got.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    // the distributed job must have picked the true top-8 variance dims
+    val expectTop = (0 until 64).map { d =>
+      val s = vecs.map(_(d)).sum
+      val ss = vecs.map(v => v(d) * v(d)).sum
+      d -> (ss * n - s * s)
+    }.sortBy { case (d, v) => (-v, d) }.take(8).map(_._1).sorted
+    assert(dims == expectTop, s"chosen dims $dims != replay top-8 $expectTop")
+    for (i <- dims; j <- dims if i <= j) {
+      val si = vecs.map(_(i)).sum
+      val sj = vecs.map(_(j)).sum
+      val sp = vecs.map(v => v(i) * v(j)).sum
+      assert(got((i, j)) == sp * n - si * sj, s"cov[$i,$j]")
+    }
+    spark.catalog.clearCache()
+  }
 }

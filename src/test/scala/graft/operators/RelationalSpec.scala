@@ -319,4 +319,18 @@ class RelationalSpec extends SparkTestBase {
     assert(q40.except(q53).count() == 0 && q53.except(q40).count() == 0)
     assert(q53.count() > 0)
   }
+
+  test("q56 salted join result equals the unsalted plain join exactly") {
+    import org.apache.spark.sql.functions._
+    val salted = graft.SparkEntry.queries("q56_salted_skew_join")(spark, sfDir)
+    val ev = graft.tables.Tables.load(spark, sfDir, "events")
+      .select(col("user_id").as("k"), floor(col("value") * 100).cast("long").as("c"))
+    val cust = graft.tables.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    val plain = ev.join(cust, "k")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sum_cents"))
+    assert(salted.count() > 0)
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
 }
