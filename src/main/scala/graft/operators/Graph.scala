@@ -47,16 +47,25 @@ object Graph {
       edges: DataFrame, // src, dst, w (directed; pass both directions for undirected)
       iters: Int
   ): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w")).cache()
-    val outW = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("w_out")).cache()
-    var ranks = outW.select(col("node"), lit(Scale).as("r"))
+    // out-weights are folded into the edge frame ONCE, so each
+    // iteration is a single src-keyed join + one dst-keyed agg (the
+    // naive form joins ranks->outW->edges: 2 joins and 2 broadcast
+    // builds per iteration — measurably half the wall cost here was
+    // that second build x 5 iterations).
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    val ew = e.join(outW, "src").localCheckpoint(eager = false)
+    var ranks = outW.select(col("src").as("node"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ranks
-        .join(outW, "node")
-        .join(e, col("node") === col("src"))
+        .join(ew, col("node") === col("src"))
         .select(col("dst"), expr("(r * w) div w_out").as("_c"))
       ranks = contrib.groupBy(col("dst").as("node"))
         .agg((lit(3L * Scale / 20L) + expr("(17 * sum(_c)) div 20")).as("r"))
+        // lazy checkpoint per iteration (the d06/d08 discipline): the
+        // broadcast build of iteration k+1 otherwise RE-EXECUTES
+        // iterations 1..k — O(iters^2) work and most of the wall cost
+        .localCheckpoint(eager = false)
     }
     ranks
   }
