@@ -212,6 +212,52 @@ object Embeddings {
             (CAST(ti.n AS DOUBLE) * ti.n * 1000000), 9) AS cov
         FROM pr p JOIN top ti ON ti.dim = p.dim_i JOIN top tj ON tj.dim = p.dim_j
         ORDER BY dim_i, dim_j""")
+    ),
+
+    Q(
+      "e05_classifier_score",
+      "Linear quality-classifier inference: fold dot product with literal weights, exact keep flag",
+      (spark, dir) => {
+        import spark.implicits._
+        // The model-scoring step of a curation pipeline (fastText /
+        // linear-probe quality classifiers run exactly this at corpus
+        // scale): score = w . x + b with a FIXED weight vector,
+        // keep = score > threshold. Pure per-row codegen'd map work —
+        // zero shuffle before the output sort, which is how inference
+        // must look at 100 TB (the weights broadcast as literals in
+        // the plan itself). Weights are sixteenths (exact binary
+        // fractions) and the dot product is the sqlDot ordered left
+        // fold, so both engines run the identical IEEE sequence; the
+        // keep flag compares the UNROUNDED score (d07 lesson).
+        val wLit = weights.map(_.toString).mkString(", ")
+        Tables.load(spark, dir, "embeddings")
+          .withColumn("_score",
+            expr(s"aggregate(zip_with(embedding, array($wLit), " +
+              "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0 AS DOUBLE), " +
+              "(acc, v) -> acc + v) + 0.125"))
+          .select($"vec_id", $"label",
+            round($"_score", 6).as("score"),
+            ($"_score" > 0.5).as("keep"))
+          .orderBy($"vec_id")
+      },
+      Some {
+        val wList = weights.map(_.toString).mkString(", ")
+        s"""WITH sc AS (SELECT vec_id, label,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, 64),
+              i -> CAST(embedding[i] AS DOUBLE) * ([$wList])[i])),
+            (acc, v) -> acc + v) + 0.125 AS s
+          FROM embeddings)
+        SELECT vec_id, label, ROUND(s, 6) AS score, s > 0.5 AS keep
+        FROM sc ORDER BY vec_id"""
+      }
     )
   )
+
+  /** e05's frozen "trained" weight vector: sixteenths in [-9/16, 9/16]
+    * — exact binary fractions, so literal parsing and products are
+    * bit-identical across engines.
+    */
+  private lazy val weights: Seq[Double] =
+    (0 until 64).map(i => ((i * 37) % 19 - 9) / 16.0)
 }

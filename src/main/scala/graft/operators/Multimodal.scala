@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -1033,6 +1034,55 @@ object Multimodal {
           CAST(${be32dec(48)} * 1000 // ${be32dec(44)} AS BIGINT) AS duration_ms
         FROM hx ORDER BY doc_id"""
       }
+    ),
+
+    Q(
+      "m07_byte_histogram",
+      "Per-media-type byte-value histogram (16 bins over the payload's high nibbles)",
+      (spark, dir) => {
+        import spark.implicits._
+        // The pixel-intensity-histogram analog for opaque payloads:
+        // the byte-value distribution per media type — the cheap
+        // corpus-level signal that catches a batch of corrupted /
+        // wrongly-encoded assets (a spike at 0x00, a missing-range
+        // encoding bug) before any real decode runs. Engine-neutral
+        // byte access: hex() the payload (uppercase in both engines)
+        // and read every odd hex char = the byte's high nibble = its
+        // 16-bin bucket; instr('0123456789ABCDEF', c)-1 decodes the
+        // digit identically on both sides. Per-row explode is
+        // map-local and codegen'd; the only shuffle carries the
+        // map-side-combined (media_type, bin) partials — 48 rows at
+        // any corpus size. The share divides inside the window over
+        // the final 48-row frame.
+        val w = Window.partitionBy($"media_type")
+        mediaTable(spark, dir)
+          .select($"media_type", hex($"payload").as("hp"))
+          .select($"media_type",
+            explode(sequence(lit(1), length($"hp"), lit(2))).as("i"),
+            $"hp")
+          .select($"media_type",
+            (expr("instr('0123456789ABCDEF', substr(hp, i, 1))") - 1)
+              .cast("int").as("bin"))
+          .groupBy($"media_type", $"bin")
+          .agg(count(lit(1)).as("n_bytes"))
+          .withColumn("share",
+            round($"n_bytes".cast("double") /
+              sum($"n_bytes").over(w).cast("double"), 6))
+          .orderBy($"media_type", $"bin")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+               WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          hex(encode(text)) AS hp
+          FROM documents),
+        b AS (SELECT media_type,
+            CAST(instr('0123456789ABCDEF', substr(hp, CAST(i AS INT), 1)) - 1 AS INT) AS bin
+          FROM p, unnest(generate_series(1, len(hp), 2)) AS t(i)),
+        h AS (SELECT media_type, bin, COUNT(*) AS n_bytes FROM b GROUP BY 1, 2)
+        SELECT media_type, bin, n_bytes,
+          ROUND(CAST(n_bytes AS DOUBLE) /
+            CAST(SUM(n_bytes) OVER (PARTITION BY media_type) AS DOUBLE), 6) AS share
+        FROM h ORDER BY media_type, bin""")
     )
   )
 }

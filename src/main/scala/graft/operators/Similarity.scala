@@ -504,6 +504,66 @@ object Similarity {
         SELECT cell, COUNT(*) AS n, CAST(SUM(dq) AS BIGINT) AS sse_q
         FROM fin GROUP BY cell ORDER BY cell"""
       }
+    ),
+
+    Q(
+      "s08_range_search",
+      "Radius similarity search: ALL neighbors within cosine >= 0.2, LSH candidates + exact verify",
+      (spark, dir) => {
+        import spark.implicits._
+        // The OTHER retrieval shape: top-k (s01-s07) answers "best k
+        // neighbors"; range search answers "every neighbor at least
+        // this similar" — the query a near-dup audit or a
+        // retrieval-with-threshold pipeline runs. Same scale posture
+        // as s02: candidates from the 8-bit hyperplane buckets with
+        // Hamming<=1 multi-probe (bounded equi-join, no corpus NL),
+        // exact cosine verify on candidates only, the THRESHOLD
+        // filter on the unrounded value (d07 lesson). n_in_radius is
+        // a per-probe window count over the survivors.
+        val e = Tables.load(spark, dir, "embeddings")
+        val sigAll = e.select($"vec_id".as("n_id"),
+          Lsh.signature("embedding", Lsh.planes8).as("bucket"))
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"),
+            Lsh.signature("embedding", Lsh.planes8).as("sig0"))
+        val probeBuckets = probes.select(
+          $"p_id",
+          explode(array(($"sig0" +: (0 until 8).map(i =>
+            $"sig0".bitwiseXOR(lit(1 << i)))): _*)).as("bucket"))
+        val candIds = sigAll
+          .join(broadcast(probeBuckets), Seq("bucket"))
+          .where($"n_id" =!= $"p_id")
+          .select($"p_id", $"n_id").distinct()
+        val w = Window.partitionBy($"p_id")
+        candIds
+          .join(broadcast(probes.select($"p_id", $"pe")), Seq("p_id"))
+          .join(e.select($"vec_id".as("n_id"), $"embedding".as("ne")), Seq("n_id"))
+          .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
+          .where($"cosine" >= 0.2)
+          .withColumn("n_in_radius", count(lit(1)).over(w).cast("long"))
+          .select($"p_id", $"n_id", round($"cosine", 6).as("cosine"), $"n_in_radius")
+          .orderBy($"p_id", $"n_id")
+      },
+      Some {
+        val sig = Lsh.sqlSignature("embedding", Lsh.planes8)
+        val cos = VectorFunctions.sqlCosine("p.pe", "ne.embedding")
+        s"""WITH sigd AS (SELECT vec_id, embedding, $sig AS bucket FROM embeddings),
+        p AS (SELECT vec_id AS p_id, embedding AS pe, bucket AS sig0
+          FROM sigd ORDER BY vec_id LIMIT 10),
+        pb AS (SELECT p_id,
+            unnest([sig0] || list_transform(generate_series(0, 7), i -> xor(sig0, (1 << CAST(i AS INT))))) AS bucket
+          FROM p),
+        cand AS (SELECT DISTINCT pb.p_id, s.vec_id AS n_id
+          FROM pb JOIN sigd s ON pb.bucket = s.bucket AND s.vec_id <> pb.p_id),
+        v AS (SELECT c.p_id, c.n_id, $cos AS cosine
+          FROM cand c
+          JOIN p ON p.p_id = c.p_id
+          JOIN embeddings ne ON ne.vec_id = c.n_id
+          WHERE $cos >= 0.2)
+        SELECT p_id, n_id, ROUND(cosine, 6) AS cosine,
+          CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_in_radius
+        FROM v ORDER BY p_id, n_id"""
+      }
     )
   )
 }

@@ -646,6 +646,63 @@ class PipelineSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("s08 range search: threshold respected, counts consistent, contains s02's qualifying top-k") {
+    val s08 = q("s08_range_search").cache()
+    assert(s08.filter(col("cosine") < 0.2).count() == 0)
+    // n_in_radius is exactly the per-probe survivor count
+    val bad = s08.groupBy("p_id")
+      .agg(count(lit(1)).as("c"), max("n_in_radius").as("m"), min("n_in_radius").as("mn"))
+      .filter(col("c") =!= col("m") || col("c") =!= col("mn")).count()
+    assert(bad == 0)
+    // same candidate machinery as s02: any s02 top-5 neighbor at
+    // cosine >= 0.2 must appear in the radius result
+    val s02 = q("s02_sim_lsh_topk").filter(col("cosine") >= 0.2)
+      .select("p_id", "n_id")
+    assert(s02.except(s08.select("p_id", "n_id")).count() == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("e05 classifier scores match a bit-exact driver fold; keep flag uses the unrounded score") {
+    val df = q("e05_classifier_score").cache()
+    val got = df.collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val wts = (0 until 64).map(i => ((i * 37) % 19 - 9) / 16.0)
+    val vecs = graft.tables.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+    assert(vecs.length == got.size)
+    vecs.foreach { r =>
+      val x = r.getSeq[Float](1)
+      var acc = 0.0
+      for (i <- 0 until 64) acc += x(i).toDouble * wts(i)
+      val s = acc + 0.125
+      val (score, keep) = got(r.getLong(0))
+      assert(score == math.rint(s * 1e6) / 1e6 || math.abs(score - s) < 5e-7,
+        s"vec ${r.getLong(0)} score $score vs $s")
+      assert(keep == (s > 0.5), s"vec ${r.getLong(0)} keep")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("m07 histogram conserves payload bytes per media type; bins bounded; shares sum to 1") {
+    val df = q("m07_byte_histogram").cache()
+    assert(df.filter(col("bin") < 0 || col("bin") > 15).count() == 0)
+    val byType = df.groupBy("media_type")
+      .agg(sum("n_bytes").as("n"), sum("share").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("mt"),
+        length(col("text").cast("binary")).cast("long").as("nb"))
+      .groupBy("mt").agg(sum("nb").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.keySet == want.keySet)
+    byType.foreach { case (mt, (n, s)) =>
+      assert(n == want(mt), s"$mt byte conservation: $n != ${want(mt)}")
+      assert(math.abs(s - 1.0) < 1e-4, s"$mt shares sum $s")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("e04 covariance: exact driver replay over the quantized slice") {
     val df = q("e04_dim_covariance").cache()
     // upper triangle of an 8x8 block = 36 cells; diagonal = variances >= 0
