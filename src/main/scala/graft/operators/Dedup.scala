@@ -384,6 +384,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The 100 TB configuration of the fuzzy edit-distance dedup (d14):
+    * identical semantics, with an optional per-bucket cap on candidate
+    * GENERATION — a dup group of size g lands its members in one LSH
+    * bucket and emits g²/2 candidate pairs; at corpus scale a hot
+    * bucket (boilerplate family, template spam) makes that quadratic.
+    * `maxBucket > 0` keeps only the `maxBucket` lowest doc_ids per
+    * (band, bh) bucket before pairing (deterministic, one window over
+    * the SAME key the pair join shuffles on), bounding per-bucket
+    * fanout at maxBucket²/2. Like [[ngramJaccardAtScale]]'s cap this
+    * trades recall on oversized groups, never verified values —
+    * surviving pairs carry the exact Levenshtein distance
+    * (DedupScaleSpec pins cap=0 == canned d14).
+    */
+  def fuzzyEditAtScale(
+      docs: DataFrame,
+      relThreshold: Double = 0.4,
+      maxBucket: Int = 0
+  ): DataFrame = {
+    val sh = shingleArrays(docs).cache()
+    val bandsAll = bandKeysFromShingles(sh, "doc_id", "sh")
+    val bands =
+      if (maxBucket <= 0) bandsAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+        bandsAll.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") <= maxBucket).drop("_rn")
+      }
+    val la = bands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+    val lb = bands.select(col("doc_id").as("id_b"), col("band"), col("bh"))
+    val cands = la.join(lb, Seq("band", "bh")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val norm = docs
+      .select(col("doc_id"), trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+    cands
+      .join(norm.select(col("doc_id").as("id_a"), col("norm").as("_na")), "id_a")
+      .join(norm.select(col("doc_id").as("id_b"), col("norm").as("_nb")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("_na"), col("_nb")).cast("long"))
+      .withColumn("max_len", greatest(length(col("_na")), length(col("_nb"))).cast("long"))
+      .where(col("max_len") > 0)
+      .withColumn("_rel", col("edit_dist").cast("double") / col("max_len"))
+      .where(col("_rel") <= relThreshold)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("max_len"),
+        round(col("_rel"), 6).as("rel_dist"))
+  }
+
   /** Shared DuckDB CTE chain through `cands`: the d02 MinHash(16) +
     * LSH(4x4) banding over the shingle postings, used by every oracle
     * that starts from banded candidate pairs (d02, d14). Lazy so Qs

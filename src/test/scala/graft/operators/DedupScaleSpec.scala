@@ -88,4 +88,28 @@ class DedupScaleSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(perRow == grouped && perRow.nonEmpty)
   }
+
+  test("fuzzyEditAtScale equals canned d14 uncapped; bucket cap bounds the skewed corpus") {
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+    val atScale = Dedup.fuzzyEditAtScale(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val canned = graft.SparkEntry.queries("d14_fuzzy_edit_distance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(atScale == canned, s"${atScale.size} vs ${canned.size}")
+    spark.catalog.clearCache()
+    // skewed corpus: every doc shares boilerplate shingles -> minhash
+    // buckets go hot; the cap must bound candidate work while exact
+    // duplicate pairs (same text -> same signature, low ids) survive
+    val uncapped = Dedup.fuzzyEditAtScale(skewedDocs).count()
+    val capped = Dedup.fuzzyEditAtScale(skewedDocs, maxBucket = 12)
+    val cappedRows = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cappedRows.length <= uncapped.toInt)
+    // the three exact-dup pairs sit at doc_ids 0..5 (lowest ids, kept
+    // by the cap) and must survive with edit_dist == 0
+    Seq((0L, 3L), (1L, 4L), (2L, 5L)).foreach { case (a, b) =>
+      assert(cappedRows.exists(p => p._1 == a && p._2 == b && p._3 == 0L),
+        s"exact pair ($a,$b) lost by cap")
+    }
+    spark.catalog.clearCache()
+  }
 }
