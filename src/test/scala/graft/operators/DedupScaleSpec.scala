@@ -97,6 +97,11 @@ class DedupScaleSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(atScale == canned, s"${atScale.size} vs ${canned.size}")
     spark.catalog.clearCache()
+    // banded DP with a threshold above every doc length == exact form
+    val banded = Dedup.fuzzyEditAtScale(docs, maxDist = 600)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == canned, s"banded ${banded.size} vs ${canned.size}")
+    spark.catalog.clearCache()
     // skewed corpus: every doc shares boilerplate shingles -> minhash
     // buckets go hot; the cap must bound candidate work while exact
     // duplicate pairs (same text -> same signature, low ids) survive
