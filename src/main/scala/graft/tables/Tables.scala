@@ -16,14 +16,18 @@ object Tables {
 
   import org.apache.spark.sql.types._
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. An explicit LongType for the column makes the scan read
-    * the raw nanos — scoped to THIS read, unlike the session-wide
-    * `spark.sql.legacy.parquet.nanosAsLong` conf mutation it replaces,
-    * which changed nano-timestamp behavior for every later read on the
-    * session.
+  /** The driver has generated events.ts as parquet TIMESTAMP(NANOS)
+    * in some rounds and TIMESTAMP(MICROS) in others, so the loader
+    * detects the encoding instead of assuming one: a µs/ms column
+    * infers as TimestampType and is used as-is; NANOS makes Spark 4's
+    * schema inference refuse the file (and a replica written as plain
+    * INT64 infers as LongType), so both fall back to a raw-long read
+    * with a floor-div to micros. The data is µs-grained, so the div is
+    * lossless and matches DuckDB's epoch_us truncation in the oracles.
+    * The explicit LongType schema is scoped to THIS read, unlike the
+    * session-wide `spark.sql.legacy.parquet.nanosAsLong` conf.
     */
-  private val eventsSchema = StructType(Seq(
+  private val eventsNanosSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -32,15 +36,31 @@ object Tables {
     StructField("props", StringType)
   ))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      val raw = spark.read.schema(eventsSchema).parquet(s"$dir/$name.parquet")
-      import org.apache.spark.sql.functions._
-      // the data is µs-grained, so the nanos floor-div is lossless —
-      // and matches DuckDB's epoch_us truncation used in the oracles
+  private def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val native =
+      try {
+        val df = spark.read.parquet(path)
+        df.schema("ts").dataType match {
+          case TimestampType => Some(df)
+          // no-timezone µs parquet infers as NTZ; sessions run UTC, so
+          // the cast is value-identical to the nanos path's output type
+          case TimestampNTZType =>
+            Some(df.withColumn("ts", col("ts").cast(TimestampType)))
+          case _ => None // raw int64 replica → nanos fallback below
+        }
+      } catch {
+        case _: Exception => None // NANOS: Spark 4 refuses at inference
+      }
+    native.getOrElse {
+      val raw = spark.read.schema(eventsNanosSchema).parquet(path)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    }
   }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Dimension tables small enough (TPC-H ratios) to broadcast at any
     * scale factor: region 5 rows, nation 25, supplier SF*10k — all

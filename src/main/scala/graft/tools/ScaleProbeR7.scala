@@ -47,18 +47,10 @@ object ScaleProbeR7 {
       spark.read.parquet(s"$base/embeddings.parquet"), Seq("vec_id"), factor, 10000000L))
     // events replicate with shifted user_ids: MORE users, same five
     // event types — the graph grows linearly in nodes and edges.
-    // ts is TIMESTAMP(NANOS) parquet Spark refuses by default: read
-    // it as raw int64 (the Tables.load trick) and write it back as
-    // plain INT64, which Tables.load decodes identically.
-    val eventsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // Tables.load handles the ts encoding (µs or NANOS, per driver
+    // round); the replica is written back as TIMESTAMP(MICROS).
     stage("events", replicate(
-      spark.read.schema(eventsSchema).parquet(s"$base/events.parquet"),
+      graft.tables.Tables.load(spark, base, "events"),
       Seq("event_id", "user_id"), factor, 10000000L))
     stage("customer", replicate(
       spark.read.parquet(s"$base/customer.parquet"), Seq("c_custkey"), factor, 10000000L))

@@ -104,22 +104,23 @@ COPY (
   FROM read_parquet('{src}/lineitem.parquet'), {K}
 ) TO '{out}/lineitem.parquet' (FORMAT PARQUET)
 """)
-# events goes through pyarrow: the driver stores ts as parquet
-# TIMESTAMP(NANOS) and the engine's Tables.load reads that column as
-# raw int64 nanos (Spark 4 refuses NANOS otherwise) — a µs-encoded
-# replica would be silently divided by 1000. DuckDB's parquet writer
-# cannot emit NANOS (TIMESTAMP_NS downgrades to µs), pyarrow can.
+# events goes through pyarrow so the replica's ts keeps the SOURCE's
+# timestamp unit: the driver has generated events.ts as TIMESTAMP(NANOS)
+# in some rounds and TIMESTAMP(MICROS) in others, and Tables.load
+# detects the unit per file — so the sf1 replica must match its source
+# (DuckDB's writer would silently downgrade NANOS to µs).
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+src_ts_type = pq.read_schema(f"{src}/events.parquet").field("ts").type
 ev = con.sql(f"""
   SELECT (event_id + k * {ES})::BIGINT AS event_id, ts,
     (user_id + k * {US})::BIGINT AS user_id,
     event_type, round(value + {jit('event_id')}, 2) AS value, props
   FROM read_parquet('{src}/events.parquet'), {K}
 """).arrow()
-import pyarrow as pa
-import pyarrow.parquet as pq
-
 idx = ev.schema.get_field_index("ts")
-ev = ev.set_column(idx, "ts", ev.column("ts").cast(pa.timestamp("ns")))
+ev = ev.set_column(idx, "ts", ev.column("ts").cast(src_ts_type))
 pq.write_table(ev, f"{out}/events.parquet")
 
 # documents + embeddings: banded near-dup replication (group count
