@@ -1152,6 +1152,54 @@ object Dedup {
         FROM v WHERE max_len > 0 AND CAST(edit_dist AS DOUBLE) / max_len <= 0.4
         ORDER BY id_a, id_b"""
       }
+    ),
+
+    Q(
+      "d15_containment",
+      "Asymmetric n-gram containment pairs: doc A mostly inside doc B (Broder containment >= 0.8)",
+      (spark, dir) => {
+        import spark.implicits._
+        // Broder's OTHER measure: containment |A∩B| / |A| — the one
+        // resemblance (d04's Jaccard) misses. A short doc wrapped in
+        // boilerplate (same article + different chrome, quote + long
+        // reply) has low Jaccard but containment ≈ 1, and training
+        // corpora want the WRAPPED copy flagged, not kept as "novel".
+        // Ordered pairs: (id_a contained-in id_b). Same posting-list
+        // shape as d04 — the shared-shingle count IS |A∩B|, divided by
+        // |A| instead of the union; one shingle-keyed join + one pair
+        // agg, no array payloads through the shuffle. At 100 TB the
+        // hot-shingle cap (Ops.jaccardPairs maxPosting) bounds the
+        // posting fanout identically to d04's scale path.
+        val sh = shingleArrays(spark, dir).cache()
+        val posting = sh.select($"doc_id", explode($"sh").as("s"))
+        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+        posting.select($"doc_id".as("id_a"), $"s")
+          .join(posting.select($"doc_id".as("id_b"), $"s"), Seq("s"))
+          .where($"id_a" =!= $"id_b")
+          .groupBy($"id_a", $"id_b")
+          .agg(count(lit(1)).as("c"))
+          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+          .withColumn("_cont", $"c".cast("double") / $"na")
+          .where($"_cont" >= 0.8)
+          .select($"id_a", $"id_b", $"c".as("n_shared"), $"na".as("n_a"),
+            round($"_cont", 6).as("containment"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd
+          FROM documents),
+        sh AS (SELECT doc_id,
+          CASE WHEN len(wd) >= 3 THEN list_distinct(list_transform(
+            generate_series(1, len(wd) - 2), i -> wd[i] || ' ' || wd[i + 1] || ' ' || wd[i + 2]))
+          ELSE [] END AS s FROM w)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_shared,
+          CAST(len(a.s) AS BIGINT) AS n_a,
+          ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS containment
+        FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        WHERE len(a.s) > 0
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+        ORDER BY id_a, id_b""")
     )
   )
 

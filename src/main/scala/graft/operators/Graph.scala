@@ -70,6 +70,47 @@ object Graph {
     ranks
   }
 
+  /** Exact triangle counting via degree orientation.
+    *
+    * `edges` is the DISTINCT undirected edge set with u < v. Each edge
+    * is oriented from its lower-(degree, id) endpoint to its higher
+    * one; that total order makes every triangle an acyclic tournament
+    * with exactly ONE node owning two out-edges, so enumerating wedges
+    * (a→b, a→c) and closing them against the undirected set counts
+    * each triangle exactly once — no /3 or /6 correction, and no
+    * dependence on id distribution.
+    *
+    * Scale shape: orientation is THE classical skew bound — a node's
+    * oriented out-degree is O(sqrt(m)) regardless of its raw degree,
+    * so the wedge self-join cannot explode on celebrity nodes the way
+    * an id-ordered (a<b<c) join does when low ids happen to be hubs.
+    * Three shuffles total: the degree agg, the wedge self-join keyed
+    * on the wedge apex, and the closing equi-join keyed on the
+    * (lo, hi) pair. Everything else is map-side.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v"))
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"), col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+    val tri = wedges
+      .join(und, least(col("b"), col("c")) === col("u") &&
+        greatest(col("b"), col("c")) === col("v"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "g01_pagerank_weighted",
@@ -114,6 +155,43 @@ object Graph {
         SELECT node, r AS rank_fp, ROUND(CAST(r AS DOUBLE) / 1000000000000, 9) AS rank
         FROM it5 ORDER BY rank_fp DESC, node"""
       }
+    ),
+
+    Q(
+      "g02_triangle_count",
+      "Per-node exact triangle counts on the part co-purchase graph, degree-oriented",
+      (spark, dir) => {
+        import spark.implicits._
+        // Co-occurrence graphs (parts bought together, domains linked
+        // together, docs sharing a cluster) get triangle counts as the
+        // standard cohesion signal — clustering coefficient numerators,
+        // community seeds. Graph: parts co-purchased in the same order
+        // with l_quantity >= 30 (degree ~28 at any sf: orders AND parts
+        // both scale linearly, so the graph grows linearly and the
+        // per-node neighborhood stays bounded). The Spark side orients
+        // by degree for the skew bound; the oracle enumerates a<b<c —
+        // deliberately different formulations, identical triangles.
+        val ip = Tables.load(spark, dir, "lineitem")
+          .filter($"l_quantity" >= 30)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        val edges = ip.as("a").join(ip.as("b"), "ok")
+          .where($"a.p" < $"b.p")
+          .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+        triangleCounts(edges)
+          .orderBy($"n_tri".desc, $"node")
+      },
+      Some("""WITH ip AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          FROM lineitem WHERE l_quantity >= 30),
+        und AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
+        tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM und e1 JOIN und e2 ON e2.u = e1.v
+          JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        corners AS (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM corners GROUP BY node ORDER BY n_tri DESC, node""")
     )
   )
 }

@@ -711,6 +711,76 @@ object TextAnalysis {
           CAST(len(wd[CAST(chunk_id * 24 + 1 AS INT) : CAST(chunk_id * 24 + 32 AS INT)]) AS BIGINT) AS n_tok,
           md5(array_to_string(wd[CAST(chunk_id * 24 + 1 AS INT) : CAST(chunk_id * 24 + 32 AS INT)], ' ')) AS chunk_hash
         FROM e ORDER BY doc_id, chunk_id""")
+    ),
+
+    Q(
+      "t19_shard_divergence",
+      "Pairwise Jensen-Shannon divergence of unigram distributions across source shards",
+      (spark, dir) => {
+        import spark.implicits._
+        // The corpus-mix diagnostic: how far apart are the shards'
+        // token distributions? (Near-zero JS between two crawls means
+        // one is redundant; a shard that diverges from every other is
+        // either a new domain or garbage.) Distributions are over the
+        // GLOBAL top-200 vocabulary (total count desc, word asc — a
+        // total order, so the cutoff is deterministic), normalized per
+        // shard over those words. Scale shape: the word count is the
+        // only corpus-sized agg; everything after operates on
+        // (shards × 200) rows — the 200-row vocab and the shard-pair
+        // frame broadcast, and output size is shard-pairs, independent
+        // of corpus size. JS term math is guarded (0·ln0 := 0) and
+        // value-rounded; both engines sum ≤400 O(1e-2) doubles, so
+        // ROUND(,6) absorbs summation-order ulps.
+        val words = Tables.load(spark, dir, "documents")
+          .select($"source", explode(expr(sparkWords)).as("w0"))
+          .select($"source", lower($"w0").as("w"))
+        val wc = words.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        val top = wc.groupBy($"w").agg(sum($"c").as("tot"))
+          .orderBy($"tot".desc, $"w").limit(200).select($"w")
+        val hits = wc.join(broadcast(top), "w")
+        val totals = hits.groupBy($"source").agg(sum($"c").as("n"))
+        val p = hits.join(totals, "source")
+          .select($"source", $"w", ($"c".cast("double") / $"n").as("p"))
+        val pairs = totals.select($"source".as("src_a"))
+          .crossJoin(totals.select($"source".as("src_b")))
+          .where($"src_a" < $"src_b") // bounded: shard count, not corpus
+        pairs.crossJoin(broadcast(top)) // bounded: pairs x 200
+          .join(p.select($"source".as("src_a"), $"w", $"p".as("pa")),
+            Seq("src_a", "w"), "left")
+          .join(p.select($"source".as("src_b"), $"w", $"p".as("pb")),
+            Seq("src_b", "w"), "left")
+          .na.fill(0.0, Seq("pa", "pb"))
+          .withColumn("term",
+            when($"pa" > 0, lit(0.5) * $"pa" * log(lit(2) * $"pa" / ($"pa" + $"pb")))
+              .otherwise(lit(0.0)) +
+            when($"pb" > 0, lit(0.5) * $"pb" * log(lit(2) * $"pb" / ($"pa" + $"pb")))
+              .otherwise(lit(0.0)))
+          .groupBy($"src_a", $"src_b")
+          .agg(round(sum($"term"), 6).as("js_nats"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(s"""WITH words AS (SELECT source, lower(w0) AS w FROM (
+          SELECT source, unnest($duckWords) AS w0 FROM documents)),
+        wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM words GROUP BY source, w),
+        top AS (SELECT w FROM (
+          SELECT w, SUM(c) AS tot FROM wc GROUP BY w
+          ORDER BY tot DESC, w LIMIT 200)),
+        hits AS (SELECT wc.* FROM wc JOIN top USING (w)),
+        tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hits GROUP BY source),
+        p AS (SELECT h.source, h.w, CAST(h.c AS DOUBLE) / t.n AS p
+          FROM hits h JOIN tot t USING (source)),
+        pairs AS (SELECT a.source AS src_a, b.source AS src_b
+          FROM tot a JOIN tot b ON a.source < b.source),
+        terms AS (SELECT s.src_a, s.src_b,
+            COALESCE(pa.p, 0) AS pa, COALESCE(pb.p, 0) AS pb
+          FROM (SELECT src_a, src_b, w FROM pairs CROSS JOIN top) s
+          LEFT JOIN p pa ON pa.source = s.src_a AND pa.w = s.w
+          LEFT JOIN p pb ON pb.source = s.src_b AND pb.w = s.w)
+        SELECT src_a, src_b, ROUND(SUM(
+            CASE WHEN pa > 0 THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0 END +
+            CASE WHEN pb > 0 THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0 END), 6) AS js_nats
+        FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b""")
     )
   )
 }
