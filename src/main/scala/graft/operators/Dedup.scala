@@ -67,6 +67,21 @@ object Dedup {
     Ops.jaccardPairs(shingleArrays(docs), "doc_id", "sh", threshold,
       Some(maxPostingsPerToken), pairwiseVerify)
 
+  /** d15's scale path: ordered containment pairs with the d04 knob
+    * calculus ([[Ops.containmentPairs]] — hot-shingle cap on candidate
+    * generation, pairwise array_intersect verify for high-dup
+    * corpora). maxPostingsPerToken = None is value-identical to the
+    * canned d15 query (Round7bOpsSpec pins it).
+    */
+  def containmentAtScale(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      maxPostingsPerToken: Option[Int] = None,
+      pairwiseVerify: Boolean = false
+  ): DataFrame =
+    Ops.containmentPairs(shingleArrays(docs), "doc_id", "sh", threshold,
+      maxPostingsPerToken, pairwiseVerify)
+
   /** Exploded (doc_id, shingle) posting list — distinct per doc by
     * construction (array_distinct above).
     */

@@ -160,6 +160,65 @@ object Ops {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Ordered-pair containment (|A∩B| / |A| >= threshold) with the same
+    * scale knobs as [[jaccardPairs]]: optional hot-token cap on
+    * candidate GENERATION (excluded tokens are a recall trade only),
+    * and a pairwise array_intersect verify for high-duplicate corpora
+    * where restricting postings to candidate docs degenerates to the
+    * full join (same calculus as jaccardPairs — see the measured
+    * numbers there). Values of surviving pairs are always EXACT.
+    * d15's canned query is the cap=None postings form of this.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      threshold: Double,
+      maxPostingsPerToken: Option[Int] = None,
+      pairwiseVerify: Boolean = false
+  ): DataFrame = {
+    val posting =
+      df.select(col(idCol).as("_id"), explode(array_distinct(col(tokensCol))).as("_t"))
+    val sizes = posting.groupBy(col("_id")).agg(count(lit(1)).as("_n"))
+
+    def pairCounts(src: DataFrame): DataFrame =
+      src.select(col("_id").as("id_a"), col("_t"))
+        .join(src.select(col("_id").as("id_b"), col("_t")), Seq("_t"))
+        .where(col("id_a") =!= col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("_c"))
+
+    val counts = maxPostingsPerToken match {
+      case None => pairCounts(posting)
+      case Some(cap) =>
+        posting.cache()
+        val hot = posting.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > cap).select(col("_t"))
+        val capped = posting.join(hot, Seq("_t"), "left_anti").cache()
+        val cands = pairCounts(capped).select(col("id_a"), col("id_b"))
+        if (pairwiseVerify) {
+          val arrays =
+            df.select(col(idCol).as("_aid"), array_distinct(col(tokensCol)).as("_tk"))
+          cands
+            .join(arrays.select(col("_aid").as("id_a"), col("_tk").as("_ta")), "id_a")
+            .join(arrays.select(col("_aid").as("id_b"), col("_tk").as("_tb")), "id_b")
+            .withColumn("_c", size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
+            .select(col("id_a"), col("id_b"), col("_c"))
+        } else {
+          val candDocs = cands
+            .select(explode(array(col("id_a"), col("id_b"))).as("_id")).distinct()
+          val restricted = posting.join(candDocs, Seq("_id"), "left_semi")
+          pairCounts(restricted).join(cands, Seq("id_a", "id_b"), "left_semi")
+        }
+    }
+    counts
+      .join(sizes.select(col("_id").as("id_a"), col("_n").as("_na")), "id_a")
+      .withColumn("containment", col("_c").cast("double") / col("_na"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("_c").as("n_shared"),
+        col("_na").as("n_a"), col("containment"))
+  }
+
   /** Brute-force cosine top-k: broadcast probes against a corpus of
     * Array[Float] embeddings (uses the fused codegen expression).
     */

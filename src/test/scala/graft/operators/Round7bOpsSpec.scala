@@ -96,6 +96,32 @@ class Round7bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("containmentAtScale uncapped equals the canned d15 query") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scale = Dedup.containmentAtScale(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val canned = q("d15_containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(scale == canned, s"scale path diverges: ${scale.diff(canned)} / ${canned.diff(scale)}")
+    spark.catalog.clearCache()
+  }
+
+  test("containmentAtScale capped+pairwise keeps exact values on surviving pairs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val canned = q("d15_containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val capped = Dedup.containmentAtScale(docs, 0.8,
+      maxPostingsPerToken = Some(8), pairwiseVerify = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // cap is a recall trade only: surviving pairs carry the EXACT
+    // full-posting counts, never values computed from capped postings
+    capped.foreach { case (pair, v) =>
+      assert(canned.contains(pair) && canned(pair) == v,
+        s"pair $pair: capped $v vs canned ${canned.get(pair)}")
+    }
+    spark.catalog.clearCache()
+  }
+
   // ---- t19 shard divergence -------------------------------------
 
   test("t19 is 0 for identical shards and ln 2 for disjoint vocabularies") {
