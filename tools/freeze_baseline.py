@@ -7,14 +7,56 @@ Usage: python3 tools/freeze_baseline.py [bench.json] [out.md]
 Defaults: BENCH.out.json -> BASELINE.md
 """
 import json
+import re
 import sys
 
-src = sys.argv[1] if len(sys.argv) > 1 else "BENCH.out.json"
-out = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+args = [a for a in sys.argv[1:] if a != "--extend"]
+extend = "--extend" in sys.argv[1:]
+src = args[0] if len(args) > 0 else "BENCH.out.json"
+out = args[1] if len(args) > 1 else "BASELINE.md"
 
-d = json.load(open(src))
+
+def load_artifact(p):
+    """A driver artifact is either the bench JSON itself or a wrapper
+    whose `tail` embeds the bench's single JSON output line."""
+    d = json.load(open(p))
+    if "queries" not in d and "tail" in d:
+        for line in d["tail"].splitlines():
+            i = line.find('{"metric"')
+            if i >= 0:
+                return json.loads(line[i:].rstrip("\\n"))
+        raise SystemExit(f"no bench JSON line found in {p}")
+    return d
+
+
+d = load_artifact(src)
 queries = d["queries"]
 medians = d.get("median", {})
+
+if extend:
+    # merge mode: keep every frozen number (regression continuity),
+    # append ONLY queries the baseline does not know yet
+    existing = set()
+    body = open(out).read().splitlines()
+    for line in body:
+        m = re.match(r"\|\s*(\w+)\s*\|", line)
+        if m and m.group(1) != "query":
+            existing.add(m.group(1))
+    add = sorted(set(queries) - existing)
+    if not add:
+        raise SystemExit("nothing to extend: all bench queries already baselined")
+    rows = []
+    for name in add:
+        best, med = queries[name], medians.get(name)
+        rows.append(f"| {name} | {best:.4f} | "
+                    + ("null" if med is None else f"{med:.4f}") + " |")
+    # insert after the last table row
+    last = max(i for i, l in enumerate(body) if l.startswith("|"))
+    body[last + 1:last + 1] = rows
+    with open(out, "w") as f:
+        f.write("\n".join(body) + ("\n" if not body[-1] == "" else ""))
+    print(f"extended {out}: +{len(add)} queries ({', '.join(add)})")
+    raise SystemExit(0)
 
 lines = [
     "# BASELINE — per-query benchmark reference",
