@@ -331,6 +331,88 @@ object Embeddings {
         nrm AS (SELECT SQRT(SUM(x * x)) AS nn FROM v3)
         SELECT v3.j AS dim, ROUND(v3.x / nrm.nn, 6) AS loading
         FROM v3, nrm ORDER BY dim""")
+    ),
+
+    Q(
+      "e07_pc1_scores",
+      "Project every embedding onto the e06 eigenvector: per-vector PC1 score",
+      (spark, dir) => {
+        import spark.implicits._
+        // The APPLICATION of e06: principal-component scores per
+        // vector — the column a curation pipeline actually sorts,
+        // buckets, or outlier-flags on. The training side is e06's
+        // exactly (same quantization, same exact-integer covariance,
+        // same 3 iterations — deliberately recomputed inline so the
+        // query is self-contained like e04/e06); the scoring side is
+        // ONE broadcast join of the 8-row unrounded eigenvector
+        // against the top-8 dim slice and a vec_id-keyed sum — the
+        // corpus-linear inference shape (e05's class), zero extra
+        // corpus passes. Scores round at 1e-6 against ~1e-12 ulps
+        // from the 8-term double sums.
+        val ex = Tables.load(spark, dir, "embeddings")
+          .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+          .select($"vec_id", $"dim".cast("int").as("dim"),
+            floor($"x".cast("double") * 1000).cast("long").as("q"))
+        val st = ex.groupBy($"dim")
+          .agg(sum($"q").as("s"), sum($"q" * $"q").as("ss"), count(lit(1)).as("n"))
+        val top = st.orderBy(($"ss" * $"n" - $"s" * $"s").desc, $"dim".asc).limit(8)
+        val ch = ex.join(broadcast(top.select($"dim")), "dim")
+          .localCheckpoint(eager = false) // reused: covariance AND scoring
+        val pr = ch.select($"vec_id", $"dim".as("dim_i"), $"q".as("_qa"))
+          .join(ch.select($"vec_id", $"dim".as("dim_j"), $"q".as("_qb")), "vec_id")
+          .where($"dim_i" <= $"dim_j")
+          .groupBy($"dim_i", $"dim_j")
+          .agg(sum($"_qa" * $"_qb").as("sp"))
+        val covTri = pr
+          .join(broadcast(top.select($"dim".as("dim_i"), $"s".as("_si"), $"n".as("_n"))), "dim_i")
+          .join(broadcast(top.select($"dim".as("dim_j"), $"s".as("_sj"))), "dim_j")
+          .select($"dim_i", $"dim_j",
+            ($"sp" * $"_n" - $"_si" * $"_sj").cast("double").as("cv"))
+        val cov = covTri.select($"dim_i".as("i"), $"dim_j".as("j"), $"cv")
+          .unionAll(covTri.where($"dim_i" =!= $"dim_j")
+            .select($"dim_j".as("i"), $"dim_i".as("j"), $"cv"))
+          .localCheckpoint(eager = false)
+        var v = top.select($"dim".as("j"), lit(1.0).as("x"))
+        for (_ <- 1 to 3) {
+          v = cov.join(v, "j")
+            .groupBy($"i").agg(sum($"cv" * $"x").as("x"))
+            .select($"i".as("j"), $"x")
+            .localCheckpoint(eager = false)
+        }
+        val nrm = v.agg(sqrt(sum($"x" * $"x")).as("nn"))
+        val vn = v.crossJoin(broadcast(nrm)) // 8 x 1: bounded
+          .select($"j".as("dim"), ($"x" / $"nn").as("_w")) // UNROUNDED weights
+        ch.join(broadcast(vn), "dim")
+          .groupBy($"vec_id")
+          .agg(round(sum($"q" * $"_w"), 6).as("pc1"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH ex AS (
+          SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+        st AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS ss,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM ex GROUP BY dim),
+        top AS (SELECT dim, s, n FROM st ORDER BY ss * n - s * s DESC, dim ASC LIMIT 8),
+        ch AS (SELECT ex.* FROM ex JOIN top ON top.dim = ex.dim),
+        pr AS (SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(SUM(a.q * b.q) AS BIGINT) AS sp
+          FROM ch a JOIN ch b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY 1, 2),
+        covtri AS (SELECT p.dim_i, p.dim_j,
+            CAST(p.sp * ti.n - ti.s * tj.s AS DOUBLE) AS cv
+          FROM pr p JOIN top ti ON ti.dim = p.dim_i JOIN top tj ON tj.dim = p.dim_j),
+        cov AS (SELECT dim_i AS i, dim_j AS j, cv FROM covtri
+          UNION ALL SELECT dim_j, dim_i, cv FROM covtri WHERE dim_i <> dim_j),
+        v0 AS (SELECT dim AS j, CAST(1.0 AS DOUBLE) AS x FROM top),
+        v1 AS (SELECT cov.i AS j, SUM(cov.cv * v0.x) AS x FROM cov JOIN v0 USING (j) GROUP BY cov.i),
+        v2 AS (SELECT cov.i AS j, SUM(cov.cv * v1.x) AS x FROM cov JOIN v1 USING (j) GROUP BY cov.i),
+        v3 AS (SELECT cov.i AS j, SUM(cov.cv * v2.x) AS x FROM cov JOIN v2 USING (j) GROUP BY cov.i),
+        nrm AS (SELECT SQRT(SUM(x * x)) AS nn FROM v3),
+        vn AS (SELECT v3.j AS dim, v3.x / nrm.nn AS w FROM v3, nrm)
+        SELECT ch.vec_id, ROUND(SUM(ch.q * vn.w), 6) AS pc1
+        FROM ch JOIN vn USING (dim)
+        GROUP BY ch.vec_id ORDER BY ch.vec_id""")
     )
   )
 

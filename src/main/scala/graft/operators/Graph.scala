@@ -192,6 +192,60 @@ object Graph {
           UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
         SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
         FROM corners GROUP BY node ORDER BY n_tri DESC, node""")
+    ),
+
+    Q(
+      "g03_kcore_peel",
+      "3-core peeling, 5 synchronous rounds: surviving nodes + their residual degree",
+      (spark, dir) => {
+        import spark.implicits._
+        // The densest-region filter community detection starts from:
+        // repeatedly remove nodes with degree < k. Five SYNCHRONOUS
+        // peel rounds (fixed count, like g01's iterations, so the
+        // oracle is a literal 5-stage CTE unroll — a data-dependent
+        // fixpoint would leave the oracle unable to know when to
+        // stop). Each round is ONE degree agg + two semi-joins
+        // restricting the edge list; per-round lazy checkpoints keep
+        // the plan linear in rounds (the g01/d06 discipline). At
+        // 100 TB: degree aggs shuffle on node, semi-joins broadcast
+        // the shrinking keep-list once it fits, all linear in edges.
+        val ip = Tables.load(spark, dir, "lineitem")
+          .filter($"l_quantity" >= 30)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        val und = ip.as("a").join(ip.as("b"), "ok")
+          .where($"a.p" < $"b.p")
+          .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+        var e = und.select($"u".as("src"), $"v".as("dst"))
+          .unionAll(und.select($"v".as("src"), $"u".as("dst")))
+          .localCheckpoint(eager = false)
+        for (_ <- 1 to 5) {
+          val keep = e.groupBy($"src").agg(count(lit(1)).as("d"))
+            .where($"d" >= 3).select($"src".as("_k"))
+          e = e.join(keep.select($"_k".as("src")), Seq("src"), "left_semi")
+            .join(keep.select($"_k".as("dst")), Seq("dst"), "left_semi")
+            .select($"src", $"dst")
+            .localCheckpoint(eager = false)
+        }
+        e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+          .orderBy($"node")
+      },
+      Some {
+        val peels = (1 to 5).map { r =>
+          s"""k$r AS (SELECT src AS node FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= 3),
+          e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+            JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node)"""
+        }.mkString(",\n        ")
+        s"""WITH ip AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          FROM lineitem WHERE l_quantity >= 30),
+        und AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
+        e0 AS (SELECT u AS src, v AS dst FROM und
+          UNION ALL SELECT v, u FROM und),
+        $peels
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM e5 GROUP BY src ORDER BY node"""
+      }
     )
   )
 }

@@ -184,6 +184,59 @@ class Round7bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("g03 matches a sequential peel replay") {
+    val got = q("g03_kcore_peel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val ip = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges: Set[(Long, Long)] = ip.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length;
+           e <- Seq((ps(i), ps(j)), (ps(j), ps(i)))) yield e
+    }.toSet
+    for (_ <- 1 to 5) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter { case (s, d) => keep(s) && keep(d) }
+    }
+    val expected = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    assert(got == expected,
+      s"diff: ${(got.toSet diff expected.toSet).take(5)} / ${(expected.toSet diff got.toSet).take(5)}")
+  }
+
+  test("e07 scores match the replayed eigenvector projection for every vector") {
+    val got = q("e07_pc1_scores").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val em = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val d = 64
+    val n = em.length.toLong
+    val qz = em.map { case (id, a) => id -> a.map(x => math.floor(x.toDouble * 1000).toLong) }
+    val s = Array.tabulate(d)(j => qz.map(_._2(j)).sum)
+    val ss = Array.tabulate(d)(j => qz.map(v => v._2(j) * v._2(j)).sum)
+    val top = (0 until d).sortBy(j => (-(ss(j) * n - s(j) * s(j)), j)).take(8)
+    val cov = Array.tabulate(8, 8) { (a, b) =>
+      val (i, j) = (top(a), top(b))
+      (qz.map(v => v._2(i) * v._2(j)).sum * n - s(i) * s(j)).toDouble
+    }
+    var v = Array.fill(8)(1.0)
+    for (_ <- 1 to 3)
+      v = Array.tabulate(8)(a => (0 until 8).map(b => cov(a)(b) * v(b)).sum)
+    val nn = math.sqrt(v.map(x => x * x).sum)
+    val w = v.map(_ / nn)
+    assert(got.size == em.length)
+    qz.foreach { case (id, arr) =>
+      val score = top.indices.map(a => arr(top(a)) * w(a)).sum
+      assert(math.abs(got(id) - score) <= 1e-5,
+        s"vec $id: distributed ${got(id)} != replay $score")
+    }
+  }
+
   test("e06 loadings form a unit vector") {
     val v = q("e06_power_iteration").collect().map(_.getDouble(1))
     assert(v.length == 8)
