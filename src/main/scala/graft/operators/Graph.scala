@@ -230,17 +230,22 @@ object Graph {
           .orderBy($"node")
       },
       Some {
+        // every e{r-1} is referenced TWICE per stage (degree agg +
+        // edge restriction): if DuckDB INLINES the CTEs the plan tree
+        // doubles per stage — 2^5 copies of the und self-join
+        // (measured: 58 s vs 0.9 s at sf0.1; disk-spill death at
+        // sf1). AS MATERIALIZED pins each stage to evaluate once.
         val peels = (1 to 5).map { r =>
-          s"""k$r AS (SELECT src AS node FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= 3),
-          e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+          s"""k$r AS MATERIALIZED (SELECT src AS node FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= 3),
+          e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
             JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node)"""
         }.mkString(",\n        ")
-        s"""WITH ip AS (
+        s"""WITH ip AS MATERIALIZED (
           SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
           FROM lineitem WHERE l_quantity >= 30),
-        und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        und AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
           FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
-        e0 AS (SELECT u AS src, v AS dst FROM und
+        e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
           UNION ALL SELECT v, u FROM und),
         $peels
         SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
