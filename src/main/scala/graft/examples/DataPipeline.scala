@@ -150,6 +150,15 @@ object DataPipeline {
       }
       .depend("in" -> "docs.lang.{lang}")
 
+    // corpus-mix diagnostic: pairwise JS divergence between source
+    // shards of the CLEANED corpus (t19's core routed as a cell) —
+    // the table a mix-rebalancing step consults before reweighting
+    wkf
+      .provide("docs.divergence") { ctx =>
+        graft.operators.TextAnalysis.shardDivergence(ctx.as[DataFrame]("in"))
+      }
+      .depend("in" -> "docs.clean")
+
     // pack into ~512-token bins per lang for batch assembly
     wkf
       .provide("docs.packed") { ctx =>
@@ -255,6 +264,13 @@ object DataPipeline {
       .orderBy(col("lang")).collect()
       .map(r => s"${r.getString(0)}:${r.getDouble(1)}").mkString(",")
     println(s"mix_weights=$mixOut")
+
+    // the divergence cell feeding that mix decision: shard pairs +
+    // the most-divergent pair (a drifting/garbage-shard tripwire)
+    val div = wkf.run("docs.divergence").asInstanceOf[DataFrame]
+      .orderBy(col("js_nats").desc, col("src_a"), col("src_b")).collect()
+    println(f"shard_divergence=${div.length} pairs, " +
+      f"max=${div.head.getString(0)}~${div.head.getString(1)}:${div.head.getDouble(2)}%.3f")
 
     // Z-order layout of the curated corpus: interleave (lang-bucket,
     // length-bucket) so scans filtered on EITHER dimension prune files

@@ -25,6 +25,51 @@ object TextAnalysis {
   // Engine-specific spellings of the same token pipeline.
   private val sparkWords = "filter(split(text, ' '), x -> x <> '')"
   private val duckWords = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** t19's core, public for pipeline reuse: pairwise Jensen-Shannon
+    * divergence (nats) of per-`shardCol` unigram distributions over
+    * the GLOBAL top-`topK` vocabulary (count desc, word asc — a total
+    * order, so the cutoff is deterministic). The only corpus-sized
+    * work is the word explode + (shard, word) agg; everything after
+    * runs on broadcast vocab / shard-pair frames, and output size is
+    * shard-pairs at any corpus size. 0·ln0 guarded; value-rounded.
+    */
+  def shardDivergence(
+      docs: org.apache.spark.sql.DataFrame,
+      shardCol: String = "source",
+      topK: Int = 200
+  ): org.apache.spark.sql.DataFrame = {
+    val sh = col(shardCol)
+    val words = docs
+      .select(sh.as("_shard"), explode(expr(sparkWords)).as("w0"))
+      .select(col("_shard"), lower(col("w0")).as("w"))
+    val wc = words.groupBy(col("_shard"), col("w")).agg(count(lit(1)).as("c"))
+    val top = wc.groupBy(col("w")).agg(sum(col("c")).as("tot"))
+      .orderBy(col("tot").desc, col("w").asc).limit(topK).select(col("w"))
+    val hits = wc.join(broadcast(top), "w")
+    val totals = hits.groupBy(col("_shard")).agg(sum(col("c")).as("n"))
+    val p = hits.join(totals, "_shard")
+      .select(col("_shard"), col("w"), (col("c").cast("double") / col("n")).as("p"))
+    val pairs = totals.select(col("_shard").as("src_a"))
+      .crossJoin(totals.select(col("_shard").as("src_b")))
+      .where(col("src_a") < col("src_b")) // bounded: shard count, not corpus
+    pairs.crossJoin(broadcast(top)) // bounded: pairs x topK
+      .join(p.select(col("_shard").as("src_a"), col("w"), col("p").as("pa")),
+        Seq("src_a", "w"), "left")
+      .join(p.select(col("_shard").as("src_b"), col("w"), col("p").as("pb")),
+        Seq("src_b", "w"), "left")
+      .na.fill(0.0, Seq("pa", "pb"))
+      .withColumn("term",
+        when(col("pa") > 0,
+          lit(0.5) * col("pa") * log(lit(2) * col("pa") / (col("pa") + col("pb"))))
+          .otherwise(lit(0.0)) +
+        when(col("pb") > 0,
+          lit(0.5) * col("pb") * log(lit(2) * col("pb") / (col("pa") + col("pb"))))
+          .otherwise(lit(0.0)))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(sum(col("term")), 6).as("js_nats"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
   private def sparkHits(lang: String) =
     s"size(filter(words, x -> x IN ${inList(stop(lang))}))"
   private def duckHits(lang: String) =
@@ -731,33 +776,7 @@ object TextAnalysis {
         // of corpus size. JS term math is guarded (0·ln0 := 0) and
         // value-rounded; both engines sum ≤400 O(1e-2) doubles, so
         // ROUND(,6) absorbs summation-order ulps.
-        val words = Tables.load(spark, dir, "documents")
-          .select($"source", explode(expr(sparkWords)).as("w0"))
-          .select($"source", lower($"w0").as("w"))
-        val wc = words.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
-        val top = wc.groupBy($"w").agg(sum($"c").as("tot"))
-          .orderBy($"tot".desc, $"w").limit(200).select($"w")
-        val hits = wc.join(broadcast(top), "w")
-        val totals = hits.groupBy($"source").agg(sum($"c").as("n"))
-        val p = hits.join(totals, "source")
-          .select($"source", $"w", ($"c".cast("double") / $"n").as("p"))
-        val pairs = totals.select($"source".as("src_a"))
-          .crossJoin(totals.select($"source".as("src_b")))
-          .where($"src_a" < $"src_b") // bounded: shard count, not corpus
-        pairs.crossJoin(broadcast(top)) // bounded: pairs x 200
-          .join(p.select($"source".as("src_a"), $"w", $"p".as("pa")),
-            Seq("src_a", "w"), "left")
-          .join(p.select($"source".as("src_b"), $"w", $"p".as("pb")),
-            Seq("src_b", "w"), "left")
-          .na.fill(0.0, Seq("pa", "pb"))
-          .withColumn("term",
-            when($"pa" > 0, lit(0.5) * $"pa" * log(lit(2) * $"pa" / ($"pa" + $"pb")))
-              .otherwise(lit(0.0)) +
-            when($"pb" > 0, lit(0.5) * $"pb" * log(lit(2) * $"pb" / ($"pa" + $"pb")))
-              .otherwise(lit(0.0)))
-          .groupBy($"src_a", $"src_b")
-          .agg(round(sum($"term"), 6).as("js_nats"))
-          .orderBy($"src_a", $"src_b")
+        shardDivergence(Tables.load(spark, dir, "documents"))
       },
       Some(s"""WITH words AS (SELECT source, lower(w0) AS w FROM (
           SELECT source, unnest($duckWords) AS w0 FROM documents)),

@@ -77,6 +77,18 @@ class DataPipelineSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("the divergence cell routes t19's core over the cleaned corpus") {
+    val div = wkf.run("docs.divergence").asInstanceOf[DataFrame].collect()
+    val nShards = wkf.run("docs.clean").asInstanceOf[DataFrame]
+      .select(countDistinct(col("source"))).head.getLong(0)
+    assert(div.length == nShards * (nShards - 1) / 2,
+      s"${div.length} pairs for $nShards shards")
+    div.foreach { r =>
+      val js = r.getDouble(2)
+      assert(js >= 0.0 && js <= math.log(2) + 1e-9, s"JS out of range: $r")
+    }
+  }
+
   test("the sinks cell fans the corpus out through three routed formats") {
     val out = java.nio.file.Files.createTempDirectory("graft-fanout").toString
     wkf.run(s"docs.sinks.$out")
