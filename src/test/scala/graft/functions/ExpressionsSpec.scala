@@ -103,6 +103,35 @@ class ExpressionsSpec extends SparkTestBase {
     assert(got(2) == Nil && got(3) == Nil && got(4) == Nil)
   }
 
+  test("NibbleHistogram == the hex/instr formulation over real payloads") {
+    import spark.implicits._
+    // the equivalence the m07 rewrite rests on: (b & 0xF0) >>> 4 ==
+    // the odd-position hex digit decode, byte for byte
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val viaExpr = docs
+      .select($"doc_id", posexplode(GraftExpressions.nibbleHistogram($"payload"))
+        .as(Seq("bin", "n")))
+      .where($"n" > 0)
+      .select($"doc_id", $"bin".cast("int").as("bin"), $"n")
+    val viaHex = docs
+      .select($"doc_id", hex($"payload").as("hp"))
+      .select($"doc_id", explode(sequence(lit(1), length($"hp"), lit(2))).as("i"), $"hp")
+      .select($"doc_id",
+        (expr("instr('0123456789ABCDEF', substr(hp, i, 1))") - 1).cast("int").as("bin"))
+      .groupBy($"doc_id", $"bin").agg(count(lit(1)).as("n"))
+    assert(viaExpr.count() > 0)
+    assert(viaExpr.except(viaHex).count() == 0 && viaHex.except(viaExpr).count() == 0)
+    // handcrafted bytes: one per nibble bucket + empties
+    val h = Seq(Array[Byte](0x00, 0x10, 0x1F, 0x7F, -1 /*0xFF*/))
+      .toDF("p").select(GraftExpressions.nibbleHistogram($"p").as("h"))
+      .head().getSeq[Long](0)
+    assert(h(0) == 1 && h(1) == 2 && h(7) == 1 && h(15) == 1 && h.sum == 5)
+    val zero = Seq(Array.empty[Byte]).toDF("p")
+      .select(GraftExpressions.nibbleHistogram($"p").as("h")).head().getSeq[Long](0)
+    assert(zero.sum == 0 && zero.length == 16)
+  }
+
   test("null handling: cosine of null array is null") {
     import spark.implicits._
     val df = Seq((Some(Array(1.0f, 2.0f)), Option.empty[Array[Float]]))
