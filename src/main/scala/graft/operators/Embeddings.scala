@@ -163,9 +163,16 @@ object Embeddings {
         // the dim-by-dim covariance block over the dims that matter.
         // Values quantize once to milli-scaled BIGINTs so every sum
         // (s_i, ss_i, sum of cross products) is an EXACT integer —
-        // partial-agg order can't drift and the covariance numerator
-        // n*sp_ij - s_i*s_j is computed entirely in int64 (bounded:
-        // |q| <= ~2000, so n*sp < 2^45 even at sf1). Shuffle shape:
+        // partial-agg order can't drift. The corpus-side Long sums are
+        // safe far past any real corpus (|q| <= ~1000, so s, ss, sp
+        // stay under 2^63 to ~1e12 vectors), but the FINAL combination
+        // n*sp_ij - s_i*s_j squares n and would silently wrap int64
+        // past ~3M vectors — so it runs in DECIMAL(38,0) (Spark) /
+        // HUGEINT (DuckDB): exact to 1e38, i.e. ~1e16 vectors. The
+        // cov_num OUTPUT column keeps the int64 contract; if the wide
+        // value ever exceeds int64 both engines now raise (Spark
+        // raise_error, DuckDB overflow on HUGEINT->BIGINT cast)
+        // instead of diverging silently. Shuffle shape:
         // one explode (d rows/vector, map-local) + a d-key agg for
         // the variance ranking, then the cross-product pass self-joins
         // the k-dim slice per vec_id — ONE vec_id shuffle with a k^2/2
@@ -179,7 +186,10 @@ object Embeddings {
         val st = ex.groupBy($"dim")
           .agg(sum($"q").as("s"), sum($"q" * $"q").as("ss"), count(lit(1)).as("n"))
         // top-8 by integer variance numerator ss*n - s^2, dim asc ties
-        val top = st.orderBy(($"ss" * $"n" - $"s" * $"s").desc, $"dim".asc).limit(8)
+        // (wide decimal: ss*n also squares n — same wrap hazard)
+        val top = st.orderBy(
+          ($"ss".cast("decimal(38,0)") * $"n" -
+            $"s".cast("decimal(38,0)") * $"s").desc, $"dim".asc).limit(8)
         val ch = ex.join(broadcast(top.select($"dim")), "dim")
         val pr = ch.select($"vec_id", $"dim".as("dim_i"), $"q".as("_qa"))
           .join(ch.select($"vec_id", $"dim".as("dim_j"), $"q".as("_qb")), "vec_id")
@@ -189,9 +199,15 @@ object Embeddings {
         pr
           .join(broadcast(top.select($"dim".as("dim_i"), $"s".as("_si"), $"n".as("_n"))), "dim_i")
           .join(broadcast(top.select($"dim".as("dim_j"), $"s".as("_sj"))), "dim_j")
+          .select($"dim_i", $"dim_j", $"_n",
+            ($"sp".cast("decimal(38,0)") * $"_n" -
+              $"_si".cast("decimal(38,0)") * $"_sj").as("_cnw"))
           .select($"dim_i", $"dim_j",
-            ($"sp" * $"_n" - $"_si" * $"_sj").as("cov_num"),
-            round(($"sp" * $"_n" - $"_si" * $"_sj").cast("double") /
+            when($"_cnw".between(Long.MinValue, Long.MaxValue), $"_cnw".cast("long"))
+              .otherwise(raise_error(concat(
+                lit("e04 cov_num overflows int64: "), $"_cnw".cast("string"))))
+              .as("cov_num"),
+            round($"_cnw".cast("double") /
               ($"_n".cast("double") * $"_n" * 1000000), 9).as("cov"))
           .orderBy($"dim_i", $"dim_j")
       },
@@ -202,13 +218,15 @@ object Embeddings {
         st AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS ss,
             CAST(COUNT(*) AS BIGINT) AS n
           FROM ex GROUP BY dim),
-        top AS (SELECT dim, s, n FROM st ORDER BY ss * n - s * s DESC, dim ASC LIMIT 8),
+        top AS (SELECT dim, s, n FROM st
+          ORDER BY CAST(ss AS HUGEINT) * n - CAST(s AS HUGEINT) * s DESC, dim ASC LIMIT 8),
         ch AS (SELECT ex.* FROM ex JOIN top ON top.dim = ex.dim),
         pr AS (SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(SUM(a.q * b.q) AS BIGINT) AS sp
           FROM ch a JOIN ch b ON a.vec_id = b.vec_id AND a.dim <= b.dim
           GROUP BY 1, 2)
-        SELECT p.dim_i, p.dim_j, p.sp * ti.n - ti.s * tj.s AS cov_num,
-          ROUND(CAST(p.sp * ti.n - ti.s * tj.s AS DOUBLE) /
+        SELECT p.dim_i, p.dim_j,
+          CAST(CAST(p.sp AS HUGEINT) * ti.n - CAST(ti.s AS HUGEINT) * tj.s AS BIGINT) AS cov_num,
+          ROUND(CAST(CAST(p.sp AS HUGEINT) * ti.n - CAST(ti.s AS HUGEINT) * tj.s AS DOUBLE) /
             (CAST(ti.n AS DOUBLE) * ti.n * 1000000), 9) AS cov
         FROM pr p JOIN top ti ON ti.dim = p.dim_i JOIN top tj ON tj.dim = p.dim_j
         ORDER BY dim_i, dim_j""")
@@ -262,8 +280,10 @@ object Embeddings {
         // principal direction. Three SYNCHRONOUS power iterations from
         // the all-ones vector on the top-8 covariance block, then one
         // L2 normalization. Determinism layering: the matrix entries
-        // are e04's EXACT int64 covariance numerators (the common
-        // scale factor cancels under normalization), the iteration
+        // are e04's EXACT covariance numerators, combined in
+        // DECIMAL(38,0)/HUGEINT so they stay exact past int64's ~3M
+        // vector wrap point (the common scale factor cancels under
+        // normalization), the iteration
         // count and start vector are fixed, and only the final
         // loadings round — ≤8-term double sums per mat-vec leave
         // ~1e-14 relative noise against a 1e-6 rounding grid. Scale
@@ -290,7 +310,8 @@ object Embeddings {
           .join(broadcast(top.select($"dim".as("dim_i"), $"s".as("_si"), $"n".as("_n"))), "dim_i")
           .join(broadcast(top.select($"dim".as("dim_j"), $"s".as("_sj"))), "dim_j")
           .select($"dim_i", $"dim_j",
-            ($"sp" * $"_n" - $"_si" * $"_sj").cast("double").as("cv"))
+            ($"sp".cast("decimal(38,0)") * $"_n" -
+              $"_si".cast("decimal(38,0)") * $"_sj").cast("double").as("cv"))
         val cov = covTri.select($"dim_i".as("i"), $"dim_j".as("j"), $"cv")
           .unionAll(covTri.where($"dim_i" =!= $"dim_j")
             .select($"dim_j".as("i"), $"dim_i".as("j"), $"cv"))
@@ -314,13 +335,14 @@ object Embeddings {
         st AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS ss,
             CAST(COUNT(*) AS BIGINT) AS n
           FROM ex GROUP BY dim),
-        top AS (SELECT dim, s, n FROM st ORDER BY ss * n - s * s DESC, dim ASC LIMIT 8),
+        top AS (SELECT dim, s, n FROM st
+          ORDER BY CAST(ss AS HUGEINT) * n - CAST(s AS HUGEINT) * s DESC, dim ASC LIMIT 8),
         ch AS (SELECT ex.* FROM ex JOIN top ON top.dim = ex.dim),
         pr AS (SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(SUM(a.q * b.q) AS BIGINT) AS sp
           FROM ch a JOIN ch b ON a.vec_id = b.vec_id AND a.dim <= b.dim
           GROUP BY 1, 2),
         covtri AS (SELECT p.dim_i, p.dim_j,
-            CAST(p.sp * ti.n - ti.s * tj.s AS DOUBLE) AS cv
+            CAST(CAST(p.sp AS HUGEINT) * ti.n - CAST(ti.s AS HUGEINT) * tj.s AS DOUBLE) AS cv
           FROM pr p JOIN top ti ON ti.dim = p.dim_i JOIN top tj ON tj.dim = p.dim_j),
         cov AS (SELECT dim_i AS i, dim_j AS j, cv FROM covtri
           UNION ALL SELECT dim_j, dim_i, cv FROM covtri WHERE dim_i <> dim_j),
@@ -367,7 +389,8 @@ object Embeddings {
           .join(broadcast(top.select($"dim".as("dim_i"), $"s".as("_si"), $"n".as("_n"))), "dim_i")
           .join(broadcast(top.select($"dim".as("dim_j"), $"s".as("_sj"))), "dim_j")
           .select($"dim_i", $"dim_j",
-            ($"sp" * $"_n" - $"_si" * $"_sj").cast("double").as("cv"))
+            ($"sp".cast("decimal(38,0)") * $"_n" -
+              $"_si".cast("decimal(38,0)") * $"_sj").cast("double").as("cv"))
         val cov = covTri.select($"dim_i".as("i"), $"dim_j".as("j"), $"cv")
           .unionAll(covTri.where($"dim_i" =!= $"dim_j")
             .select($"dim_j".as("i"), $"dim_i".as("j"), $"cv"))
@@ -394,13 +417,14 @@ object Embeddings {
         st AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS ss,
             CAST(COUNT(*) AS BIGINT) AS n
           FROM ex GROUP BY dim),
-        top AS (SELECT dim, s, n FROM st ORDER BY ss * n - s * s DESC, dim ASC LIMIT 8),
+        top AS (SELECT dim, s, n FROM st
+          ORDER BY CAST(ss AS HUGEINT) * n - CAST(s AS HUGEINT) * s DESC, dim ASC LIMIT 8),
         ch AS (SELECT ex.* FROM ex JOIN top ON top.dim = ex.dim),
         pr AS (SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(SUM(a.q * b.q) AS BIGINT) AS sp
           FROM ch a JOIN ch b ON a.vec_id = b.vec_id AND a.dim <= b.dim
           GROUP BY 1, 2),
         covtri AS (SELECT p.dim_i, p.dim_j,
-            CAST(p.sp * ti.n - ti.s * tj.s AS DOUBLE) AS cv
+            CAST(CAST(p.sp AS HUGEINT) * ti.n - CAST(ti.s AS HUGEINT) * tj.s AS DOUBLE) AS cv
           FROM pr p JOIN top ti ON ti.dim = p.dim_i JOIN top tj ON tj.dim = p.dim_j),
         cov AS (SELECT dim_i AS i, dim_j AS j, cv FROM covtri
           UNION ALL SELECT dim_j, dim_i, cv FROM covtri WHERE dim_i <> dim_j),
