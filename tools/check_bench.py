@@ -32,6 +32,23 @@ if not baseline:
     sys.exit(2)
 
 d = json.load(open(bench_path))
+if "queries" not in d:
+    # Driver wrapper format (BENCH_r{N}.json): {n, rc, sf, tail, parsed}.
+    # Unwrap `parsed` (the driver's own parse of the bench JSON line) or
+    # re-parse `tail`; if neither holds a queries dict (tail is a
+    # truncated suffix), this is the wrong file for a per-query gate.
+    inner = d.get("parsed")
+    if not isinstance(inner, dict) or "queries" not in inner:
+        try:
+            inner = json.loads(d.get("tail", ""))
+        except (json.JSONDecodeError, TypeError):
+            inner = None
+    if not isinstance(inner, dict) or "queries" not in inner:
+        print(f"ERROR: {bench_path} is a driver wrapper without a parsable "
+              "bench line (truncated `tail`, null `parsed`) — run the gate "
+              "on BENCH.out.json from graft.Bench instead")
+        sys.exit(2)
+    d = inner
 queries = d["queries"]
 only = set(d.get("only", [])) or None
 

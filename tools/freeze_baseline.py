@@ -35,13 +35,22 @@ medians = d.get("median", {})
 
 if extend:
     # merge mode: keep every frozen number (regression continuity),
-    # append ONLY queries the baseline does not know yet
-    existing = set()
+    # append ONLY queries the baseline does not know yet.
+    # The merge anchors to the known table HEADER, not "the last line
+    # starting with |" — a second table or trailing pipe-bearing notes
+    # must never silently receive the new rows.
     body = open(out).read().splitlines()
-    for line in body:
-        m = re.match(r"\|\s*(\w+)\s*\|", line)
-        if m and m.group(1) != "query":
-            existing.add(m.group(1))
+    try:
+        hdr = body.index("| query | best_s | median_s |")
+    except ValueError:
+        raise SystemExit(f"baseline table header not found in {out}")
+    end = hdr + 2  # skip the |---| separator
+    existing = set()
+    while end < len(body) and body[end].startswith("|"):
+        m = re.match(r"\|\s*([^|\s]+)\s*\|", body[end])
+        if m:
+            existing.add(m.group(1))  # any non-space name, not just \w+
+        end += 1
     add = sorted(set(queries) - existing)
     if not add:
         raise SystemExit("nothing to extend: all bench queries already baselined")
@@ -50,9 +59,7 @@ if extend:
         best, med = queries[name], medians.get(name)
         rows.append(f"| {name} | {best:.4f} | "
                     + ("null" if med is None else f"{med:.4f}") + " |")
-    # insert after the last table row
-    last = max(i for i, l in enumerate(body) if l.startswith("|"))
-    body[last + 1:last + 1] = rows
+    body[end:end] = rows
     with open(out, "w") as f:
         f.write("\n".join(body) + ("\n" if not body[-1] == "" else ""))
     print(f"extended {out}: +{len(add)} queries ({', '.join(add)})")
