@@ -269,8 +269,11 @@ object DataPipeline {
     // the most-divergent pair (a drifting/garbage-shard tripwire)
     val div = wkf.run("docs.divergence").asInstanceOf[DataFrame]
       .orderBy(col("js_nats").desc, col("src_a"), col("src_b")).collect()
-    println(f"shard_divergence=${div.length} pairs, " +
-      f"max=${div.head.getString(0)}~${div.head.getString(1)}:${div.head.getDouble(2)}%.3f")
+    // single-source corpora have zero shard pairs — no max to print
+    val divMax = div.headOption
+      .map(r => f", max=${r.getString(0)}~${r.getString(1)}:${r.getDouble(2)}%.3f")
+      .getOrElse("")
+    println(s"shard_divergence=${div.length} pairs$divMax")
 
     // Z-order layout of the curated corpus: interleave (lang-bucket,
     // length-bucket) so scans filtered on EITHER dimension prune files

@@ -70,8 +70,13 @@ object Dedup {
   /** d15's scale path: ordered containment pairs with the d04 knob
     * calculus ([[Ops.containmentPairs]] — hot-shingle cap on candidate
     * generation, pairwise array_intersect verify for high-dup
-    * corpora). maxPostingsPerToken = None is value-identical to the
-    * canned d15 query (Round7bOpsSpec pins it).
+    * corpora). maxPostingsPerToken = None returns the same pair SET
+    * with the same exact counts as the canned d15 query (Round7bOpsSpec
+    * pins row/count identity) — but the `containment` column here is
+    * unrounded and the frame unordered, where d15 rounds to 6 dp and
+    * sorts for its oracle. Note pairwiseVerify is a capped-branch
+    * strategy knob: with no cap the counts are already exact and the
+    * flag is a no-op (see [[Ops.containmentPairs]]).
     */
   def containmentAtScale(
       docs: DataFrame,

@@ -22,22 +22,37 @@ object Graph {
 
   /** Weighted PageRank over an edge list, `iters` synchronous
     * iterations, damping 0.85 held EXACT as the integer form
-    * r' = 0.15*Scale + (17 * sum(contrib)) div 20 with
-    * contrib = (r * w) div w_out — floor division on non-negative
-    * int64 is identical in Spark (`div`) and DuckDB (`//`), so every
-    * iteration is bit-reproducible across engines.
+    * r' = 0.15*Scale + (17 * (recv + dangling_share)) div 20 with
+    * recv = sum over in-edges of (r * w) div w_out — floor division
+    * on non-negative int64 is identical in Spark (`div`) and DuckDB
+    * (`//`), so every iteration is bit-reproducible across engines.
+    *
+    * Node universe = src ∪ dst. DANGLING nodes (no out-edges) don't
+    * leak their mass: each iteration their summed rank redistributes
+    * uniformly as dangling_share = D div n (integer floor — the
+    * remainder D mod n < n micro-units/iteration is truncation loss,
+    * same order as the per-edge floors). Nodes with no in-edges keep
+    * the damped floor 0.15*Scale instead of dropping out of the frame.
+    *
+    * Overflow is GUARDED, not documented away: each contribution
+    * checks r <= int64_max div w and each combine checks
+    * recv + share <= int64_max div 17, raising a runtime error (the
+    * same condition DuckDB raises on natively) instead of wrapping
+    * silently — so both engines fail loudly and identically. For
+    * graphs that trip it, pre-scale weights (divide by their gcd or
+    * bucket them) or drop Scale. Non-positive weights also raise.
     *
     * Scale shape (the d06/d08 iterative-plan discipline): `edges` and
-    * the out-weight frame are computed once, cached and reused across
-    * iterations; each iteration is ONE join keyed on src (ranks are
-    * node-keyed, co-partitioned with the out-weights) and ONE dst-keyed
-    * aggregation — the canonical Spark PageRank shuffle pattern. Rank
-    * state is 16 bytes/node. Overflow bound: r*w needs
-    * max_r * max_w < 2^63; with max_r ~ n*Scale mass concentration
-    * impossible below ~9e6 total weight per edge — for heavier graphs
-    * pre-scale weights (divide by their gcd or bucket them), or drop
-    * Scale; documented rather than auto-rescaled so the oracle stays
-    * a literal transcription.
+    * the out-weight frame are computed once, checkpointed and reused
+    * across iterations; each iteration is ONE join keyed on src
+    * (ranks are node-keyed, co-partitioned with the out-weights) and
+    * ONE dst-keyed aggregation — the canonical Spark PageRank shuffle
+    * pattern. Graphs that actually have dangling or no-in-edge nodes
+    * additionally pay a per-iteration single-row dangling-mass
+    * aggregate (broadcast) and a node-keyed left join; graphs with
+    * neither are detected once at build time and skip both (g01's
+    * bidirectional projection takes that fast path). Rank state is
+    * 16 bytes/node.
     *
     * Plans grow linearly with `iters` (5 here); for big graphs
     * checkpoint every few iterations like Ops.connectedComponents —
@@ -55,13 +70,61 @@ object Graph {
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
     val ew = e.join(outW, "src").localCheckpoint(eager = false)
-    var ranks = outW.select(col("src").as("node"), lit(Scale).as("r"))
+    // node universe + has-out/has-in flags in ONE shuffle over the
+    // CHECKPOINTED edge frame (scanning `e` here would re-execute the
+    // caller's upstream plan a second time; the probe action below
+    // materializes ew, which the iterations then reuse).
+    val deg = ew.select(col("src").as("node"), lit(1).as("_o"), lit(0).as("_i"))
+      .unionAll(ew.select(col("dst").as("node"), lit(0).as("_o"), lit(1).as("_i")))
+      .groupBy(col("node")).agg(max(col("_o")).as("_o"), max(col("_i")).as("_i"))
+      .localCheckpoint(eager = false)
+    val nodes = deg.select(col("node"))
+
+    // per-edge guard: non-positive weights and r*w int64 overflow
+    // raise instead of wrapping (the same conditions DuckDB raises on
+    // natively, so the engines fail identically). Codegen'd CASE —
+    // two long compares per edge per iteration.
+    val guardedContrib = expr(
+      "CASE WHEN w <= 0 THEN raise_error(concat(" +
+        "'pageRankWeighted: edge weights must be positive, got ', CAST(w AS STRING))) " +
+        s"WHEN r > ${Long.MaxValue}L div w THEN raise_error(concat(" +
+        "'pageRankWeighted: rank*weight overflows int64 (r=', CAST(r AS STRING), " +
+        "', w=', CAST(w AS STRING), ') — pre-scale weights')) " +
+        "ELSE (r * w) div w_out END")
+
+    // Structural specialization, decided ONCE at build (the dangling
+    // and no-in-edge node sets are fixed across iterations): when the
+    // graph has neither — every strongly-bidirectional graph, e.g.
+    // g01's u<->t projection — each iteration collapses to the
+    // single-join + dst-agg fast path, and the dangling/left-join
+    // machinery costs nothing. ONE probe job over the checkpointed
+    // degree frame; at 100 TB that's one pass over the node list,
+    // amortized over `iters` heavier passes.
+    val dangling = deg.where(col("_o") === 0).select(col("node"))
+      .localCheckpoint(eager = false)
+    val simple = deg.where(col("_o") === 0 || col("_i") === 0).isEmpty
+
+    var ranks = nodes.select(col("node"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
       val contrib = ranks
         .join(ew, col("node") === col("src"))
-        .select(col("dst"), expr("(r * w) div w_out").as("_c"))
-      ranks = contrib.groupBy(col("dst").as("node"))
-        .agg((lit(3L * Scale / 20L) + expr("(17 * sum(_c)) div 20")).as("r"))
+        .select(col("dst"), guardedContrib.as("_c"))
+      ranks = (if (simple) {
+        contrib.groupBy(col("dst").as("node"))
+          .agg(sum(col("_c")).as("_s"))
+          .select(col("node"), damped("_s").as("r"))
+      } else {
+        val recv = contrib.groupBy(col("dst").as("node")).agg(sum(col("_c")).as("_s"))
+        val dang = ranks
+          .join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("_d"))
+        val nCnt = nodes.agg(count(lit(1)).as("_n"))
+        nodes
+          .join(recv, Seq("node"), "left")
+          .crossJoin(broadcast(dang))
+          .crossJoin(broadcast(nCnt))
+          .select(col("node"), damped("coalesce(_s, 0L) + _d div _n").as("r"))
+      })
         // lazy checkpoint per iteration (the d06/d08 discipline): the
         // broadcast build of iteration k+1 otherwise RE-EXECUTES
         // iterations 1..k — O(iters^2) work and most of the wall cost
@@ -69,6 +132,14 @@ object Graph {
     }
     ranks
   }
+
+  /** 0.15*Scale + (17 * mass) div 20, with a loud int64 guard on the
+    * 17x blowup (DuckDB raises on the same condition natively).
+    */
+  private def damped(massSql: String): org.apache.spark.sql.Column = expr(
+    s"CASE WHEN ($massSql) > ${Long.MaxValue}L div 17 " +
+      "THEN raise_error('pageRankWeighted: damped combine overflows int64 — pre-scale weights') " +
+      s"ELSE ${3L * Scale / 20L}L + (17L * ($massSql)) div 20 END")
 
   /** Exact triangle counting via degree orientation.
     *
@@ -136,21 +207,34 @@ object Graph {
           .orderBy($"rank_fp".desc, $"node")
       },
       Some {
+        // same formulation as pageRankWeighted: full node universe,
+        // LEFT JOIN on received mass, dangling mass D // n added to
+        // every node. Each it{t-1} is referenced TWICE (recv +
+        // dangling) → AS MATERIALIZED, the g03 inlining lesson.
         val iterCtes = (1 to 5).map { t =>
-          s"""it$t AS (SELECT e.dst AS node,
-            CAST(150000000000 + (17 * SUM((p.r * e.w) // d.w_out)) // 20 AS BIGINT) AS r
-          FROM it${t - 1} p
-          JOIN edges e ON e.src = p.node
-          JOIN deg d ON d.node = p.node
-          GROUP BY e.dst)"""
+          s"""it$t AS MATERIALIZED (SELECT nd.node,
+            CAST(150000000000 + (17 * (COALESCE(rc.s, 0) + dg.d // nc.n)) // 20 AS BIGINT) AS r
+          FROM nodes nd
+          LEFT JOIN (SELECT e.dst AS node, CAST(SUM((p.r * e.w) // d.w_out) AS BIGINT) AS s
+            FROM it${t - 1} p
+            JOIN edges e ON e.src = p.node
+            JOIN deg d ON d.node = p.node
+            GROUP BY e.dst) rc ON rc.node = nd.node
+          CROSS JOIN (SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS d FROM it${t - 1} p
+            WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = p.node)) dg
+          CROSS JOIN nc)"""
         }.mkString(",\n        ")
         s"""WITH ue AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS u,
             't' || event_type AS t, CAST(COUNT(*) AS BIGINT) AS w
           FROM events GROUP BY user_id, event_type),
-        edges AS (SELECT u AS src, t AS dst, w FROM ue
+        edges AS MATERIALIZED (SELECT u AS src, t AS dst, w FROM ue
           UNION ALL SELECT t AS src, u AS dst, w FROM ue),
-        deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS w_out FROM edges GROUP BY src),
-        it0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+        deg AS MATERIALIZED (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS w_out
+          FROM edges GROUP BY src),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        nc AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        it0 AS MATERIALIZED (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
         $iterCtes
         SELECT node, r AS rank_fp, ROUND(CAST(r AS DOUBLE) / 1000000000000, 9) AS rank
         FROM it5 ORDER BY rank_fp DESC, node"""

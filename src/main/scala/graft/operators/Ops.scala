@@ -118,7 +118,9 @@ object Ops {
     // the Jaccard itself is then computed EXACTLY — from the full
     // postings of just the candidate docs (default, no array
     // payloads through shuffles), or with pairwiseVerify=true via
-    // array_intersect per candidate PAIR. The pairwise mode is the
+    // array_intersect per candidate PAIR (the flag is only consulted
+    // here in the capped branch; uncapped counts are already exact,
+    // so pairwiseVerify without a cap is a no-op). The pairwise mode is the
     // right verify when the duplicate rate is high: restricting to
     // candidate docs then degenerates to the full posting join
     // (measured 10x-replicated corpus: 80s postings-verify vs ~10s
@@ -167,7 +169,12 @@ object Ops {
     * where restricting postings to candidate docs degenerates to the
     * full join (same calculus as jaccardPairs — see the measured
     * numbers there). Values of surviving pairs are always EXACT.
-    * d15's canned query is the cap=None postings form of this.
+    * `pairwiseVerify` is ONLY consulted by the capped branch: with
+    * maxPostingsPerToken=None the posting self-join counts are already
+    * exact and there is nothing to re-verify, so the flag is a no-op
+    * (identical contract in [[jaccardPairs]]).
+    * d15's canned query is the cap=None postings form of this
+    * (same pairs and counts; d15 additionally rounds + orders).
     */
   def containmentPairs(
       df: DataFrame,

@@ -50,9 +50,23 @@ object Tables {
           case _ => None // raw int64 replica → nanos fallback below
         }
       } catch {
-        case _: Exception => None // NANOS: Spark 4 refuses at inference
+        // ONLY Spark 4's TIMESTAMP(NANOS) inference refusal may fall
+        // through to the raw-long replica read. Anything else (missing
+        // file, corrupt footer, permissions) propagates — a catch-all
+        // here would mask the real error behind a misleading secondary
+        // failure, or worse, silently div-by-1000 an unexpected file.
+        case e: Exception
+            if Option(e.getMessage).exists(m =>
+              m.contains("NANOS") || m.contains("Illegal Parquet type")) =>
+          None
       }
     native.getOrElse {
+      // The div-by-1000 assumes int64 ts == NANOS, which holds for the
+      // two writers that produce this shape: Spark's NANOS refusal
+      // (physical INT64 nanos read via the explicit LongType schema)
+      // and the driver's plain-int64 nanos replica (TESTDATA.md). An
+      // int64 file that's already micros would land ~1970 after the
+      // div — sanity-pinned by TablesSpec's event-year check.
       val raw = spark.read.schema(eventsNanosSchema).parquet(path)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
