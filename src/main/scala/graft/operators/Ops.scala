@@ -1100,7 +1100,8 @@ object Ops {
       kSub: Int = 8,
       iters: Int = 2,
       dim: Int = 64,
-      topK: Int = 5
+      topK: Int = 5,
+      refine: Int = 0
   ): DataFrame = {
     val sub = dim / m
     // ONE quantization pass + ONE coarse training feed every trained
@@ -1153,31 +1154,69 @@ object Ops {
       .where(col("n_id") =!= col("p_id"))
       .select(col("p_id"), col("n_id")).distinct()
     val w = Window.partitionBy(col("p_id")).orderBy(col("adc_q").asc, col("n_id"))
-    codes.join(candIds, Seq("n_id"))
+    val adcRanked = codes.join(candIds, Seq("n_id"))
       .join(broadcast(dtab), Seq("p_id", "_m", "code"))
       .groupBy(col("p_id"), col("n_id")).agg(sum(col("_dq")).as("adc_q"))
-      .withColumn("rn", row_number().over(w).cast("int"))
-      .filter(col("rn") <= topK)
-      .select(col("p_id"), col("rn"), col("n_id"), col("adc_q"))
+    if (refine <= 0) {
+      adcRanked
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= topK)
+        .select(col("p_id"), col("rn"), col("n_id"), col("adc_q"))
+    } else {
+      // Exact re-rank (the FAISS IndexRefineFlat posture): ADC keeps
+      // the top-`refine` shortlist per probe, then the TRUE quantized
+      // L2 against the raw vectors re-ranks it. This is what lifts
+      // recall on distance-concentrated corpora where 4-byte codes
+      // can't separate rank 5 from rank 50 (measured: the ADC-only
+      // ceiling is ~0.4 recall@5 at sf0.1 for every knob combination;
+      // refine=50 reaches 0.9+ — docs/SCALING.md §ANN). Scale shape:
+      // the shortlist is probes x refine rows — BROADCAST against the
+      // corpus (one shuffle-free scan), never the reverse; exact work
+      // is probes x refine x dim, corpus-independent. `rn` is the
+      // refined rank; `adc_q` stays the shortlist's ADC integer so the
+      // output schema matches the unrefined path.
+      val wr = Window.partitionBy(col("p_id")).orderBy(col("_xq").asc, col("n_id"))
+      val shortlist = adcRanked
+        .withColumn("_ra", row_number().over(w))
+        .filter(col("_ra") <= refine)
+        .select(col("p_id"), col("n_id"), col("adc_q"))
+      val nv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("_ne"))
+      broadcast(shortlist).join(nv, Seq("n_id"))
+        .join(broadcast(p), Seq("p_id"))
+        .withColumn("_xq", l2q("pe", "_ne"))
+        .withColumn("rn", row_number().over(wr).cast("int"))
+        .filter(col("rn") <= topK)
+        .select(col("p_id"), col("rn"), col("n_id"), col("adc_q"))
+    }
   }
 
   /** A persisted trained-IVFPQ index (see [[writeAnnIndex]]):
     * `lists` — the inverted lists, (cell, n_id, m, code), stored
     * hive-partitioned BY CELL so a probe reads only its nprobe
     * cells' directories; `centroids` — the k trained coarse rows;
-    * `codebooks` — the m·k trained subspace rows.
+    * `codebooks` — the m·k trained subspace rows; `vectors` — the
+    * optional raw-vector store (cell, n_id, vec), also hive-
+    * partitioned by cell, backing [[probeAnnIndex]]'s exact-rerank
+    * `refine` mode (the FAISS IndexRefineFlat posture — ADC codes
+    * prune, stored floats re-rank the shortlist).
     */
-  final case class AnnIndex(lists: DataFrame, centroids: DataFrame, codebooks: DataFrame)
+  final case class AnnIndex(
+      lists: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      vectors: Option[DataFrame] = None)
 
   /** O29: persist the trained IVFPQ index — the O24 band-index
     * production pattern applied to ANN. Training cost (the s07
     * pipeline: one quantization pass, coarse Lloyd, subspace Lloyd,
     * encode) is paid ONCE at write time; the stored artifact is what
     * every real ANN service ships: inverted lists of (4-byte codes)
-    * partitioned by coarse cell, plus the two tiny quantizer frames.
-    * Day-2 queries and day-2 inserts ([[probeAnnIndex]],
-    * [[appendAnnIndex]]) never retrain and never touch float arrays
-    * of the corpus again.
+    * partitioned by coarse cell, plus the two tiny quantizer frames,
+    * plus (storeVectors=true, the default) the cell-partitioned raw
+    * vectors backing refined probes. Day-2 queries and day-2 inserts
+    * ([[probeAnnIndex]], [[appendAnnIndex]]) never retrain; an
+    * UNREFINED probe never touches float arrays of the corpus, and a
+    * refined one reads floats only from its nprobe cell directories.
     */
   def writeAnnIndex(
       corpus: DataFrame,
@@ -1188,7 +1227,8 @@ object Ops {
       m: Int = 4,
       kSub: Int = 8,
       iters: Int = 2,
-      dim: Int = 64
+      dim: Int = 64,
+      storeVectors: Boolean = true
   ): Unit = {
     val sub = dim / m
     val ev = quantizedVecs(corpus, idCol, vecCol).cache()
@@ -1216,6 +1256,19 @@ object Ops {
     IndexLayout.gcVersions(spark, s"$path/lists", keep = 1)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     books.write.mode("overwrite").parquet(s"$path/codebooks")
+    if (storeVectors) {
+      // raw vectors, cell-partitioned like the lists: a refined probe
+      // reads floats only from its nprobe cell directories. Same
+      // versioned-publish lifecycle as the lists (appends and
+      // compactions target both).
+      val vecs = assign.select(col("_id").as("n_id"), col("_cell").as("cell"))
+        .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("vec")), "n_id")
+        .select(col("cell"), col("n_id"), col("vec"))
+      val vv = IndexLayout.nextVersion(spark, s"$path/vectors")
+      graft.sinks.RoutedSink.standard().write(s"parquet:$path/vectors/$vv:by:cell", vecs)
+      IndexLayout.publish(spark, s"$path/vectors", vv)
+      IndexLayout.gcVersions(spark, s"$path/vectors", keep = 1)
+    }
     ev.unpersist()
   }
 
@@ -1249,10 +1302,20 @@ object Ops {
       if (!IndexLayout.hasTombstones(spark, path)) raw
       else raw.join(IndexLayout.readTombstones(spark, path, "n_id"),
         Seq("n_id"), "left_anti")
+    // raw-vector store: present iff written with storeVectors=true
+    // (manifest probe). No tombstone anti-join here — refined
+    // candidates derive from the MASKED lists, so a deleted vector
+    // can never re-enter via the vectors join; compaction still
+    // reclaims its vector rows.
+    val vectors =
+      if (IndexLayout.currentVersion(spark, s"$path/vectors").isEmpty) None
+      else Some(spark.read.parquet(IndexLayout.resolveDir(spark, s"$path/vectors"))
+        .select(col("cell"), col("n_id"), col("vec")))
     AnnIndex(
       lists,
       spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/codebooks"))
+      spark.read.parquet(s"$path/codebooks"),
+      vectors)
   }
 
   /** O29: rank a probe batch against the STORED index — identical
@@ -1293,7 +1356,8 @@ object Ops {
       m: Int = 4,
       dim: Int = 64,
       topK: Int = 5,
-      routeOnDriver: Boolean = true
+      routeOnDriver: Boolean = true,
+      refine: Int = 0
   ): DataFrame = {
     val sub = dim / m
     val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
@@ -1309,16 +1373,16 @@ object Ops {
       .withColumn("_rnp", row_number().over(wProbe))
       .filter(col("_rnp") <= nprobe)
       .select(col("p_id"), col("_cid").cast(cellType).as("cell"))
-    val lists =
-      if (!routeOnDriver) index.lists
-      else {
-        val cellIds: Seq[Any] = probeCells.select(col("cell").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSeq match {
-          case ids if cellType == org.apache.spark.sql.types.IntegerType => ids.map(_.toInt)
-          case ids => ids
-        }
-        index.lists.where(col("cell").isin(cellIds: _*))
-      }
+    val cellFilter: Option[Seq[Any]] =
+      if (!routeOnDriver) None
+      else Some(probeCells.select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq match {
+        case ids if cellType == org.apache.spark.sql.types.IntegerType => ids.map(_.toInt)
+        case ids => ids
+      })
+    val lists = cellFilter
+      .map(ids => index.lists.where(col("cell").isin(ids: _*)))
+      .getOrElse(index.lists)
     val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
     val dtab = p.select(col("p_id"), ms, col("pe"))
       .select(col("p_id"), col("_m").as("m"), expr(s"slice(pe, _m * $sub + 1, $sub)").as("_ps"))
@@ -1336,14 +1400,41 @@ object Ops {
     // the broadcast join) — the dedup shuffle is bounded by matched
     // candidates, never the index. Duplicates are permanently
     // reclaimed by [[compactAnnIndex]].
-    lists.join(broadcast(probeCells), Seq("cell"))
+    val adcRanked = lists.join(broadcast(probeCells), Seq("cell"))
       .where(col("n_id") =!= col("p_id"))
       .select(col("p_id"), col("n_id"), col("m"), col("code")).distinct()
       .join(broadcast(dtab), Seq("p_id", "m", "code"))
       .groupBy(col("p_id"), col("n_id")).agg(sum(col("_dq")).as("adc_q"))
-      .withColumn("rn", row_number().over(w).cast("int"))
-      .filter(col("rn") <= topK)
-      .select(col("p_id"), col("rn"), col("n_id"), col("adc_q"))
+    if (refine <= 0) {
+      adcRanked
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= topK)
+        .select(col("p_id"), col("rn"), col("n_id"), col("adc_q"))
+    } else {
+      // Exact re-rank against the STORED raw vectors (see
+      // [[ivfPqTrained]]'s refine doc for the recall/cost calculus).
+      // The vectors scan keeps the same cell routing as the lists —
+      // a refined probe reads floats only from its nprobe cell
+      // directories. Tombstoned ids can't resurface here: the
+      // shortlist comes from the masked lists.
+      require(index.vectors.nonEmpty,
+        "probeAnnIndex(refine > 0) needs an index written with storeVectors=true")
+      val wr = Window.partitionBy(col("p_id")).orderBy(col("_xq").asc, col("n_id"))
+      val shortlist = adcRanked
+        .withColumn("_ra", row_number().over(w))
+        .filter(col("_ra") <= refine)
+        .select(col("p_id"), col("n_id"), col("adc_q"))
+      val vecs = cellFilter
+        .map(ids => index.vectors.get.where(col("cell").isin(ids: _*)))
+        .getOrElse(index.vectors.get)
+        .select(col("n_id"), col("vec").as("_ne")).distinct()
+      broadcast(shortlist).join(vecs, Seq("n_id"))
+        .join(broadcast(p), Seq("p_id"))
+        .withColumn("_xq", l2q("pe", "_ne"))
+        .withColumn("rn", row_number().over(wr).cast("int"))
+        .filter(col("rn") <= topK)
+        .select(col("p_id"), col("rn"), col("n_id"), col("adc_q"))
+    }
   }
 
   /** O29's insert path — the reason real ANN services separate
@@ -1389,6 +1480,14 @@ object Ops {
     graft.sinks.RoutedSink.standard().write(
       s"parquet-append:${IndexLayout.resolveDir(spark, s"$path/lists")}:by:cell",
       cells.join(codes, "n_id").select(col("cell"), col("n_id"), col("m"), col("code")))
+    // keep the raw-vector store in sync when present (refined probes
+    // must see day-2 vectors too); replay duplicates are tolerated by
+    // the probe's distinct and reclaimed by compactAnnIndex
+    if (IndexLayout.currentVersion(spark, s"$path/vectors").isDefined) {
+      graft.sinks.RoutedSink.standard().write(
+        s"parquet-append:${IndexLayout.resolveDir(spark, s"$path/vectors")}:by:cell",
+        cells.join(v, "n_id").select(col("cell"), col("n_id"), col("_x").as("vec")))
+    }
   }
 
   /** Register vectors for DELETION from the persisted ANN index — the
@@ -1415,23 +1514,28 @@ object Ops {
       path: String,
       keepVersions: Int = 1
   ): Unit = {
-    val listsPath = s"$path/lists"
-    IndexLayout.recover(spark, listsPath)
-    IndexLayout.ensureVersioned(spark, listsPath)
-    val src = IndexLayout.resolveDir(spark, listsPath)
     val tombFiles = IndexLayout.tombstoneFiles(spark, path)
-    val base = spark.read.parquet(src).distinct()
-    val pruned =
-      if (tombFiles.isEmpty) base
-      else base.join(
-        spark.read.parquet(tombFiles.map(_.toString): _*).select(col("n_id")),
-        Seq("n_id"), "left_anti")
-    val next = IndexLayout.nextVersion(spark, listsPath)
-    pruned
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$listsPath/$next")
-    IndexLayout.publish(spark, listsPath, next)
+    def compactComponent(compPath: String): Unit = {
+      IndexLayout.recover(spark, compPath)
+      IndexLayout.ensureVersioned(spark, compPath)
+      val base = spark.read.parquet(IndexLayout.resolveDir(spark, compPath)).distinct()
+      val pruned =
+        if (tombFiles.isEmpty) base
+        else base.join(
+          spark.read.parquet(tombFiles.map(_.toString): _*).select(col("n_id")),
+          Seq("n_id"), "left_anti")
+      val next = IndexLayout.nextVersion(spark, compPath)
+      pruned
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$compPath/$next")
+      IndexLayout.publish(spark, compPath, next)
+      IndexLayout.gcVersions(spark, compPath, keepVersions)
+    }
+    compactComponent(s"$path/lists")
+    // the raw-vector store shares the tombstone set and replay
+    // semantics — compact it in the same cycle when present
+    if (IndexLayout.currentVersion(spark, s"$path/vectors").isDefined)
+      compactComponent(s"$path/vectors")
     IndexLayout.deleteTombstoneFiles(spark, path, tombFiles)
-    IndexLayout.gcVersions(spark, listsPath, keepVersions)
   }
 }

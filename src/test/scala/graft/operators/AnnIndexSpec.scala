@@ -81,6 +81,51 @@ class AnnIndexSpec extends SparkTestBase {
       s"join-path probe read $dirsRead of $totalCells cell partitions (nprobe=2)")
   }
 
+  test("recall floor: refined probe at the named operating point reaches recall@5 >= 0.6") {
+    // The PINNED operating point (docs/SCALING.md §ANN): k=16 cells,
+    // nprobe=4, m=4, kSub=8 codes, refine=100 exact re-rank. Measured
+    // recall@5 vs brute force: 0.96 at sf0.001, 0.86 at sf0.1 —
+    // the floor is 0.6 so corpus regeneration noise can't flake it.
+    // ADC-only (refine=0) plateaus at ~0.2-0.4 on this distance-
+    // concentrated corpus for EVERY knob combination; the refine
+    // stage is what buys production recall (FAISS IndexRefineFlat).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-recall").toString
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", dir, k = 16, m = 4, kSub = 8)
+    val probes = emb.orderBy(col("vec_id")).limit(10)
+    val truth = Ops.cosineTopK(
+        probes.select(col("vec_id").as("p_id"), col("embedding").as("pe")),
+        emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")),
+        "p_id", "pe", "n_id", "ne", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+      truth.map { case (p, t) =>
+        got.getOrElse(p, Set.empty[Long]).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val stored = recallOf(Ops.probeAnnIndex(probes, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, dir), nprobe = 4, refine = 100))
+    val inQuery = recallOf(Ops.ivfPqTrained(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding",
+      k = 16, nprobe = 4, m = 4, kSub = 8, refine = 100))
+    info(f"recall@5 at (k=16, nprobe=4, m=4, kSub=8, refine=100): " +
+      f"stored=$stored%.2f inQuery=$inQuery%.2f")
+    assert(stored >= 0.6, f"stored-index refined recall@5 $stored%.2f below the 0.6 floor")
+    assert(inQuery >= 0.6, f"in-query refined recall@5 $inQuery%.2f below the 0.6 floor")
+    // the two paths rank against the same quantizers + the same exact
+    // re-rank — they must agree row-for-row, not just on recall
+    val a = Ops.probeAnnIndex(probes, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, dir), nprobe = 4, refine = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Ops.ivfPqTrained(emb, "vec_id", "embedding",
+      probes, "vec_id", "embedding",
+      k = 16, nprobe = 4, m = 4, kSub = 8, refine = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b && a.nonEmpty, "refined stored probe != refined in-query pipeline")
+  }
+
   test("day-2 vectors append via stored quantizers and are probe-visible") {
     // synthetic new vectors: copies of two existing ones under new ids
     // (deterministic; they inherit their twins' cells and codes)
