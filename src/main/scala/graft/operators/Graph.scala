@@ -61,6 +61,32 @@ object Graph {
   def pageRankWeighted(
       edges: DataFrame, // src, dst, w (directed; pass both directions for undirected)
       iters: Int
+  ): DataFrame = prLoop(edges, iters, epsilonFp = None)
+
+  /** [[pageRankWeighted]] with a CONVERGENCE stop instead of a fixed
+    * iteration count — the variant a user calls when no oracle needs
+    * a literal CTE unroll. Stops when max_node |r_t − r_{t−1}| <=
+    * `epsilonFp` (rank micro-units; Scale = 1e12 == rank 1.0), or at
+    * `maxIters`. The integer recurrence reaches an EXACT fixpoint
+    * (floor arithmetic has no limit cycles here in practice), so
+    * epsilonFp = 0 demands bit-stability; the default 1e6 fp == 1e-6
+    * rank units is the usual engineering tolerance. Cost per
+    * iteration: the fixed-variant plan + ONE max-|Δ| aggregate (a
+    * node-keyed join of consecutive checkpointed rank frames — at
+    * 100 TB the same shuffle class as the iteration itself, so the
+    * stop check roughly doubles per-iteration cost; prefer the fixed
+    * variant when the round budget is known).
+    */
+  def pageRankConverged(
+      edges: DataFrame,
+      epsilonFp: Long = 1000000L,
+      maxIters: Int = 50
+  ): DataFrame = prLoop(edges, maxIters, epsilonFp = Some(epsilonFp))
+
+  private def prLoop(
+      edges: DataFrame,
+      maxIters: Int,
+      epsilonFp: Option[Long]
   ): DataFrame = {
     // out-weights are folded into the edge frame ONCE, so each
     // iteration is a single src-keyed join + one dst-keyed agg (the
@@ -105,11 +131,13 @@ object Graph {
     val simple = deg.where(col("_o") === 0 || col("_i") === 0).isEmpty
 
     var ranks = nodes.select(col("node"), lit(Scale).as("r"))
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
       val contrib = ranks
         .join(ew, col("node") === col("src"))
         .select(col("dst"), guardedContrib.as("_c"))
-      ranks = (if (simple) {
+      val next = (if (simple) {
         contrib.groupBy(col("dst").as("node"))
           .agg(sum(col("_c")).as("_s"))
           .select(col("node"), damped("_s").as("r"))
@@ -129,6 +157,17 @@ object Graph {
         // broadcast build of iteration k+1 otherwise RE-EXECUTES
         // iterations 1..k — O(iters^2) work and most of the wall cost
         .localCheckpoint(eager = false)
+      epsilonFp.foreach { eps =>
+        // one max-|Δ| job on the two checkpointed rank frames; the
+        // same node universe on both sides, so an inner join is exact
+        val delta = next
+          .join(ranks.select(col("node"), col("r").as("_rp")), Seq("node"))
+          .agg(coalesce(max(abs(col("r") - col("_rp"))), lit(0L)))
+          .head().getLong(0)
+        converged = delta <= eps
+      }
+      ranks = next
+      it += 1
     }
     ranks
   }

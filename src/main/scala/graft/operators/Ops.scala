@@ -387,6 +387,48 @@ object Ops {
     labels.select(col("id").as(idOut), col("lbl").as(labelOut))
   }
 
+  /** k-core decomposition peeled to FIXPOINT — the convergence-stop
+    * variant of the canned g03 query (g03 keeps 5 fixed rounds so its
+    * DuckDB oracle is a literal CTE unroll; THIS is what a user calls).
+    * `edges` holds both directions of each undirected edge (the g03
+    * convention). Each round drops nodes with residual degree < k;
+    * stops when a round removes nothing (the edge count is a strictly
+    * decreasing potential, so ONE cheap count action per round detects
+    * the fixpoint — the connectedComponents discipline) or at
+    * `maxRounds`. Returns (node, deg) over the surviving subgraph —
+    * the true k-core, matching the fixed-round output whenever the
+    * fixed rounds already converged (Round8GraphSpec pins both ways).
+    * Scale shape per round: one degree agg + two semi-joins, all keyed
+    * on node; per-round lazy checkpoints keep the plan linear in
+    * rounds. Worst case is O(n) rounds on a chain — maxRounds bounds
+    * pathological inputs, and hitting it raises rather than returning
+    * a non-core silently.
+    */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      maxRounds: Int = 1000
+  ): DataFrame = {
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    var prev = -1L
+    var n = e.count()
+    var rounds = 0
+    while (n != prev && rounds < maxRounds) {
+      prev = n
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_d"))
+        .where(col("_d") >= k).select(col("src").as("_k"))
+      e = e.join(keep.select(col("_k").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("_k").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = false)
+      n = e.count() // materializes the round's checkpoint + tests the fixpoint
+      rounds += 1
+    }
+    require(n == prev,
+      s"kCore: no fixpoint within $maxRounds rounds ($n edges left) — raise maxRounds")
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Large-star/small-star contraction CC (Kiveris et al. SoCC'14),
     * returning (labels, roundsUsed). Each round runs
     *   large-star: per node u, attach every LARGER neighbor to
