@@ -146,6 +146,33 @@ class StreamingSpec extends SparkTestBase {
     assert(whole.count() == 1) // one row per file (single coalesced part)
   }
 
+  test("ST8 replay: re-running a micro-batch leaves the read-back corpus unchanged") {
+    // crash recovery re-invokes the batch writer with the SAME id —
+    // with the perBatchOverwriteTarget route the replay rewrites its
+    // own batch=<id> directory, so the corpus is byte-identical
+    val outDir = java.nio.file.Files.createTempDirectory("graft-replay-stream").toString
+    val sink = graft.sinks.RoutedSink.standard()
+    val writer = Streams.routedBatchWriter(sink, Streams.perBatchOverwriteTarget(outDir))
+    val ev = Tables.load(spark, sfDir, "events")
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 === 1)
+    writer(b0, 0L); writer(b1, 1L)
+    val before = spark.read.parquet(s"$outDir/*")
+      .collect().map(_.toString).sorted
+    assert(before.length == ev.count(), "both batches must land exactly once")
+    writer(b1, 1L) // the replay
+    val after = spark.read.parquet(s"$outDir/*")
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before),
+      s"replayed batch changed the corpus: ${before.length} -> ${after.length} rows")
+    // contrast: the append route DOES duplicate on replay — the reason
+    // ST8's contract points plain corpora at the overwrite target
+    val appDir = java.nio.file.Files.createTempDirectory("graft-replay-append").toString
+    val appWriter = Streams.routedBatchWriter(sink, _ => s"parquet-append:$appDir")
+    appWriter(b1, 1L); appWriter(b1, 1L)
+    assert(spark.read.parquet(appDir).count() == 2 * b1.count())
+  }
+
   test("ST7: streaming bin packing equals batch packBins under id-ordered delivery") {
     val counted = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
