@@ -167,14 +167,21 @@ object Multimodal {
         val s = 8L + 12L + be32(8)
         ("png", math.min(s, b.length.toLong).toInt)
       } else if (jpeg) {
-        // marker walk to the end of the SOF0 segment
+        // marker walk to the end of the first SOF segment — the SAME
+        // SOF set as parseImage (SOF0-SOF15 minus DHT/JPG/DAC), so a
+        // progressive (SOF2) or extended-sequential (SOF1) body is
+        // found too, and the resync guard stops on a non-FF byte
+        // instead of wandering through garbage
         var off = 2
         var found = -1
-        while (found < 0 && off + 4 <= b.length) {
-          if (u8(off) == 0xff && u8(off + 1) == 0xc0) found = off + 2 + be16(off + 2)
+        while (found < 0 && off + 4 <= b.length && u8(off) == 0xff) {
+          val marker = u8(off + 1)
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) found = off + 2 + be16(off + 2)
           else off += 2 + be16(off + 2)
         }
-        ("jpeg", if (found >= 0) found else b.length)
+        ("jpeg", if (found >= 0) math.min(found, b.length) else b.length)
       } else if (gif) ("gif", 13)
       else return Seq.empty
     val n = b.length - start
@@ -620,7 +627,9 @@ object Multimodal {
 
   /** Structural per-frame (offset, size) extraction from an ISO-BMFF
     * sample table (ISO/IEC 14496-12 §8.6–8.7, pure byte arithmetic):
-    * walks ftyp → moov → first trak → mdia → minf → stbl and reads
+    * walks ftyp → moov → the VIDEO trak (the first whose mdia/hdlr
+    * handler is 'vide'; hdlr-free files fall back to the first trak)
+    * → mdia → minf → stbl and reads
     *   stsz — sample count + sizes (uniform `sample_size` field or
     *          the per-sample entry table),
     *   stco — chunk offsets (the single-chunk layout puts every
@@ -658,9 +667,37 @@ object Multimodal {
       None
     }
     if (b.length < 16 || tag(4) != "ftyp") return Seq.empty
+    // every trak under moov (multi-track MP4s put audio first as
+    // often as video — "first trak" is not a video selector)
+    def traks(from: Int, to: Long): Seq[(Int, Long)] = {
+      val end = math.min(to, b.length.toLong)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      var c = from
+      var ok = true
+      while (ok && c + 8 <= end) {
+        val (pay, cEnd) = boxBounds(c)
+        if (cEnd <= c) ok = false // corrupt size
+        else {
+          if (tag(c + 4) == "trak") out += ((pay, cEnd))
+          c = math.min(cEnd, end).toInt
+        }
+      }
+      out.toSeq
+    }
+    // handler_type from mdia/hdlr (payload offset 8, §8.4.3)
+    def handlerOf(trakPay: Int, trakEnd: Long): Option[String] = for {
+      (mdiaPay, mdiaEnd) <- child("mdia", trakPay, trakEnd)
+      (hPay, _) <- child("hdlr", mdiaPay, mdiaEnd)
+      if hPay + 12 <= b.length
+    } yield tag(hPay + 8)
+    val all = child("moov", 0, b.length.toLong)
+      .map { case (mp, me) => traks(mp, me) }.getOrElse(Seq.empty)
+    // the VIDEO trak's sample table, wherever it sits; hdlr-free
+    // files fall back to the first trak (the old behavior)
+    val chosen = all.find(t => handlerOf(t._1, t._2).contains("vide"))
+      .orElse(all.headOption)
     val stbl = for {
-      (moovPay, moovEnd) <- child("moov", 0, b.length.toLong)
-      (trakPay, trakEnd) <- child("trak", moovPay, moovEnd)
+      (trakPay, trakEnd) <- chosen
       (mdiaPay, mdiaEnd) <- child("mdia", trakPay, trakEnd)
       (minfPay, minfEnd) <- child("minf", mdiaPay, mdiaEnd)
       s <- child("stbl", minfPay, minfEnd)

@@ -77,6 +77,51 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("parseThumb finds the body behind a progressive (SOF2) frame header") {
+    // FFD8 + APP0 + SOF2 + body: the pre-round-8 walk only matched
+    // SOF0, so a progressive JPEG yielded zero cells
+    def seg(marker: Int, payload: Array[Int]): Array[Int] =
+      Array(0xff, marker, (payload.length + 2) >> 8, (payload.length + 2) & 0xff) ++ payload
+    val app0 = seg(0xe0, Array.fill(14)(0x4a))
+    val sof2 = seg(0xc2, Array(8, 0, 32, 0, 64, 3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val body = Array.tabulate(160)(i => (i * 7) % 251)
+    val jpeg = (Array(0xff, 0xd8) ++ app0 ++ sof2 ++ body).map(_.toByte)
+    val cells = Multimodal.parseThumb(9L, jpeg)
+    assert(cells.size == 16, s"expected 16 grid cells, got ${cells.size}")
+    assert(cells.map(_.n_b).sum == body.length,
+      s"cells must tile exactly the post-SOF body (${body.length}B)")
+    // and the header parse agrees on the progressive dimensions
+    val d = Multimodal.parseImage(9L, jpeg)
+    assert(d.format == "jpeg" && d.width == 64 && d.height == 32, d.toString)
+  }
+
+  test("parseFrames indexes the VIDEO trak of a multi-track MP4, not the first trak") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tag: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8L + body.length) ++ tag.getBytes("US-ASCII") ++ body
+    }
+    def hdlr(typ: String) = box("hdlr",
+      be32(0), be32(0), typ.getBytes("US-ASCII"), new Array[Byte](12))
+    def stbl(uniform: Long, n: Long, chunk0: Long) = box("stbl",
+      box("stsz", be32(0), be32(uniform), be32(n)),
+      box("stco", be32(0), be32(1), be32(chunk0)))
+    def trak(handler: String, uniform: Long, n: Long, chunk0: Long) =
+      box("trak", box("mdia", hdlr(handler),
+        box("minf", stbl(uniform, n, chunk0))))
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200)) ++
+      box("moov",
+        trak("soun", 11, 2, 100), // audio FIRST — the old code indexed this
+        trak("vide", 7, 3, 200)) ++
+      new Array[Byte](120) // pad so the video chunk offsets are in-file
+    val frames = Multimodal.parseFrames(10L, mp4)
+    assert(frames.map(f => (f.frame_idx, f.f_offset, f.f_size)) ==
+      Seq((0L, 200L, 7L), (1L, 207L, 7L), (2L, 214L, 7L)),
+      s"expected the video trak's 3x7B samples at 200, got $frames")
+  }
+
   test("parseThumb cells stay inside the payload and tile contiguously") {
     allInputs.foreach { b =>
       val cells = Multimodal.parseThumb(5L, b)

@@ -68,9 +68,10 @@ if extend:
 lines = [
     "# BASELINE — per-query benchmark reference",
     "",
-    "Frozen from the round-5 DRIVER bench artifact (`BENCH.out.json`:",
+    "Frozen from ONE full-suite bench artifact (`BENCH.out.json`:",
     f"total best {d['value']:.1f} s over {len(queries)} queries, sf0.1,",
-    f"local[32], runs={d.get('runs', '?')} + spread-gated retries).",
+    f"local[32], runs={d.get('runs', '?')} + spread-gated retries) —",
+    "single provenance, no mixed local/driver rows.",
     "These are the numbers the brief's \"within 2x of BASELINE.md at the",
     "same scale factor\" gate is checked against:",
     "`python3 tools/check_bench.py BENCH_r{N}.json` fails any query whose",
