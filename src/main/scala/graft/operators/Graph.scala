@@ -281,6 +281,57 @@ object Graph {
     ),
 
     Q(
+      "g04_pagerank_dangling",
+      "Integer PageRank on the DIRECTED user->event_type graph — every type node is a sink",
+      (spark, dir) => {
+        import spark.implicits._
+        // g01's bidirectional projection takes the no-dangling fast
+        // path, so the dangling-redistribution machinery would carry
+        // only spec coverage. THIS query oracle-gates it: the
+        // one-direction projection makes every event_type node a SINK
+        // (its damped mass redistributes as D div n) and every user
+        // node in-edge-free (held at the 0.15 floor + share) — the
+        // general path end-to-end under the DuckDB oracle.
+        val edges = Tables.load(spark, dir, "events")
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("w"))
+          .select(concat(lit("u"), $"user_id".cast("string")).as("src"),
+            concat(lit("t"), $"event_type").as("dst"), $"w")
+        pageRankWeighted(edges, iters = 5)
+          .select($"node", $"r".as("rank_fp"),
+            round($"r".cast("double") / Scale, 9).as("rank"))
+          .orderBy($"rank_fp".desc, $"node")
+      },
+      Some {
+        val iterCtes = (1 to 5).map { t =>
+          s"""it$t AS MATERIALIZED (SELECT nd.node,
+            CAST(150000000000 + (17 * (COALESCE(rc.s, 0) + dg.d // nc.n)) // 20 AS BIGINT) AS r
+          FROM nodes nd
+          LEFT JOIN (SELECT e.dst AS node, CAST(SUM((p.r * e.w) // d.w_out) AS BIGINT) AS s
+            FROM it${t - 1} p
+            JOIN edges e ON e.src = p.node
+            JOIN deg d ON d.node = p.node
+            GROUP BY e.dst) rc ON rc.node = nd.node
+          CROSS JOIN (SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT) AS d FROM it${t - 1} p
+            WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.node = p.node)) dg
+          CROSS JOIN nc)"""
+        }.mkString(",\n        ")
+        s"""WITH edges AS MATERIALIZED (SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+            't' || event_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+          FROM events GROUP BY user_id, event_type),
+        deg AS MATERIALIZED (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS w_out
+          FROM edges GROUP BY src),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        nc AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        it0 AS MATERIALIZED (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+        $iterCtes
+        SELECT node, r AS rank_fp, ROUND(CAST(r AS DOUBLE) / 1000000000000, 9) AS rank
+        FROM it5 ORDER BY rank_fp DESC, node"""
+      }
+    ),
+
+    Q(
       "g02_triangle_count",
       "Per-node exact triangle counts on the part co-purchase graph, degree-oriented",
       (spark, dir) => {
