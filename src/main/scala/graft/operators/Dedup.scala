@@ -1220,6 +1220,112 @@ object Dedup {
         WHERE len(a.s) > 0
           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
         ORDER BY id_a, id_b""")
+    ),
+
+    Q(
+      "d16_decontaminate",
+      "Benchmark decontamination: per-train-doc 3-gram overlap against the eval shard's shingle universe",
+      (spark, dir) => {
+        import spark.implicits._
+        // The train/eval contamination check every LLM corpus ships
+        // with (the n-gram variant of GPT-3 appendix C / PaLM's
+        // decontamination): docs whose shingles substantially overlap
+        // the held-out eval set leak the benchmark into training.
+        // Eval shard = doc_id % 10 == 0 (a stand-in for the external
+        // benchmark table). The corpus-sized work is ONE explode +
+        // ONE semi-join on the shingle key + ONE keyed agg — linear.
+        // The eval side after distinct() is benchmark-sized (MBs even
+        // for a full eval harness vs 100 TB of train), so Spark
+        // broadcasts the semi-join build side; past broadcast capacity
+        // the O25 bloomSemiJoin slots in on the same key. The
+        // contaminated flag is decided in exact integers
+        // (2*n_hit >= n_spans), so the 0.5 threshold cannot fp-drift
+        // between engines.
+        val sh = shingleArrays(spark, dir).cache()
+        val evalSh = sh.where($"doc_id" % 10 === 0)
+          .select(explode($"sh").as("s")).distinct()
+        val train = sh.where($"doc_id" % 10 =!= 0)
+        val hits = train.select($"doc_id", explode($"sh").as("s"))
+          .join(evalSh, Seq("s"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+        train.select($"doc_id", size($"sh").cast("long").as("n_spans"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce($"n_hit", lit(0L)))
+          .select($"doc_id", $"n_spans", $"n_hit",
+            round($"n_hit".cast("double") / $"n_spans", 6).as("overlap"),
+            ($"n_hit" * 2 >= $"n_spans").cast("int").as("contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""$sqlShingleCtes,
+        ev AS (SELECT DISTINCT s FROM post WHERE doc_id % 10 = 0),
+        tr AS (SELECT doc_id, s FROM post WHERE doc_id % 10 <> 0),
+        hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM tr WHERE s IN (SELECT s FROM ev) GROUP BY doc_id),
+        szs AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_spans
+          FROM sh WHERE doc_id % 10 <> 0 AND len(s) > 0)
+        SELECT szs.doc_id AS doc_id, szs.n_spans AS n_spans,
+          COALESCE(h.n_hit, 0) AS n_hit,
+          ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / szs.n_spans, 6) AS overlap,
+          CAST(CASE WHEN COALESCE(h.n_hit, 0) * 2 >= szs.n_spans
+            THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM szs LEFT JOIN hits h USING (doc_id)
+        ORDER BY doc_id"""),
+    ),
+
+    Q(
+      "d17_dup_span_intervals",
+      "Maximal duplicated-span intervals: the word ranges a span-removal pass cuts (gaps-and-islands over d09's windows)",
+      (spark, dir) => {
+        import spark.implicits._
+        // d09 reports HOW MUCH of each doc is duplicated; the removal
+        // pass needs WHERE. Each 8-word window position whose text
+        // appears in >= 2 distinct docs is "covered"; consecutive
+        // covered positions merge into one maximal interval
+        // [start, start_of_last + 7] (1-based word indices) — the
+        // exact-substring cut list of Lee et al. §4, per doc. Plan:
+        // positional windows are built inside the scan projection (no
+        // shuffle), the dup-window set is one distinct + count >= 2 on
+        // the window key, membership is a semi-join on that key, and
+        // islands are one window function partitioned by doc_id — the
+        // per-task state is one document's positions. All corpus-sized
+        // shuffles are keyed; at 100 TB join on xxhash64(window) so
+        // 8-byte keys transit instead of 8-word strings (exact strings
+        // kept here — exactness is the oracle's point).
+        val docs = Tables.load(spark, dir, "documents")
+          .withColumn("wd", expr(wordsExpr))
+          .where(size($"wd") >= 8)
+        val pos = docs.select($"doc_id", posexplode(expr(
+            "transform(sequence(1, size(wd) - 7), i -> concat_ws(' ', slice(wd, i, 8)))")))
+          .select($"doc_id", ($"pos" + 1).as("p"), $"col".as("s"))
+        val dup = pos.select($"doc_id", $"s").distinct()
+          .groupBy($"s").agg(count(lit(1)).as("nd"))
+          .where($"nd" >= 2).select($"s")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"p")
+        pos.join(dup, Seq("s"), "left_semi")
+          .withColumn("grp", $"p" - row_number().over(w))
+          .groupBy($"doc_id", $"grp")
+          .agg(min($"p").as("_st"), max($"p").as("_en"), count(lit(1)).as("n_windows"))
+          .select($"doc_id", $"_st".cast("int").as("span_start"),
+            ($"_en" + 7).cast("int").as("span_end"), $"n_windows")
+          .orderBy($"doc_id", $"span_start")
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd
+          FROM documents),
+        pos0 AS (SELECT doc_id, unnest(generate_series(1, len(wd) - 7)) AS p, wd
+          FROM w WHERE len(wd) >= 8),
+        pos AS (SELECT doc_id, p, array_to_string(wd[p:p+7], ' ') AS s FROM pos0),
+        dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos)
+          GROUP BY s HAVING COUNT(*) >= 2),
+        dp AS (SELECT doc_id, p,
+            p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          FROM pos WHERE s IN (SELECT s FROM dup))
+        SELECT doc_id, CAST(MIN(p) AS INT) AS span_start,
+          CAST(MAX(p) + 7 AS INT) AS span_end,
+          CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM dp GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start""")
     )
   )
 

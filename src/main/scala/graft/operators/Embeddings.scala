@@ -437,6 +437,46 @@ object Embeddings {
         SELECT ch.vec_id, ROUND(SUM(ch.q * vn.w), 6) AS pc1
         FROM ch JOIN vn USING (dim)
         GROUP BY ch.vec_id ORDER BY ch.vec_id""")
+    ),
+
+    Q(
+      "e08_cluster_sample",
+      "Cluster-balanced sampling: trained k-means cells, deterministic per-cell top-4 by portable hash",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // The cluster-then-sample curation step (SemDeDup / DSIR
+        // style): a uniform corpus sample over-represents the dense
+        // topic clusters, so balance the sample ACROSS clusters —
+        // k-means cells from O22 (the trained quantizer s05 gated),
+        // then a fixed quota per cell, ranked by a portable hash of
+        // the id (a deterministic stand-in for "uniform within
+        // cluster" that both engines compute identically). The rank
+        // filter plans as WindowGroupLimit in Spark 4: every partition
+        // keeps only its local top-4 per cell BEFORE the shuffle, so
+        // the window state at 100 TB is 4·k rows per task, not a full
+        // per-cell sort. At extreme scale the rank-free variant —
+        // keep h < quota-tuned threshold per cell — drops the window
+        // entirely (t08's hash-rate shape); the quota form here is the
+        // one whose output size is exact, which is what the oracle
+        // pins.
+        val asg = Ops.kmeansAssign(Tables.load(spark, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+        val w = Window.partitionBy($"cell").orderBy($"h", $"vec_id")
+        asg
+          .withColumn("h", graft.functions.PortableHash.hash60($"vec_id".cast("string")))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .where($"rn" <= 4)
+          .select($"cell", $"rn", $"vec_id", $"dq")
+          .orderBy($"cell", $"rn")
+      },
+      Some(s"""${Similarity.kmeansFinCtes},
+        h AS (SELECT n_id, cell, dq,
+          ${graft.functions.PortableHash.sqlHash60("CAST(n_id AS VARCHAR)")} AS hh
+          FROM fin)
+        SELECT cell, CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY hh, n_id) AS INT) AS rn,
+          n_id AS vec_id, dq
+        FROM h QUALIFY rn <= 4 ORDER BY cell, rn""")
     )
   )
 

@@ -1663,6 +1663,43 @@ object Relational {
           CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY c.c_mktsegment ORDER BY segment""")
+    ),
+
+    Q(
+      "q57_asof_join",
+      "As-of join: each purchase matched to the latest prior click per user (O1, DuckDB ASOF oracle)",
+      (spark, dir) => {
+        import spark.implicits._
+        // The O1 operator in a canned query, value-gated against
+        // DuckDB's native ASOF LEFT JOIN — the inclusive (>=) boundary
+        // and the no-prior-click NULL path are both exercised. The
+        // Spark plan is NOT a range join (which Catalyst would execute
+        // as a per-key cartesian + filter): asofJoin unions both sides
+        // and runs ONE window partitioned by user ordered by
+        // (ts, kind) with right-before-left at ties, so each purchase
+        // picks up the last click timestamp at-or-before it in a
+        // single shuffle, linear in |events|. At 100 TB the partition
+        // key (user_id) bounds per-task state to one user's history;
+        // a hot user salts the same way q56 does.
+        val ev = t(spark, dir, "events")
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val c = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts")
+        Ops.asofJoin(p, c, "user_id", "ts", "ts", outCol = "click_ts")
+          .select($"event_id", $"user_id",
+            // exact integer micros; -1 marks "no prior click" so the
+            // hash compare never sees an engine-specific NULL encoding
+            coalesce(unix_micros($"ts") - unix_micros($"click_ts"), lit(-1L))
+              .as("lag_us"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.event_id AS event_id, p.user_id AS user_id,
+          COALESCE(CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT), -1) AS lag_us
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY event_id""")
     )
   )
 }

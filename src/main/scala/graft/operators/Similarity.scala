@@ -16,6 +16,39 @@ import graft.tables.Tables
   */
 object Similarity {
 
+  /** DuckDB CTE chain replicating Ops.kmeansAssign(k=8, iters=2,
+    * dim=64) on `embeddings`, ending in
+    * `fin(n_id, cell, dq)` — the exact-integer Lloyd formulation the
+    * s05 oracle introduced, shared with e08's cluster-sampling
+    * oracle. Append further CTEs with a leading comma.
+    */
+  private[operators] val kmeansFinCtes: String = {
+    def sqlL2q(a: String, b: String) =
+      s"CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(generate_series(1, 64), " +
+        s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+        "(acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)"
+    s"""WITH ev AS (SELECT vec_id AS n_id, embedding AS x,
+          list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS c_id, embedding AS cx FROM embeddings ORDER BY vec_id LIMIT 8),
+        a1 AS (SELECT n_id, c_id,
+            ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY ${sqlL2q("x", "cx")} ASC, c_id) AS r
+          FROM ev, c0),
+        as1 AS (SELECT n_id, c_id AS cell1 FROM a1 WHERE r = 1),
+        dim AS (SELECT unnest(generate_series(1, 64)) AS j),
+        sums AS (SELECT cell1, j, SUM(xq[j]) AS s, COUNT(*) AS nc
+          FROM as1 JOIN ev USING (n_id), dim GROUP BY cell1, j),
+        cent1 AS (SELECT cell1 AS c_id,
+            list(CAST(s AS DOUBLE) / nc / 1000000.0 ORDER BY j) AS cx
+          FROM sums GROUP BY cell1),
+        d2 AS (SELECT n_id, c_id, ${sqlL2q("x", "cx")} AS dq FROM ev, cent1),
+        a2 AS (SELECT n_id, c_id, dq,
+            ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY dq ASC, c_id) AS r
+          FROM d2),
+        fin AS (SELECT n_id, c_id AS cell, dq FROM a2 WHERE r = 1)"""
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "s01_sim_bruteforce_topk",
@@ -476,34 +509,9 @@ object Similarity {
           .agg(count(lit(1)).as("n"), sum($"dq").as("sse_q"))
           .orderBy($"cell")
       },
-      Some {
-        def sqlL2q(a: String, b: String) =
-          s"CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-            s"list_transform(generate_series(1, 64), " +
-            s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
-            "(acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)"
-        s"""WITH ev AS (SELECT vec_id AS n_id, embedding AS x,
-          list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xq
-          FROM embeddings),
-        c0 AS (SELECT vec_id AS c_id, embedding AS cx FROM embeddings ORDER BY vec_id LIMIT 8),
-        a1 AS (SELECT n_id, c_id,
-            ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY ${sqlL2q("x", "cx")} ASC, c_id) AS r
-          FROM ev, c0),
-        as1 AS (SELECT n_id, c_id AS cell1 FROM a1 WHERE r = 1),
-        dim AS (SELECT unnest(generate_series(1, 64)) AS j),
-        sums AS (SELECT cell1, j, SUM(xq[j]) AS s, COUNT(*) AS nc
-          FROM as1 JOIN ev USING (n_id), dim GROUP BY cell1, j),
-        cent1 AS (SELECT cell1 AS c_id,
-            list(CAST(s AS DOUBLE) / nc / 1000000.0 ORDER BY j) AS cx
-          FROM sums GROUP BY cell1),
-        d2 AS (SELECT n_id, c_id, ${sqlL2q("x", "cx")} AS dq FROM ev, cent1),
-        a2 AS (SELECT n_id, c_id, dq,
-            ROW_NUMBER() OVER (PARTITION BY n_id ORDER BY dq ASC, c_id) AS r
-          FROM d2),
-        fin AS (SELECT n_id, c_id AS cell, dq FROM a2 WHERE r = 1)
+      Some(s"""$kmeansFinCtes
         SELECT cell, COUNT(*) AS n, CAST(SUM(dq) AS BIGINT) AS sse_q
-        FROM fin GROUP BY cell ORDER BY cell"""
-      }
+        FROM fin GROUP BY cell ORDER BY cell""")
     ),
 
     Q(
