@@ -198,6 +198,40 @@ object Graph {
     * on the wedge apex, and the closing equi-join keyed on the
     * (lo, hi) pair. Everything else is map-side.
     */
+  /** Synchronous label propagation over an undirected edge list
+    * (columns `u`, `v`), `rounds` fixed iterations: every node starts
+    * as its own label; each round it adopts the label held by the
+    * most of its neighbors, ties broken toward the SMALLEST label —
+    * fully deterministic, so (unlike classic async LPA, whose result
+    * depends on visit order) it carries a value-level oracle.
+    *
+    * Scale shape: per round ONE join of the symmetric edge list
+    * against the node-keyed label frame (keyed on dst) + ONE
+    * (node, label) count + ONE node-keyed argmax — all keyed
+    * shuffles, linear in edges. The argmax is max(struct(c, -label)):
+    * a map-side-combinable aggregation, NOT a per-node window sort.
+    * Per-round lazy checkpoints keep the plan linear in rounds
+    * (the d06/g01 discipline). Label state is 16 bytes/node.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = false)
+    var lbl = sym.select(col("src").as("node")).distinct()
+      .withColumn("l", col("node"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to rounds) {
+      val nbr = sym.join(lbl.select(col("node").as("dst"), col("l")), Seq("dst"))
+      val cnt = nbr.groupBy(col("src"), col("l"))
+        .agg(count(lit(1)).as("c"))
+      lbl = cnt.groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("l")).as("negl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.negl")).as("l"))
+        .localCheckpoint(eager = false)
+    }
+    lbl
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.select(col("u"), col("v"))
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
@@ -424,6 +458,55 @@ object Graph {
         $peels
         SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
         FROM e5 GROUP BY src ORDER BY node"""
+      }
+    ),
+
+    Q(
+      "g05_label_propagation",
+      "Deterministic label propagation, 3 synchronous rounds: community labels on the co-purchase graph",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // The community-detection complement to d06/d08's connected
+        // components: CC merges everything reachable; LPA splits a
+        // connected graph into densely-linked groups — the granularity
+        // domain/topic clustering actually wants. Classic async LPA is
+        // visit-order-dependent; this is the synchronous
+        // min-tie-break variant (see [[labelPropagation]]), so the
+        // oracle replays it exactly. Same co-purchase graph as
+        // g02/g03; 3 fixed rounds for CTE-unrollable termination.
+        val ip = Tables.load(spark, dir, "lineitem")
+          .filter($"l_quantity" >= 30)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        val und = ip.as("a").join(ip.as("b"), "ok")
+          .where($"a.p" < $"b.p")
+          .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+        val lbl = labelPropagation(und, rounds = 3)
+        val win = Window.partitionBy($"l")
+        lbl.withColumn("n_members", count(lit(1)).over(win).cast("long"))
+          .select($"node", $"l".as("label"), $"n_members")
+          .orderBy($"node")
+      },
+      Some {
+        val rounds = (1 to 3).map { t =>
+          s"""c$t AS (SELECT e.src AS node, p.l AS lbl, COUNT(*) AS c
+            FROM sym e JOIN l${t - 1} p ON p.node = e.dst GROUP BY 1, 2),
+          l$t AS MATERIALIZED (SELECT node, lbl AS l FROM (
+            SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+              ORDER BY c DESC, lbl ASC) AS rn FROM c$t) q WHERE rn = 1)"""
+        }.mkString(",\n        ")
+        s"""WITH ip AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          FROM lineitem WHERE l_quantity >= 30),
+        und AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
+        sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+          UNION ALL SELECT v, u FROM und),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS l FROM sym),
+        $rounds
+        SELECT l3.node AS node, l3.l AS label, CAST(cnt.n AS BIGINT) AS n_members
+        FROM l3 JOIN (SELECT l, COUNT(*) AS n FROM l3 GROUP BY l) cnt ON cnt.l = l3.l
+        ORDER BY node"""
       }
     )
   )

@@ -102,4 +102,45 @@ class Round8GraphSpec extends SparkTestBase {
     assert(got == expected,
       s"converged ranks != replay stop iterate (replay took $steps steps): $got vs $expected")
   }
+
+  test("labelPropagation splits two bridged triangles into two communities") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: after 3
+    // synchronous min-tie-break rounds the hand-computed labels are
+    // {1,2,3}->1 and {4,5,6}->3 (worked forward round by round)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("u", "v")
+    val got = Graph.labelPropagation(und, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"got $got")
+  }
+
+  test("g05 matches a sequential synchronous-LPA replay at sf0.001") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("g05_label_propagation")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    val ip = graft.tables.Tables.load(spark, sfDir, "lineitem")
+      .filter($"l_quantity" >= 30)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = ip.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val sym = und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+    val adj = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (n, nbrs) =>
+        val byLabel = nbrs.map(lbl).groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        n -> byLabel.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val expected = lbl.toSeq.map { case (n, l) => (n, l, sizes(l)) }.sortBy(_._1)
+    assert(got.toSeq == expected)
+    assert(expected.map(_._2).distinct.size > 1, "sf0.001 graph should split into >1 community")
+  }
 }
