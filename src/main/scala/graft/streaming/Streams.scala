@@ -97,6 +97,82 @@ object Streams {
       }
   }
 
+  final case class AsOfMatch(
+      event_id: Long,
+      user_id: Long,
+      ts: java.sql.Timestamp,
+      lag_us: Long // micros since latest at-or-before click; -1 = none
+  )
+
+  // public: Catalyst's state Encoder generates constructor calls.
+  // `lastClickUs` compacts every click below the watermark to one
+  // long; `pending` holds only events at-or-above it.
+  final case class AsOfState(
+      lastClickUs: Long,
+      pending: List[(Long, Long, Boolean)] // (event_id, ts_us, isClick)
+  )
+
+  /** ST11: streaming as-of join — each purchase matched to the same
+    * user's latest at-or-before click (q57/O1's semantics), EXACT
+    * under out-of-order arrival: results emit only once the watermark
+    * passes the purchase's timestamp, at which point every earlier
+    * click has either arrived or been excluded by the same watermark
+    * that bounds every other stateful op here. The batch twin is
+    * Ops.asofJoin on the same events (spec-pinned).
+    *
+    * State per user is BOUNDED: everything below the watermark
+    * compacts to ONE long (the latest click ts — older clicks can
+    * never win an as-of match again); only the in-flight horizon
+    * (watermark delay's worth of events) stays buffered. Keyed by
+    * user_id, so state shards across executors like ST2.
+    */
+  def asofStream(spark: SparkSession, events: DataFrame): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (userId, batch, state: GroupState[AsOfState]) =>
+        val wm = state.getCurrentWatermarkMs() * 1000L // micros
+        val prev = state.getOption.getOrElse(AsOfState(-1L, Nil))
+        // full micros: getTime is millis-truncated, getNanos carries
+        // the complete within-second fraction (events are µs-valued)
+        def micros(t: java.sql.Timestamp): Long =
+          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        val incoming = batch.map(e =>
+          (e.event_id, micros(e.ts), e.event_type == "click")).toList
+        val all = prev.pending ++ incoming
+        // ripe = strictly below the watermark: nothing earlier can
+        // still arrive. Sort by (ts, clicks-first) — the inclusive
+        // boundary of the batch operator.
+        val (ripe, hold) = all.partition(_._2 < wm)
+        var lastClick = prev.lastClickUs
+        val out = List.newBuilder[AsOfMatch]
+        ripe.sortBy(t => (t._2, !t._3)).foreach { case (id, us, isClick) =>
+          if (isClick) lastClick = math.max(lastClick, us)
+          else {
+            val t = new java.sql.Timestamp(us / 1000L)
+            t.setNanos((us % 1000000L).toInt * 1000)
+            out += AsOfMatch(id, userId, t,
+              if (lastClick < 0) -1L else us - lastClick)
+          }
+        }
+        if (hold.isEmpty && state.hasTimedOut) state.remove()
+        else {
+          state.update(AsOfState(lastClick, hold))
+          // wake this key when the watermark passes its oldest
+          // pending event, even if no new data arrives for it
+          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._2).min / 1000L + 1L)
+        }
+        out.result().iterator
+      }
+  }
+
   /** ST3: streaming exact dedup on event_id within the watermark. */
   def dedupStream(events: DataFrame): DataFrame =
     events

@@ -196,4 +196,31 @@ class StreamingSpec extends SparkTestBase {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin_id"))
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
+
+  test("ST11: streaming as-of join emits exactly the batch asofJoin values for flushed purchases") {
+    val q = Streams.asofStream(spark, streamEvents(streamDir))
+      .writeStream.format("memory").queryName("st11").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("st11").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+
+    // batch twin: q57's exact formulation over the full events table
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val batch = graft.operators.Ops
+      .asofJoin(p, c, "user_id", "ts", "ts", outCol = "click_ts")
+      .select(col("event_id"), col("user_id"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("click_ts")), lit(-1L)).as("lag_us"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    assert(emitted.nonEmpty, "watermark advance across the two files must flush some purchases")
+    assert(emitted.length == emitted.map(_._1).distinct.length, "no purchase emitted twice")
+    val wrong = emitted.filter { case (id, u, lag) => batch(id) != ((u, lag)) }
+    assert(wrong.isEmpty, s"${wrong.length} emitted rows disagree with batch asofJoin: ${wrong.take(3).toSeq}")
+    // the no-prior-click path must actually be exercised by the corpus
+    assert(emitted.exists(_._3 == -1L) == batch.values.exists(_._2 == -1L) || emitted.length < batch.size)
+  }
 }
