@@ -17,6 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.polyHash)
+    // whole-operator path: plans graft.plans.AsOfJoin logical nodes
+    // (Ops.asofJoinNative also self-registers per-session)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

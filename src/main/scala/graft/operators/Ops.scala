@@ -40,6 +40,47 @@ object Ops {
       .select(col("_row.*"), col(outCol))
   }
 
+  /** The native-operator form of [[asofJoin]]: same semantics
+    * (latest right ts at-or-before each left row's ts per key, null
+    * when none), executed by the custom sort-merge
+    * [[graft.plans.AsOfJoinExec]] instead of the union+window
+    * encoding — each side shuffles ONCE on its own key and the match
+    * is a single-pass merge with O(1) per-partition state, so
+    * pre-partitioned (bucketed) inputs skip their exchange entirely,
+    * which the union form structurally cannot. Registers the planner
+    * strategy on the session idempotently. OpsSpec pins value
+    * equality with [[asofJoin]]; q58 carries the DuckDB ASOF oracle.
+    */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      outCol: String = "asof_ts"
+  ): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.AsOfJoinStrategy.synchronized {
+      val cur = spark.experimental.extraStrategies
+      if (!cur.contains(graft.plans.AsOfJoinStrategy))
+        spark.experimental.extraStrategies = cur :+ graft.plans.AsOfJoinStrategy
+    }
+    // fresh aliases force fresh exprIds on the right: both sides often
+    // derive from the same scan (self-as-of), and duplicate ids across
+    // children would make attribute binding ambiguous
+    val r2 = right.select(col(keyCol).as("_asof_rk"), col(rightTsCol).as("_asof_rts"))
+    val lp = left.queryExecution.analyzed
+    val rp = r2.queryExecution.analyzed
+    val lk = lp.output.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(s"left side has no column $keyCol"))
+    val lts = lp.output.find(_.name == leftTsCol).getOrElse(
+      throw new IllegalArgumentException(s"left side has no column $leftTsCol"))
+    val out = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference(outCol, rp.output(1).dataType, nullable = true)()
+    org.apache.spark.sql.graftbridge.SparkSqlBridge.ofRows(spark,
+      graft.plans.AsOfJoin(lp, rp, lk, rp.output(0), lts, rp.output(1), out))
+  }
+
   /** Gap-based sessionization: assigns a session id per `keyCol` when
     * gaps exceed `gapSeconds`. Window functions only — one shuffle.
     */

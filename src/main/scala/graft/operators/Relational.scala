@@ -1700,6 +1700,39 @@ object Relational {
           COALESCE(CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT), -1) AS lag_us
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY event_id""")
+    ),
+
+    Q(
+      "q58_asof_native",
+      "The same as-of join through the NATIVE sort-merge operator (AsOfJoinExec) — custom-plan path, same oracle",
+      (spark, dir) => {
+        import spark.implicits._
+        // q57's exact semantics executed by the whole-operator
+        // Catalyst path (graft.plans: logical node -> strategy ->
+        // sort-merge exec) instead of the union+window encoding.
+        // Running BOTH under the same DuckDB ASOF oracle value-gates
+        // the custom operator end-to-end and benches the two plan
+        // shapes head-to-head; the native form shuffles each side once
+        // on its own key and merges with O(1) per-partition state, so
+        // bucketed/pre-partitioned inputs skip their exchange entirely
+        // (spec-pinned in AsOfJoinNativeSpec).
+        val ev = t(spark, dir, "events")
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val c = ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts")
+        Ops.asofJoinNative(p, c, "user_id", "ts", "ts", outCol = "click_ts")
+          .select($"event_id", $"user_id",
+            coalesce(unix_micros($"ts") - unix_micros($"click_ts"), lit(-1L))
+              .as("lag_us"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT p.event_id AS event_id, p.user_id AS user_id,
+          COALESCE(CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT), -1) AS lag_us
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY event_id""")
     )
   )
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** The custom whole-operator Catalyst path (AsOfJoin logical node →
+  * AsOfJoinStrategy → sort-merge AsOfJoinExec) against the
+  * union+window reference implementation: identical values on real
+  * data and hand-built edges, plus plan-shape asserts proving the
+  * operator actually runs (and runs withOUT a window or union).
+  */
+class AsOfJoinNativeSpec extends SparkTestBase {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** Every node in the final plan, descending through AQE wrappers
+    * (query stages are leaf-like and hide their subtree from collect).
+    */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => Nil
+    }
+    p +: (p.children ++ inner).flatMap(flatten)
+  }
+
+  test("native as-of equals the union+window asofJoin on sf0.001 events") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)))).toSet
+    val reference = normalize(Ops.asofJoin(p, c, "user_id", "ts", "ts"))
+    val native = normalize(Ops.asofJoinNative(p, c, "user_id", "ts", "ts"))
+    assert(native == reference)
+    assert(reference.exists(_._4.isEmpty), "corpus should exercise the no-match path")
+  }
+
+  test("inclusive boundary, interleaved keys, and string keys") {
+    import spark.implicits._
+    val left = Seq(
+      ("a", ts("2024-01-01 00:00:10"), 1L),
+      ("a", ts("2024-01-01 00:00:20"), 2L),
+      ("b", ts("2024-01-01 00:00:05"), 3L),
+      ("c", ts("2024-01-01 00:00:01"), 4L) // key with no right rows
+    ).toDF("k", "ts", "id")
+    val right = Seq(
+      ("a", ts("2024-01-01 00:00:10")), // exactly at left id=1 -> taken
+      ("a", ts("2024-01-01 00:00:15")),
+      ("b", ts("2024-01-01 00:00:06")) // after left id=3 -> no match
+    ).toDF("k", "ts")
+    val got = Ops.asofJoinNative(left, right, "k", "ts", "ts")
+      .collect().map(r => r.getLong(2) -> Option(r.getTimestamp(3))).toMap
+    assert(got == Map(
+      1L -> Some(ts("2024-01-01 00:00:10")),
+      2L -> Some(ts("2024-01-01 00:00:15")),
+      3L -> None,
+      4L -> None), s"got $got")
+  }
+
+  test("the plan runs AsOfJoinExec: one exchange per side, no window, no union") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val df = Ops.asofJoinNative(p, c, "user_id", "ts", "ts")
+    df.collect() // finalize any adaptive plan
+    val all = flatten(df.queryExecution.executedPlan)
+    assert(all.exists(_.isInstanceOf[graft.plans.AsOfJoinExec]), all.head.toString)
+    assert(!all.exists(_.isInstanceOf[WindowExec]), "window must not appear")
+    val exchanges = all.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(exchanges == 2, s"expected one exchange per side, got $exchanges\n${all.head}")
+  }
+
+  test("pre-partitioned, pre-sorted inputs skip their exchange (the bucketing win)") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .repartition(col("user_id")).sortWithinPartitions(col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+      .repartition(col("user_id")).sortWithinPartitions(col("user_id"), col("ts"))
+    val df = Ops.asofJoinNative(p, c, "user_id", "ts", "ts")
+    df.collect()
+    val all = flatten(df.queryExecution.executedPlan)
+    // the two repartition exchanges are the only ones; the operator
+    // itself added none on top (requirement already satisfied)
+    val exchanges = all.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(exchanges == 2, s"operator must reuse the existing partitioning\n${all.head}")
+  }
+}
