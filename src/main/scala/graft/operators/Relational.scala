@@ -1733,6 +1733,56 @@ object Relational {
           COALESCE(CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT), -1) AS lag_us
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY event_id""")
+    ),
+
+    Q(
+      "q59_funnel",
+      "Ordered conversion funnel: signup -> first later click -> first later purchase, per-user stage timestamps",
+      (spark, dir) => {
+        import spark.implicits._
+        // The product-analytics funnel: a user converts a stage only
+        // if it happens STRICTLY AFTER their previous stage (a
+        // purchase before the first click doesn't count). Three
+        // chained min-aggregations, each a keyed agg + one join back
+        // on user_id — no windows over event history, no per-user
+        // sort; at 100 TB each stage is one shuffle on user_id over
+        // rows of ONE event type (a ~1/5 slice). Output: per-user
+        // stage timestamps (null = never reached) in exact micros,
+        // so the per-stage conversion counts are a trivial roll-up
+        // and the oracle gates the FULL per-user detail, not just
+        // the four funnel totals.
+        val ev = t(spark, dir, "events")
+          .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        val s1 = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"us").as("signup_us"))
+        val s2 = ev.filter($"event_type" === "click")
+          .join(s1, "user_id").where($"us" > $"signup_us")
+          .groupBy($"user_id").agg(min($"us").as("click_us"))
+        val s3 = ev.filter($"event_type" === "purchase")
+          .join(s2, "user_id").where($"us" > $"click_us")
+          .groupBy($"user_id").agg(min($"us").as("purchase_us"))
+        s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+          .select($"user_id", $"signup_us",
+            coalesce($"click_us", lit(-1L)).as("click_us"),
+            coalesce($"purchase_us", lit(-1L)).as("purchase_us"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, CAST(MIN(us) AS BIGINT) AS signup_us
+          FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT ev.user_id, CAST(MIN(ev.us) AS BIGINT) AS click_us
+          FROM ev JOIN s1 USING (user_id)
+          WHERE ev.event_type = 'click' AND ev.us > s1.signup_us
+          GROUP BY ev.user_id),
+        s3 AS (SELECT ev.user_id, CAST(MIN(ev.us) AS BIGINT) AS purchase_us
+          FROM ev JOIN s2 USING (user_id)
+          WHERE ev.event_type = 'purchase' AND ev.us > s2.click_us
+          GROUP BY ev.user_id)
+        SELECT s1.user_id AS user_id, s1.signup_us,
+          COALESCE(s2.click_us, -1) AS click_us,
+          COALESCE(s3.purchase_us, -1) AS purchase_us
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        ORDER BY user_id""")
     )
   )
 }

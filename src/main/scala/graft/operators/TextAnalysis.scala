@@ -800,6 +800,40 @@ object TextAnalysis {
             CASE WHEN pa > 0 THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0 END +
             CASE WHEN pb > 0 THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0 END), 6) AS js_nats
         FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b""")
+    ),
+
+    Q(
+      "t20_weighted_sample",
+      "Quality-weighted Bernoulli sampling: inclusion probability proportional to doc quality, decided in exact integers",
+      (spark, dir) => {
+        import spark.implicits._
+        // The CCNet-style curation step t08's uniform strata can't
+        // express: keep each doc with probability proportional to a
+        // quality weight (here the length proxy min(n_chars,500)/500
+        // — any [0,1] score slots in). Exact and engine-neutral: the
+        // weight quantizes to 1024 grains (w_q = min(nc,500)*1024 div
+        // 500, integer floor both engines), and the keep decision is
+        // hash60(doc_id) < w_q << 50 — both sides int64 (w_q <= 1024,
+        // << 50 <= 2^60), no fp probability anywhere, so the SAMPLE
+        // ITSELF is value-level oracle-able, not just its size.
+        // Per-row scan work only: zero shuffles besides the output
+        // sort; deterministic and replayable at any scale, and the
+        // rate self-tunes per doc (longer docs kept more often).
+        val d = Tables.load(spark, dir, "documents")
+        d.select($"doc_id", $"n_chars",
+            expr("least(n_chars, 500L) * 1024L div 500L").as("w_q"),
+            graft.functions.PortableHash.hash60($"doc_id".cast("string")).as("h"))
+          .where($"h" < shiftleft($"w_q", 50))
+          .select($"doc_id", $"n_chars", $"w_q".cast("int").as("w_q"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, n_chars,
+          CAST(LEAST(n_chars, 500) * 1024 // 500 AS BIGINT) AS w_q,
+          ${graft.functions.PortableHash.sqlHash60("CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents)
+        SELECT doc_id, n_chars, CAST(w_q AS INT) AS w_q
+        FROM d WHERE h < (w_q << 50)
+        ORDER BY doc_id""")
     )
   )
 }

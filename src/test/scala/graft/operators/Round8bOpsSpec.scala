@@ -157,6 +157,73 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(got.nonEmpty, "sf0.001 corpus should contain at least one cross-doc dup span")
   }
 
+  // ---- t20 weighted sampling ------------------------------------
+
+  test("t20 keeps exactly the docs whose hash clears the quantized quality threshold") {
+    val got = q("t20_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = docs.flatMap { case (id, nc) =>
+      val wq = math.min(nc, 500L) * 1024L / 500L
+      if (hash60(id.toString) < (wq << 50)) Some((id, nc, wq.toInt)) else None
+    }.toSet
+    assert(got == expected)
+    // the weighting must actually discriminate: the kept fraction of
+    // short docs must be below the kept fraction of long docs
+    val (long, short) = docs.partition(_._2 >= 500)
+    def rate(xs: Array[(Long, Long)]) =
+      if (xs.isEmpty) 1.0 else xs.count(d => got.exists(_._1 == d._1)).toDouble / xs.length
+    assert(short.isEmpty || rate(short) < rate(long) || rate(long) == 1.0)
+  }
+
+  // ---- q59 funnel -----------------------------------------------
+
+  test("q59 funnel stages match a per-user sequential replay (strict ordering)") {
+    val got = q("q59_funnel").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, rows) =>
+      val s = rows.filter(_._2 == "signup").map(_._3)
+      if (s.isEmpty) None
+      else {
+        val su = s.min
+        val c = rows.filter(r => r._2 == "click" && r._3 > su).map(_._3)
+        val cu = if (c.isEmpty) -1L else c.min
+        val p = if (cu < 0) Array.empty[Long]
+          else rows.filter(r => r._2 == "purchase" && r._3 > cu).map(_._3)
+        Some(u -> ((su, cu, if (p.isEmpty) -1L else p.min)))
+      }
+    }
+    assert(got == expected)
+    assert(got.values.exists(v => v._3 > 0), "corpus should contain full conversions")
+  }
+
+  test("q59 strict ordering: a purchase before the first post-signup click does not convert") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: signup, purchase, click — the purchase precedes the
+    // first post-signup click, so stage 3 must stay unreached;
+    // user 2: signup, click, purchase in order — full conversion
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    Seq(
+      (1L, t("2024-01-01 00:00:01"), 1L, "signup", 0.0, "{}"),
+      (2L, t("2024-01-01 00:00:02"), 1L, "purchase", 1.0, "{}"),
+      (3L, t("2024-01-01 00:00:03"), 1L, "click", 0.0, "{}"),
+      (4L, t("2024-01-01 00:00:01"), 2L, "signup", 0.0, "{}"),
+      (5L, t("2024-01-01 00:00:02"), 2L, "click", 0.0, "{}"),
+      (6L, t("2024-01-01 00:00:03"), 2L, "purchase", 5.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("q59_funnel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2) > 0, r.getLong(3) > 0))).toMap
+    assert(got == Map(1L -> ((true, false)), 2L -> ((true, true))), s"got $got")
+  }
+
   // ---- e08 cluster-balanced sampling ----------------------------
 
   test("e08 picks the hash-least 4 ids per trained cell, exactly") {
