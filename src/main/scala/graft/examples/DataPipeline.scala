@@ -159,6 +159,28 @@ object DataPipeline {
       }
       .depend("in" -> "docs.clean")
 
+    // decontamination gate (d16's engine): overlap of every canonical
+    // doc against the eval shard's shingle universe — the table a
+    // release step consults before export (flagged docs are the drop
+    // candidates). The mod-10 split stands in for an external
+    // benchmark table; swap in any (doc_id, text) frame.
+    wkf
+      .provide("docs.decontam") { ctx =>
+        val in = ctx.as[DataFrame]("in")
+        graft.operators.Dedup.decontaminate(
+          in.filter(col("doc_id") % 10 =!= 0),
+          in.filter(col("doc_id") % 10 === 0))
+      }
+      .depend("in" -> "docs.canonical")
+
+    // cluster-balanced embedding sample (e08's engine): the
+    // topic-balanced subset an annotation or eval pass draws from,
+    // instead of over-representing dense clusters
+    wkf.provide("vecs.sample") { _ =>
+      Ops.clusterSample(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding")
+    }
+
     // pack into ~512-token bins per lang for batch assembly
     wkf
       .provide("docs.packed") { ctx =>
@@ -274,6 +296,15 @@ object DataPipeline {
       .map(r => f", max=${r.getString(0)}~${r.getString(1)}:${r.getDouble(2)}%.3f")
       .getOrElse("")
     println(s"shard_divergence=${div.length} pairs$divMax")
+
+    val dec = wkf.run("docs.decontam").asInstanceOf[DataFrame]
+    val decN = dec.count()
+    val decFlagged = dec.filter(col("contaminated") === 1).count()
+    println(s"decontam_flagged=$decFlagged/$decN")
+
+    val vs = wkf.run("vecs.sample").asInstanceOf[DataFrame]
+    println(s"cluster_sample=${vs.count()} rows over " +
+      s"${vs.select(col("cell")).distinct().count()} cells")
 
     // Z-order layout of the curated corpus: interleave (lang-bucket,
     // length-bucket) so scans filtered on EITHER dimension prune files

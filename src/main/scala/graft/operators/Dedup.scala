@@ -45,6 +45,32 @@ object Dedup {
   private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     shingleArrays(Tables.load(spark, dir, "documents"))
 
+  /** Benchmark decontamination (d16's engine): per-train-doc count and
+    * fraction of distinct word-3-gram shingles that appear anywhere in
+    * `evalDocs` (both frames: doc_id + text), with the contaminated
+    * flag decided in exact integers (2·n_hit >= n_spans, i.e. >= 50%
+    * overlap). The corpus-sized work is one explode + one semi-join +
+    * one keyed agg; the eval universe is benchmark-sized and
+    * broadcasts — past broadcast capacity, [[Ops.bloomSemiJoin]]
+    * slots in on the same shingle key. Docs under 3 words have no
+    * shingles and are dropped (nothing to measure).
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame): DataFrame =
+    decontaminateShingled(shingleArrays(train), shingleArrays(evalDocs))
+
+  private def decontaminateShingled(train: DataFrame, evalSh: DataFrame): DataFrame = {
+    val evalU = evalSh.select(explode(col("sh")).as("s")).distinct()
+    val hits = train.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(evalU, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    train.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("doc_id"), col("n_spans"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_spans"), 6).as("overlap"),
+        (col("n_hit") * 2 >= col("n_spans")).cast("int").as("contaminated"))
+  }
+
   /** The 100 TB configuration of the n-gram Jaccard dedup (d04): the
     * identical pipeline with a hot-shingle cap on candidate GENERATION
     * via Ops.jaccardPairs — a boilerplate shingle shared by k docs
@@ -1242,18 +1268,8 @@ object Dedup {
         // (2*n_hit >= n_spans), so the 0.5 threshold cannot fp-drift
         // between engines.
         val sh = shingleArrays(spark, dir).cache()
-        val evalSh = sh.where($"doc_id" % 10 === 0)
-          .select(explode($"sh").as("s")).distinct()
-        val train = sh.where($"doc_id" % 10 =!= 0)
-        val hits = train.select($"doc_id", explode($"sh").as("s"))
-          .join(evalSh, Seq("s"), "left_semi")
-          .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
-        train.select($"doc_id", size($"sh").cast("long").as("n_spans"))
-          .join(hits, Seq("doc_id"), "left")
-          .withColumn("n_hit", coalesce($"n_hit", lit(0L)))
-          .select($"doc_id", $"n_spans", $"n_hit",
-            round($"n_hit".cast("double") / $"n_spans", 6).as("overlap"),
-            ($"n_hit" * 2 >= $"n_spans").cast("int").as("contaminated"))
+        decontaminateShingled(sh.where($"doc_id" % 10 =!= 0),
+            sh.where($"doc_id" % 10 === 0))
           .orderBy($"doc_id")
       },
       Some(s"""$sqlShingleCtes,

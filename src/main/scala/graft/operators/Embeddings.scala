@@ -460,14 +460,8 @@ object Embeddings {
         // entirely (t08's hash-rate shape); the quota form here is the
         // one whose output size is exact, which is what the oracle
         // pins.
-        val asg = Ops.kmeansAssign(Tables.load(spark, dir, "embeddings"),
-          "vec_id", "embedding", k = 8, iters = 2, dim = 64)
-        val w = Window.partitionBy($"cell").orderBy($"h", $"vec_id")
-        asg
-          .withColumn("h", graft.functions.PortableHash.hash60($"vec_id".cast("string")))
-          .withColumn("rn", row_number().over(w).cast("int"))
-          .where($"rn" <= 4)
-          .select($"cell", $"rn", $"vec_id", $"dq")
+        Ops.clusterSample(Tables.load(spark, dir, "embeddings"),
+            "vec_id", "embedding", k = 8, iters = 2, dim = 64, perCell = 4)
           .orderBy($"cell", $"rn")
       },
       Some(s"""${Similarity.kmeansFinCtes},

@@ -1016,6 +1016,35 @@ object Ops {
     out
   }
 
+  /** Cluster-balanced sampling (e08's engine, the SemDeDup/DSIR
+    * cluster-then-sample curation step): assign vectors to trained
+    * k-means cells ([[kmeansAssign]]), then keep a fixed `perCell`
+    * quota per cell ranked by the portable hash of the id — a
+    * deterministic stand-in for uniform-within-cluster both engines
+    * compute identically. The rank filter plans as WindowGroupLimit
+    * (Spark 4): each task keeps its local top-`perCell` per cell
+    * BEFORE the shuffle, so window state is perCell·k rows per task
+    * and the output is corpus-size-independent.
+    */
+  def clusterSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8,
+      iters: Int = 2,
+      dim: Int = 64,
+      perCell: Int = 4
+  ): DataFrame = {
+    val asg = kmeansAssign(df, idCol, vecCol, k, iters, dim)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("_h"), col(idCol))
+    asg
+      .withColumn("_h", graft.functions.PortableHash.hash60(col(idCol).cast("string")))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .where(col("rn") <= perCell)
+      .select(col("cell"), col("rn"), col(idCol), col("dq"))
+  }
+
   /** The trained centroids behind [[kmeansAssign]]: the coordinate
     * frame (_cid, _cx) its `iters`-th assignment pass compares
     * against (i.e. after iters-1 mean updates). Returned as a k-row

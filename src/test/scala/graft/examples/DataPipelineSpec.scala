@@ -89,6 +89,27 @@ class DataPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("the decontam cell measures every canonical train doc against the eval shard") {
+    val dec = wkf.run("docs.decontam").asInstanceOf[DataFrame]
+    val canonical = wkf.run("docs.canonical").asInstanceOf[DataFrame]
+    // one row per measurable (>= 3 words) canonical non-eval doc
+    val expected = canonical
+      .filter(col("doc_id") % 10 =!= 0)
+      .filter(size(expr("filter(split(text, ' '), x -> x <> '')")) >= 3)
+      .count()
+    assert(dec.count() == expected)
+    val bad = dec.filter(col("n_hit") > col("n_spans") ||
+      (col("contaminated") === 1) =!= (col("n_hit") * 2 >= col("n_spans"))).count()
+    assert(bad == 0, "flag must follow the exact-integer threshold")
+  }
+
+  test("the vecs.sample cell draws a bounded, cluster-balanced subset") {
+    val vs = wkf.run("vecs.sample").asInstanceOf[DataFrame].collect()
+    assert(vs.length <= 32 && vs.length > 0)
+    val perCell = vs.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 4), s"quota violated: $perCell")
+  }
+
   test("the sinks cell fans the corpus out through three routed formats") {
     val out = java.nio.file.Files.createTempDirectory("graft-fanout").toString
     wkf.run(s"docs.sinks.$out")
