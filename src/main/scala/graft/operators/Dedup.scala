@@ -1342,6 +1342,82 @@ object Dedup {
           CAST(COUNT(*) AS BIGINT) AS n_windows
         FROM dp GROUP BY doc_id, grp
         ORDER BY doc_id, span_start""")
+    ),
+
+    Q(
+      "d18_span_removal",
+      "Exact-substring removal: rebuild every doc with its duplicated spans CUT (d17's intervals applied)",
+      (spark, dir) => {
+        import spark.implicits._
+        // The step that actually edits the corpus: d17 finds the
+        // maximal duplicated word intervals; this cuts them and
+        // re-emits the cleaned text (Lee et al.'s dedup transform,
+        // not just its report). Interval application is an anti-join
+        // of word positions against the island ranges — equi on
+        // doc_id with the BETWEEN residual, so it plans as a keyed
+        // join (islands per doc are few), never a cartesian; the
+        // rebuild is one doc-keyed sort_array(collect_list) — at
+        // 100 TB each group is ONE document's words, bounded by doc
+        // length like every per-doc agg here. Docs fully covered by
+        // duplication come back empty (n_kept=0), short docs (<8
+        // words, no windows) come back untouched.
+        val docs = Tables.load(spark, dir, "documents")
+          .withColumn("wd", expr(wordsExpr))
+        val pos = docs.where(size($"wd") >= 8)
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(1, size(wd)-7), i -> concat_ws(' ', slice(wd, i, 8)))")))
+          .select($"doc_id", ($"pos" + 1).as("p"), $"col".as("s"))
+        val dup = pos.select($"doc_id", $"s").distinct()
+          .groupBy($"s").agg(count(lit(1)).as("nd"))
+          .where($"nd" >= 2).select($"s")
+        val w8 = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"p")
+        val islands = pos.join(dup, Seq("s"), "left_semi")
+          .withColumn("grp", $"p" - row_number().over(w8))
+          .groupBy($"doc_id", $"grp")
+          .agg(min($"p").as("st"), (max($"p") + 7).as("en"))
+        val words = docs.select($"doc_id", posexplode($"wd").as(Seq("p0", "wrd")))
+          .select($"doc_id", ($"p0" + 1).as("p"), $"wrd")
+        val kept = words.as("w").join(islands.as("i"),
+            $"w.doc_id" === $"i.doc_id" && $"w.p" >= $"i.st" && $"w.p" <= $"i.en",
+            "left_anti")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(expr("transform(array_sort(collect_list(struct(p, wrd))), x -> x.wrd)"), " ")
+              .as("clean_text"))
+        docs.select($"doc_id", size($"wd").cast("long").as("n_words"))
+          .join(kept, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_words",
+            coalesce($"n_kept", lit(0L)).as("n_kept"),
+            coalesce($"clean_text", lit("")).as("clean_text"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wd
+          FROM documents),
+        pos0 AS (SELECT doc_id, unnest(generate_series(1, len(wd) - 7)) AS p, wd
+          FROM w WHERE len(wd) >= 8),
+        pos AS (SELECT doc_id, p, array_to_string(wd[p:p+7], ' ') AS s FROM pos0),
+        dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM pos)
+          GROUP BY s HAVING COUNT(*) >= 2),
+        dp AS (SELECT doc_id, p,
+            p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+          FROM pos WHERE s IN (SELECT s FROM dup)),
+        islands AS (SELECT doc_id, MIN(p) AS st, MAX(p) + 7 AS en
+          FROM dp GROUP BY doc_id, grp),
+        words AS (SELECT doc_id, unnest(wd) AS wrd,
+          unnest(generate_series(1, len(wd))) AS p FROM w),
+        kept AS (SELECT wo.doc_id, wo.p, wo.wrd FROM words wo
+          WHERE NOT EXISTS (SELECT 1 FROM islands i
+            WHERE i.doc_id = wo.doc_id AND wo.p BETWEEN i.st AND i.en)),
+        agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          string_agg(wrd, ' ' ORDER BY p) AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT w.doc_id AS doc_id, CAST(len(w.wd) AS BIGINT) AS n_words,
+          COALESCE(a.n_kept, 0) AS n_kept,
+          COALESCE(a.clean_text, '') AS clean_text
+        FROM w LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id""")
     )
   )
 

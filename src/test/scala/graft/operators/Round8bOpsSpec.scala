@@ -157,6 +157,40 @@ class Round8bOpsSpec extends SparkTestBase {
     assert(got.nonEmpty, "sf0.001 corpus should contain at least one cross-doc dup span")
   }
 
+  // ---- d18 span removal -----------------------------------------
+
+  test("d18 cuts exactly the duplicated intervals and keeps the rest in order") {
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val dir = writeDocs(Seq(
+      1L -> (shared + " tail1 tail2"),
+      2L -> (shared + " other3 other4"),
+      3L -> "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", // no cross-doc dup: untouched
+      4L -> "a b c" // < 8 words: untouched
+    ))
+    val got = graft.SparkEntry.queries("d18_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((11L, 2L, "tail1 tail2")), s"got ${got(1L)}")
+    assert(got(2L) == ((11L, 2L, "other3 other4")), s"got ${got(2L)}")
+    assert(got(3L) == ((10L, 10L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")))
+    assert(got(4L) == ((3L, 3L, "a b c")))
+  }
+
+  test("d18 is consistent with d17 at sf0.001: removed words == covered interval words") {
+    val spans = q("d17_dup_span_intervals").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val coveredPerDoc = spans.groupBy(_._1).view
+      .mapValues(_.map(s => s._3 - s._2 + 1).sum.toLong).toMap
+    val got = q("d18_span_removal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    got.foreach { case (id, nWords, nKept, text) =>
+      assert(nWords - nKept == coveredPerDoc.getOrElse(id, 0L),
+        s"doc $id: removed ${nWords - nKept}, intervals cover ${coveredPerDoc.get(id)}")
+      assert(nKept == 0 && text.isEmpty ||
+        text.split(" ").count(_.nonEmpty) == nKept, s"doc $id text/count mismatch")
+    }
+    assert(got.exists(g => g._2 != g._3), "some doc must actually be cut at sf0.001")
+  }
+
   // ---- t20 weighted sampling ------------------------------------
 
   test("t20 keeps exactly the docs whose hash clears the quantized quality threshold") {
