@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator path: plans graft.plans.AsOfJoin logical nodes
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinLimitPushdown)
   }
 }
 

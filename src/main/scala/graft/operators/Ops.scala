@@ -64,6 +64,9 @@ object Ops {
       val cur = spark.experimental.extraStrategies
       if (!cur.contains(graft.plans.AsOfJoinStrategy))
         spark.experimental.extraStrategies = cur :+ graft.plans.AsOfJoinStrategy
+      val opt = spark.experimental.extraOptimizations
+      if (!opt.contains(graft.plans.AsOfJoinLimitPushdown))
+        spark.experimental.extraOptimizations = opt :+ graft.plans.AsOfJoinLimitPushdown
     }
     // fresh aliases force fresh exprIds on the right: both sides often
     // derive from the same scan (self-as-of), and duplicate ids across

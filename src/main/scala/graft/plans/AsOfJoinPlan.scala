@@ -62,6 +62,29 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Custom optimizer rule (the §2.6 Rule[LogicalPlan] surface): pushes
+  * a limit through [[AsOfJoin]] onto its LEFT child. Sound because
+  * the operator maps left rows 1:1 (every left row produces exactly
+  * one output row, matched or not), so any N left rows are a valid
+  * N-row result — the same reasoning Spark's own LimitPushDown uses
+  * for the streamed side of left-outer joins. Cuts the left-side
+  * exchange/sort to the limit's row count for exploratory
+  * `asofJoinNative(...).limit(n)` queries; the right side still
+  * builds (a prefix of left rows can match ANY right row).
+  * Registered via injectOptimizerRule (GraftExtensions) and
+  * idempotently through experimental.extraOptimizations
+  * (Ops.asofJoinNative).
+  */
+object AsOfJoinLimitPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LocalLimit
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case lim @ LocalLimit(_, a @ AsOfJoin(left, _, _, _, _, _, _))
+        if !left.isInstanceOf[LocalLimit] =>
+      lim.copy(child = a.copy(left = LocalLimit(lim.limitExpr, left)))
+  }
+}
+
 /** Sort-merge as-of join. Children are hash-distributed on their keys
   * and sorted by (key, ts) — declared as requirements, so Catalyst
   * inserts (or elides, for pre-partitioned input) the exchanges/sorts.

@@ -83,6 +83,28 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(exchanges == 2, s"expected one exchange per side, got $exchanges\n${all.head}")
   }
 
+  test("the limit-pushdown rule drives a limit into the left child of AsOfJoin") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val full = Ops.asofJoinNative(p, c, "user_id", "ts", "ts")
+    val limited = full.limit(25)
+    // the optimized plan must show LocalLimit BELOW the AsOfJoin node
+    val opt = limited.queryExecution.optimizedPlan
+    val pushed = opt.collect {
+      case a: graft.plans.AsOfJoin
+        if a.left.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalLimit] => a
+    }
+    assert(pushed.nonEmpty, s"limit not pushed through AsOfJoin:\n$opt")
+    // results: exactly 25 rows, each a valid row of the full join
+    val fullSet = full.collect().map(_.toString).toSet
+    val got = limited.collect()
+    assert(got.length == 25)
+    assert(got.forall(r => fullSet.contains(r.toString)))
+  }
+
   test("pre-partitioned, pre-sorted inputs skip their exchange (the bucketing win)") {
     val ev = Tables.load(spark, sfDir, "events")
     val p = ev.filter(col("event_type") === "purchase")
