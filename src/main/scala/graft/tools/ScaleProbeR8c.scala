@@ -68,6 +68,16 @@ object ScaleProbeR8c {
     println(s"g05 invariance x$factor: ${repG05.length} nodes " +
       s"(${factor}x base ${baseG05.size}), $g05Drift drifted (expect 0)")
 
+    // ---- q57 vs q58: window encoding vs native operator at 10× ---
+    audit(s"q57 window-form x$factor", "q57_asof_join")
+    audit(s"q58 native-form x$factor", "q58_asof_native")
+    val nat = graft.SparkEntry.queries("q58_asof_native")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val win = graft.SparkEntry.queries("q57_asof_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    println(s"q57==q58 x$factor: ${nat.length} rows, " +
+      s"${nat.toSet == win.toSet} (expect true)")
+
     // ---- q59: independent populations → identical funnels ---------
     audit(s"q59 funnel x$factor", "q59_funnel")
     val baseQ59 = graft.SparkEntry.queries("q59_funnel")(spark, base)

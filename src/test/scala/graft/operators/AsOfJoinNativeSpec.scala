@@ -83,6 +83,26 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(exchanges == 2, s"expected one exchange per side, got $exchanges\n${all.head}")
   }
 
+  test("null left keys match nothing; null right keys and timestamps are skipped") {
+    import spark.implicits._
+    val left = Seq(
+      (Some("a"), Some(ts("2024-01-01 00:00:10")), 1L),
+      (None: Option[String], Some(ts("2024-01-01 00:00:10")), 2L), // null key
+      (Some("a"), None: Option[java.sql.Timestamp], 3L) // null ts
+    ).toDF("k", "ts", "id")
+    val right = Seq(
+      (Some("a"), Some(ts("2024-01-01 00:00:05"))),
+      (None: Option[String], Some(ts("2024-01-01 00:00:01"))), // null key: skipped
+      (Some("a"), None: Option[java.sql.Timestamp]) // null ts: skipped
+    ).toDF("k", "ts")
+    val got = Ops.asofJoinNative(left, right, "k", "ts", "ts")
+      .collect().map(r => r.getLong(2) -> Option(r.getTimestamp(3))).toMap
+    assert(got == Map(
+      1L -> Some(ts("2024-01-01 00:00:05")),
+      2L -> None,
+      3L -> None), s"got $got")
+  }
+
   test("the limit-pushdown rule drives a limit into the left child of AsOfJoin") {
     val ev = Tables.load(spark, sfDir, "events")
     val p = ev.filter(col("event_type") === "purchase")
