@@ -410,6 +410,30 @@ object Streams {
             idx, nprobe = nprobe, topK = topK))
     }
 
+  /** ST12: streaming decontamination — the ingestion-time form of
+    * d16 (the ST9 serving pattern): each micro-batch of incoming docs
+    * is measured against the STATIC eval-benchmark table via the
+    * exact Dedup.decontaminate machinery and the per-doc overlap rows
+    * append through the routed sink. The stream holds NO state — the
+    * eval universe is the state, re-derived per batch from the static
+    * frame (benchmark-sized, broadcast inside the batch job), so eval
+    * suite updates are picked up at the next micro-batch the way
+    * ST5's dims are. Per-doc results are batch-independent (each
+    * doc's overlap depends only on itself and the eval set), so
+    * micro-batch boundaries cannot change values — StreamingSpec pins
+    * streamed rows == the batch operator over the same corpus.
+    */
+  def decontaminateStream(
+      newDocs: DataFrame,
+      evalDocs: DataFrame,
+      outPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+          graft.operators.Dedup.decontaminate(batch.toDF(), evalDocs))
+    }
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

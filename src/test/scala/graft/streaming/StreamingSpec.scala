@@ -197,6 +197,29 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("ST12: streaming decontamination equals the batch operator over the same corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0).cache()
+    val train = docs.filter(col("doc_id") % 10 =!= 0).cache()
+    // two micro-batches split by doc_id parity-of-hundreds
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-decon").toString
+    val cut = train.agg(expr("percentile(CAST(doc_id AS DOUBLE), 0.5)")).head().getDouble(0)
+    train.filter(col("doc_id") <= cut).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    train.filter(col("doc_id") > cut).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val out = java.nio.file.Files.createTempDirectory("graft-decon-out").toString
+    val q = Streams.decontaminateStream(stream, evalDocs, s"$out/decon").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(s"$out/decon")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))).toSet
+    val batch = graft.operators.Dedup.decontaminate(train, evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("ST11: streaming as-of join emits exactly the batch asofJoin values for flushed purchases") {
     val q = Streams.asofStream(spark, streamEvents(streamDir))
       .writeStream.format("memory").queryName("st11").outputMode("append").start()
