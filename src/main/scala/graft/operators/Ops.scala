@@ -57,8 +57,11 @@ object Ops {
       keyCol: String,
       leftTsCol: String,
       rightTsCol: String,
-      outCol: String = "asof_ts"
+      outCol: String = "asof_ts",
+      direction: String = "backward"
   ): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
     val spark = left.sparkSession
     graft.plans.AsOfJoinStrategy.synchronized {
       val cur = spark.experimental.extraStrategies
@@ -81,7 +84,8 @@ object Ops {
     val out = org.apache.spark.sql.catalyst.expressions
       .AttributeReference(outCol, rp.output(1).dataType, nullable = true)()
     org.apache.spark.sql.graftbridge.SparkSqlBridge.ofRows(spark,
-      graft.plans.AsOfJoin(lp, rp, lk, rp.output(0), lts, rp.output(1), out))
+      graft.plans.AsOfJoin(lp, rp, lk, rp.output(0), lts, rp.output(1), out,
+        forward = direction == "forward"))
   }
 
   /** Gap-based sessionization: assigns a session id per `keyCol` when

@@ -1783,6 +1783,38 @@ object Relational {
           COALESCE(s3.purchase_us, -1) AS purchase_us
         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         ORDER BY user_id""")
+    ),
+
+    Q(
+      "q60_asof_forward",
+      "FORWARD as-of through the native operator: each click matched to the next at-or-after purchase per user",
+      (spark, dir) => {
+        import spark.implicits._
+        // merge_asof's direction='forward' (time-to-NEXT-event — the
+        // conversion-latency query q59's funnel summarizes), through
+        // the same AsOfJoinExec with the mirrored merge: rights below
+        // the left ts are discarded (they can never serve a later
+        // left of the same key), the match is the un-consumed right
+        // head. Same one-exchange-per-side plan; gated by DuckDB's
+        // forward ASOF (p.ts <= c.ts picks the EARLIEST c at-or-after).
+        val ev = t(spark, dir, "events")
+        val c = ev.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts")
+        Ops.asofJoinNative(c, p, "user_id", "ts", "ts",
+            outCol = "next_purchase_ts", direction = "forward")
+          .select($"event_id", $"user_id",
+            coalesce(unix_micros($"next_purchase_ts") - unix_micros($"ts"), lit(-1L))
+              .as("wait_us"))
+          .orderBy($"event_id")
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT c.event_id AS event_id, c.user_id AS user_id,
+          COALESCE(CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT), -1) AS wait_us
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY event_id""")
     )
   )
 }

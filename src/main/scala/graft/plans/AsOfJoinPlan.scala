@@ -39,7 +39,8 @@ final case class AsOfJoin(
     rightKey: Attribute,
     leftTs: Attribute,
     rightTs: Attribute,
-    outAttr: AttributeReference
+    outAttr: AttributeReference,
+    forward: Boolean = false
 ) extends LogicalPlan with BinaryNode {
   override def output: Seq[Attribute] = left.output :+ outAttr
   // the match column is BORN here, not read from a child — without
@@ -56,8 +57,8 @@ final case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, out) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, out) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, out, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, out, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -79,7 +80,7 @@ object AsOfJoinLimitPushdown
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.LocalLimit
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case lim @ LocalLimit(_, a @ AsOfJoin(left, _, _, _, _, _, _))
+    case lim @ LocalLimit(_, a @ AsOfJoin(left, _, _, _, _, _, _, _))
         if !left.isInstanceOf[LocalLimit] =>
       lim.copy(child = a.copy(left = LocalLimit(lim.limitExpr, left)))
   }
@@ -100,7 +101,8 @@ final case class AsOfJoinExec(
     rightKey: Attribute,
     leftTs: Attribute,
     rightTs: Attribute,
-    outAttr: AttributeReference
+    outAttr: AttributeReference,
+    forward: Boolean = false
 ) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ outAttr
@@ -181,19 +183,36 @@ final case class AsOfJoinExec(
           if (!l.isNullAt(lKeyIdx) && !l.isNullAt(lTsIdx)) {
             val lk = l.get(lKeyIdx, keyType)
             val lt = l.getLong(lTsIdx)
-            if (!curValid || keyOrd.compare(lk, curKey) != 0) {
-              curKey = stable(lk); curValid = true; hasLast = false
+            if (forward) {
+              // earliest right ts AT-OR-AFTER lt: rights below lt can
+              // never serve this or any LATER left of the same key
+              // (left ts is nondecreasing within a key) — discard;
+              // the match is the right head itself, NOT consumed (it
+              // may serve subsequent lefts too)
+              var done = false
+              while (!done && rValid) {
+                val c = keyOrd.compare(rKey, lk)
+                if (c < 0 || (c == 0 && rTs < lt)) advanceRight()
+                else done = true
+              }
+              if (rValid && keyOrd.compare(rKey, lk) == 0) {
+                matched = true; matchTs = rTs
+              }
+            } else {
+              if (!curValid || keyOrd.compare(lk, curKey) != 0) {
+                curKey = stable(lk); curValid = true; hasLast = false
+              }
+              var done = false
+              while (!done && rValid) {
+                val c = keyOrd.compare(rKey, lk)
+                if (c < 0) advanceRight()
+                else if (c == 0 && rTs <= lt) {
+                  hasLast = true; lastTs = rTs; advanceRight()
+                } else done = true
+              }
+              matched = hasLast
+              matchTs = lastTs
             }
-            var done = false
-            while (!done && rValid) {
-              val c = keyOrd.compare(rKey, lk)
-              if (c < 0) advanceRight()
-              else if (c == 0 && rTs <= lt) {
-                hasLast = true; lastTs = rTs; advanceRight()
-              } else done = true
-            }
-            matched = hasLast
-            matchTs = lastTs
           }
           extra.update(0, if (matched) matchTs else null)
           numOutputRows += 1

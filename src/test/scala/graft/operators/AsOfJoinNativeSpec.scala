@@ -83,6 +83,46 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(exchanges == 2, s"expected one exchange per side, got $exchanges\n${all.head}")
   }
 
+  test("forward direction: earliest at-or-after match, shared across consecutive lefts") {
+    import spark.implicits._
+    val left = Seq(
+      ("a", ts("2024-01-01 00:00:05"), 1L),
+      ("a", ts("2024-01-01 00:00:08"), 2L), // same forward match as id=1
+      ("a", ts("2024-01-01 00:00:10"), 3L), // exactly at the right ts: inclusive
+      ("a", ts("2024-01-01 00:00:11"), 4L) // past the last right: no match
+    ).toDF("k", "ts", "id")
+    val right = Seq(
+      ("a", ts("2024-01-01 00:00:01")), // before everything: discarded
+      ("a", ts("2024-01-01 00:00:10"))
+    ).toDF("k", "ts")
+    val got = Ops.asofJoinNative(left, right, "k", "ts", "ts", direction = "forward")
+      .collect().map(r => r.getLong(2) -> Option(r.getTimestamp(3))).toMap
+    val t10 = Some(ts("2024-01-01 00:00:10"))
+    assert(got == Map(1L -> t10, 2L -> t10, 3L -> t10, 4L -> None), s"got $got")
+  }
+
+  test("forward direction matches a brute-force replay on sf0.001 events") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+    val got = Ops.asofJoinNative(c, p, "user_id", "ts", "ts", direction = "forward")
+      .select(col("event_id"), unix_micros(col("asof_ts")).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val rows = ev.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val pByUser: Map[Long, Seq[Long]] = rows.filter(_._3 == "purchase").groupBy(_._2)
+      .map { case (u, xs) => u -> xs.map(_._4).sorted.toSeq }
+    val expected = rows.filter(_._3 == "click").map { case (id, u, _, us) =>
+      val later = pByUser.getOrElse(u, Seq.empty[Long]).filter(_ >= us)
+      id -> (if (later.isEmpty) -1L else later.min)
+    }.toMap
+    assert(got == expected)
+  }
+
   test("null left keys match nothing; null right keys and timestamps are skipped") {
     import spark.implicits._
     val left = Seq(
