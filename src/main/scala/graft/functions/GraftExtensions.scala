@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.polyHash)
+    ext.injectFunction(GraftExtensions.wordShinglesFn)
+    ext.injectFunction(GraftExtensions.minhashHexFn)
+    ext.injectFunction(GraftExtensions.bpeCountFn)
+    ext.injectFunction(GraftExtensions.nibbleHistogramFn)
     // whole-operator path: plans graft.plans.AsOfJoin logical nodes
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -41,10 +45,43 @@ object GraftExtensions {
     (children: Seq[Expression]) => RollingPolyHash(children.head)
   )
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val wordShinglesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles"),
+    info("word_shingles", "word_shingles(text, n) - distinct word n-grams in one codegen pass"),
+    (children: Seq[Expression]) =>
+      WordShingles(children.head, intLit(children(1), "n"), distinct = true)
+  )
+
+  val minhashHexFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_hex"),
+    info("minhash_hex", "minhash_hex(shingles, perms) - all permutation minima in one traversal"),
+    (children: Seq[Expression]) =>
+      MinHashHex(children.head, intLit(children(1), "perms"))
+  )
+
+  val bpeCountFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_count"),
+    info("bpe_count", "bpe_count(text) - embedded merge-table BPE token count"),
+    (children: Seq[Expression]) => BpeCount(children.head)
+  )
+
+  val nibbleHistogramFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nibble_histogram"),
+    info("nibble_histogram", "nibble_histogram(bin) - 16-bin high-nibble histogram of a binary column"),
+    (children: Seq[Expression]) => NibbleHistogram(children.head)
+  )
+
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineSim, polyHash).foreach { case (id, inf, builder) =>
+    Seq(cosineSim, polyHash, wordShinglesFn, minhashHexFn, bpeCountFn,
+      nibbleHistogramFn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
   }

@@ -400,14 +400,15 @@ object Streams {
       indexPath: String,
       outPath: String,
       nprobe: Int = 2,
-      topK: Int = 5
+      topK: Int = 5,
+      refine: Int = 0
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     probeStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val idx = graft.operators.Ops.readAnnIndex(batch.sparkSession, indexPath)
         graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
           graft.operators.Ops.probeAnnIndex(batch.toDF(), "vec_id", "embedding",
-            idx, nprobe = nprobe, topK = topK))
+            idx, nprobe = nprobe, topK = topK, refine = refine))
     }
 
   /** ST12: streaming decontamination — the ingestion-time form of

@@ -154,6 +154,34 @@ class ExtensionsSpec extends graft.SparkTestBase {
     assert(h.forall(x => x.getLong(0) >= 0 && x.getLong(0) < 1000000007L))
   }
 
+  test("word_shingles / minhash_hex / bpe_count / nibble_histogram callable from SQL") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    graft.tables.Tables.load(spark, sfDir, "documents").createOrReplaceTempView("docs2")
+    // each SQL call must equal its Column-API twin, row for row
+    val sqlSide = spark.sql(
+      """SELECT doc_id, word_shingles(text, 3) AS sh,
+        minhash_hex(word_shingles(text, 3), 16) AS mh,
+        bpe_count(text) AS bpe,
+        nibble_histogram(CAST(text AS BINARY)) AS nh
+        FROM docs2""")
+    val apiSide = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        GraftExpressions.wordShingles($"text", 3, distinct = true).as("sh"),
+        GraftExpressions.minHashHex(
+          GraftExpressions.wordShingles($"text", 3, distinct = true), 16).as("mh"),
+        GraftExpressions.bpeCount($"text").as("bpe"),
+        GraftExpressions.nibbleHistogram($"text".cast("binary")).as("nh"))
+    assert(sqlSide.count() > 0)
+    assert(sqlSide.except(apiSide).count() == 0 && apiSide.except(sqlSide).count() == 0)
+    // literal-arg guard: a non-literal n must fail loudly, not misparse
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_shingles(text, CAST(doc_id AS INT)) FROM docs2").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("MinHashHex == the 16x array_min(transform(md5)) HOF chain, all documents") {
     import spark.implicits._
     val sh = Tables.load(spark, sfDir, "documents")

@@ -169,6 +169,25 @@ class AnnIndexSpec extends SparkTestBase {
     probes.unpersist()
   }
 
+  test("ST9 refine: the streaming serving path reaches the refined (exact-reranked) results") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ann-refstream").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ann-refout").toString
+    val probes = emb.orderBy(col("vec_id")).limit(4).cache()
+    probes.write.parquet(s"$srcDir/f1")
+    val stream = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir + "/f*")
+    val q = graft.streaming.Streams
+      .annProbeStream(stream, indexPath, outDir, refine = 25).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = Ops.probeAnnIndex(probes, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, indexPath), refine = 25)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    probes.unpersist()
+  }
+
   test("ST10 + lifecycle: streamed appends, replay guard, tombstone, compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-life").toString
     Ops.writeAnnIndex(emb, "vec_id", "embedding", dir)

@@ -143,6 +143,21 @@ class AsOfJoinNativeSpec extends SparkTestBase {
       3L -> None), s"got $got")
   }
 
+  test("mismatched pre-partitioning: EnsureRequirements re-aligns the sides (13 vs default)") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .repartition(13, col("user_id")) // deliberately NOT the session's 8
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getTimestamp(3)))).toSet
+    val got = normalize(Ops.asofJoinNative(p, c, "user_id", "ts", "ts"))
+    val ref = normalize(Ops.asofJoin(
+      p, c, "user_id", "ts", "ts"))
+    assert(got == ref)
+  }
+
   test("the limit-pushdown rule drives a limit into the left child of AsOfJoin") {
     val ev = Tables.load(spark, sfDir, "events")
     val p = ev.filter(col("event_type") === "purchase")
