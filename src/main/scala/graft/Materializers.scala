@@ -19,9 +19,15 @@ object Materializers {
       res match {
         case ds: Dataset[_] =>
           cell.materializePolicy match {
-            case Some("cache")      => ds.cache()
-            case Some("checkpoint") => ds.localCheckpoint()
-            case _                  => ds
+            case Some("cache") => ds.cache()
+            case Some("checkpoint") =>
+              // the Ops.checkpointFrame knob, type-preservingly (this
+              // is the one Dataset[T]-generic site)
+              if (ds.sparkSession.conf
+                  .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean))
+                ds.checkpoint()
+              else ds.localCheckpoint()
+            case _ => ds
           }
         case other => other
       }

@@ -315,13 +315,13 @@ object Embeddings {
         val cov = covTri.select($"dim_i".as("i"), $"dim_j".as("j"), $"cv")
           .unionAll(covTri.where($"dim_i" =!= $"dim_j")
             .select($"dim_j".as("i"), $"dim_i".as("j"), $"cv"))
-          .localCheckpoint(eager = false) // 64 rows; cut the e04 lineage off the loop
+          .graftCheckpointLazy // 64 rows; cut the e04 lineage off the loop
         var v = top.select($"dim".as("j"), lit(1.0).as("x"))
         for (_ <- 1 to 3) {
           v = cov.join(v, "j")
             .groupBy($"i").agg(sum($"cv" * $"x").as("x"))
             .select($"i".as("j"), $"x")
-            .localCheckpoint(eager = false)
+            .graftCheckpointLazy
         }
         val nrm = v.agg(sqrt(sum($"x" * $"x")).as("nn"))
         v.crossJoin(broadcast(nrm)) // 8 x 1: bounded
@@ -379,7 +379,7 @@ object Embeddings {
           .agg(sum($"q").as("s"), sum($"q" * $"q").as("ss"), count(lit(1)).as("n"))
         val top = st.orderBy(($"ss" * $"n" - $"s" * $"s").desc, $"dim".asc).limit(8)
         val ch = ex.join(broadcast(top.select($"dim")), "dim")
-          .localCheckpoint(eager = false) // reused: covariance AND scoring
+          .graftCheckpointLazy // reused: covariance AND scoring
         val pr = ch.select($"vec_id", $"dim".as("dim_i"), $"q".as("_qa"))
           .join(ch.select($"vec_id", $"dim".as("dim_j"), $"q".as("_qb")), "vec_id")
           .where($"dim_i" <= $"dim_j")
@@ -394,13 +394,13 @@ object Embeddings {
         val cov = covTri.select($"dim_i".as("i"), $"dim_j".as("j"), $"cv")
           .unionAll(covTri.where($"dim_i" =!= $"dim_j")
             .select($"dim_j".as("i"), $"dim_i".as("j"), $"cv"))
-          .localCheckpoint(eager = false)
+          .graftCheckpointLazy
         var v = top.select($"dim".as("j"), lit(1.0).as("x"))
         for (_ <- 1 to 3) {
           v = cov.join(v, "j")
             .groupBy($"i").agg(sum($"cv" * $"x").as("x"))
             .select($"i".as("j"), $"x")
-            .localCheckpoint(eager = false)
+            .graftCheckpointLazy
         }
         val nrm = v.agg(sqrt(sum($"x" * $"x")).as("nn"))
         val vn = v.crossJoin(broadcast(nrm)) // 8 x 1: bounded

@@ -95,7 +95,7 @@ object Graph {
     // that second build x 5 iterations).
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
-    val ew = e.join(outW, "src").localCheckpoint(eager = false)
+    val ew = e.join(outW, "src").graftCheckpointLazy
     // node universe + has-out/has-in flags in ONE shuffle over the
     // CHECKPOINTED edge frame (scanning `e` here would re-execute the
     // caller's upstream plan a second time; the probe action below
@@ -103,7 +103,7 @@ object Graph {
     val deg = ew.select(col("src").as("node"), lit(1).as("_o"), lit(0).as("_i"))
       .unionAll(ew.select(col("dst").as("node"), lit(0).as("_o"), lit(1).as("_i")))
       .groupBy(col("node")).agg(max(col("_o")).as("_o"), max(col("_i")).as("_i"))
-      .localCheckpoint(eager = false)
+      .graftCheckpointLazy
     val nodes = deg.select(col("node"))
 
     // per-edge guard: non-positive weights and r*w int64 overflow
@@ -127,7 +127,7 @@ object Graph {
     // degree frame; at 100 TB that's one pass over the node list,
     // amortized over `iters` heavier passes.
     val dangling = deg.where(col("_o") === 0).select(col("node"))
-      .localCheckpoint(eager = false)
+      .graftCheckpointLazy
     val simple = deg.where(col("_o") === 0 || col("_i") === 0).isEmpty
 
     var ranks = nodes.select(col("node"), lit(Scale).as("r"))
@@ -156,7 +156,7 @@ object Graph {
         // lazy checkpoint per iteration (the d06/d08 discipline): the
         // broadcast build of iteration k+1 otherwise RE-EXECUTES
         // iterations 1..k — O(iters^2) work and most of the wall cost
-        .localCheckpoint(eager = false)
+        .graftCheckpointLazy
       epsilonFp.foreach { eps =>
         // one max-|Δ| job on the two checkpointed rank frames; the
         // same node universe on both sides, so an inner join is exact
@@ -216,10 +216,10 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(eager = false)
+      .graftCheckpointLazy
     var lbl = sym.select(col("src").as("node")).distinct()
       .withColumn("l", col("node"))
-      .localCheckpoint(eager = false)
+      .graftCheckpointLazy
     for (_ <- 1 to rounds) {
       val nbr = sym.join(lbl.select(col("node").as("dst"), col("l")), Seq("dst"))
       val cnt = nbr.groupBy(col("src"), col("l"))
@@ -227,7 +227,7 @@ object Graph {
       lbl = cnt.groupBy(col("src"))
         .agg(max(struct(col("c"), (-col("l")).as("negl"))).as("m"))
         .select(col("src").as("node"), (-col("m.negl")).as("l"))
-        .localCheckpoint(eager = false)
+        .graftCheckpointLazy
     }
     lbl
   }
@@ -425,14 +425,14 @@ object Graph {
           .select($"a.p".as("u"), $"b.p".as("v")).distinct()
         var e = und.select($"u".as("src"), $"v".as("dst"))
           .unionAll(und.select($"v".as("src"), $"u".as("dst")))
-          .localCheckpoint(eager = false)
+          .graftCheckpointLazy
         for (_ <- 1 to 5) {
           val keep = e.groupBy($"src").agg(count(lit(1)).as("d"))
             .where($"d" >= 3).select($"src".as("_k"))
           e = e.join(keep.select($"_k".as("src")), Seq("src"), "left_semi")
             .join(keep.select($"_k".as("dst")), Seq("dst"), "left_semi")
             .select($"src", $"dst")
-            .localCheckpoint(eager = false)
+            .graftCheckpointLazy
         }
         e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
           .orderBy($"node")

@@ -16,6 +16,25 @@ object Ops {
     * ONE shuffle on (key), no custom physical node, no per-key loops.
     * The classic distributed as-of formulation.
     */
+  /** Iteration/lineage checkpoint used by every iterative operator
+    * (CC, star contraction, PageRank, k-core, LPA, k-means) and the
+    * bounded-artifact materializations. Default: localCheckpoint —
+    * executor-local blocks, no I/O round-trip, the right call on a
+    * healthy cluster. At 1000-executor scale an executor loss DROPS a
+    * local checkpoint's blocks and fails the job, so long-running
+    * pipelines set `spark.graft.checkpoint.reliable=true` (plus
+    * `sparkContext.setCheckpointDir`) and every iteration boundary
+    * becomes a RELIABLE (HDFS/object-store) checkpoint instead —
+    * same truncated lineage, survivable executors. One knob, every
+    * loop (CheckpointModeSpec pins value-equality of both modes and
+    * that reliable mode actually writes checkpoint files).
+    */
+  def checkpointFrame(df: DataFrame, eager: Boolean = false): DataFrame =
+    if (df.sparkSession.conf
+        .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean))
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -407,7 +426,7 @@ object Ops {
     val edges = pairs.union(pairs.select(col("dst"), col("src"))).toDF("src", "dst").cache()
     var labels = edges.groupBy(col("src"))
       .agg(least(first(col("src")), min(col("dst"))).as("lbl"))
-      .select(col("src").as("id"), col("lbl")).localCheckpoint(eager = false)
+      .select(col("src").as("id"), col("lbl")).graftCheckpointLazy
     var prevSum = Long.MaxValue
     var converged = false
     var iter = 0
@@ -421,7 +440,7 @@ object Ops {
       val next = labels
         .join(nmin.select(col("dst").as("id"), col("nlbl")), Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(eager = false)
+        .graftCheckpointLazy
       // sum over an empty labels frame is null — read through Option
       // so a zero-edge graph converges to an empty result, not an NPE
       val s = Option(next.agg(sum(col("lbl"))).head().get(0))
@@ -457,7 +476,7 @@ object Ops {
       k: Int,
       maxRounds: Int = 1000
   ): DataFrame = {
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(eager = false)
+    var e = edges.select(col("src"), col("dst")).graftCheckpointLazy
     var prev = -1L
     var n = e.count()
     var rounds = 0
@@ -468,7 +487,7 @@ object Ops {
       e = e.join(keep.select(col("_k").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("_k").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint(eager = false)
+        .graftCheckpointLazy
       n = e.count() // materializes the round's checkpoint + tests the fixpoint
       rounds += 1
     }
@@ -534,12 +553,12 @@ object Ops {
     // at ~25 rounds on a near-clique graph the per-job overhead, not
     // the data, dominated round 4's driver-env d08 time).
     var edges = pairs.where(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(eager = false)
+      .graftCheckpointLazy
     var prev = (-1L, -1L, -1L)
     var rounds = 0
     var converged = edges.isEmpty
     while (!converged && rounds < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val next = smallStar(largeStar(edges)).graftCheckpointLazy
       val stat = next.agg(count(lit(1)), sum(col("src")), sum(col("dst"))).head()
       val cur = (stat.getLong(0),
         Option(stat.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
@@ -1018,7 +1037,7 @@ object Ops {
     val (_, assign) = lloydLoop(ev, k, iters, dim)
     val out = assign
       .select(col("_id").as(idCol), col("_cell").as("cell"), col("_dq").as("dq"))
-      .localCheckpoint()
+      .graftCheckpointEager
     ev.unpersist()
     out
   }
@@ -1068,7 +1087,7 @@ object Ops {
   ): DataFrame = {
     val ev = quantizedVecs(df, idCol, vecCol).cache()
     val (cents, _) = lloydLoop(ev, k, iters, dim)
-    val out = cents.localCheckpoint()
+    val out = cents.graftCheckpointEager
     ev.unpersist()
     out
   }
@@ -1117,7 +1136,7 @@ object Ops {
           .select(col("_cell").as("_cid"),
             array((1 to dim).map(j =>
               col(s"_s$j").cast("double") / col("_nc") / lit(1000000.0)): _*).as("_cx"))
-          .localCheckpoint()
+          .graftCheckpointEager
       }
     }
     (cents, assign)
@@ -1184,10 +1203,10 @@ object Ops {
           .select(col("_m"), col("_cell").as("_cid"),
             array((1 to sub).map(j =>
               col(s"_s$j").cast("double") / col("_nc") / lit(1000000.0)): _*).as("_cs"))
-          .localCheckpoint()
+          .graftCheckpointEager
       }
     }
-    cents.localCheckpoint()
+    cents.graftCheckpointEager
   }
 
   /** O27: IVF+PQ with TRAINED quantizers end-to-end — closes s06's
@@ -1239,8 +1258,8 @@ object Ops {
     // Each materialization job runs cache-fed, so the quantization
     // pass is genuinely paid once.
     val cells = assign.select(col("_id").as("n_id"), col("_cell").as("cell"))
-      .localCheckpoint()
-    val cents = centsRaw.localCheckpoint()
+      .graftCheckpointEager
+    val cents = centsRaw.graftCheckpointEager
     // trained PQ codebooks from the SAME quantized relation
     val books = pqCodebooksFromQuantized(ev, m, kSub, iters, dim)
     val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
@@ -1252,7 +1271,7 @@ object Ops {
       .groupBy(col("n_id"), col("_m"))
       .agg(min(struct(col("_dq"), col("_cid"))).as("_mc"))
       .select(col("n_id"), col("_m"), col("_mc._cid").as("code"))
-      .localCheckpoint()
+      .graftCheckpointEager
     ev.unpersist()
     // probes rank the TRAINED centroids for their nprobe cells
     val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
@@ -1352,7 +1371,7 @@ object Ops {
     val sub = dim / m
     val ev = quantizedVecs(corpus, idCol, vecCol).cache()
     val (centsRaw, assign) = lloydLoop(ev, k, iters, dim)
-    val cents = centsRaw.localCheckpoint()
+    val cents = centsRaw.graftCheckpointEager
     val books = pqCodebooksFromQuantized(ev, m, kSub, iters, dim)
     val ms = explode(array((0 until m).map(lit(_)): _*)).as("_m")
     val codes = ev
