@@ -58,6 +58,30 @@ object Dedup {
   def decontaminate(train: DataFrame, evalDocs: DataFrame): DataFrame =
     decontaminateShingled(shingleArrays(train), shingleArrays(evalDocs))
 
+  /** d17/d18 shared core: maximal cross-doc-duplicated 8-gram
+    * intervals per doc — (doc_id, st, en, n_windows) with 1-based
+    * word indices, en inclusive. Input must carry a `wd` word-array
+    * column (see d17's plan notes for the shapes; factored so the cut
+    * LIST (d17) and the cut APPLICATION (d18) cannot drift).
+    */
+  private def dupSpanIslands(docs: DataFrame): DataFrame = {
+    val pos = docs.where(size(col("wd")) >= 8)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(wd) - 7), i -> concat_ws(' ', slice(wd, i, 8)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("s"))
+    val dup = pos.select(col("doc_id"), col("s")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    pos.join(dup, Seq("s"), "left_semi")
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("st"), (max(col("p")) + 7).as("en"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("st"), col("en"), col("n_windows"))
+  }
+
   private def decontaminateShingled(train: DataFrame, evalSh: DataFrame): DataFrame = {
     val evalU = evalSh.select(explode(col("sh")).as("s")).distinct()
     val hits = train.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -1307,23 +1331,10 @@ object Dedup {
         // shuffles are keyed; at 100 TB join on xxhash64(window) so
         // 8-byte keys transit instead of 8-word strings (exact strings
         // kept here — exactness is the oracle's point).
-        val docs = Tables.load(spark, dir, "documents")
-          .withColumn("wd", expr(wordsExpr))
-          .where(size($"wd") >= 8)
-        val pos = docs.select($"doc_id", posexplode(expr(
-            "transform(sequence(1, size(wd) - 7), i -> concat_ws(' ', slice(wd, i, 8)))")))
-          .select($"doc_id", ($"pos" + 1).as("p"), $"col".as("s"))
-        val dup = pos.select($"doc_id", $"s").distinct()
-          .groupBy($"s").agg(count(lit(1)).as("nd"))
-          .where($"nd" >= 2).select($"s")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"p")
-        pos.join(dup, Seq("s"), "left_semi")
-          .withColumn("grp", $"p" - row_number().over(w))
-          .groupBy($"doc_id", $"grp")
-          .agg(min($"p").as("_st"), max($"p").as("_en"), count(lit(1)).as("n_windows"))
-          .select($"doc_id", $"_st".cast("int").as("span_start"),
-            ($"_en" + 7).cast("int").as("span_end"), $"n_windows")
+        dupSpanIslands(Tables.load(spark, dir, "documents")
+            .withColumn("wd", expr(wordsExpr)))
+          .select($"doc_id", $"st".cast("int").as("span_start"),
+            $"en".cast("int").as("span_end"), $"n_windows")
           .orderBy($"doc_id", $"span_start")
       },
       Some("""WITH w AS (
@@ -1363,19 +1374,7 @@ object Dedup {
         // words, no windows) come back untouched.
         val docs = Tables.load(spark, dir, "documents")
           .withColumn("wd", expr(wordsExpr))
-        val pos = docs.where(size($"wd") >= 8)
-          .select($"doc_id", posexplode(expr(
-            "transform(sequence(1, size(wd)-7), i -> concat_ws(' ', slice(wd, i, 8)))")))
-          .select($"doc_id", ($"pos" + 1).as("p"), $"col".as("s"))
-        val dup = pos.select($"doc_id", $"s").distinct()
-          .groupBy($"s").agg(count(lit(1)).as("nd"))
-          .where($"nd" >= 2).select($"s")
-        val w8 = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"p")
-        val islands = pos.join(dup, Seq("s"), "left_semi")
-          .withColumn("grp", $"p" - row_number().over(w8))
-          .groupBy($"doc_id", $"grp")
-          .agg(min($"p").as("st"), (max($"p") + 7).as("en"))
+        val islands = dupSpanIslands(docs).select($"doc_id", $"st", $"en")
         val words = docs.select($"doc_id", posexplode($"wd").as(Seq("p0", "wrd")))
           .select($"doc_id", ($"p0" + 1).as("p"), $"wrd")
         val kept = words.as("w").join(islands.as("i"),

@@ -31,9 +31,17 @@ object Ops {
     */
   def checkpointFrame(df: DataFrame, eager: Boolean = false): DataFrame =
     if (df.sparkSession.conf
-        .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean))
-      df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+        .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean)) {
+      // rdd.checkpoint reruns the frame's lineage in a SEPARATE write
+      // job unless the data is persisted first (the standard Spark
+      // caveat) — without this every iteration of every loop computes
+      // twice in reliable mode. Eager by necessity: the lazy form
+      // could not know when to unpersist its cache.
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(eager = true)
+      cached.unpersist()
+      out
+    } else df.localCheckpoint(eager)
 
   def asofJoin(
       left: DataFrame,
@@ -93,13 +101,21 @@ object Ops {
     // fresh aliases force fresh exprIds on the right: both sides often
     // derive from the same scan (self-as-of), and duplicate ids across
     // children would make attribute binding ambiguous
-    val r2 = right.select(col(keyCol).as("_asof_rk"), col(rightTsCol).as("_asof_rts"))
+    val r2 = right.select(right.col(keyCol).as("_asof_rk"),
+      right.col(rightTsCol).as("_asof_rts"))
     val lp = left.queryExecution.analyzed
     val rp = r2.queryExecution.analyzed
-    val lk = lp.output.find(_.name == keyCol).getOrElse(
-      throw new IllegalArgumentException(s"left side has no column $keyCol"))
-    val lts = lp.output.find(_.name == leftTsCol).getOrElse(
-      throw new IllegalArgumentException(s"left side has no column $leftTsCol"))
+    // resolve through Dataset.col: honors spark.sql.caseSensitive
+    // (plain string equality against output names would not) and
+    // raises the standard ambiguous/missing-column errors
+    def attrOf(name: String): org.apache.spark.sql.catalyst.expressions.AttributeReference =
+      org.apache.spark.sql.graftbridge.Bridge.expression(left.col(name)) match {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a
+        case other => throw new IllegalArgumentException(
+          s"left column $name must be a plain attribute, resolved to $other")
+      }
+    val lk = attrOf(keyCol)
+    val lts = attrOf(leftTsCol)
     val out = org.apache.spark.sql.catalyst.expressions
       .AttributeReference(outCol, rp.output(1).dataType, nullable = true)()
     org.apache.spark.sql.graftbridge.SparkSqlBridge.ofRows(spark,

@@ -125,6 +125,24 @@ final case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Long-backed reader for the ordered column. The merge compares
+    * raw longs, so only types whose internal form is a single integral
+    * word are legal — a silent getLong on, say, DateType (int-backed)
+    * or StringType (offset-and-size word) would produce garbage
+    * matches with no error, which is why anything else is REJECTED
+    * here rather than mis-read.
+    */
+  private def tsGetter(dt: org.apache.spark.sql.types.DataType, idx: Int): InternalRow => Long =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.LongType => r => r.getLong(idx)
+      case org.apache.spark.sql.types.DateType |
+          org.apache.spark.sql.types.IntegerType => r => r.getInt(idx).toLong
+      case other => throw new IllegalArgumentException(
+        s"as-of ordering column must be timestamp/date/integral, got $other")
+    }
+
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
@@ -134,6 +152,20 @@ final case class AsOfJoinExec(
     require(lKeyIdx >= 0 && lTsIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0,
       "as-of join columns must resolve against their own side")
     val keyType = leftKey.dataType
+    // buffer-backed compound keys (struct/array/map) would be VIEWS
+    // into reused sorter rows — stable() only protects UTF8String, so
+    // compound keys are rejected rather than silently corrupted
+    require(!keyType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+      !keyType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      !keyType.isInstanceOf[org.apache.spark.sql.types.MapType],
+      s"as-of join key must be an atomic type, got $keyType")
+    val lTsGet = tsGetter(leftTs.dataType, lTsIdx)
+    val rTsGet = tsGetter(rightTs.dataType, rTsIdx)
+    val outIsIntBacked = outAttr.dataType match {
+      case org.apache.spark.sql.types.DateType |
+          org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
     val outTypes = output.map(_.dataType).toArray
 
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
@@ -161,7 +193,7 @@ final case class AsOfJoinExec(
             val r = ri.next()
             if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTsIdx)) {
               rKey = stable(r.get(rKeyIdx, keyType))
-              rTs = r.getLong(rTsIdx)
+              rTs = rTsGet(r)
               rValid = true
             }
           }
@@ -182,7 +214,7 @@ final case class AsOfJoinExec(
           var matchTs = 0L
           if (!l.isNullAt(lKeyIdx) && !l.isNullAt(lTsIdx)) {
             val lk = l.get(lKeyIdx, keyType)
-            val lt = l.getLong(lTsIdx)
+            val lt = lTsGet(l)
             if (forward) {
               // earliest right ts AT-OR-AFTER lt: rights below lt can
               // never serve this or any LATER left of the same key
@@ -214,7 +246,10 @@ final case class AsOfJoinExec(
               matchTs = lastTs
             }
           }
-          extra.update(0, if (matched) matchTs else null)
+          extra.update(0,
+            if (!matched) null
+            else if (outIsIntBacked) matchTs.toInt // date/int round-trips as int
+            else matchTs)
           numOutputRows += 1
           proj(joined(l, extra))
         }

@@ -162,7 +162,13 @@ object Streams {
               if (lastClick < 0) -1L else us - lastClick)
           }
         }
-        if (hold.isEmpty && state.hasTimedOut) state.remove()
+        // NEVER drop lastClick on an idle flush: the latest click
+        // stays as-of-relevant FOREVER (a purchase hours later still
+        // matches it), so an idle user's state compacts to the one
+        // long — removed only if there is truly nothing to remember.
+        // Per-user steady state is bounded by user cardinality (16
+        // bytes each), not event volume.
+        if (hold.isEmpty && lastClick < 0) state.remove()
         else {
           state.update(AsOfState(lastClick, hold))
           // wake this key when the watermark passes its oldest

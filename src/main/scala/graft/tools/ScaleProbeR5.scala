@@ -16,11 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbeR5 {
 
-  private def replicate(df: DataFrame, idCols: Seq[String], factor: Int, step: Long): DataFrame =
-    (0 until factor).map { i =>
-      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * step)))
-    }.reduce(_ unionByName _)
-
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -37,13 +32,13 @@ object ScaleProbeR5 {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_r5_x$factor").toString
     def stage(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
-    stage("embeddings", replicate(
+    stage("embeddings", ProbeReplicate(
       spark.read.parquet(s"$base/embeddings.parquet"), Seq("vec_id"), factor, 10000000L))
-    stage("documents", replicate(
+    stage("documents", ProbeReplicate(
       spark.read.parquet(s"$base/documents.parquet"), Seq("doc_id"), factor, 10000000L))
-    stage("lineitem", replicate(
+    stage("lineitem", ProbeReplicate(
       spark.read.parquet(s"$base/lineitem.parquet"), Seq("l_orderkey"), factor, 100000000L))
-    stage("orders", replicate(
+    stage("orders", ProbeReplicate(
       spark.read.parquet(s"$base/orders.parquet"), Seq("o_orderkey"), factor, 100000000L))
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val docs = spark.read.parquet(s"$dir/documents.parquet")

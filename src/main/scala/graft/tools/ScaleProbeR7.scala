@@ -20,11 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbeR7 {
 
-  private def replicate(df: DataFrame, idCols: Seq[String], factor: Int, step: Long): DataFrame =
-    (0 until factor).map { i =>
-      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * step)))
-    }.reduce(_ unionByName _)
-
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -41,18 +36,18 @@ object ScaleProbeR7 {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_r7_x$factor").toString
     def stage(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
-    stage("documents", replicate(
+    stage("documents", ProbeReplicate(
       spark.read.parquet(s"$base/documents.parquet"), Seq("doc_id"), factor, 10000000L))
-    stage("embeddings", replicate(
+    stage("embeddings", ProbeReplicate(
       spark.read.parquet(s"$base/embeddings.parquet"), Seq("vec_id"), factor, 10000000L))
     // events replicate with shifted user_ids: MORE users, same five
     // event types — the graph grows linearly in nodes and edges.
     // Tables.load handles the ts encoding (µs or NANOS, per driver
     // round); the replica is written back as TIMESTAMP(MICROS).
-    stage("events", replicate(
+    stage("events", ProbeReplicate(
       graft.tables.Tables.load(spark, base, "events"),
       Seq("event_id", "user_id"), factor, 10000000L))
-    stage("customer", replicate(
+    stage("customer", ProbeReplicate(
       spark.read.parquet(s"$base/customer.parquet"), Seq("c_custkey"), factor, 10000000L))
     println(s"staged x$factor of $base at $dir")
 

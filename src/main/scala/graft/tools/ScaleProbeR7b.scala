@@ -24,11 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbeR7b {
 
-  private def replicate(df: DataFrame, idCols: Seq[String], factor: Int, step: Long): DataFrame =
-    (0 until factor).map { i =>
-      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * step)))
-    }.reduce(_ unionByName _)
-
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -45,12 +40,12 @@ object ScaleProbeR7b {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_r7b_x$factor").toString
     def stage(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
-    stage("lineitem", replicate(
+    stage("lineitem", ProbeReplicate(
       spark.read.parquet(s"$base/lineitem.parquet"),
       Seq("l_orderkey", "l_partkey"), factor, 100000000L))
-    stage("documents", replicate(
+    stage("documents", ProbeReplicate(
       spark.read.parquet(s"$base/documents.parquet"), Seq("doc_id"), factor, 10000000L))
-    stage("embeddings", replicate(
+    stage("embeddings", ProbeReplicate(
       spark.read.parquet(s"$base/embeddings.parquet"), Seq("vec_id"), factor, 10000000L))
     println(s"staged x$factor of $base at $dir")
 

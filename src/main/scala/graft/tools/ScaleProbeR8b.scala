@@ -37,11 +37,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbeR8b {
 
-  private def replicate(df: DataFrame, idCols: Seq[String], factor: Int, step: Long): DataFrame =
-    (0 until factor).map { i =>
-      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * step)))
-    }.reduce(_ unionByName _)
-
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -58,12 +53,12 @@ object ScaleProbeR8b {
     def stage(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
     val docStep = 10000000L // % 10 == 0: keeps the eval-shard split
-    stage("events", replicate(
+    stage("events", ProbeReplicate(
       spark.read.parquet(s"$base/events.parquet"),
       Seq("event_id", "user_id"), factor, 100000000L))
-    stage("documents", replicate(
+    stage("documents", ProbeReplicate(
       spark.read.parquet(s"$base/documents.parquet"), Seq("doc_id"), factor, docStep))
-    stage("embeddings", replicate(
+    stage("embeddings", ProbeReplicate(
       spark.read.parquet(s"$base/embeddings.parquet"), Seq("vec_id"), factor, docStep))
     println(s"staged x$factor of $base at $dir")
 

@@ -20,11 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbeR8c {
 
-  private def replicate(df: DataFrame, idCols: Seq[String], factor: Int, step: Long): DataFrame =
-    (0 until factor).map { i =>
-      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * step)))
-    }.reduce(_ unionByName _)
-
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -41,10 +36,10 @@ object ScaleProbeR8c {
     def stage(name: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
     val step = 100000000L
-    stage("lineitem", replicate(
+    stage("lineitem", ProbeReplicate(
       spark.read.parquet(s"$base/lineitem.parquet"),
       Seq("l_orderkey", "l_partkey"), factor, step))
-    stage("events", replicate(
+    stage("events", ProbeReplicate(
       spark.read.parquet(s"$base/events.parquet"),
       Seq("event_id", "user_id"), factor, step))
     println(s"staged x$factor of $base at $dir")

@@ -143,6 +143,44 @@ class AsOfJoinNativeSpec extends SparkTestBase {
       3L -> None), s"got $got")
   }
 
+  test("DateType ordering column works (int-backed read path), the daily-prices case") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val left = Seq(("a", d("2024-03-10"), 1L), ("a", d("2024-01-01"), 2L))
+      .toDF("k", "day", "id")
+    val right = Seq(("a", d("2024-03-01")), ("a", d("2024-06-01")))
+      .toDF("k", "day")
+    val got = Ops.asofJoinNative(left, right, "k", "day", "day")
+      .collect().map(r => r.getLong(2) -> Option(r.getDate(3))).toMap
+    assert(got == Map(1L -> Some(d("2024-03-01")), 2L -> None), s"got $got")
+  }
+
+  test("string ts columns are rejected loudly instead of mis-read as longs") {
+    import spark.implicits._
+    val left = Seq(("a", "2024-01-01", 1L)).toDF("k", "ts", "id")
+    val right = Seq(("a", "2024-01-01")).toDF("k", "ts")
+    val e = intercept[Exception] {
+      Ops.asofJoinNative(left, right, "k", "ts", "ts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("timestamp/date/integral")), e.toString)
+  }
+
+  test("column resolution honors session case-insensitivity like the window form") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
+    val upper = Ops.asofJoinNative(p, c, "USER_ID", "TS", "TS")
+      .select(col("event_id"), col("asof_ts")).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    val exact = Ops.asofJoinNative(p, c, "user_id", "ts", "ts")
+      .select(col("event_id"), col("asof_ts")).collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(upper == exact)
+  }
+
   test("mismatched pre-partitioning: EnsureRequirements re-aligns the sides (13 vs default)") {
     val ev = Tables.load(spark, sfDir, "events")
     val p = ev.filter(col("event_type") === "purchase")

@@ -220,6 +220,41 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("ST11: an idle-then-returning user keeps its compacted last click across timeouts") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 clicks, goes idle long enough for its key to flush and time
+    // out (only u99 traffic advances the watermark), then purchases:
+    // the compacted lastClick must survive the idle flush — the match
+    // is the 2h-old click, not -1. Five micro-batches force the
+    // timeout path between u1's click and its purchase.
+    val batches = Seq(
+      Seq((1L, t("2024-01-01 00:00:00"), 1L, "click", 0.0),
+          (2L, t("2024-01-01 00:00:00"), 99L, "click", 0.0)),
+      Seq((3L, t("2024-01-01 01:00:00"), 99L, "click", 0.0)),
+      Seq((4L, t("2024-01-01 02:00:00"), 1L, "purchase", 1.0),
+          (5L, t("2024-01-01 02:00:00"), 99L, "click", 0.0)),
+      Seq((6L, t("2024-01-01 03:00:00"), 99L, "click", 0.0)),
+      Seq((7L, t("2024-01-01 04:00:00"), 99L, "click", 0.0))
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-idle").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(s"$dir/f$i")
+      Thread.sleep(1100)
+    }
+    val schema = batches.head.toDF("event_id", "ts", "user_id", "event_type", "value").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val q = Streams.asofStream(spark, stream)
+      .writeStream.format("memory").queryName("st11idle").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("st11idle").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.get(4L) == Some(7200L * 1000000L),
+      s"idle user's purchase must match the 2h-old compacted click, got $got")
+  }
+
   test("ST11: streaming as-of join emits exactly the batch asofJoin values for flushed purchases") {
     val q = Streams.asofStream(spark, streamEvents(streamDir))
       .writeStream.format("memory").queryName("st11").outputMode("append").start()
