@@ -22,11 +22,18 @@ object Materializers {
             case Some("cache") => ds.cache()
             case Some("checkpoint") =>
               // the Ops.checkpointFrame knob, type-preservingly (this
-              // is the one Dataset[T]-generic site)
+              // is the one Dataset[T]-generic site). Reliable mode
+              // persists first: rdd.checkpoint reruns the lineage in
+              // a separate write job unless cached — same sequence as
+              // checkpointFrame, kept in sync by MaterializersSpec.
               if (ds.sparkSession.conf
-                  .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean))
-                ds.checkpoint()
-              else ds.localCheckpoint()
+                  .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean)) {
+                val cached =
+                  ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                val out = cached.checkpoint(eager = true)
+                cached.unpersist()
+                out
+              } else ds.localCheckpoint()
             case _ => ds
           }
         case other => other

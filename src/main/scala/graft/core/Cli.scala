@@ -11,6 +11,14 @@ import scala.jdk.CollectionConverters._
   *   Cli <loaderClass> validate -n <workflow>
   *   Cli <loaderClass> deps -n <workflow>
   *   Cli <loaderClass> run -n <workflow> [-c config.json] [-s] target...
+  *   Cli <loaderClass> sql [-d dataDir] [--limit N] query...
+  *
+  * `sql` is the last mile of the X4 registration: it opens (or joins)
+  * a Spark session with ALL graft custom expressions registered
+  * (cosine_sim, poly_hash, word_shingles, minhash_hex, bpe_count,
+  * nibble_histogram — graft.functions.GraftExtensions), registers
+  * each parquet table under `dataDir` as a temp view, and prints each
+  * query's result as TSV (header + at most N rows, default 20).
   *
   * `loaderClass` is a Scala object (e.g. `graft.GraftPipelines$`)
   * whose static init registers workflows — the analogue of the
@@ -45,6 +53,8 @@ object Cli {
     // stays a target (the old value-membership filter dropped it).
     var wkfName = "default"
     var cfgPath: Option[String] = None
+    var dataDir: Option[String] = None
+    var limit = 20
     var show = false
     var verbose = 0
     val targets = scala.collection.mutable.ArrayBuffer[String]()
@@ -53,6 +63,8 @@ object Cli {
       rest(i) match {
         case "-n" | "--name" if i + 1 < rest.length => wkfName = rest(i + 1); i += 2
         case "-c" | "--config" if i + 1 < rest.length => cfgPath = Some(rest(i + 1)); i += 2
+        case "-d" | "--data" if i + 1 < rest.length => dataDir = Some(rest(i + 1)); i += 2
+        case "--limit" if i + 1 < rest.length => limit = rest(i + 1).toInt; i += 2
         case "-s" | "--show" => show = true; i += 1
         case "-v" | "--verbose" => verbose += 1; i += 1
         case "-vv" => verbose += 2; i += 1
@@ -93,6 +105,37 @@ object Cli {
           Log.debug(s"cli: running target '$t'")
           val res = base.run(t)
           if (show) out(String.valueOf(res))
+        }
+
+      case "sql" =>
+        // getOrCreate: inside an existing session (tests, notebooks)
+        // the extensions config is ignored, so the function surface is
+        // ALSO registered explicitly — register() is idempotent
+        val spark = org.apache.spark.sql.SparkSession.builder()
+          .appName("graft-sql")
+          .master(sys.props.getOrElse("spark.master", "local[*]"))
+          .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+          .config("spark.sql.shuffle.partitions", "32")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        graft.functions.GraftExtensions.register(spark)
+        dataDir.foreach { dir =>
+          graft.tables.Tables.names.foreach { t =>
+            graft.tables.Tables.load(spark, dir, t).createOrReplaceTempView(t)
+          }
+        }
+        targets.foreach { q =>
+          Log.debug(s"cli: running sql '$q'")
+          val df = spark.sql(q)
+          out(df.columns.mkString("\t"))
+          df.limit(limit).collect().foreach { r =>
+            out(r.toSeq.map {
+              case null => "NULL"
+              case a: Array[_] => a.mkString("[", ",", "]")
+              case s: scala.collection.Seq[_] => s.mkString("[", ",", "]")
+              case v => String.valueOf(v)
+            }.mkString("\t"))
+          }
         }
 
       case other => out(s"Unknown command '$other'")

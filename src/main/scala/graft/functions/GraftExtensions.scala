@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinLimitPushdown)
+    // (Ops.intervalJoinNative also self-registers per-session)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
   }
 }
 

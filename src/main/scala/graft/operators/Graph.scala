@@ -214,22 +214,70 @@ object Graph {
     * (the d06/g01 discipline). Label state is 16 bytes/node.
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val (sym, init) = lpaInit(edges)
+    var lbl = init
+    for (_ <- 1 to rounds) lbl = lpaRound(sym, lbl).graftCheckpointLazy
+    lbl
+  }
+
+  /** [[labelPropagation]] run to FIXPOINT — the convergence-stop
+    * variant (the O34 treatment g03/kCore and g01/pageRankConverged
+    * already have): g05 keeps 3 fixed rounds so its DuckDB oracle is
+    * a literal CTE unroll; THIS is what a user calls. Each round is
+    * the same deterministic min-tie-break synchronous update; stops
+    * when NO node changes label — detected by one node-keyed join of
+    * consecutive checkpointed label frames per round, short-circuited
+    * at the first changed row (`isEmpty` plans a limit-1), so a
+    * non-converged round costs one early-exiting probe, and only the
+    * final converged round pays the full comparison scan. Hitting
+    * `maxRounds` RAISES rather than returning a non-fixpoint
+    * silently — a real risk, not just a bound: synchronous LPA can
+    * 2-cycle forever on bipartite structure (two nodes swapping
+    * labels each round never converge), which is exactly the case
+    * the spec's counter-graph pins.
+    */
+  def labelPropagationConverged(edges: DataFrame, maxRounds: Int = 100): DataFrame = {
+    val (sym, init) = lpaInit(edges)
+    var lbl = init
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val next = lpaRound(sym, lbl).graftCheckpointLazy
+      converged = next
+        .join(lbl.select(col("node"), col("l").as("_prev")), Seq("node"))
+        .where(col("l") =!= col("_prev")).isEmpty
+      lbl = next
+      rounds += 1
+    }
+    require(converged,
+      s"labelPropagationConverged: labels still changing after $maxRounds rounds — " +
+        "raise maxRounds, or the graph oscillates (synchronous LPA 2-cycles on " +
+        "bipartite structure); use labelPropagation(rounds = n) for a fixed budget")
+    lbl
+  }
+
+  /** Shared LPA setup: symmetric edge frame + self-label init. */
+  private def lpaInit(edges: DataFrame): (DataFrame, DataFrame) = {
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .graftCheckpointLazy
-    var lbl = sym.select(col("src").as("node")).distinct()
+    val init = sym.select(col("src").as("node")).distinct()
       .withColumn("l", col("node"))
       .graftCheckpointLazy
-    for (_ <- 1 to rounds) {
-      val nbr = sym.join(lbl.select(col("node").as("dst"), col("l")), Seq("dst"))
-      val cnt = nbr.groupBy(col("src"), col("l"))
-        .agg(count(lit(1)).as("c"))
-      lbl = cnt.groupBy(col("src"))
-        .agg(max(struct(col("c"), (-col("l")).as("negl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.negl")).as("l"))
-        .graftCheckpointLazy
-    }
-    lbl
+    (sym, init)
+  }
+
+  /** One synchronous LPA round (see [[labelPropagation]] for the
+    * plan-shape discussion — one dst-keyed join, one (node, label)
+    * count, one map-side-combinable argmax).
+    */
+  private def lpaRound(sym: DataFrame, lbl: DataFrame): DataFrame = {
+    val nbr = sym.join(lbl.select(col("node").as("dst"), col("l")), Seq("dst"))
+    val cnt = nbr.groupBy(col("src"), col("l"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("src"))
+      .agg(max(struct(col("c"), (-col("l")).as("negl"))).as("m"))
+      .select(col("src").as("node"), (-col("m.negl")).as("l"))
   }
 
   def triangleCounts(edges: DataFrame): DataFrame = {
@@ -466,7 +514,6 @@ object Graph {
       "Deterministic label propagation, 3 synchronous rounds: community labels on the co-purchase graph",
       (spark, dir) => {
         import spark.implicits._
-        import org.apache.spark.sql.expressions.Window
         // The community-detection complement to d06/d08's connected
         // components: CC merges everything reachable; LPA splits a
         // connected graph into densely-linked groups — the granularity
@@ -482,8 +529,15 @@ object Graph {
           .where($"a.p" < $"b.p")
           .select($"a.p".as("u"), $"b.p".as("v")).distinct()
         val lbl = labelPropagation(und, rounds = 3)
-        val win = Window.partitionBy($"l")
-        lbl.withColumn("n_members", count(lit(1)).over(win).cast("long"))
+        // member counts via a map-side-combinable agg + broadcast
+        // join-back, NOT count() over (partition by l): the window
+        // form ships every member row of a community to ONE task —
+        // on a graph whose biggest community is corpus-scale that
+        // task is the straggler. The agg frame is one row per
+        // community (<= one per node, tiny in practice).
+        val sizes = lbl.groupBy($"l")
+          .agg(count(lit(1)).cast("long").as("n_members"))
+        lbl.join(broadcast(sizes), Seq("l"))
           .select($"node", $"l".as("label"), $"n_members")
           .orderBy($"node")
       },

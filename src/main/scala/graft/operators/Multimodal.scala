@@ -381,7 +381,12 @@ object Multimodal {
     }
     val bad = VideoDecoded(id, "unknown", 0, 0, 0L, 0L)
     if (b.length < 16 || tag(4) != "ftyp") return bad
-    var ts = 0L; var dur = -1L; var w = 0; var h = 0
+    var ts = 0L; var dur = -1L
+    // per-trak (width, height, handler): the REPORTED dims are the
+    // first VIDEO trak's (mdia/hdlr handler 'vide'), not the first
+    // trak's — multi-track files put audio first as often as video;
+    // hdlr-free files fall back to the first trak (old behavior)
+    val trakDims = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
     var off = 0
     while (off + 8 <= b.length) {
       val (pay, end) = boxBounds(off)
@@ -398,7 +403,8 @@ object Multimodal {
             } else if (v == 0 && cPay + 20 <= b.length) {
               ts = be32(cPay + 12); dur = be32(cPay + 16)
             }
-          } else if (ctag == "trak" && w == 0) {
+          } else if (ctag == "trak") {
+            var tw = 0; var th = 0; var handler = ""
             var t = cPay
             var tOk = true
             while (tOk && t + 8 <= math.min(cEnd, b.length.toLong)) {
@@ -407,13 +413,26 @@ object Multimodal {
                 // width/height close the fixed 84/96-byte v0/v1 payload
                 val fix = if (u8(tPay) == 1) 88 else 76
                 if (tPay + fix + 8 <= b.length) {
-                  w = be16(tPay + fix)
-                  h = be16(tPay + fix + 4)
+                  tw = be16(tPay + fix)
+                  th = be16(tPay + fix + 4)
+                }
+              } else if (tag(t + 4) == "mdia") {
+                // handler_type from mdia/hdlr (payload offset 8, §8.4.3)
+                var m = tPay
+                var mOk = true
+                val mEnd = math.min(tEnd, b.length.toLong)
+                while (mOk && m + 8 <= mEnd) {
+                  val (mPay, mBoxEnd) = boxBounds(m)
+                  if (tag(m + 4) == "hdlr" && mPay + 12 <= b.length)
+                    handler = tag(mPay + 8)
+                  if (mBoxEnd <= m) mOk = false
+                  else m = math.min(mBoxEnd, mEnd).toInt
                 }
               }
               if (tEnd <= t) tOk = false // corrupt size: refuse to loop
               else t = math.min(tEnd, b.length.toLong).toInt
             }
+            trakDims += ((tw, th, handler))
           }
           if (cEnd <= c) return bad // corrupt size: refuse to loop
           c = math.min(cEnd, moovEnd).toInt
@@ -422,6 +441,8 @@ object Multimodal {
       if (end <= off) return bad // corrupt size: refuse to loop
       off = if (end > Int.MaxValue) b.length else end.toInt
     }
+    val (w, h, _) = trakDims.find(_._3 == "vide")
+      .orElse(trakDims.headOption).getOrElse((0, 0, ""))
     if (ts > 0 && dur >= 0) VideoDecoded(id, "mp4", w, h, ts, dur * 1000L / ts)
     else bad
   }
@@ -620,6 +641,7 @@ object Multimodal {
 
   final case class FrameInfo(
       doc_id: Long,
+      trak_idx: Long, // the trak's ordinal among moov's traks (multi-video files emit one run per video trak)
       frame_idx: Long,
       f_offset: Long,
       f_size: Long
@@ -692,44 +714,51 @@ object Multimodal {
     } yield tag(hPay + 8)
     val all = child("moov", 0, b.length.toLong)
       .map { case (mp, me) => traks(mp, me) }.getOrElse(Seq.empty)
-    // the VIDEO trak's sample table, wherever it sits; hdlr-free
-    // files fall back to the first trak (the old behavior)
-    val chosen = all.find(t => handlerOf(t._1, t._2).contains("vide"))
-      .orElse(all.headOption)
-    val stbl = for {
-      (trakPay, trakEnd) <- chosen
-      (mdiaPay, mdiaEnd) <- child("mdia", trakPay, trakEnd)
-      (minfPay, minfEnd) <- child("minf", mdiaPay, mdiaEnd)
-      s <- child("stbl", minfPay, minfEnd)
-    } yield s
-    stbl match {
-      case None => Seq.empty
-      case Some((sPay, sEnd)) =>
-        val stsz = child("stsz", sPay, sEnd)
-        val stco = child("stco", sPay, sEnd)
-        (stsz, stco) match {
-          case (Some((zPay, _)), Some((cPay, _)))
-              if zPay + 12 <= b.length && cPay + 12 <= b.length =>
-            val uniform = be32(zPay + 4)
-            val n = be32(zPay + 8).toInt
-            // sample-count sanity: a count that is negative (Int wrap
-            // of a 4-byte field), larger than the file itself (every
-            // real sample is >= 1 byte), or whose size table would sit
-            // past EOF (Long math — 4 * n overflows Int) is corrupt
-            if (n < 0 || n > b.length) return Seq.empty
-            if (be32(cPay + 4) < 1) return Seq.empty
-            val chunk0 = be32(cPay + 8)
-            if (uniform == 0L && zPay + 12L + 4L * n > b.length) return Seq.empty
-            var off = chunk0
-            (0 until n).map { k =>
-              val sz = if (uniform > 0) uniform else be32(zPay + 12 + 4 * k)
-              val f = FrameInfo(id, k.toLong, off, sz)
-              off += sz
-              f
-            }
-          case _ => Seq.empty
-        }
+    // EVERY video trak's sample table (multi-video-trak files emit
+    // per-trak frame rows, distinguished by trak_idx = the trak's
+    // ordinal among moov's traks in file order, frame_idx restarting
+    // per trak); hdlr-free files fall back to the first trak. A
+    // corrupt trak contributes no frames without silencing its
+    // siblings (the side-channel rule, per trak).
+    val withIdx = all.zipWithIndex
+    val videos = withIdx.filter { case (t, _) => handlerOf(t._1, t._2).contains("vide") }
+    val chosen = if (videos.nonEmpty) videos else withIdx.take(1)
+    def framesOf(trakIdx: Int, trakPay: Int, trakEnd: Long): Seq[FrameInfo] = {
+      val stbl = for {
+        (mdiaPay, mdiaEnd) <- child("mdia", trakPay, trakEnd)
+        (minfPay, minfEnd) <- child("minf", mdiaPay, mdiaEnd)
+        s <- child("stbl", minfPay, minfEnd)
+      } yield s
+      stbl match {
+        case None => Seq.empty
+        case Some((sPay, sEnd)) =>
+          val stsz = child("stsz", sPay, sEnd)
+          val stco = child("stco", sPay, sEnd)
+          (stsz, stco) match {
+            case (Some((zPay, _)), Some((cPay, _)))
+                if zPay + 12 <= b.length && cPay + 12 <= b.length =>
+              val uniform = be32(zPay + 4)
+              val n = be32(zPay + 8).toInt
+              // sample-count sanity: a count that is negative (Int wrap
+              // of a 4-byte field), larger than the file itself (every
+              // real sample is >= 1 byte), or whose size table would sit
+              // past EOF (Long math — 4 * n overflows Int) is corrupt
+              if (n < 0 || n > b.length) return Seq.empty
+              if (be32(cPay + 4) < 1) return Seq.empty
+              val chunk0 = be32(cPay + 8)
+              if (uniform == 0L && zPay + 12L + 4L * n > b.length) return Seq.empty
+              var off = chunk0
+              (0 until n).map { k =>
+                val sz = if (uniform > 0) uniform else be32(zPay + 12 + 4 * k)
+                val f = FrameInfo(id, trakIdx.toLong, k.toLong, off, sz)
+                off += sz
+                f
+              }
+            case _ => Seq.empty
+          }
+      }
     }
+    chosen.flatMap { case ((trakPay, trakEnd), idx) => framesOf(idx, trakPay, trakEnd) }
   }
 
   /** Partition-wise frame-table decode — one row per indexed sample. */

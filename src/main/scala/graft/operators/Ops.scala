@@ -89,6 +89,11 @@ object Ops {
   ): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward or forward, got $direction")
+    // the output column is APPENDED to left's columns — a pre-existing
+    // column of the same name would make every downstream select(outCol)
+    // fail with an ambiguity error far from the cause, so fail HERE
+    require(!left.columns.contains(outCol),
+      s"left frame already has a column named '$outCol'; pass a distinct outCol")
     val spark = left.sparkSession
     graft.plans.AsOfJoinStrategy.synchronized {
       val cur = spark.experimental.extraStrategies
@@ -116,11 +121,92 @@ object Ops {
       }
     val lk = attrOf(keyCol)
     val lts = attrOf(leftTsCol)
+    // cross-side type agreement, checked at PLAN time: each side's
+    // getter would individually accept e.g. leftTs=timestamp (micros)
+    // against rightTs=date (days) and the merge would silently compare
+    // micros to days — exactly the mis-read the exec's per-side checks
+    // exist to prevent. Same for keys: long-vs-int only surfaces as a
+    // runtime ClassCastException from the interpreted ordering.
+    require(lts.dataType == rp.output(1).dataType,
+      s"as-of ordering columns must have the SAME type on both sides, " +
+        s"got left $leftTsCol: ${lts.dataType} vs right $rightTsCol: ${rp.output(1).dataType}")
+    require(lk.dataType == rp.output(0).dataType,
+      s"as-of key columns must have the SAME type on both sides, " +
+        s"got left $keyCol: ${lk.dataType} vs right $keyCol: ${rp.output(0).dataType}")
     val out = org.apache.spark.sql.catalyst.expressions
       .AttributeReference(outCol, rp.output(1).dataType, nullable = true)()
     org.apache.spark.sql.graftbridge.SparkSqlBridge.ofRows(spark,
       graft.plans.AsOfJoin(lp, rp, lk, rp.output(0), lts, rp.output(1), out,
         forward = direction == "forward"))
+  }
+
+  /** Native keyed INTERVAL join (the second whole-operator Catalyst
+    * tier after [[asofJoinNative]], see [[graft.plans.IntervalJoinExec]]):
+    * emits (left ++ right) for every pair with matching keys and
+    * right `rightTsCol` inside the left row's (`loCol`, `hiCol`]
+    * interval — strict lower / inclusive upper by default (q24's
+    * bounds), both flags independently settable. `joinType` "inner"
+    * or "left" (matchless left rows null-padded). Each side shuffles
+    * ONCE on its own key and sorts by (key, bound); per partition a
+    * sliding buffer finds each left's contiguous match run in
+    * O(n + m + output) — vs Spark's sort-merge-with-residual plan
+    * that tests every same-key pair. Both sides must use DISJOINT
+    * column names (the output carries both untouched).
+    */
+  def intervalJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCol: String,
+      rightKeyCol: String,
+      loCol: String,
+      hiCol: String,
+      rightTsCol: String,
+      joinType: String = "inner",
+      lowerInclusive: Boolean = false,
+      upperInclusive: Boolean = true
+  ): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"joinType must be inner or left, got $joinType")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"interval join carries BOTH sides' columns unrenamed; these collide: " +
+        s"${overlap.mkString(", ")} — rename one side first")
+    val spark = left.sparkSession
+    graft.plans.IntervalJoinStrategy.synchronized {
+      val cur = spark.experimental.extraStrategies
+      if (!cur.contains(graft.plans.IntervalJoinStrategy))
+        spark.experimental.extraStrategies = cur :+ graft.plans.IntervalJoinStrategy
+    }
+    // fresh aliases force fresh exprIds on the right (self-join safety
+    // — the asofJoinNative discipline), keeping every payload column
+    val r2 = right.select(right.columns.toIndexedSeq.map(c => right.col(c).as(c)): _*)
+    val lp = left.queryExecution.analyzed
+    val rp = r2.queryExecution.analyzed
+    def attrOf(df: DataFrame, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String, side: String): org.apache.spark.sql.catalyst.expressions.AttributeReference =
+      org.apache.spark.sql.graftbridge.Bridge.expression(df.col(name)) match {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if plan.outputSet.contains(a) => a
+        case other => throw new IllegalArgumentException(
+          s"$side column $name must be a plain attribute of the $side frame, resolved to $other")
+      }
+    val lk = attrOf(left, lp, leftKeyCol, "left")
+    val lo = attrOf(left, lp, loCol, "left")
+    val hi = attrOf(left, lp, hiCol, "left")
+    val rk = attrOf(r2, rp, rightKeyCol, "right")
+    val rts = attrOf(r2, rp, rightTsCol, "right")
+    // cross-side/cross-column agreement at PLAN time (the AsOfJoin
+    // lesson: per-side getter checks alone let micros-vs-days slip
+    // through to a silent garbage merge)
+    require(lo.dataType == hi.dataType && lo.dataType == rts.dataType,
+      s"interval-join ordered columns must share ONE type, got $loCol: ${lo.dataType}, " +
+        s"$hiCol: ${hi.dataType}, $rightTsCol: ${rts.dataType}")
+    require(lk.dataType == rk.dataType,
+      s"interval-join key columns must have the SAME type on both sides, " +
+        s"got $leftKeyCol: ${lk.dataType} vs $rightKeyCol: ${rk.dataType}")
+    org.apache.spark.sql.graftbridge.SparkSqlBridge.ofRows(spark,
+      graft.plans.IntervalJoin(lp, rp, lk, rk, lo, hi, rts,
+        leftOuter = joinType == "left", lowerInclusive, upperInclusive))
   }
 
   /** Gap-based sessionization: assigns a session id per `keyCol` when

@@ -1815,6 +1815,38 @@ object Relational {
           COALESCE(CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT), -1) AS wait_us
         FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
         ORDER BY event_id""")
+    ),
+
+    Q(
+      "q61_interval_join_native",
+      "q24's interval join through the native IntervalJoinExec: events within 1h after each signup",
+      (spark, dir) => {
+        import spark.implicits._
+        // Same query and same DuckDB oracle as q24, but the range
+        // predicate is EXECUTED by the custom sliding-buffer
+        // sort-merge operator (plans/IntervalJoinPlan.scala) instead
+        // of Spark's SMJ-with-residual-condition, which inside one
+        // hot key tests every same-key pair. Left carries the
+        // interval as two real columns; right keeps its payload.
+        val ev = t(spark, dir, "events")
+        val signups = ev
+          .filter($"event_type" === "signup")
+          .select($"event_id".as("s_id"), $"user_id".as("s_user"), $"ts".as("s_ts"))
+          .withColumn("s_hi", $"s_ts" + expr("INTERVAL 1 HOUR"))
+        val others = ev.select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
+        Ops.intervalJoinNative(signups, others,
+            leftKeyCol = "s_user", rightKeyCol = "e_user",
+            loCol = "s_ts", hiCol = "s_hi", rightTsCol = "e_ts",
+            joinType = "left")
+          .groupBy($"s_id")
+          .agg(count($"e_id").as("n_follow"))
+          .orderBy($"s_id")
+      },
+      Some("""SELECT s.event_id AS s_id, COUNT(e.event_id) AS n_follow
+        FROM events s LEFT JOIN events e
+          ON e.user_id = s.user_id AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+        WHERE s.event_type = 'signup'
+        GROUP BY s.event_id ORDER BY s_id""")
     )
   )
 }

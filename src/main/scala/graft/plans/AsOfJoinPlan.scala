@@ -151,6 +151,16 @@ final case class AsOfJoinExec(
     val rTsIdx = right.output.indexWhere(_.exprId == rightTs.exprId)
     require(lKeyIdx >= 0 && lTsIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0,
       "as-of join columns must resolve against their own side")
+    // cross-side agreement (also plan-time-checked in asofJoinNative;
+    // repeated here because the node is constructible directly): each
+    // side's tsGetter would individually accept timestamp-vs-date and
+    // the merge would compare micros against days with no error
+    require(leftTs.dataType == rightTs.dataType,
+      s"as-of ordering columns must have the SAME type on both sides, " +
+        s"got ${leftTs.dataType} vs ${rightTs.dataType}")
+    require(leftKey.dataType == rightKey.dataType,
+      s"as-of key columns must have the SAME type on both sides, " +
+        s"got ${leftKey.dataType} vs ${rightKey.dataType}")
     val keyType = leftKey.dataType
     // buffer-backed compound keys (struct/array/map) would be VIEWS
     // into reused sorter rows — stable() only protects UTF8String, so
@@ -170,7 +180,28 @@ final case class AsOfJoinExec(
 
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       new Iterator[InternalRow] {
-        private val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+        // key comparison runs once or twice per input row — the hot
+        // loop. The interpreted ordering pattern-matches the type and
+        // null-checks on EVERY call; the common key types get a
+        // direct monomorphic comparator instead (both operands are
+        // known non-null here: null keys are filtered before compare).
+        // Strings only when the collation's ordering IS binary —
+        // otherwise the collation-aware interpreted path is required.
+        private val keyCmp: (Any, Any) => Int = keyType match {
+          case org.apache.spark.sql.types.LongType => (a, b) =>
+            java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+          case org.apache.spark.sql.types.IntegerType => (a, b) =>
+            java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+          case st: org.apache.spark.sql.types.StringType
+              if st == org.apache.spark.sql.types.StringType => (a, b) =>
+            // default UTF8_BINARY collation only: its ordering IS the
+            // binary compareTo; any other collation needs the
+            // collation-aware interpreted path below
+            a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+          case other =>
+            val ord = TypeUtils.getInterpretedOrdering(other)
+            (a, b) => ord.compare(a, b)
+        }
         private val joined = new JoinedRow
         private val extra = new GenericInternalRow(1)
         private val proj = UnsafeProjection.create(outTypes)
@@ -223,20 +254,20 @@ final case class AsOfJoinExec(
               // may serve subsequent lefts too)
               var done = false
               while (!done && rValid) {
-                val c = keyOrd.compare(rKey, lk)
+                val c = keyCmp(rKey, lk)
                 if (c < 0 || (c == 0 && rTs < lt)) advanceRight()
                 else done = true
               }
-              if (rValid && keyOrd.compare(rKey, lk) == 0) {
+              if (rValid && keyCmp(rKey, lk) == 0) {
                 matched = true; matchTs = rTs
               }
             } else {
-              if (!curValid || keyOrd.compare(lk, curKey) != 0) {
+              if (!curValid || keyCmp(lk, curKey) != 0) {
                 curKey = stable(lk); curValid = true; hasLast = false
               }
               var done = false
               while (!done && rValid) {
-                val c = keyOrd.compare(rKey, lk)
+                val c = keyCmp(rKey, lk)
                 if (c < 0) advanceRight()
                 else if (c == 0 && rTs <= lt) {
                   hasLast = true; lastTs = rTs; advanceRight()

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 scale probes for the two whole-operator Catalyst paths:
+  *
+  * 1. STRING-key as-of join (the VERDICT item-5 question): the merge
+  *    exec's key compare runs once or twice per input row; round 9
+  *    replaced the per-row interpreted ordering with a monomorphic
+  *    comparator (direct UTF8String.compareTo / Long.compare). This
+  *    probe measures the native operator vs the union+window form
+  *    with user_id CAST TO STRING — the worst case the verdict
+  *    called out — with value equality asserted against the long-key
+  *    result (same users, so the match structure must be identical).
+  *
+  * 2. INTERVAL join at 10×: q24's signup→events-within-1h shape on a
+  *    replicated corpus (event_id AND user_id shifted — independent
+  *    user populations with identical per-user history, the
+  *    ScaleProbeR8b events methodology). Invariance: per-replica
+  *    n_follow must EQUAL the base corpus's keyed by base event_id
+  *    (the sliding buffer provably doesn't couple across replicas);
+  *    cost: native sliding-buffer exec vs Spark's
+  *    SMJ-with-residual-condition plan, wall seconds + measured
+  *    shuffle bytes (RuntimeAudit on the final AQE plan).
+  *
+  * Run: sbt "runMain graft.tools.ScaleProbeR9 [baseSfDir] [factor]"
+  */
+object ScaleProbeR9 {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Ops
+
+    val ev = spark.read.parquet(s"$base/events.parquet")
+
+    // ---- probe 1: string keys through the as-of merge ----
+    println("== string-key as-of (native specialized comparator vs union+window) ==")
+    val pS = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").cast("string").as("user_id"), col("ts"))
+    val cS = ev.filter(col("event_type") === "click")
+      .select(col("user_id").cast("string").as("user_id"), col("ts"))
+    def summarize(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), count(col("asof_ts")),
+        bit_xor(xxhash64(col("event_id"), col("asof_ts")))).head()
+      (r.getLong(1), r.getLong(2)) // matched count + content hash input
+    }
+    // warm the scans once so the probe times compute, not first-read I/O
+    pS.count(); cS.count()
+    for (round <- 1 to 3) {
+      val (nat, tN) = timed(summarize(Ops.asofJoinNative(pS, cS, "user_id", "ts", "ts")))
+      val (win, tW) = timed(summarize(Ops.asofJoin(pS, cS, "user_id", "ts", "ts")))
+      require(nat == win, s"string-key value mismatch: native $nat vs window $win")
+      println(f"round $round: native=$tN%.2fs window=$tW%.2fs (values equal, " +
+        f"matched=${nat._1})")
+    }
+    // and string results must mirror the long-key match structure
+    val longMatched = Ops.asofJoinNative(
+      ev.filter(col("event_type") === "purchase").select(col("event_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "click").select(col("user_id"), col("ts")),
+      "user_id", "ts", "ts").agg(count(col("asof_ts"))).head().getLong(0)
+    val strMatched = summarize(Ops.asofJoinNative(pS, cS, "user_id", "ts", "ts"))._1
+    require(longMatched == strMatched,
+      s"string-cast keys changed the match structure: $strMatched vs $longMatched")
+    println(s"string-key matches == long-key matches ($strMatched)")
+
+    // ---- probe 2: interval join at {factor}x ----
+    println(s"== interval join at ${factor}x (native sliding buffer vs SMJ+residual) ==")
+    val big = ProbeReplicate(ev, Seq("event_id", "user_id"), factor, 100000000L)
+      .cache()
+    big.count() // materialize once so both plans read the same cache
+    val signups = big.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withColumn("s_hi", col("s_ts") + expr("INTERVAL 1 HOUR"))
+    val others = big.select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+      col("event_id").as("e_id"))
+    def aggFollow(j: DataFrame): DataFrame =
+      j.groupBy(col("s_id")).agg(count(col("e_id")).as("n_follow"))
+    val native = aggFollow(Ops.intervalJoinNative(signups, others,
+      "s_user", "e_user", "s_ts", "s_hi", "e_ts", joinType = "left"))
+    val composed = aggFollow(signups.join(others,
+      col("e_user") === col("s_user") && col("e_ts") > col("s_ts") &&
+        col("e_ts") <= col("s_hi"), "left"))
+    val aN = RuntimeAudit.run(native)
+    val aC = RuntimeAudit.run(composed)
+    println(aN.line(s"native_x$factor"))
+    println(aC.line(s"composed_x$factor"))
+    // value invariance: per-replica counts equal the base corpus's
+    val baseCounts = aggFollow(Ops.intervalJoinNative(
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+        .withColumn("s_hi", col("s_ts") + expr("INTERVAL 1 HOUR")),
+      ev.select(col("user_id").as("e_user"), col("ts").as("e_ts"), col("event_id").as("e_id")),
+      "s_user", "e_user", "s_ts", "s_hi", "e_ts", joinType = "left"))
+    val drift = aggFollow(Ops.intervalJoinNative(signups, others,
+      "s_user", "e_user", "s_ts", "s_hi", "e_ts", joinType = "left"))
+      .withColumn("base_id", col("s_id") % 100000000L)
+      .join(baseCounts.select(col("s_id").as("base_id"), col("n_follow").as("base_n")), "base_id")
+      .filter(col("n_follow") =!= col("base_n")).count()
+    require(drift == 0, s"$drift replica rows drifted from the base corpus")
+    println(s"invariance: all ${factor}x replica counts equal base (drift=0)")
+    // and the two plans agree at scale
+    val diff = native.join(composed.withColumnRenamed("n_follow", "n2"), "s_id")
+      .filter(col("n_follow") =!= col("n2")).count()
+    require(diff == 0, s"native vs composed mismatch at ${factor}x: $diff rows")
+    println(s"native == composed at ${factor}x")
+    spark.stop()
+  }
+}

@@ -36,6 +36,25 @@ class CliSpec extends SparkTestBase {
     assert(out.nonEmpty && out.last.forall(_.isDigit) && out.last.toLong > 0)
   }
 
+  test("sql subcommand runs a query THROUGH a graft custom function (X4 last mile)") {
+    // force the shared test session so getOrCreate joins it — the
+    // explicit register() in the sql path must make cosine_sim
+    // available even though the extensions config is ignored here
+    spark.sparkContext.setLogLevel("WARN")
+    val out = cli("graft.GraftPipelines", "sql", "-d", sfDir, "--limit", "3",
+      "SELECT vec_id, cosine_sim(embedding, embedding) AS c FROM embeddings ORDER BY vec_id")
+    assert(out.head == "vec_id\tc", out.mkString("|"))
+    assert(out.length == 4, s"header + 3 rows expected, got ${out.length}")
+    assert(out.tail.forall(l => math.abs(l.split("\t")(1).toDouble - 1.0) < 1e-9),
+      out.mkString("|"))
+  }
+
+  test("sql subcommand prints NULL and array cells readably") {
+    val out = cli("graft.GraftPipelines", "sql",
+      "SELECT CAST(NULL AS INT) AS a, array(1, 2) AS b")
+    assert(out == Seq("a\tb", "NULL\t[1,2]"), out.mkString("|"))
+  }
+
   test("run with json config overrides route params") {
     val cfg = java.nio.file.Files.createTempFile("graft-cfg", ".json")
     java.nio.file.Files.writeString(cfg,

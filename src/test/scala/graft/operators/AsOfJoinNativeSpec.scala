@@ -167,6 +167,41 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("timestamp/date/integral")), e.toString)
   }
 
+  test("cross-side type mismatches are rejected at PLAN time, not mis-compared") {
+    import spark.implicits._
+    // timestamp (micros) vs date (days): each side's getter accepts
+    // its own type, so without the cross-check the merge would
+    // silently compare micros against days — garbage matches, no error
+    val lTs = Seq(("a", ts("2024-01-02 00:00:00"), 1L)).toDF("k", "t", "id")
+    val rDate = Seq(("a", java.sql.Date.valueOf("2024-01-01"))).toDF("k", "t")
+    val e1 = intercept[IllegalArgumentException] {
+      Ops.asofJoinNative(lTs, rDate, "k", "t", "t")
+    }
+    assert(e1.getMessage.contains("SAME type"), e1.getMessage)
+    // long vs int keys: without the check this only dies at runtime
+    // as a ClassCastException from the interpreted ordering
+    val lLong = Seq((1L, ts("2024-01-02 00:00:00"), 1L)).toDF("k", "t", "id")
+    val rInt = Seq((1, ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      Ops.asofJoinNative(lLong, rInt, "k", "t", "t")
+    }
+    assert(e2.getMessage.contains("SAME type"), e2.getMessage)
+  }
+
+  test("an outCol colliding with an existing left column is rejected at plan time") {
+    import spark.implicits._
+    val left = Seq(("a", ts("2024-01-02 00:00:00"), ts("2024-01-01 00:00:00")))
+      .toDF("k", "t", "asof_ts")
+    val right = Seq(("a", ts("2024-01-01 00:00:00"))).toDF("k", "t")
+    val e = intercept[IllegalArgumentException] {
+      Ops.asofJoinNative(left, right, "k", "t", "t")
+    }
+    assert(e.getMessage.contains("asof_ts"), e.getMessage)
+    // a distinct outCol on the same frame works
+    val ok = Ops.asofJoinNative(left, right, "k", "t", "t", outCol = "matched_ts")
+    assert(ok.columns.count(_ == "matched_ts") == 1)
+  }
+
   test("column resolution honors session case-insensitivity like the window form") {
     val ev = Tables.load(spark, sfDir, "events")
     val p = ev.filter(col("event_type") === "purchase")

@@ -95,22 +95,24 @@ class ParserFuzzSpec extends AnyFunSuite {
     assert(d.format == "jpeg" && d.width == 64 && d.height == 32, d.toString)
   }
 
+  // minimal ISO-BMFF builders for the multi-trak tests
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def box(tag: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(8L + body.length) ++ tag.getBytes("US-ASCII") ++ body
+  }
+  private def hdlr(typ: String) = box("hdlr",
+    be32(0), be32(0), typ.getBytes("US-ASCII"), new Array[Byte](12))
+  private def stbl(uniform: Long, n: Long, chunk0: Long) = box("stbl",
+    box("stsz", be32(0), be32(uniform), be32(n)),
+    box("stco", be32(0), be32(1), be32(chunk0)))
+  private def trak(handler: String, uniform: Long, n: Long, chunk0: Long) =
+    box("trak", box("mdia", hdlr(handler),
+      box("minf", stbl(uniform, n, chunk0))))
+
   test("parseFrames indexes the VIDEO trak of a multi-track MP4, not the first trak") {
-    def be32(v: Long): Array[Byte] =
-      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-    def box(tag: String, payload: Array[Byte]*): Array[Byte] = {
-      val body = payload.flatten.toArray
-      be32(8L + body.length) ++ tag.getBytes("US-ASCII") ++ body
-    }
-    def hdlr(typ: String) = box("hdlr",
-      be32(0), be32(0), typ.getBytes("US-ASCII"), new Array[Byte](12))
-    def stbl(uniform: Long, n: Long, chunk0: Long) = box("stbl",
-      box("stsz", be32(0), be32(uniform), be32(n)),
-      box("stco", be32(0), be32(1), be32(chunk0)))
-    def trak(handler: String, uniform: Long, n: Long, chunk0: Long) =
-      box("trak", box("mdia", hdlr(handler),
-        box("minf", stbl(uniform, n, chunk0))))
     val mp4 = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200)) ++
       box("moov",
         trak("soun", 11, 2, 100), // audio FIRST — the old code indexed this
@@ -120,6 +122,42 @@ class ParserFuzzSpec extends AnyFunSuite {
     assert(frames.map(f => (f.frame_idx, f.f_offset, f.f_size)) ==
       Seq((0L, 200L, 7L), (1L, 207L, 7L), (2L, 214L, 7L)),
       s"expected the video trak's 3x7B samples at 200, got $frames")
+    // the audio trak contributes nothing, and the single video trak
+    // reports its moov ordinal (1), not a renumbered 0
+    assert(frames.map(_.trak_idx).distinct == Seq(1L), frames.toString)
+  }
+
+  test("a TWO-video-trak MP4 emits per-trak frame runs with distinct trak_idx") {
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200)) ++
+      box("moov",
+        trak("soun", 11, 2, 100),  // audio: never indexed
+        trak("vide", 7, 2, 200),   // main video
+        trak("vide", 5, 3, 300)) ++ // e.g. a thumbnail/preview track
+      new Array[Byte](250)
+    val frames = Multimodal.parseFrames(11L, mp4)
+    assert(frames.map(f => (f.trak_idx, f.frame_idx, f.f_offset, f.f_size)) ==
+      Seq((1L, 0L, 200L, 7L), (1L, 1L, 207L, 7L),
+        (2L, 0L, 300L, 5L), (2L, 1L, 305L, 5L), (2L, 2L, 310L, 5L)),
+      s"both video traks must emit, frame_idx restarting per trak; got $frames")
+  }
+
+  test("parseVideo reports the FIRST VIDEO trak's dims when audio precedes it") {
+    def tkhd(w: Int, h: Int) = box("tkhd",
+      new Array[Byte](76), // version 0 fixed payload before width/height
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    def trakWith(handler: String, w: Int, h: Int) =
+      box("trak", tkhd(w, h), box("mdia", hdlr(handler)))
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000), be32(2000))
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200)) ++
+      box("moov",
+        mvhd,
+        trakWith("soun", 0, 0),     // audio first, dims zero
+        trakWith("vide", 640, 360), // the dims that must win
+        trakWith("vide", 128, 72))  // second video trak ignored for dims
+    val d = Multimodal.parseVideo(12L, mp4)
+    assert(d.format == "mp4" && d.width == 640 && d.height == 360,
+      s"expected the first VIDEO trak's 640x360, got $d")
+    assert(d.timescale == 1000L && d.duration_ms == 2000L, d.toString)
   }
 
   test("parseThumb cells stay inside the payload and tile contiguously") {
