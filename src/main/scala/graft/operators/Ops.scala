@@ -152,6 +152,17 @@ object Ops {
     * O(n + m + output) — vs Spark's sort-merge-with-residual plan
     * that tests every same-key pair. Both sides must use DISJOINT
     * column names (the output carries both untouched).
+    *
+    * When to use which (measured, docs/SCALING.md round 9): on
+    * uniformly FINE-grained keys (a few rows per key) the plain
+    * composed join is ~1.4× faster — SMJ's residual costs little
+    * there and its whole-stage codegen fuses with neighbors, which a
+    * custom exec breaks. On DENSE/skewed keys the composed plan's
+    * per-key pair testing is quadratic and this operator's cost stays
+    * flat at the output size (6.5× faster at 8e9 pairs and
+    * diverging) — hot keys are exactly where a 100 TB interval join
+    * concentrates into straggler tasks, so route skewed workloads
+    * here.
     */
   def intervalJoinNative(
       left: DataFrame,

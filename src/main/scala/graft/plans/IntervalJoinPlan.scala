@@ -224,18 +224,50 @@ final case class IntervalJoinExec(
         }
         advanceRight()
 
-        // sliding buffer of copied right rows for the key in
-        // progress, ts-sorted (appended in right-iterator order)
-        private val bufTs = new java.util.ArrayDeque[java.lang.Long]()
-        private val bufRows = new java.util.ArrayDeque[InternalRow]()
+        // Sliding buffer of copied right rows for the key in progress,
+        // ts-sorted (appended in right-iterator order). A primitive
+        // ring buffer, not an ArrayDeque pair: ts values stay unboxed
+        // and eviction/append are two index bumps — this structure is
+        // touched once per right row and once per (left, match) pair,
+        // i.e. it IS the hot path.
+        private var bufTs = new Array[Long](64)
+        private var bufRows = new Array[InternalRow](64)
+        private var bufStart = 0 // physical index of the logical head
+        private var bufLen = 0
+        private def bufTsAt(i: Int): Long = bufTs((bufStart + i) & (bufTs.length - 1))
+        private def bufRowAt(i: Int): InternalRow = bufRows((bufStart + i) & (bufRows.length - 1))
+        private def bufAdd(ts: Long, row: InternalRow): Unit = {
+          if (bufLen == bufTs.length) { // grow: unwrap into a doubled array
+            val n = bufTs.length
+            val ts2 = new Array[Long](n * 2)
+            val rows2 = new Array[InternalRow](n * 2)
+            var i = 0
+            while (i < n) { ts2(i) = bufTsAt(i); rows2(i) = bufRowAt(i); i += 1 }
+            bufTs = ts2; bufRows = rows2; bufStart = 0
+          }
+          val at = (bufStart + bufLen) & (bufTs.length - 1)
+          bufTs(at) = ts; bufRows(at) = row
+          bufLen += 1
+        }
+        private def bufDropHead(): Unit = {
+          bufRows(bufStart) = null // release the copied row
+          bufStart = (bufStart + 1) & (bufTs.length - 1)
+          bufLen -= 1
+        }
+        private def bufClear(): Unit = {
+          java.util.Arrays.fill(bufRows.asInstanceOf[Array[AnyRef]], null)
+          bufStart = 0; bufLen = 0
+        }
         private var bufKey: Any = null
         private var bufKeyValid = false
 
-        // current left row mid-emission
+        // current left row mid-emission. NOT copied: the child
+        // iterator's row stays valid until its next next(), and
+        // li.next() is only called after this left finishes emitting.
         private var curLeft: InternalRow = null
         private var curHi: Long = 0L
-        private var emitTs: java.util.Iterator[java.lang.Long] = null
-        private var emitRows: java.util.Iterator[InternalRow] = null
+        private var emitPos = 0 // logical index into the buffer
+        private var emitEnd = 0
         private var emitted = false
 
         private var pending: InternalRow = null
@@ -245,9 +277,7 @@ final case class IntervalJoinExec(
           if (l.isNullAt(lKeyIdx) || l.isNullAt(loIdx) || l.isNullAt(hiIdx)) {
             // null key or bound: matches nothing; outer still emits
             if (outer) {
-              curLeft = l.copy(); emitted = false
-              emitTs = java.util.Collections.emptyIterator()
-              emitRows = java.util.Collections.emptyIterator()
+              curLeft = l; emitted = false; emitPos = 0; emitEnd = 0
             }
             return
           }
@@ -255,40 +285,37 @@ final case class IntervalJoinExec(
           val loV = loGet(l)
           val hiV = hiGet(l)
           if (!bufKeyValid || keyCmp(bufKey, lk) != 0) {
-            bufTs.clear(); bufRows.clear()
+            bufClear()
             bufKey = stable(lk); bufKeyValid = true
             // rights of keys the left side skipped can never match
             while (rValid && keyCmp(rKey, lk) < 0) advanceRight()
           }
           // EVICT: head rows failing the lower bound for this (and
           // hence every later) left of the key
-          while (!bufTs.isEmpty && !passLower(bufTs.peekFirst(), loV)) {
-            bufTs.pollFirst(); bufRows.pollFirst()
-          }
+          while (bufLen > 0 && !passLower(bufTs(bufStart), loV)) bufDropHead()
           // PULL: rights of the key up to the upper bound
           while (rValid && keyCmp(rKey, lk) == 0 && passUpper(rTs, hiV)) {
-            if (passLower(rTs, loV)) {
-              bufTs.addLast(rTs); bufRows.addLast(rRow.copy())
-            } // else: below every remaining interval's lower bound — drop
+            if (passLower(rTs, loV)) bufAdd(rTs, rRow.copy())
+            // else: below every remaining interval's lower bound — drop
             advanceRight()
           }
-          curLeft = l.copy()
+          curLeft = l
           curHi = hiV
           emitted = false
-          emitTs = bufTs.iterator()
-          emitRows = bufRows.iterator()
+          emitPos = 0
+          emitEnd = bufLen
         }
 
         private def advance(): Unit = {
           while (pending == null) {
             if (curLeft != null) {
               var stop = false
-              while (pending == null && !stop && emitTs.hasNext) {
-                val ts = emitTs.next().longValue()
-                val row = emitRows.next()
+              while (pending == null && !stop && emitPos < emitEnd) {
+                val ts = bufTsAt(emitPos)
                 if (passUpper(ts, curHi)) {
                   emitted = true
-                  pending = proj(joined(curLeft, row))
+                  pending = proj(joined(curLeft, bufRowAt(emitPos)))
+                  emitPos += 1
                 } else stop = true // ts-sorted: nothing later matches
               }
               if (pending == null) {

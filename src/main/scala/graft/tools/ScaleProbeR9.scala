@@ -119,6 +119,49 @@ object ScaleProbeR9 {
       .filter(col("n_follow") =!= col("n2")).count()
     require(diff == 0, s"native vs composed mismatch at ${factor}x: $diff rows")
     println(s"native == composed at ${factor}x")
+
+    // ---- probe 3: HOT-KEY density (where the operator earns its keep) ----
+    // The events corpus has fine-grained keys (few rows per user), so
+    // SMJ's per-key residual testing barely hurts and its codegen
+    // wins on constants. The native operator's case is per-key
+    // DENSITY: SMJ buffers ALL same-key rights and tests every
+    // (left, right) pair — n_k*m_k — while the sliding buffer does
+    // n_k + m_k + output. One synthetic hot key, 100k rights at
+    // 60s spacing, 5k lefts with 1h windows: 5e8 pair tests for SMJ
+    // vs ~105k buffer ops + ~305k emissions.
+    println("== hot-key density scaling: cost law, not one point ==")
+    // Two density points 4x apart in EACH dimension: SMJ's per-key
+    // residual testing costs n_k*m_k (should go ~16x), the sliding
+    // buffer costs n_k + m_k + output (~4x, output-dominated). The
+    // single-point comparison is misleading — codegen'd SMJ compares
+    // at ~1ns/pair, so small densities hide the quadratic term.
+    def densityPoint(nLeft: Int, mRight: Int): (Double, Double) = {
+      val span = mRight * 60L - 10000L
+      val rightsHot = spark.range(mRight.toLong)
+        .select(lit(1L).as("rk"), (col("id") * 60L).as("rts"), col("id").as("rid"))
+        .cache()
+      val leftsHot = spark.range(nLeft.toLong)
+        .select(lit(1L).as("k"), ((col("id") * 6131L) % span).as("lo"))
+        .withColumn("hi", col("lo") + 3600L)
+        .withColumn("lid", col("lo"))
+        .cache()
+      rightsHot.count(); leftsHot.count()
+      def hotAgg(j: DataFrame): Long =
+        j.agg(count(lit(1)), bit_xor(xxhash64(col("lid"), col("rid")))).head().getLong(0)
+      val (nHot, tN) = timed(hotAgg(Ops.intervalJoinNative(leftsHot, rightsHot,
+        "k", "rk", "lo", "hi", "rts")))
+      val (cHot, tC) = timed(hotAgg(leftsHot.join(rightsHot,
+        col("rk") === col("k") && col("rts") > col("lo") && col("rts") <= col("hi"))))
+      require(nHot == cHot, s"hot-key mismatch at ($nLeft,$mRight): $nHot vs $cHot")
+      println(f"  n=$nLeft%-6d m=$mRight%-7d pairs=${nLeft.toLong * mRight}%-12d " +
+        f"native=$tN%.2fs composed=$tC%.2fs (values equal, $nHot matches)")
+      rightsHot.unpersist(); leftsHot.unpersist()
+      (tN, tC)
+    }
+    val (n1, c1) = densityPoint(5000, 100000)
+    val (n2, c2) = densityPoint(20000, 400000)
+    println(f"density x4 each dim (pairs x16): native grew ${n2 / n1}%.1fx, " +
+      f"composed grew ${c2 / c1}%.1fx")
     spark.stop()
   }
 }
