@@ -87,12 +87,51 @@ object Dedup {
     val hits = train.select(col("doc_id"), explode(col("sh")).as("s"))
       .join(evalU, Seq("s"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    decontamAssemble(train, hits)
+  }
+
+  /** Shared verdict tail of the decontamination variants: per-doc span
+    * totals left-joined with the hit counts, overlap + the integer
+    * contaminated rule (2·n_hit >= n_spans — no fp threshold drift).
+    */
+  private def decontamAssemble(train: DataFrame, hits: DataFrame): DataFrame =
     train.select(col("doc_id"), size(col("sh")).cast("long").as("n_spans"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .select(col("doc_id"), col("n_spans"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_spans"), 6).as("overlap"),
         (col("n_hit") * 2 >= col("n_spans")).cast("int").as("contaminated"))
+
+  /** [[decontaminate]] for an eval universe PAST broadcast-hash
+    * capacity — the full-harness configuration (every benchmark ever
+    * published, deduplicated, is low-GB of distinct shingles: near the
+    * default 8 GB broadcast ceiling, and over it with margin on
+    * smaller executors). The membership probe routes through
+    * [[Ops.bloomSemiJoin]]: the eval shingle universe aggregates into
+    * a distributed Bloom filter whose codegen'd might_contain
+    * prefilters the corpus-sized exploded-shingle stream BEFORE the
+    * shuffle — only the ~fpp false-positive sliver plus the true hits
+    * reach the exact semi-join that restores exact semantics. Values
+    * are bit-identical to [[decontaminate]] (d19 pins that under
+    * d16's own oracle); the trade is one extra pass over the eval
+    * side (filter build, benchmark-sized) for a corpus-stream shuffle
+    * cut from all-shingles to hits+fpp — at 100 TB train vs GB eval,
+    * orders of magnitude. `expectedItems` skips the self-sizing count
+    * when the harness cardinality is known.
+    */
+  def decontaminateAtScale(
+      train: DataFrame,
+      evalDocs: DataFrame,
+      expectedItems: Option[Long] = None,
+      fpp: Double = 0.03
+  ): DataFrame = {
+    val trainSh = shingleArrays(train)
+    val evalU = shingleArrays(evalDocs).select(explode(col("sh")).as("s")).distinct()
+    val hits = Ops.bloomSemiJoin(
+        trainSh.select(col("doc_id"), explode(col("sh")).as("s")),
+        "s", evalU, "s", expectedItems, fpp)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    decontamAssemble(trainSh, hits)
   }
 
   /** The 100 TB configuration of the n-gram Jaccard dedup (d04): the
@@ -1416,6 +1455,44 @@ object Dedup {
           COALESCE(a.n_kept, 0) AS n_kept,
           COALESCE(a.clean_text, '') AS clean_text
         FROM w LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id""")
+    ),
+
+    Q(
+      "d19_decontam_bloom",
+      "d16's decontamination through the Bloom-prefiltered membership probe — the past-broadcast-capacity eval-universe path, value-identical",
+      (spark, dir) => {
+        import spark.implicits._
+        // d16's scaladoc names the scale path ("past broadcast
+        // capacity the O25 bloomSemiJoin slots in on the same key") —
+        // this query value-gates that path under d16's OWN oracle:
+        // the Bloom filter prefilters the corpus-sized exploded
+        // shingle stream (codegen'd might_contain, no shuffle), the
+        // exact semi-join on survivors restores exact semantics, so
+        // bloom-then-verify must be bit-identical to broadcast
+        // semi-join. Same corpus split as d16 (eval = doc_id % 10).
+        // fpp pinned (not the 0.03 default) so the gated artifact is
+        // insensitive to a future default change.
+        val docs = Tables.load(spark, dir, "documents")
+        decontaminateAtScale(
+            docs.where($"doc_id" % 10 =!= 0),
+            docs.where($"doc_id" % 10 === 0),
+            fpp = 0.01)
+          .orderBy($"doc_id")
+      },
+      Some(s"""$sqlShingleCtes,
+        ev AS (SELECT DISTINCT s FROM post WHERE doc_id % 10 = 0),
+        tr AS (SELECT doc_id, s FROM post WHERE doc_id % 10 <> 0),
+        hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM tr WHERE s IN (SELECT s FROM ev) GROUP BY doc_id),
+        szs AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_spans
+          FROM sh WHERE doc_id % 10 <> 0 AND len(s) > 0)
+        SELECT szs.doc_id AS doc_id, szs.n_spans AS n_spans,
+          COALESCE(h.n_hit, 0) AS n_hit,
+          ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / szs.n_spans, 6) AS overlap,
+          CAST(CASE WHEN COALESCE(h.n_hit, 0) * 2 >= szs.n_spans
+            THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM szs LEFT JOIN hits h USING (doc_id)
         ORDER BY doc_id""")
     )
   )

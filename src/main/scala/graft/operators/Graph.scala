@@ -303,6 +303,59 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Semi-naive BFS: minimum hop distance from `seeds` (one `node`
+    * column) over a directed edge list (`src`, `dst`; pass both
+    * directions for undirected), bounded at `maxHops`. Returns
+    * (node, dist) with dist = the shortest hop count <= maxHops —
+    * the engine's recursive/iterative construct (CTE-shaped
+    * reachability: transitive closure, org charts, dependency cones,
+    * crawl-frontier expansion), which the fixed relational surface
+    * could not express (round-8 verdict frontier gap 1). Unlike the
+    * fixed-round graph oracles (g01/g03/g05 unroll because a
+    * data-dependent fixpoint can't be CTE'd), BFS's fixpoint IS
+    * oracle-able: `WITH RECURSIVE ... UNION` terminates exactly when
+    * no new (node, dist) row appears, so g06 value-gates the
+    * convergence-stopped loop itself, not an unrolled approximation.
+    *
+    * Semi-naive discipline (Datalog's delta rule): each round joins
+    * only the FRONTIER (nodes first reached last round) against the
+    * edge list — never the accumulated visited set — so per-round
+    * work is O(frontier-out-edges), total O(E + V) over the run.
+    * Plan per round: one src-keyed semi-join driving the expansion,
+    * one distinct on the new candidates, one anti-join against
+    * visited (both node-keyed, co-partitioned by AQE), per-round
+    * checkpoints (the d06/g01 lineage discipline). The frontier
+    * empty-probe is one isEmpty (limit-1) job on the checkpointed
+    * delta — rounds after exhaustion are never launched. At 100 TB:
+    * every shuffle is node- or src-keyed; visited grows to the
+    * reachable set but is only ever anti-join probe side; no
+    * driver-side state beyond the loop counter.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfsDistances: maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst")).graftCheckpointLazy
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).graftCheckpointLazy
+    var frontier = visited.select(col("node"))
+    var hop = 0
+    var exhausted = frontier.isEmpty
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val delta = e
+        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .graftCheckpointLazy
+      exhausted = delta.isEmpty
+      if (!exhausted) {
+        visited = visited.unionAll(delta).graftCheckpointLazy
+        frontier = delta.select(col("node"))
+      }
+    }
+    visited
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "g01_pagerank_weighted",
@@ -562,6 +615,53 @@ object Graph {
         FROM l3 JOIN (SELECT l, COUNT(*) AS n FROM l3 GROUP BY l) cnt ON cnt.l = l3.l
         ORDER BY node"""
       }
+    ),
+
+    Q(
+      "g06_bfs_reachability",
+      "Semi-naive BFS hop distances from a seed set, 3-hop bound — the recursive-CTE construct, fixpoint oracle-gated",
+      (spark, dir) => {
+        import spark.implicits._
+        // The recursive construct the relational surface lacked
+        // (round-8 verdict frontier gap 1): reachability / transitive
+        // closure, the `WITH RECURSIVE` workload class. Same
+        // co-purchase graph as g02/g03/g05; seeds = parts whose key is
+        // divisible by 97 (deterministic, graph-membership-restricted,
+        // sf-stable). The DuckDB oracle is a GENUINELY recursive CTE —
+        // its UNION fixpoint terminates exactly when the Spark loop's
+        // frontier empties, so the convergence stop itself is under
+        // oracle, not an unrolled stand-in (contrast g01/g03/g05).
+        // Hop bound 3 keeps the answer distance-structured on this
+        // dense graph (unbounded would flood to the whole component).
+        val ip = Tables.load(spark, dir, "lineitem")
+          .filter($"l_quantity" >= 30)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        val und = ip.as("a").join(ip.as("b"), "ok")
+          .where($"a.p" < $"b.p")
+          .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+        val sym = und.select($"u".as("src"), $"v".as("dst"))
+          .unionAll(und.select($"v".as("src"), $"u".as("dst")))
+          .graftCheckpointLazy
+        val seeds = sym.select($"src".as("node")).where($"node" % 97 === 0).distinct()
+        bfsDistances(sym, seeds, maxHops = 3)
+          .select($"node", $"dist".cast("int").as("dist"))
+          .orderBy($"node")
+      },
+      Some("""WITH RECURSIVE ip AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          FROM lineitem WHERE l_quantity >= 30),
+        und AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
+        e AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+          UNION ALL SELECT v, u FROM und),
+        reach AS (
+          SELECT DISTINCT src AS node, 0 AS dist FROM e WHERE src % 97 = 0
+          UNION
+          SELECT e.dst AS node, r.dist + 1 AS dist
+          FROM reach r JOIN e ON e.src = r.node
+          WHERE r.dist < 3)
+        SELECT node, CAST(MIN(dist) AS INT) AS dist
+        FROM reach GROUP BY node ORDER BY node""")
     )
   )
 }

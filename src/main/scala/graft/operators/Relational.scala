@@ -1847,6 +1847,41 @@ object Relational {
           ON e.user_id = s.user_id AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
         WHERE s.event_type = 'signup'
         GROUP BY s.event_id ORDER BY s_id""")
+    ),
+
+    Q(
+      "q62_global_shuffle",
+      "Deterministic global corpus shuffle + shard assignment: portable-hash permutation ranked scale-safe",
+      (spark, dir) => {
+        import spark.implicits._
+        // The epoch-reproducibility primitive every training-data
+        // pipeline ends with: a GLOBAL pseudo-random permutation of
+        // the corpus (break source/time locality before the loader
+        // streams it) that any engine can replay bit-for-bit from
+        // (id, seed) alone. Shuffle key = the engine-neutral 60-bit
+        // md5 hash of doc_id#seed (PortableHash — the d03/t08 oracle
+        // trick), shard = key mod n_shards (non-negative key, so %
+        // agrees across engines), position = Ops.rankGlobal over
+        // (key, doc_id) — the two-phase range-partitioned rank, so
+        // the permutation index never funnels through one task
+        // (window row_number would; at 10^9 docs that task IS the
+        // job). doc_id tiebreak makes the total order unique, so the
+        // rank is engine-deterministic even on a hash collision.
+        val h = graft.functions.PortableHash.hash60(
+          concat($"doc_id".cast("string"), lit("#42")))
+        val keyed = t(spark, dir, "documents")
+          .select($"doc_id", h.as("skey"))
+          .withColumn("shard", pmod($"skey", lit(8)).cast("int"))
+        Ops.rankGlobal(keyed, Seq($"skey".asc, $"doc_id".asc), "pos")
+          .select($"doc_id", $"skey", $"shard", $"pos")
+          .orderBy($"pos")
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+          ${graft.functions.PortableHash.sqlHash60("CAST(doc_id AS VARCHAR) || '#42'")} AS skey
+          FROM documents)
+        SELECT doc_id, skey, CAST(skey % 8 AS INT) AS shard,
+          ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS pos
+        FROM h ORDER BY pos""")
     )
   )
 }

@@ -834,6 +834,54 @@ object TextAnalysis {
         SELECT doc_id, n_chars, CAST(w_q AS INT) AS w_q
         FROM d WHERE h < (w_q << 50)
         ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t21_temperature_mix",
+      "Temperature-based language mixing (alpha=0.5): per-lang keep rate sqrt(n_min/n_lang), decided in exact integers — no sqrt evaluated",
+      (spark, dir) => {
+        import spark.implicits._
+        // The multinomial rebalancing step multilingual corpora run
+        // before training (the XLM-R alpha-temperature recipe, here
+        // over the lang column — the corpus's skewed axis, en ~3x
+        // the tail): sampling a language proportionally to n^alpha
+        // flattens the head, and per-doc that means keep probability
+        // (n_min/n_lang)^(1-alpha) — at the canonical alpha = 0.5,
+        // sqrt(n_min/n_lang), smallest language kept whole.
+        // sqrt is fp poison for a value-level oracle, so it is never
+        // EVALUATED: h < 2^40*sqrt(n_min/n_lang) iff h^2*n_lang <
+        // n_min*2^80, and the squared form is exact integer
+        // arithmetic — Spark decimal(38,0) vs DuckDB hugeint, both
+        // exact, identical verdicts (h = top 40 bits of the portable
+        // hash; h^2*n_lang <= 2^80*n_lang needs ~27+ digits, past
+        // int64, inside both). Plan: per-language counts are a
+        // #langs-row agg broadcast back, the 1-row n_min frame is a
+        // broadcast crossJoin (the q-suite's bounded-frame pattern),
+        // the verdict is per-row codegen — zero corpus-sized
+        // shuffles besides the output sort, replayable at any scale
+        // from (doc_id, seed) alone.
+        val d = Tables.load(spark, dir, "documents")
+        val cnt = d.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        val nmin = cnt.agg(min($"n_lang").as("n_min"))
+        val big = "1208925819614629174706176" // 2^80
+        d.join(broadcast(cnt), "lang").crossJoin(broadcast(nmin))
+          .withColumn("h40", shiftright(graft.functions.PortableHash.hash60(
+            concat($"doc_id".cast("string"), lit("#mix"))), 20))
+          .where($"h40".cast("decimal(38,0)") * $"h40" * $"n_lang" <
+            $"n_min".cast("decimal(38,0)") * lit(big).cast("decimal(38,0)"))
+          .select($"doc_id", $"lang", $"n_lang")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH cnt AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+        mn AS (SELECT MIN(n_lang) AS n_min FROM cnt),
+        d AS (SELECT doc_id, lang, n_lang, n_min,
+          ${graft.functions.PortableHash.sqlHash60("CAST(doc_id AS VARCHAR) || '#mix'")} >> 20 AS h40
+          FROM documents JOIN cnt USING (lang) CROSS JOIN mn)
+        SELECT doc_id, lang, CAST(n_lang AS BIGINT) AS n_lang
+        FROM d
+        WHERE CAST(h40 AS HUGEINT) * h40 * n_lang
+          < CAST(n_min AS HUGEINT) * 1208925819614629174706176
+        ORDER BY doc_id""")
     )
   )
 }
