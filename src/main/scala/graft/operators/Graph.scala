@@ -356,6 +356,61 @@ object Graph {
     visited
   }
 
+  /** Bounded-hop single-source shortest paths over a weighted edge
+    * list (`src`, `dst`, `w` — positive integer weights; pass both
+    * directions for undirected): minimum total path WEIGHT from
+    * `seeds` over paths of at most `rounds` edges. The weighted
+    * complement of [[bfsDistances]] — hop counts answer "reachable
+    * how soon", weights answer "reachable how cheaply" (link-graph
+    * closeness, co-purchase affinity distance, similarity-graph
+    * geodesics). Integer weights keep every dist an exact int64, so
+    * the whole frame is value-level oracle-able (g07); fp weights
+    * would drift across engines by summation order.
+    *
+    * Semi-naive Bellman-Ford: round r relaxes only from nodes whose
+    * best distance IMPROVED in round r-1 (the delta — a node whose
+    * dist is unchanged re-offers exactly the contributions already
+    * folded in, so skipping it is lossless; classic delta-stepping
+    * discipline). Per round: one src-keyed join frontier⋈edges, one
+    * dst-keyed pre-min, one node-keyed left join to detect strict
+    * improvement, one node-keyed min-merge into the running dist
+    * frame, per-round checkpoints + one limit-1 empty probe — all
+    * keyed shuffles, no driver state beyond the loop counter. Rounds
+    * after the last improvement are never launched (negative-free
+    * weights make dist monotone, so an empty delta is a true
+    * fixpoint, not a pause).
+    */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"ssspBounded: rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .graftCheckpointLazy
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).graftCheckpointLazy
+    var frontier = dist
+    var r = 0
+    var done = frontier.isEmpty
+    while (r < rounds && !done) {
+      r += 1
+      val relax = e
+        .join(frontier.select(col("node").as("src"), col("dist").as("_d")), Seq("src"))
+        .select(col("dst").as("node"), (col("_d") + col("w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = relax
+        .join(dist.select(col("node"), col("dist").as("_old")), Seq("node"), "left")
+        .where(col("_old").isNull || col("dist") < col("_old"))
+        .select(col("node"), col("dist"))
+        .graftCheckpointLazy
+      done = improved.isEmpty
+      if (!done) {
+        dist = dist.unionAll(improved)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .graftCheckpointLazy
+        frontier = improved
+      }
+    }
+    dist
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "g01_pagerank_weighted",
@@ -662,6 +717,61 @@ object Graph {
           WHERE r.dist < 3)
         SELECT node, CAST(MIN(dist) AS INT) AS dist
         FROM reach GROUP BY node ORDER BY node""")
+    ),
+
+    Q(
+      "g07_sssp_bounded",
+      "Bounded-hop weighted shortest paths (Bellman-Ford, 3 rounds): affinity distance on the co-purchase graph, exact int64 weights",
+      (spark, dir) => {
+        import spark.implicits._
+        // g06 answers "how many hops"; this answers "how CHEAPLY" —
+        // edge weight 11 - min(shared_orders, 10), so strongly
+        // co-purchased parts are CLOSE (affinity distance, the
+        // similarity-graph geodesic a recommender or a crawl
+        // prioritizer walks). Integer weights keep every distance an
+        // exact int64: the full frame is value-gated, which fp
+        // weights could never be (per-engine summation drift). The
+        // oracle is a literal 3-stage relax-then-min unroll (the
+        // g03 discipline); the Spark side runs the SEMI-NAIVE delta
+        // form — only nodes whose distance improved relax onward —
+        // and the gate pins the two formulations equal.
+        val ip = Tables.load(spark, dir, "lineitem")
+          .filter($"l_quantity" >= 30)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        val wp = ip.as("a").join(ip.as("b"), "ok")
+          .where($"a.p" < $"b.p")
+          .groupBy($"a.p".as("u"), $"b.p".as("v")).agg(count(lit(1)).as("cnt"))
+        val wcol = (lit(11) - least($"cnt", lit(10))).cast("long").as("w")
+        val e = wp.select($"u".as("src"), $"v".as("dst"), wcol)
+          .unionAll(wp.select($"v".as("src"), $"u".as("dst"), wcol))
+          .graftCheckpointLazy
+        val seeds = e.select($"src".as("node")).where($"node" % 97 === 0).distinct()
+        ssspBounded(e, seeds, rounds = 3)
+          .select($"node", $"dist")
+          .orderBy($"node")
+      },
+      Some {
+        val stages = (1 to 3).map { t =>
+          s"""d$t AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d${t - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM d${t - 1} d JOIN e ON e.src = d.node) GROUP BY node)"""
+        }.mkString(",\n        ")
+        s"""WITH ip AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          FROM lineitem WHERE l_quantity >= 30),
+        wp AS MATERIALIZED (SELECT a.p AS u, b.p AS v, COUNT(*) AS cnt
+          FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p GROUP BY 1, 2),
+        e AS MATERIALIZED (
+          SELECT u AS src, v AS dst, CAST(11 - LEAST(cnt, 10) AS BIGINT) AS w FROM wp
+          UNION ALL
+          SELECT v, u, CAST(11 - LEAST(cnt, 10) AS BIGINT) FROM wp),
+        d0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+          FROM e WHERE src % 97 = 0),
+        $stages
+        SELECT node, dist FROM d3 ORDER BY node"""
+      }
     )
   )
 }

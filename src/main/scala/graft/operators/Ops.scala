@@ -1789,4 +1789,44 @@ object Ops {
       compactComponent(s"$path/vectors")
     IndexLayout.deleteTombstoneFiles(spark, path, tombFiles)
   }
+
+  /** O40: materialize q62's deterministic global shuffle as the
+    * training-shard LAYOUT a loader actually consumes — shard=K hive
+    * directories whose files stream rows in permutation order, so
+    * "read shard dirs round-robin, each file top to bottom" IS the
+    * epoch order, with no rank column and no sort at read time. The
+    * permutation is pure (id, seed) arithmetic (portable 60-bit
+    * hash; `skey` is kept in the files as the replay/audit key), so
+    * re-running with the same seed reproduces the layout
+    * bit-for-bit, and a different seed is a fresh epoch permutation
+    * of the same corpus.
+    *
+    * Plan: one hash projection (codegen), ONE shuffle
+    * (`repartition(nShards, shard)`), per-task sort on
+    * (shard, skey, id) — each task writes its shard's single ordered
+    * file (a hash-sharing task writes one ordered file per shard it
+    * holds; per-file order is what the loader contract needs). No
+    * global sort, no rank, no driver state. At 100 TB: size nShards
+    * so corpus/nShards ≈ the file-size target (hundreds of MB) —
+    * shards scale out the write AND bound any single file.
+    */
+  def writeShuffledShards(
+      df: DataFrame,
+      idCol: String,
+      path: String,
+      nShards: Int = 8,
+      seed: String = "42"
+  ): Unit = {
+    require(nShards > 0, s"writeShuffledShards: nShards must be > 0, got $nShards")
+    Seq("skey", "shard").foreach(c =>
+      require(!df.columns.contains(c),
+        s"writeShuffledShards: input already has a '$c' column — rename it first"))
+    val h = graft.functions.PortableHash.hash60(
+      concat(col(idCol).cast("string"), lit("#" + seed)))
+    df.withColumn("skey", h)
+      .withColumn("shard", pmod(col("skey"), lit(nShards)).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

@@ -111,4 +111,80 @@ class Round9bOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("ssspBounded: weighted shortcut beats the direct edge once rounds allow it") {
+    // 1-2 (10), 2-3 (1), 1-3 (20): the 2-hop detour 1-2-3 costs 11
+    val und = Seq((1L, 2L, 10L), (2L, 3L, 1L), (1L, 3L, 20L))
+    val e = und.toDF("u", "v", "w").select($"u".as("src"), $"v".as("dst"), $"w")
+      .unionAll(und.toDF("u", "v", "w").select($"v".as("src"), $"u".as("dst"), $"w"))
+    val seeds = Seq(1L).toDF("node")
+    def dists(rounds: Int): Map[Long, Long] =
+      Graph.ssspBounded(e, seeds, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+    assert(dists(2) == Map(1L -> 0L, 2L -> 10L, 3L -> 11L))
+    // fixpoint reached: more rounds change nothing (empty delta stops the loop)
+    assert(dists(5) == dists(2))
+  }
+
+  test("ssspBounded: semi-naive delta equals a brute-force bounded-path enumeration") {
+    // small dense-ish directed graph, exhaustive <=3-edge path check
+    val edges = Seq(
+      (1L, 2L, 3L), (2L, 3L, 4L), (3L, 4L, 2L), (1L, 3L, 9L),
+      (4L, 1L, 1L), (2L, 4L, 8L), (3L, 1L, 5L))
+    val seeds = Seq(1L, 4L)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val best = scala.collection.mutable.Map[Long, Long](seeds.map(_ -> 0L): _*)
+    var layer = seeds.map(n => (n, 0L))
+    for (_ <- 1 to 3) {
+      layer = layer.flatMap { case (n, d) =>
+        adj.getOrElse(n, Nil).map { case (m, w) => (m, d + w) } }
+      layer.foreach { case (n, d) =>
+        if (best.getOrElse(n, Long.MaxValue) > d) best(n) = d }
+    }
+    val got = Graph.ssspBounded(edges.toDF("src", "dst", "w"), seeds.toDF("node"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == best.toMap, s"got $got expected $best")
+  }
+
+  test("writeShuffledShards: ordered shard layout, deterministic replay, full coverage") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang")
+    Ops.writeShuffledShards(docs, "doc_id", s"$dir/a", nShards = 4, seed = "7")
+    val back = spark.read.parquet(s"$dir/a")
+    // coverage: exactly the input ids, each once
+    assert(back.count() == docs.count())
+    assert(back.select($"doc_id").exceptAll(docs.select($"doc_id")).isEmpty)
+    // shard dirs match the key arithmetic
+    assert(back.where(pmod($"skey", lit(4)).cast("int") =!= $"shard").isEmpty)
+    // the loader contract: every FILE streams rows in (skey, id)
+    // order. Read order is captured as monotonically_increasing_id
+    // AT SCAN TIME (strictly increasing within a read task, files
+    // read sequentially) — the window shuffle afterwards would
+    // destroy it.
+    import org.apache.spark.sql.expressions.Window
+    val byFile = spark.read.parquet(s"$dir/a")
+      .withColumn("_rid", monotonically_increasing_id())
+      .withColumn("_f", input_file_name())
+    val disordered = byFile
+      .withColumn("_rn_key", row_number().over(
+        Window.partitionBy($"_f").orderBy($"skey".asc, $"doc_id".asc)))
+      .withColumn("_rn_read", row_number().over(
+        Window.partitionBy($"_f").orderBy($"_rid".asc)))
+      .where($"_rn_key" =!= $"_rn_read")
+    assert(disordered.isEmpty, "a shard file is out of permutation order")
+    // determinism: same seed reproduces the exact per-shard sequences
+    Ops.writeShuffledShards(docs, "doc_id", s"$dir/b", nShards = 4, seed = "7")
+    val seqA = spark.read.parquet(s"$dir/a").orderBy($"shard", $"skey", $"doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    val seqB = spark.read.parquet(s"$dir/b").orderBy($"shard", $"skey", $"doc_id")
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(seqA == seqB)
+    // collision guard: a pre-existing shard column is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Ops.writeShuffledShards(docs.withColumn("shard", lit(1)), "doc_id", s"$dir/c")
+    }
+    assert(err.getMessage.contains("shard"))
+  }
 }
