@@ -176,4 +176,42 @@ class IntervalJoinNativeSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(q61 == q24)
   }
+
+  test("column pruning penetrates the native nodes: unused payload never reaches the scans") {
+    // The logical IntervalJoin/AsOfJoin expose ALL child outputs, so
+    // pruning depends on Catalyst's GENERIC ColumnPruning case seeing
+    // only the join attributes in `references` and inserting Projects
+    // below the node — if a node change ever folds payload attrs into
+    // references (or breaks withNewChildren), scans silently widen to
+    // every column; at 100 TB that is the whole scan bill. Pinned by
+    // selecting 2 columns downstream and asserting the wide columns
+    // (value, props) are absent from every parquet ReadSchema.
+    val ev = Tables.load(spark, sfDir, "events")
+    val l = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"), col("value").as("s_value"), col("props").as("s_props"))
+      .withColumn("s_hi", col("s_ts") + expr("INTERVAL 1 HOUR"))
+    val r = ev.select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+      col("event_id").as("e_id"), col("value").as("e_value"))
+    val ij = Ops.intervalJoinNative(l, r, "s_user", "e_user", "s_ts", "s_hi", "e_ts",
+        joinType = "left")
+      .select(col("s_id"), col("e_id"))
+    val ijSchemas = "ReadSchema: [^\n]*".r
+      .findAllIn(ij.queryExecution.executedPlan.toString).toList
+    assert(ijSchemas.nonEmpty)
+    assert(!ijSchemas.exists(s => s.contains("props") || s.contains("value")),
+      s"interval-join scans read pruned-away payload:\n${ijSchemas.mkString("\n")}")
+
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("props"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val ao = Ops.asofJoinNative(c, p, "user_id", "ts", "ts", outCol = "m_ts")
+      .select(col("event_id"), col("m_ts"))
+    val aoSchemas = "ReadSchema: [^\n]*".r
+      .findAllIn(ao.queryExecution.executedPlan.toString).toList
+    assert(aoSchemas.nonEmpty)
+    assert(!aoSchemas.exists(s => s.contains("props") || s.contains("value")),
+      s"as-of scans read pruned-away payload:\n${aoSchemas.mkString("\n")}")
+  }
 }
