@@ -181,6 +181,29 @@ object DataPipeline {
         "vec_id", "embedding")
     }
 
+    // alpha=0.5 language temperature rebalancing (t21's engine) over
+    // the canonical corpus — the head language downsampled toward
+    // sqrt parity, the tail kept whole, replayable from (id, seed)
+    wkf
+      .provide("docs.tempered") { ctx =>
+        graft.operators.TextAnalysis.temperatureMix(
+          ctx.as[DataFrame]("in"), "doc_id", "lang")
+      }
+      .depend("in" -> "docs.canonical")
+
+    // terminal training layout (q62/O40): the tempered corpus written
+    // as shard=K dirs whose files stream in deterministic permutation
+    // order — the loader's epoch order with no read-time sort
+    wkf
+      .provide("docs.shards.{out:path}") { ctx =>
+        val out = ctx.str("out") + "/shards"
+        Ops.writeShuffledShards(
+          ctx.as[DataFrame]("in").drop("n_grp"), "doc_id", out,
+          nShards = 8, seed = "epoch0")
+        out
+      }
+      .depend("in" -> "docs.tempered")
+
     // pack into ~512-token bins per lang for batch assembly
     wkf
       .provide("docs.packed") { ctx =>
@@ -305,6 +328,15 @@ object DataPipeline {
     val vs = wkf.run("vecs.sample").asInstanceOf[DataFrame]
     println(s"cluster_sample=${vs.count()} rows over " +
       s"${vs.select(col("cell")).distinct().count()} cells")
+
+    // temperature rebalance + terminal shard layout (round-9 cells):
+    // tempered keep count, then the written epoch layout read back
+    val tempered = wkf.run("docs.tempered").asInstanceOf[DataFrame].count()
+    val shardDir = wkf.run(s"docs.shards.$outDir").asInstanceOf[String]
+    val shardFrame = spark.read.parquet(shardDir)
+    println(s"tempered=$tempered/$canonical shards=" +
+      s"${shardFrame.select(col("shard")).distinct().count()} " +
+      s"shard_rows=${shardFrame.count()}")
 
     // Z-order layout of the curated corpus: interleave (lang-bucket,
     // length-bucket) so scans filtered on EITHER dimension prune files

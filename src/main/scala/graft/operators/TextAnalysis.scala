@@ -70,6 +70,37 @@ object TextAnalysis {
       .agg(round(sum(col("term")), 6).as("js_nats"))
       .orderBy(col("src_a"), col("src_b"))
   }
+  /** t21's engine, public for pipeline reuse: alpha=0.5 temperature
+    * rebalancing over `groupCol` (the XLM-R recipe) — keep each row
+    * with probability sqrt(n_min/n_group), smallest group kept whole,
+    * decided WITHOUT evaluating sqrt: row kept iff h40²·n_group <
+    * n_min·2^80 in exact decimal(38,0) integers (h40 = top 40 bits of
+    * the portable hash of id#seed), so the sample replays bit-for-bit
+    * from (id, seed) on any engine. Returns the kept rows with all
+    * input columns plus `n_grp` (the group's size). Plan: one
+    * #groups-row agg broadcast back, a 1-row broadcast crossJoin, a
+    * per-row codegen verdict — zero corpus-sized shuffles.
+    */
+  def temperatureMix(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      groupCol: String,
+      seed: String = "mix"
+  ): org.apache.spark.sql.DataFrame = {
+    Seq("n_grp", "_n_min", "_h40").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"temperatureMix: input already has a '$c' column — rename it first"))
+    val cnt = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_grp"))
+    val nmin = cnt.agg(min(col("n_grp")).as("_n_min"))
+    val big = "1208925819614629174706176" // 2^80
+    docs.join(broadcast(cnt), groupCol).crossJoin(broadcast(nmin))
+      .withColumn("_h40", shiftright(graft.functions.PortableHash.hash60(
+        concat(col(idCol).cast("string"), lit("#" + seed))), 20))
+      .where(col("_h40").cast("decimal(38,0)") * col("_h40") * col("n_grp") <
+        col("_n_min").cast("decimal(38,0)") * lit(big).cast("decimal(38,0)"))
+      .drop("_h40", "_n_min")
+  }
+
   private def sparkHits(lang: String) =
     s"size(filter(words, x -> x IN ${inList(stop(lang))}))"
   private def duckHits(lang: String) =
@@ -860,16 +891,8 @@ object TextAnalysis {
         // the verdict is per-row codegen — zero corpus-sized
         // shuffles besides the output sort, replayable at any scale
         // from (doc_id, seed) alone.
-        val d = Tables.load(spark, dir, "documents")
-        val cnt = d.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
-        val nmin = cnt.agg(min($"n_lang").as("n_min"))
-        val big = "1208925819614629174706176" // 2^80
-        d.join(broadcast(cnt), "lang").crossJoin(broadcast(nmin))
-          .withColumn("h40", shiftright(graft.functions.PortableHash.hash60(
-            concat($"doc_id".cast("string"), lit("#mix"))), 20))
-          .where($"h40".cast("decimal(38,0)") * $"h40" * $"n_lang" <
-            $"n_min".cast("decimal(38,0)") * lit(big).cast("decimal(38,0)"))
-          .select($"doc_id", $"lang", $"n_lang")
+        temperatureMix(Tables.load(spark, dir, "documents"), "doc_id", "lang")
+          .select($"doc_id", $"lang", $"n_grp".as("n_lang"))
           .orderBy($"doc_id")
       },
       Some(s"""WITH cnt AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
