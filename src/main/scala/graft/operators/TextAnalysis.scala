@@ -905,6 +905,64 @@ object TextAnalysis {
         WHERE CAST(h40 AS HUGEINT) * h40 * n_lang
           < CAST(n_min AS HUGEINT) * 1208925819614629174706176
         ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t22_dsir_weight",
+      "DSIR importance weights: hashed-unigram target/raw log-likelihood ratio per doc (target = en slice)",
+      (spark, dir) => {
+        import spark.implicits._
+        // The domain-targeted selection signal (DSIR, Xie et al.
+        // 2023): score every raw doc by how much more likely its
+        // token bag is under a TARGET-domain hashed-unigram model
+        // than under the raw-corpus model — the weight importance
+        // resampling then draws by. Target here = the en slice
+        // (stand-in for any in-domain seed set). Features hash into
+        // 4096 buckets via the PORTABLE hash, so both engines build
+        // bit-identical count models; add-1 smoothing; per-doc
+        // weight = sum_tokens ln((ct_b+1)/(cr_b+1)) +
+        // n_tok·ln((N_r+B)/(N_t+B)), rounded 4 (the only fp is ln +
+        // one bounded-length sum; counts and bucketing are exact
+        // integers). Plan: ONE (bucket)-keyed count pass builds BOTH
+        // models (conditional count folds target into the same agg),
+        // the 4096-row model table broadcasts back onto the token
+        // stream, totals are a 1-row broadcast crossJoin, then one
+        // doc-keyed agg — the corpus is scanned twice and shuffled
+        // only by the map-side-combinable counts; at 100 TB the
+        // model stays 4096 rows regardless of corpus or vocabulary.
+        val tok = Tables.load(spark, dir, "documents")
+          .select($"doc_id", $"lang", explode(expr(sparkWords)).as("wrd"))
+          .withColumn("b", pmod(graft.functions.PortableHash.hash60($"wrd"), lit(4096)))
+        val cnt = tok.groupBy($"b").agg(
+          count(lit(1)).as("cr"),
+          count(when($"lang" === "en", 1)).as("ct"))
+        val tots = cnt.agg(sum($"cr").as("nr"), sum($"ct").as("nt"))
+        val perDoc = tok.join(broadcast(cnt), "b")
+          .withColumn("term",
+            log($"ct".cast("double") + 1.0) - log($"cr".cast("double") + 1.0))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tok"), sum($"term").as("s"))
+        perDoc.crossJoin(broadcast(tots))
+          .select($"doc_id", $"n_tok",
+            round($"s" + $"n_tok".cast("double") *
+              (log($"nr".cast("double") + 4096.0) - log($"nt".cast("double") + 4096.0)),
+              4).as("dsir_w"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang, $duckWords AS wd FROM documents),
+        tok AS (SELECT doc_id, lang,
+          ${graft.functions.PortableHash.sqlHash60("t.x")} % 4096 AS b
+          FROM w, UNNEST(wd) AS t(x)),
+        cnt AS (SELECT b, COUNT(*) AS cr,
+          COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct FROM tok GROUP BY b),
+        tots AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnt),
+        d AS (SELECT doc_id, LN(ct + 1.0) - LN(cr + 1.0) AS term
+          FROM tok JOIN cnt USING (b)),
+        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok, SUM(term) AS s
+          FROM d GROUP BY doc_id)
+        SELECT doc_id, n_tok,
+          ROUND(s + n_tok * (LN(nr + 4096.0) - LN(nt + 4096.0)), 4) AS dsir_w
+        FROM pd CROSS JOIN tots ORDER BY doc_id""")
     )
   )
 }

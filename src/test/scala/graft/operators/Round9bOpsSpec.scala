@@ -112,6 +112,24 @@ class Round9bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("t22: DSIR weights discriminate the target domain; token counts consistent") {
+    val out = graft.SparkEntry.queries("t22_dsir_weight")(spark, sfDir).cache()
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+    // the weight's whole point: target-domain (en) docs must score
+    // higher ON AVERAGE than out-of-domain docs under the en model
+    val means = out.join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang" === "en").agg(avg($"dsir_w").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} must exceed non-en ${means(false)}")
+    // n_tok is exactly the doc's word count (docs with words)
+    val bad = out.join(docs, "doc_id")
+      .where(size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long") =!= $"n_tok")
+      .count()
+    assert(bad == 0, s"$bad docs with inconsistent token counts")
+    out.unpersist()
+  }
+
   test("ssspBounded: weighted shortcut beats the direct edge once rounds allow it") {
     // 1-2 (10), 2-3 (1), 1-3 (20): the 2-hop detour 1-2-3 costs 11
     val und = Seq((1L, 2L, 10L), (2L, 3L, 1L), (1L, 3L, 20L))
