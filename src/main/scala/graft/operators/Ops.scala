@@ -1071,11 +1071,21 @@ object Ops {
     * (the zorderLayout lesson). Off by default: it costs one
     * partition-local window pass over the data.
     *
-    * Determinism note: the offsets branch and the join
-    * branch share one range exchange (ReuseExchange); even unshared,
-    * RangePartitioner's seeded sampling yields identical boundaries
-    * for identical input, and explicit `numPartitions` keeps AQE from
-    * re-coalescing the two branches differently.
+    * Determinism note (the round-9 sf1 lesson): the offsets branch
+    * and the join branch MUST read one evaluation of the ranged
+    * frame, so it is CHECKPOINTED before fanning out. Exchange reuse
+    * usually makes the two branches share one physical shuffle, but
+    * reuse is best-effort — and when it does not fire, a re-executed
+    * range exchange draws DIFFERENT partition boundaries
+    * (RangePartitioner seeds its reservoir sampler from the RDD id,
+    * which is a fresh global counter per physical exchange), so
+    * offsets computed against one layout meet local ranks from
+    * another and the output silently stops being a permutation
+    * (caught value-level by q62's sf1 oracle run; reproduced with
+    * spark.sql.exchange.reuse=false and pinned by OpsSpec). The
+    * checkpoint is one extra materialization of the data — the price
+    * of a rank that cannot depend on whether a reuse optimization
+    * fired.
     */
   def rankGlobal(
       df: DataFrame,
@@ -1090,6 +1100,7 @@ object Ops {
       .withColumn("_pid", spark_partition_id())
       .withColumn("_lrank",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .graftCheckpointLazy
     val wOff = Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
       .withColumn("_off", coalesce(sum(col("_n")).over(wOff), lit(0L)))

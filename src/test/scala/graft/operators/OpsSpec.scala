@@ -417,6 +417,32 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("rankGlobal stays a permutation when exchange reuse does not fire") {
+    import spark.implicits._
+    // The round-9 sf1 incident: without exchange reuse, the offsets
+    // branch and the join branch each planned their OWN range
+    // exchange, and RangePartitioner seeds its sampler from the RDD
+    // id — two physical exchanges, two boundary sets, offsets from
+    // one layout against local ranks from another, output silently
+    // not a permutation. rankGlobal now checkpoints the ranged frame
+    // so both branches read ONE evaluation; this pin runs with reuse
+    // disabled (the regime that exposed it).
+    val prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val keyed = Tables.load(spark, sfDir, "documents")
+        .select($"doc_id",
+          graft.functions.PortableHash.hash60($"doc_id".cast("string")).as("k"))
+      val ranked = Ops.rankGlobal(keyed, Seq($"k".asc, $"doc_id".asc), "pos",
+        numPartitions = 16)
+      val st = ranked.agg(countDistinct($"pos").as("d"),
+        min($"pos").as("mn"), max($"pos").as("mx"), count(lit(1)).as("n")).head()
+      assert(st.getLong(0) == st.getLong(3) && st.getLong(1) == 1L &&
+        st.getLong(2) == st.getLong(3),
+        s"not a permutation without exchange reuse: $st")
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+  }
+
   test("rankGlobal executes with no single-partition sort of the data") {
     import spark.implicits._
     val dict = Tables.load(spark, sfDir, "documents")
@@ -425,13 +451,18 @@ class OpsSpec extends SparkTestBase {
       .groupBy($"w").agg(count(lit(1)).as("cnt"))
     val ranked = Ops.rankGlobal(dict, Seq($"cnt".desc, $"w".asc), "rank", numPartitions = 8)
     ranked.collect()
-    // the data-bearing exchange is the 8-way range partition; the only
-    // SinglePartition exchange allowed is the 8-row offsets window
+    // since the round-9 determinism fix the ranged frame is
+    // checkpointed, so the 8-way range exchange lives in the
+    // checkpoint's lineage and the visible plan consumes it as an
+    // ExistingRDD scan — its partition count is the range layout
     val plan = ranked.queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), plan.take(500))
-    // rank column must come from the broadcast offsets join, not a window
+    assert(plan.contains("ExistingRDD"), plan.take(500))
+    assert(ranked.rdd.getNumPartitions == 8)
+    // rank column must come from the broadcast offsets join, not a
+    // window — and no GLOBAL sort of the data anywhere in the plan
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       plan.take(500))
+    assert(!plan.contains("global=true"), plan.take(500))
   }
 
   test("rankGlobal stays balanced on a Zipf(1.1) vocabulary (skew-measured)") {
