@@ -125,8 +125,17 @@ object Dedup {
       expectedItems: Option[Long] = None,
       fpp: Double = 0.03
   ): DataFrame = {
-    val trainSh = shingleArrays(train)
-    val evalU = shingleArrays(evalDocs).select(explode(col("sh")).as("s")).distinct()
+    // Both shingle frames serve multiple consumers, so both are
+    // cached (the d16/jaccardPairs discipline — clearCache() between
+    // repeated invocations): trainSh feeds the hits branch AND the
+    // n_spans branch (uncached, the corpus would be shingled twice);
+    // evalU feeds the self-sizing count, the Bloom build, and the
+    // exact verify join (uncached, three eval-side pipelines each
+    // with their own distinct shuffle — against the scaladoc's "one
+    // extra pass over the eval side").
+    val trainSh = shingleArrays(train).cache()
+    val evalU = shingleArrays(evalDocs).select(explode(col("sh")).as("s"))
+      .distinct().cache()
     val hits = Ops.bloomSemiJoin(
         trainSh.select(col("doc_id"), explode(col("sh")).as("s")),
         "s", evalU, "s", expectedItems, fpp)
@@ -588,6 +597,28 @@ object Dedup {
       |    generate_series(1, len(wd) - 2), i -> wd[i] || ' ' || wd[i + 1] || ' ' || wd[i + 2]))
       |  ELSE [] END AS s FROM w),
       |post AS (SELECT doc_id, unnest(s) AS s FROM sh)""".stripMargin
+
+  /** The ONE decontamination oracle, shared verbatim by d16 (broadcast
+    * path) and d19 (bloom path) — the two queries gate different
+    * physical plans against the same contract, so a threshold or
+    * rounding tweak must hit both gates or neither (the SQL twin of
+    * the decontamAssemble factoring).
+    */
+  private lazy val sqlDecontamOracle =
+    s"""$sqlShingleCtes,
+        ev AS (SELECT DISTINCT s FROM post WHERE doc_id % 10 = 0),
+        tr AS (SELECT doc_id, s FROM post WHERE doc_id % 10 <> 0),
+        hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM tr WHERE s IN (SELECT s FROM ev) GROUP BY doc_id),
+        szs AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_spans
+          FROM sh WHERE doc_id % 10 <> 0 AND len(s) > 0)
+        SELECT szs.doc_id AS doc_id, szs.n_spans AS n_spans,
+          COALESCE(h.n_hit, 0) AS n_hit,
+          ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / szs.n_spans, 6) AS overlap,
+          CAST(CASE WHEN COALESCE(h.n_hit, 0) * 2 >= szs.n_spans
+            THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM szs LEFT JOIN hits h USING (doc_id)
+        ORDER BY doc_id"""
 
   val all: Seq[Q] = Seq(
     Q(
@@ -1335,20 +1366,7 @@ object Dedup {
             sh.where($"doc_id" % 10 === 0))
           .orderBy($"doc_id")
       },
-      Some(s"""$sqlShingleCtes,
-        ev AS (SELECT DISTINCT s FROM post WHERE doc_id % 10 = 0),
-        tr AS (SELECT doc_id, s FROM post WHERE doc_id % 10 <> 0),
-        hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
-          FROM tr WHERE s IN (SELECT s FROM ev) GROUP BY doc_id),
-        szs AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_spans
-          FROM sh WHERE doc_id % 10 <> 0 AND len(s) > 0)
-        SELECT szs.doc_id AS doc_id, szs.n_spans AS n_spans,
-          COALESCE(h.n_hit, 0) AS n_hit,
-          ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / szs.n_spans, 6) AS overlap,
-          CAST(CASE WHEN COALESCE(h.n_hit, 0) * 2 >= szs.n_spans
-            THEN 1 ELSE 0 END AS INT) AS contaminated
-        FROM szs LEFT JOIN hits h USING (doc_id)
-        ORDER BY doc_id"""),
+      Some(sqlDecontamOracle),
     ),
 
     Q(
@@ -1480,20 +1498,7 @@ object Dedup {
             fpp = 0.01)
           .orderBy($"doc_id")
       },
-      Some(s"""$sqlShingleCtes,
-        ev AS (SELECT DISTINCT s FROM post WHERE doc_id % 10 = 0),
-        tr AS (SELECT doc_id, s FROM post WHERE doc_id % 10 <> 0),
-        hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
-          FROM tr WHERE s IN (SELECT s FROM ev) GROUP BY doc_id),
-        szs AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_spans
-          FROM sh WHERE doc_id % 10 <> 0 AND len(s) > 0)
-        SELECT szs.doc_id AS doc_id, szs.n_spans AS n_spans,
-          COALESCE(h.n_hit, 0) AS n_hit,
-          ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / szs.n_spans, 6) AS overlap,
-          CAST(CASE WHEN COALESCE(h.n_hit, 0) * 2 >= szs.n_spans
-            THEN 1 ELSE 0 END AS INT) AS contaminated
-        FROM szs LEFT JOIN hits h USING (doc_id)
-        ORDER BY doc_id""")
+      Some(sqlDecontamOracle)
     )
   )
 

@@ -331,9 +331,19 @@ object Graph {
     * reachable set but is only ever anti-join probe side; no
     * driver-side state beyond the loop counter.
     */
-  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsDistances(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      checkpointEdges: Boolean = true
+  ): DataFrame = {
     require(maxHops >= 0, s"bfsDistances: maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col("src"), col("dst")).graftCheckpointLazy
+    // every round re-reads the edge frame, so it is checkpointed once
+    // here — callers that ALREADY checkpoint it (e.g. to share it
+    // with seed derivation) pass checkpointEdges=false, or the
+    // largest frame in the computation is materialized twice
+    val proj = edges.select(col("src"), col("dst"))
+    val e = if (checkpointEdges) proj.graftCheckpointLazy else proj
     var visited = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0)).graftCheckpointLazy
     var frontier = visited.select(col("node"))
@@ -380,10 +390,16 @@ object Graph {
     * weights make dist monotone, so an empty delta is a true
     * fixpoint, not a pause).
     */
-  def ssspBounded(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def ssspBounded(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int,
+      checkpointEdges: Boolean = true
+  ): DataFrame = {
     require(rounds >= 0, s"ssspBounded: rounds must be >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .graftCheckpointLazy
+    // see [[bfsDistances]] on checkpointEdges — same contract
+    val proj = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val e = if (checkpointEdges) proj.graftCheckpointLazy else proj
     var dist = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).graftCheckpointLazy
     var frontier = dist
@@ -698,7 +714,7 @@ object Graph {
           .unionAll(und.select($"v".as("src"), $"u".as("dst")))
           .graftCheckpointLazy
         val seeds = sym.select($"src".as("node")).where($"node" % 97 === 0).distinct()
-        bfsDistances(sym, seeds, maxHops = 3)
+        bfsDistances(sym, seeds, maxHops = 3, checkpointEdges = false)
           .select($"node", $"dist".cast("int").as("dist"))
           .orderBy($"node")
       },
@@ -746,7 +762,7 @@ object Graph {
           .unionAll(wp.select($"v".as("src"), $"u".as("dst"), wcol))
           .graftCheckpointLazy
         val seeds = e.select($"src".as("node")).where($"node" % 97 === 0).distinct()
-        ssspBounded(e, seeds, rounds = 3)
+        ssspBounded(e, seeds, rounds = 3, checkpointEdges = false)
           .select($"node", $"dist")
           .orderBy($"node")
       },

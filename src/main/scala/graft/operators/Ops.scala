@@ -1808,18 +1808,20 @@ object Ops {
     * epoch order, with no rank column and no sort at read time. The
     * permutation is pure (id, seed) arithmetic (portable 60-bit
     * hash; `skey` is kept in the files as the replay/audit key), so
-    * re-running with the same seed reproduces the layout
-    * bit-for-bit, and a different seed is a fresh epoch permutation
-    * of the same corpus.
+    * re-running with the same seed reproduces every shard's row
+    * SEQUENCE bit-for-bit (file split points may shift — range
+    * boundary sampling is seeded per physical exchange — but the
+    * ordered concatenation per shard is identical), and a different
+    * seed is a fresh epoch permutation of the same corpus.
     *
     * Plan: one hash projection (codegen), ONE shuffle
-    * (`repartition(nShards, shard)`), per-task sort on
-    * (shard, skey, id) — each task writes its shard's single ordered
-    * file (a hash-sharing task writes one ordered file per shard it
-    * holds; per-file order is what the loader contract needs). No
-    * global sort, no rank, no driver state. At 100 TB: size nShards
-    * so corpus/nShards ≈ the file-size target (hundreds of MB) —
-    * shards scale out the write AND bound any single file.
+    * (`repartitionByRange(nShards, shard, skey, id)` — near-1:1
+    * shard→task placement; see the inline note), per-task sort on
+    * (shard, skey, id) — each task writes one ordered file per shard
+    * range it holds. No global sort, no rank, no driver state. At
+    * 100 TB: size nShards so corpus/nShards ≈ the file-size target
+    * (hundreds of MB) — shards scale out the write AND bound any
+    * single file.
     */
   def writeShuffledShards(
       df: DataFrame,
@@ -1836,7 +1838,15 @@ object Ops {
       concat(col(idCol).cast("string"), lit("#" + seed)))
     df.withColumn("skey", h)
       .withColumn("shard", pmod(col("skey"), lit(nShards)).cast("int"))
-      .repartition(nShards, col("shard"))
+      // RANGE-partition on (shard, skey), not hash on shard: hashing
+      // nShards shard ids into nShards tasks is balls-in-bins — ~1/e
+      // of write tasks sit idle while collided tasks serially write
+      // 2-3 shards. Range placement is ~1:1 by construction; a shard
+      // the sampler splits across two adjacent tasks just writes two
+      // files whose part-numbers (= range order) keep the sorted file
+      // listing in permutation order, which is all the loader
+      // contract needs.
+      .repartitionByRange(nShards, col("shard"), col("skey"), col(idCol))
       .sortWithinPartitions(col("shard"), col("skey"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }

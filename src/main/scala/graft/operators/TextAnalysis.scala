@@ -90,10 +90,18 @@ object TextAnalysis {
     Seq("n_grp", "_n_min", "_h40").foreach(c =>
       require(!docs.columns.contains(c),
         s"temperatureMix: input already has a '$c' column — rename it first"))
-    val cnt = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_grp"))
+    // NULL-group rows are EXCLUDED — from the output AND from the
+    // group-count model. Without the filter they poison the math
+    // twice over: the equi-join back drops them with probability 1
+    // (not sqrt(n_min/n)), while their count still competes for
+    // n_min — 5 null-lang strays would cut a 50k-doc language to
+    // sqrt(5/50000) ≈ 1%. Route un-labeled rows through language ID
+    // (t01) or keep them aside; balancing needs a label.
+    val labeled = docs.where(col(groupCol).isNotNull)
+    val cnt = labeled.groupBy(col(groupCol)).agg(count(lit(1)).as("n_grp"))
     val nmin = cnt.agg(min(col("n_grp")).as("_n_min"))
     val big = "1208925819614629174706176" // 2^80
-    docs.join(broadcast(cnt), groupCol).crossJoin(broadcast(nmin))
+    labeled.join(broadcast(cnt), groupCol).crossJoin(broadcast(nmin))
       .withColumn("_h40", shiftright(graft.functions.PortableHash.hash60(
         concat(col(idCol).cast("string"), lit("#" + seed))), 20))
       .where(col("_h40").cast("decimal(38,0)") * col("_h40") * col("n_grp") <

@@ -112,7 +112,6 @@ object ScaleProbeR9b {
     val (bBase, tBfsBase) = timed(bfs(ipBase.select("ok", "p")).localCheckpoint())
     val (bBig, tBfsBig) = timed(bfs(ipBig.select("ok", "p")).localCheckpoint())
     val bfsDrift = bBig
-      .withColumn("r", (col("node") / pOff).cast("long"))
       .withColumn("node0", col("node") % pOff)
       .join(bBase.select(col("node").as("node0"), col("dist").as("d0")),
         Seq("node0"), "full")

@@ -459,10 +459,15 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("ExistingRDD"), plan.take(500))
     assert(ranked.rdd.getNumPartitions == 8)
     // rank column must come from the broadcast offsets join, not a
-    // window — and no GLOBAL sort of the data anywhere in the plan
+    // window — and the only GLOBAL sort in the plan is the one the
+    // offsets window runs over its 8-row aggregate (SortExec renders
+    // global sorts as "Sort [...], true, ..."; a second one would be
+    // a single-partition sort of the DATA, the regression this test
+    // exists to catch)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       plan.take(500))
-    assert(!plan.contains("global=true"), plan.take(500))
+    val globalSorts = "Sort \\[[^\\]]*\\], true".r.findAllIn(plan).size
+    assert(globalSorts <= 1, s"$globalSorts global sorts in plan:\n${plan.take(800)}")
   }
 
   test("rankGlobal stays balanced on a Zipf(1.1) vocabulary (skew-measured)") {

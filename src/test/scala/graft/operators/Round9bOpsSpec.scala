@@ -112,6 +112,27 @@ class Round9bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("temperatureMix: NULL-group rows are excluded and cannot poison n_min") {
+    // review finding: a NULL group used to vanish via the equi-join
+    // (dropped with probability 1, not sqrt) while its count still
+    // competed for n_min — a handful of unlabeled strays would crush
+    // every real group's keep rate. Contract now: NULL-group rows are
+    // excluded from output AND model.
+    val rows = (1L to 50L).map(i => (i, "a")) ++ Seq((101L, "b"), (102L, "b"), (999L, null))
+    val df = rows.toDF("doc_id", "lang")
+    val kept = TextAnalysis.temperatureMix(df, "doc_id", "lang")
+    assert(kept.where($"lang".isNull).isEmpty, "null-group rows must be excluded")
+    // n_min must be 2 (group b), NOT 1 (the null stray): b is the
+    // smallest real group, so it is provably kept whole
+    assert(kept.where($"lang" === "b").count() == 2L)
+    // a is downsampled at sqrt(2/50)=0.2 but not annihilated (the
+    // fixed hash values keep ~10 of 50), and carries its true size
+    val aKept = kept.where($"lang" === "a")
+    assert(aKept.count() > 0L && aKept.count() < 50L)
+    assert(aKept.select($"n_grp").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(50L))
+  }
+
   test("t22: DSIR weights discriminate the target domain; token counts consistent") {
     val out = graft.SparkEntry.queries("t22_dsir_weight")(spark, sfDir).cache()
     val docs = graft.tables.Tables.load(spark, sfDir, "documents")
