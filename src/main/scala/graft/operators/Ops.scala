@@ -1829,6 +1829,37 @@ object Ops {
       path: String,
       nShards: Int = 8,
       seed: String = "42"
+  ): Unit = shuffledShardsCore(df, idCol, path, nShards, seed, mode = "overwrite")
+
+  /** O40's INGESTION half: append a batch (e.g. one streaming
+    * micro-batch — ST13 routes here) into an existing shard layout.
+    * Shard assignment is the same pure (id, seed) arithmetic, so a
+    * row lands in the same shard=K directory the full rewrite would
+    * put it in, and each appended file is internally
+    * permutation-ordered. What appending CANNOT give is the exact
+    * cross-file global order — files interleave by arrival, so the
+    * epoch order is approximate until the next
+    * [[writeShuffledShards]] rewrite (the nightly "ingest
+    * continuously, reshuffle at the epoch boundary" shape). Replay
+    * caveat (same as appendAnnIndex): an at-least-once retry appends
+    * duplicate rows — dedupe on `idCol` at the epoch rewrite, or
+    * loader-side.
+    */
+  def appendShuffledShards(
+      df: DataFrame,
+      idCol: String,
+      path: String,
+      nShards: Int = 8,
+      seed: String = "42"
+  ): Unit = shuffledShardsCore(df, idCol, path, nShards, seed, mode = "append")
+
+  private def shuffledShardsCore(
+      df: DataFrame,
+      idCol: String,
+      path: String,
+      nShards: Int,
+      seed: String,
+      mode: String
   ): Unit = {
     require(nShards > 0, s"writeShuffledShards: nShards must be > 0, got $nShards")
     Seq("skey", "shard").foreach(c =>
@@ -1848,6 +1879,6 @@ object Ops {
       // contract needs.
       .repartitionByRange(nShards, col("shard"), col("skey"), col(idCol))
       .sortWithinPartitions(col("shard"), col("skey"), col(idCol))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
+      .write.mode(mode).partitionBy("shard").parquet(path)
   }
 }

@@ -390,6 +390,34 @@ object Streams {
           m = m, dim = dim)
     }
 
+  /** ST13: continuous ingestion into the O40 training-shard layout —
+    * each micro-batch routes through
+    * [[graft.operators.Ops.appendShuffledShards]] (foreachBatch: the
+    * per-batch range repartition + per-task sort is not expressible
+    * as a single append-mode streaming plan), so every streamed doc
+    * lands in the SAME shard=K directory the batch rewrite would
+    * assign it (pure (id, seed) arithmetic — shard placement is
+    * ingestion-order-independent) and each appended file is
+    * internally permutation-ordered. Cross-file epoch order stays
+    * approximate until the epoch-boundary [[graft.operators.Ops
+    * .writeShuffledShards]] rewrite — the "ingest all day, reshuffle
+    * nightly" production shape. Exactly-once = checkpointing + the
+    * file-append replay caveat on appendShuffledShards (replayed
+    * batches append duplicates; the epoch rewrite dedupes on id).
+    */
+  def appendShuffledShardsStream(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      nShards: Int = 8,
+      seed: String = "42"
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Ops.appendShuffledShards(batch.toDF(), idCol, path,
+          nShards, seed)
+    }
+
   /** ST9: streaming ANN lookup against the PERSISTED trained-IVFPQ
     * index (O29) — the ingestion-time "what does this new embedding
     * near-duplicate" check, the vector analogue of ST6. Each

@@ -281,4 +281,51 @@ class StreamingSpec extends SparkTestBase {
     // the no-prior-click path must actually be exercised by the corpus
     assert(emitted.exists(_._3 == -1L) == batch.values.exists(_._2 == -1L) || emitted.length < batch.size)
   }
+
+  test("ST13: streamed shard ingestion — deterministic shard placement, ordered files, epoch rewrite equals batch") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft-shardstream").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang")).cache()
+    val cut = docs.agg(expr("percentile(CAST(doc_id AS DOUBLE), 0.5)")).head().getDouble(0)
+    docs.filter(col("doc_id") <= cut).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") > cut).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val out = s"$dir/shards"
+    val q = Streams.appendShuffledShardsStream(stream, out, nShards = 4, seed = "7")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+
+    val back = spark.read.parquet(out)
+    // every doc exactly once, in the shard the pure arithmetic assigns
+    assert(back.count() == docs.count())
+    assert(back.select(col("doc_id")).exceptAll(docs.select(col("doc_id"))).isEmpty)
+    assert(back.where(pmod(col("skey"), lit(4)).cast("int") =!= col("shard")).isEmpty)
+    // two micro-batches appended — shard dirs hold MULTIPLE files,
+    // each internally permutation-ordered (scan-time rid vs key rank)
+    val byFile = spark.read.parquet(out)
+      .withColumn("_rid", monotonically_increasing_id())
+      .withColumn("_f", input_file_name())
+    assert(byFile.select(col("_f")).distinct().count() > 4L,
+      "expected multiple appended files across 4 shards")
+    val disordered = byFile
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("_f")).orderBy(col("skey").asc, col("doc_id").asc)))
+      .withColumn("_rr", row_number().over(
+        Window.partitionBy(col("_f")).orderBy(col("_rid").asc)))
+      .where(col("_rk") =!= col("_rr"))
+    assert(disordered.isEmpty, "an appended shard file is out of permutation order")
+    // the epoch-boundary rewrite of the ingested layout reproduces the
+    // direct batch layout's per-shard sequences exactly
+    graft.operators.Ops.writeShuffledShards(
+      back.drop("skey", "shard"), "doc_id", s"$dir/epoch", nShards = 4, seed = "7")
+    graft.operators.Ops.writeShuffledShards(
+      docs, "doc_id", s"$dir/direct", nShards = 4, seed = "7")
+    def seqOf(p: String) = spark.read.parquet(p)
+      .orderBy(col("shard"), col("skey"), col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(seqOf(s"$dir/epoch") == seqOf(s"$dir/direct"))
+  }
 }
