@@ -366,6 +366,50 @@ object Graph {
     visited
   }
 
+  /** [[bfsDistances]] PER SEED: (seed, node, dist) for every seed in
+    * `seeds` independently — the labeled multi-source BFS centrality
+    * computations consume (per-seed reach sets, harmonic/closeness
+    * sums, landmark distance sketches). All seeds advance in the SAME
+    * synchronous rounds: the frontier is (seed, node) pairs, the
+    * expansion is one src-keyed join per round regardless of seed
+    * count, and visited is keyed (seed, node) — total work
+    * O(Σ per-seed reachable edges), which is why callers bound
+    * maxHops and sparsify seeds rather than running all-pairs. Same
+    * semi-naive/checkpoint/empty-probe discipline as
+    * [[bfsDistances]].
+    */
+  def bfsDistancesPerSeed(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      checkpointEdges: Boolean = true
+  ): DataFrame = {
+    require(maxHops >= 0, s"bfsDistancesPerSeed: maxHops must be >= 0, got $maxHops")
+    val proj = edges.select(col("src"), col("dst"))
+    val e = if (checkpointEdges) proj.graftCheckpointLazy else proj
+    var visited = seeds.select(col("node").as("seed")).distinct()
+      .withColumn("node", col("seed"))
+      .withColumn("dist", lit(0)).graftCheckpointLazy
+    var frontier = visited.select(col("seed"), col("node"))
+    var hop = 0
+    var exhausted = frontier.isEmpty
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val delta = e
+        .join(frontier.select(col("seed"), col("node").as("src")), Seq("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .graftCheckpointLazy
+      exhausted = delta.isEmpty
+      if (!exhausted) {
+        visited = visited.unionAll(delta).graftCheckpointLazy
+        frontier = delta.select(col("seed"), col("node"))
+      }
+    }
+    visited
+  }
+
   /** Bounded-hop single-source shortest paths over a weighted edge
     * list (`src`, `dst`, `w` — positive integer weights; pass both
     * directions for undirected): minimum total path WEIGHT from
@@ -788,6 +832,69 @@ object Graph {
         $stages
         SELECT node, dist FROM d3 ORDER BY node"""
       }
+    ),
+
+    Q(
+      "g08_harmonic_closeness",
+      "Per-seed harmonic closeness within 2 hops (labeled multi-source BFS), exact integer 1/dist micro-units",
+      (spark, dir) => {
+        import spark.implicits._
+        // The centrality read on g06's machinery: how CLOSE is each
+        // seed to the rest of the graph — harmonic closeness
+        // sum(1/dist) over its bounded reach set, the landmark-quality
+        // signal a crawl prioritizer or hub detector ranks by
+        // (harmonic handles disconnection where classic closeness
+        // breaks). Per-seed distances come from the labeled
+        // multi-source BFS (ONE synchronous loop for all seeds, not a
+        // loop per seed); 1/dist is fp poison, so it is micro-scaled
+        // integer floor division — 1000000 div dist, identical in
+        // Spark (div) and DuckDB (//) — making the whole frame
+        // value-gateable. Sparse seed set (part % 499) + 2-hop bound
+        // keep Σ per-seed reach well under corpus scale at any sf.
+        val ip = Tables.load(spark, dir, "lineitem")
+          .filter($"l_quantity" >= 30)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        val und = ip.as("a").join(ip.as("b"), "ok")
+          .where($"a.p" < $"b.p")
+          .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+        val sym = und.select($"u".as("src"), $"v".as("dst"))
+          .unionAll(und.select($"v".as("src"), $"u".as("dst")))
+          .graftCheckpointLazy
+        val seeds = sym.select($"src".as("node")).where($"node" % 499 === 0).distinct()
+        val agg = bfsDistancesPerSeed(sym, seeds, maxHops = 2, checkpointEdges = false)
+          .where($"dist" > 0)
+          .groupBy($"seed")
+          .agg(count(lit(1)).cast("long").as("n_reached"),
+            sum(expr("1000000 div dist")).cast("long").as("harm_fp"))
+        seeds.select($"node".as("seed"))
+          .join(agg, Seq("seed"), "left")
+          .select($"seed",
+            coalesce($"n_reached", lit(0L)).as("n_reached"),
+            coalesce($"harm_fp", lit(0L)).as("harm_fp"))
+          .orderBy($"seed")
+      },
+      Some("""WITH RECURSIVE ip AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          FROM lineitem WHERE l_quantity >= 30),
+        und AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
+        e AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+          UNION ALL SELECT v, u FROM und),
+        sd AS MATERIALIZED (SELECT DISTINCT src AS seed FROM e WHERE src % 499 = 0),
+        reach AS (
+          SELECT seed, seed AS node, 0 AS dist FROM sd
+          UNION
+          SELECT r.seed, e.dst AS node, r.dist + 1 AS dist
+          FROM reach r JOIN e ON e.src = r.node
+          WHERE r.dist < 2),
+        best AS (SELECT seed, node, MIN(dist) AS dist
+          FROM reach GROUP BY seed, node),
+        agg AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+          CAST(SUM(1000000 // dist) AS BIGINT) AS harm_fp
+          FROM best WHERE dist > 0 GROUP BY seed)
+        SELECT sd.seed AS seed, COALESCE(a.n_reached, 0) AS n_reached,
+          COALESCE(a.harm_fp, 0) AS harm_fp
+        FROM sd LEFT JOIN agg a USING (seed) ORDER BY seed""")
     )
   )
 }

@@ -112,6 +112,24 @@ class Round9bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bfsDistancesPerSeed: per-seed layers are independent and hand-traced") {
+    // chain 1-2-3-4 undirected; seeds {1, 4}: each seed's distances
+    // must be ITS OWN BFS, not polluted by the other advancing in the
+    // same synchronous rounds
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val sym = und.toDF("u", "v").select($"u".as("src"), $"v".as("dst"))
+      .unionAll(und.toDF("u", "v").select($"v".as("src"), $"u".as("dst")))
+    val got = Graph.bfsDistancesPerSeed(sym, Seq(1L, 4L).toDF("node"), maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2,
+      (4L, 4L) -> 0, (4L, 3L) -> 1, (4L, 2L) -> 2))
+    // single-seed form agrees with bfsDistances
+    val single = Graph.bfsDistances(sym, Seq(1L).toDF("node"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.collect { case ((1L, n), d) => n -> d } == single)
+  }
+
   test("temperatureMix: NULL-group rows are excluded and cannot poison n_min") {
     // review finding: a NULL group used to vanish via the equi-join
     // (dropped with probability 1, not sqrt) while its count still
