@@ -118,6 +118,13 @@ object Dedup {
     * cut from all-shingles to hits+fpp — at 100 TB train vs GB eval,
     * orders of magnitude. `expectedItems` skips the self-sizing count
     * when the harness cardinality is known.
+    *
+    * Caching contract (the jaccardPairs discipline): both internal
+    * shingle frames are `.cache()`d because each feeds multiple
+    * consumers; they are NOT unpersisted (the returned plan reads
+    * them lazily), so call `spark.catalog.clearCache()` after
+    * consuming the result when invoking repeatedly in a long-lived
+    * session.
     */
   def decontaminateAtScale(
       train: DataFrame,

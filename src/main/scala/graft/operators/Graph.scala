@@ -338,29 +338,49 @@ object Graph {
       checkpointEdges: Boolean = true
   ): DataFrame = {
     require(maxHops >= 0, s"bfsDistances: maxHops must be >= 0, got $maxHops")
+    bfsLoop(edges,
+      seeds.select(col("node")).distinct().withColumn("dist", lit(0)),
+      labelCols = Seq.empty, maxHops, checkpointEdges)
+  }
+
+  /** The ONE semi-naive BFS loop behind [[bfsDistances]] (labelCols
+    * empty) and [[bfsDistancesPerSeed]] (labelCols = seed) — the
+    * checkpoint / empty-probe / frontier mechanics live here once, so
+    * a fix to the loop discipline cannot drift between the variants.
+    * `init` must carry labelCols ++ (node, dist=0).
+    */
+  private def bfsLoop(
+      edges: DataFrame,
+      init: DataFrame,
+      labelCols: Seq[String],
+      maxHops: Int,
+      checkpointEdges: Boolean
+  ): DataFrame = {
     // every round re-reads the edge frame, so it is checkpointed once
     // here — callers that ALREADY checkpoint it (e.g. to share it
     // with seed derivation) pass checkpointEdges=false, or the
     // largest frame in the computation is materialized twice
     val proj = edges.select(col("src"), col("dst"))
     val e = if (checkpointEdges) proj.graftCheckpointLazy else proj
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0)).graftCheckpointLazy
-    var frontier = visited.select(col("node"))
+    val keyCols = labelCols :+ "node"
+    var visited = init.graftCheckpointLazy
+    var frontier = visited.select(keyCols.map(col): _*)
     var hop = 0
     var exhausted = frontier.isEmpty
     while (hop < maxHops && !exhausted) {
       hop += 1
       val delta = e
-        .join(frontier.select(col("node").as("src")), Seq("src"), "left_semi")
-        .select(col("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"),
+          if (labelCols.isEmpty) "left_semi" else "inner")
+        .select((labelCols.map(col) :+ col("dst").as("node")): _*).distinct()
+        .join(visited.select(keyCols.map(col): _*), keyCols, "left_anti")
         .withColumn("dist", lit(hop))
         .graftCheckpointLazy
       exhausted = delta.isEmpty
       if (!exhausted) {
-        visited = visited.unionAll(delta).graftCheckpointLazy
-        frontier = delta.select(col("node"))
+        visited = visited.unionAll(delta.select(visited.columns.map(col): _*))
+          .graftCheckpointLazy
+        frontier = delta.select(keyCols.map(col): _*)
       }
     }
     visited
@@ -385,29 +405,11 @@ object Graph {
       checkpointEdges: Boolean = true
   ): DataFrame = {
     require(maxHops >= 0, s"bfsDistancesPerSeed: maxHops must be >= 0, got $maxHops")
-    val proj = edges.select(col("src"), col("dst"))
-    val e = if (checkpointEdges) proj.graftCheckpointLazy else proj
-    var visited = seeds.select(col("node").as("seed")).distinct()
-      .withColumn("node", col("seed"))
-      .withColumn("dist", lit(0)).graftCheckpointLazy
-    var frontier = visited.select(col("seed"), col("node"))
-    var hop = 0
-    var exhausted = frontier.isEmpty
-    while (hop < maxHops && !exhausted) {
-      hop += 1
-      val delta = e
-        .join(frontier.select(col("seed"), col("node").as("src")), Seq("src"))
-        .select(col("seed"), col("dst").as("node")).distinct()
-        .join(visited.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
-        .withColumn("dist", lit(hop))
-        .graftCheckpointLazy
-      exhausted = delta.isEmpty
-      if (!exhausted) {
-        visited = visited.unionAll(delta).graftCheckpointLazy
-        frontier = delta.select(col("seed"), col("node"))
-      }
-    }
-    visited
+    bfsLoop(edges,
+      seeds.select(col("node").as("seed")).distinct()
+        .withColumn("node", col("seed"))
+        .withColumn("dist", lit(0)),
+      labelCols = Seq("seed"), maxHops, checkpointEdges)
   }
 
   /** Bounded-hop single-source shortest paths over a weighted edge

@@ -1829,7 +1829,9 @@ object Ops {
       path: String,
       nShards: Int = 8,
       seed: String = "42"
-  ): Unit = shuffledShardsCore(df, idCol, path, nShards, seed, mode = "overwrite")
+  ): Unit =
+    shuffledShardsCore(df, idCol, path, nShards, seed, mode = "overwrite",
+      op = "writeShuffledShards")
 
   /** O40's INGESTION half: append a batch (e.g. one streaming
     * micro-batch — ST13 routes here) into an existing shard layout.
@@ -1851,7 +1853,9 @@ object Ops {
       path: String,
       nShards: Int = 8,
       seed: String = "42"
-  ): Unit = shuffledShardsCore(df, idCol, path, nShards, seed, mode = "append")
+  ): Unit =
+    shuffledShardsCore(df, idCol, path, nShards, seed, mode = "append",
+      op = "appendShuffledShards")
 
   private def shuffledShardsCore(
       df: DataFrame,
@@ -1859,12 +1863,15 @@ object Ops {
       path: String,
       nShards: Int,
       seed: String,
-      mode: String
+      mode: String,
+      op: String
   ): Unit = {
-    require(nShards > 0, s"writeShuffledShards: nShards must be > 0, got $nShards")
+    // `op` = the public entry point, so a validation failure inside a
+    // streaming foreachBatch names the API the user actually called
+    require(nShards > 0, s"$op: nShards must be > 0, got $nShards")
     Seq("skey", "shard").foreach(c =>
       require(!df.columns.contains(c),
-        s"writeShuffledShards: input already has a '$c' column — rename it first"))
+        s"$op: input already has a '$c' column — rename it first"))
     val h = graft.functions.PortableHash.hash60(
       concat(col(idCol).cast("string"), lit("#" + seed)))
     df.withColumn("skey", h)

@@ -903,7 +903,8 @@ object TextAnalysis {
           .select($"doc_id", $"lang", $"n_grp".as("n_lang"))
           .orderBy($"doc_id")
       },
-      Some(s"""WITH cnt AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+      Some(s"""WITH cnt AS (SELECT lang, COUNT(*) AS n_lang FROM documents
+          WHERE lang IS NOT NULL GROUP BY lang),
         mn AS (SELECT MIN(n_lang) AS n_min FROM cnt),
         d AS (SELECT doc_id, lang, n_lang, n_min,
           ${graft.functions.PortableHash.sqlHash60("CAST(doc_id AS VARCHAR) || '#mix'")} >> 20 AS h40

@@ -317,15 +317,29 @@ class StreamingSpec extends SparkTestBase {
         Window.partitionBy(col("_f")).orderBy(col("_rid").asc)))
       .where(col("_rk") =!= col("_rr"))
     assert(disordered.isEmpty, "an appended shard file is out of permutation order")
-    // the epoch-boundary rewrite of the ingested layout reproduces the
-    // direct batch layout's per-shard sequences exactly
+    // the epoch-boundary rewrite restores the loader contract the
+    // append stream can only approximate: reading each shard's files
+    // in LISTING order, top to bottom, IS the permutation order.
+    // Pinned as read-order == key-order (scan-time rid vs (skey, id)
+    // rank per shard) — comparing the rewrite against a second batch
+    // write would be tautological (both sort by the same pure
+    // arithmetic), but THIS check fails the moment the writer stops
+    // ordering its files (e.g. a dropped sortWithinPartitions).
     graft.operators.Ops.writeShuffledShards(
       back.drop("skey", "shard"), "doc_id", s"$dir/epoch", nShards = 4, seed = "7")
-    graft.operators.Ops.writeShuffledShards(
-      docs, "doc_id", s"$dir/direct", nShards = 4, seed = "7")
-    def seqOf(p: String) = spark.read.parquet(p)
-      .orderBy(col("shard"), col("skey"), col("doc_id"))
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-    assert(seqOf(s"$dir/epoch") == seqOf(s"$dir/direct"))
+    val epoch = spark.read.parquet(s"$dir/epoch")
+      .withColumn("_rid", monotonically_increasing_id())
+      .withColumn("_f", input_file_name())
+    val epochDisorder = epoch
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey").asc, col("doc_id").asc)))
+      .withColumn("_rr", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_f").asc, col("_rid").asc)))
+      .where(col("_rk") =!= col("_rr"))
+    assert(epochDisorder.isEmpty,
+      "epoch rewrite: shard files in listing order must stream the permutation")
+    // and the rewrite carries exactly the ingested rows
+    assert(spark.read.parquet(s"$dir/epoch").select(col("doc_id"))
+      .exceptAll(docs.select(col("doc_id"))).isEmpty)
   }
 }
