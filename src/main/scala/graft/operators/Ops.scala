@@ -1619,7 +1619,8 @@ object Ops {
       dim: Int = 64,
       topK: Int = 5,
       routeOnDriver: Boolean = true,
-      refine: Int = 0
+      refine: Int = 0,
+      allowedIds: Option[DataFrame] = None
   ): DataFrame = {
     val sub = dim / m
     val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
@@ -1662,7 +1663,27 @@ object Ops {
     // the broadcast join) — the dedup shuffle is bounded by matched
     // candidates, never the index. Duplicates are permanently
     // reclaimed by [[compactAnnIndex]].
-    val adcRanked = lists.join(broadcast(probeCells), Seq("cell"))
+    // O41: FILTERED search — the attribute-constrained probe every
+    // serving system eventually needs ("neighbors among docs passing
+    // this predicate"). PRE-filter semantics: the allow-list
+    // semi-joins the candidate stream BEFORE ADC ranking, so the
+    // top-k is taken over allowed candidates only (post-filtering a
+    // fixed-k result silently starves selective predicates). The
+    // allow-list is an id set (first column used) — filter output,
+    // typically orders of magnitude under corpus size, hence the
+    // broadcast; for corpus-scale predicates filter at index-write
+    // time instead. Selectivity eats candidates: a predicate keeping
+    // fraction f of the corpus leaves ~f of each cell's candidates,
+    // so raise nprobe (and refine) ~1/f to hold recall — the spec
+    // measures this trade on the stored index.
+    val allowFiltered = allowedIds match {
+      case None => lists.join(broadcast(probeCells), Seq("cell"))
+      case Some(allow) =>
+        lists.join(broadcast(probeCells), Seq("cell"))
+          .join(broadcast(allow.select(col(allow.columns.head).as("n_id"))),
+            Seq("n_id"), "left_semi")
+    }
+    val adcRanked = allowFiltered
       .where(col("n_id") =!= col("p_id"))
       .select(col("p_id"), col("n_id"), col("m"), col("code")).distinct()
       .join(broadcast(dtab), Seq("p_id", "m", "code"))

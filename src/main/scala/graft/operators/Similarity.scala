@@ -572,6 +572,46 @@ object Similarity {
           CAST(COUNT(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_in_radius
         FROM v ORDER BY p_id, n_id"""
       }
+    ),
+
+    Q(
+      "s09_filtered_ann",
+      "Attribute-filtered exact top-3: nearest neighbors AMONG label-constrained candidates (pre-filter semantics)",
+      (spark, dir) => {
+        import spark.implicits._
+        // The serving feature plain ANN lacks: "neighbors of this
+        // probe among docs passing a predicate" (rights-cleared only,
+        // same-language only, date-ranged). PRE-filter semantics —
+        // the constraint restricts the CANDIDATE set, then top-k is
+        // taken, so selective predicates still return k rows
+        // (post-filtering a fixed-k shortlist starves them). This is
+        // the exact reference the O41 index path (probeAnnIndex
+        // allowedIds + nprobe/refine refill) is spec-measured
+        // against; here the filter reaches the parquet scan (pushed
+        // predicate), the probe side broadcasts, and the rank window
+        // is per-probe — s01's plan with a smaller candidate side.
+        val e = Tables.load(spark, dir, "embeddings")
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+        val cand = e.where($"label" % 3 === 0)
+          .select($"vec_id".as("n_id"), $"embedding".as("ne"), $"label")
+        val w = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
+        cand.join(broadcast(probes), $"n_id" =!= $"p_id")
+          .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter($"rn" <= 3)
+          .select($"p_id", $"rn", $"n_id", $"label".cast("long").as("label"), $"cosine")
+          .orderBy($"p_id", $"rn")
+      },
+      Some {
+        val cos = VectorFunctions.sqlCosine("pe", "e.embedding")
+        s"""WITH p AS (SELECT vec_id AS p_id, embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 10)
+        SELECT p_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY $cos DESC, e.vec_id) AS INT) AS rn,
+          e.vec_id AS n_id, CAST(e.label AS BIGINT) AS label, $cos AS cosine
+        FROM p, embeddings e WHERE e.vec_id <> p_id AND e.label % 3 = 0
+        QUALIFY rn <= 3 ORDER BY p_id, rn"""
+      }
     )
   )
 }

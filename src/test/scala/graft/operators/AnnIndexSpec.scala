@@ -126,6 +126,45 @@ class AnnIndexSpec extends SparkTestBase {
     assert(a == b && a.nonEmpty, "refined stored probe != refined in-query pipeline")
   }
 
+  test("O41 filtered probe: pre-filter semantics, allowed-only results, recall holds with the nprobe refill") {
+    // the serving predicate: only vectors with label % 3 == 0 are
+    // eligible (~40% of the corpus). Exact reference = s09's
+    // formulation: filter candidates FIRST, then top-k.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-filt").toString
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", dir, k = 16, m = 4, kSub = 8)
+    val probes = emb.orderBy(col("vec_id")).limit(10)
+    val allow = emb.where(col("label") % 3 === 0).select(col("vec_id"))
+    val allowedSet = allow.collect().map(_.getLong(0)).toSet
+    val truth = Ops.cosineTopK(
+        probes.select(col("vec_id").as("p_id"), col("embedding").as("pe")),
+        emb.where(col("label") % 3 === 0)
+          .select(col("vec_id").as("n_id"), col("embedding").as("ne")),
+        "p_id", "pe", "n_id", "ne", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    // selectivity ~0.4 keeps ~0.4 of each cell's candidates, so the
+    // refill doubles nprobe (4 -> 8) per the O41 guidance
+    val got = Ops.probeAnnIndex(probes, "vec_id", "embedding",
+        Ops.readAnnIndex(spark, dir), nprobe = 8, refine = 100,
+        allowedIds = Some(allow))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // pre-filter contract: every returned neighbor satisfies the predicate
+    val leaked = got.filterNot(t => allowedSet.contains(t._3))
+    assert(leaked.isEmpty, s"${leaked.length} disallowed ids returned: ${leaked.take(3).toSeq}")
+    // ranks are 1..k per probe with no gaps (selective predicates are
+    // refilled, not starved)
+    got.groupBy(_._1).foreach { case (p, xs) =>
+      assert(xs.map(_._2).sorted.toSeq == (1 to xs.size).toSeq, s"rank gap for probe $p")
+    }
+    val byProbe = got.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._3).toSet }
+    val recall = truth.map { case (p, t) =>
+      byProbe.getOrElse(p, Set.empty[Long]).intersect(t).size.toDouble / t.size
+    }.sum / truth.size
+    info(f"filtered recall@5 at (nprobe=8, refine=100, selectivity~0.4): $recall%.2f")
+    assert(recall >= 0.6, f"filtered refined recall@5 $recall%.2f below the 0.6 floor")
+  }
+
   test("day-2 vectors append via stored quantizers and are probe-visible") {
     // synthetic new vectors: copies of two existing ones under new ids
     // (deterministic; they inherit their twins' cells and codes)
