@@ -435,14 +435,19 @@ object Streams {
       outPath: String,
       nprobe: Int = 2,
       topK: Int = 5,
-      refine: Int = 0
+      refine: Int = 0,
+      allowedIds: Option[DataFrame] = None
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     probeStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val idx = graft.operators.Ops.readAnnIndex(batch.sparkSession, indexPath)
+        // allowedIds is a STATIC frame re-evaluated per micro-batch
+        // (the ST5 slowly-changing-dim discipline): an updated
+        // rights/eligibility table takes effect at the next trigger
         graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
           graft.operators.Ops.probeAnnIndex(batch.toDF(), "vec_id", "embedding",
-            idx, nprobe = nprobe, topK = topK, refine = refine))
+            idx, nprobe = nprobe, topK = topK, refine = refine,
+            allowedIds = allowedIds))
     }
 
   /** ST12: streaming decontamination — the ingestion-time form of

@@ -208,6 +208,31 @@ class AnnIndexSpec extends SparkTestBase {
     probes.unpersist()
   }
 
+  test("ST9 filtered: the streaming serving path honors the allow-list and equals the filtered batch probe") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ann-fstream").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ann-fout").toString
+    val probes = emb.orderBy(col("vec_id")).limit(6).cache()
+    probes.limit(3).write.parquet(s"$srcDir/f1")
+    Thread.sleep(1100)
+    probes.orderBy(col("vec_id").desc).limit(3).write.parquet(s"$srcDir/f2")
+    val allow = emb.where(col("label") % 3 === 0).select(col("vec_id"))
+    val allowed = allow.collect().map(_.getLong(0)).toSet
+    val stream = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir + "/f*")
+    val q = graft.streaming.Streams.annProbeStream(stream, indexPath, outDir,
+      nprobe = 4, allowedIds = Some(allow)).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed.forall(t => allowed.contains(t._3)),
+      "a streamed result escaped the allow-list")
+    val batch = Ops.probeAnnIndex(probes, "vec_id", "embedding",
+        Ops.readAnnIndex(spark, indexPath), nprobe = 4, allowedIds = Some(allow))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    probes.unpersist()
+  }
+
   test("ST9 refine: the streaming serving path reaches the refined (exact-reranked) results") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-ann-refstream").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft-ann-refout").toString
