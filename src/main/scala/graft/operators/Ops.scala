@@ -1676,13 +1676,10 @@ object Ops {
     // fraction f of the corpus leaves ~f of each cell's candidates,
     // so raise nprobe (and refine) ~1/f to hold recall — the spec
     // measures this trade on the stored index.
-    val allowFiltered = allowedIds match {
-      case None => lists.join(broadcast(probeCells), Seq("cell"))
-      case Some(allow) =>
-        lists.join(broadcast(probeCells), Seq("cell"))
-          .join(broadcast(allow.select(col(allow.columns.head).as("n_id"))),
-            Seq("n_id"), "left_semi")
-    }
+    val cand = lists.join(broadcast(probeCells), Seq("cell"))
+    val allowFiltered = allowedIds.fold(cand)(allow =>
+      cand.join(broadcast(allow.select(col(allow.columns.head).as("n_id"))),
+        Seq("n_id"), "left_semi"))
     val adcRanked = allowFiltered
       .where(col("n_id") =!= col("p_id"))
       .select(col("p_id"), col("n_id"), col("m"), col("code")).distinct()

@@ -441,9 +441,13 @@ object Streams {
     probeStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val idx = graft.operators.Ops.readAnnIndex(batch.sparkSession, indexPath)
-        // allowedIds is a STATIC frame re-evaluated per micro-batch
-        // (the ST5 slowly-changing-dim discipline): an updated
-        // rights/eligibility table takes effect at the next trigger
+        // allowedIds is a static frame RE-EXECUTED per micro-batch,
+        // but refresh semantics depend on its source: a JDBC/Delta/
+        // catalog-table frame re-reads current data each trigger (the
+        // ST5 discipline), while a plain spark.read.parquet frame
+        // CACHES its file listing at creation — appended/rewritten
+        // allow-list files are NOT picked up (re-create the frame, or
+        // read through a table, for rights tables that must revoke)
         graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
           graft.operators.Ops.probeAnnIndex(batch.toDF(), "vec_id", "embedding",
             idx, nprobe = nprobe, topK = topK, refine = refine,

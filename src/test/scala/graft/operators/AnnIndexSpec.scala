@@ -152,10 +152,12 @@ class AnnIndexSpec extends SparkTestBase {
     // pre-filter contract: every returned neighbor satisfies the predicate
     val leaked = got.filterNot(t => allowedSet.contains(t._3))
     assert(leaked.isEmpty, s"${leaked.length} disallowed ids returned: ${leaked.take(3).toSeq}")
-    // ranks are 1..k per probe with no gaps (selective predicates are
-    // refilled, not starved)
+    // the refill contract, pinned for real: every probe must come
+    // back with the FULL topK=5 rows despite the ~0.4-selective
+    // predicate (row_number can't gap, so asserting "sorted ranks ==
+    // 1..size" would be tautological — size itself is the claim)
     got.groupBy(_._1).foreach { case (p, xs) =>
-      assert(xs.map(_._2).sorted.toSeq == (1 to xs.size).toSeq, s"rank gap for probe $p")
+      assert(xs.size == 5, s"probe $p starved to ${xs.size} of 5 under the filter")
     }
     val byProbe = got.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._3).toSet }
     val recall = truth.map { case (p, t) =>

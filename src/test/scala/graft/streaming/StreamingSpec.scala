@@ -338,8 +338,11 @@ class StreamingSpec extends SparkTestBase {
       .where(col("_rk") =!= col("_rr"))
     assert(epochDisorder.isEmpty,
       "epoch rewrite: shard files in listing order must stream the permutation")
-    // and the rewrite carries exactly the ingested rows
-    assert(spark.read.parquet(s"$dir/epoch").select(col("doc_id"))
-      .exceptAll(docs.select(col("doc_id"))).isEmpty)
+    // and the rewrite carries exactly the ingested rows — BOTH
+    // directions (one-sided exceptAll would pass a rewrite that
+    // silently drops a shard)
+    val epochIds = spark.read.parquet(s"$dir/epoch").select(col("doc_id"))
+    assert(epochIds.count() == docs.count())
+    assert(epochIds.exceptAll(docs.select(col("doc_id"))).isEmpty)
   }
 }
