@@ -126,6 +126,27 @@ class AnnIndexSpec extends SparkTestBase {
     assert(a == b && a.nonEmpty, "refined stored probe != refined in-query pipeline")
   }
 
+  test("O41 filtered probe still prunes cell partitions (the allow semi-join sits above the pruned scan)") {
+    val totalCells =
+      new java.io.File(IndexLayout.resolveDir(spark, s"$indexPath/lists")).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-ann-fprune").toString
+    emb.orderBy(col("vec_id")).limit(1).write.mode("overwrite").parquet(oneDir)
+    val oneId = spark.read.parquet(oneDir).head().getLong(0)
+    val one = spark.read.parquet(oneDir).filter(col("vec_id") === oneId)
+    val allow = emb.where(col("label") % 3 === 0).select(col("vec_id"))
+    val probed = Ops.probeAnnIndex(one, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, indexPath), allowedIds = Some(allow))
+    probed.collect()
+    val scans = collectFileScans(probed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
+    assert(scans.nonEmpty, "no lists scan in the filtered probe plan")
+    val dirsRead = scans.map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).max
+    assert(dirsRead <= 2 && dirsRead < totalCells,
+      s"filtered probe read $dirsRead of $totalCells cell partitions — the allow " +
+        "semi-join must not defeat the cell routing (nprobe=2)")
+  }
+
   test("O41 filtered probe: pre-filter semantics, allowed-only results, recall holds with the nprobe refill") {
     // the serving predicate: only vectors with label % 3 == 0 are
     // eligible (~40% of the corpus). Exact reference = s09's
