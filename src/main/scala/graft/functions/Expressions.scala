@@ -41,6 +41,9 @@ object GraftExpressions {
   def wordShingles(text: Column, n: Int, distinct: Boolean): Column =
     column(WordShingles(expression(text), n, distinct))
 
+  /** Column API: non-empty space-separated token count, one byte pass. */
+  def wordCount(text: Column): Column = column(WordCount(expression(text)))
+
   /** Column API: embedded-BPE token count of a text column. */
   def bpeCount(text: Column): Column = column(BpeCount(expression(text)))
 
@@ -116,6 +119,51 @@ object WordShingles {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** Non-empty space-separated token count in one pass over the UTF-8
+  * bytes — no token allocation, no array build. Exists so a
+  * "has at least n words" predicate (== `size(wordShingles(text, n,
+  * _)) > 0`, since [[WordShingles]] drops empty tokens and emits one
+  * n-gram per word window) can gate a shingle projection WITHOUT
+  * evaluating the shingle expression itself: Catalyst collapses
+  * Filter+Project but does NOT share the subexpression across them,
+  * so `where(size(sh) > 0)` over a `select(wordShingles as sh)` pays
+  * the full shingle build twice per row. Measured at sf0.1 this
+  * halves the shingle-cache population of every dedup query.
+  */
+case class WordCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordCount.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordCount$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): WordCount =
+    copy(child = c)
+}
+
+object WordCount {
+  /** Static entry shared by eval and generated code. Must agree with
+    * [[WordShingles.compute]]'s tokenizer: split on the space byte,
+    * drop empties (WordCountSpec pins the agreement).
+    */
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var n = 0L
+    var inTok = false
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) inTok = false
+      else if (!inTok) { n += 1; inTok = true }
+      i += 1
+    }
+    n
   }
 }
 

@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.AsOfJoinLimitPushdown)
     // (Ops.intervalJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
+    // X10: SQL syntax for the native join tier — asof_join(...) /
+    // interval_join(...) table-valued functions over named tables
+    graft.plans.SqlJoinFunctions.all.foreach(ext.injectTableFunction)
   }
 }
 
@@ -79,12 +82,20 @@ object GraftExtensions {
     (children: Seq[Expression]) => NibbleHistogram(children.head)
   )
 
-  /** Register on an existing session (tests / REPL convenience). */
+  /** Register on an existing session (tests / REPL convenience) —
+    * scalar functions AND the X10 table-valued join functions (a
+    * getOrCreate that joined a pre-existing session never saw the
+    * extensions config, so Cli `sql` calls this explicitly).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineSim, polyHash, wordShinglesFn, minhashHexFn, bpeCountFn,
       nibbleHistogramFn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
+    }
+    val treg = spark.sessionState.tableFunctionRegistry
+    graft.plans.SqlJoinFunctions.all.foreach { case (id, inf, builder) =>
+      treg.registerFunction(id, inf, builder)
     }
   }
 }

@@ -36,11 +36,17 @@ object Dedup {
     */
   private[operators] def shingleArrays(docs: DataFrame): DataFrame =
     docs
+      // the "has >= 3 words" gate runs BEFORE the shingle projection
+      // as the one-byte-pass WordCount expression — filtering on
+      // size(sh) > 0 after the select pays the full shingle build
+      // TWICE per row (Filter+Project collapse shares no
+      // subexpressions); semantically identical (WordCountSpec pins
+      // the tokenizer agreement)
+      .where(graft.functions.GraftExpressions.wordCount(col("text")) >= 3)
       .select(
         col("doc_id"),
         graft.functions.GraftExpressions.wordShingles(col("text"), 3, distinct = true).as("sh")
       )
-      .where(size(col("sh")) > 0)
 
   private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     shingleArrays(Tables.load(spark, dir, "documents"))
@@ -119,12 +125,15 @@ object Dedup {
     * orders of magnitude. `expectedItems` skips the self-sizing count
     * when the harness cardinality is known.
     *
-    * Caching contract (the jaccardPairs discipline): both internal
-    * shingle frames are `.cache()`d because each feeds multiple
-    * consumers; they are NOT unpersisted (the returned plan reads
-    * them lazily), so call `spark.catalog.clearCache()` after
-    * consuming the result when invoking repeatedly in a long-lived
-    * session.
+    * Caching contract: both internal shingle frames are `.cache()`d
+    * because each feeds multiple consumers — and BOTH are unpersisted
+    * before returning, because the returned verdict frame is eagerly
+    * materialized through [[Ops.checkpointFrame]] (truncated lineage;
+    * executor-local blocks, or reliable checkpoints under
+    * `spark.graft.checkpoint.reliable`). Repeated invocations in a
+    * long-lived session therefore no longer accumulate executor
+    * storage; the verdict itself is one narrow row per train doc —
+    * the thing you'd have to materialize anyway to act on it.
     */
   def decontaminateAtScale(
       train: DataFrame,
@@ -133,13 +142,15 @@ object Dedup {
       fpp: Double = 0.03
   ): DataFrame = {
     // Both shingle frames serve multiple consumers, so both are
-    // cached (the d16/jaccardPairs discipline — clearCache() between
-    // repeated invocations): trainSh feeds the hits branch AND the
-    // n_spans branch (uncached, the corpus would be shingled twice);
-    // evalU feeds the self-sizing count, the Bloom build, and the
-    // exact verify join (uncached, three eval-side pipelines each
-    // with their own distinct shuffle — against the scaladoc's "one
-    // extra pass over the eval side").
+    // cached: trainSh feeds the hits branch AND the n_spans branch
+    // (uncached, the corpus would be shingled twice); evalU feeds
+    // the self-sizing count, the Bloom build, and the exact verify
+    // join (uncached, three eval-side pipelines each with their own
+    // distinct shuffle — against the scaladoc's "one extra pass over
+    // the eval side"). The verdict is then materialized EAGERLY so
+    // both caches can be dropped before returning — the previous
+    // lazy-return + "caller remembers clearCache()" contract leaked
+    // executor storage across repeated invocations.
     val trainSh = shingleArrays(train).cache()
     val evalU = shingleArrays(evalDocs).select(explode(col("sh")).as("s"))
       .distinct().cache()
@@ -147,7 +158,10 @@ object Dedup {
         trainSh.select(col("doc_id"), explode(col("sh")).as("s")),
         "s", evalU, "s", expectedItems, fpp)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    decontamAssemble(trainSh, hits)
+    val verdict = Ops.checkpointFrame(decontamAssemble(trainSh, hits), eager = true)
+    trainSh.unpersist()
+    evalU.unpersist()
+    verdict
   }
 
   /** The 100 TB configuration of the n-gram Jaccard dedup (d04): the
@@ -226,10 +240,12 @@ object Dedup {
     */
   def bandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     bandKeysFromShingles(
-      docs.select(
-        col(idCol),
-        graft.functions.GraftExpressions.wordShingles(col(textCol), 3, distinct = true).as("_sh"))
-        .where(size(col("_sh")) > 0),
+      docs
+        .where(graft.functions.GraftExpressions.wordCount(col(textCol)) >= 3)
+        .select(
+          col(idCol),
+          graft.functions.GraftExpressions.wordShingles(col(textCol), 3, distinct = true)
+            .as("_sh")),
       idCol, "_sh")
 
   /** [[bandKeys]] over an already-computed shingle-array relation —
@@ -887,11 +903,12 @@ object Dedup {
         val benchGrams = grams(docs.where($"doc_id" < 20)).select($"g").distinct()
         val corpus = docs.where($"doc_id" >= 20)
         val post = grams(corpus)
-        val sizes = corpus.select(
-          $"doc_id",
-          size(graft.functions.GraftExpressions.wordShingles($"text", 5, distinct = true))
-            .cast("long").as("n_grams"))
-          .where($"n_grams" > 0)
+        val sizes = corpus
+          .where(graft.functions.GraftExpressions.wordCount($"text") >= 5)
+          .select(
+            $"doc_id",
+            size(graft.functions.GraftExpressions.wordShingles($"text", 5, distinct = true))
+              .cast("long").as("n_grams"))
         val hits = post.join(broadcast(benchGrams), Seq("g"), "left_semi")
           .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
         sizes.join(hits, Seq("doc_id"), "left")
@@ -997,9 +1014,9 @@ object Dedup {
         // duplicated elsewhere and the duplicated fraction — the
         // "cut list" a span-removal pass consumes.
         val sh = Tables.load(spark, dir, "documents")
+          .where(graft.functions.GraftExpressions.wordCount($"text") >= 8)
           .select($"doc_id",
             graft.functions.GraftExpressions.wordShingles($"text", 8, distinct = true).as("sh"))
-          .where(size($"sh") > 0)
           .cache() // two consumers (postings + sizes); Verify/Bench clearCache()
         val posting = sh.select($"doc_id", explode($"sh").as("s"))
         // shingles are distinct per doc, so count(*) = distinct docs

@@ -699,15 +699,18 @@ object Graph {
           .where($"a.p" < $"b.p")
           .select($"a.p".as("u"), $"b.p".as("v")).distinct()
         val lbl = labelPropagation(und, rounds = 3)
-        // member counts via a map-side-combinable agg + broadcast
-        // join-back, NOT count() over (partition by l): the window
-        // form ships every member row of a community to ONE task —
-        // on a graph whose biggest community is corpus-scale that
-        // task is the straggler. The agg frame is one row per
-        // community (<= one per node, tiny in practice).
+        // member counts via a map-side-combinable agg + join-back,
+        // NOT count() over (partition by l): the window form ships
+        // every member row of a community to ONE task — on a graph
+        // whose biggest community is corpus-scale that task is the
+        // straggler. The agg frame is one row per SURVIVING label —
+        // up to one per NODE on a fragmented graph — so it is NOT
+        // bounded by construction; no broadcast hint, AQE sizes the
+        // join (broadcast while it fits, shuffle on l past that),
+        // the same discipline as d11's bands join.
         val sizes = lbl.groupBy($"l")
           .agg(count(lit(1)).cast("long").as("n_members"))
-        lbl.join(broadcast(sizes), Seq("l"))
+        lbl.join(sizes, Seq("l"))
           .select($"node", $"l".as("label"), $"n_members")
           .orderBy($"node")
       },

@@ -184,6 +184,43 @@ object IndexLayout {
       }
     }
 
+  /** Write a small per-version metadata file (e.g. the O40 shard
+    * layout's `_LAYOUT` parameters) under `dir`. Same create-then-
+    * atomic-rename discipline as [[publish]], so a racing reader sees
+    * the whole file or none.
+    */
+  def writeMeta(spark: SparkSession, dir: String, name: String, content: String): Unit = {
+    val fs = hfs(spark, dir)
+    val tmp = new Path(dir, name + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(dir, name)
+    val qTmp = fs.makeQualified(tmp)
+    if (qTmp.toUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(qTmp.toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val fc = FileContext.getFileContext(qTmp.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(qTmp, dst, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Read a metadata file written by [[writeMeta]]; None if absent. */
+  def readMeta(spark: SparkSession, dir: String, name: String): Option[String] = {
+    val fs = hfs(spark, dir)
+    val p = new Path(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
   /** Register ids for deletion: append them (distinct, as a single
     * `outName` long column) to `path/_tombstones`. Read paths mask
     * them immediately; the next compaction applies them permanently

@@ -766,9 +766,9 @@ object Ops {
       hashKeys: Boolean = false
   ): DataFrame = {
     val sh = docs
+      .where(graft.functions.GraftExpressions.wordCount(col(textCol)) >= n)
       .select(col(idCol).as("_id"),
         graft.functions.GraftExpressions.wordShingles(col(textCol), n, distinct = true).as("_sh"))
-      .where(size(col("_sh")) > 0)
       .cache() // two consumers (postings + sizes); callers clearCache() between runs
     val key = if (hashKeys) xxhash64(col("_s")) else col("_s")
     val posting = sh.select(col("_id"), explode(col("_sh")).as("_s"))
@@ -1609,6 +1609,13 @@ object Ops {
     * probing partitioned indexes). With the default conf the filter
     * degrades to a full-index read — correct, just unpruned.
     */
+  /** Allow-lists with at most this many distinct ids get a broadcast
+    * hint in [[probeAnnIndex]]'s semi-join; larger ones are left to
+    * the optimizer (a 4M-id hashed relation is tens of MB — safely
+    * driver-resident; a corpus-scale list is not).
+    */
+  private[operators] val ProbeAllowBroadcastMax = 4L << 20
+
   def probeAnnIndex(
       probes: DataFrame,
       probeIdCol: String,
@@ -1620,10 +1627,39 @@ object Ops {
       topK: Int = 5,
       routeOnDriver: Boolean = true,
       refine: Int = 0,
-      allowedIds: Option[DataFrame] = None
+      allowedIds: Option[DataFrame] = None,
+      autoScaleFiltered: Boolean = true
   ): DataFrame = {
     val sub = dim / m
     val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
+    // O41 auto-refill: a predicate keeping fraction f of the corpus
+    // leaves ~f of each cell's candidates, so holding recall needs
+    // nprobe (and refine) scaled ~1/f — previously documented
+    // guidance the caller had to apply by hand. f derives from two
+    // cheap aggregates: the allow-list's distinct id count vs the
+    // index's id count (list rows / m — replay duplicates inflate
+    // both sides of nothing that matters for a knob). nprobe is
+    // capped at the cell count, refine at the allow-list size (a
+    // shortlist can't exceed the eligible ids). Pass
+    // autoScaleFiltered = false to pin the knobs (e.g. a
+    // latency-bound serving path that pre-tuned them); the counts
+    // then still run once for the broadcast-size guard below.
+    val allowStats = allowedIds.map { allow =>
+      val ids = allow.select(col(allow.columns.head).as("n_id"))
+      (ids, ids.distinct().count())
+    }
+    val (effNprobe, effRefine) = allowStats match {
+      case Some((_, allowN)) if autoScaleFiltered && allowN > 0 =>
+        val idxN = math.max(1L, index.lists.count() / m)
+        val f = math.min(1.0, allowN.toDouble / idxN)
+        val nCells = index.centroids.count().toInt
+        val np = math.min(nCells.toLong, math.ceil(nprobe / f).toLong).toInt
+        val rf =
+          if (refine <= 0) refine
+          else math.min(allowN, math.ceil(refine / f).toLong).toInt
+        (np, rf)
+      case _ => (nprobe, refine)
+    }
     val wProbe = Window.partitionBy(col("p_id")).orderBy(col("_dq").asc, col("_cid"))
     // the routing column is cast to the STORED partition column's
     // inferred type on THIS (broadcast) side — keeping the lists side
@@ -1634,7 +1670,7 @@ object Ops {
     val probeCells = p.crossJoin(broadcast(index.centroids))
       .withColumn("_dq", l2q("pe", "_cx"))
       .withColumn("_rnp", row_number().over(wProbe))
-      .filter(col("_rnp") <= nprobe)
+      .filter(col("_rnp") <= effNprobe)
       .select(col("p_id"), col("_cid").cast(cellType).as("cell"))
     val cellFilter: Option[Seq[Any]] =
       if (!routeOnDriver) None
@@ -1671,21 +1707,24 @@ object Ops {
     // fixed-k result silently starves selective predicates). The
     // allow-list is an id set (first column used) — filter output,
     // typically orders of magnitude under corpus size, hence the
-    // broadcast; for corpus-scale predicates filter at index-write
-    // time instead. Selectivity eats candidates: a predicate keeping
-    // fraction f of the corpus leaves ~f of each cell's candidates,
-    // so raise nprobe (and refine) ~1/f to hold recall — the spec
-    // measures this trade on the stored index.
+    // broadcast WHILE IT FITS: past ~4M distinct ids (tens of MB
+    // hashed on the driver) the hint is dropped and the optimizer
+    // sizes the semi-join itself — degrading to a shuffle instead of
+    // OOMing the driver on a corpus-scale allow-list. For predicates
+    // at that scale, filter at index-write time instead. Selectivity
+    // eats candidates — see the auto-refill note above; the spec
+    // measures the trade on the stored index.
     val cand = lists.join(broadcast(probeCells), Seq("cell"))
-    val allowFiltered = allowedIds.fold(cand)(allow =>
-      cand.join(broadcast(allow.select(col(allow.columns.head).as("n_id"))),
-        Seq("n_id"), "left_semi"))
+    val allowFiltered = allowStats.fold(cand) { case (ids, allowN) =>
+      val side = if (allowN <= ProbeAllowBroadcastMax) broadcast(ids) else ids
+      cand.join(side, Seq("n_id"), "left_semi")
+    }
     val adcRanked = allowFiltered
       .where(col("n_id") =!= col("p_id"))
       .select(col("p_id"), col("n_id"), col("m"), col("code")).distinct()
       .join(broadcast(dtab), Seq("p_id", "m", "code"))
       .groupBy(col("p_id"), col("n_id")).agg(sum(col("_dq")).as("adc_q"))
-    if (refine <= 0) {
+    if (effRefine <= 0) {
       adcRanked
         .withColumn("rn", row_number().over(w).cast("int"))
         .filter(col("rn") <= topK)
@@ -1702,7 +1741,7 @@ object Ops {
       val wr = Window.partitionBy(col("p_id")).orderBy(col("_xq").asc, col("n_id"))
       val shortlist = adcRanked
         .withColumn("_ra", row_number().over(w))
-        .filter(col("_ra") <= refine)
+        .filter(col("_ra") <= effRefine)
         .select(col("p_id"), col("n_id"), col("adc_q"))
       val vecs = cellFilter
         .map(ids => index.vectors.get.where(col("cell").isin(ids: _*)))
@@ -1846,10 +1885,58 @@ object Ops {
       idCol: String,
       path: String,
       nShards: Int = 8,
-      seed: String = "42"
-  ): Unit =
-    shuffledShardsCore(df, idCol, path, nShards, seed, mode = "overwrite",
+      seed: String = "42",
+      keepVersions: Int = 1
+  ): Unit = {
+    // Epoch publish is ATOMIC via the shared IndexLayout manifest
+    // (the O30 pattern the band/ANN indexes already use): the new
+    // epoch builds into a fresh `v0000N/` while readers keep
+    // resolving `_CURRENT` to the old one, then the manifest flips.
+    // A loader racing the rewrite sees whole epochs, never a
+    // half-overwritten directory. Retired epochs stay for
+    // `keepVersions` flips (the in-flight-reader grace window; size
+    // it to cover an epoch's read time at 100 TB), then GC.
+    val spark = df.sparkSession
+    IndexLayout.recover(spark, path)
+    IndexLayout.ensureVersioned(spark, path)
+    val next = IndexLayout.nextVersion(spark, path)
+    shuffledShardsCore(df, idCol, s"$path/$next", nShards, seed, mode = "overwrite",
       op = "writeShuffledShards")
+    writeShardLayoutMeta(spark, s"$path/$next", nShards, seed)
+    IndexLayout.publish(spark, path, next)
+    IndexLayout.gcVersions(spark, path, keepVersions)
+  }
+
+  /** Read the CURRENT epoch of an O40 shard layout (manifest-resolved;
+    * falls back to `path` itself for a pre-versioning in-place layout).
+    * A loader wanting the file-stream contract lists shard dirs under
+    * this same resolved directory.
+    */
+  def readShuffledShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(IndexLayout.resolveDir(spark, path))
+
+  private val ShardLayoutMetaName = "_LAYOUT"
+
+  private def writeShardLayoutMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      versionDir: String,
+      nShards: Int,
+      seed: String
+  ): Unit =
+    IndexLayout.writeMeta(spark, versionDir, ShardLayoutMetaName,
+      s"""{"nShards":$nShards,"seed":"$seed"}""")
+
+  private def readShardLayoutMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      versionDir: String
+  ): Option[(Int, String)] =
+    IndexLayout.readMeta(spark, versionDir, ShardLayoutMetaName).map { s =>
+      val n = """"nShards"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"bad $ShardLayoutMetaName in $versionDir: $s")).group(1).toInt
+      val sd = """"seed"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s)
+        .getOrElse(sys.error(s"bad $ShardLayoutMetaName in $versionDir: $s")).group(1)
+      (n, sd)
+    }
 
   /** O40's INGESTION half: append a batch (e.g. one streaming
     * micro-batch — ST13 routes here) into an existing shard layout.
@@ -1864,16 +1951,61 @@ object Ops {
     * caveat (same as appendAnnIndex): an at-least-once retry appends
     * duplicate rows — dedupe on `idCol` at the epoch rewrite, or
     * loader-side.
+    *
+    * (nShards, seed) are NOT trusted from the caller: the layout's
+    * own `_LAYOUT` manifest (stamped by [[writeShuffledShards]]) is
+    * authoritative — the appendAnnIndex discipline, where parameters
+    * derive from the stored quantizers. Omit them (the defaults) and
+    * the stored values are used; pass them and they are VALIDATED,
+    * so a redeployed ingester whose config drifted (different seed →
+    * rows landing under a different permutation regime than the
+    * epoch rewrite would assign) fails fast instead of silently
+    * violating the placement guarantee. Appending to a path with no
+    * layout yet requires explicit values and creates epoch v00001.
     */
   def appendShuffledShards(
       df: DataFrame,
       idCol: String,
       path: String,
-      nShards: Int = 8,
-      seed: String = "42"
-  ): Unit =
-    shuffledShardsCore(df, idCol, path, nShards, seed, mode = "append",
-      op = "appendShuffledShards")
+      nShards: Int = -1,
+      seed: String = null
+  ): Unit = {
+    val op = "appendShuffledShards"
+    val spark = df.sparkSession
+    IndexLayout.recover(spark, path)
+    IndexLayout.ensureVersioned(spark, path)
+    IndexLayout.currentVersion(spark, path) match {
+      case Some(v) =>
+        val dir = s"$path/$v"
+        readShardLayoutMeta(spark, dir) match {
+          case Some((n0, s0)) =>
+            require(nShards == -1 || nShards == n0,
+              s"$op: layout at $path was written with nShards=$n0 but the caller " +
+                s"passed nShards=$nShards — appending under a different shard count " +
+                "would break the placement guarantee; omit the argument to use the " +
+                "stored value, or rewrite the epoch with writeShuffledShards")
+            require(seed == null || seed == s0,
+              s"$op: layout at $path was written with seed='$s0' but the caller " +
+                s"passed seed='$seed' — appending under a different permutation " +
+                "regime would break the placement guarantee; omit the argument to " +
+                "use the stored value, or rewrite the epoch with writeShuffledShards")
+            shuffledShardsCore(df, idCol, dir, n0, s0, mode = "append", op = op)
+          case None =>
+            // migrated pre-versioning layout: no stored parameters to
+            // derive from — require explicit values once and stamp
+            // the manifest so later appends are self-describing
+            require(nShards > 0 && seed != null,
+              s"$op: layout at $path predates the _LAYOUT manifest — pass the " +
+                "original nShards and seed explicitly once to stamp it")
+            shuffledShardsCore(df, idCol, dir, nShards, seed, mode = "append", op = op)
+            writeShardLayoutMeta(spark, dir, nShards, seed)
+        }
+      case None =>
+        require(nShards > 0 && seed != null,
+          s"$op: no layout exists at $path — pass nShards and seed for the first write")
+        writeShuffledShards(df, idCol, path, nShards, seed)
+    }
+  }
 
   private def shuffledShardsCore(
       df: DataFrame,

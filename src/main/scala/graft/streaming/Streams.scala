@@ -404,13 +404,19 @@ object Streams {
     * nightly" production shape. Exactly-once = checkpointing + the
     * file-append replay caveat on appendShuffledShards (replayed
     * batches append duplicates; the epoch rewrite dedupes on id).
+    *
+    * (nShards, seed) default to "derive from the layout's _LAYOUT
+    * manifest" — a redeploy can't silently drift the permutation
+    * regime; explicit values are validated against the manifest and
+    * only REQUIRED when the first micro-batch creates the layout
+    * (see appendShuffledShards).
     */
   def appendShuffledShardsStream(
       docs: DataFrame,
       path: String,
       idCol: String = "doc_id",
-      nShards: Int = 8,
-      seed: String = "42"
+      nShards: Int = -1,
+      seed: String = null
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>

@@ -150,7 +150,7 @@ object ScaleProbeR9b {
     val out = java.nio.file.Files.createTempDirectory("probe_shards").toString
     val (_, tWrite) = timed(
       Ops.writeShuffledShards(docs, "doc_id", s"$out/l", nShards = 16, seed = "9"))
-    val sizes = spark.read.parquet(s"$out/l").groupBy(col("shard")).count()
+    val sizes = Ops.readShuffledShards(spark, s"$out/l").groupBy(col("shard")).count()
       .select(col("count")).as[Long].collect()
     println(f"o40_shards: ${sizes.length}%d shards, max/mean=" +
       f"${sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)}%.3f, " +

@@ -49,6 +49,71 @@ class CliSpec extends SparkTestBase {
       out.mkString("|"))
   }
 
+  test("sql subcommand reaches the NATIVE join tier via the asof_join TVF (X10)") {
+    // round-9 gap: AsOfJoin/IntervalJoin were Scala-only — `Cli sql`
+    // could not express them. The asof_join(...) table-valued
+    // function closes it; row equality vs Ops.asofJoinNative pins
+    // that the SQL surface runs the same operator, not a lookalike.
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = graft.tables.Tables.load(spark, sfDir, "events")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("x10_purchases")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+      .createOrReplaceTempView("x10_clicks")
+    val out = cli("graft.GraftPipelines", "sql", "--limit", "1000000",
+      "SELECT event_id, user_id, CAST(asof_ts AS STRING) AS m FROM " +
+        "asof_join('x10_purchases', 'x10_clicks', 'user_id', 'ts', 'ts') " +
+        "ORDER BY event_id")
+    assert(out.head == "event_id\tuser_id\tm", out.take(2).mkString("|"))
+    val viaScala = graft.operators.Ops.asofJoinNative(
+        spark.table("x10_purchases"), spark.table("x10_clicks"),
+        "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"), col("asof_ts").cast("string").as("m"))
+      .orderBy(col("event_id"))
+      .collect()
+      .map(r => Seq(r.get(0), r.get(1), if (r.isNullAt(2)) "NULL" else r.getString(2))
+        .mkString("\t"))
+    assert(out.tail == viaScala.toSeq,
+      s"sql TVF result differs from Ops.asofJoinNative " +
+        s"(${out.tail.take(2)} vs ${viaScala.take(2).toSeq})")
+    assert(out.tail.nonEmpty)
+    // and the physical plan really is the custom exec
+    val plan = spark.sql(
+      "SELECT * FROM asof_join('x10_purchases', 'x10_clicks', 'user_id', 'ts', 'ts')")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$plan")
+  }
+
+  test("sql subcommand reaches the interval join via the interval_join TVF (X10)") {
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.setLogLevel("WARN")
+    val ev = graft.tables.Tables.load(spark, sfDir, "events")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        (col("ts") - expr("INTERVAL 2 DAYS")).as("lo"), col("ts").as("hi"))
+      .createOrReplaceTempView("x10_windows")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .createOrReplaceTempView("x10_cl")
+    val out = cli("graft.GraftPipelines", "sql", "--limit", "1000000",
+      "SELECT p_event, CAST(c_ts AS STRING) AS c FROM " +
+        "interval_join('x10_windows', 'x10_cl', 'p_user', 'c_user', 'lo', 'hi', 'c_ts') " +
+        "ORDER BY p_event, c")
+    assert(out.head == "p_event\tc", out.take(2).mkString("|"))
+    val viaScala = graft.operators.Ops.intervalJoinNative(
+        spark.table("x10_windows"), spark.table("x10_cl"),
+        "p_user", "c_user", "lo", "hi", "c_ts")
+      .select(col("p_event"), col("c_ts").cast("string").as("c"))
+      .orderBy(col("p_event"), col("c"))
+      .collect()
+      .map(r => s"${r.get(0)}\t${r.getString(1)}")
+    assert(out.tail == viaScala.toSeq && out.tail.nonEmpty,
+      s"sql TVF result differs from Ops.intervalJoinNative (n=${out.tail.size} vs ${viaScala.length})")
+  }
+
   test("sql subcommand prints NULL and array cells readably") {
     val out = cli("graft.GraftPipelines", "sql",
       "SELECT CAST(NULL AS INT) AS a, array(1, 2) AS b")

@@ -203,4 +203,34 @@ class ExtensionsSpec extends graft.SparkTestBase {
       .select(GraftExpressions.minHashHex($"sh", 16).as("mh")).collect()
     assert(empty.head.isNullAt(0))
   }
+
+  test("WordCount agrees with WordShingles' tokenizer, all documents + edges") {
+    import spark.implicits._
+    // the load-bearing agreement: wordCount(text) >= n  <=>
+    // size(wordShingles(text, n, _)) > 0 — shingleArrays' cheap
+    // pre-filter stands in for the doubled shingle build
+    val docs = Tables.load(spark, sfDir, "documents")
+    Seq(3, 5, 8).foreach { n =>
+      val disagree = docs
+        .withColumn("byCount", GraftExpressions.wordCount($"text") >= n)
+        .withColumn("byShingles",
+          size(GraftExpressions.wordShingles($"text", n, distinct = true)) > 0)
+        .filter($"byCount" =!= $"byShingles")
+        .count()
+      assert(disagree == 0, s"n=$n: WordCount gate drifted from WordShingles")
+    }
+    // exact counts vs the HOF formulation
+    val hofDiff = docs
+      .withColumn("fast", GraftExpressions.wordCount($"text"))
+      .withColumn("hof", size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long"))
+      .filter($"fast" =!= $"hof").count()
+    assert(hofDiff == 0)
+    // edge cases: runs of spaces, leading/trailing, empty, null
+    val edge = Seq("a  b   c d", "  x y   z  ", "one", "", "   ").toDF("text")
+    val got = edge.select(GraftExpressions.wordCount($"text")).collect().map(_.getLong(0))
+    assert(got.toList == List(4L, 3L, 1L, 0L, 0L))
+    val nul = Seq[Option[String]](None).toDF("text")
+      .select(GraftExpressions.wordCount($"text")).head
+    assert(nul.isNullAt(0))
+  }
 }

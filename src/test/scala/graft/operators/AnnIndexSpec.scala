@@ -135,8 +135,12 @@ class AnnIndexSpec extends SparkTestBase {
     val oneId = spark.read.parquet(oneDir).head().getLong(0)
     val one = spark.read.parquet(oneDir).filter(col("vec_id") === oneId)
     val allow = emb.where(col("label") % 3 === 0).select(col("vec_id"))
+    // knobs pinned (autoScaleFiltered = false): this test measures the
+    // PRUNING contract at nprobe=2 — auto-refill would widen the probe
+    // to ~nprobe/f cells by design and void the <= 2 bound
     val probed = Ops.probeAnnIndex(one, "vec_id", "embedding",
-      Ops.readAnnIndex(spark, indexPath), allowedIds = Some(allow))
+      Ops.readAnnIndex(spark, indexPath), allowedIds = Some(allow),
+      autoScaleFiltered = false)
     probed.collect()
     val scans = collectFileScans(probed.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("lists")))
@@ -167,7 +171,7 @@ class AnnIndexSpec extends SparkTestBase {
     // refill doubles nprobe (4 -> 8) per the O41 guidance
     val got = Ops.probeAnnIndex(probes, "vec_id", "embedding",
         Ops.readAnnIndex(spark, dir), nprobe = 8, refine = 100,
-        allowedIds = Some(allow))
+        allowedIds = Some(allow), autoScaleFiltered = false)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(got.nonEmpty)
     // pre-filter contract: every returned neighbor satisfies the predicate
@@ -186,6 +190,47 @@ class AnnIndexSpec extends SparkTestBase {
     }.sum / truth.size
     info(f"filtered recall@5 at (nprobe=8, refine=100, selectivity~0.4): $recall%.2f")
     assert(recall >= 0.6, f"filtered refined recall@5 $recall%.2f below the 0.6 floor")
+  }
+
+  test("O41 auto-refill: selectivity ~0.1 holds the recall floor with UNTUNED knobs") {
+    // round-9 left the 1/f refill to the caller ("raise nprobe ~1/f")
+    // — now probeAnnIndex computes f itself (allow-list count vs
+    // index id count) and scales nprobe/refine unless overridden.
+    // The pin: DEFAULT nprobe=2 with a ~10%-selective predicate,
+    // no manual knob turning, still full-k results above the floor.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-auto").toString
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", dir, k = 16, m = 4, kSub = 8)
+    val probes = emb.orderBy(col("vec_id")).limit(10)
+    val allow = emb.where(col("label") % 10 === 1).select(col("vec_id"))
+    val truth = Ops.cosineTopK(
+        probes.select(col("vec_id").as("p_id"), col("embedding").as("pe")),
+        emb.where(col("label") % 10 === 1)
+          .select(col("vec_id").as("n_id"), col("embedding").as("ne")),
+        "p_id", "pe", "n_id", "ne", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    def run(auto: Boolean) = Ops.probeAnnIndex(probes, "vec_id", "embedding",
+        Ops.readAnnIndex(spark, dir), refine = 50,
+        allowedIds = Some(allow), autoScaleFiltered = auto)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def recallOf(rows: Array[(Long, Int, Long)]) = {
+      val byProbe = rows.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._3).toSet }
+      truth.map { case (p, t) =>
+        byProbe.getOrElse(p, Set.empty[Long]).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val auto = run(auto = true)
+    // no starvation: full topK=5 per probe despite the 0.1 predicate
+    auto.groupBy(_._1).foreach { case (p, xs) =>
+      assert(xs.size == 5, s"probe $p starved to ${xs.size} of 5 under auto-refill")
+    }
+    val autoRecall = recallOf(auto)
+    val pinnedRecall = recallOf(run(auto = false))
+    info(f"selectivity~0.1, nprobe=2, refine=50: auto=$autoRecall%.2f pinned=$pinnedRecall%.2f")
+    assert(autoRecall >= 0.6,
+      f"auto-refill recall@5 $autoRecall%.2f below the 0.6 floor at selectivity 0.1")
+    assert(autoRecall >= pinnedRecall - 1e-9,
+      "auto-refill must not lose to the pinned knobs it replaces")
   }
 
   test("day-2 vectors append via stored quantizers and are probe-visible") {

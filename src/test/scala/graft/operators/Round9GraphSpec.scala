@@ -67,4 +67,20 @@ class Round9GraphSpec extends SparkTestBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("g05 sizes join-back is not force-broadcast (one row per label is unbounded)") {
+    // round-9 verdict: `broadcast(sizes)` is one row per SURVIVING
+    // label — up to one per node on a fragmented graph, a
+    // driver-killer at 10^9 nodes. The hint must be gone from the
+    // LOGICAL plan (no ResolvedHint over the sizes agg); AQE may
+    // still CHOOSE a broadcast at this scale — that's the point.
+    val df = graft.SparkEntry.queries("g05_label_propagation")(spark, sfDir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // the LPA loop itself broadcasts nothing; no hint anywhere in g05
+    assert(hints.isEmpty,
+      s"g05 carries ${hints.size} join hint(s) — the unbounded sizes broadcast is back")
+    spark.catalog.clearCache()
+  }
 }

@@ -298,25 +298,30 @@ class StreamingSpec extends SparkTestBase {
       .option("checkpointLocation", s"$dir/ckpt").start()
     q.processAllAvailable(); q.stop()
 
-    val back = spark.read.parquet(out)
+    // reads resolve the layout's _CURRENT manifest (versioned since
+    // round 10 — the first micro-batch created v00001, the second
+    // appended into it after deriving (nShards, seed) from _LAYOUT)
+    val back = graft.operators.Ops.readShuffledShards(spark, out)
     // every doc exactly once, in the shard the pure arithmetic assigns
     assert(back.count() == docs.count())
     assert(back.select(col("doc_id")).exceptAll(docs.select(col("doc_id"))).isEmpty)
     assert(back.where(pmod(col("skey"), lit(4)).cast("int") =!= col("shard")).isEmpty)
     // two micro-batches appended — shard dirs hold MULTIPLE files,
-    // each internally permutation-ordered (scan-time rid vs key rank)
-    val byFile = spark.read.parquet(out)
-      .withColumn("_rid", monotonically_increasing_id())
-      .withColumn("_f", input_file_name())
-    assert(byFile.select(col("_f")).distinct().count() > 4L,
-      "expected multiple appended files across 4 shards")
-    val disordered = byFile
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("_f")).orderBy(col("skey").asc, col("doc_id").asc)))
-      .withColumn("_rr", row_number().over(
-        Window.partitionBy(col("_f")).orderBy(col("_rid").asc)))
-      .where(col("_rk") =!= col("_rr"))
-    assert(disordered.isEmpty, "an appended shard file is out of permutation order")
+    // each internally permutation-ordered. Files are read
+    // INDIVIDUALLY (tiny file -> one scan partition, collect order ==
+    // file order) — no scan-order inference.
+    val resolved = new java.io.File(
+      graft.operators.IndexLayout.resolveDir(spark, out).stripPrefix("file:"))
+    val files = resolved.listFiles().filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles().filter(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_")))
+    assert(files.length > 4, "expected multiple appended files across 4 shards")
+    files.foreach { f =>
+      val seq = spark.read.parquet(f.toString)
+        .select(col("skey"), col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(seq == seq.sorted, s"appended shard file ${f.getName} is out of permutation order")
+    }
     // the epoch-boundary rewrite restores the loader contract the
     // append stream can only approximate: reading each shard's files
     // in LISTING order, top to bottom, IS the permutation order.
@@ -327,21 +332,27 @@ class StreamingSpec extends SparkTestBase {
     // ordering its files (e.g. a dropped sortWithinPartitions).
     graft.operators.Ops.writeShuffledShards(
       back.drop("skey", "shard"), "doc_id", s"$dir/epoch", nShards = 4, seed = "7")
-    val epoch = spark.read.parquet(s"$dir/epoch")
-      .withColumn("_rid", monotonically_increasing_id())
-      .withColumn("_f", input_file_name())
-    val epochDisorder = epoch
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("skey").asc, col("doc_id").asc)))
-      .withColumn("_rr", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("_f").asc, col("_rid").asc)))
-      .where(col("_rk") =!= col("_rr"))
-    assert(epochDisorder.isEmpty,
-      "epoch rewrite: shard files in listing order must stream the permutation")
+    // per shard: concatenating the files in LISTING order, each read
+    // individually top to bottom, must yield the (skey, id)-sorted
+    // permutation sequence
+    val epochRoot = new java.io.File(
+      graft.operators.IndexLayout.resolveDir(spark, s"$dir/epoch").stripPrefix("file:"))
+    epochRoot.listFiles().filter(_.getName.startsWith("shard=")).foreach { sd =>
+      val concat = sd.listFiles().filter(f =>
+          f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .sortBy(_.getName)
+        .flatMap(f => spark.read.parquet(f.toString)
+          .select(col("skey"), col("doc_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))))
+        .toSeq
+      assert(concat == concat.sorted,
+        s"epoch rewrite: ${sd.getName} files in listing order must stream the permutation")
+    }
     // and the rewrite carries exactly the ingested rows — BOTH
     // directions (one-sided exceptAll would pass a rewrite that
     // silently drops a shard)
-    val epochIds = spark.read.parquet(s"$dir/epoch").select(col("doc_id"))
+    val epochIds = graft.operators.Ops.readShuffledShards(spark, s"$dir/epoch")
+      .select(col("doc_id"))
     assert(epochIds.count() == docs.count())
     assert(epochIds.exceptAll(docs.select(col("doc_id"))).isEmpty)
   }
