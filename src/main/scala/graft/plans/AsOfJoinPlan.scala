@@ -2,12 +2,14 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BoundReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Whole-operator Catalyst path (the §2.6 (c) preference tier) for the
@@ -103,7 +105,7 @@ final case class AsOfJoinExec(
     rightTs: Attribute,
     outAttr: AttributeReference,
     forward: Boolean = false
-) extends BinaryExecNode {
+) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr :: Nil)
@@ -286,5 +288,189 @@ final case class AsOfJoinExec(
         }
       }
     }
+  }
+
+  // ---------------------------------------------------------------
+  // Whole-stage codegen (round 10): the SortMergeJoinExec pattern —
+  // both children arrive as INPUT ITERATORS (inputRDDs, zipped by
+  // WholeStageCodegenExec), the merge loop is generated inline, and
+  // consume() hands (left columns :+ match column) straight to the
+  // parent's generated code. What this buys vs the iterator path is
+  // the DOWNSTREAM boundary: projections/filters/aggregates above
+  // the join fuse into one generated loop instead of pulling through
+  // a virtual next() that materializes an UnsafeRow per row — the
+  // measured ~1.4x composed-plan edge on fine-grained keys
+  // (docs/SCALING.md round 9) was exactly this fusion. What it can't
+  // buy (and doesn't try): Spark's CollapseCodegenStages hard-codes
+  // SMJ/SHJ for the "children codegen separately behind
+  // InputAdapter" treatment, so our SORT children run their normal
+  // (non-wrapped) execute path — identical UnsafeExternalRowSorter
+  // work, minus only the thin generated consume shim; under AQE the
+  // exchange below the sort is a stage boundary regardless.
+  // ---------------------------------------------------------------
+
+  /** Codegen covers the monomorphic hot-path types (the same set the
+    * interpreted comparator fast-paths): long/int keys, binary-
+    * collation strings, integral-word ordering columns. Anything else
+    * falls back to doExecute — never a wrong result, just the
+    * iterator path.
+    */
+  override def supportCodegen: Boolean = {
+    val keyOk = leftKey.dataType match {
+      case LongType | IntegerType => true
+      case st: StringType => st == StringType // UTF8_BINARY only
+      case _ => false
+    }
+    val tsOk = leftTs.dataType match {
+      case TimestampType | TimestampNTZType | LongType | DateType | IntegerType => true
+      case _ => false
+    }
+    keyOk && tsOk && leftTs.dataType == rightTs.dataType &&
+      leftKey.dataType == rightKey.dataType
+  }
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // rows reference the children's reused sorter buffers; buffering
+  // parents must copy (the SMJ contract)
+  override def needCopyResult: Boolean = true
+
+  private def keyJavaType: String = CodeGenerator.javaType(leftKey.dataType)
+
+  private def genKeyCmp(a: String, b: String): String = leftKey.dataType match {
+    case LongType => s"java.lang.Long.compare($a, $b)"
+    case IntegerType => s"java.lang.Integer.compare($a, $b)"
+    case _: StringType => s"$a.compareTo($b)"
+    case other => throw new IllegalStateException(s"no codegen comparator for $other")
+  }
+
+  /** Copy-on-hold for values that outlive one child next() call —
+    * only UTF8String is buffer-backed among supported key types.
+    */
+  private def genStable(v: String): String = leftKey.dataType match {
+    case _: StringType => s"$v.clone()"
+    case _ => v
+  }
+
+  private def genGetKey(row: String, idx: Int): String =
+    CodeGenerator.getValue(row, leftKey.dataType, idx.toString)
+
+  private def genGetTs(row: String, dt: org.apache.spark.sql.types.DataType, idx: Int): String =
+    dt match {
+      case TimestampType | TimestampNTZType | LongType => s"$row.getLong($idx)"
+      case DateType | IntegerType => s"(long) $row.getInt($idx)"
+      case other => throw new IllegalStateException(s"no codegen ts getter for $other")
+    }
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTsIdx = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTsIdx = right.output.indexWhere(_.exprId == rightTs.exprId)
+    require(lKeyIdx >= 0 && lTsIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0,
+      "as-of join columns must resolve against their own side")
+
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    val rKey = ctx.addMutableState(keyJavaType, "asofRKey")
+    val rTs = ctx.addMutableState("long", "asofRTs")
+    val rValid = ctx.addMutableState("boolean", "asofRValid")
+    val rInit = ctx.addMutableState("boolean", "asofRInit")
+    val curKey = ctx.addMutableState(keyJavaType, "asofCurKey")
+    val curValid = ctx.addMutableState("boolean", "asofCurValid")
+    val lastTs = ctx.addMutableState("long", "asofLastTs")
+    val hasLast = ctx.addMutableState("boolean", "asofHasLast")
+
+    val advanceRight = ctx.addNewFunction("asofAdvanceRight",
+      s"""
+         |private void asofAdvanceRight() {
+         |  $rValid = false;
+         |  while (!$rValid && $rightInput.hasNext()) {
+         |    InternalRow r = (InternalRow) $rightInput.next();
+         |    if (!r.isNullAt($rKeyIdx) && !r.isNullAt($rTsIdx)) {
+         |      $rKey = ${genStable(genGetKey("r", rKeyIdx))};
+         |      $rTs = ${genGetTs("r", rightTs.dataType, rTsIdx)};
+         |      $rValid = true;
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    val matched = ctx.freshName("asofMatched")
+    val matchTs = ctx.freshName("asofMatchTs")
+    val lk = ctx.freshName("asofLk")
+    val lt = ctx.freshName("asofLt")
+    val done = ctx.freshName("asofDone")
+    val c = ctx.freshName("asofC")
+
+    val mergeBody = if (forward) {
+      s"""
+         |boolean $done = false;
+         |while (!$done && $rValid) {
+         |  int $c = ${genKeyCmp(rKey, lk)};
+         |  if ($c < 0 || ($c == 0 && $rTs < $lt)) { $advanceRight(); } else { $done = true; }
+         |}
+         |if ($rValid && ${genKeyCmp(rKey, lk)} == 0) {
+         |  $matched = true; $matchTs = $rTs;
+         |}
+       """.stripMargin
+    } else {
+      s"""
+         |if (!$curValid || ${genKeyCmp(lk, curKey)} != 0) {
+         |  $curKey = ${genStable(lk)}; $curValid = true; $hasLast = false;
+         |}
+         |boolean $done = false;
+         |while (!$done && $rValid) {
+         |  int $c = ${genKeyCmp(rKey, lk)};
+         |  if ($c < 0) { $advanceRight(); }
+         |  else if ($c == 0 && $rTs <= $lt) {
+         |    $hasLast = true; $lastTs = $rTs; $advanceRight();
+         |  } else { $done = true; }
+         |}
+         |$matched = $hasLast;
+         |$matchTs = $lastTs;
+       """.stripMargin
+    }
+
+    // left columns read straight off the input row at consume time
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val outIsNull = ctx.freshName("asofOutIsNull")
+    val outValue = ctx.freshName("asofOutValue")
+    val outJava = CodeGenerator.javaType(outAttr.dataType)
+    val outCast = outAttr.dataType match {
+      case DateType | IntegerType => s"(int) $matchTs"
+      case _ => matchTs
+    }
+    val outVar = ExprCode(
+      JavaCode.isNullVariable(outIsNull),
+      JavaCode.variable(outValue, outAttr.dataType))
+    val numOutput = metricTerm(ctx, "numOutputRows")
+
+    s"""
+       |if (!$rInit) { $rInit = true; $advanceRight(); }
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  boolean $matched = false;
+       |  long $matchTs = 0L;
+       |  if (!$leftRow.isNullAt($lKeyIdx) && !$leftRow.isNullAt($lTsIdx)) {
+       |    $keyJavaType $lk = ${genGetKey(leftRow, lKeyIdx)};
+       |    long $lt = ${genGetTs(leftRow, leftTs.dataType, lTsIdx)};
+       |    $mergeBody
+       |  }
+       |  boolean $outIsNull = !$matched;
+       |  $outJava $outValue = $outCast;
+       |  $numOutput.add(1);
+       |  ${consume(ctx, leftVars :+ outVar)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 }

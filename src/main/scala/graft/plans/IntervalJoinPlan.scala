@@ -2,12 +2,15 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The second whole-operator Catalyst path (after [[AsOfJoin]]): a
@@ -102,7 +105,7 @@ final case class IntervalJoinExec(
     leftOuter: Boolean,
     lowerInclusive: Boolean,
     upperInclusive: Boolean
-) extends BinaryExecNode {
+) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
@@ -255,7 +258,15 @@ final case class IntervalJoinExec(
           bufLen -= 1
         }
         private def bufClear(): Unit = {
-          java.util.Arrays.fill(bufRows.asInstanceOf[Array[AnyRef]], null)
+          // clear OCCUPIED slots only: this runs on every key change,
+          // and at fine-grained keys (bufLen 0-2) a whole-array
+          // Arrays.fill writes 64 nulls per left row — measured as a
+          // real share of the fine-grained gap vs SMJ (round 10)
+          var i = 0
+          while (i < bufLen) {
+            bufRows((bufStart + i) & (bufRows.length - 1)) = null
+            i += 1
+          }
           bufStart = 0; bufLen = 0
         }
         private var bufKey: Any = null
@@ -345,5 +356,238 @@ final case class IntervalJoinExec(
         }
       }
     }
+  }
+
+  // ---------------------------------------------------------------
+  // Whole-stage codegen (round 10) — the AsOfJoinExec pattern: both
+  // children as input iterators, the evict/pull/emit state machine
+  // generated inline (ring buffer as primitive-array mutable state),
+  // consume() feeding (left ++ right) columns straight into the
+  // parent's generated loop. Following SMJ's own discipline, one
+  // left row's full match run is drained before shouldStop() is
+  // checked (per-left output is bounded by single-interval
+  // occupancy). The null-padded outer row shares the SINGLE consume
+  // site via a nullable right-row variable — no code doubling.
+  // ---------------------------------------------------------------
+
+  override def supportCodegen: Boolean = {
+    val keyOk = leftKey.dataType match {
+      case LongType | IntegerType => true
+      case st: StringType => st == StringType // UTF8_BINARY only
+      case _ => false
+    }
+    val tsOk = lo.dataType match {
+      case TimestampType | TimestampNTZType | LongType | DateType | IntegerType => true
+      case _ => false
+    }
+    keyOk && tsOk && lo.dataType == hi.dataType && lo.dataType == rightTs.dataType &&
+      leftKey.dataType == rightKey.dataType
+  }
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  private def keyJavaType: String = CodeGenerator.javaType(leftKey.dataType)
+
+  private def genKeyCmp(a: String, b: String): String = leftKey.dataType match {
+    case LongType => s"java.lang.Long.compare($a, $b)"
+    case IntegerType => s"java.lang.Integer.compare($a, $b)"
+    case _: StringType => s"$a.compareTo($b)"
+    case other => throw new IllegalStateException(s"no codegen comparator for $other")
+  }
+
+  private def genStable(v: String): String = leftKey.dataType match {
+    case _: StringType => s"$v.clone()"
+    case _ => v
+  }
+
+  private def genGetKey(row: String, idx: Int): String =
+    CodeGenerator.getValue(row, leftKey.dataType, idx.toString)
+
+  private def genGetTs(row: String, dt: org.apache.spark.sql.types.DataType, idx: Int): String =
+    dt match {
+      case TimestampType | TimestampNTZType | LongType => s"$row.getLong($idx)"
+      case DateType | IntegerType => s"(long) $row.getInt($idx)"
+      case other => throw new IllegalStateException(s"no codegen ts getter for $other")
+    }
+
+  private def genPassLower(ts: String, loV: String): String =
+    if (lowerInclusive) s"$ts >= $loV" else s"$ts > $loV"
+
+  private def genPassUpper(ts: String, hiV: String): String =
+    if (upperInclusive) s"$ts <= $hiV" else s"$ts < $hiV"
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val loIdx = left.output.indexWhere(_.exprId == lo.exprId)
+    val hiIdx = left.output.indexWhere(_.exprId == hi.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTsIdx = right.output.indexWhere(_.exprId == rightTs.exprId)
+    require(lKeyIdx >= 0 && loIdx >= 0 && hiIdx >= 0 && rKeyIdx >= 0 && rTsIdx >= 0,
+      "interval-join columns must resolve against their own side")
+
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "ijLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "ijRightInput",
+      v => s"$v = inputs[1];")
+    val rKey = ctx.addMutableState(keyJavaType, "ijRKey")
+    val rTs = ctx.addMutableState("long", "ijRTs")
+    val rRow = ctx.addMutableState("InternalRow", "ijRRow")
+    val rValid = ctx.addMutableState("boolean", "ijRValid")
+    val rInit = ctx.addMutableState("boolean", "ijRInit")
+    // primitive ring buffer (the doExecute structure, as fields)
+    val bufTs = ctx.addMutableState("long[]", "ijBufTs", v => s"$v = new long[64];")
+    val bufRows = ctx.addMutableState("InternalRow[]", "ijBufRows",
+      v => s"$v = new InternalRow[64];")
+    val bufStart = ctx.addMutableState("int", "ijBufStart")
+    val bufLen = ctx.addMutableState("int", "ijBufLen")
+    val bufKey = ctx.addMutableState(keyJavaType, "ijBufKey")
+    val bufKeyValid = ctx.addMutableState("boolean", "ijBufKeyValid")
+
+    val advanceRight = ctx.addNewFunction("ijAdvanceRight",
+      s"""
+         |private void ijAdvanceRight() {
+         |  $rValid = false;
+         |  while (!$rValid && $rightInput.hasNext()) {
+         |    InternalRow r = (InternalRow) $rightInput.next();
+         |    if (!r.isNullAt($rKeyIdx) && !r.isNullAt($rTsIdx)) {
+         |      $rKey = ${genStable(genGetKey("r", rKeyIdx))};
+         |      $rTs = ${genGetTs("r", rightTs.dataType, rTsIdx)};
+         |      $rRow = r;
+         |      $rValid = true;
+         |    }
+         |  }
+         |}
+       """.stripMargin)
+    val bufAdd = ctx.addNewFunction("ijBufAdd",
+      s"""
+         |private void ijBufAdd(long ts, InternalRow row) {
+         |  if ($bufLen == $bufTs.length) {
+         |    int n = $bufTs.length;
+         |    long[] ts2 = new long[n * 2];
+         |    InternalRow[] rows2 = new InternalRow[n * 2];
+         |    for (int i = 0; i < n; i++) {
+         |      ts2[i] = $bufTs[($bufStart + i) & (n - 1)];
+         |      rows2[i] = $bufRows[($bufStart + i) & (n - 1)];
+         |    }
+         |    $bufTs = ts2; $bufRows = rows2; $bufStart = 0;
+         |  }
+         |  int at = ($bufStart + $bufLen) & ($bufTs.length - 1);
+         |  $bufTs[at] = ts; $bufRows[at] = row;
+         |  $bufLen += 1;
+         |}
+       """.stripMargin)
+    val bufDropHead = ctx.addNewFunction("ijBufDropHead",
+      s"""
+         |private void ijBufDropHead() {
+         |  $bufRows[$bufStart] = null;
+         |  $bufStart = ($bufStart + 1) & ($bufTs.length - 1);
+         |  $bufLen -= 1;
+         |}
+       """.stripMargin)
+    val bufClear = ctx.addNewFunction("ijBufClear",
+      s"""
+         |private void ijBufClear() {
+         |  // occupied slots only — runs per key change (see doExecute)
+         |  for (int i = 0; i < $bufLen; i++) {
+         |    $bufRows[($bufStart + i) & ($bufRows.length - 1)] = null;
+         |  }
+         |  $bufStart = 0; $bufLen = 0;
+         |}
+       """.stripMargin)
+
+    val leftRow = ctx.freshName("ijLeftRow")
+    val rightRowVar = ctx.freshName("ijRightRow")
+    val lk = ctx.freshName("ijLk")
+    val loV = ctx.freshName("ijLo")
+    val hiV = ctx.freshName("ijHi")
+    val curHi = ctx.freshName("ijCurHi")
+    val emitEnd = ctx.freshName("ijEmitEnd")
+    val pos = ctx.freshName("ijPos")
+    val any = ctx.freshName("ijAny")
+    val done = ctx.freshName("ijDone")
+    val ts = ctx.freshName("ijTs")
+
+    // left columns, evaluated ONCE per left row (before the emit loop)
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val leftVarsCode = evaluateVariables(leftVars)
+    // right columns, null-safe against a null (outer-padded) row —
+    // the single consume site serves matched AND null-padded rows
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("ijRNull")
+      val value = ctx.freshName("ijRVal")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val dv = CodeGenerator.defaultValue(a.dataType)
+      val getter = CodeGenerator.getValue(rightRowVar, a.dataType, i.toString)
+      val c =
+        code"""
+          |boolean $isNull = $rightRowVar == null || $rightRowVar.isNullAt($i);
+          |$jt $value = $isNull ? $dv : ($getter);
+        """.stripMargin
+      ExprCode(c, JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val outerLit = if (leftOuter) "true" else "false"
+
+    s"""
+       |if (!$rInit) { $rInit = true; $advanceRight(); }
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  long $curHi = 0L;
+       |  int $emitEnd = 0;
+       |  if (!$leftRow.isNullAt($lKeyIdx) && !$leftRow.isNullAt($loIdx) &&
+       |      !$leftRow.isNullAt($hiIdx)) {
+       |    $keyJavaType $lk = ${genGetKey(leftRow, lKeyIdx)};
+       |    long $loV = ${genGetTs(leftRow, lo.dataType, loIdx)};
+       |    long $hiV = ${genGetTs(leftRow, hi.dataType, hiIdx)};
+       |    if (!$bufKeyValid || ${genKeyCmp(bufKey, lk)} != 0) {
+       |      $bufClear();
+       |      $bufKey = ${genStable(lk)}; $bufKeyValid = true;
+       |      while ($rValid && ${genKeyCmp(rKey, lk)} < 0) { $advanceRight(); }
+       |    }
+       |    while ($bufLen > 0 && !(${genPassLower(s"$bufTs[$bufStart]", loV)})) {
+       |      $bufDropHead();
+       |    }
+       |    while ($rValid && ${genKeyCmp(rKey, lk)} == 0 && ${genPassUpper(rTs, hiV)}) {
+       |      if (${genPassLower(rTs, loV)}) { $bufAdd($rTs, $rRow.copy()); }
+       |      $advanceRight();
+       |    }
+       |    $curHi = $hiV;
+       |    $emitEnd = $bufLen;
+       |  } else if (!$outerLit) {
+       |    continue; // null key/bound matches nothing; inner emits nothing
+       |  }
+       |  $leftVarsCode
+       |  int $pos = 0;
+       |  boolean $any = false;
+       |  boolean $done = false;
+       |  while (!$done) {
+       |    InternalRow $rightRowVar = null;
+       |    if ($pos < $emitEnd) {
+       |      long $ts = $bufTs[($bufStart + $pos) & ($bufTs.length - 1)];
+       |      if (${genPassUpper(ts, curHi)}) {
+       |        $rightRowVar = $bufRows[($bufStart + $pos) & ($bufTs.length - 1)];
+       |        $pos += 1;
+       |      }
+       |    }
+       |    if ($rightRowVar == null) {
+       |      $done = true;
+       |      if ($any || !$outerLit) continue; // exit without emitting
+       |      // fall through once: the outer null-padded row
+       |    } else {
+       |      $any = true;
+       |    }
+       |    $numOutput.add(1);
+       |    ${consume(ctx, leftVars ++ rightVars)}
+       |  }
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 }
