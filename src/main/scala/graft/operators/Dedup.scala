@@ -1523,6 +1523,73 @@ object Dedup {
           .orderBy($"doc_id")
       },
       Some(sqlDecontamOracle)
+    ),
+
+    Q(
+      "d21_cross_source_dup",
+      "Cross-SOURCE near-duplicate matrix: per source pair, how many verified near-dup pairs span them",
+      (spark, dir) => {
+        import spark.implicits._
+        // The curation question behind every multi-source mix: "how
+        // much of source A is already in source B" (CC-vs-C4-style
+        // overlap) — it decides which source to drop, dedup against,
+        // or down-weight (t15's mix weights assume it's known). Same
+        // machinery as d02 (banded candidates, exact-Jaccard >= 0.4
+        // verify), then each verified pair is credited to its
+        // UNORDERED source pair (least/greatest — a pair spanning
+        // src3→src7 and one spanning src7→src3 are the same cell);
+        // within-source pairs keep the diagonal (a = b), which is the
+        // self-dup rate the off-diagonal cells are read against. At
+        // 100 TB nothing here adds to d02's cost profile: one
+        // banded equi-join for candidates, verify on collisions only,
+        // and the matrix agg is |sources|² rows — driver-trivial.
+        val docs = Tables.load(spark, dir, "documents")
+        val src = docs.select($"doc_id", $"source")
+        // d02's candidate+verify shape verbatim (one cached shingle
+        // relation, banded candidates, pair counts on the restricted
+        // postings), ending at the verified (id_a, id_b) pair list
+        val sh = shingleArrays(spark, dir).cache()
+        val posting = sh.select($"doc_id", explode($"sh").as("s"))
+        val cands = minhashCandidates(sh).cache()
+        val candDocs = cands.select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
+        val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
+        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+        val pairs = restricted.select($"doc_id".as("id_a"), $"s")
+          .join(restricted.select($"doc_id".as("id_b"), $"s"), Seq("s"))
+          .where($"id_a" < $"id_b")
+          .groupBy($"id_a", $"id_b")
+          .agg(count(lit(1)).as("c"))
+          .join(cands, Seq("id_a", "id_b"), "left_semi")
+          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+          .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
+          .select($"id_a", $"id_b")
+        pairs
+          .join(src.select($"doc_id".as("id_a"), $"source".as("sa")), "id_a")
+          .join(src.select($"doc_id".as("id_b"), $"source".as("sb")), "id_b")
+          .select(least($"sa", $"sb").as("src_a"), greatest($"sa", $"sb").as("src_b"))
+          .groupBy($"src_a", $"src_b")
+          .agg(count(lit(1)).cast("long").as("n_pairs"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(s"""$sqlCandCtes,
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        pairs AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, COUNT(*) AS c
+          FROM post pa JOIN post pb ON pa.s = pb.s AND pa.doc_id < pb.doc_id
+          GROUP BY 1, 2),
+        verified AS (SELECT cd.id_a, cd.id_b
+          FROM cands cd
+          JOIN pairs p ON p.id_a = cd.id_a AND p.id_b = cd.id_b
+          JOIN sizes sa ON sa.doc_id = cd.id_a
+          JOIN sizes sb ON sb.doc_id = cd.id_b
+          WHERE CAST(p.c AS DOUBLE) / (sa.n + sb.n - p.c) >= 0.4)
+        SELECT LEAST(da.source, db.source) AS src_a,
+          GREATEST(da.source, db.source) AS src_b,
+          CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM verified v
+        JOIN documents da ON da.doc_id = v.id_a
+        JOIN documents db ON db.doc_id = v.id_b
+        GROUP BY 1, 2 ORDER BY src_a, src_b""")
     )
   )
 

@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 import graft.tables.Tables
 
 /** Embedding-storage operators (SURVEY.md §2.3): symmetric int8
@@ -471,6 +473,78 @@ object Embeddings {
         SELECT cell, CAST(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY hh, n_id) AS INT) AS rn,
           n_id AS vec_id, dq
         FROM h QUALIFY rn <= 4 ORDER BY cell, rn""")
+    ),
+
+    Q(
+      "e09_truncation_quality",
+      "Matryoshka-style dimension truncation audit: top-5 overlap vs the full vectors, per prefix width",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // The storage/latency question every embedding index answers
+        // before choosing a width: "how much retrieval quality do the
+        // first w dims keep?" (MRL-trained models make prefixes
+        // usable; this measures whether THESE vectors do). For each
+        // probe: exact cosine top-5 on the full 64 dims = truth;
+        // top-5 on the first w dims for w in {8, 16, 32}; report the
+        // mean overlap@5 per width. Prefix cosine = the SAME fused
+        // one-pass expression over slice(vec, 1, w), so each width is
+        // one more projection over the one probes×corpus join — NOT
+        // three more joins; ties broken by (cosine desc, n_id) on
+        // both engines. At 100 TB: probes broadcast (bounded panel),
+        // the corpus streams once, widths are a 3× projection factor
+        // on the joined stream — the audit costs one s01, not four.
+        val e = Tables.load(spark, dir, "embeddings")
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+        val cand = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
+        val joined = cand.join(broadcast(probes), $"n_id" =!= $"p_id")
+        def topk(df: org.apache.spark.sql.DataFrame, extra: Seq[Column]) = {
+          val w = Window.partitionBy(($"p_id" +: extra): _*)
+            .orderBy($"c".desc, $"n_id")
+          df.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        }
+        val full = topk(
+            joined.withColumn("c", VectorFunctions.cosine("pe", "ne")), Nil)
+          .select($"p_id", $"n_id")
+        val widths = explode(array(lit(8), lit(16), lit(32))).as("width")
+        val trunc = topk(
+            joined.select($"p_id", $"n_id", $"pe", $"ne", widths)
+              .withColumn("c", graft.functions.GraftExpressions.cosineSim(
+                slice($"pe", lit(1), $"width"), slice($"ne", lit(1), $"width"))),
+            Seq($"width"))
+          .select($"width", $"p_id", $"n_id")
+        trunc
+          .join(full.withColumn("hit", lit(1L)), Seq("p_id", "n_id"), "left")
+          .groupBy($"width", $"p_id")
+          .agg((sum(coalesce($"hit", lit(0L))) / lit(5.0)).as("ov"))
+          .groupBy($"width")
+          .agg(round(avg($"ov"), 6).as("overlap_at_5"))
+          .select($"width".cast("long").as("width"), $"overlap_at_5")
+          .orderBy($"width")
+      },
+      Some {
+        val cosW = VectorFunctions.sqlCosine("pe", "e.embedding", dim = 64)
+          .replace("generate_series(1, 64)", "generate_series(1, w.width)")
+        s"""WITH p AS (SELECT vec_id AS p_id, embedding AS pe
+          FROM embeddings ORDER BY vec_id LIMIT 10),
+        fullk AS (SELECT p_id, e.vec_id AS n_id
+          FROM p, embeddings e WHERE e.vec_id <> p_id
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY p_id
+            ORDER BY ${VectorFunctions.sqlCosine("pe", "e.embedding")} DESC, e.vec_id) <= 5),
+        w AS (SELECT * FROM (VALUES (8), (16), (32)) AS t(width)),
+        trunck AS (SELECT w.width, p_id, e.vec_id AS n_id
+          FROM w, p, embeddings e WHERE e.vec_id <> p_id
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY w.width, p_id
+            ORDER BY $cosW DESC, e.vec_id) <= 5),
+        perprobe AS (SELECT t.width, t.p_id,
+          SUM(CASE WHEN f.n_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS ov
+          FROM trunck t LEFT JOIN fullk f ON f.p_id = t.p_id AND f.n_id = t.n_id
+          GROUP BY 1, 2)
+        SELECT CAST(width AS BIGINT) AS width,
+          ROUND(AVG(ov), 6) AS overlap_at_5
+        FROM perprobe GROUP BY 1 ORDER BY width"""
+      }
     )
   )
 

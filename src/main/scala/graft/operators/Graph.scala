@@ -900,6 +900,78 @@ object Graph {
         SELECT sd.seed AS seed, COALESCE(a.n_reached, 0) AS n_reached,
           COALESCE(a.harm_fp, 0) AS harm_fp
         FROM sd LEFT JOIN agg a USING (seed) ORDER BY seed""")
+    ),
+
+    Q(
+      "g09_clustering_coeff",
+      "Local clustering coefficient per node (triangles over wedges), degree-oriented, integer-floor fp",
+      (spark, dir) => {
+        import spark.implicits._
+        // LOCAL CLUSTERING COEFFICIENT — the per-node cohesion ratio
+        // (closed wedges / all wedges) that community/spam detection
+        // and graph-quality audits rank by. g02 stops at the triangle
+        // NUMERATOR; this query delivers the normalized metric:
+        // degree joined in, cc = 2*tri/(deg*(deg-1)) in micro-units
+        // integer floor (the g08 fp-poison discipline — no float agg
+        // crosses the oracle), deg<2 pinned to 0, zero-triangle nodes
+        // kept via the left join so the audit sees the whole graph.
+        // Triangle side reuses the degree-oriented plan (orient each
+        // edge to the (deg, id)-larger endpoint, wedges only at the
+        // lower apex → O(m^1.5) hub-proof work, each triangle found
+        // exactly once then exploded to its 3 corners with map-side
+        // combine); the closing-edge probe keeps id order
+        // (x.dst < y.dst) so it equi-joins the u<v list directly.
+        // Same co-purchase graph as g02/g05.
+        val ip = Tables.load(spark, dir, "lineitem")
+          .filter($"l_quantity" >= 30)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        val und = ip.as("a").join(ip.as("b"), "ok")
+          .where($"a.p" < $"b.p")
+          .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+          .graftCheckpointLazy
+        val deg = und.select($"u".as("node")).unionAll(und.select($"v".as("node")))
+          .groupBy($"node").agg(count(lit(1)).cast("long").as("deg"))
+        val withDeg = und
+          .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+          .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+        val oriented = withDeg.select(
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("src"),
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("dst"))
+        val wedges = oriented.as("x").join(oriented.as("y"),
+            $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+          .select($"x.src".as("apex"), $"x.dst".as("b"), $"y.dst".as("c"))
+        val tris = wedges.join(und, $"b" === $"u" && $"c" === $"v")
+          .select($"apex", $"b", $"c")
+        val perNode = tris
+          .select(explode(array($"apex", $"b", $"c")).as("node"))
+          .groupBy($"node").agg(count(lit(1)).cast("long").as("n_tri"))
+        deg.join(perNode, Seq("node"), "left")
+          .select($"node", $"deg".as("degree"),
+            coalesce($"n_tri", lit(0L)).as("n_tri"),
+            when($"deg" >= 2,
+              expr("1000000 * 2 * coalesce(n_tri, 0) div (deg * (deg - 1))"))
+              .otherwise(0L).cast("long").as("clustering_fp"))
+          .orderBy($"node")
+      },
+      Some("""WITH ip AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          FROM lineitem WHERE l_quantity >= 30),
+        und AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
+        tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+          FROM und a JOIN und b ON b.u = a.v
+          JOIN und c ON c.u = a.u AND c.v = b.v),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+        pernode AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+          SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) GROUP BY node)
+        SELECT d.node AS node, d.deg AS degree,
+          COALESCE(p.n_tri, 0) AS n_tri,
+          CAST(CASE WHEN d.deg >= 2
+            THEN 1000000 * 2 * COALESCE(p.n_tri, 0) // (d.deg * (d.deg - 1))
+            ELSE 0 END AS BIGINT) AS clustering_fp
+        FROM deg d LEFT JOIN pernode p USING (node) ORDER BY node""")
     )
   )
 }

@@ -1882,6 +1882,50 @@ object Relational {
         SELECT doc_id, skey, CAST(skey % 8 AS INT) AS shard,
           ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS pos
         FROM h ORDER BY pos""")
+    ),
+
+    Q(
+      "q63_rollup_cube",
+      "ROLLUP hierarchy totals: per (flag, status), per flag, and grand total in ONE pass with grouping ids",
+      (spark, dir) => {
+        import spark.implicits._
+        // The reporting shape warehouses run hourly: subtotals at
+        // every prefix of a dimension hierarchy from ONE scan —
+        // Spark's rollup plans a single Expand + one aggregate (each
+        // input row expands to its 3 grouping-set replicas, partial
+        // aggs stay map-side combinable), NOT one scan per level.
+        // gid is the standard grouping-id bitmask (0 = leaf,
+        // 1 = per-flag subtotal, 3 = grand total) and NULL dimension
+        // values are COALESCEd to 'ALL' on both engines so the
+        // comparison never trips on NULL-ordering differences.
+        // At 100 TB: cost is one shuffle on the leaf grouping keys ×
+        // the (tiny) expansion factor — subtotal levels aggregate
+        // from the same partials; no re-scan, no union of N jobs.
+        t(spark, dir, "lineitem")
+          .filter($"l_shipdate" <= ts("1998-09-02 00:00:00"))
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            sumd(dec2($"l_quantity")).as("sum_qty"),
+            sumd(dec2($"l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n")
+          )
+          .select(
+            $"gid",
+            coalesce($"l_returnflag", lit("ALL")).as("flag"),
+            coalesce($"l_linestatus", lit("ALL")).as("status"),
+            $"sum_qty", $"sum_price", $"n")
+          .orderBy($"gid", $"flag", $"status")
+      },
+      Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COALESCE(l_returnflag, 'ALL') AS flag,
+        COALESCE(l_linestatus, 'ALL') AS status,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        COUNT(*) AS n
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, flag, status""")
     )
   )
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-10 batch: local clustering coefficient (g09), the rollup hierarchy
+  * (q63), the cross-source near-dup matrix (d21), and the embedding
+  * truncation audit (e09).
+  *
+  * The oracle gates pin full-query value parity against DuckDB; these
+  * specs pin the contracts the oracles can't see — hand-traced
+  * triangle counts and the orientation's exactly-once guarantee, the
+  * rollup's internal consistency (leaves sum to subtotals sum to the
+  * grand total), the matrix's mass-conservation tie to d02's verified
+  * pair list, and the truncation audit's fixed points.
+  */
+class Round10OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("g09 engine (clustering numerator): hand-traced triangles on K4 + pendant, counted exactly once per corner") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5-1
+    // (degree 1, zero triangles). Build the same plan shape as g09
+    // from a literal edge list by mirroring its operator chain.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (1L, 5L))
+      .toDF("u", "v")
+    val deg = und.select($"u".as("node")).unionAll(und.select($"v".as("node")))
+      .groupBy($"node").agg(count(lit(1)).cast("long").as("deg"))
+    val withDeg = und
+      .join(deg.select($"node".as("u"), $"deg".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"deg".as("dv")), "v")
+    val oriented = withDeg.select(
+      when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("src"),
+      when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("dst"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+      .select($"x.src".as("apex"), $"x.dst".as("b"), $"y.dst".as("c"))
+    val tris = wedges.join(und, $"b" === $"u" && $"c" === $"v")
+      .select($"apex", $"b", $"c")
+    // 4 triangles total, found once each (no double counting)
+    assert(tris.count() == 4L)
+    assert(tris.distinct().count() == 4L)
+    val perNode = tris.select(explode(array($"apex", $"b", $"c")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perNode == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $perNode")
+  }
+
+  test("g09 on the corpus graph: clustering_fp bounded, degree-1 nodes at zero") {
+    val rows = graft.SparkEntry.queries("g09_clustering_coeff")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, nTri, cfp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cfp >= 0L && cfp <= 1000000L, s"clustering out of [0,1]: $r")
+      if (deg < 2) assert(nTri == 0L && cfp == 0L, s"deg<2 node with triangles: $r")
+      // n_tri can never exceed the wedge count at the node
+      assert(nTri <= deg * (deg - 1) / 2, s"more triangles than wedges: $r")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q63 rollup: leaves sum to flag subtotals sum to the grand total, gid levels complete") {
+    val rows = graft.SparkEntry.queries("q63_rollup_cube")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getLong(5)))
+    val leaves = rows.filter(_._1 == 0L)
+    val flags = rows.filter(_._1 == 1L)
+    val grand = rows.filter(_._1 == 3L)
+    assert(grand.length == 1, s"exactly one grand total, got ${grand.length}")
+    assert(flags.forall(_._3 == "ALL") && grand.forall(t => t._2 == "ALL" && t._3 == "ALL"))
+    // count conservation at every level (doubles compared via counts
+    // — exact; the qty sums are oracle-gated)
+    assert(leaves.map(_._5).sum == grand.head._5)
+    flags.foreach { f =>
+      assert(leaves.filter(_._2 == f._2).map(_._5).sum == f._5,
+        s"flag ${f._2} subtotal drifted")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("d21 conserves d02's verified pairs: matrix mass == the dup-pair list length") {
+    val matrix = graft.SparkEntry.queries("d21_cross_source_dup")(spark, sfDir).collect()
+    spark.catalog.clearCache()
+    val d02Pairs = graft.SparkEntry.queries("d02_dedup_minhash_lsh")(spark, sfDir).count()
+    spark.catalog.clearCache()
+    assert(matrix.map(_.getLong(2)).sum == d02Pairs,
+      s"matrix mass ${matrix.map(_.getLong(2)).sum} != d02 pair count $d02Pairs")
+    // unordered crediting: src_a <= src_b everywhere
+    assert(matrix.forall(r => r.getString(0) <= r.getString(1)))
+  }
+
+  test("e09: widths complete, overlaps in [0,1], and a full-width control hits exactly 1") {
+    val rows = graft.SparkEntry.queries("e09_truncation_quality")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set(8L, 16L, 32L), s"widths drifted: ${rows.keySet}")
+    assert(rows.values.forall(v => v >= 0.0 && v <= 1.0))
+    spark.catalog.clearCache()
+    // control: truncating at the FULL width must reproduce the exact
+    // top-5 (overlap 1.0) — pins that the truncated ranking machinery
+    // itself introduces no drift (ties, slicing, ordering)
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.tables.Tables.load(spark, sfDir, "embeddings")
+    val probes = e.orderBy($"vec_id").limit(5)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val joined = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
+      .join(broadcast(probes), $"n_id" =!= $"p_id")
+    val w = Window.partitionBy($"p_id").orderBy($"c".desc, $"n_id")
+    def top5(c: org.apache.spark.sql.Column) = joined.withColumn("c", c)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"p_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = top5(graft.functions.VectorFunctions.cosine("pe", "ne"))
+    val truncFull = top5(graft.functions.GraftExpressions.cosineSim(
+      expr("slice(pe, 1, 64)"), expr("slice(ne, 1, 64)")))
+    assert(full == truncFull && full.nonEmpty)
+  }
+}
