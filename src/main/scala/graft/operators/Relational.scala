@@ -1926,6 +1926,63 @@ object Relational {
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY gid, flag, status""")
+    ),
+
+    Q(
+      "q64_quantile_sketch",
+      "One-pass mergeable quantile sketch: approx p50/p90/p99 rank-bounded against exact discrete percentiles",
+      (spark, dir) => {
+        import spark.implicits._
+        // q20 is the exact form: percentile() buffers and sorts every
+        // group — unrunnable at 100 TB. The scale path is a MERGEABLE
+        // sketch: approx_percentile's Greenwald-Khanna summary builds
+        // in one streaming pass, partial-agg combinable (each task
+        // summarizes its split, summaries merge associatively on the
+        // reduce side), memory O(accuracy·log n) per group — and its
+        // guarantee is DETERMINISTIC, not probabilistic: rank error
+        // <= n/accuracy per summary. Like q30 (HLL), the sketch's
+        // chosen element is engine-specific, so the oracle-checked
+        // columns are the exact discrete percentiles plus the bound
+        // VERDICT: each approx value must lie inside the exact-value
+        // window at p ± 2/accuracy — 2x the single-summary eps
+        // because (a) merging per-task partial summaries can exceed
+        // the one-pass bound (measured via graft.tools.GkErrProbe:
+        // 1.02x eps·n at sf0.001) and (b) percentile_disc's
+        // ceil-rank convention shaves up to one rank off each edge.
+        // Still scale-invariant, so the same query gates at every
+        // sf; DuckDB emits literal TRUE. Round10OpsSpec additionally
+        // pins the numeric rank error against a driver-side exact
+        // sort at the same 2x-eps tolerance.
+        val acc = 1000
+        val eps = 2.0 / acc
+        def disc(p: Double) =
+          expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY l_extendedprice)")
+        t(spark, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), $acc)").as("ap"),
+            disc(0.5).as("p50"), disc(0.9).as("p90"), disc(0.99).as("p99"),
+            disc(0.5 - eps).as("lo50"), disc(0.5 + eps).as("hi50"),
+            disc(0.9 - eps).as("lo90"), disc(0.9 + eps).as("hi90"),
+            disc(0.99 - eps).as("lo99"), disc(0.99 + eps).as("hi99"),
+            count(lit(1)).as("n")
+          )
+          .select(
+            $"l_returnflag",
+            $"p50", $"p90", $"p99",
+            ($"ap"(0) >= $"lo50" && $"ap"(0) <= $"hi50").as("p50_in_bound"),
+            ($"ap"(1) >= $"lo90" && $"ap"(1) <= $"hi90").as("p90_in_bound"),
+            ($"ap"(2) >= $"lo99" && $"ap"(2) <= $"hi99").as("p99_in_bound"),
+            $"n")
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+        PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+        PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99,
+        TRUE AS p50_in_bound, TRUE AS p90_in_bound, TRUE AS p99_in_bound,
+        COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     )
   )
 }
