@@ -1590,6 +1590,64 @@ object Dedup {
         JOIN documents da ON da.doc_id = v.id_a
         JOIN documents db ON db.doc_id = v.id_b
         GROUP BY 1, 2 ORDER BY src_a, src_b""")
+    ),
+
+    Q(
+      "d22_leakage_safe_split",
+      "Leakage-safe train/val/test split: near-dup clusters never straddle split boundaries",
+      (spark, dir) => {
+        import spark.implicits._
+        // A random per-DOC split leaks: a near-duplicate pair lands
+        // one copy in train and one in test, and the eval measures
+        // memorization. The correct unit of assignment is the dup
+        // CLUSTER — d06's connected components over verified
+        // exact-Jaccard >= 0.4 pairs — with singletons as their own
+        // cluster. Split = portable 60-bit hash of cluster_id#seed
+        // mod 100 (< 80 train, < 90 val, else test): deterministic,
+        // engine-replayable, and leakage-free BY CONSTRUCTION (the
+        // split is a pure function of cluster_id). Cluster labels
+        // are min-member doc_ids and singleton labels their own
+        // doc_id, so label groups stay disjoint. At 100 TB this adds
+        // exactly one doc_id-keyed left join + one hash to d06's
+        // cost: the pair list is the posting equi-join, CC is
+        // O(log n) keyed rounds, and the label frame (one row per
+        // non-singleton doc) joins back on the same key the corpus
+        // is already hashed on. No window, no driver state.
+        val docs = Tables.load(spark, dir, "documents")
+        val sh = shingleArrays(spark, dir).cache()
+        val posting = sh.select($"doc_id", explode($"sh").as("s"))
+        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+        val pairs = posting.select($"doc_id".as("id_a"), $"s")
+          .join(posting.select($"doc_id".as("id_b"), $"s"), Seq("s"))
+          .where($"id_a" < $"id_b")
+          .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
+          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+          .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
+          .select($"id_a", $"id_b")
+        val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
+          idOut = "doc_id", labelOut = "cluster_id", algo = "star")
+        val bucket = pmod(
+          graft.functions.PortableHash.hash60(
+            concat($"cluster_id".cast("string"), lit("#split7"))),
+          lit(100L))
+        docs.select($"doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .select($"doc_id", $"cluster_id", $"split")
+          .orderBy($"doc_id")
+      },
+      Some(s"""$d06OracleCtes,
+        assigned AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+        b AS (SELECT doc_id, cluster_id,
+          ${graft.functions.PortableHash.sqlHash60("CAST(cluster_id AS VARCHAR) || '#split7'")} % 100 AS bk
+          FROM assigned)
+        SELECT doc_id, cluster_id,
+          CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+        FROM b ORDER BY doc_id""")
     )
   )
 

@@ -117,6 +117,37 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("d22: no verified dup pair straddles a split; full coverage; all splits populated") {
+    val split = graft.SparkEntry.queries("d22_leakage_safe_split")(spark, sfDir).cache()
+    try {
+      // coverage: one row per document
+      val nDocs = graft.tables.Tables.load(spark, sfDir, "documents").count()
+      assert(split.count() == nDocs)
+      // every cluster maps to exactly one split (split is a pure
+      // function of cluster_id — pins the regression where someone
+      // hashes doc_id instead)
+      val perCluster = split.groupBy($"cluster_id")
+        .agg(countDistinct($"split").as("k")).agg(max($"k")).head().getLong(0)
+      assert(perCluster == 1L)
+      // THE leakage property, checked against the raw pair list (not
+      // the cluster labels): both endpoints of every verified
+      // near-dup pair land in the same split
+      val dupPairs = graft.SparkEntry.queries("d04_dedup_ngram_jaccard")(spark, sfDir)
+        .select($"id_a", $"id_b")
+      val straddling = dupPairs
+        .join(split.select($"doc_id".as("id_a"), $"split".as("split_a")), "id_a")
+        .join(split.select($"doc_id".as("id_b"), $"split".as("split_b")), "id_b")
+        .where($"split_a" =!= $"split_b")
+        .count()
+      assert(straddling == 0L, s"$straddling dup pairs straddle splits")
+      // all three splits populated and roughly 80/10/10
+      val frac = split.groupBy($"split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(frac.keySet == Set("train", "val", "test"))
+      assert(frac("train") > frac("val") && frac("train") > frac("test"))
+    } finally split.unpersist()
+  }
+
   test("e09: widths complete, overlaps in [0,1], and a full-width control hits exactly 1") {
     val rows = graft.SparkEntry.queries("e09_truncation_quality")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
