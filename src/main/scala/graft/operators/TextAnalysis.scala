@@ -972,6 +972,74 @@ object TextAnalysis {
         SELECT doc_id, n_tok,
           ROUND(s + n_tok * (LN(nr + 4096.0) - LN(nt + 4096.0)), 4) AS dsir_w
         FROM pd CROSS JOIN tots ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t23_perplexity_filter",
+      "CCNet-style perplexity filter: per-doc bigram cross-entropy under the corpus LM + keep flag",
+      (spark, dir) => {
+        import spark.implicits._
+        // The quality gate CCNet/RefinedWeb run after dedup: score
+        // every doc by its cross-entropy under a corpus LM and keep
+        // the low-perplexity (fluent) tail. Stand-in LM = the corpus
+        // bigram model with add-1 smoothing (t16's table, un-truncated):
+        //   p(w2|w1) = (c(w1,w2)+1) / (tot(w1)+V),  V = |vocab|
+        //   h(doc)   = -(1/n_bi) * sum ln p   (nats per bigram)
+        // Unseen bigram -> c=0; unseen head word -> tot=0 (uniform
+        // 1/V): both smoothed, no -inf. Counts/denominators are
+        // exact integers; the only fp is ln + one bounded-length
+        // sum (the t22 discipline) — h is rounded 4 for the gate,
+        // the keep flag compares the UNROUNDED h to the literal
+        // threshold (d07's discipline). Docs under 2 words have no
+        // bigrams and drop (t17's convention, oracle agrees).
+        // Plan at 100 TB: bigram counts and head totals are map-side
+        // combinable aggs; the model joins back onto the bigram
+        // stream by (w1,w2) then w1 — two hash-partitioned equi-joins
+        // AQE sizes (the model is vocab-scaled, NOT corpus-scaled,
+        // but never forced into a broadcast); V is a 1-row broadcast.
+        // No window touches the corpus; the per-doc rollup reuses the
+        // doc_id partitioning.
+        val bi = Tables.load(spark, dir, "documents")
+          .select($"doc_id", explode(
+            graft.functions.GraftExpressions.wordShingles($"text", 2, distinct = false))
+            .as("bg"))
+          .select($"doc_id",
+            split($"bg", " ").getItem(0).as("w1"),
+            split($"bg", " ").getItem(1).as("w2"))
+        val cnt = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy($"w1").agg(sum($"c").as("tot"))
+        val vocab = Tables.load(spark, dir, "documents")
+          .select(explode(expr(sparkWords)).as("wrd"))
+          .agg(countDistinct($"wrd").as("v"))
+        bi.join(cnt, Seq("w1", "w2"), "left")
+          .join(tot, Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .withColumn("lp",
+            log(coalesce($"c", lit(0L)).cast("double") + 1.0) -
+              log(coalesce($"tot", lit(0L)).cast("double") + $"v".cast("double")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bi"), (-sum($"lp") / count(lit(1))).as("_h"))
+          .select($"doc_id", $"n_bi", round($"_h", 4).as("h"),
+            ($"_h" < 6.0).as("keep"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS wd FROM documents),
+        bi AS (SELECT doc_id, wd[i] AS w1, wd[i + 1] AS w2
+          FROM w, UNNEST(generate_series(1, len(wd) - 1)) AS t(i)
+          WHERE len(wd) >= 2),
+        cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+        tot AS (SELECT w1, SUM(c) AS tot FROM cnt GROUP BY w1),
+        vocab AS (SELECT COUNT(DISTINCT t.x) AS v
+          FROM w, UNNEST(wd) AS t(x)),
+        lp AS (SELECT doc_id,
+            LN(COALESCE(c, 0) + 1.0) - LN(COALESCE(tot, 0) + v) AS lp
+          FROM bi LEFT JOIN cnt USING (w1, w2) LEFT JOIN tot USING (w1)
+          CROSS JOIN vocab),
+        pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+            -SUM(lp) / COUNT(*) AS h0
+          FROM lp GROUP BY doc_id)
+        SELECT doc_id, n_bi, ROUND(h0, 4) AS h, h0 < 6.0 AS keep
+        FROM pd ORDER BY doc_id""")
     )
   )
 }

@@ -484,6 +484,31 @@ object Streams {
           graft.operators.Dedup.decontaminate(batch.toDF(), evalDocs))
     }
 
+  /** ST14: windowed MERGEABLE quantile sketch — per (5-min window,
+    * event_type) approx p50/p90/p99 of `value` via approx_percentile's
+    * Greenwald-Khanna summary: the streaming form of q64. The sketch
+    * buffer IS the streaming state — O(accuracy·log n) per open
+    * window instead of the raw values a sort-based percentile would
+    * buffer — and summaries merge associatively across micro-batches,
+    * so state size is independent of window row count. Append mode
+    * emits each window exactly once, when the watermark closes it;
+    * the deterministic GK rank bound (error <= n/accuracy per
+    * summary, 2x under merges — measured in GkErrProbe) carries over
+    * unchanged because the merged summary is the same object the
+    * batch agg builds.
+    */
+  def windowedQuantiles(events: DataFrame, accuracy: Int = 1000): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, array(0.5D, 0.9D, 0.99D), $accuracy)").as("pct"),
+        count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("w_start"), col("event_type"),
+        col("pct")(0).as("p50"), col("pct")(1).as("p90"), col("pct")(2).as("p99"),
+        col("n"))
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

@@ -148,6 +148,48 @@ class Round10OpsSpec extends SparkTestBase {
     } finally split.unpersist()
   }
 
+  test("t23 engine: hand-traced add-1 bigram cross-entropy on a literal corpus") {
+    // corpus: d1 = "a b a", d2 = "a b". cnt(a,b)=2, cnt(b,a)=1;
+    // tot(a)=2, tot(b)=1; V=2. p(a,b)=(2+1)/(2+2)=3/4,
+    // p(b,a)=(1+1)/(1+2)=2/3. h(d1) = -(ln(3/4)+ln(2/3))/2,
+    // h(d2) = -ln(3/4). Mirrors t23's operator chain on a literal
+    // frame (the g09-spec pattern) so the smoothing arithmetic is
+    // pinned independent of the documents table.
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val bi = docs.select($"doc_id", explode(
+        graft.functions.GraftExpressions.wordShingles($"text", 2, distinct = false)).as("bg"))
+      .select($"doc_id",
+        split($"bg", " ").getItem(0).as("w1"), split($"bg", " ").getItem(1).as("w2"))
+    val cnt = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy($"w1").agg(sum($"c").as("tot"))
+    val vocab = docs.select(explode(split($"text", " ")).as("wrd"))
+      .agg(countDistinct($"wrd").as("v"))
+    val h = bi.join(cnt, Seq("w1", "w2"), "left").join(tot, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log(coalesce($"c", lit(0L)).cast("double") + 1.0) -
+        log(coalesce($"tot", lit(0L)).cast("double") + $"v".cast("double")))
+      .groupBy($"doc_id").agg((-sum($"lp") / count(lit(1))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected1 = -(math.log(3.0 / 4) + math.log(2.0 / 3)) / 2
+    val expected2 = -math.log(3.0 / 4)
+    assert(math.abs(h(1L) - expected1) < 1e-12)
+    assert(math.abs(h(2L) - expected2) < 1e-12)
+  }
+
+  test("t23: h positive, n_bi = word count - 1, short docs dropped") {
+    val out = graft.SparkEntry.queries("t23_perplexity_filter")(spark, sfDir)
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+      .select($"doc_id",
+        size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("nw"))
+    val joined = out.join(docs, Seq("doc_id"), "right").cache()
+    try {
+      // docs with >= 2 words appear with n_bi = nw - 1; shorter drop
+      assert(joined.where($"nw" >= 2 && ($"n_bi".isNull || $"n_bi" =!= $"nw" - 1)).count() == 0)
+      assert(joined.where($"nw" < 2 && $"n_bi".isNotNull).count() == 0)
+      assert(joined.where($"h" <= 0.0).count() == 0)
+    } finally joined.unpersist()
+  }
+
   test("e09: widths complete, overlaps in [0,1], and a full-width control hits exactly 1") {
     val rows = graft.SparkEntry.queries("e09_truncation_quality")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap

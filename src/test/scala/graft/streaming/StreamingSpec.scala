@@ -356,4 +356,38 @@ class StreamingSpec extends SparkTestBase {
     assert(epochIds.count() == docs.count())
     assert(epochIds.exceptAll(docs.select(col("doc_id"))).isEmpty)
   }
+
+  test("ST14: windowed quantile sketch — emitted windows rank-bounded vs batch exact percentiles") {
+    import spark.implicits._
+    val q = Streams.windowedQuantiles(streamEvents(streamDir))
+      .writeStream.format("memory").queryName("st14").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("st14")
+    assert(emitted.count() > 0, "no windows emitted — watermark never advanced")
+    // batch truth: exact discrete percentiles per window at the q64
+    // bound edges (p ± 2/accuracy); every streamed sketch value must
+    // land inside its window, and n must equal the batch row count —
+    // pins that the merged-across-microbatches summary is the same
+    // contract the batch agg honors
+    val eps = 2.0 / 1000
+    def disc(p: Double) =
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY value)")
+    val exact = Tables.load(spark, sfDir, "events")
+      .groupBy(window($"ts", "5 minutes").getField("start").as("w_start"), $"event_type")
+      .agg(
+        disc(0.5 - eps).as("lo50"), disc(0.5 + eps).as("hi50"),
+        disc(0.9 - eps).as("lo90"), disc(0.9 + eps).as("hi90"),
+        disc(0.99 - eps).as("lo99"), disc(0.99 + eps).as("hi99"),
+        count(lit(1)).as("n_batch"))
+    val joined = emitted.join(exact, Seq("w_start", "event_type")).cache()
+    try {
+      assert(joined.count() == emitted.count(), "emitted window missing from batch truth")
+      assert(joined.where($"n" =!= $"n_batch").count() == 0)
+      assert(joined.where(
+        $"p50" < $"lo50" || $"p50" > $"hi50" ||
+        $"p90" < $"lo90" || $"p90" > $"hi90" ||
+        $"p99" < $"lo99" || $"p99" > $"hi99").count() == 0,
+        "a streamed sketch value fell outside the GK rank bound")
+    } finally joined.unpersist()
+  }
 }
