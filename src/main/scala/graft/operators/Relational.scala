@@ -1983,6 +1983,56 @@ object Relational {
         TRUE AS p50_in_bound, TRUE AS p90_in_bound, TRUE AS p99_in_bound,
         COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+
+    Q(
+      "q65_changelog_compaction",
+      "CDC changelog compaction: last-writer-wins per key with delete tombstones, as a combinable agg",
+      (spark, dir) => {
+        import spark.implicits._
+        // The lakehouse MERGE/compaction primitive: reduce an
+        // append-only change log to current state — latest op per key
+        // wins, keys whose latest op is a tombstone disappear. Log =
+        // events keyed (user_id, k) (k from the props JSON), op =
+        // event_type with 'error' as the tombstone. The SCALE choice:
+        // NOT the row_number window (which sorts every key group) but
+        // ONE map-side-combinable aggregate — max(struct(ts_us,
+        // event_id, ...)): the (ts_us, event_id) prefix is a unique
+        // total order, so lexicographic struct-max IS last-writer-wins
+        // and partial aggs combine associatively across 100 TB of log
+        // without any per-key sort. The oracle states the same thing
+        // the standard way (ROW_NUMBER DESC = 1) — the gate pins the
+        // two formulations equal. Tombstoned keys are filtered AFTER
+        // the agg (a tombstone must suppress earlier upserts, not be
+        // skipped). n_ops counts every op incl. the tombstone's
+        // predecessors — the compaction-ratio metric ops/keys.
+        val log0 = t(spark, dir, "events")
+          .select($"user_id",
+            get_json_object($"props", "$.k").cast("bigint").as("k"),
+            unix_micros($"ts").as("ts_us"), $"event_id", $"event_type", $"value")
+        log0.groupBy($"user_id", $"k")
+          .agg(
+            max(struct($"ts_us", $"event_id", $"event_type", $"value")).as("last"),
+            count(lit(1)).as("n_ops"))
+          .where($"last.event_type" =!= "error")
+          .select($"user_id", $"k",
+            $"last.ts_us".as("last_ts_us"),
+            $"last.event_type".as("last_op"),
+            $"last.value".as("last_value"),
+            $"n_ops")
+          .orderBy($"user_id", $"k")
+      },
+      Some("""WITH c AS (SELECT user_id,
+          CAST(props->>'$.k' AS BIGINT) AS k,
+          epoch_us(ts) AS ts_us, event_id, event_type, value FROM events),
+        r AS (SELECT user_id, k, ts_us, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id, k ORDER BY ts_us DESC, event_id DESC) AS rn,
+          COUNT(*) OVER (PARTITION BY user_id, k) AS n_ops
+          FROM c)
+        SELECT user_id, k, ts_us AS last_ts_us, event_type AS last_op,
+          value AS last_value, CAST(n_ops AS BIGINT) AS n_ops
+        FROM r WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id, k""")
     )
   )
 }

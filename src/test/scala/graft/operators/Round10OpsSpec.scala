@@ -190,6 +190,29 @@ class Round10OpsSpec extends SparkTestBase {
     } finally joined.unpersist()
   }
 
+  test("q65 engine: LWW compaction hand trace — tombstone ordering, event_id tiebreak, n_ops") {
+    // key (1,10): upsert then tombstone -> key disappears
+    // key (1,20): tombstone then upsert -> survives with the upsert
+    // key (2,30): two ops at the SAME ts -> event_id breaks the tie
+    val log = Seq(
+      (1L, 10L, 100L, 1L, "view", 1.0),
+      (1L, 10L, 200L, 2L, "error", 0.0),
+      (1L, 20L, 100L, 3L, "error", 0.0),
+      (1L, 20L, 200L, 4L, "click", 5.0),
+      (2L, 30L, 100L, 5L, "view", 1.0),
+      (2L, 30L, 100L, 6L, "purchase", 2.0)
+    ).toDF("user_id", "k", "ts_us", "event_id", "event_type", "value")
+    val out = log.groupBy($"user_id", $"k")
+      .agg(max(struct($"ts_us", $"event_id", $"event_type", $"value")).as("last"),
+        count(lit(1)).as("n_ops"))
+      .where($"last.event_type" =!= "error")
+      .select($"user_id", $"k", $"last.event_type".as("op"), $"last.value".as("v"), $"n_ops")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(!out.contains((1L, 10L)), "tombstoned key must disappear")
+    assert(out((1L, 20L)) == ("click", 5.0, 2L), "late upsert must override earlier tombstone")
+    assert(out((2L, 30L)) == ("purchase", 2.0, 2L), "event_id must break same-ts ties")
+  }
+
   test("e09: widths complete, overlaps in [0,1], and a full-width control hits exactly 1") {
     val rows = graft.SparkEntry.queries("e09_truncation_quality")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
