@@ -149,7 +149,13 @@ object Multimodal {
     * function (bytes → raster); the Spark plumbing, schema and
     * aggregation are what they would be in production.
     */
-  def parseThumb(id: Long, b: Array[Byte], g: Int = 4): Seq[ThumbCell] = {
+  /** The shared structural header walk: where each container's raster
+    * body starts. Returns (format, bodyStart) or None for unknown /
+    * truncated payloads. Extracted from [[parseThumb]] so body-level
+    * consumers (m05's downsample, m08's container-invariant
+    * fingerprint) locate the raster with the SAME walk.
+    */
+  def rasterStart(b: Array[Byte]): Option[(String, Int)] = {
     def u8(i: Int): Int = b(i) & 0xff
     def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def be32(i: Int): Long =
@@ -157,33 +163,40 @@ object Multimodal {
     val png = b.length >= 8 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G'
     val jpeg = b.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8
     val gif = b.length >= 13 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8'
-    val (format, start) =
-      if (png && b.length >= 16) {
-        // body follows the first (IHDR) chunk: 8 magic + 12 framing
-        // + the chunk's own length field (a real decoder walks on to
-        // IDAT; this container puts the raster right after IHDR).
-        // Length is attacker-controlled: clamp in Long — a 4 GB
-        // field must yield "no body", not an Int-wrapped offset
-        val s = 8L + 12L + be32(8)
-        ("png", math.min(s, b.length.toLong).toInt)
-      } else if (jpeg) {
-        // marker walk to the end of the first SOF segment — the SAME
-        // SOF set as parseImage (SOF0-SOF15 minus DHT/JPG/DAC), so a
-        // progressive (SOF2) or extended-sequential (SOF1) body is
-        // found too, and the resync guard stops on a non-FF byte
-        // instead of wandering through garbage
-        var off = 2
-        var found = -1
-        while (found < 0 && off + 4 <= b.length && u8(off) == 0xff) {
-          val marker = u8(off + 1)
-          val isSof = marker >= 0xc0 && marker <= 0xcf &&
-            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-          if (isSof) found = off + 2 + be16(off + 2)
-          else off += 2 + be16(off + 2)
-        }
-        ("jpeg", if (found >= 0) math.min(found, b.length) else b.length)
-      } else if (gif) ("gif", 13)
-      else return Seq.empty
+    if (png && b.length >= 16) {
+      // body follows the first (IHDR) chunk: 8 magic + 12 framing
+      // + the chunk's own length field (a real decoder walks on to
+      // IDAT; this container puts the raster right after IHDR).
+      // Length is attacker-controlled: clamp in Long — a 4 GB
+      // field must yield "no body", not an Int-wrapped offset
+      val s = 8L + 12L + be32(8)
+      Some(("png", math.min(s, b.length.toLong).toInt))
+    } else if (jpeg) {
+      // marker walk to the end of the first SOF segment — the SAME
+      // SOF set as parseImage (SOF0-SOF15 minus DHT/JPG/DAC), so a
+      // progressive (SOF2) or extended-sequential (SOF1) body is
+      // found too, and the resync guard stops on a non-FF byte
+      // instead of wandering through garbage
+      var off = 2
+      var found = -1
+      while (found < 0 && off + 4 <= b.length && u8(off) == 0xff) {
+        val marker = u8(off + 1)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) found = off + 2 + be16(off + 2)
+        else off += 2 + be16(off + 2)
+      }
+      Some(("jpeg", if (found >= 0) math.min(found, b.length) else b.length))
+    } else if (gif) Some(("gif", 13))
+    else None
+  }
+
+  def parseThumb(id: Long, b: Array[Byte], g: Int = 4): Seq[ThumbCell] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    val (format, start) = rasterStart(b) match {
+      case Some(fs) => fs
+      case None     => return Seq.empty
+    }
     val n = b.length - start
     if (n <= 0) return Seq.empty
     val cells = g * g
@@ -207,6 +220,37 @@ object Multimodal {
     df.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, bytes) => parseThumb(id, bytes, g) })
+  }
+
+  /** A structurally-located raster body, hex-encoded (format from the
+    * container magic; the header is EXCLUDED, so two containers
+    * wrapping the same raster yield identical body_hex).
+    */
+  final case class RasterBody(doc_id: Long, format: String, body_hex: String)
+
+  /** Partition-wise body extraction via the real header walk — the
+    * input to container-invariant fingerprinting (m08).
+    */
+  def decodeBodies(df: DataFrame): Dataset[RasterBody] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, bytes) =>
+        rasterStart(bytes) match {
+          case Some((fmt, s)) if bytes.length > s =>
+            val sb = new java.lang.StringBuilder((bytes.length - s) * 2)
+            var i = s
+            while (i < bytes.length) {
+              val v = bytes(i) & 0xff
+              sb.append("0123456789ABCDEF".charAt(v >> 4))
+              sb.append("0123456789ABCDEF".charAt(v & 15))
+              i += 1
+            }
+            Some(RasterBody(id, fmt, sb.toString))
+          case _ => None
+        }
+      })
   }
 
   /** A decoded audio record: RIFF/WAVE structural metadata. */
@@ -1149,6 +1193,81 @@ object Multimodal {
           ROUND(CAST(n_bytes AS DOUBLE) /
             CAST(SUM(n_bytes) OVER (PARTITION BY media_type) AS DOUBLE), 6) AS share
         FROM h ORDER BY media_type, bin""")
+    ),
+
+    Q(
+      "m08_container_invariant_dup",
+      "Container-invariant raster dedup: byte-4-gram Jaccard >= 0.4 over the structurally-extracted body",
+      (spark, dir) => {
+        import spark.implicits._
+        // The multimodal dedup gap a raw-blob hash can't close: the
+        // SAME raster re-wrapped in a different container (png body
+        // re-served as jpeg, re-muxed assets) differs from byte 0, so
+        // d01-style payload hashing misses it. The fingerprint here
+        // is computed over the BODY ONLY, located by the real
+        // structural header walk (rasterStart — PNG chunk length /
+        // JPEG SOF marker walk / GIF descriptor), then near-dup
+        // verified by byte-4-gram Jaccard >= 0.4 (d04's machinery on
+        // the binary domain: 4-byte sliding windows over the body,
+        // distinct per doc, postings equi-join, pair counts) —
+        // insertion-robust where any positional hash is not.
+        // cross_container marks pairs whose containers DIFFER: the
+        // rows exactly this operator exists to find. At 100 TB the
+        // profile is d04's: partition-local decode, one gram-keyed
+        // posting join, pair-keyed count — and the d02 MinHash band
+        // pass composes in front of it unchanged when the corpus
+        // needs candidate pruning (the grams are already the
+        // shingles).
+        val bodies = decodeBodies(imagePayloads(spark, dir)).toDF()
+          .where(length($"body_hex") >= 8)
+          .select($"doc_id", $"format",
+            array_distinct(expr(
+              "transform(sequence(1L, length(body_hex) div 2 - 3), i -> substr(body_hex, CAST(2 * i - 1 AS INT), 8))"))
+              .as("grams"))
+        val sizes = bodies.select($"doc_id", $"format", size($"grams").cast("long").as("n"))
+        val post = bodies.select($"doc_id", explode($"grams").as("g"))
+        val pairs = post.select($"doc_id".as("id_a"), $"g")
+          .join(post.select($"doc_id".as("id_b"), $"g"), Seq("g"))
+          .where($"id_a" < $"id_b")
+          .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
+          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na"), $"format".as("fa")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb"), $"format".as("fb")), "id_b")
+          .withColumn("jac", $"c".cast("double") / ($"na" + $"nb" - $"c"))
+          .where($"jac" >= 0.4)
+        pairs.select($"id_a", $"id_b", round($"jac", 6).as("jaccard"),
+            ($"fa" =!= $"fb").as("cross_container"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""$sqlPayloadCtes,
+        st AS (SELECT doc_id, hp, nb,
+            CASE WHEN substr(hp, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+                 WHEN substr(hp, 1, 4) = 'FFD8' THEN 'jpeg'
+                 ELSE 'gif' END AS format,
+            CAST(CASE WHEN substr(hp, 1, 16) = '89504E470D0A1A0A'
+                   THEN 20 + ${sqlHexToInt("substr(hp, 17, 8)", 8)}
+                 WHEN substr(hp, 1, 4) = 'FFD8'
+                   THEN 4 + ${sqlHexToInt("substr(hp, 9, 4)", 4)}
+                 ELSE 13 END AS BIGINT) AS strt
+          FROM hx),
+        bodies AS (SELECT doc_id, format, substr(hp, CAST(2 * strt + 1 AS INT)) AS bh
+          FROM st WHERE nb - strt >= 4),
+        grams AS (SELECT doc_id, format,
+            list_distinct(list_transform(generate_series(1, len(bh) // 2 - 3),
+              i -> substr(bh, CAST(2 * i - 1 AS INT), 8))) AS gs
+          FROM bodies),
+        sizes AS (SELECT doc_id, format, len(gs) AS n FROM grams),
+        post AS (SELECT doc_id, g FROM grams, UNNEST(gs) AS t(g)),
+        pc AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, COUNT(*) AS c
+          FROM post pa JOIN post pb ON pa.g = pb.g AND pa.doc_id < pb.doc_id
+          GROUP BY 1, 2),
+        v AS (SELECT pc.id_a, pc.id_b,
+            CAST(pc.c AS DOUBLE) / (sa.n + sb.n - pc.c) AS jac,
+            sa.format <> sb.format AS cross_container
+          FROM pc
+          JOIN sizes sa ON sa.doc_id = pc.id_a
+          JOIN sizes sb ON sb.doc_id = pc.id_b)
+        SELECT id_a, id_b, ROUND(jac, 6) AS jaccard, cross_container
+        FROM v WHERE jac >= 0.4 ORDER BY id_a, id_b""")
     )
   )
 }

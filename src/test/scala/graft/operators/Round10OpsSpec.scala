@@ -213,6 +213,37 @@ class Round10OpsSpec extends SparkTestBase {
     assert(out((2L, 30L)) == ("purchase", 2.0, 2L), "event_id must break same-ts ties")
   }
 
+  test("m08 engine: the same raster under png and jpeg containers decodes to identical bodies") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val body = "The quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    // format-true headers as imagePayloads builds them (16x16 dims)
+    val png = hx("89504E470D0A1A0A0000000D49484452" + "00000010" + "00000010" +
+      "0806000000" + "00000000") ++ body
+    val jpg = hx("FFD8FFC00011" + "08" + "0010" + "0010" + "03012200021101031101") ++ body
+    val rows = graft.operators.Multimodal.decodeBodies(
+        Seq((1L, png), (2L, jpg)).toDF("doc_id", "payload"))
+      .collect().map(r => r.doc_id -> (r.format, r.body_hex)).toMap
+    assert(rows(1L)._1 == "png" && rows(2L)._1 == "jpeg")
+    // the whole point: the header is excluded, the fingerprint input
+    // is identical — a raw-blob hash would see two unrelated files
+    assert(rows(1L)._2 == rows(2L)._2)
+    assert(rows(1L)._2.length == body.length * 2)
+  }
+
+  test("m08: verified pairs only, ordered, and cross-container dups are found") {
+    val out = graft.SparkEntry.queries("m08_container_invariant_dup")(spark, sfDir).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.where($"jaccard" < 0.4).count() == 0)
+      assert(out.where($"id_a" >= $"id_b").count() == 0)
+      // the rows this operator exists for: same/near-same raster in
+      // DIFFERENT containers (format = doc_id % 3, so near-dup docs
+      // routinely land in different containers)
+      assert(out.where($"cross_container").count() > 0)
+    } finally out.unpersist()
+  }
+
   test("e09: widths complete, overlaps in [0,1], and a full-width control hits exactly 1") {
     val rows = graft.SparkEntry.queries("e09_truncation_quality")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
