@@ -509,6 +509,80 @@ object Streams {
         col("pct")(0).as("p50"), col("pct")(1).as("p90"), col("pct")(2).as("p99"),
         col("n"))
 
+  // ST15 typed surface. k/value are Options: a change op with no key
+  // in props or a NULL payload must flow through the state machine
+  // (grouped under the null key / carried as-is), not NPE the encoder.
+  final case class ChangeOp(
+      user_id: Long,
+      k: Option[Long],
+      ts_us: Long,
+      event_id: Long,
+      event_type: String,
+      value: Option[Double]
+  )
+
+  // public: Catalyst's state Encoder generates constructor calls
+  final case class CompactState(
+      ts_us: Long,
+      event_id: Long,
+      op: String,
+      value: Option[Double],
+      nOps: Long
+  )
+
+  final case class CompactRow(
+      user_id: Long,
+      k: Option[Long],
+      last_ts_us: Long,
+      last_op: String,
+      last_value: Option[Double],
+      n_ops: Long,
+      is_tombstone: Boolean
+  )
+
+  /** ST15: streaming changelog compaction — q65's CDC reduce
+    * (last-writer-wins per (user_id, k), 'error' as the delete
+    * tombstone) maintained continuously. Per-key state is O(1) and
+    * ORDER-FREE: the running (ts_us, event_id)-lexicographic max plus
+    * the op count — the same unique-total-order struct-max q65
+    * aggregates in one shot, folded across micro-batches as keyed
+    * state, so arrival order and batch boundaries cannot change the
+    * fixpoint (the spec feeds the log ts-interleaved to pin exactly
+    * that). Update mode: every key a batch touches re-emits its
+    * refreshed current row; a tombstoned key emits is_tombstone=true
+    * (a MERGE-style sink deletes on it) rather than vanishing,
+    * because the tombstone must keep suppressing older upserts that
+    * arrive late. No timeout: current state IS the product. At scale
+    * the state store shards by key exactly as q65's shuffle would,
+    * each op touches one O(1) record, and emitted rows per trigger
+    * are bounded by keys-touched, not log size.
+    */
+  def changelogCompactStream(spark: SparkSession, ops: DataFrame): Dataset[CompactRow] = {
+    import spark.implicits._
+    ops
+      .select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[ChangeOp]
+      .groupByKey(o => (o.user_id, o.k))
+      .mapGroupsWithState[CompactState, CompactRow](GroupStateTimeout.NoTimeout) {
+        case ((uid, k), batchOps, state) =>
+          var s = state.getOption
+            .getOrElse(CompactState(Long.MinValue, Long.MinValue, "", None, 0L))
+          batchOps.foreach { o =>
+            val newer = o.ts_us > s.ts_us ||
+              (o.ts_us == s.ts_us && o.event_id > s.event_id)
+            s =
+              if (newer) CompactState(o.ts_us, o.event_id, o.event_type, o.value, s.nOps + 1)
+              else s.copy(nOps = s.nOps + 1)
+          }
+          state.update(s)
+          CompactRow(uid, k, s.ts_us, s.op, s.value, s.nOps, s.op == "error")
+      }
+  }
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */
