@@ -58,6 +58,12 @@ object GraftExpressions {
     */
   def nibbleHistogram(payload: Column): Column =
     column(NibbleHistogram(expression(payload)))
+
+  /** Column API: struct(format, distinct body byte-gram hex strings)
+    * via the structural header walk, one codegen pass (X12).
+    */
+  def rasterBodyGrams(payload: Column, width: Int): Column =
+    column(RasterBodyGrams(expression(payload), width))
 }
 
 /** Word n-gram shingles of a text column in ONE pass over the UTF-8
@@ -476,4 +482,106 @@ object NibbleHistogram {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(h)
   }
+}
+
+/** X12: container-invariant raster-body byte shingles in ONE codegen
+  * pass over the payload bytes — the structural header walk
+  * ([[graft.operators.Multimodal.rasterStart]]: PNG IHDR chunk
+  * length / JPEG SOF marker walk / GIF logical screen descriptor)
+  * locates the body, then every overlapping `width`-byte window of
+  * the body is emitted as an uppercase-hex gram string,
+  * first-occurrence-distinct. Value-identical to the former
+  * decodeBodies (mapPartitions hex materialization) +
+  * `array_distinct(transform(sequence(...), substr(body_hex, ...)))`
+  * chain — same walk, same hex alphabet, same distinct order — but
+  * with no 2-chars-per-byte body string ever materialized and no
+  * interpreted HOF lambda per gram (the X5/X9 lesson applied to
+  * binary): dedup happens on the packed gram VALUE (width <= 8 bytes
+  * fits a Long), and only the distinct survivors are hex-encoded.
+  * The same pass also emits `sketch`, the mod-16 subsample of the
+  * gram set (grams whose low nibble is 0, i.e. hex strings ending in
+  * '0') — a deterministic Broder-style mod-p sketch that downstream
+  * LSH banding minhashes INSTEAD of the full set, cutting the
+  * band-key cost 16x while leaving the exact-verify domain (the full
+  * gram set) untouched; identical bodies have identical sketches, so
+  * sketch-banding still catches every re-containered duplicate. The
+  * subsample is replayable in engine-neutral SQL
+  * (`list_filter(gs, s -> substr(s, 16, 1) = '0')`), so oracles pin
+  * it by value. Returns null for unknown/truncated containers and
+  * for bodies shorter than `width` (exactly the rows the old
+  * `rasterStart`-None / `length(body_hex) >= 2*width` gates dropped).
+  */
+case class RasterBodyGrams(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1 && width <= 8, s"width must be in [1, 8], got $width")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("grams", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("sketch", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    RasterBodyGrams.compute(input.asInstanceOf[Array[Byte]], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""${ev.value} = graft.functions.RasterBodyGrams$$.MODULE$$.compute($in, $width);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): RasterBodyGrams =
+    copy(child = c)
+}
+
+object RasterBodyGrams {
+
+  private val HEX = "0123456789ABCDEF".toCharArray
+
+  /** Static entry shared by eval and generated code. */
+  def compute(bytes: Array[Byte], width: Int): InternalRow =
+    graft.operators.Multimodal.rasterStart(bytes) match {
+      case Some((fmt, start)) if bytes.length - start >= width =>
+        val n = bytes.length - start - width + 1
+        // first-occurrence-distinct on the PACKED gram value; hex
+        // encoding deferred to the distinct survivors only
+        val seen = new java.util.LinkedHashSet[java.lang.Long](
+          math.min(n, 1 << 16))
+        var i = 0
+        while (i < n) {
+          var v = 0L
+          var k = 0
+          while (k < width) {
+            v = (v << 8) | (bytes(start + i + k) & 0xffL)
+            k += 1
+          }
+          seen.add(v)
+          i += 1
+        }
+        val out = new Array[AnyRef](seen.size)
+        val sk = new java.util.ArrayList[AnyRef]()
+        val it = seen.iterator()
+        var j = 0
+        while (it.hasNext) {
+          val v = it.next().longValue()
+          val cs = new Array[Char](2 * width)
+          var k = 0
+          while (k < width) {
+            val b = ((v >>> (8 * (width - 1 - k))) & 0xff).toInt
+            cs(2 * k) = HEX(b >> 4)
+            cs(2 * k + 1) = HEX(b & 15)
+            k += 1
+          }
+          val s = UTF8String.fromString(new String(cs))
+          out(j) = s
+          if ((v & 0xfL) == 0L) sk.add(s)
+          j += 1
+        }
+        InternalRow(UTF8String.fromString(fmt),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            sk.toArray(new Array[AnyRef](sk.size()))))
+      case _ => null
+    }
 }

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashHexFn)
     ext.injectFunction(GraftExtensions.bpeCountFn)
     ext.injectFunction(GraftExtensions.nibbleHistogramFn)
+    ext.injectFunction(GraftExtensions.rasterBodyGramsFn)
     // whole-operator path: plans graft.plans.AsOfJoin logical nodes
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -82,6 +83,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => NibbleHistogram(children.head)
   )
 
+  val rasterBodyGramsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("raster_body_grams"),
+    info("raster_body_grams",
+      "raster_body_grams(bin, width) - struct(format, distinct body byte-gram hex strings) via the structural header walk"),
+    (children: Seq[Expression]) =>
+      RasterBodyGrams(children.head, intLit(children(1), "width"))
+  )
+
   /** Register on an existing session (tests / REPL convenience) —
     * scalar functions AND the X10 table-valued join functions (a
     * getOrCreate that joined a pre-existing session never saw the
@@ -90,7 +99,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineSim, polyHash, wordShinglesFn, minhashHexFn, bpeCountFn,
-      nibbleHistogramFn).foreach { case (id, inf, builder) =>
+      nibbleHistogramFn, rasterBodyGramsFn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
     val treg = spark.sessionState.tableFunctionRegistry

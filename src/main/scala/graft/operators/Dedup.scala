@@ -468,7 +468,7 @@ object Dedup {
     * shuffle (no per-doc min aggregation), and the codegen pass
     * instead of 16 interpreted HOF traversals.
     */
-  private[operators] def minhashCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
     val bands = bandKeysFromShingles(sh, "doc_id", "sh")
     val la = bands.select(col("doc_id").as("id_a"), col("band"), col("bh"))
     val lb = bands.select(col("doc_id").as("id_b"), col("band"), col("bh"))

@@ -908,6 +908,23 @@ object Multimodal {
       |  FROM d),
       |hx AS (SELECT doc_id, hex(payload) AS hp, octet_length(payload) AS nb FROM p)""".stripMargin
 
+  /** DuckDB image of the X8 + bandKeysFromShingles minhash banding
+    * over a per-doc distinct gram LIST `gs` — Dedup's layout (16
+    * perms, 4 bands of 4, band hash = md5 of the '|'-joined row
+    * minima); `list_min` over the distinct list equals the X8 array
+    * minimum over the same set. Used by the m08 oracle so the banded
+    * CANDIDATE semantics are value-pinned across engines, exactly as
+    * d02/d21's sqlCandCtes pin the text-shingle banding.
+    */
+  private lazy val sqlGramMinhashCols: String = (0 until 16)
+    .map(i => s"list_min(list_transform(gs, s -> substr(md5(s || '|$i'), 1, 16))) AS mh$i")
+    .mkString(",\n            ")
+
+  private lazy val sqlGramBandCases: String = (0 until 4).map { b =>
+    val cat = (b * 4 until b * 4 + 4).map(r => s"mh$r").mkString(" || '|' || ")
+    if (b < 3) s"WHEN $b THEN md5($cat)" else s"ELSE md5($cat)"
+  }.mkString(" ")
+
   val all: Seq[Q] = Seq(
     Q(
       "m01_multimodal_meta",
@@ -1197,47 +1214,79 @@ object Multimodal {
 
     Q(
       "m08_container_invariant_dup",
-      "Container-invariant raster dedup: byte-4-gram Jaccard >= 0.4 over the structurally-extracted body",
+      "Container-invariant raster dedup: byte-8-gram Jaccard >= 0.4 over the structurally-extracted body",
       (spark, dir) => {
         import spark.implicits._
         // The multimodal dedup gap a raw-blob hash can't close: the
         // SAME raster re-wrapped in a different container (png body
         // re-served as jpeg, re-muxed assets) differs from byte 0, so
-        // d01-style payload hashing misses it. The fingerprint here
-        // is computed over the BODY ONLY, located by the real
-        // structural header walk (rasterStart — PNG chunk length /
-        // JPEG SOF marker walk / GIF descriptor), then near-dup
-        // verified by byte-4-gram Jaccard >= 0.4 (d04's machinery on
-        // the binary domain: 4-byte sliding windows over the body,
-        // distinct per doc, postings equi-join, pair counts) —
-        // insertion-robust where any positional hash is not.
-        // cross_container marks pairs whose containers DIFFER: the
-        // rows exactly this operator exists to find. At 100 TB the
-        // profile is d04's: partition-local decode, one gram-keyed
-        // posting join, pair-keyed count — and the d02 MinHash band
-        // pass composes in front of it unchanged when the corpus
-        // needs candidate pruning (the grams are already the
-        // shingles).
-        val bodies = decodeBodies(imagePayloads(spark, dir)).toDF()
-          .where(length($"body_hex") >= 8)
-          .select($"doc_id", $"format",
-            array_distinct(expr(
-              "transform(sequence(1L, length(body_hex) div 2 - 3), i -> substr(body_hex, CAST(2 * i - 1 AS INT), 8))"))
-              .as("grams"))
-        val sizes = bodies.select($"doc_id", $"format", size($"grams").cast("long").as("n"))
-        val post = bodies.select($"doc_id", explode($"grams").as("g"))
-        val pairs = post.select($"doc_id".as("id_a"), $"g")
-          .join(post.select($"doc_id".as("id_b"), $"g"), Seq("g"))
-          .where($"id_a" < $"id_b")
-          .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
-          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na"), $"format".as("fa")), "id_a")
-          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb"), $"format".as("fb")), "id_b")
-          .withColumn("jac", $"c".cast("double") / ($"na" + $"nb" - $"c"))
+        // d01-style payload hashing misses it. The fingerprint is
+        // computed over the BODY ONLY, located by the real structural
+        // header walk (rasterStart — PNG chunk length / JPEG SOF
+        // marker walk / GIF descriptor), as the set of overlapping
+        // byte-8-grams — insertion-robust where any positional hash
+        // is not. Round 11 replaced the round-10 all-pairs posting
+        // self-join over byte-4-grams (4-byte grams of natural-
+        // language bytes are near-universal — hot posting lists
+        // approach corpus size, the join is quadratic: 448 s at
+        // sf0.1, 84% of the whole bench) with d02's banded-candidate
+        // discipline, now ACTUALLY composed: X12 RasterBodyGrams does
+        // header-walk + gram-set in ONE codegen pass over the payload
+        // bytes (no hex body string, no mapPartitions, no interpreted
+        // HOF), X8 MinHashHex + (band, bh) equi-join generates
+        // candidates, and exact Jaccard >= 0.4 is verified PAIRWISE
+        // via array_intersect on candidates only (minhashLshAtScale's
+        // verify: no posting join exists at any scale, so no hot-gram
+        // cap is even needed). The gram width moved 4 -> 8 with the
+        // oracle re-derived: 4-byte grams of text are shared by
+        // UNRELATED documents ("the ", " and") — measured byte-4-gram
+        // banding still emitted 639k candidate pairs from 5k sf0.1
+        // docs — while 8-byte windows are selective on text AND
+        // binary, so candidates collapse to actual near-dups; the
+        // re-containered-identical-body pairs this operator exists to
+        // find have J = 1.0 at any width. Banding runs on the
+        // deterministic mod-16 gram SKETCH (X12's third field — a
+        // Broder-style mod-p subsample, emitted in the same codegen
+        // pass), so the 16-perm minhash touches 1/16 of the grams
+        // (measured 3.1 s -> 0.2 s at sf0.1) while the exact verify
+        // still runs on FULL gram sets; identical bodies have
+        // identical sketches, so every re-containered duplicate still
+        // collides. Docs whose sketch is empty (tiny bodies) are
+        // excluded from banding on both engines — never silently
+        // bucketed together. cross_container marks pairs whose
+        // containers DIFFER. At 100 TB the cost is d02's: one narrow
+        // band-key shuffle + one candidate-keyed join. The DuckDB
+        // oracle replays the SAME sketch + banding (md5-derived
+        // minhash and the mod-16 filter are engine-portable), so
+        // candidate semantics are value-pinned, not approximated.
+        val rb = imagePayloads(spark, dir)
+          .select($"doc_id",
+            graft.functions.GraftExpressions.rasterBodyGrams($"payload", 8).as("rb"))
+          .where($"rb".isNotNull)
+          .select($"doc_id", $"rb.format".as("format"), $"rb.grams".as("sh"),
+            $"rb.sketch".as("sk"))
+          .cache()
+        val cands = Dedup.minhashCandidates(
+          rb.where(size($"sk") > 0).select($"doc_id", $"sk".as("sh"))).distinct()
+        cands
+          .join(rb.select($"doc_id".as("id_a"), $"sh".as("_ga"), $"format".as("fa")), "id_a")
+          .join(rb.select($"doc_id".as("id_b"), $"sh".as("_gb"), $"format".as("fb")), "id_b")
+          .withColumn("c", size(array_intersect($"_ga", $"_gb")).cast("long"))
+          .withColumn("jac", $"c".cast("double") / (size($"_ga") + size($"_gb") - $"c"))
           .where($"jac" >= 0.4)
-        pairs.select($"id_a", $"id_b", round($"jac", 6).as("jaccard"),
+          .select($"id_a", $"id_b", round($"jac", 6).as("jaccard"),
             ($"fa" =!= $"fb").as("cross_container"))
           .orderBy($"id_a", $"id_b")
       },
+      // The strt CTE is a SIMPLIFIED image of rasterStart that is
+      // exact ONLY under the imagePayloads generator layout, which
+      // PayloadLayoutSpec pins: every JPEG payload's FIRST marker
+      // segment is an SOF (SOI immediately followed by FFC0 — no
+      // APPn, so the Scala marker walk terminates on segment one),
+      // and every non-PNG/non-JPEG payload starts with the GIF8
+      // magic at >= 13 bytes. If the generator ever gains APPn
+      // segments or malformed payloads, the spec fails loudly
+      // instead of the oracle silently diverging from the real walk.
       Some(s"""$sqlPayloadCtes,
         st AS (SELECT doc_id, hp, nb,
             CASE WHEN substr(hp, 1, 16) = '89504E470D0A1A0A' THEN 'png'
@@ -1250,22 +1299,30 @@ object Multimodal {
                  ELSE 13 END AS BIGINT) AS strt
           FROM hx),
         bodies AS (SELECT doc_id, format, substr(hp, CAST(2 * strt + 1 AS INT)) AS bh
-          FROM st WHERE nb - strt >= 4),
+          FROM st WHERE nb - strt >= 8),
         grams AS (SELECT doc_id, format,
-            list_distinct(list_transform(generate_series(1, len(bh) // 2 - 3),
-              i -> substr(bh, CAST(2 * i - 1 AS INT), 8))) AS gs
+            list_distinct(list_transform(generate_series(1, len(bh) // 2 - 7),
+              i -> substr(bh, CAST(2 * i - 1 AS INT), 16))) AS gs
           FROM bodies),
-        sizes AS (SELECT doc_id, format, len(gs) AS n FROM grams),
-        post AS (SELECT doc_id, g FROM grams, UNNEST(gs) AS t(g)),
-        pc AS (SELECT pa.doc_id AS id_a, pb.doc_id AS id_b, COUNT(*) AS c
-          FROM post pa JOIN post pb ON pa.g = pb.g AND pa.doc_id < pb.doc_id
-          GROUP BY 1, 2),
-        v AS (SELECT pc.id_a, pc.id_b,
-            CAST(pc.c AS DOUBLE) / (sa.n + sb.n - pc.c) AS jac,
-            sa.format <> sb.format AS cross_container
-          FROM pc
-          JOIN sizes sa ON sa.doc_id = pc.id_a
-          JOIN sizes sb ON sb.doc_id = pc.id_b)
+        sk AS (SELECT doc_id,
+            list_filter(gs, s -> substr(s, 16, 1) = '0') AS gs
+          FROM grams),
+        sig AS (SELECT doc_id,
+            $sqlGramMinhashCols
+          FROM sk WHERE len(gs) > 0),
+        bands AS (SELECT doc_id, b AS band,
+            CASE b $sqlGramBandCases END AS bh
+          FROM sig, (VALUES (0), (1), (2), (3)) AS t(b)),
+        cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+            AND a.doc_id < b.doc_id),
+        v AS (SELECT c.id_a, c.id_b,
+            CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+              (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs))) AS jac,
+            ga.format <> gb.format AS cross_container
+          FROM cands c
+          JOIN grams ga ON ga.doc_id = c.id_a
+          JOIN grams gb ON gb.doc_id = c.id_b)
         SELECT id_a, id_b, ROUND(jac, 6) AS jaccard, cross_container
         FROM v WHERE jac >= 0.4 ORDER BY id_a, id_b""")
     )
