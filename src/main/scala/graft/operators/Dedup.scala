@@ -48,7 +48,7 @@ object Dedup {
         graft.functions.GraftExpressions.wordShingles(col("text"), 3, distinct = true).as("sh")
       )
 
-  private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     shingleArrays(Tables.load(spark, dir, "documents"))
 
   /** Benchmark decontamination (d16's engine): per-train-doc count and
@@ -1613,14 +1613,29 @@ object Dedup {
         // O(log n) keyed rounds, and the label frame (one row per
         // non-singleton doc) joins back on the same key the corpus
         // is already hashed on. No window, no driver state.
+        // Round 11: pair generation routed through the banded
+        // candidates (d21's shape verbatim) instead of the brute
+        // all-pairs posting join — same verify threshold, postings
+        // restricted to candidate docs, so the cost profile is
+        // d02's at any corpus size. The ORACLE replays the same
+        // banding, so a borderline pair the bands prune (measured:
+        // 1 of 256 at sf0.1, 0 at sf0.01/sf0.001) is pruned on both
+        // engines — cluster semantics stay engine-pinned, and the
+        // leakage guarantee is "no LSH-caught near-dup pair
+        // straddles", the guarantee every production LSH dedup
+        // actually provides.
         val docs = Tables.load(spark, dir, "documents")
         val sh = shingleArrays(spark, dir).cache()
         val posting = sh.select($"doc_id", explode($"sh").as("s"))
+        val cands = minhashCandidates(sh).cache()
+        val candDocs = cands.select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
+        val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
         val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
-        val pairs = posting.select($"doc_id".as("id_a"), $"s")
-          .join(posting.select($"doc_id".as("id_b"), $"s"), Seq("s"))
+        val pairs = restricted.select($"doc_id".as("id_a"), $"s")
+          .join(restricted.select($"doc_id".as("id_b"), $"s"), Seq("s"))
           .where($"id_a" < $"id_b")
           .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
+          .join(cands, Seq("id_a", "id_b"), "left_semi")
           .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
           .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
           .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
@@ -1639,7 +1654,7 @@ object Dedup {
           .select($"doc_id", $"cluster_id", $"split")
           .orderBy($"doc_id")
       },
-      Some(s"""$d06OracleCtes,
+      Some(s"""$d22OracleCtes,
         assigned AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
           FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
         b AS (SELECT doc_id, cluster_id,
@@ -1709,4 +1724,32 @@ object Dedup {
         SELECT doc_id, cluster_id,
           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
         FROM cl ORDER BY doc_id"""
+
+  /** d22's cluster CTE prefix: the SAME recursive-CC replay as
+    * [[d06OracleCtes]], but with pair generation routed through the
+    * banded minhash candidates (sqlCandCtes) exactly as the Spark
+    * side now does — so a borderline pair the bands prune is pruned
+    * on BOTH engines at every scale, and the cluster/split contract
+    * stays value-pinned (list_intersect over the distinct shingle
+    * lists equals the restricted-posting pair count).
+    */
+  private lazy val d22OracleCtes: String = {
+    val ctes = sqlCandCtes.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$ctes,
+        pairs AS (SELECT cd.id_a, cd.id_b
+          FROM cands cd
+          JOIN sh sa ON sa.doc_id = cd.id_a
+          JOIN sh sb ON sb.doc_id = cd.id_b
+          WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.4),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        cl AS (SELECT n.src AS doc_id, LEAST(n.src, MIN(r.dst)) AS cluster_id
+          FROM (SELECT DISTINCT src FROM sym) n
+          LEFT JOIN reach r ON r.src = n.src GROUP BY n.src)"""
+  }
 }

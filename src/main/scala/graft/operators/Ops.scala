@@ -1466,7 +1466,17 @@ object Ops {
       lists: DataFrame,
       centroids: DataFrame,
       codebooks: DataFrame,
-      vectors: Option[DataFrame] = None)
+      vectors: Option[DataFrame] = None) {
+
+    /** Index-side statistics for [[probeAnnIndex]]'s auto-refill,
+      * cached on the handle so repeated probes against one index pay
+      * the two counting jobs once, not per call (the stored frames
+      * are immutable per epoch — a handle re-read after compaction
+      * or append recounts).
+      */
+    lazy val listRowCount: Long = lists.count()
+    lazy val centroidCount: Long = centroids.count()
+  }
 
   /** O29: persist the trained IVFPQ index — the O24 band-index
     * production pattern applied to ANN. Training cost (the s07
@@ -1628,7 +1638,8 @@ object Ops {
       routeOnDriver: Boolean = true,
       refine: Int = 0,
       allowedIds: Option[DataFrame] = None,
-      autoScaleFiltered: Boolean = true
+      autoScaleFiltered: Boolean = true,
+      allowedIdsCount: Option[Long] = None
   ): DataFrame = {
     val sub = dim / m
     val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"))
@@ -1642,21 +1653,31 @@ object Ops {
     // capped at the cell count, refine at the allow-list size (a
     // shortlist can't exceed the eligible ids). Pass
     // autoScaleFiltered = false to pin the knobs (e.g. a
-    // latency-bound serving path that pre-tuned them); the counts
-    // then still run once for the broadcast-size guard below.
-    val allowStats = allowedIds.map { allow =>
-      val ids = allow.select(col(allow.columns.head).as("n_id"))
-      (ids, ids.distinct().count())
+    // latency-bound serving path that pre-tuned them) — the call is
+    // then FULLY LAZY again: no Spark job runs here (round-11 fix;
+    // previously the distinct count ran regardless). The index-side
+    // counts are cached on the [[AnnIndex]] handle, so even the
+    // auto path pays them once per handle, not once per call. A
+    // caller that knows its allow-list cardinality passes
+    // `allowedIdsCount` and skips the distinct count on the auto
+    // path too.
+    val allowIdsFrame = allowedIds.map { allow =>
+      allow.select(col(allow.columns.head).as("n_id"))
     }
-    val (effNprobe, effRefine) = allowStats match {
-      case Some((_, allowN)) if autoScaleFiltered && allowN > 0 =>
-        val idxN = math.max(1L, index.lists.count() / m)
-        val f = math.min(1.0, allowN.toDouble / idxN)
-        val nCells = index.centroids.count().toInt
+    val allowN: Option[Long] = allowIdsFrame match {
+      case Some(ids) if autoScaleFiltered =>
+        Some(allowedIdsCount.getOrElse(ids.distinct().count()))
+      case _ => allowedIdsCount
+    }
+    val (effNprobe, effRefine) = allowN match {
+      case Some(n) if autoScaleFiltered && n > 0 =>
+        val idxN = math.max(1L, index.listRowCount / m)
+        val f = math.min(1.0, n.toDouble / idxN)
+        val nCells = index.centroidCount.toInt
         val np = math.min(nCells.toLong, math.ceil(nprobe / f).toLong).toInt
         val rf =
           if (refine <= 0) refine
-          else math.min(allowN, math.ceil(refine / f).toLong).toInt
+          else math.min(n, math.ceil(refine / f).toLong).toInt
         (np, rf)
       case _ => (nprobe, refine)
     }
@@ -1715,8 +1736,14 @@ object Ops {
     // eats candidates — see the auto-refill note above; the spec
     // measures the trade on the stored index.
     val cand = lists.join(broadcast(probeCells), Seq("cell"))
-    val allowFiltered = allowStats.fold(cand) { case (ids, allowN) =>
-      val side = if (allowN <= ProbeAllowBroadcastMax) broadcast(ids) else ids
+    val allowFiltered = allowIdsFrame.fold(cand) { ids =>
+      // hint dropped only when the KNOWN cardinality exceeds the cap;
+      // an unknown size (autoScaleFiltered = false, no caller count)
+      // keeps the pre-O41 unconditional broadcast — the caller opted
+      // out of auto sizing, and running a count just to decide would
+      // defeat the lazy serving-path contract
+      val side =
+        if (allowN.exists(_ > ProbeAllowBroadcastMax)) ids else broadcast(ids)
       cand.join(side, Seq("n_id"), "left_semi")
     }
     val adcRanked = allowFiltered

@@ -114,6 +114,46 @@ class CliSpec extends SparkTestBase {
       s"sql TVF result differs from Ops.intervalJoinNative (n=${out.tail.size} vs ${viaScala.length})")
   }
 
+  test("X10 TVF error surface: wrong arity, non-literal arg, missing table all fail loudly") {
+    // The SQL surface is user-facing; the happy path alone leaves the
+    // error contract unpinned. Each failure mode must carry the
+    // argument-level message strArg/require raise, not a generic
+    // resolution error.
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
+    graft.tables.Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"))
+      .createOrReplaceTempView("x10_neg_ev")
+
+    def messageOf(sql: String): String = {
+      val e = intercept[Throwable](spark.sql(sql).collect())
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    }
+
+    // arity: too few args
+    assert(messageOf("SELECT * FROM asof_join('x10_neg_ev', 'x10_neg_ev')")
+      .contains("asof_join takes 5 to 7 arguments, got 2"))
+    assert(messageOf(
+      "SELECT * FROM interval_join('x10_neg_ev', 'x10_neg_ev', 'user_id')")
+      .contains("interval_join takes 7 to 10 arguments, got 3"))
+    // non-literal argument where a string literal is required
+    assert(messageOf(
+      "SELECT * FROM asof_join('x10_neg_ev', 'x10_neg_ev', upper('user_id'), 'ts', 'ts')")
+      .contains("argument 3 (key column) must be a string literal"))
+    // boolean-literal slot fed a string
+    assert(messageOf(
+      "SELECT * FROM interval_join('x10_neg_ev', 'x10_neg_ev', 'user_id', 'user_id', " +
+        "'ts', 'ts', 'ts', 'inner', 'yes')")
+      .contains("argument 9 (lower_inclusive) must be a boolean literal"))
+    // missing table name
+    val missing = messageOf(
+      "SELECT * FROM asof_join('x10_no_such_table', 'x10_neg_ev', 'user_id', 'ts', 'ts')")
+    assert(missing.contains("x10_no_such_table"),
+      s"missing-table error must name the table, got: $missing")
+  }
+
   test("sql subcommand prints NULL and array cells readably") {
     val out = cli("graft.GraftPipelines", "sql",
       "SELECT CAST(NULL AS INT) AS a, array(1, 2) AS b")

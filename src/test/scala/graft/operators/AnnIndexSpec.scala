@@ -393,6 +393,45 @@ class AnnIndexSpec extends SparkTestBase {
     twins.unpersist()
   }
 
+  test("O41 pinned-knob filtered probe is fully lazy: zero Spark jobs at call time") {
+    // Round-11 regression guard: with autoScaleFiltered = false and
+    // the join routing path, constructing the probe frame must run
+    // NO Spark job (round 10 eagerly ran the allow-list distinct
+    // count + two index counts on every call — a per-call latency
+    // tax on exactly the serving path that pinned its knobs to
+    // avoid one).
+    val probes = emb.orderBy(col("vec_id")).limit(5)
+    val allow = emb.where(col("label") % 3 === 0).select(col("vec_id"))
+    val idx = Ops.readAnnIndex(spark, indexPath)
+    @volatile var jobs = 0
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs += 1
+        descs.add(Option(js.properties)
+          .map(_.getProperty("spark.job.description", "?")).getOrElse("?") +
+          " / " + js.stageInfos.headOption.map(_.name).getOrElse("?"))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Ops.probeAnnIndex(probes, "vec_id", "embedding", idx,
+        routeOnDriver = false, allowedIds = Some(allow),
+        autoScaleFiltered = false)
+      assert(df.columns.contains("n_id") || df.columns.nonEmpty)
+      // barrier action: an RDD count is exactly ONE job (a SQL count
+      // under AQE is one per query stage), observed through the async
+      // listener bus — anything beyond it came from probeAnnIndex
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(jobs == 1,
+        s"probeAnnIndex(autoScaleFiltered=false) ran ${jobs - 1} eager jobs at call time: " +
+          descs.toArray.mkString("; "))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   private def collectFileScans(plan: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = plan match {
     case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
