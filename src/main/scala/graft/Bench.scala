@@ -232,6 +232,34 @@ object Bench {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     }
+    // The LAST stdout line must be a complete JSON object that fits in
+    // a ~2 KB log tail: the full artifact above is ~5 KB at 146
+    // queries, so a tail capture truncates it mid-line and archives
+    // `parsed: null` (rounds 9–10 did exactly that). This summary
+    // carries the suite total plus a fixed headline subset; the full
+    // per-query map lives in the file named by "full".
+    val headliners = Seq(
+      "q01_pricing_agg", "q05_multi_join", "q11_window_rank",
+      "q23_asof_join", "q24_range_join", "q58_asof_native",
+      "q61_interval_join_native", "q64_quantile_sketch",
+      "d02_dedup_minhash_lsh", "d04_dedup_ngram_jaccard",
+      "d08_dup_clusters_star", "d11_incremental_dedup",
+      "s01_sim_bruteforce_topk", "s06_ivf_pq_topk",
+      "e02_rand_projection", "g01_pagerank_weighted",
+      "t01_lang_id", "t16_bigram_lm", "m07_byte_histogram",
+      "m08_container_invariant_dup"
+    )
+    val byName = results.map(r => r.name -> r).toMap
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val hq = headliners.flatMap(n => byName.get(n)).map {
+      case r if r.ok => s""""${r.name}":${r3(r.best)}"""
+      case r => s""""${r.name}":null"""
+    }.mkString("{", ",", "}")
+    val total = r3(results.filter(_.ok).map(_.best).sum)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,""" +
+        s""""sf":"$sfDir","runs":$runs,"n_queries":${results.size},""" +
+        s""""full":"${outFileOpt.getOrElse("")}","ok":${results.forall(_.ok)}}""")
     spark.stop()
     if (!results.forall(_.ok)) sys.exit(1)
   }
