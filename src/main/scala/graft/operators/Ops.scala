@@ -2034,6 +2034,99 @@ object Ops {
     }
   }
 
+  /** O42: incremental aggregate-view maintenance — merge a
+    * materialized per-key aggregate view with an append-only delta
+    * WITHOUT re-aggregating the base. The lakehouse/Materialize IVM
+    * primitive: view' over (base ∪ delta) computed as a pure function
+    * of (view, delta), so maintaining a 100 TB view costs
+    * O(|delta| + |touched keys|), not O(|base|).
+    *
+    * `aggs` = (stateCol, fn, input): fn ∈ count | sum | min | max.
+    * count/sum states are MERGEABLE by addition, so the partial agg
+    * of the delta combines with the stored state associatively —
+    * retractable too, if the caller encodes deletions as a signed
+    * `sum` input (the standard IVM trick; a bare `count` is
+    * insert-only by construction). min/max states are mergeable
+    * under INSERT-ONLY deltas (a retraction can expose the
+    * second-smallest value, which the state no longer holds — the
+    * classical IVM restriction; engines that maintain min/max under
+    * deletes keep hierarchical auxiliary state, out of scope here).
+    * Exactness discipline: pass integer inputs (cents/micros) for
+    * `sum` — fp addition is order-dependent and a maintained fp sum
+    * will drift from a recomputed one.
+    *
+    * Plan shape (the part that must survive 100 TB):
+    *  - delta partials: one map-side-combined agg over the delta
+    *    (small — a day's keys, not the corpus's);
+    *  - untouched view rows pass through via a LEFT ANTI join against
+    *    the touched-key set — with `broadcastTouched` (default) that
+    *    is a broadcast hash anti-join: the view is SCANNED once and
+    *    never shuffled, which is the entire point (a naive
+    *    view ∪ delta re-agg shuffles all base keys every cycle);
+    *  - only touched keys (semi-join, same broadcast) union the delta
+    *    partials and re-agg — a shuffle of 2×|touched| rows.
+    * New keys appearing only in the delta survive through the merge
+    * leg. Set `broadcastTouched=false` when a delta may touch more
+    * keys than a broadcast should carry (AQE still converts when the
+    * runtime size allows); the O41 lesson: never force-broadcast an
+    * unbounded side.
+    *
+    * The correctness contract (maintained == full recompute) is
+    * exactly what q66's DuckDB oracle pins: the oracle aggregates the
+    * WHOLE log in one pass, the query maintains a snapshot with the
+    * tail delta.
+    */
+  def maintainAggView(
+      view: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      aggs: Seq[(String, String, Column)],
+      broadcastTouched: Boolean = true
+  ): DataFrame = {
+    require(keys.nonEmpty, "maintainAggView: at least one key column")
+    require(aggs.nonEmpty, "maintainAggView: at least one aggregate")
+    aggs.foreach { case (c, fn, _) =>
+      require(Set("count", "sum", "min", "max")(fn),
+        s"maintainAggView: unsupported agg fn '$fn' for state '$c' " +
+          "(count | sum | min | max)")
+      require(!keys.contains(c),
+        s"maintainAggView: state column '$c' collides with a key")
+    }
+    val stateCols = aggs.map(_._1)
+    val missing = (keys ++ stateCols).filterNot(view.columns.contains)
+    require(missing.isEmpty,
+      s"maintainAggView: view is missing columns ${missing.mkString(", ")}")
+
+    // delta partials — count becomes a summable long state
+    val partial = aggs.map {
+      case (c, "count", _) => count(lit(1)).as(c)
+      case (c, "sum", in) => sum(in).as(c)
+      case (c, "min", in) => min(in).as(c)
+      case (c, "max", in) => max(in).as(c)
+    }
+    val dp = delta.groupBy(keys.map(col): _*).agg(partial.head, partial.tail: _*)
+
+    val touched0 = dp.select(keys.map(col): _*)
+    val touched = if (broadcastTouched) broadcast(touched0) else touched0
+
+    val outCols = (keys ++ stateCols).map(col)
+    val untouched = view.join(touched, keys, "left_anti").select(outCols: _*)
+
+    // merge = the state's own combine fn (count states combine by sum)
+    val combine = aggs.map {
+      case (c, "count", _) => sum(col(c)).as(c)
+      case (c, "sum", _) => sum(col(c)).as(c)
+      case (c, "min", _) => min(col(c)).as(c)
+      case (c, "max", _) => max(col(c)).as(c)
+    }
+    val merged = view.join(touched, keys, "left_semi").select(outCols: _*)
+      .unionByName(dp.select(outCols: _*))
+      .groupBy(keys.map(col): _*).agg(combine.head, combine.tail: _*)
+      .select(outCols: _*)
+
+    untouched.unionByName(merged)
+  }
+
   private def shuffledShardsCore(
       df: DataFrame,
       idCol: String,

@@ -2033,6 +2033,64 @@ object Relational {
           value AS last_value, CAST(n_ops AS BIGINT) AS n_ops
         FROM r WHERE rn = 1 AND event_type <> 'error'
         ORDER BY user_id, k""")
+    ),
+
+    Q(
+      "q66_incremental_view",
+      "Incremental view maintenance: snapshot agg + delta partials merged == full recompute",
+      (spark, dir) => {
+        import spark.implicits._
+        // The "don't recompute the world" primitive every nightly
+        // 100 TB pipeline needs: a materialized per-key aggregate
+        // view maintained with one day's delta instead of re-reading
+        // the whole log. Here the view is per (user_id, event_type)
+        // op counts + exact cent sums + min/max over events; the
+        // snapshot is everything before Jan 24, the delta the tail
+        // week. Ops.maintainAggView (O42) merges the delta's partial
+        // aggregates into the stored states: untouched view rows
+        // pass through a broadcast ANTI join (the view is scanned,
+        // never shuffled — at 100 TB that is the whole point), only
+        // keys the delta touches re-aggregate (2x|touched| rows),
+        // delta-only keys surface through the merge leg. Sums are
+        // exact integer cents (the q55 discipline — a maintained fp
+        // sum would drift from a recomputed one by addition order);
+        // min/max are sound because the delta is insert-only. The
+        // ORACLE aggregates the WHOLE log in one pass — the gate
+        // pins maintained == recomputed, IVM's entire contract.
+        val cutoffUs = 1706054400000000L // 2024-01-24 00:00:00 UTC in epoch micros
+        val ev = t(spark, dir, "events")
+          .select($"user_id", $"event_type",
+            unix_micros($"ts").as("ts_us"),
+            floor($"value" * 100).cast("long").as("cents"))
+        val snapshot = ev.filter($"ts_us" < cutoffUs)
+          .groupBy($"user_id", $"event_type")
+          .agg(
+            count(lit(1)).as("n_ops"),
+            sum($"cents").as("sum_cents"),
+            min($"cents").as("min_cents"),
+            max($"cents").as("max_cents"))
+        val delta = ev.filter($"ts_us" >= cutoffUs)
+        Ops.maintainAggView(
+          snapshot, delta,
+          keys = Seq("user_id", "event_type"),
+          aggs = Seq(
+            ("n_ops", "count", lit(1)),
+            ("sum_cents", "sum", $"cents"),
+            ("min_cents", "min", $"cents"),
+            ("max_cents", "max", $"cents")))
+          .orderBy($"user_id", $"event_type")
+      },
+      // Full single-pass recompute — deliberately NOT a replay of the
+      // snapshot/delta split: agreeing with this is what makes the
+      // maintenance correct.
+      Some("""SELECT user_id, event_type,
+        COUNT(*) AS n_ops,
+        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        CAST(MIN(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        CAST(MAX(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type""")
     )
   )
 }

@@ -66,4 +66,90 @@ class Round11Spec extends SparkTestBase {
     assert(brute.exceptAll(banded).isEmpty && banded.exceptAll(brute).isEmpty)
     spark.catalog.clearCache()
   }
+
+  // ---- O42 maintainAggView (incremental view maintenance) ----
+
+  private def eventsCents = Tables.load(spark, sfDir, "events")
+    .select($"user_id", $"event_type",
+      unix_micros($"ts").as("ts_us"),
+      floor($"value" * 100).cast("long").as("cents"))
+
+  private val q66Aggs = Seq(
+    ("n_ops", "count", lit(1)),
+    ("sum_cents", "sum", col("cents")),
+    ("min_cents", "min", col("cents")),
+    ("max_cents", "max", col("cents")))
+
+  private def fullAgg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_ops"), sum($"cents").as("sum_cents"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+
+  test("maintainAggView: maintained view == full recompute (IVM contract)") {
+    val ev = eventsCents.cache()
+    val cut = 1706054400000000L
+    val snapshot = fullAgg(ev.filter($"ts_us" < cut))
+    val maintained = Ops.maintainAggView(
+      snapshot, ev.filter($"ts_us" >= cut), Seq("user_id", "event_type"), q66Aggs)
+    val recomputed = fullAgg(ev)
+    assert(maintained.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(maintained).isEmpty)
+    ev.unpersist()
+  }
+
+  test("maintainAggView: delta-only keys surface, untouched rows pass through bit-identical") {
+    val view = Seq((1L, 10L, 2L, 7L), (2L, 3L, 5L, 5L))
+      .toDF("k", "n", "mn", "mx")
+    val delta = Seq((2L, 9L), (3L, 4L)).toDF("k", "v") // touches k=2, introduces k=3
+    val out = Ops.maintainAggView(view, delta, Seq("k"),
+      Seq(("n", "count", lit(1)), ("mn", "min", $"v"), ("mx", "max", $"v")))
+      .orderBy($"k").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 10L, 2L, 7L),      // untouched: exactly the stored state
+          (2L, 4L, 5L, 9L),       // 3 stored + 1 delta row; min/max merge
+          (3L, 1L, 4L, 4L)))      // delta-only key born with its partials
+  }
+
+  test("maintainAggView: retractions as signed sums maintain deletes exactly") {
+    // The caller encodes a delete as (-1, -v): count and sum states
+    // absorb it associatively — the standard IVM trick for the
+    // additive aggregates (min/max excluded, per the scaladoc).
+    val base = Seq((1L, 5L), (1L, 7L), (2L, 3L)).toDF("k", "v")
+    val view = base.groupBy($"k")
+      .agg(sum(lit(1L)).as("n"), sum($"v").as("s"))
+    val delta = Seq((1L, -1L, -5L), (2L, 1L, 10L)).toDF("k", "dn", "dv")
+    val out = Ops.maintainAggView(view, delta, Seq("k"),
+      Seq(("n", "sum", $"dn"), ("s", "sum", $"dv")))
+      .orderBy($"k").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 7L),   // the (1,5) row retracted
+          (2L, 2L, 13L))) // one insert
+  }
+
+  test("maintainAggView: broadcast merge plan — the view is never shuffle-joined") {
+    val ev = eventsCents
+    val cut = 1706054400000000L
+    val maintained = Ops.maintainAggView(
+      fullAgg(ev.filter($"ts_us" < cut)),
+      ev.filter($"ts_us" >= cut), Seq("user_id", "event_type"), q66Aggs)
+    val plan = maintained.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2,
+      s"expected broadcast anti+semi against the touched-key set:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the stored view must not be shuffled to meet the delta")
+  }
+
+  test("maintainAggView: validation rejects bad fn, missing state, key collision") {
+    val view = Seq((1L, 2L)).toDF("k", "n")
+    val delta = Seq((1L, 1L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Ops.maintainAggView(view, delta, Seq("k"), Seq(("n", "avg", $"v")))
+    }
+    intercept[IllegalArgumentException] {
+      Ops.maintainAggView(view, delta, Seq("k"), Seq(("absent", "count", lit(1))))
+    }
+    intercept[IllegalArgumentException] {
+      Ops.maintainAggView(view, delta, Seq("k"), Seq(("k", "count", lit(1))))
+    }
+  }
 }
