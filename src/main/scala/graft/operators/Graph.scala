@@ -715,22 +715,7 @@ object Graph {
           .orderBy($"node")
       },
       Some {
-        val rounds = (1 to 3).map { t =>
-          s"""c$t AS (SELECT e.src AS node, p.l AS lbl, COUNT(*) AS c
-            FROM sym e JOIN l${t - 1} p ON p.node = e.dst GROUP BY 1, 2),
-          l$t AS MATERIALIZED (SELECT node, lbl AS l FROM (
-            SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
-              ORDER BY c DESC, lbl ASC) AS rn FROM c$t) q WHERE rn = 1)"""
-        }.mkString(",\n        ")
-        s"""WITH ip AS MATERIALIZED (
-          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-          FROM lineitem WHERE l_quantity >= 30),
-        und AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
-          FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
-        sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
-          UNION ALL SELECT v, u FROM und),
-        l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS l FROM sym),
-        $rounds
+        s"""$lpaOracleCtes
         SELECT l3.node AS node, l3.l AS label, CAST(cnt.n AS BIGINT) AS n_members
         FROM l3 JOIN (SELECT l, COUNT(*) AS n FROM l3 GROUP BY l) cnt ON cnt.l = l3.l
         ORDER BY node"""
@@ -972,6 +957,95 @@ object Graph {
             THEN 1000000 * 2 * COALESCE(p.n_tri, 0) // (d.deg * (d.deg - 1))
             ELSE 0 END AS BIGINT) AS clustering_fp
         FROM deg d LEFT JOIN pernode p USING (node) ORDER BY node""")
+    ),
+
+    Q(
+      "g10_modularity",
+      "Modularity of the LPA partition: exact integer per-community contributions",
+      (spark, dir) => {
+        import spark.implicits._
+        // The metric that answers "is this community structure any
+        // good": Newman modularity Q = SUM_c [ e_c/m - (D_c/2m)^2 ]
+        // over g05's OWN LPA partition — the quality report every
+        // community pipeline publishes next to its labels (and the
+        // objective Louvain greedily climbs; computing it over a
+        // given partition is Louvain's inner evaluation step).
+        // fp-poison discipline (the g08/g09 lesson): multiply through
+        // by 4m^2 — q_num = 4*m*e_c - D_c^2 is EXACT int64 per
+        // community (|q_num| <= 4m^2, safe to ~1.5e9 edges; far past
+        // that, move the product to decimal), and the m column lets
+        // the consumer normalize Q = SUM(q_num)/(4m^2) at report
+        // time. One number per COMMUNITY, never a division early.
+        // Plan: the label frame joins the edge list twice on its own
+        // node key (intra test), degrees are one map-side-combined
+        // agg, m is a 1-row broadcast — no window, no driver value,
+        // hub skew bounded by the same keyed-agg shapes g02/g09 use.
+        val ip = Tables.load(spark, dir, "lineitem")
+          .filter($"l_quantity" >= 30)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        val und = ip.as("a").join(ip.as("b"), "ok")
+          .where($"a.p" < $"b.p")
+          .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+          .graftCheckpointLazy // read once for m/deg/intra, not 3 plans
+        val lbl = labelPropagation(und, rounds = 3)
+        val mRow = und.agg(count(lit(1)).cast("long").as("m"))
+        val intra = und
+          .join(lbl.select($"node".as("u"), $"l".as("lu")), "u")
+          .join(lbl.select($"node".as("v"), $"l".as("lv")), "v")
+          .where($"lu" === $"lv")
+          .groupBy($"lu".as("label"))
+          .agg(count(lit(1)).cast("long").as("n_intra"))
+        val deg = und.select($"u".as("node")).unionAll(und.select($"v"))
+          .groupBy($"node").agg(count(lit(1)).cast("long").as("dg"))
+        val dsum = lbl.join(deg, "node")
+          .groupBy($"l".as("label"))
+          .agg(sum($"dg").as("deg_sum"))
+        dsum.join(intra, Seq("label"), "left")
+          .withColumn("n_intra", coalesce($"n_intra", lit(0L)))
+          .crossJoin(broadcast(mRow))
+          .select($"label", $"n_intra", $"deg_sum", $"m",
+            (lit(4L) * $"m" * $"n_intra" - $"deg_sum" * $"deg_sum").as("q_num_4m2"))
+          .orderBy($"label")
+      },
+      Some {
+        s"""$lpaOracleCtes,
+        mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        ec AS (SELECT lu.l AS label, CAST(COUNT(*) AS BIGINT) AS n_intra
+          FROM und e JOIN l3 lu ON lu.node = e.u JOIN l3 lv ON lv.node = e.v
+          WHERE lu.l = lv.l GROUP BY 1),
+        degs AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node),
+        dc AS (SELECT l3.l AS label, CAST(SUM(d.dg) AS BIGINT) AS deg_sum
+          FROM l3 JOIN degs d ON d.node = l3.node GROUP BY 1)
+        SELECT dc.label, COALESCE(ec.n_intra, 0) AS n_intra, dc.deg_sum, m.m,
+          CAST(4 * m.m * COALESCE(ec.n_intra, 0) - dc.deg_sum * dc.deg_sum AS BIGINT) AS q_num_4m2
+        FROM dc LEFT JOIN ec USING (label) CROSS JOIN mrow m
+        ORDER BY label"""
+      }
     )
   )
+
+  /** Shared LPA oracle prefix (g05's committed replay, through `l3`):
+    * the co-purchase graph, its symmetric edge view, and 3 unrolled
+    * synchronous min-tie-break rounds. g10's modularity oracle scores
+    * the SAME partition, so both oracles must replay one text.
+    */
+  private lazy val lpaOracleCtes: String = {
+    val rounds = (1 to 3).map { t =>
+      s"""c$t AS (SELECT e.src AS node, p.l AS lbl, COUNT(*) AS c
+            FROM sym e JOIN l${t - 1} p ON p.node = e.dst GROUP BY 1, 2),
+          l$t AS MATERIALIZED (SELECT node, lbl AS l FROM (
+            SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+              ORDER BY c DESC, lbl ASC) AS rn FROM c$t) q WHERE rn = 1)"""
+    }.mkString(",\n        ")
+    s"""WITH ip AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          FROM lineitem WHERE l_quantity >= 30),
+        und AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
+        sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+          UNION ALL SELECT v, u FROM und),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS l FROM sym),
+        $rounds"""
+  }
 }

@@ -139,6 +139,53 @@ class Round11Spec extends SparkTestBase {
       "the stored view must not be shuffled to meet the delta")
   }
 
+  // ---- g10 modularity ----
+
+  test("g10 modularity: two disconnected triangles score the textbook Q = 1/2") {
+    // K3 + K3, no bridge: LPA labels each triangle by its min node;
+    // m = 6, per community e_c = 3 and D_c = 6, so q_num = 4*6*3 -
+    // 6^2 = 36 per community and Q = (36+36)/(4*36) = 1/2 — the
+    // classic two-clique modularity. Exercises the exact-integer
+    // formulation end-to-end on a hand-checkable graph.
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("u", "v")
+    val lbl = Graph.labelPropagation(und, rounds = 3)
+    val m = und.count()
+    val intra = und
+      .join(lbl.select($"node".as("u"), $"l".as("lu")), "u")
+      .join(lbl.select($"node".as("v"), $"l".as("lv")), "v")
+      .where($"lu" === $"lv")
+      .groupBy($"lu".as("label")).agg(count(lit(1)).cast("long").as("n_intra"))
+    val deg = und.select($"u".as("node")).unionAll(und.select($"v"))
+      .groupBy($"node").agg(count(lit(1)).cast("long").as("dg"))
+    val dsum = lbl.join(deg, "node").groupBy($"l".as("label"))
+      .agg(sum($"dg").as("deg_sum"))
+    val rows = dsum.join(intra, Seq("label"), "left")
+      .select($"label", coalesce($"n_intra", lit(0L)).as("n_intra"), $"deg_sum")
+      .orderBy($"label").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 6L), (4L, 3L, 6L)))
+    val qNum = rows.map(r => 4L * m * r.getLong(1) - r.getLong(2) * r.getLong(2)).sum
+    assert(qNum == 72L && 4L * m * m == 144L) // Q = 1/2 exactly
+  }
+
+  test("g10 modularity: conservation identities on the real corpus") {
+    val out = graft.SparkEntry.queries("g10_modularity")(spark, sfDir)
+      .select($"n_intra", $"deg_sum", $"m", $"q_num_4m2").collect()
+    val m = out.head.getLong(2)
+    assert(out.forall(_.getLong(2) == m))
+    // every edge is intra to at most one community; every endpoint's
+    // degree lands in exactly one community
+    assert(out.map(_.getLong(0)).sum <= m)
+    assert(out.map(_.getLong(1)).sum == 2 * m)
+    out.foreach { r =>
+      assert(r.getLong(3) == 4L * m * r.getLong(0) - r.getLong(1) * r.getLong(1))
+    }
+    // Q = sum(q_num)/(4m^2) in [-1/2, 1] (Brandes et al. bounds)
+    val q = out.map(_.getLong(3)).sum.toDouble / (4.0 * m * m)
+    assert(q >= -0.5 && q <= 1.0, s"Q=$q out of range")
+  }
+
   test("maintainAggView: validation rejects bad fn, missing state, key collision") {
     val view = Seq((1L, 2L)).toDF("k", "n")
     val delta = Seq((1L, 1L)).toDF("k", "v")
