@@ -64,6 +64,12 @@ object GraftExpressions {
     */
   def rasterBodyGrams(payload: Column, width: Int): Column =
     column(RasterBodyGrams(expression(payload), width))
+
+  /** Column API: struct(format, 60-bit average-hash of the raster
+    * body) via the structural header walk, one codegen pass (X13).
+    */
+  def avgHash60(payload: Column): Column =
+    column(AvgHash60(expression(payload)))
 }
 
 /** Word n-gram shingles of a text column in ONE pass over the UTF-8
@@ -582,6 +588,82 @@ object RasterBodyGrams {
           new org.apache.spark.sql.catalyst.util.GenericArrayData(out),
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
             sk.toArray(new Array[AnyRef](sk.size()))))
+      case _ => null
+    }
+}
+
+/** X13: container-invariant 60-bit perceptual average-hash of a
+  * raster payload's BODY — the aHash shape every production image
+  * dedup runs (resize to a fixed grid, threshold each cell at the
+  * global mean, pack the bits), computed in ONE codegen pass over the
+  * payload bytes with the body located by the same structural header
+  * walk X12/m05 use. The "resize" stand-in is the deterministic
+  * 60-way equi-partition of the body byte stream (segment of byte i =
+  * i*60/n): this container has no real image codecs (the brief's
+  * stub-the-decode rule), but the plumbing — fixed-width hash from
+  * variable-length bodies, mean thresholding, bit packing — is the
+  * real aHash pipeline, and a real decoder drops in by replacing the
+  * segment-mean reduction with pixel-grid means.
+  *
+  * Exactness discipline: bit j is set iff segment j's mean EXCEEDS
+  * the global mean, decided by cross-multiplication
+  * (sum_j * n > total * len_j) — pure int64, no fp division, so the
+  * DuckDB oracle replays the hash bit-for-bit. Safe while
+  * 255*n^2 < 2^63, i.e. bodies to ~190 MB — far past any raster.
+  * 60 bits (not the classic 64) keeps the top nibble zero, so the
+  * signed-int64 band arithmetic ((h >> 15k) & 32767) is portable
+  * across engines without unsigned-shift traps — the hash60/SimHash
+  * discipline. Null for unknown/truncated containers and for bodies
+  * under 60 bytes (a segment would be empty).
+  */
+case class AvgHash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    AvgHash60.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""${ev.value} = graft.functions.AvgHash60$$.MODULE$$.compute($in);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): AvgHash60 =
+    copy(child = c)
+}
+
+object AvgHash60 {
+
+  val Segments = 60
+
+  /** Static entry shared by eval and generated code. */
+  def compute(bytes: Array[Byte]): InternalRow =
+    graft.operators.Multimodal.rasterStart(bytes) match {
+      case Some((fmt, start)) if bytes.length - start >= Segments =>
+        val n = bytes.length - start
+        val sums = new Array[Long](Segments)
+        val lens = new Array[Long](Segments)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val seg = (i.toLong * Segments / n).toInt
+          val v = (bytes(start + i) & 0xff).toLong
+          sums(seg) += v
+          lens(seg) += 1
+          total += v
+          i += 1
+        }
+        var h = 0L
+        var j = 0
+        while (j < Segments) {
+          // segment mean > global mean, exactly (cross-multiplied)
+          if (sums(j) * n > total * lens(j)) h |= (1L << j)
+          j += 1
+        }
+        InternalRow(UTF8String.fromString(fmt), h)
       case _ => null
     }
 }

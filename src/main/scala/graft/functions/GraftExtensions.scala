@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bpeCountFn)
     ext.injectFunction(GraftExtensions.nibbleHistogramFn)
     ext.injectFunction(GraftExtensions.rasterBodyGramsFn)
+    ext.injectFunction(GraftExtensions.avgHash60Fn)
     // whole-operator path: plans graft.plans.AsOfJoin logical nodes
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -91,6 +92,13 @@ object GraftExtensions {
       RasterBodyGrams(children.head, intLit(children(1), "width"))
   )
 
+  val avgHash60Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("avg_hash60"),
+    info("avg_hash60",
+      "avg_hash60(bin) - struct(format, 60-bit body average-hash) via the structural header walk"),
+    (children: Seq[Expression]) => AvgHash60(children.head)
+  )
+
   /** Register on an existing session (tests / REPL convenience) —
     * scalar functions AND the X10 table-valued join functions (a
     * getOrCreate that joined a pre-existing session never saw the
@@ -99,7 +107,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineSim, polyHash, wordShinglesFn, minhashHexFn, bpeCountFn,
-      nibbleHistogramFn, rasterBodyGramsFn).foreach { case (id, inf, builder) =>
+      nibbleHistogramFn, rasterBodyGramsFn, avgHash60Fn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
     val treg = spark.sessionState.tableFunctionRegistry

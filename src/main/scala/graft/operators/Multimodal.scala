@@ -546,7 +546,20 @@ object Multimodal {
     * The document's text bytes ride behind the header as the "pixel
     * data" — structurally parseable, deterministically reproducible.
     */
-  def imagePayloads(spark: SparkSession, dir: String): DataFrame = {
+  def imagePayloads(spark: SparkSession, dir: String): DataFrame =
+    payloadsWithContainer(spark, dir, containerShift = 0, idOffset = 0L)
+
+  /** [[imagePayloads]] generalized: container format chosen by
+    * (doc_id + containerShift) % 3, ids emitted as doc_id + idOffset.
+    * `containerShift != 0` RE-WRAPS every body in a different
+    * container than its [[imagePayloads]] twin — the deterministic
+    * stand-in for the re-served/re-muxed asset scenario the
+    * container-invariant operators (m08/m09) exist to catch, since
+    * the synthetic corpus has no naturally re-containered payloads.
+    */
+  def payloadsWithContainer(
+      spark: SparkSession, dir: String,
+      containerShift: Int, idOffset: Long): DataFrame = {
     import spark.implicits._
     val pngHdr = concat(
       lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
@@ -561,13 +574,14 @@ object Multimodal {
       substring(hexN($"_w", 4), 3, 2), substring(hexN($"_w", 4), 1, 2),
       substring(hexN($"_h", 4), 3, 2), substring(hexN($"_h", 4), 1, 2),
       lit("000000"))
+    val c = pmod($"doc_id" + containerShift, lit(3))
     dims(Tables.load(spark, dir, "documents"))
       .select(
-        $"doc_id",
+        ($"doc_id" + idOffset).as("doc_id"),
         concat(
           unhex(
-            when(pmod($"doc_id", lit(3)) === 0, pngHdr)
-              .when(pmod($"doc_id", lit(3)) === 1, jpegHdr)
+            when(c === 0, pngHdr)
+              .when(c === 1, jpegHdr)
               .otherwise(gifHdr)),
           $"text".cast("binary")
         ).as("payload")
@@ -887,16 +901,12 @@ object Multimodal {
     * deterministic framing as [[imagePayloads]], built with DuckDB
     * blob functions, followed by the hex image of each payload.
     */
-  private val sqlPayloadCtes: String =
-    """WITH d AS (
-      |  SELECT doc_id,
-      |    16 + (doc_id * 37) % 2000 AS w,
-      |    16 + octet_length(encode(text)) % 1500 AS h,
-      |    encode(text) AS body
-      |  FROM documents),
-      |p AS (
-      |  SELECT doc_id,
-      |    unhex(CASE doc_id % 3
+  /** The container-header CASE of [[payloadsWithContainer]] in DuckDB
+    * blob SQL, parameterized by the case scrutinee so the re-wrapped
+    * variant ((doc_id + 1) % 3) replays the identical branch text.
+    */
+  private def sqlHdrCase(scrutinee: String): String =
+    s"""unhex(CASE $scrutinee
       |      WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452' ||
       |        printf('%08X', w) || printf('%08X', h) || '0806000000' || '00000000'
       |      WHEN 1 THEN 'FFD8' || 'FFC0' || '0011' || '08' ||
@@ -904,7 +914,37 @@ object Multimodal {
       |      ELSE '474946383961' ||
       |        substr(printf('%04X', w), 3, 2) || substr(printf('%04X', w), 1, 2) ||
       |        substr(printf('%04X', h), 3, 2) || substr(printf('%04X', h), 1, 2) || '000000'
-      |    END) || body AS payload
+      |    END) || body""".stripMargin
+
+  private val sqlPayloadDimsCte: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    16 + (doc_id * 37) % 2000 AS w,
+      |    16 + octet_length(encode(text)) % 1500 AS h,
+      |    encode(text) AS body
+      |  FROM documents)""".stripMargin
+
+  private val sqlPayloadCtes: String =
+    s"""$sqlPayloadDimsCte,
+      |p AS (
+      |  SELECT doc_id,
+      |    ${sqlHdrCase("doc_id % 3")} AS payload
+      |  FROM d),
+      |hx AS (SELECT doc_id, hex(payload) AS hp, octet_length(payload) AS nb FROM p)""".stripMargin
+
+  /** [[sqlPayloadCtes]] plus every body RE-WRAPPED in its neighbor
+    * container under doc_id + 1e9 — the m09 oracle's image of
+    * payloadsWithContainer(containerShift = 1, idOffset = 1e9).
+    */
+  private val sqlPayloadCtesRewrap: String =
+    s"""$sqlPayloadDimsCte,
+      |p AS (
+      |  SELECT doc_id,
+      |    ${sqlHdrCase("doc_id % 3")} AS payload
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000 AS doc_id,
+      |    ${sqlHdrCase("(doc_id + 1) % 3")} AS payload
       |  FROM d),
       |hx AS (SELECT doc_id, hex(payload) AS hp, octet_length(payload) AS nb FROM p)""".stripMargin
 
@@ -1325,6 +1365,111 @@ object Multimodal {
           JOIN grams gb ON gb.doc_id = c.id_b)
         SELECT id_a, id_b, ROUND(jac, 6) AS jaccard, cross_container
         FROM v WHERE jac >= 0.4 ORDER BY id_a, id_b""")
+    ),
+
+    Q(
+      "m09_perceptual_near_dup",
+      "Perceptual average-hash near-dup: Hamming<=3 over the structural-body aHash, pigeonhole-banded",
+      (spark, dir) => {
+        import spark.implicits._
+        // The OTHER image-dedup modality: m08's byte-gram Jaccard
+        // catches re-containered and insert-edited bodies, but a
+        // re-ENCODED image (same picture, different bytes everywhere)
+        // shares no byte grams at all — production image dedup runs a
+        // PERCEPTUAL hash (aHash/pHash/dHash family) whose bits
+        // survive re-encoding because they threshold region MEANS,
+        // not bytes. X13 AvgHash60 computes the aHash shape in one
+        // codegen pass: structural header walk (the m05/m08 walk)
+        // locates the body, 60 equi-partition segments stand in for
+        // the pixel grid (real codecs are stubbed per the brief; a
+        // decoder drops in at the segment-mean reduction), bit j =
+        // segment j's mean > global mean decided by exact int64
+        // cross-multiplication — no fp, so the oracle replays the
+        // hash bit-for-bit. Near-dup = Hamming <= 3, found at scale
+        // by d03's pigeonhole: 4 x 15-bit bands, a pair within
+        // distance 3 must agree exactly on >= 1 band, so candidates
+        // come from 4 narrow band equi-joins (self-join on a
+        // 15-bit-key frame — one shuffle of 4 rows/doc), never an
+        // all-pairs scan; exact bit_count(xor) verifies candidates.
+        // The corpus has no naturally re-containered assets (and the
+        // text-byte stand-in bodies have near-uniform segment means,
+        // so word-level near-dups do NOT survive Hamming <= 3 — that
+        // is m08's jaccard regime), so the input unions each payload
+        // with its deterministically RE-WRAPPED twin (same body,
+        // neighbor container, id + 1e9): the invariance contract —
+        // same raster under a different container hashes IDENTICALLY
+        // and is caught at Hamming 0 — is then exercised on every
+        // doc, and the oracle replays the same union. cross_container
+        // marks pairs whose containers differ.
+        val ah = imagePayloads(spark, dir)
+          .unionByName(payloadsWithContainer(spark, dir,
+            containerShift = 1, idOffset = 1000000000L))
+          .select($"doc_id",
+            graft.functions.GraftExpressions.avgHash60($"payload").as("a"))
+          .where($"a".isNotNull)
+          .select($"doc_id", $"a.format".as("format"), $"a.ahash".as("ah"))
+        val seg = ah.select(
+          $"doc_id", $"ah", $"format",
+          posexplode(array((0 until 4).map(k =>
+            shiftrightunsigned($"ah", k * 15).bitwiseAND(32767L)): _*)).as(Seq("k", "seg")))
+        val a = seg.select($"doc_id".as("id_a"), $"ah".as("ha"), $"format".as("fa"), $"k", $"seg")
+        val b = seg.select($"doc_id".as("id_b"), $"ah".as("hb"), $"format".as("fb"), $"k", $"seg")
+        a.join(b, Seq("k", "seg")).where($"id_a" < $"id_b")
+          .select($"id_a", $"id_b", $"ha", $"hb", $"fa", $"fb").distinct()
+          .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")))
+          .where($"hamming" <= 3)
+          .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"),
+            ($"fa" =!= $"fb").as("cross_container"))
+          .orderBy($"id_a", $"id_b")
+      },
+      // Same strt simplification as m08 (PayloadLayoutSpec pins the
+      // generator layout it relies on). The hash replay is exact
+      // integer arithmetic end-to-end: byte values decoded from hex
+      // pairs (the m07 discipline), segment of byte i = i*60/n by
+      // integer division, threshold by cross-multiplication.
+      Some(s"""$sqlPayloadCtesRewrap,
+        st AS (SELECT doc_id, hp, nb,
+            CASE WHEN substr(hp, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+                 WHEN substr(hp, 1, 4) = 'FFD8' THEN 'jpeg'
+                 ELSE 'gif' END AS format,
+            CAST(CASE WHEN substr(hp, 1, 16) = '89504E470D0A1A0A'
+                   THEN 20 + ${sqlHexToInt("substr(hp, 17, 8)", 8)}
+                 WHEN substr(hp, 1, 4) = 'FFD8'
+                   THEN 4 + ${sqlHexToInt("substr(hp, 9, 4)", 4)}
+                 ELSE 13 END AS BIGINT) AS strt
+          FROM hx),
+        bodies AS (SELECT doc_id, format,
+            substr(hp, CAST(2 * strt + 1 AS INT)) AS bh,
+            nb - strt AS n
+          FROM st WHERE nb - strt >= 60),
+        bytes AS (SELECT doc_id, n, i,
+            CAST((strpos('0123456789ABCDEF', substr(bh, CAST(2 * i + 1 AS INT), 1)) - 1) * 16
+               + (strpos('0123456789ABCDEF', substr(bh, CAST(2 * i + 2 AS INT), 1)) - 1) AS BIGINT) AS v,
+            (i * 60) // n AS seg
+          FROM bodies, LATERAL (SELECT unnest(generate_series(0, CAST(n - 1 AS INT))) AS i)),
+        segsum AS (SELECT doc_id, seg,
+            CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS l
+          FROM bytes GROUP BY doc_id, seg),
+        tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n
+          FROM bytes GROUP BY doc_id),
+        sig AS (SELECT ss.doc_id, b.format,
+            CAST(SUM(CASE WHEN ss.s * tt.n > tt.t * ss.l
+              THEN CAST(1 AS BIGINT) << CAST(ss.seg AS INT) ELSE 0 END) AS BIGINT) AS ahash
+          FROM segsum ss JOIN tot tt ON tt.doc_id = ss.doc_id
+          JOIN bodies b ON b.doc_id = ss.doc_id
+          GROUP BY ss.doc_id, b.format),
+        seg4 AS (SELECT doc_id, format, ahash, k,
+            (ahash >> CAST(15 * k AS INT)) & 32767 AS sg
+          FROM sig, (VALUES (0), (1), (2), (3)) AS t(k)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.ahash AS ha, b.ahash AS hb, a.format AS fa, b.format AS fb
+          FROM seg4 a JOIN seg4 b ON a.k = b.k AND a.sg = b.sg
+            AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+          fa <> fb AS cross_container
+        FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        ORDER BY id_a, id_b""")
     )
   )
 }

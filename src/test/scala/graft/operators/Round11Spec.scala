@@ -186,6 +186,74 @@ class Round11Spec extends SparkTestBase {
     assert(q >= -0.5 && q <= 1.0, s"Q=$q out of range")
   }
 
+  // ---- X13 AvgHash60 / m09 perceptual near-dup ----
+
+  test("X13 avgHash60: container-invariant — all three wraps of one body hash identically") {
+    val variants = (0 to 2).map { shift =>
+      Multimodal.payloadsWithContainer(spark, sfDir, containerShift = shift, idOffset = 0L)
+        .select($"doc_id",
+          graft.functions.GraftExpressions.avgHash60($"payload").as("a"))
+        .where($"a".isNotNull)
+        .select($"doc_id", $"a.format".as(s"f$shift"), $"a.ahash".as(s"h$shift"))
+    }
+    val joined = variants(0).join(variants(1), "doc_id").join(variants(2), "doc_id")
+    assert(joined.where($"h0" =!= $"h1" || $"h1" =!= $"h2").isEmpty,
+      "same body under different containers must produce the same hash")
+    // and the walk really saw three different containers per doc
+    assert(joined.where($"f0" === $"f1" || $"f1" === $"f2" || $"f0" === $"f2").isEmpty)
+    assert(joined.count() > 0)
+  }
+
+  test("X13 avgHash60: driver-side first-principles replay + null edges") {
+    import graft.functions.AvgHash60
+    val rows = Multimodal.imagePayloads(spark, sfDir)
+      .select($"doc_id", $"payload").orderBy($"doc_id").limit(5).collect()
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val out = AvgHash60.compute(payload)
+      Multimodal.rasterStart(payload) match {
+        case Some((fmt, start)) if payload.length - start >= 60 =>
+          val body = payload.drop(start).map(_ & 0xff)
+          val n = body.length
+          val expected = (0 until 60).map { j =>
+            val idx = body.indices.filter(i => i.toLong * 60 / n == j)
+            val s = idx.map(body(_).toLong).sum
+            // exact cross-multiplied mean comparison
+            if (s * n > body.map(_.toLong).sum * idx.length) 1L << j else 0L
+          }.sum
+          assert(out.getString(0) == fmt)
+          assert(out.getLong(1) == expected, s"doc ${r.getLong(0)}")
+        case _ => assert(out == null)
+      }
+    }
+    // truncated container and sub-60-byte body are null, not garbage
+    assert(AvgHash60.compute(Array[Byte](1, 2, 3)) == null)
+    val tiny = Multimodal.imagePayloads(spark, sfDir)
+      .select(graft.functions.GraftExpressions.avgHash60(
+        expr("substring(payload, 1, 40)")).as("a"))
+    assert(tiny.where($"a".isNotNull).isEmpty)
+  }
+
+  test("m09: pigeonhole banding finds EVERY Hamming<=3 pair (brute-force parity at spec scale)") {
+    val ah = Multimodal.imagePayloads(spark, sfDir)
+      .unionByName(Multimodal.payloadsWithContainer(spark, sfDir,
+        containerShift = 1, idOffset = 1000000000L))
+      .select($"doc_id",
+        graft.functions.GraftExpressions.avgHash60($"payload").as("a"))
+      .where($"a".isNotNull)
+      .select($"doc_id", $"a.ahash".as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- ah; (ib, hb) <- ah if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    val banded = graft.SparkEntry.queries("m09_perceptual_near_dup")(spark, sfDir)
+      .select($"id_a", $"id_b", $"hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
   test("maintainAggView: validation rejects bad fn, missing state, key collision") {
     val view = Seq((1L, 2L)).toDF("k", "n")
     val delta = Seq((1L, 1L)).toDF("k", "v")
