@@ -588,6 +588,25 @@ object Multimodal {
       )
   }
 
+  /** The (band, bh) minhash band keys of a payload column's raster
+    * BODY — m08's exact banding derivation (X12 structural walk +
+    * byte-8-gram mod-16 sketch, X8 minhash, 4 md5 band hashes)
+    * exposed per-row so BOTH a batch index build and the streaming
+    * probe/append (ST16) run one code path. Stateless per row —
+    * no aggregation — so a streaming caller stays append-mode legal:
+    * the persisted index is the state, exactly ST6's design. Rows
+    * whose container is unknown/truncated or whose sketch is empty
+    * (tiny bodies) are dropped, matching m08's banding domain.
+    */
+  def rasterBandKeys(payloads: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val rb = payloads.select(
+        col(idCol),
+        graft.functions.GraftExpressions.rasterBodyGrams(col(payloadCol), 8).as("_rb"))
+      .where(col("_rb").isNotNull && size(col("_rb.sketch")) > 0)
+      .select(col(idCol), col("_rb.sketch").as("_sk"))
+    graft.operators.Dedup.bandKeysFromShingles(rb, idCol, "_sk")
+  }
+
   private def le16hex(c: Column): Column =
     concat(substring(hexN(c, 4), 3, 2), substring(hexN(c, 4), 1, 2))
   private def le32hex(c: Column): Column =

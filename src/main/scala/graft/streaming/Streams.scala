@@ -583,6 +583,51 @@ object Streams {
       }
   }
 
+  /** ST16: streaming container-invariant raster dup candidates — the
+    * multimodal twin of ST6, closing the same ingestion-time question
+    * for media: "is this incoming payload's RASTER BODY already in
+    * the corpus, under ANY container?" Each incoming payload is
+    * banded PER ROW through m08's exact derivation
+    * ([[graft.operators.Multimodal.rasterBandKeys]]: X12 structural
+    * walk + byte-8-gram mod-16 sketch + X8 minhash + md5 band
+    * hashes) — stateless, so the query is append-mode legal and the
+    * persisted index IS the state. The join is a stream-static
+    * equi-join on (band, bh); identical bodies have identical
+    * sketches, so a re-containered duplicate of ANY indexed asset
+    * collides on all 4 bands no matter which container either side
+    * arrived in. Output: (doc_id, band, corpus_id) candidates —
+    * downstream drops, quarantines, or exact-verifies (m08's
+    * array_intersect on full gram sets) the pairs. At 100 TB the
+    * index is the same hive-partitioned (band, pfx) layout ST6
+    * probes, so each micro-batch touches only matching buckets.
+    */
+  def rasterDupCandidatesStream(newPayloads: DataFrame, index: DataFrame): DataFrame =
+    graft.operators.Multimodal.rasterBandKeys(newPayloads, "doc_id", "payload")
+      .join(index.select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .where(col("doc_id") =!= col("corpus_id"))
+      .select(col("doc_id"), col("band"), col("corpus_id"))
+
+  /** ST16's write half: streaming maintenance of the persisted raster
+    * band index — the same routed `:append` sink and manifest-
+    * resolved versioned layout as [[appendBandIndexStream]], so one
+    * write surface serves text and media indexes alike (and the same
+    * replay caveat applies: a replayed micro-batch's duplicate band
+    * keys are harmless to probe semantics and reclaimed at the next
+    * compaction).
+    */
+  def appendRasterBandIndexStream(
+      keptPayloads: DataFrame,
+      path: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    routedStreamSink(
+      graft.operators.Multimodal.rasterBandKeys(keptPayloads, "doc_id", "payload")
+        .withColumn("pfx", substring(col("bh"), 1, 1)),
+      graft.sinks.RoutedSink.standard(),
+      _ => "parquet-append:" +
+        graft.operators.IndexLayout.resolveDir(keptPayloads.sparkSession, path) +
+        ":by:band+pfx")
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

@@ -390,4 +390,84 @@ class StreamingSpec extends SparkTestBase {
         "a streamed sketch value fell outside the GK rank bound")
     } finally joined.unpersist()
   }
+
+  test("ST15: streaming changelog compaction fixpoint equals q65's batch struct-max, order-free") {
+    import spark.implicits._
+    // ts-INTERLEAVED micro-batches (split by event_id parity, not
+    // time): the fixpoint must not depend on arrival order or batch
+    // boundaries, because the per-key state is the lexicographic
+    // (ts_us, event_id) running max — q65's exact struct-max agg
+    // folded incrementally.
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st15").toString
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val q = Streams.changelogCompactStream(spark, stream)
+      .writeStream.format("memory").queryName("st15").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    // update mode re-emits a key's refreshed row each batch that
+    // touches it; n_ops strictly grows per touch, so the row with the
+    // key's max n_ops is its final state
+    val fin = spark.table("st15")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"k").orderBy($"n_ops".desc)))
+      .where($"rn" === 1).drop("rn")
+    val batch = ev
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        unix_micros($"ts").as("ts_us"), $"event_id", $"event_type", $"value")
+      .groupBy($"user_id", $"k")
+      .agg(max(struct($"ts_us", $"event_id", $"event_type", $"value")).as("last"),
+        count(lit(1)).as("n_ops"))
+      .select($"user_id", $"k", $"last.ts_us".as("ts_us"),
+        $"last.event_type".as("op"), $"last.value".as("value"), $"n_ops",
+        ($"last.event_type" === "error").as("is_tombstone"))
+    assert(fin.count() == batch.count())
+    assert(fin.except(batch).isEmpty && batch.except(fin).isEmpty)
+    // tombstoned keys are EMITTED flagged, not dropped (late uploads
+    // must keep seeing the suppression)
+    assert(fin.where($"is_tombstone").count() ==
+      batch.where($"is_tombstone").count())
+  }
+
+  test("ST16: streaming raster dup candidates catch every re-containered body, batch-parity") {
+    import spark.implicits._
+    val corpus = graft.operators.Multimodal.imagePayloads(spark, sfDir)
+    // the index is the PERSISTED band-key artifact, as ST6 probes it
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-st16-idx").toString
+    graft.operators.Multimodal.rasterBandKeys(corpus, "doc_id", "payload")
+      .write.parquet(s"$idxDir/idx")
+    val index = spark.read.parquet(s"$idxDir/idx")
+    // the stream: every corpus body RE-WRAPPED in its neighbor
+    // container (ids + 1e9), arriving in two micro-batches
+    val twins = graft.operators.Multimodal.payloadsWithContainer(
+      spark, sfDir, containerShift = 1, idOffset = 1000000000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-st16").toString
+    twins.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    twins.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(twins.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val q = Streams.rasterDupCandidatesStream(stream, index)
+      .writeStream.format("memory").queryName("st16").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("st16")
+    val batch = Streams.rasterDupCandidatesStream(twins, index)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // the invariance contract: EVERY banded incoming body collides
+    // with its original-container twin on all 4 bands
+    val banded = graft.operators.Multimodal
+      .rasterBandKeys(twins, "doc_id", "payload")
+      .select($"doc_id").distinct()
+    val caughtTwins = streamed
+      .where($"corpus_id" === $"doc_id" - 1000000000L)
+    assert(caughtTwins.select($"doc_id").distinct().count() == banded.count())
+    assert(caughtTwins.groupBy($"doc_id").count().where($"count" =!= 4).isEmpty)
+    assert(banded.count() > 0)
+  }
 }
