@@ -1663,6 +1663,67 @@ object Dedup {
         SELECT doc_id, cluster_id,
           CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
         FROM b ORDER BY doc_id""")
+    ),
+
+    Q(
+      "d23_dup_weights",
+      "Soft dedup: per-doc training weight 1e6/cluster_size instead of dropping duplicates",
+      (spark, dir) => {
+        import spark.implicits._
+        // Hard dedup (keep one representative per cluster) throws
+        // away signal when data is the constraint: the
+        // data-constrained-scaling result is to DOWNWEIGHT repeats,
+        // not drop them — each near-dup cluster contributes one
+        // document's worth of gradient mass spread over its members.
+        // weight_ppm = 1_000_000 div n_members (exact int64 floor
+        // division, identical in Spark `div` and DuckDB `//`;
+        // singletons = 1_000_000) — the sampler multiplies by ppm
+        // and the fp never enters the gated frame. Cluster = d22's
+        // unit exactly (banded minhash candidates -> exact
+        // Jaccard >= 0.4 verify -> star CC; singletons their own
+        // cluster), so the weight column composes with the
+        // leakage-safe split on the SAME cluster ids at zero extra
+        // cost: at 100 TB this adds one map-side-combined size agg
+        // (one row per cluster) and one doc_id-keyed broadcast-able
+        // join to machinery d22 already runs. No window, no driver
+        // state.
+        val docs = Tables.load(spark, dir, "documents")
+        val sh = shingleArrays(spark, dir).cache()
+        val posting = sh.select($"doc_id", explode($"sh").as("s"))
+        val cands = minhashCandidates(sh).cache()
+        val candDocs = cands.select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
+        val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
+        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+        val pairs = restricted.select($"doc_id".as("id_a"), $"s")
+          .join(restricted.select($"doc_id".as("id_b"), $"s"), Seq("s"))
+          .where($"id_a" < $"id_b")
+          .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
+          .join(cands, Seq("id_a", "id_b"), "left_semi")
+          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+          .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
+          .select($"id_a", $"id_b")
+        val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
+          idOut = "doc_id", labelOut = "cluster_id", algo = "star")
+        val assigned = docs.select($"doc_id")
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+        val csize = assigned.groupBy($"cluster_id")
+          .agg(count(lit(1)).cast("long").as("n_members"))
+        assigned.join(csize, "cluster_id")
+          .select($"doc_id", $"cluster_id", $"n_members",
+            expr("1000000L div n_members").as("weight_ppm"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""$d22OracleCtes,
+        assigned AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+        csize AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM assigned GROUP BY cluster_id)
+        SELECT a.doc_id, a.cluster_id, c.n_members,
+          CAST(1000000 // c.n_members AS BIGINT) AS weight_ppm
+        FROM assigned a JOIN csize c ON c.cluster_id = a.cluster_id
+        ORDER BY a.doc_id""")
     )
   )
 

@@ -1022,6 +1022,74 @@ object Graph {
         FROM dc LEFT JOIN ec USING (label) CROSS JOIN mrow m
         ORDER BY label"""
       }
+    ),
+
+    Q(
+      "g11_link_prediction",
+      "Resource-allocation link prediction: top-100 non-edge pairs by common-neighbor RA score",
+      (spark, dir) => {
+        import spark.implicits._
+        // The recommender/crawl-frontier primitive over the same
+        // co-purchase graph as g02/g05/g09: score NON-adjacent pairs
+        // (u,v) by the resource-allocation index
+        // RA(u,v) = SUM over common neighbors w of 1/deg(w)
+        // (Zhou-Lu-Zhang; empirically beats Adamic-Adar's 1/ln deg
+        // and carries NO transcendental, so the fp-poison discipline
+        // applies directly: per-neighbor weight = 1_000_000 div
+        // deg(w), exact int64 both engines). Wedge generation is the
+        // g09 hub problem WITHOUT an orientation escape (every wedge
+        // at w is needed, cost SUM deg(w)^2), so wedge CENTERS are
+        // capped at deg <= 256 — the documented approximation both
+        // engines replay: a hub center costs quadratic wedge work
+        // yet contributes the LEAST per the RA weighting itself
+        // (<= 1_000_000/257 ppm per pair), so capped-RA is how
+        // production link prediction actually runs; wedge work is
+        // bounded by cap x 2m at any graph size. One self-join on
+        // the center key, one (u,v) map-side-combinable agg, one
+        // anti-join against the edge list, TakeOrdered(100) over the
+        // total order (ra_fp desc, common_cnt desc, u, v) — no
+        // window, no driver state, output bounded at any scale.
+        val ip = Tables.load(spark, dir, "lineitem")
+          .filter($"l_quantity" >= 30)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+        val und = ip.as("a").join(ip.as("b"), "ok")
+          .where($"a.p" < $"b.p")
+          .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+          .graftCheckpointLazy
+        val adj = und.select($"u".as("ctr"), $"v".as("nb"))
+          .unionAll(und.select($"v".as("ctr"), $"u".as("nb")))
+        val deg = adj.groupBy($"ctr".as("node")).agg(count(lit(1)).cast("long").as("deg"))
+        val adjD = adj.join(deg.withColumnRenamed("node", "ctr"), "ctr")
+          .where($"deg" <= 256)
+          .select($"ctr", $"nb", expr("1000000L div deg").as("wgt"))
+        val sc = adjD.as("x").join(adjD.select($"ctr", $"nb".as("nb2")).as("y"), "ctr")
+          .where($"x.nb" < $"nb2")
+          .groupBy($"x.nb".as("u"), $"nb2".as("v"))
+          .agg(count(lit(1)).cast("long").as("common_cnt"), sum($"wgt").as("ra_fp"))
+        sc.join(und, Seq("u", "v"), "left_anti")
+          .orderBy($"ra_fp".desc, $"common_cnt".desc, $"u", $"v")
+          .limit(100)
+      },
+      Some("""WITH ip AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          FROM lineitem WHERE l_quantity >= 30),
+        und AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM ip a JOIN ip b ON a.ok = b.ok AND a.p < b.p),
+        adj AS MATERIALIZED (SELECT u AS ctr, v AS nb FROM und
+          UNION ALL SELECT v, u FROM und),
+        deg AS (SELECT ctr AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM adj GROUP BY ctr),
+        adjd AS (SELECT a.ctr, a.nb, CAST(1000000 // d.deg AS BIGINT) AS wgt
+          FROM adj a JOIN deg d ON d.node = a.ctr WHERE d.deg <= 256),
+        sc AS (SELECT x.nb AS u, y.nb AS v,
+            CAST(COUNT(*) AS BIGINT) AS common_cnt,
+            CAST(SUM(x.wgt) AS BIGINT) AS ra_fp
+          FROM adjd x JOIN adjd y ON y.ctr = x.ctr AND x.nb < y.nb
+          GROUP BY x.nb, y.nb)
+        SELECT s.u, s.v, s.common_cnt, s.ra_fp FROM sc s
+        LEFT JOIN und e ON e.u = s.u AND e.v = s.v
+        WHERE e.u IS NULL
+        ORDER BY s.ra_fp DESC, s.common_cnt DESC, s.u, s.v LIMIT 100""")
     )
   )
 

@@ -1040,6 +1040,74 @@ object TextAnalysis {
           FROM lp GROUP BY doc_id)
         SELECT doc_id, n_bi, ROUND(h0, 4) AS h, h0 < 6.0 AS keep
         FROM pd ORDER BY doc_id""")
+    ),
+
+    Q(
+      "t24_topk_sketch",
+      "Vocabulary-scale top-k words: per-partition Misra-Gries candidates + exact recount of candidates only",
+      (spark, dir) => {
+        import spark.implicits._
+        // q31 is the EXACT heavy-hitter shape: a full groupBy over
+        // every key, whose shuffle carries the entire distinct-token
+        // universe — at 100 TB vocabulary (URLs, hashes, typos) that
+        // is the bottleneck. The scale path is the classic two-phase
+        // sketch: (1) each partition runs Misra-Gries with kP
+        // counters over its token stream — bounded memory, one pass,
+        // and the UNION of per-partition survivors provably contains
+        // every token with global count > N/(kP+1) (averaging: such
+        // a token exceeds n_p/(kP+1) in at least one partition, and
+        // MG never evicts a key whose partition count exceeds that
+        // bound); (2) ONLY the candidate set — <= kP x partitions
+        // keys, a broadcast by construction — is exactly recounted,
+        // so the groupBy shuffles candidate hits, never the
+        // vocabulary tail. Output = top-20 by exact count plus
+        // `provable` = cnt*(kP+1) > N by int64 cross-multiplication
+        // (no division): when true on the k-th row, the returned
+        // top-k EQUALS the exact top-k by the MG guarantee — the
+        // certificate that lets this run where q31's formulation
+        // cannot, without trusting candidate-generation luck. The
+        // mapPartitions sketch is the documented genuine
+        // per-partition-imperative-state case (decrement-all
+        // amortizes to O(1)/token; eviction order never affects the
+        // guarantee); everything downstream is codegen joins/aggs.
+        // The oracle recomputes the exact counts directly — candidate
+        // generation cannot change a correct answer, only (provably
+        // flagged) fail to certify one.
+        val kP = 4096
+        val docs = Tables.load(spark, dir, "documents")
+        val tok = docs.select(explode(expr(sparkWords)).as("w")).as[String]
+        val cands = tok.mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { w =>
+            m.get(w) match {
+              case Some(c) => m.update(w, c + 1L)
+              case None if m.size < kP => m.update(w, 1L)
+              case None => // decrement-all; collect deaths first, then remove
+                val dead = List.newBuilder[String]
+                m.toList.foreach { case (k, c) =>
+                  if (c == 1L) dead += k else m.update(k, c - 1L)
+                }
+                dead.result().foreach(m.remove)
+            }
+          }
+          m.keysIterator
+        }.toDF("w").distinct()
+        val n = docs.select(sum(size(expr(sparkWords))).cast("long").as("n"))
+        tok.toDF("w")
+          .join(broadcast(cands), Seq("w"), "left_semi") // bounded: kP x nPartitions keys
+          .groupBy($"w").agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"w").limit(20)
+          .crossJoin(broadcast(n)) // bounded: 1 row
+          .select($"w", $"cnt", ($"cnt" * (kP + 1) > $"n").as("provable"))
+          .orderBy($"cnt".desc, $"w")
+      },
+      Some(s"""WITH w AS (SELECT $duckWords AS wd FROM documents),
+        tok AS (SELECT unnest(wd) AS w FROM w),
+        c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+        n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+        top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 20)
+        SELECT w, cnt, cnt * 4097 > n.n AS provable FROM top CROSS JOIN n
+        ORDER BY cnt DESC, w""")
     )
   )
 }

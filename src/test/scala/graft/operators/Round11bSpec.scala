@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions beyond the verdict sweep: t24 (Misra-Gries
+  * candidates + exact recount), d23 (soft-dedup weights), g11
+  * (capped resource-allocation link prediction).
+  */
+class Round11bSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+
+  // ---------------------------------------------------------------- t24
+
+  test("t24: sketch+recount output equals the exact top-20, all rows certified provable") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val exact = docs
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w").limit(20)
+      .select($"w", $"cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    val got = q("t24_topk_sketch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toList
+    assert(got.map(t => (t._1, t._2)) === exact,
+      "sketch-certified top-20 diverged from the exact full-groupBy top-20")
+    // On this corpus every top-20 word clears the N/(kP+1) bound, so
+    // the MG guarantee (not luck) is what made the answer exact.
+    assert(got.forall(_._3), s"uncertified rows: ${got.filterNot(_._3).map(_._1)}")
+  }
+
+  test("t24: the Misra-Gries union guarantee — partition-split MG survivors cover global heavy hitters") {
+    // Driver-side replay of the algorithm the query's mapPartitions
+    // runs, pinned against the averaging argument the comment claims:
+    // for ANY partitioning, the union of per-partition MG(k)
+    // survivors contains every element with global count > N/(k+1).
+    def mg(xs: Seq[String], k: Int): Set[String] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      xs.foreach { w =>
+        m.get(w) match {
+          case Some(c) => m.update(w, c + 1L)
+          case None if m.size < k => m.update(w, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            m.toList.foreach { case (key, c) =>
+              if (c == 1L) dead += key else m.update(key, c - 1L)
+            }
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keySet.toSet
+    }
+    // Deterministic skewed stream: one hot key above the bound, a
+    // rotating tail below it; adversarial order (hot keys bunched at
+    // the END so naive "first-k" sketching would miss them).
+    val tail = Seq.tabulate(900)(i => s"tail${i % 97}")
+    // N=1660, bound=N/4=415: "hot" (500 > bound) MUST survive; "warm"
+    // (260) sits below the bound and is allowed either way.
+    val stream = tail ++ Seq.fill(500)("hot") ++ Seq.fill(260)("warm")
+    val n = stream.size
+    val k = 3
+    val bound = n.toDouble / (k + 1)
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mustFind = exact.collect { case (w, c) if c > bound => w }.toSet
+    assert(mustFind.nonEmpty, "test stream lost its heavy hitters")
+    // Try several partitionings, including pathological ones.
+    Seq(1, 2, 4, 7, 146).foreach { parts =>
+      val chunks = stream.grouped(math.max(1, n / parts)).toSeq
+      val union = chunks.flatMap(c => mg(c, k)).toSet
+      assert(mustFind.subsetOf(union),
+        s"parts=$parts: MG union ${union.size} keys missed ${mustFind.diff(union)}")
+    }
+  }
+
+  // ---------------------------------------------------------------- d23
+
+  test("d23: weights floor-exact, mass-conserving per cluster, full doc coverage") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = q("d23_dup_weights").cache()
+    assert(out.count() === docs.count(), "every doc gets exactly one weight row")
+    // weight is the exact integer floor of 1e6/n_members
+    assert(out.where($"weight_ppm" =!= expr("1000000L div n_members")).count() === 0L)
+    // singletons carry full weight
+    assert(out.where($"n_members" === 1 && $"weight_ppm" =!= 1000000L).count() === 0L)
+    // per-cluster mass: n*floor(1e6/n) in (1e6 - n, 1e6] — the floor
+    // loss is < 1 ppm per member, never over-counts
+    val mass = out.groupBy($"cluster_id")
+      .agg(sum($"weight_ppm").as("mass"), first($"n_members").as("n"))
+    assert(mass.where($"mass" > 1000000L || $"mass" <= lit(1000000L) - $"n").count() === 0L)
+    out.unpersist()
+  }
+
+  test("d23: cluster ids are d22's — the weight column composes with the leakage-safe split") {
+    val w = q("d23_dup_weights").select($"doc_id", $"cluster_id".as("c_w"))
+    val s = q("d22_leakage_safe_split").select($"doc_id", $"cluster_id".as("c_s"))
+    assert(w.join(s, "doc_id").where($"c_w" =!= $"c_s").count() === 0L,
+      "d23 and d22 disagree on cluster assignment — the shared-unit claim is false")
+  }
+
+  // ---------------------------------------------------------------- g11
+
+  test("g11: scores positive, bounded, ordered; no returned pair is an existing edge") {
+    val rows = q("g11_link_prediction").collect()
+    assert(rows.nonEmpty)
+    // RA weight per common neighbor is 1e6 div deg(w) with deg(w)>=2
+    // (a wedge center has two distinct neighbors), so ra_fp <=
+    // 500000 * common_cnt and >= common_cnt * (1e6 div 256).
+    rows.foreach { r =>
+      val (cc, ra) = (r.getLong(2), r.getLong(3))
+      assert(cc >= 1L && ra >= cc * (1000000L / 256) && ra <= cc * 500000L,
+        s"row $r breaks the per-neighbor weight bounds")
+    }
+    val scores = rows.map(r => (r.getLong(3), r.getLong(2)))
+    assert(scores.zip(scores.tail).forall { case (a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 >= b._2)
+    }, "output not ordered by (ra_fp desc, common_cnt desc)")
+  }
+
+  test("g11: driver-side brute-force replay agrees at spec scale") {
+    // Independent formulation: collect the sf0.001 co-purchase edge
+    // list, compute capped-RA over adjacency maps in plain Scala,
+    // compare the full top-100 (total order, so comparable exactly).
+    val ip = Tables.load(spark, sfDir, "lineitem")
+      .filter($"l_quantity" >= 30)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val und = ip.as("a").join(ip.as("b"), "ok")
+      .where($"a.p" < $"b.p")
+      .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.HashMap.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+    und.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val edgeSet = und.toSet
+    val score = scala.collection.mutable.HashMap.empty[(Long, Long), (Long, Long)]
+    adj.foreach { case (w, nbs) =>
+      val deg = nbs.size.toLong
+      if (deg <= 256) {
+        val wgt = 1000000L / deg
+        val sorted = nbs.toSeq.sorted
+        for (i <- sorted.indices; j <- (i + 1) until sorted.size) {
+          val k = (sorted(i), sorted(j))
+          val (c0, r0) = score.getOrElse(k, (0L, 0L))
+          score(k) = (c0 + 1L, r0 + wgt)
+        }
+      }
+    }
+    val expect = score.toSeq
+      .collect { case ((u, v), (cc, ra)) if !edgeSet.contains((u, v)) => (u, v, cc, ra) }
+      .sortBy { case (u, v, cc, ra) => (-ra, -cc, u, v) }
+      .take(100)
+    val got = q("g11_link_prediction").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect, "distributed capped-RA diverged from the driver replay")
+  }
+}
