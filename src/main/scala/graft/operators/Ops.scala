@@ -1929,7 +1929,7 @@ object Ops {
     val next = IndexLayout.nextVersion(spark, path)
     shuffledShardsCore(df, idCol, s"$path/$next", nShards, seed, mode = "overwrite",
       op = "writeShuffledShards")
-    writeShardLayoutMeta(spark, s"$path/$next", nShards, seed)
+    writeShardLayoutMeta(spark, s"$path/$next", nShards, seed, idCol = idCol)
     IndexLayout.publish(spark, path, next)
     IndexLayout.gcVersions(spark, path, keepVersions)
   }
@@ -1948,10 +1948,24 @@ object Ops {
       spark: org.apache.spark.sql.SparkSession,
       versionDir: String,
       nShards: Int,
-      seed: String
+      seed: String,
+      idCol: String = null
   ): Unit =
     IndexLayout.writeMeta(spark, versionDir, ShardLayoutMetaName,
-      s"""{"nShards":$nShards,"seed":"$seed"}""")
+      if (idCol == null) s"""{"nShards":$nShards,"seed":"$seed"}"""
+      else s"""{"nShards":$nShards,"seed":"$seed","idCol":"$idCol"}""")
+
+  /** idCol from a `_LAYOUT` manifest; None for layouts stamped before
+    * O43 added the field (readShardLayoutMeta's regexes are untouched,
+    * so ST13 validation reads old and new manifests alike).
+    */
+  private def readShardLayoutIdCol(
+      spark: org.apache.spark.sql.SparkSession,
+      versionDir: String
+  ): Option[String] =
+    IndexLayout.readMeta(spark, versionDir, ShardLayoutMetaName).flatMap { s =>
+      """"idCol"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s).map(_.group(1))
+    }
 
   private def readShardLayoutMeta(
       spark: org.apache.spark.sql.SparkSession,
@@ -2025,7 +2039,7 @@ object Ops {
               s"$op: layout at $path predates the _LAYOUT manifest — pass the " +
                 "original nShards and seed explicitly once to stamp it")
             shuffledShardsCore(df, idCol, dir, nShards, seed, mode = "append", op = op)
-            writeShardLayoutMeta(spark, dir, nShards, seed)
+            writeShardLayoutMeta(spark, dir, nShards, seed, idCol = idCol)
         }
       case None =>
         require(nShards > 0 && seed != null,
@@ -2125,6 +2139,76 @@ object Ops {
       .select(outCols: _*)
 
     untouched.unionByName(merged)
+  }
+
+  /** O43: compact an O40 shard layout's CURRENT epoch into a fresh
+    * one — the small-file/ordering repair step every streaming-fed
+    * lake layout eventually needs. Continuous
+    * [[appendShuffledShards]] ingestion degrades the layout along
+    * two axes the docs already concede: (1) each micro-batch lands
+    * one parquet file per touched shard, so a day of 1-minute
+    * triggers leaves ~1440 small files per shard (open/seek/footer
+    * overhead dominates the scan at 100 TB — the classic
+    * small-files problem); (2) cross-file epoch order within a shard
+    * decays to arrival order; (3) at-least-once retries may have
+    * appended duplicate ids. One compaction call repairs all three:
+    * it reads the current epoch, optionally dedupes on `idCol`
+    * (retried rows are byte-identical, so any survivor is THE row),
+    * and re-runs the exact full-rewrite path under the layout's own
+    * `_LAYOUT` parameters (manifest-authoritative — the
+    * appendShuffledShards discipline; caller passes nothing), so the
+    * result is bit-identical in content and order to what
+    * [[writeShuffledShards]] would produce from scratch: one range
+    * task per shard, one sorted file per shard dir, exact
+    * permutation order restored. The flip is the same atomic
+    * `_CURRENT` publish — readers mid-scan keep the old epoch for
+    * `keepVersions` flips, then GC. Cost = one read + one
+    * range-exchange + one write of the LAYOUT (never re-hashing the
+    * source corpus), which is the floor for a rewrite; run it at the
+    * epoch boundary the O40 scaladoc already prescribes.
+    */
+  def compactShuffledShards(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idColArg: String = null,
+      dedupe: Boolean = true,
+      keepVersions: Int = 1
+  ): Unit = {
+    val op = "compactShuffledShards"
+    IndexLayout.recover(spark, path)
+    IndexLayout.ensureVersioned(spark, path)
+    val v = IndexLayout.currentVersion(spark, path).getOrElse(
+      sys.error(s"$op: no epoch published at $path — nothing to compact"))
+    val dir = s"$path/$v"
+    val (n0, s0) = readShardLayoutMeta(spark, dir).getOrElse(
+      sys.error(s"$op: $dir has no $ShardLayoutMetaName manifest — " +
+        "rewrite once with writeShuffledShards to stamp it"))
+    // idCol is manifest-authoritative when stamped (layouts written
+    // since O43); for older layouts the caller supplies it once and
+    // the fresh epoch's manifest records it. A caller-passed value
+    // that contradicts the manifest fails fast (the append
+    // discipline).
+    val idColStored = readShardLayoutIdCol(spark, dir)
+    val id = (idColStored, Option(idColArg)) match {
+      case (Some(m), Some(c)) =>
+        require(m == c, s"$op: layout at $path was written with idCol='$m' but " +
+          s"the caller passed idCol='$c' — omit the argument to use the stored value")
+        m
+      case (Some(m), None) => m
+      case (None, Some(c)) => c
+      case (None, None) => sys.error(
+        s"$op: layout at $path predates the idCol manifest field — pass idCol once to stamp it")
+    }
+    // Drop the derived columns; the core recomputes both from the
+    // manifest parameters (identical values — same id, same seed).
+    val rows0 = spark.read.parquet(dir).drop("skey", "shard")
+    require(rows0.columns.contains(id), s"$op: layout rows have no '$id' column")
+    val rows = if (dedupe) rows0.dropDuplicates(id) else rows0
+    val next = IndexLayout.nextVersion(spark, path)
+    shuffledShardsCore(rows, id, s"$path/$next", n0, s0, mode = "overwrite", op = op)
+    writeShardLayoutMeta(spark, s"$path/$next", n0, s0, idCol = id)
+    IndexLayout.publish(spark, path, next)
+    IndexLayout.gcVersions(spark, path, keepVersions)
   }
 
   private def shuffledShardsCore(

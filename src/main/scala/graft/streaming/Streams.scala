@@ -628,6 +628,89 @@ object Streams {
         graft.operators.IndexLayout.resolveDir(keptPayloads.sparkSession, path) +
         ":by:band+pfx")
 
+  // ST17 state/output. `counters` is the Misra-Gries survivor map —
+  // its size is capped at kCounters by construction, so per-window
+  // state is O(kCounters) regardless of how many distinct users the
+  // window sees (the whole point at 100 TB: a window over a hot hour
+  // can hold billions of distinct keys; the exact-count map cannot).
+  final case class TopKState(counters: Map[Long, Long], n: Long)
+
+  final case class TopKRow(
+      w_start: java.sql.Timestamp,
+      user_id: Long,
+      cnt_lb: Long, // MG lower bound: c_true - n_w/(k+1) <= cnt_lb <= c_true
+      n_w: Long,
+      rank: Int
+  )
+
+  /** ST17: streaming per-window top-k heavy hitters — t24's
+    * Misra-Gries sketch AS the streaming state (the q64/ST14
+    * pairing, applied to frequency instead of rank). Keyed by the
+    * 5-minute window start; each micro-batch folds its rows into the
+    * window's MG counters — sequential feeding across batches IS MG
+    * over the concatenated window stream, so batch boundaries and
+    * arrival order cannot weaken the guarantee: any user with true
+    * window count > n_w/(kCounters+1) survives, and every survivor's
+    * counter is within n_w/(kCounters+1) below its true count. At
+    * watermark past window close the top `topK` survivors emit by
+    * (cnt_lb desc, user asc) with the window total — append-mode
+    * semantics, state removed. kCounters trades certainty for state:
+    * production sizes it so the k-th hitter clears the bound
+    * (t24's provable certificate, evaluated downstream against n_w).
+    */
+  def windowedTopKStream(
+      spark: SparkSession,
+      events: DataFrame,
+      kCounters: Int = 64,
+      topK: Int = 10
+  ): Dataset[TopKRow] = {
+    import spark.implicits._
+    val winMs = 5L * 60 * 1000
+    events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => math.floorDiv(e.ts.getTime, winMs) * winMs)
+      .flatMapGroupsWithState[TopKState, TopKRow](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      ) { (wStart, evs, state: GroupState[TopKState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          s.counters.toSeq
+            .sortBy { case (u, c) => (-c, u) }
+            .take(topK)
+            .iterator.zipWithIndex.map { case ((u, c), i) =>
+              TopKRow(new java.sql.Timestamp(wStart), u, c, s.n, i + 1)
+            }
+        } else {
+          val prev = state.getOption.getOrElse(TopKState(Map.empty, 0L))
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          m ++= prev.counters
+          var n = prev.n
+          evs.foreach { e =>
+            n += 1
+            m.get(e.user_id) match {
+              case Some(c) => m.update(e.user_id, c + 1L)
+              case None if m.size < kCounters => m.update(e.user_id, 1L)
+              case None => // decrement-all; collect deaths, then remove
+                val dead = List.newBuilder[Long]
+                m.toList.foreach { case (k, c) =>
+                  if (c == 1L) dead += k else m.update(k, c - 1L)
+                }
+                dead.result().foreach(m.remove)
+            }
+          }
+          state.update(TopKState(m.toMap, n))
+          // rows below the watermark never reach the operator, so the
+          // window end is strictly above the current watermark here
+          state.setTimeoutTimestamp(wStart + winMs)
+          Iterator.empty
+        }
+      }
+  }
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

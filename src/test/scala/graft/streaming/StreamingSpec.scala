@@ -470,4 +470,66 @@ class StreamingSpec extends SparkTestBase {
     assert(caughtTwins.groupBy($"doc_id").count().where($"count" =!= 4).isEmpty)
     assert(banded.count() > 0)
   }
+
+  test("ST17: no-eviction regime — emitted windows equal the batch exact top-10") {
+    import spark.implicits._
+    // kCounters far above any window's user cardinality at spec
+    // scale: MG never evicts, counters are exact, so the emitted
+    // rows must equal the batch exact top-10 per emitted window.
+    val q = Streams.windowedTopKStream(spark, streamEvents(streamDir),
+        kCounters = 65536, topK = 10)
+      .writeStream.format("memory").queryName("st17a").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("st17a").cache()
+    assert(emitted.count() > 0, "no windows emitted — watermark never advanced")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"w_start").orderBy($"cnt".desc, $"user_id")
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(window($"ts", "5 minutes").getField("start").as("w_start"), $"user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_w", sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"w_start")))
+      .withColumn("rank", row_number().over(win).cast("int"))
+      .where($"rank" <= 10)
+      .select($"w_start", $"user_id", $"cnt".as("cnt_lb"), $"n_w", $"rank")
+    val batchForEmitted = batch.join(
+      emitted.select($"w_start").distinct(), "w_start")
+    assert(emitted.except(batchForEmitted).isEmpty &&
+      batchForEmitted.except(emitted).isEmpty,
+      "no-eviction streamed top-10 diverged from batch exact")
+    emitted.unpersist()
+  }
+
+  test("ST17: eviction regime — MG bound and guaranteed-hitter coverage hold per window") {
+    import spark.implicits._
+    val kC = 4
+    val q = Streams.windowedTopKStream(spark, streamEvents(streamDir),
+        kCounters = kC, topK = kC)
+      .writeStream.format("memory").queryName("st17b").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("st17b").cache()
+    assert(emitted.count() > 0)
+    val exact = Tables.load(spark, sfDir, "events")
+      .groupBy(window($"ts", "5 minutes").getField("start").as("w_start"), $"user_id")
+      .agg(count(lit(1)).as("c_true"))
+    val nw = exact.groupBy($"w_start").agg(sum($"c_true").as("n_true"))
+    // 1. window totals exact; every counter a true lower bound within
+    //    the n_w/(k+1) MG slack
+    val j = emitted.join(exact, Seq("w_start", "user_id"), "left")
+      .join(nw, "w_start").cache()
+    assert(j.where($"n_w" =!= $"n_true").count() == 0, "window total drifted")
+    assert(j.where($"c_true".isNull).count() == 0, "emitted a user the window never saw")
+    assert(j.where($"cnt_lb" > $"c_true" ||
+      $"cnt_lb" < $"c_true" - $"n_w" / (kC + 1)).count() == 0,
+      "a counter escaped the MG error band")
+    // 2. every user with c_true*(k+1) > n_w in an EMITTED window is
+    //    guaranteed to survive eviction and must be present
+    val must = exact.join(nw, "w_start")
+      .where($"c_true" * (kC + 1) > $"n_true")
+      .join(emitted.select($"w_start").distinct(), "w_start")
+      .select($"w_start", $"user_id")
+    assert(must.except(emitted.select($"w_start", $"user_id")).isEmpty,
+      "a guaranteed heavy hitter was evicted — the MG invariant is broken")
+    j.unpersist(); emitted.unpersist()
+  }
 }
