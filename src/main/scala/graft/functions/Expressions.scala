@@ -70,6 +70,12 @@ object GraftExpressions {
     */
   def avgHash60(payload: Column): Column =
     column(AvgHash60(expression(payload)))
+
+  /** Column API: 60-bit sign sketch of an embedding, one codegen
+    * pass (X14).
+    */
+  def signPack60(embedding: Column): Column =
+    column(SignPack60(expression(embedding)))
 }
 
 /** Word n-gram shingles of a text column in ONE pass over the UTF-8
@@ -665,5 +671,56 @@ object AvgHash60 {
         }
         InternalRow(UTF8String.fromString(fmt), h)
       case _ => null
+    }
+}
+
+/** X14: 60-bit sign sketch of an embedding — bit j set iff
+  * element j > 0 — in one codegen pass over the float array. The
+  * modern binary-quantization coarse metric: Hamming distance on the
+  * packed word approximates angular distance at 8 bytes/vector
+  * (vs 256 for 64 fp32 dims), so the candidate scan is a popcount
+  * over longs instead of a dot product over floats; exact rerank
+  * restores cosine on the survivors (s10). 60 bits, not 64 — the
+  * AvgHash60/hash60 discipline: the top nibble stays zero so
+  * signed-int64 arithmetic (xor, shifts, comparisons) is portable
+  * across engines with no unsigned traps; the 4 dropped dims cost
+  * recall the rerank step recovers. Sign test is `> 0f` on the raw
+  * float — exact and engine-identical (no arithmetic before the
+  * compare). Null for arrays under 60 elements.
+  */
+case class SignPack60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignPack60.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { in =>
+      val r = ctx.freshName("signPack")
+      s"""java.lang.Long $r = graft.functions.SignPack60$$.MODULE$$.compute($in);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SignPack60 =
+    copy(child = c)
+}
+
+object SignPack60 {
+
+  val Bits = 60
+
+  /** Static entry shared by eval and generated code. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Long =
+    if (arr == null || arr.numElements() < Bits) null
+    else {
+      var h = 0L
+      var j = 0
+      while (j < Bits) {
+        if (arr.getFloat(j) > 0f) h |= (1L << j)
+        j += 1
+      }
+      java.lang.Long.valueOf(h)
     }
 }

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nibbleHistogramFn)
     ext.injectFunction(GraftExtensions.rasterBodyGramsFn)
     ext.injectFunction(GraftExtensions.avgHash60Fn)
+    ext.injectFunction(GraftExtensions.signPack60Fn)
     // whole-operator path: plans graft.plans.AsOfJoin logical nodes
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -99,6 +100,13 @@ object GraftExtensions {
     (children: Seq[Expression]) => AvgHash60(children.head)
   )
 
+  val signPack60Fn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sign_pack60"),
+    info("sign_pack60",
+      "sign_pack60(embedding) - 60-bit sign sketch of a float array (binary quantization)"),
+    (children: Seq[Expression]) => SignPack60(children.head)
+  )
+
   /** Register on an existing session (tests / REPL convenience) —
     * scalar functions AND the X10 table-valued join functions (a
     * getOrCreate that joined a pre-existing session never saw the
@@ -107,7 +115,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineSim, polyHash, wordShinglesFn, minhashHexFn, bpeCountFn,
-      nibbleHistogramFn, rasterBodyGramsFn, avgHash60Fn).foreach { case (id, inf, builder) =>
+      nibbleHistogramFn, rasterBodyGramsFn, avgHash60Fn, signPack60Fn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
     val treg = spark.sessionState.tableFunctionRegistry

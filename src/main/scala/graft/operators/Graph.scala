@@ -1062,6 +1062,7 @@ object Graph {
         val adjD = adj.join(deg.withColumnRenamed("node", "ctr"), "ctr")
           .where($"deg" <= 256)
           .select($"ctr", $"nb", expr("1000000L div deg").as("wgt"))
+          .graftCheckpointLazy // both sides of the wedge self-join read ONE evaluation
         val sc = adjD.as("x").join(adjD.select($"ctr", $"nb".as("nb2")).as("y"), "ctr")
           .where($"x.nb" < $"nb2")
           .groupBy($"x.nb".as("u"), $"nb2".as("v"))

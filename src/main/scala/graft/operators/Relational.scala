@@ -2091,6 +2091,71 @@ object Relational {
         FROM events
         GROUP BY user_id, event_type
         ORDER BY user_id, event_type""")
+    ),
+
+    Q(
+      "q67_funnel",
+      "Ordered-event funnel per user: first view -> first later click -> first later purchase",
+      (spark, dir) => {
+        import spark.implicits._
+        // The product-analytics staple (and the eval-pipeline shape
+        // for any "did step B follow step A" sequence question):
+        // per user, the FIRST view, the first click strictly AFTER
+        // it, the first purchase strictly after that. "First" and
+        // "after" are decided on the (ts_us, event_id) lexicographic
+        // order — a unique total order (q65's discipline), so ties
+        // in ts cannot flip stages between engines. Plan: three
+        // user-keyed min-struct aggs (map-side combinable — the
+        // struct min IS the argmin, no window over the corpus) and
+        // two user-keyed equi-joins that feed each stage its
+        // predecessor's cutoff; stage frames only ever shrink
+        // (click rows join v, purchase rows join c), and the final
+        // assembly is three broadcast-able left joins onto the user
+        // universe. reached is monotone by construction: a stage
+        // exists only by joining through its predecessor.
+        val ev = Tables.load(spark, dir, "events")
+          .select($"user_id", unix_micros($"ts").as("tu"), $"event_id", $"event_type")
+        def firstAfter(typ: String, prev: DataFrame, ptu: String, pid: String) =
+          ev.filter($"event_type" === typ)
+            .join(prev, "user_id")
+            .where($"tu" > col(ptu) || ($"tu" === col(ptu) && $"event_id" > col(pid)))
+            .groupBy($"user_id")
+            .agg(min(struct($"tu", $"event_id")).as("m"))
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min(struct($"tu", $"event_id")).as("m"))
+          .select($"user_id", $"m.tu".as("v_tu"), $"m.event_id".as("v_id"))
+        val c = firstAfter("click", v, "v_tu", "v_id")
+          .select($"user_id", $"m.tu".as("c_tu"), $"m.event_id".as("c_id"))
+        val p = firstAfter("purchase", c, "c_tu", "c_id")
+          .select($"user_id", $"m.tu".as("p_tu"), $"m.event_id".as("p_id"))
+        ev.select($"user_id").distinct()
+          .join(v, Seq("user_id"), "left")
+          .join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select($"user_id", $"v_tu", $"c_tu", $"p_tu",
+            ($"v_tu".isNotNull.cast("int") + $"c_tu".isNotNull.cast("int") +
+              $"p_tu".isNotNull.cast("int")).as("reached"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, event_id, event_type FROM events),
+        v AS (SELECT user_id, tu AS v_tu, event_id AS v_id FROM (
+          SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tu, event_id) AS rn
+          FROM e WHERE event_type = 'view') WHERE rn = 1),
+        c AS (SELECT user_id, tu AS c_tu, event_id AS c_id FROM (
+          SELECT e.*, ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY tu, event_id) AS rn
+          FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND (tu > v_tu OR (tu = v_tu AND event_id > v_id))) WHERE rn = 1),
+        p AS (SELECT user_id, tu AS p_tu, event_id AS p_id FROM (
+          SELECT e.*, ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY tu, event_id) AS rn
+          FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND (tu > c_tu OR (tu = c_tu AND event_id > c_id))) WHERE rn = 1)
+        SELECT u.user_id, v.v_tu, c.c_tu, p.p_tu,
+          CAST((v.v_tu IS NOT NULL)::INT + (c.c_tu IS NOT NULL)::INT + (p.p_tu IS NOT NULL)::INT AS INT) AS reached
+        FROM (SELECT DISTINCT user_id FROM e) u
+        LEFT JOIN v USING (user_id)
+        LEFT JOIN c USING (user_id)
+        LEFT JOIN p USING (user_id)
+        ORDER BY u.user_id""")
     )
   )
 }

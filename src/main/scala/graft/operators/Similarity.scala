@@ -612,6 +612,71 @@ object Similarity {
         FROM p, embeddings e WHERE e.vec_id <> p_id AND e.label % 3 = 0
         QUALIFY rn <= 3 ORDER BY p_id, rn"""
       }
+    ),
+
+    Q(
+      "s10_sign_sketch_rerank",
+      "Binary-quantized ANN: 60-bit sign sketch + Hamming candidate scan + exact cosine rerank",
+      (spark, dir) => {
+        import spark.implicits._
+        // The modern binary-quantization serving pattern (the 32x
+        // memory cut every vector store now ships): the coarse pass
+        // compares 8-byte sign words by POPCOUNT — X14 SignPack60
+        // packs sign(embedding[j]) in one codegen pass, Hamming
+        // approximates angle (both monotone in the plane-crossing
+        // count) — and only the top-M=50 Hamming survivors per probe
+        // move their float arrays into the exact cosine rerank.
+        // At 100 TB the coarse scan reads 8 bytes/vector instead of
+        // 256 and never shuffles floats; the rerank join is bounded
+        // at probes x M rows. Same bounded shapes as s01/s02: 10-row
+        // probe broadcast, per-probe windows over candidate sets.
+        // Ties deterministic at both stages ((hamming, n_id) then
+        // (cosine desc, n_id)).
+        val e = Tables.load(spark, dir, "embeddings")
+        val sig = e.select($"vec_id".as("n_id"),
+          graft.functions.GraftExpressions.signPack60($"embedding").as("nsig"))
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"),
+            graft.functions.GraftExpressions.signPack60($"embedding").as("psig"))
+        val wH = Window.partitionBy($"p_id").orderBy($"hamming", $"n_id")
+        val cands = sig.join(broadcast(probes.select($"p_id", $"psig")), $"n_id" =!= $"p_id")
+          .withColumn("hamming", bit_count($"psig".bitwiseXOR($"nsig")).cast("int"))
+          .withColumn("hrn", row_number().over(wH))
+          .filter($"hrn" <= 50)
+          .select($"p_id", $"n_id", $"hamming")
+        val wC = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
+        cands
+          .join(broadcast(probes.select($"p_id", $"pe")), Seq("p_id"))
+          .join(e.select($"vec_id".as("n_id"), $"embedding".as("ne")), Seq("n_id"))
+          .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
+          .withColumn("rn", row_number().over(wC).cast("int"))
+          .filter($"rn" <= 5)
+          .select($"p_id", $"rn", $"n_id", $"hamming", round($"cosine", 6).as("cosine"))
+          .orderBy($"p_id", $"rn")
+      },
+      Some {
+        val cos = VectorFunctions.sqlCosine("p.pe", "ne.embedding")
+        val pack = "list_aggregate(list_transform(generate_series(1, 60), " +
+          "i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END), 'sum')"
+        s"""WITH sigd AS (SELECT vec_id, $pack AS sig FROM embeddings),
+        p AS (SELECT e.vec_id AS p_id, e.embedding AS pe, s.sig AS psig
+          FROM embeddings e JOIN sigd s ON s.vec_id = e.vec_id
+          ORDER BY e.vec_id LIMIT 10),
+        cand AS (SELECT p.p_id, s.vec_id AS n_id,
+            CAST(bit_count(xor(p.psig, s.sig)) AS INT) AS hamming,
+            ROW_NUMBER() OVER (PARTITION BY p.p_id
+              ORDER BY bit_count(xor(p.psig, s.sig)), s.vec_id) AS hrn
+          FROM p, sigd s WHERE s.vec_id <> p.p_id
+          QUALIFY hrn <= 50)
+        SELECT c.p_id AS p_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY c.p_id ORDER BY $cos DESC, c.n_id) AS INT) AS rn,
+          c.n_id AS n_id, c.hamming AS hamming, ROUND($cos, 6) AS cosine
+        FROM cand c
+        JOIN p ON p.p_id = c.p_id
+        JOIN embeddings ne ON ne.vec_id = c.n_id
+        QUALIFY rn <= 5 ORDER BY c.p_id, rn"""
+      }
     )
   )
 }

@@ -1108,6 +1108,53 @@ object TextAnalysis {
         top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 20)
         SELECT w, cnt, cnt * 4097 > n.n AS provable FROM top CROSS JOIN n
         ORDER BY cnt DESC, w""")
+    ),
+
+    Q(
+      "t25_source_cap",
+      "Per-source token-budget cap: deterministic greedy fill in seeded-hash order (domain capping)",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // Domain capping — the mix-curation step that stops one
+        // over-crawled source from dominating the corpus: each
+        // source contributes at most `cap` tokens. Selection order
+        // inside a source is the portable 60-bit hash of
+        // doc_id#seed, NOT doc_id order — a reproducible uniform
+        // sample of the source, immune to crawl/ingest ordering
+        // bias; re-running with the same seed reproduces the kept
+        // set bit-for-bit, a new seed is a fresh draw. Greedy-fill
+        // convention: a doc is kept while the EXCLUSIVE running
+        // total is under the cap, so the final kept doc may
+        // overshoot by less than its own length (the t10 packing
+        // convention; budget error < 1 doc per source). One window
+        // shuffle partitioned by source; at 100 TB the same hybrid
+        // shape as t10 applies — window per (source, shard) with
+        // shard = hash(doc_id) % K and cap/K per shard, so no single
+        // partition key holds a whole mega-source.
+        val cap = 800L
+        val docs = Tables.load(spark, dir, "documents")
+          .withColumn("n_tokens", size(expr(sparkWords)).cast("long"))
+        val hk = graft.functions.PortableHash.hash60(
+          concat($"doc_id".cast("string"), lit("#cap11")))
+        val win = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.withColumn("hk", hk)
+          .withColumn("cum_before", coalesce(sum($"n_tokens").over(win), lit(0L)))
+          .where($"cum_before" < cap)
+          .select($"source", $"doc_id", $"n_tokens", $"cum_before")
+          .orderBy($"source", $"cum_before", $"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT source, doc_id,
+          CAST(len($duckWords) AS BIGINT) AS n_tokens,
+          ${graft.functions.PortableHash.sqlHash60("CAST(doc_id AS VARCHAR) || '#cap11'")} AS hk
+        FROM documents),
+        c AS (SELECT source, doc_id, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        FROM t)
+        SELECT source, doc_id, n_tokens, cum_before FROM c
+        WHERE cum_before < 800 ORDER BY source, cum_before, doc_id""")
     )
   )
 }

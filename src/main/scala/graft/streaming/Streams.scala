@@ -711,6 +711,61 @@ object Streams {
       }
   }
 
+  // ST18 state/output: 3 longs per SOURCE (not per doc) — admission
+  // control state is O(#sources) at any corpus size.
+  final case class CapState(admitted_tokens: Long, n_seen: Long, n_admitted: Long)
+
+  final case class AdmitRow(
+      doc_id: Long,
+      source: String,
+      n_tokens: Long,
+      cum_before: Long // exclusive running total at admission time
+  )
+
+  /** ST18: streaming per-source token-budget admission — t25's
+    * domain cap enforced at INGESTION time instead of by a batch
+    * re-pass (the shape a crawl frontier actually needs: stop
+    * pulling from an over-crawled source the moment its budget
+    * fills, don't ingest-then-discard). Same greedy-fill rule as
+    * t25: a doc is admitted while the source's EXCLUSIVE admitted
+    * total is under `cap` (final doc may overshoot by < its own
+    * length); a rejected doc leaves the budget untouched, so a later
+    * smaller doc can still fill remaining headroom. Decisions are
+    * immediate and FINAL (append mode, no watermark — the ST7
+    * packing precedent), keyed state is three longs per source.
+    * Order contract: arrival order across triggers, doc_id order
+    * WITHIN a trigger (the iterator's shuffle order is not
+    * deterministic; sorting inside the group pins replayability for
+    * a given batch decomposition). Where t25 is the reproducible
+    * SAMPLE (seeded-hash order over the full corpus), ST18 is the
+    * online BUDGET — run t25 at the epoch rewrite to re-draw fairly.
+    */
+  def sourceCapStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      cap: Long = 2000L
+  ): Dataset[AdmitRow] = {
+    import spark.implicits._
+    docs.selectExpr("doc_id", "source", "n_tokens")
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[CapState, AdmitRow](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (src, it, state: GroupState[CapState]) =>
+        var s = state.getOption.getOrElse(CapState(0L, 0L, 0L))
+        val out = List.newBuilder[AdmitRow]
+        it.toSeq.sortBy(_._1).foreach { case (id, _, nt) =>
+          if (s.admitted_tokens < cap) {
+            out += AdmitRow(id, src, nt, s.admitted_tokens)
+            s = CapState(s.admitted_tokens + nt, s.n_seen + 1, s.n_admitted + 1)
+          } else s = s.copy(n_seen = s.n_seen + 1)
+        }
+        state.update(s)
+        out.result().iterator
+      }
+  }
+
   /** Batch twin of [[streamStreamJoin]] (no watermarks) for
     * stream-vs-batch verification.
     */

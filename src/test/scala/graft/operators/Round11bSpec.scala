@@ -159,6 +159,140 @@ class Round11bSpec extends SparkTestBase {
     assert(got === expect, "distributed capped-RA diverged from the driver replay")
   }
 
+  // ---------------------------------------------------------------- t25
+
+  test("t25: per-source budgets respected with bounded overshoot; seeded order reproducible") {
+    val cap = 800L
+    val out = q("t25_source_cap").cache()
+    val perSrc = out.groupBy($"source")
+      .agg(sum($"n_tokens").as("kept"), max($"n_tokens").as("mx"),
+        max($"cum_before" + $"n_tokens").as("fin"))
+    // greedy-fill bound: kept total < cap + the largest kept doc
+    assert(perSrc.where($"kept" >= lit(cap) + $"mx").count() === 0L,
+      "a source overshot its budget by more than one doc")
+    // chain identity: the max exclusive+own total equals the kept sum
+    assert(perSrc.where($"fin" =!= $"kept").count() === 0L,
+      "cum_before chain does not reconstruct the kept token totals")
+    // every source keeps at least one doc (first doc always admitted)
+    val docs = Tables.load(spark, sfDir, "documents")
+    assert(out.select($"source").distinct().count() ===
+      docs.select($"source").distinct().count())
+    // deterministic: a second evaluation is row-identical
+    val again = q("t25_source_cap")
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("t25: the kept set is exactly the greedy prefix in seeded-hash order") {
+    // driver replay: per source, sort by (hash60(doc_id#cap11),
+    // doc_id) and fill to the cap — must equal the query's kept ids
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"source", $"doc_id",
+        size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("nt"),
+        graft.functions.PortableHash.hash60(
+          concat($"doc_id".cast("string"), lit("#cap11"))).as("hk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(r => (r._4, r._2)).flatMap { case (_, id, nt, _) =>
+        if (acc < 800L) { acc += nt; Some(id) } else None
+      }
+    }.toSet
+    val got = q("t25_source_cap").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect, "kept set diverged from the driver greedy replay")
+  }
+
+  // ---------------------------------------------------------------- s10 / X14
+
+  test("X14 signPack60: first-principles replay on real embeddings + null edges") {
+    val rows = Tables.load(spark, sfDir, "embeddings")
+      .orderBy($"vec_id").limit(50)
+      .select($"vec_id", $"embedding",
+        graft.functions.GraftExpressions.signPack60($"embedding").as("sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      var expect = 0L
+      (0 until 60).foreach(j => if (emb(j) > 0f) expect |= (1L << j))
+      assert(r.getLong(2) === expect, s"vec ${r.getLong(0)}: sign word diverged")
+      assert((r.getLong(2) >>> 60) === 0L, "top nibble must stay zero")
+    }
+    // arrays under 60 elements are null, not garbage; and the SQL
+    // registration surface serves the same expression
+    graft.functions.GraftExtensions.register(spark)
+    val s2 = spark.sql(
+      "SELECT sign_pack60(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT))) AS s")
+    assert(s2.head().isNullAt(0))
+  }
+
+  test("s10: driver-side full replay — Hamming candidates and cosine rerank agree") {
+    val all = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def pack(v: Array[Float]): Long = {
+      var h = 0L; (0 until 60).foreach(j => if (v(j) > 0f) h |= (1L << j)); h
+    }
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sigs = all.map { case (id, v) => (id, pack(v)) }.toMap
+    val probes = all.sortBy(_._1).take(10)
+    val expect = probes.flatMap { case (pid, pv) =>
+      val cand = all.filter(_._1 != pid)
+        .map { case (nid, _) => (nid, java.lang.Long.bitCount(sigs(pid) ^ sigs(nid))) }
+        .sortBy { case (nid, h) => (h, nid) }.take(50)
+      val byId = all.toMap
+      cand.map { case (nid, h) => (pid, nid, h, cosine(pv, byId(nid))) }
+        .sortBy { case (_, nid, _, cos) => (-cos, nid) }.take(5)
+        .zipWithIndex
+        .map { case ((p, n, h, cos), i) =>
+          (p, i + 1, n, h, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.toSeq
+    val got = q("s10_sign_sketch_rerank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ===
+      expect.map(t => (t._1, t._2, t._3, t._4)),
+      "sketch candidates / rerank ranking diverged from the driver replay")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 2e-6, s"cosine drifted: $g vs $e")
+    }
+  }
+
+  // ---------------------------------------------------------------- q67
+
+  test("q67 funnel: driver-side replay with lexicographic (ts_us, event_id) order") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("tu"), $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = ev.groupBy(_._1).map { case (uid, rows) =>
+      def firstOf(typ: String, after: Option[(Long, Long)]): Option[(Long, Long)] = {
+        val cands = rows.filter(_._4 == typ)
+          .map(r => (r._2, r._3))
+          .filter(k => after.forall(a => k._1 > a._1 || (k._1 == a._1 && k._2 > a._2)))
+        if (cands.isEmpty) None else Some(cands.min)
+      }
+      val v = firstOf("view", None)
+      val c = if (v.isDefined) firstOf("click", v) else None
+      val p = if (c.isDefined) firstOf("purchase", c) else None
+      (uid, v.map(_._1), c.map(_._1), p.map(_._1),
+        v.size + c.size + p.size)
+    }.toSeq.sortBy(_._1)
+    val got = q("q67_funnel").collect().map { r =>
+      def optL(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      (r.getLong(0), optL(1), optL(2), optL(3), r.getInt(4))
+    }.toSeq
+    assert(got === expect, "funnel stages diverged from the driver replay")
+    // monotonicity is structural: reached counts prefix stages only
+    assert(got.forall { case (_, v, c, p, n) =>
+      (c.isEmpty || v.nonEmpty) && (p.isEmpty || c.nonEmpty) &&
+        n == v.size + c.size + p.size
+    })
+  }
+
   // ---------------------------------------------------------------- O43
 
   private def shardDataFiles(dir: String): Map[String, Seq[String]] = {

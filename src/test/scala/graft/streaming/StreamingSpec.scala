@@ -532,4 +532,66 @@ class StreamingSpec extends SparkTestBase {
       "a guaranteed heavy hitter was evicted — the MG invariant is broken")
     j.unpersist(); emitted.unpersist()
   }
+
+  private def tokenizedDocs = Tables.load(spark, sfDir, "documents")
+    .select(col("doc_id"), col("source"),
+      size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("n_tokens"))
+
+  test("ST18: single-batch delivery equals the batch greedy fill in doc_id order") {
+    import spark.implicits._
+    val docs = tokenizedDocs
+    val dir = java.nio.file.Files.createTempDirectory("graft-st18a").toString
+    docs.coalesce(1).write.parquet(s"$dir/f1")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val q = Streams.sourceCapStream(spark, stream, cap = 2000L)
+      .writeStream.format("memory").queryName("st18a").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val batch = docs
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(win), lit(0L)))
+      .where($"cum_before" < 2000L)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_before")
+    val got = spark.table("st18a")
+    assert(got.count() > 0 && got.count() == batch.count())
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty,
+      "one-trigger streamed admission diverged from the batch greedy fill")
+  }
+
+  test("ST18: multi-batch admission keeps the greedy chain identity and the budget bound") {
+    import spark.implicits._
+    val docs = tokenizedDocs
+    val dir = java.nio.file.Files.createTempDirectory("graft-st18b").toString
+    // adversarial decomposition: LATER doc_ids arrive FIRST
+    docs.where($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    docs.where($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val cap = 2000L
+    val q = Streams.sourceCapStream(spark, stream, cap = cap)
+      .writeStream.format("memory").queryName("st18b").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("st18b").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // every admission happened under the cap
+    assert(got.forall(_._4 < cap), "a doc was admitted at or over budget")
+    // greedy chain identity per source: sorted by cum_before, each
+    // admission's exclusive total is exactly the sum of its
+    // predecessors — no token leaked, no phantom budget
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val chain = rows.sortBy(_._4)
+      var acc = 0L
+      chain.foreach { case (_, id, nt, cb) =>
+        assert(cb == acc, s"$src: doc $id admitted at $cb, expected $acc")
+        acc += nt
+      }
+    }
+    // every source in the corpus admits at least its first arrival
+    val srcCount = docs.select($"source").distinct().count()
+    assert(got.map(_._1).distinct.length.toLong == srcCount)
+  }
 }
