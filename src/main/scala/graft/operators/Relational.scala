@@ -2156,6 +2156,46 @@ object Relational {
         LEFT JOIN c USING (user_id)
         LEFT JOIN p USING (user_id)
         ORDER BY u.user_id""")
+    ),
+
+    Q(
+      "q68_retention_cohorts",
+      "Weekly cohort retention matrix: cohort = first-activity week, exact-integer ppm rates",
+      (spark, dir) => {
+        import spark.implicits._
+        // The engagement-analytics staple: group users by the week
+        // of their FIRST event (cohort), then for each later week
+        // offset k report what fraction is still active. Week index
+        // = epoch-micros floor-div one week — an absolute integer
+        // both engines compute identically (no calendar/timezone
+        // semantics to disagree on); rates in exact ppm via
+        // 1e6*n div size. Plan at 100 TB: the only corpus-scale
+        // work is the (user, week) distinct (one shuffle,
+        // map-side-combinable); cohorts and the matrix are
+        // user- and cell-scale aggs, and the size join is
+        // cohort-count rows — broadcast at any scale. No window.
+        val wkUs = 604800000000L // 7 * 86400 * 1e6
+        val uw = Tables.load(spark, dir, "events")
+          .select($"user_id", expr(s"unix_micros(ts) div ${wkUs}L").as("wk"))
+          .distinct()
+        val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cwk"))
+        val sizes = cohort.groupBy($"cwk").agg(count(lit(1)).cast("long").as("cohort_size"))
+        uw.join(cohort, "user_id")
+          .groupBy($"cwk", ($"wk" - $"cwk").as("k"))
+          .agg(count(lit(1)).cast("long").as("n_active")) // (user, wk) distinct upstream
+          .join(sizes, "cwk")
+          .select($"cwk".as("cohort_week"), $"k", $"n_active", $"cohort_size",
+            expr("1000000L * n_active div cohort_size").as("retention_ppm"))
+          .orderBy($"cohort_week", $"k")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        ch AS (SELECT user_id, MIN(wk) AS cwk FROM uw GROUP BY 1),
+        sz AS (SELECT cwk, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM ch GROUP BY 1),
+        r AS (SELECT c.cwk, u.wk - c.cwk AS k, CAST(COUNT(*) AS BIGINT) AS n_active
+          FROM uw u JOIN ch c USING (user_id) GROUP BY 1, 2)
+        SELECT r.cwk AS cohort_week, CAST(r.k AS BIGINT) AS k, r.n_active, s.cohort_size,
+          CAST(1000000 * r.n_active // s.cohort_size AS BIGINT) AS retention_ppm
+        FROM r JOIN sz s USING (cwk) ORDER BY cohort_week, k""")
     )
   )
 }

@@ -293,6 +293,34 @@ class Round11bSpec extends SparkTestBase {
     })
   }
 
+  // ---------------------------------------------------------------- q68
+
+  test("q68 retention: k=0 row is the full cohort; rates bounded; driver replay agrees") {
+    val got = q("q68_retention_cohorts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // week-0 retention is definitionally 100%
+    got.filter(_._2 == 0L).foreach { case (cw, _, n, size, ppm) =>
+      assert(n == size && ppm == 1000000L, s"cohort $cw week-0 row is not full")
+    }
+    assert(got.forall { case (_, k, n, size, ppm) =>
+      k >= 0 && n >= 1 && n <= size && ppm == 1000000L * n / size
+    })
+    // independent driver replay
+    val wkUs = 604800000000L
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts").as("tu")).collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), wkUs)))
+    val uw = ev.distinct
+    val cohort = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val sizes = cohort.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val expect = uw.groupBy { case (u, w) => (cohort(u), w - cohort(u)) }
+      .map { case ((c, k), xs) =>
+        (c, k, xs.size.toLong, sizes(c), 1000000L * xs.size / sizes(c))
+      }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq === expect, "retention matrix diverged from the driver replay")
+  }
+
   // ---------------------------------------------------------------- O43
 
   private def shardDataFiles(dir: String): Map[String, Seq[String]] = {
