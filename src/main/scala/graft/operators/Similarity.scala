@@ -677,6 +677,108 @@ object Similarity {
         JOIN embeddings ne ON ne.vec_id = c.n_id
         QUALIFY rn <= 5 ORDER BY c.p_id, rn"""
       }
+    ),
+
+    Q(
+      "s11_mmr_diversify",
+      "Maximal-marginal-relevance rerank: top-5 diverse results from the top-20 relevance pool",
+      (spark, dir) => {
+        import spark.implicits._
+        // MMR (Carbonell-Goldstein) — the diversity-aware serving
+        // step a near-dup-heavy corpus needs: a plain top-k returns
+        // five copies of the same answer; MMR greedily picks
+        //   argmax  lambda*rel(c) - (1-lambda)*max_{s in S} sim(c,s)
+        // trading relevance against redundancy with what's already
+        // selected. Exactness discipline: relevance and pairwise
+        // sims are the deterministic fused cosine ROUNDED ONCE to
+        // ppm int64 (round is the only fp->int crossing, identical
+        // both engines), lambda=0.7 carried as the x10 integer form
+        // score = 7*rel_ppm - 3*msim_ppm — every comparison the
+        // greedy makes is exact integer, so the selection sequence
+        // is engine-pinned. Scale shape: the corpus-scale work is
+        // ONE relevance pass (s01's bounded probe broadcast); the
+        // pool is 20/probe BY CONSTRUCTION, so the pairwise sims
+        // (20x19/probe) and the 5 greedy rounds run on fixed-size
+        // frames regardless of corpus size — the rounds iterate
+        // over k, never over data. Both bounded frames checkpoint
+        // once and every round re-reads one evaluation.
+        val e = Tables.load(spark, dir, "embeddings")
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+        val wRel = Window.partitionBy($"p_id").orderBy($"rel_ppm".desc, $"n_id")
+        val pool = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
+          .join(broadcast(probes), $"n_id" =!= $"p_id")
+          .withColumn("rel_ppm",
+            round(VectorFunctions.cosine("pe", "ne") * 1e6).cast("long"))
+          .withColumn("rn", row_number().over(wRel))
+          .filter($"rn" <= 20)
+          .select($"p_id", $"n_id", $"ne", $"rel_ppm")
+          .graftCheckpointLazy // bounded: probes x 20
+        val sims = pool.select($"p_id", $"n_id", $"ne")
+          .join(pool.select($"p_id", $"n_id".as("b_id"), $"ne".as("nb")), Seq("p_id"))
+          .where($"n_id" =!= $"b_id")
+          .withColumn("sim_ppm",
+            round(VectorFunctions.cosine("ne", "nb") * 1e6).cast("long"))
+          .select($"p_id", $"n_id", $"b_id", $"sim_ppm")
+          .graftCheckpointLazy // bounded: probes x 20 x 19
+        val wPick = Window.partitionBy($"p_id").orderBy($"score".desc, $"n_id")
+        var selected = pool
+          .withColumn("score", $"rel_ppm" * 7)
+          .withColumn("rk", row_number().over(wPick))
+          .filter($"rk" === 1)
+          .select($"p_id", $"n_id", $"rel_ppm", lit(1).as("rank"), $"score".as("score_x10"))
+        for (r <- 2 to 5) {
+          val msim = sims
+            .join(selected.select($"p_id", $"n_id".as("b_id")), Seq("p_id", "b_id"))
+            .groupBy($"p_id", $"n_id").agg(max($"sim_ppm").as("msim"))
+          val pick = pool
+            .join(selected.select($"p_id", $"n_id"), Seq("p_id", "n_id"), "left_anti")
+            .join(msim, Seq("p_id", "n_id"), "left")
+            .withColumn("score", $"rel_ppm" * 7 - coalesce($"msim", lit(0L)) * 3)
+            .withColumn("rk", row_number().over(wPick))
+            .filter($"rk" === 1)
+            .select($"p_id", $"n_id", $"rel_ppm", lit(r).as("rank"), $"score".as("score_x10"))
+          selected = selected.unionAll(pick)
+        }
+        selected
+          .select($"p_id", $"rank".cast("int").as("rank"), $"n_id", $"rel_ppm", $"score_x10")
+          .orderBy($"p_id", $"rank")
+      },
+      Some {
+        val cosPE = VectorFunctions.sqlCosine("p.pe", "e.embedding")
+        val cosAB = VectorFunctions.sqlCosine("a.ne", "b.ne")
+        val steps = (2 to 5).map { r =>
+          s"""msim$r AS (SELECT s.p_id, s.n_id, MAX(s.sim_ppm) AS msim
+            FROM sims s JOIN sel${r - 1} t ON t.p_id = s.p_id AND t.n_id = s.b_id
+            GROUP BY s.p_id, s.n_id),
+          s$r AS (SELECT p_id, n_id, rel_ppm, CAST($r AS INT) AS rank, score AS score_x10 FROM (
+            SELECT c.p_id, c.n_id, c.rel_ppm,
+              c.rel_ppm * 7 - 3 * COALESCE(m.msim, 0) AS score,
+              ROW_NUMBER() OVER (PARTITION BY c.p_id
+                ORDER BY c.rel_ppm * 7 - 3 * COALESCE(m.msim, 0) DESC, c.n_id) AS rk
+            FROM pool c
+            LEFT JOIN msim$r m ON m.p_id = c.p_id AND m.n_id = c.n_id
+            LEFT JOIN sel${r - 1} x ON x.p_id = c.p_id AND x.n_id = c.n_id
+            WHERE x.n_id IS NULL) WHERE rk = 1),
+          sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)"""
+        }.mkString(",\n        ")
+        s"""WITH p AS (SELECT vec_id AS p_id, embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 10),
+        poolall AS (SELECT p.p_id, e.vec_id AS n_id, e.embedding AS ne,
+            CAST(ROUND($cosPE * 1000000) AS BIGINT) AS rel_ppm
+          FROM p, embeddings e WHERE e.vec_id <> p.p_id),
+        pool AS (SELECT p_id, n_id, ne, rel_ppm FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY rel_ppm DESC, n_id) AS rn
+          FROM poolall) WHERE rn <= 20),
+        sims AS (SELECT a.p_id, a.n_id, b.n_id AS b_id,
+            CAST(ROUND($cosAB * 1000000) AS BIGINT) AS sim_ppm
+          FROM pool a JOIN pool b ON b.p_id = a.p_id AND b.n_id <> a.n_id),
+        sel1 AS (SELECT p_id, n_id, rel_ppm, CAST(1 AS INT) AS rank, score AS score_x10 FROM (
+          SELECT p_id, n_id, rel_ppm, rel_ppm * 7 AS score,
+            ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY rel_ppm * 7 DESC, n_id) AS rk
+          FROM pool) WHERE rk = 1),
+        $steps
+        SELECT p_id, rank, n_id, rel_ppm, score_x10 FROM sel5 ORDER BY p_id, rank"""
+      }
     )
   )
 }

@@ -293,6 +293,56 @@ class Round11bSpec extends SparkTestBase {
     })
   }
 
+  // ---------------------------------------------------------------- s11
+
+  test("s11 MMR: driver-side greedy replay agrees; structure sound") {
+    // exact replay: same fused fold, same ppm rounding, same integer
+    // greedy — the selection sequence must match step for step
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def ppm(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val all = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val byId = all.toMap
+    val probes = all.sortBy(_._1).take(10)
+    val expect = probes.flatMap { case (pid, pv) =>
+      val pool = all.filter(_._1 != pid)
+        .map { case (nid, nv) => (nid, ppm(cos(pv, nv))) }
+        .sortBy { case (nid, rel) => (-rel, nid) }.take(20)
+      var selected = List.empty[(Long, Long, Int, Long)] // n_id, rel, rank, score
+      (1 to 5).foreach { r =>
+        val picked = selected.map(_._1).toSet
+        val scored = pool.filterNot(c => picked(c._1)).map { case (nid, rel) =>
+          val msim = if (selected.isEmpty) 0L
+            else selected.map(s => ppm(cos(byId(nid), byId(s._1)))).max
+          (nid, rel, rel * 7 - 3 * msim)
+        }
+        val (nid, rel, sc) = scored.minBy { case (n, _, s) => (-s, n) }
+        selected = selected :+ ((nid, rel, r, sc))
+      }
+      selected.map { case (nid, rel, r, sc) => (pid, r, nid, rel, sc) }
+    }.toSeq
+    val got = q("s11_mmr_diversify").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect, "MMR selection sequence diverged from the driver greedy replay")
+    // structure: 5 distinct picks per probe; rank-1 is the pure
+    // relevance argmax (score_x10 == 7*rel_ppm)
+    got.groupBy(_._1).foreach { case (pid, rows) =>
+      assert(rows.map(_._3).distinct.length == 5, s"probe $pid repeated a pick")
+      val r1 = rows.find(_._2 == 1).get
+      assert(r1._5 == 7 * r1._4, s"probe $pid rank-1 is not the relevance argmax")
+    }
+  }
+
   // ---------------------------------------------------------------- q68
 
   test("q68 retention: k=0 row is the full cohort; rates bounded; driver replay agrees") {
