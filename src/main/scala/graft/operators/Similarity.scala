@@ -722,11 +722,17 @@ object Similarity {
           .select($"p_id", $"n_id", $"b_id", $"sim_ppm")
           .graftCheckpointLazy // bounded: probes x 20 x 19
         val wPick = Window.partitionBy($"p_id").orderBy($"score".desc, $"n_id")
+        // The iterative-plan discipline (d06/g-ops): checkpoint the
+        // selection each round, or round r replans rounds 1..r-1
+        // inside its anti-join AND its msim join and the plan grows
+        // combinatorially (measured: 241 static exchanges unchecked
+        // vs 5 rounds x ~3 checkpointed).
         var selected = pool
           .withColumn("score", $"rel_ppm" * 7)
           .withColumn("rk", row_number().over(wPick))
           .filter($"rk" === 1)
           .select($"p_id", $"n_id", $"rel_ppm", lit(1).as("rank"), $"score".as("score_x10"))
+          .graftCheckpointLazy
         for (r <- 2 to 5) {
           val msim = sims
             .join(selected.select($"p_id", $"n_id".as("b_id")), Seq("p_id", "b_id"))
@@ -738,7 +744,7 @@ object Similarity {
             .withColumn("rk", row_number().over(wPick))
             .filter($"rk" === 1)
             .select($"p_id", $"n_id", $"rel_ppm", lit(r).as("rank"), $"score".as("score_x10"))
-          selected = selected.unionAll(pick)
+          selected = selected.unionAll(pick).graftCheckpointLazy
         }
         selected
           .select($"p_id", $"rank".cast("int").as("rank"), $"n_id", $"rel_ppm", $"score_x10")
