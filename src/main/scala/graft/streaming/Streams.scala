@@ -711,6 +711,52 @@ object Streams {
       }
   }
 
+  /** ST19: sliding-window rates — the ops dashboard shape tumbling
+    * windows can't serve (a 10-min view refreshed every 5: each
+    * event belongs to TWO overlapping windows, so alert latency is
+    * half the window without halving the smoothing span). Native
+    * `window(slide)` keeps the overlap in the grouping expression —
+    * state is per (window, type) exactly like ST1, each input row
+    * just expands to windowLen/slide assignments before the keyed
+    * agg (map-side, no extra shuffle) — and append mode emits each
+    * window once at watermark close. Values in exact cents (the q66
+    * discipline) so stream == batch bit-for-bit.
+    */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("sum_cents"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_cents"))
+
+  /** ST20: NATIVE session windows — `session_window(ts, gap)` is the
+    * built-in form of what ST2 hand-rolls with
+    * flatMapGroupsWithState (and q22 computes in batch): Spark
+    * merges gap-close events into one growing window per key, the
+    * state store holds open sessions, and append mode emits a
+    * session once the watermark passes its end + gap. Kept NEXT TO
+    * ST2 deliberately: the custom sessionizer exists because
+    * production variants need per-session logic (caps, emit-early,
+    * custom merge) the native form can't express — but when plain
+    * gap-sessionization is all that's asked, this is the plan to
+    * use (no per-event state machine, codegen agg, AQE-free state
+    * sharding by key). The spec pins all three formulations against
+    * each other: native batch == q22's window-lag batch, and the
+    * streamed emission matches batch native on every closed session.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   // ST18 state/output: 3 longs per SOURCE (not per doc) — admission
   // control state is O(#sources) at any corpus size.
   final case class CapState(admitted_tokens: Long, n_seen: Long, n_admitted: Long)

@@ -533,6 +533,53 @@ class StreamingSpec extends SparkTestBase {
     j.unpersist(); emitted.unpersist()
   }
 
+  test("ST19: sliding windows — emitted == batch per window, every event counted twice overall") {
+    import spark.implicits._
+    val q = Streams.slidingRates(streamEvents(streamDir))
+      .writeStream.format("memory").queryName("st19").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("st19").cache()
+    assert(emitted.count() > 0, "no sliding windows emitted")
+    val batch = Streams.slidingRates(Tables.load(spark, sfDir, "events")).cache()
+    val batchForEmitted = batch.join(
+        emitted.select($"w_start", $"event_type").distinct(), Seq("w_start", "event_type"))
+      // USING-join moves join keys to the front; restore emitted's
+      // column order because except() resolves positionally
+      .select($"w_start", $"w_end", $"event_type", $"n", $"sum_cents")
+    assert(emitted.except(batchForEmitted).isEmpty &&
+      batchForEmitted.except(emitted).isEmpty,
+      "streamed sliding windows diverged from batch")
+    // 10-min windows sliding by 5: every event lands in exactly 2
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(batch.agg(sum($"n")).head().getLong(0) == 2 * total,
+      "overlap factor is not exactly 2 — slide arithmetic broke")
+    emitted.unpersist(); batch.unpersist()
+  }
+
+  test("ST20: native session windows — batch == q22's window-lag form; streamed closed sessions match") {
+    import spark.implicits._
+    // Boundary note: session_window is half-open (an event exactly
+    // gap after the last would NOT merge) while q22's `> gap` rule
+    // would keep it — indistinguishable on µs-random data, where
+    // exact-gap ties do not occur; this parity pins that both
+    // formulations agree everywhere else.
+    val ev = Tables.load(spark, sfDir, "events")
+    val native = Streams.sessionWindowAgg(ev)
+      .select($"user_id", $"session_start", $"n_events")
+    val q22 = graft.SparkEntry.queries("q22_sessionize")(spark, sfDir)
+      .select($"user_id", $"session_start", $"n_events")
+    assert(native.count() == q22.count(), "session counts diverged")
+    assert(native.except(q22).isEmpty && q22.except(native).isEmpty,
+      "native session_window disagrees with the window-lag sessionizer")
+    val q = Streams.sessionWindowAgg(streamEvents(streamDir))
+      .writeStream.format("memory").queryName("st20").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("st20")
+    assert(emitted.count() > 0, "no sessions emitted — watermark never advanced")
+    assert(emitted.except(Streams.sessionWindowAgg(ev)).isEmpty,
+      "a streamed session does not appear in the batch native result")
+  }
+
   private def tokenizedDocs = Tables.load(spark, sfDir, "documents")
     .select(col("doc_id"), col("source"),
       size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long").as("n_tokens"))
