@@ -44,10 +44,32 @@ if "queries" not in d:
         except (json.JSONDecodeError, TypeError):
             inner = None
     if not isinstance(inner, dict) or "queries" not in inner:
+        # The driver truncates `tail` to a byte suffix, so the full bench
+        # line is usually cut — but Bench also prints a COMPACT summary
+        # line ({"metric":..., "queries":{headline subset}, "full":...,
+        # "ok":...}) near the end precisely so this gate can read the
+        # artifact. Scan tail lines back-to-front for it.
+        for line in reversed(d.get("tail", "").splitlines()):
+            # sbt prefixes the line with "[info] "; strip to the JSON span.
+            lo, hi = line.find("{"), line.rfind("}")
+            if lo < 0 or hi <= lo:
+                continue
+            try:
+                cand = json.loads(line[lo:hi + 1])
+            except json.JSONDecodeError:
+                continue
+            if isinstance(cand, dict) and "queries" in cand:
+                inner = cand
+                break
+    if not isinstance(inner, dict) or "queries" not in inner:
         print(f"ERROR: {bench_path} is a driver wrapper without a parsable "
               "bench line (truncated `tail`, null `parsed`) — run the gate "
               "on BENCH.out.json from graft.Bench instead")
         sys.exit(2)
+    if "full" in inner and "only" not in inner:
+        # A compact summary gates only its headline subset; the full
+        # per-query artifact is the file named in `full`.
+        inner["only"] = sorted(inner["queries"])
     d = inner
 queries = d["queries"]
 only = set(d.get("only", [])) or None

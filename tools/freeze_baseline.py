@@ -10,8 +10,19 @@ import json
 import re
 import sys
 
-args = [a for a in sys.argv[1:] if a != "--extend"]
-extend = "--extend" in sys.argv[1:]
+force = []
+argv = []
+refresh_only = False
+it = iter(sys.argv[1:])
+for a in it:
+    if a == "--force":
+        force.extend(next(it).split(","))
+    elif a == "--refresh":
+        refresh_only = True
+    else:
+        argv.append(a)
+args = [a for a in argv if a != "--extend"]
+extend = "--extend" in argv
 src = args[0] if len(args) > 0 else "BENCH.out.json"
 out = args[1] if len(args) > 1 else "BASELINE.md"
 
@@ -29,9 +40,47 @@ def load_artifact(p):
     return d
 
 
-d = load_artifact(src)
-queries = d["queries"]
-medians = d.get("median", {})
+if not refresh_only:
+    d = load_artifact(src)
+    queries = d["queries"]
+    medians = d.get("median", {})
+
+
+def refresh_summary(body):
+    """Recompute the self-describing header row-count line and the
+    total_best_s/total_median_s footer from the table itself, so an
+    --extend can never leave them stale (the round-11 ding)."""
+    hdr = body.index("| query | best_s | median_s |")
+    n, tb, tm = 0, 0.0, 0.0
+    i = hdr + 2
+    while i < len(body) and body[i].startswith("|"):
+        m = re.match(r"\|\s*\S+\s*\|\s*([0-9.]+|null)\s*\|\s*([0-9.]+|null)\s*\|",
+                     body[i])
+        if m:
+            n += 1
+            if m.group(1) != "null":
+                tb += float(m.group(1))
+            if m.group(2) != "null":
+                tm += float(m.group(2))
+        i += 1
+    for j, line in enumerate(body):
+        if re.match(r"^\d+ rows, frozen from", line):
+            body[j] = f"{n} rows, frozen from full-suite local bench artifacts — all"
+        elif line.startswith("total_best_s:"):
+            body[j] = f"total_best_s: {tb:.4f}"
+        elif line.startswith("total_median_s:"):
+            body[j] = f"total_median_s: {tm:.4f}"
+    return n, tb, tm
+
+
+if refresh_only:
+    body = open(out).read().splitlines()
+    n, tb, tm = refresh_summary(body)
+    with open(out, "w") as f:
+        f.write("\n".join(body) + ("\n" if not body[-1] == "" else ""))
+    print(f"refreshed {out} summary: {n} rows, total_best {tb:.2f} s, "
+          f"total_median {tm:.2f} s")
+    raise SystemExit(0)
 
 if extend:
     # merge mode: keep every frozen number (regression continuity),
@@ -49,10 +98,16 @@ if extend:
     while end < len(body) and body[end].startswith("|"):
         m = re.match(r"\|\s*([^|\s]+)\s*\|", body[end])
         if m:
-            existing.add(m.group(1))  # any non-space name, not just \w+
+            name = m.group(1)
+            existing.add(name)
+            if name in force and name in queries:
+                best, med = queries[name], medians.get(name)
+                body[end] = (f"| {name} | {best:.4f} | "
+                             + ("null" if med is None else f"{med:.4f}") + " |")
+                print(f"force-refroze {name}: best {best:.4f}")
         end += 1
     add = sorted(set(queries) - existing)
-    if not add:
+    if not add and not force:
         raise SystemExit("nothing to extend: all bench queries already baselined")
     rows = []
     for name in add:
@@ -60,9 +115,11 @@ if extend:
         rows.append(f"| {name} | {best:.4f} | "
                     + ("null" if med is None else f"{med:.4f}") + " |")
     body[end:end] = rows
+    n, tb, tm = refresh_summary(body)
     with open(out, "w") as f:
         f.write("\n".join(body) + ("\n" if not body[-1] == "" else ""))
-    print(f"extended {out}: +{len(add)} queries ({', '.join(add)})")
+    print(f"extended {out}: +{len(add)} queries ({', '.join(add)}); "
+          f"summary refreshed: {n} rows, total_best {tb:.2f} s")
     raise SystemExit(0)
 
 lines = [
