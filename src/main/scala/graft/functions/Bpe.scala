@@ -118,6 +118,165 @@ object Bpe {
     total
   }
 
+  // ---------------------------------------------------------------
+  // Token-ID emission (X15/X16) — the training-data last mile.
+  //
+  // ID scheme (engine-neutral, no OOV): a single-code-point symbol's
+  // id IS its code point (0..0x10FFFF); the symbol produced by merge
+  // rank r gets id MERGE_ID_BASE + r (= 0x110000 + r, disjoint from
+  // every code point by construction). The inter-word separator is
+  // the space's own code point (32) — so decode is pure symbol
+  // concatenation and decode(encode(x)) == the corpus normalization
+  // of x (single-space-joined non-empty words), which BpeSpec pins.
+  // A learned merge table drops in without renumbering anything.
+  // ---------------------------------------------------------------
+
+  /** First id past the code-point space; merge rank r ⇒ this + r. */
+  val MergeIdBase: Int = 0x110000
+
+  /** Space separator token (the ' ' code point). */
+  val SpaceId: Int = 32
+
+  /** Merged-symbol string for each rank (decode table tail). */
+  private val mergeSym: Array[String] = merges.map { case (a, b) => a + b }.toArray
+  private val mergeRank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    var i = 0
+    while (i < mergeSym.length) { m.put(mergeSym(i), i); i += 1 }
+    m
+  }
+
+  private def symbolId(s: String): Int = {
+    val cp = s.codePointAt(0)
+    if (Character.charCount(cp) == s.length) cp
+    else {
+      val r = mergeRank.get(s)
+      require(r != null, s"not a vocab symbol: '$s'")
+      MergeIdBase + r
+    }
+  }
+
+  /** Token-ID encoding of a text value: corpus word split (space,
+    * empties dropped), per-word rank-order merges, ids per the scheme
+    * above, [[SpaceId]] between consecutive words. Called from
+    * generated code (X15).
+    */
+  def encodeIds(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Integer](s.length / 2 + 4)
+    var start = 0
+    var i = 0
+    var firstWord = true
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          if (!firstWord) out.add(SpaceId)
+          firstWord = false
+          wordIds(s, start, i, out)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val arr = new Array[Int](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+
+  private def wordIds(s: String, from: Int, until: Int, out: java.util.ArrayList[Integer]): Unit = {
+    val syms = segmentWord(s, from, until)
+    var i = 0
+    while (i < syms.length) { out.add(symbolId(syms(i))); i += 1 }
+  }
+
+  /** Merged symbol sequence of one word span (code-point split, then
+    * the same in-rank-order passes as [[wordTokens]]).
+    */
+  private def segmentWord(s: String, from: Int, until: Int): Array[String] = {
+    val len = until - from
+    val syms = new Array[String](math.max(len, 1))
+    var cnt = 0
+    var k = from
+    while (k < until) {
+      val cp = s.codePointAt(k)
+      syms(cnt) = new String(Character.toChars(cp))
+      cnt += 1
+      k += Character.charCount(cp)
+    }
+    var r = 0
+    while (r < ruleA.length && cnt > 1) {
+      val a = ruleA(r)
+      val b = ruleB(r)
+      var read = 0
+      var write = 0
+      while (read < cnt) {
+        if (read + 1 < cnt && syms(read) == a && syms(read + 1) == b) {
+          syms(write) = a + b
+          read += 2
+        } else {
+          syms(write) = syms(read)
+          read += 1
+        }
+        write += 1
+      }
+      cnt = write
+      r += 1
+    }
+    java.util.Arrays.copyOf(syms, cnt)
+  }
+
+  /** Inverse of [[encodeIds]]: pure symbol concatenation (the space
+    * separator decodes as ' ' by the id scheme itself). Called from
+    * generated code (X16).
+    */
+  def decodeIds(ids: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder(n * 2)
+    var i = 0
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id >= MergeIdBase) {
+        val r = id - MergeIdBase
+        require(r < mergeSym.length, s"id $id beyond vocab")
+        sb.append(mergeSym(r))
+      } else sb.appendCodePoint(id)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  /** DuckDB expression: token-ID list of a word-array expression —
+    * the value twin of [[encodeIds]] (flatten per-word ids with a
+    * trailing [[SpaceId]] each, then drop the final separator).
+    */
+  def duckEncode(wordsExpr: String): String = {
+    val rankCase = mergeSym.zipWithIndex
+      .map { case (s, r) => s"WHEN '${esc(s)}' THEN ${MergeIdBase + r}" }
+      .mkString(" ")
+    val perWord =
+      s"list_transform(string_split(trim(${duckSegments("w")}), ' '), " +
+        s"s -> CASE WHEN length(s) = 1 THEN unicode(s) ELSE CASE s $rankCase END END)"
+    val flat = s"flatten(list_transform($wordsExpr, w -> list_append($perWord, $SpaceId)))"
+    s"list_slice($flat, 1, len($flat) - 1)"
+  }
+
+  /** Spark SQL (HOF) expression twin of [[encodeIds]] — used by the
+    * spec to pin the codegen expression against the engine-neutral
+    * replace-chain formulation on real corpus text.
+    */
+  def sparkEncode(wordsExpr: String): String = {
+    val rankCase = mergeSym.zipWithIndex
+      .map { case (s, r) => s"WHEN '${esc(s)}' THEN ${MergeIdBase + r}" }
+      .mkString(" ")
+    val perWord =
+      s"transform(split(trim(${sparkSegments("w")}), ' '), " +
+        s"s -> CASE WHEN length(s) = 1 THEN ascii(s) ELSE CASE s $rankCase END END)"
+    val flat = s"flatten(transform($wordsExpr, w -> concat($perWord, array($SpaceId))))"
+    s"slice($flat, 1, greatest(size($flat) - 1, 0))"
+  }
+
   private def wordTokens(s: String, from: Int, until: Int): Int = {
     val len = until - from
     if (len <= 1) return len

@@ -47,6 +47,12 @@ object GraftExpressions {
   /** Column API: embedded-BPE token count of a text column. */
   def bpeCount(text: Column): Column = column(BpeCount(expression(text)))
 
+  /** Column API: embedded-BPE token-ID array of a text column (X15). */
+  def bpeEncode(text: Column): Column = column(BpeEncode(expression(text)))
+
+  /** Column API: text decoded from a token-ID array column (X16). */
+  def bpeDecode(ids: Column): Column = column(BpeDecode(expression(ids)))
+
   /** Column API: all minhash permutations of a shingle array in one
     * pass (X8).
     */
@@ -205,6 +211,46 @@ case class BpeCount(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.Bpe$$.MODULE$$.countTokens($c);")
 
   override protected def withNewChildInternal(c: Expression): BpeCount =
+    copy(child = c)
+}
+
+/** X15: token-ID emission — the committed merge table's BPE encode of
+  * a text column as Array[Int] ids, one codegen pass per row (see
+  * [[Bpe.encodeIds]] for the id scheme and the engine-neutral twin).
+  * `size(BpeEncode(t))` = `BpeCount(t)` + (words−1) separators;
+  * BpeSpec pins both that identity and decode∘encode == the corpus
+  * normalization.
+  */
+case class BpeEncode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Bpe.encodeIds(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Bpe$$.MODULE$$.encodeIds($c);")
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}
+
+/** X16: inverse of [[BpeEncode]] — pure symbol concatenation (ids are
+  * code points or merge ranks; no lookup join, no shuffle).
+  */
+case class BpeDecode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    Bpe.decodeIds(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Bpe$$.MODULE$$.decodeIds($c);")
+
+  override protected def withNewChildInternal(c: Expression): BpeDecode =
     copy(child = c)
 }
 

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordShinglesFn)
     ext.injectFunction(GraftExtensions.minhashHexFn)
     ext.injectFunction(GraftExtensions.bpeCountFn)
+    ext.injectFunction(GraftExtensions.bpeEncodeFn)
+    ext.injectFunction(GraftExtensions.bpeDecodeFn)
     ext.injectFunction(GraftExtensions.nibbleHistogramFn)
     ext.injectFunction(GraftExtensions.rasterBodyGramsFn)
     ext.injectFunction(GraftExtensions.avgHash60Fn)
@@ -79,6 +81,18 @@ object GraftExtensions {
     (children: Seq[Expression]) => BpeCount(children.head)
   )
 
+  val bpeEncodeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_encode"),
+    info("bpe_encode", "bpe_encode(text) - embedded merge-table BPE token-ID array (X15)"),
+    (children: Seq[Expression]) => BpeEncode(children.head)
+  )
+
+  val bpeDecodeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_decode"),
+    info("bpe_decode", "bpe_decode(ids) - text decoded from a BPE token-ID array (X16)"),
+    (children: Seq[Expression]) => BpeDecode(children.head)
+  )
+
   val nibbleHistogramFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("nibble_histogram"),
     info("nibble_histogram", "nibble_histogram(bin) - 16-bin high-nibble histogram of a binary column"),
@@ -115,6 +129,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineSim, polyHash, wordShinglesFn, minhashHexFn, bpeCountFn,
+      bpeEncodeFn, bpeDecodeFn,
       nibbleHistogramFn, rasterBodyGramsFn, avgHash60Fn, signPack60Fn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }

@@ -2211,6 +2211,35 @@ object Ops {
     IndexLayout.gcVersions(spark, path, keepVersions)
   }
 
+  /** O44: the token-ID training shards — [[TextAnalysis.tokenizeWindows]]
+    * (X15 encode + fixed `window`-length padded context windows) fed
+    * straight into the O40 epoch-shard writer, so the stored corpus is
+    * loader-ready ID ARRAYS, not documents: every row carries exactly
+    * `window` ints in `ids` plus `n_real` (pad boundary) and its
+    * provenance (`doc_id`, `window_id`). `sample_id` = "doc:window" is
+    * the permutation/replay key. The whole job is one map-only encode
+    * stage plus O40's single range exchange — the same two-stage shape
+    * at 100 TB, where `window`-sized rows also make shard files
+    * uniformly sized (nShards sizes the file target directly).
+    * Read back with [[readShuffledShards]]; compact/reshard with
+    * [[compactShuffledShards]] (idCol is manifest-stamped).
+    */
+  def packTokenShards(
+      docs: DataFrame,
+      path: String,
+      window: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nShards: Int = 8,
+      seed: String = "42",
+      keepVersions: Int = 1
+  ): Unit = {
+    val windows = TextAnalysis.tokenizeWindows(docs, window, textCol)
+      .withColumn("sample_id",
+        concat(col(idCol).cast("string"), lit(":"), col("window_id").cast("string")))
+    writeShuffledShards(windows, "sample_id", path, nShards, seed, keepVersions)
+  }
+
   private def shuffledShardsCore(
       df: DataFrame,
       idCol: String,

@@ -26,6 +26,36 @@ object TextAnalysis {
   private val sparkWords = "filter(split(text, ' '), x -> x <> '')"
   private val duckWords = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** t26/O44 core, public for pipeline reuse: X15 token-ID encoding
+    * of `textCol` cut into fixed-length context windows of `window`
+    * ids at stride = `window` (disjoint), the last window padded to
+    * exactly `window` with `padId` (0 = NUL, unreachable by encode).
+    * Returns the input columns minus `textCol`, plus (window_id,
+    * n_real, ids) where `ids` is the PADDED window. Pure per-row
+    * codegen work — no shuffle, no join; a map-only stage at any
+    * corpus size. Docs with no tokens contribute no windows.
+    */
+  def tokenizeWindows(
+      docs: org.apache.spark.sql.DataFrame,
+      window: Int,
+      textCol: String = "text",
+      padId: Int = 0
+  ): org.apache.spark.sql.DataFrame = {
+    val keep = docs.columns.filterNot(_ == textCol).map(col).toSeq
+    docs
+      .withColumn("_ids", graft.functions.GraftExpressions.bpeEncode(col(textCol)))
+      .withColumn("_n", size(col("_ids")).cast("long"))
+      .filter(col("_n") > 0)
+      .withColumn("_n_windows", expr(s"(_n + ${window - 1}) div $window"))
+      .withColumn("window_id",
+        explode(expr("sequence(CAST(0 AS LONG), _n_windows - 1)")))
+      .withColumn("_cw", expr(s"slice(_ids, cast(window_id * $window + 1 as int), $window)"))
+      .select(keep ++ Seq(
+        col("window_id"),
+        size(col("_cw")).cast("long").as("n_real"),
+        expr(s"concat(_cw, array_repeat($padId, $window - size(_cw)))").as("ids")): _*)
+  }
+
   /** t19's core, public for pipeline reuse: pairwise Jensen-Shannon
     * divergence (nats) of per-`shardCol` unigram distributions over
     * the GLOBAL top-`topK` vocabulary (count desc, word asc — a total
@@ -1155,6 +1185,49 @@ object TextAnalysis {
         FROM t)
         SELECT source, doc_id, n_tokens, cum_before FROM c
         WHERE cum_before < 800 ORDER BY source, cum_before, doc_id""")
+    ),
+
+    Q(
+      "t26_tokenize_pack",
+      "Token-ID emission + fixed context-window packing: X15 BPE encode, W=64 windows, pad-id 0",
+      (spark, dir) => {
+        import spark.implicits._
+        // The training-data last mile: documents → token-ID sequences
+        // → loader-shaped fixed-length context windows. Encoding is
+        // the X15 codegen expression (one pass per row, committed
+        // merge table, ids = code points | 0x110000+rank — see
+        // functions.Bpe); windows are t18's chunk arithmetic at
+        // stride = W (disjoint windows), the last window PADDED to
+        // exactly W with pad-id 0 (NUL — unreachable by encode, since
+        // words are non-empty and the separator is 32). Everything is
+        // per-row codegen work until the output sort: no shuffle, no
+        // join, no driver collect; at 100 TB this is a map-only stage
+        // feeding O44's shard writer. The oracle replays the encode
+        // as the engine-neutral replace-chain + unicode()/rank CASE
+        // and hashes each padded window's content, so the gate checks
+        // the IDS THEMSELVES (joined-string md5 + integer checksum),
+        // not just window shapes.
+        tokenizeWindows(Tables.load(spark, dir, "documents"), window = 64)
+          .select(
+            $"doc_id", $"window_id", $"n_real",
+            expr("aggregate(ids, CAST(0 AS BIGINT), (a, x) -> a + x)").as("ids_sum"),
+            md5(concat_ws(" ", expr("transform(ids, x -> cast(x as string))"))).as("ids_hash"))
+          .orderBy($"doc_id", $"window_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, ${graft.functions.Bpe.duckEncode(duckWords)} AS ids FROM documents),
+        t AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM w WHERE len(ids) > 0),
+        c AS (SELECT doc_id, ids, n, (n + 63) // 64 AS n_windows FROM t),
+        e AS (SELECT doc_id, ids,
+            unnest(generate_series(CAST(0 AS BIGINT), n_windows - 1)) AS window_id FROM c),
+        s AS (SELECT doc_id, window_id,
+            ids[CAST(window_id * 64 + 1 AS INT) : CAST(window_id * 64 + 64 AS INT)] AS cw FROM e),
+        p AS (SELECT doc_id, window_id, cw,
+            list_concat(cw, list_transform(generate_series(1, 64 - len(cw)), x -> 0)) AS padded FROM s)
+        SELECT doc_id, window_id,
+          CAST(len(cw) AS BIGINT) AS n_real,
+          CAST(list_aggregate(padded, 'sum') AS BIGINT) AS ids_sum,
+          md5(array_to_string(list_transform(padded, x -> CAST(x AS VARCHAR)), ' ')) AS ids_hash
+        FROM p ORDER BY doc_id, window_id""")
     )
   )
 }

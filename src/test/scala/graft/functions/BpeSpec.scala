@@ -67,6 +67,68 @@ class BpeSpec extends SparkTestBase {
     assert(bad == 0, s"$bad fuzz strings diverge between expression and SQL chain")
   }
 
+  test("X15 encode: hand-traced ids (code points | MergeIdBase+rank, space=32)") {
+    import spark.implicits._
+    val ranks = Bpe.merges.zipWithIndex.map { case ((a, b), r) => (a + b) -> r }.toMap
+    val ids = Seq("the cat").toDF("text")
+      .select(GraftExpressions.bpeEncode($"text").as("ids"))
+      .head().getSeq[Int](0)
+    assert(ids == Seq(
+      Bpe.MergeIdBase + ranks("the"), 32, 'c'.toInt, Bpe.MergeIdBase + ranks("at")))
+  }
+
+  test("X16 decode(encode(x)) == corpus normalization, corpus + fuzz") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val frags = Seq("th", "the", "in", "and", "ers", "a", "  ", "x'y", "...",
+      "ththth", "😀", "e😀r", "ü", "日本", "\tq")
+    val fuzz = (1 to 200).map { _ =>
+      (0 to rnd.nextInt(10)).map(_ => frags(rnd.nextInt(frags.size))).mkString(
+        if (rnd.nextBoolean()) " " else "")
+    } :+ "" :+ "   " :+ "😀 😀"
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents").select($"text")
+      .union(fuzz.toDF("text"))
+    val bad = docs.select(
+      GraftExpressions.bpeDecode(GraftExpressions.bpeEncode($"text")).as("rt"),
+      concat_ws(" ", expr("filter(split(text, ' '), x -> x <> '')")).as("norm")
+    ).filter($"rt" =!= $"norm").count()
+    assert(bad == 0, s"$bad strings fail decode∘encode == normalization")
+  }
+
+  test("X15 size(encode) == bpe_count + (words - 1) separators, corpus-wide") {
+    import spark.implicits._
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents")
+    val bad = docs.select(
+      size(GraftExpressions.bpeEncode($"text")).cast("long").as("n_enc"),
+      (GraftExpressions.bpeCount($"text")
+        + greatest(size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long") - 1L,
+          lit(0L))).as("expect")
+    ).filter($"n_enc" =!= $"expect").count()
+    assert(bad == 0, s"$bad docs break the size identity")
+  }
+
+  test("X15 codegen encode == engine-neutral SQL twin (replace chain + id CASE)") {
+    import spark.implicits._
+    // BMP-only fuzz for the Spark HOF twin (ascii() of an astral char
+    // is the code point too, but the twin's job is the cross-engine
+    // argument, and the DuckDB side is exercised by t26's oracle gate)
+    val docs = graft.tables.Tables.load(spark, sfDir, "documents").select($"text")
+      .union(Seq("the cat sat", "ththth and", "ü ber", "", " x  y ").toDF("text"))
+    val bad = docs.select(
+      GraftExpressions.bpeEncode($"text").as("fast"),
+      expr(Bpe.sparkEncode("filter(split(text, ' '), x -> x <> '')"))
+        .cast("array<int>").as("sql")
+    ).filter(not($"fast" <=> $"sql")).count()
+    assert(bad == 0, s"$bad strings diverge between codegen encode and SQL twin")
+  }
+
+  test("bpe_encode / bpe_decode registered as SQL functions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT bpe_decode(bpe_encode('the thing and recorders')) AS rt").head()
+    assert(r.getString(0) == "the thing and recorders")
+  }
+
   test("overlapping pairs resolve left-to-right in both replace semantics") {
     // "a a a a" under a hypothetical (a,a) merge would become
     // "aa aa"; our table has no self-pair, but pin the left-to-right

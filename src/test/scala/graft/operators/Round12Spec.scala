@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-12: the token-ID last mile — X15/X16 encode/decode are
+  * spec'd in BpeSpec; here the composed surfaces: tokenizeWindows
+  * (t26's core) and O44 packTokenShards (loader-ready ID-array epoch
+  * shards through the O40 layout).
+  */
+class Round12Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  // ------------------------------------------------- tokenizeWindows
+
+  test("tokenizeWindows: every window exactly W ids, pad tail all padId, n_real bounds") {
+    val w = 64
+    val t = TextAnalysis.tokenizeWindows(docs, w)
+    val bad = t.filter(
+      size($"ids") =!= w ||
+        $"n_real" < 1 || $"n_real" > w ||
+        expr(s"exists(slice(ids, cast(n_real + 1 as int), $w), x -> x != 0)") ||
+        expr("exists(slice(ids, 1, cast(n_real as int)), x -> x = 0)")
+    ).count()
+    assert(bad == 0, s"$bad windows break the shape/pad contract")
+  }
+
+  test("tokenizeWindows: total real ids == corpus-wide size(bpe_encode)") {
+    val w = 64
+    val total = TextAnalysis.tokenizeWindows(docs, w)
+      .agg(sum($"n_real")).head().getLong(0)
+    val expect = docs
+      .select(size(graft.functions.GraftExpressions.bpeEncode($"text")).cast("long").as("n"))
+      .agg(sum($"n")).head().getLong(0)
+    assert(total == expect, s"window ids $total != encoded ids $expect")
+  }
+
+  test("tokenizeWindows: reassembled windows decode back to the normalized document") {
+    val w = 64
+    val t = TextAnalysis.tokenizeWindows(docs, w)
+      .withColumn("real", expr("slice(ids, 1, cast(n_real as int))"))
+      .groupBy($"doc_id")
+      .agg(flatten(array_sort(collect_list(struct($"window_id", $"real")))
+        .getField("real")).as("all_ids"))
+      .select($"doc_id", graft.functions.GraftExpressions.bpeDecode($"all_ids").as("rt"))
+    val expect = docs.select($"doc_id",
+      concat_ws(" ", expr("filter(split(text, ' '), x -> x <> '')")).as("norm"))
+      .filter(length($"norm") > 0)
+    val bad = t.join(expect, Seq("doc_id"), "full_outer")
+      .filter(not($"rt" <=> $"norm")).count()
+    assert(bad == 0, s"$bad documents fail the reassemble-decode round trip")
+  }
+
+  // ------------------------------------------------------------- O44
+
+  test("O44 packTokenShards: epoch layout stores loader-ready padded ID arrays") {
+    val dir = java.nio.file.Files.createTempDirectory("o44").toString
+    val w = 32
+    Ops.packTokenShards(docs, dir, window = w, nShards = 4, seed = "r12")
+
+    val back = Ops.readShuffledShards(spark, dir)
+    // loader contract: fixed-length int arrays + pad boundary + replay
+    // key (parquet re-reads element nullability as true — assert the
+    // element TYPE and no-null DATA instead)
+    assert(back.schema("ids").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.IntegerType)
+    assert(back.filter(expr("exists(ids, x -> x is null)")).count() == 0)
+    assert(back.filter(size($"ids") =!= w).count() == 0, "non-fixed-length sample")
+    val nWindows = TextAnalysis.tokenizeWindows(docs, w).count()
+    assert(back.count() == nWindows, "shard rows != tokenized windows")
+    // sample_id is doc:window and unique — the permutation/replay key
+    assert(back.select($"sample_id").distinct().count() == nWindows)
+
+    // content: reassembling from the SHARDS decodes to the corpus
+    val rt = back
+      .withColumn("real", expr("slice(ids, 1, cast(n_real as int))"))
+      .groupBy($"doc_id")
+      .agg(flatten(array_sort(collect_list(struct($"window_id", $"real")))
+        .getField("real")).as("all_ids"))
+      .select($"doc_id", graft.functions.GraftExpressions.bpeDecode($"all_ids").as("rt"))
+    val expect = docs.select($"doc_id",
+      concat_ws(" ", expr("filter(split(text, ' '), x -> x <> '')")).as("norm"))
+      .filter(length($"norm") > 0)
+    val bad = rt.join(expect, Seq("doc_id"), "full_outer")
+      .filter(not($"rt" <=> $"norm")).count()
+    assert(bad == 0, s"$bad documents fail the shard-reassemble decode round trip")
+
+    // layout discipline: manifest-stamped idCol, compactable in place
+    Ops.compactShuffledShards(spark, dir)
+    assert(Ops.readShuffledShards(spark, dir).count() == nWindows,
+      "compaction changed the sample count")
+  }
+}
