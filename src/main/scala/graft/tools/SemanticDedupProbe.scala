@@ -47,10 +47,19 @@ object SemanticDedupProbe {
         .semanticDedupAtScale(emb, "vec_id", "embedding", (n / 8).toInt, minCosine = -1.0)
       out.count()
     }
+    // round 12: the brute n×k assignment the routed default replaced
+    // (exactAssign escape) — same knob, same output contract
+    val (brute, tBrute) = timed {
+      val out = graft.operators.Ops
+        .semanticDedupAtScale(emb, "vec_id", "embedding", target,
+          minCosine = -1.0, exactAssign = true)
+      out.count()
+    }
     val k = math.max(8L, n / target)
     println(s"""{"n":$n,"targetCellSize":$target,"cells_tracked":$k,""" +
       s""""pairs_tracked":$tracked,"sec_tracked":$tTracked,""" +
-      s""""cells_pinned":8,"pairs_pinned":$pinned,"sec_pinned":$tPinned}""")
+      s""""cells_pinned":8,"pairs_pinned":$pinned,"sec_pinned":$tPinned,""" +
+      s""""pairs_brute_assign":$brute,"sec_brute_assign":$tBrute}""")
     spark.stop()
   }
 }

@@ -54,6 +54,49 @@ class Round12Spec extends SparkTestBase {
     assert(bad == 0, s"$bad documents fail the reassemble-decode round trip")
   }
 
+  // ------------------------------------------- O32 routed assignment
+
+  test("O32: routed assignment == brute assignment when probes cover all coarse groups") {
+    // k = 100 cells -> k1 = 10 coarse groups: the routed path is
+    // genuinely two-level (default 4 probes would approximate), and
+    // probing all 10 groups makes the candidate set every seed, so
+    // the result must EQUAL the exactAssign escape row-for-row.
+    def corpus(n: Int) =
+      spark.range(n).select(
+        col("id"),
+        expr("transform(sequence(0, 15), j -> " +
+          "CAST(pmod(xxhash64(id * 16 + j), 1000) / 499.5 - 1.0 AS FLOAT))").as("emb"))
+    val routed = Ops.semanticDedupAtScale(corpus(800), "id", "emb",
+      targetCellSize = 8, minCosine = -1.0, coarseProbes = 10)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    val brute = Ops.semanticDedupAtScale(corpus(800), "id", "emb",
+      targetCellSize = 8, minCosine = -1.0, exactAssign = true)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(routed == brute, "probe-all routed assignment diverged from brute")
+    // and the default nprobe stays a sane approximation of the same
+    // workload: every vector still lands in a cell, occupancy bounded
+    val approx = Ops.semanticDedupAtScale(corpus(800), "id", "emb",
+      targetCellSize = 8, minCosine = -1.0)
+    assert(approx.count() > 0)
+  }
+
+  test("O32: no corpus-scaled crossJoin in the routed plan") {
+    def corpus(n: Int) =
+      spark.range(n).select(
+        col("id"),
+        expr("transform(sequence(0, 15), j -> " +
+          "CAST(pmod(xxhash64(id * 16 + j), 1000) / 499.5 - 1.0 AS FLOAT))").as("emb"))
+    val plan = Ops.semanticDedupAtScale(corpus(800), "id", "emb",
+      targetCellSize = 8, minCosine = -1.0)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop joins allowed are against the 1-row
+    // collected coarse array (broadcast of a single row)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    val cart = "CartesianProduct".r.findAllIn(plan).length
+    assert(cart == 0, s"cartesian product in routed O32 plan:\n$plan")
+    assert(nlj <= 2, s"unexpected NL joins (corpus-scaled side?) in routed O32 plan:\n$plan")
+  }
+
   // ------------------------------------------------------------- O44
 
   test("O44 packTokenShards: epoch layout stores loader-ready padded ID arrays") {
