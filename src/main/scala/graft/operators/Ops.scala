@@ -2172,7 +2172,13 @@ object Ops {
     val touched = if (broadcastTouched) broadcast(touched0) else touched0
 
     val outCols = (keys ++ stateCols).map(col)
-    val untouched = view.join(touched, keys, "left_anti").select(outCols: _*)
+    // null-safe key equality (<=>): a NULL-keyed view row must MATCH a
+    // NULL-keyed delta row, or the anti and semi legs both keep it and
+    // the key merges into two output rows — a silent wrong answer for
+    // a general-purpose IVM primitive (round-11 advice)
+    def keyCond(right: DataFrame) =
+      keys.map(k => view(k) <=> right(k)).reduce(_ && _)
+    val untouched = view.join(touched, keyCond(touched), "left_anti").select(outCols: _*)
 
     // merge = the state's own combine fn (count states combine by sum)
     val combine = aggs.map {
@@ -2181,7 +2187,7 @@ object Ops {
       case (c, "min", _) => min(col(c)).as(c)
       case (c, "max", _) => max(col(c)).as(c)
     }
-    val merged = view.join(touched, keys, "left_semi").select(outCols: _*)
+    val merged = view.join(touched, keyCond(touched), "left_semi").select(outCols: _*)
       .unionByName(dp.select(outCols: _*))
       .groupBy(keys.map(col): _*).agg(combine.head, combine.tail: _*)
       .select(outCols: _*)
@@ -2286,6 +2292,139 @@ object Ops {
       .withColumn("sample_id",
         concat(col(idCol).cast("string"), lit(":"), col("window_id").cast("string")))
     writeShuffledShards(windows, "sample_id", path, nShards, seed, keepVersions)
+  }
+
+  private val MergeMetaName = "_MERGE"
+
+  /** O45: the MERGE-applying sink — apply a (key, version, payload,
+    * tombstone) changelog batch (q65's compaction output, ST15's
+    * update stream) to a STORED keyed table as a versioned
+    * upsert/delete, so compacted state is incrementally *applied*,
+    * not just recomputable. Semantics are last-writer-wins on the
+    * lexicographic `versionCols` struct (ties broken tombstone-wins,
+    * then by payload — deterministic): re-applying any batch, stale
+    * or duplicated, can never move state backwards, which is the
+    * at-least-once replay guarantee a foreachBatch sink needs.
+    * Tombstone rows are KEPT in the table (flagged) rather than
+    * deleted, because a tombstone must keep suppressing older upserts
+    * that arrive in later batches (ST15's contract); [[readMerged]]
+    * filters them, and `dropTombstones = true` purges at apply time
+    * once upstream guarantees no late data (the retention knob).
+    *
+    * Plan shape at 100 TB: stored rows whose key the batch does not
+    * touch pass through an ANTI join against the batch's key set —
+    * the table is scanned once, never shuffled (O42's discipline);
+    * only touched keys union the batch and re-reduce (one
+    * map-side-combinable struct-max, q65's own agg). `broadcastKeys`
+    * defaults true because a micro-batch's key set is
+    * trigger-bounded; pass false for bulk backfills and let AQE
+    * decide (the O41 lesson: never force-broadcast an unbounded
+    * side). Epoch publish is the atomic O30 `_CURRENT` flip; key,
+    * version and tombstone columns are stamped in a `_MERGE`
+    * manifest on first apply and VALIDATED against every later one —
+    * the manifest is authoritative, callers' args are checked, never
+    * trusted (the O43 discipline).
+    */
+  def applyChangelog(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      tombstoneCol: String = "is_tombstone",
+      broadcastKeys: Boolean = true,
+      dropTombstones: Boolean = false,
+      keepVersions: Int = 1
+  ): Unit = {
+    val op = "applyChangelog"
+    require(keyCols.nonEmpty, s"$op: at least one key column")
+    require(versionCols.nonEmpty, s"$op: at least one version column")
+    val declared = keyCols ++ versionCols :+ tombstoneCol
+    val missing = declared.filterNot(batch.columns.contains)
+    require(missing.isEmpty, s"$op: batch is missing columns ${missing.mkString(", ")}")
+    require(declared.distinct.size == declared.size,
+      s"$op: key/version/tombstone columns overlap")
+
+    IndexLayout.recover(spark, path)
+    IndexLayout.ensureVersioned(spark, path)
+
+    // LWW reduce struct: version prefix, then tombstone (true > false
+    // so a delete wins a same-version tie), then the payload columns
+    // as the final deterministic tie-break
+    val payloadCols = batch.columns.filterNot(declared.contains).toSeq
+    val wCols = (versionCols :+ tombstoneCol) ++ payloadCols
+    def lww(df: DataFrame): DataFrame =
+      df.groupBy(keyCols.map(col): _*)
+        .agg(max(struct(wCols.map(col): _*)).as("_w"))
+        .select(keyCols.map(col) ++ wCols.map(c => col(s"_w.$c").as(c)): _*)
+        .select(batch.columns.toIndexedSeq.map(col): _*) // restore batch column order
+
+    val incoming = lww(batch)
+    val curMeta = IndexLayout.currentVersion(spark, path)
+      .map(v => (v, IndexLayout.readMeta(spark, s"$path/$v", MergeMetaName)))
+    curMeta match {
+      case Some((v, None)) =>
+        // an EMPTY current version (a fresh dir ensureVersioned just
+        // migrated) bootstraps like no version at all; a version
+        // holding DATA without the manifest is someone else's layout
+        val p = new org.apache.hadoop.fs.Path(s"$path/$v")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        require(!hasData, s"$op: $path/$v holds data but no $MergeMetaName " +
+          "manifest — was this layout written by a different sink?")
+      case _ => ()
+    }
+    val merged = curMeta match {
+      case None | Some((_, None)) => incoming
+      case Some((v, Some(meta))) =>
+        val expect = mergeMetaJson(keyCols, versionCols, tombstoneCol)
+        require(meta == expect,
+          s"$op: manifest at $path declares $meta but the caller passed $expect — " +
+            "the stored layout's contract wins; fix the caller")
+        val stored = spark.read.parquet(s"$path/$v")
+        require(stored.columns.sorted.sameElements(batch.columns.sorted),
+          s"$op: stored schema ${stored.columns.sorted.mkString(",")} != " +
+            s"batch schema ${batch.columns.sorted.mkString(",")}")
+        val keys0 = incoming.select(keyCols.map(col): _*)
+        val keys = if (broadcastKeys) broadcast(keys0) else keys0
+        def keyCond(l: DataFrame) = keyCols.map(k => l(k) <=> keys(k)).reduce(_ && _)
+        val untouched = stored.join(keys, keyCond(stored), "left_anti")
+          .select(batch.columns.toIndexedSeq.map(col): _*)
+        val touched = stored.join(keys, keyCond(stored), "left_semi")
+          .select(batch.columns.toIndexedSeq.map(col): _*)
+          .unionByName(incoming)
+        untouched.unionByName(lww(touched))
+    }
+    val out = if (dropTombstones) merged.filter(!col(tombstoneCol)) else merged
+    val next = IndexLayout.nextVersion(spark, path)
+    out.write.mode("overwrite").parquet(s"$path/$next")
+    IndexLayout.writeMeta(spark, s"$path/$next", MergeMetaName,
+      mergeMetaJson(keyCols, versionCols, tombstoneCol))
+    IndexLayout.publish(spark, path, next)
+    IndexLayout.gcVersions(spark, path, keepVersions)
+  }
+
+  private def mergeMetaJson(
+      keyCols: Seq[String], versionCols: Seq[String], tombstoneCol: String): String =
+    s"""{"keyCols":"${keyCols.mkString("+")}","versionCols":"${versionCols.mkString("+")}",""" +
+      s""""tombstoneCol":"$tombstoneCol"}"""
+
+  /** Read the CURRENT state of an O45 merge table: live rows only
+    * (tombstone suppressors filtered out via the manifest-recorded
+    * flag column — no caller-supplied names to get wrong).
+    */
+  def readMerged(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val v = IndexLayout.currentVersion(spark, path).getOrElse(
+      sys.error(s"readMerged: no epoch published at $path"))
+    val meta = IndexLayout.readMeta(spark, s"$path/$v", MergeMetaName).getOrElse(
+      sys.error(s"readMerged: $path/$v has no $MergeMetaName manifest"))
+    val tomb = "\"tombstoneCol\":\"([^\"]+)\"".r.findFirstMatchIn(meta)
+      .map(_.group(1)).getOrElse(
+        sys.error(s"readMerged: malformed $MergeMetaName manifest: $meta"))
+    spark.read.parquet(s"$path/$v").filter(!col(tomb))
   }
 
   private def shuffledShardsCore(

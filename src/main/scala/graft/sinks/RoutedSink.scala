@@ -58,6 +58,14 @@ object RoutedSink {
       df.write.mode("overwrite")
         .option("rootTag", kw("tag") + "s").option("rowTag", kw("tag"))
         .format("xml").save(kw("path")))
+    // MERGE-applying keyed upsert/delete (O45): applies a changelog
+    // batch (q65/ST15 shape — key cols, version cols, tombstone flag)
+    // to the versioned table at {path} with last-writer-wins + atomic
+    // epoch flip. Cols split on '+'; the tombstone column is the ST15
+    // convention `is_tombstone`.
+    r.add("merge:{path:path}:key:{cols}:v:{vcols}", (df, kw) =>
+      graft.operators.Ops.applyChangelog(df.sparkSession, kw("path"), df,
+        kw("cols").split('+').toIndexedSeq, kw("vcols").split('+').toIndexedSeq))
     r.add("noop:{name}", (df, _) => { df.count(); () })
     new RoutedSink(r)
   }

@@ -97,6 +97,115 @@ class Round12Spec extends SparkTestBase {
     assert(nlj <= 2, s"unexpected NL joins (corpus-scaled side?) in routed O32 plan:\n$plan")
   }
 
+  // -------------------------------------------- O42 null-safe keys
+
+  test("O42 maintainAggView: a NULL key present in view and delta merges into ONE row") {
+    import org.apache.spark.sql.Row
+    val view = Seq((Option(1L), 2L, 10L), (Option.empty[Long], 3L, 30L))
+      .toDF("k", "cnt", "s")
+    val delta = Seq((Option.empty[Long], 5L), (Option(7L), 1L)).toDF("k", "v")
+    val out = Ops.maintainAggView(view, delta, Seq("k"),
+      Seq(("cnt", "count", lit(1)), ("s", "sum", $"v")))
+      .orderBy($"k".asc_nulls_first).collect().toSeq
+    // NULL key: 3+1 ops, 30+5 sum — two unmerged legs would show (3,30)+(1,5)
+    assert(out == Seq(Row(null, 4L, 35L), Row(1L, 2L, 10L), Row(7L, 1L, 1L)),
+      s"got $out")
+  }
+
+  // ------------------------------------------------------- O45 merge
+
+  test("O45 applyChangelog: LWW upsert/delete, tombstone suppression, replay safety") {
+    import org.apache.spark.sql.Row
+    val dir = java.nio.file.Files.createTempDirectory("o45").toString
+    def batch(rows: (Long, Long, Long, String, Boolean)*) =
+      rows.toDF("user_id", "k", "v", "payload", "is_tombstone")
+    val keys = Seq("user_id", "k")
+    val vers = Seq("v")
+
+    // first apply bootstraps the table (and stamps the manifest)
+    Ops.applyChangelog(spark, dir, batch((1L, 1L, 10L, "a", false), (1L, 2L, 10L, "b", false)),
+      keys, vers)
+    assert(Ops.readMerged(spark, dir).orderBy($"user_id", $"k")
+      .select($"k", $"payload").collect().toSeq ==
+      Seq(Row(1L, "a"), Row(2L, "b")))
+
+    // newer upsert wins, tombstone deletes, new key inserts
+    Ops.applyChangelog(spark, dir, batch(
+      (1L, 1L, 20L, "a2", false), (1L, 2L, 20L, "b", true), (1L, 3L, 10L, "c", false)),
+      keys, vers)
+    assert(Ops.readMerged(spark, dir).orderBy($"k")
+      .select($"k", $"payload").collect().toSeq ==
+      Seq(Row(1L, "a2"), Row(3L, "c")))
+    // the tombstone row is KEPT as a flagged suppressor in the table
+    val v = graft.operators.IndexLayout.currentVersion(spark, dir).get
+    assert(spark.read.parquet(s"$dir/$v")
+      .where($"k" === 2L && $"is_tombstone").count() == 1)
+
+    // replay safety: re-applying the STALE first batch moves nothing —
+    // k=1 keeps v=20, and the late k=2 upsert (v=10 < tombstone v=20)
+    // stays suppressed
+    Ops.applyChangelog(spark, dir, batch((1L, 1L, 10L, "a", false), (1L, 2L, 10L, "b", false)),
+      keys, vers)
+    assert(Ops.readMerged(spark, dir).orderBy($"k")
+      .select($"k", $"payload").collect().toSeq ==
+      Seq(Row(1L, "a2"), Row(3L, "c")))
+
+    // NULL keys merge as one key (null-safe equality), never fork
+    Ops.applyChangelog(spark, dir,
+      Seq((2L, Option.empty[Long], 5L, "n1", false)).toDF("user_id", "k", "v", "payload", "is_tombstone"),
+      keys, vers)
+    Ops.applyChangelog(spark, dir,
+      Seq((2L, Option.empty[Long], 6L, "n2", false)).toDF("user_id", "k", "v", "payload", "is_tombstone"),
+      keys, vers)
+    assert(Ops.readMerged(spark, dir).where($"user_id" === 2L)
+      .select($"payload").collect().toSeq == Seq(Row("n2")))
+
+    // the stored manifest is authoritative: contradicting args fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Ops.applyChangelog(spark, dir, batch((9L, 9L, 1L, "x", false)), Seq("user_id"), vers)
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
+  test("O45 via the routed sink: ST15 update stream applied == q65-shaped batch compaction") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("o45-st15").toString
+    // ts-interleaved micro-batches (the ST15 spec's adversarial split)
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    ev.filter($"event_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val mdir = java.nio.file.Files.createTempDirectory("o45-table").toString
+    val sink = graft.sinks.RoutedSink.standard()
+    val route = s"merge:$mdir:key:user_id+k:v:last_ts_us+n_ops"
+    val q = graft.streaming.Streams.changelogCompactStream(spark, stream).toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink.write(route, b.toDF()))
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    // batch truth: q65's struct-max compaction with tombstones dropped
+    val batch = ev
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        unix_micros($"ts").as("ts_us"), $"event_id", $"event_type", $"value")
+      .groupBy($"user_id", $"k")
+      .agg(max(struct($"ts_us", $"event_id", $"event_type", $"value")).as("last"),
+        count(lit(1)).as("n_ops"))
+      .select($"user_id", $"k", $"last.ts_us".as("last_ts_us"),
+        $"last.event_type".as("last_op"), $"last.value".as("last_value"), $"n_ops")
+      .where($"last_op" =!= "error")
+    val got = Ops.readMerged(spark, mdir)
+      .select($"user_id", $"k", $"last_ts_us", $"last_op", $"last_value", $"n_ops")
+    assert(got.count() == batch.count())
+    assert(got.except(batch).isEmpty && batch.except(got).isEmpty,
+      "stream-applied merge table diverged from batch q65 compaction")
+    // tombstoned keys are gone from the read surface
+    assert(Ops.readMerged(spark, mdir).where($"last_op" === "error").count() == 0)
+  }
+
   // ------------------------------------------------------------- O44
 
   test("O44 packTokenShards: epoch layout stores loader-ready padded ID arrays") {
