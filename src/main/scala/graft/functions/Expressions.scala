@@ -563,9 +563,15 @@ object NibbleHistogram {
   * band-key cost 16x while leaving the exact-verify domain (the full
   * gram set) untouched; identical bodies have identical sketches, so
   * sketch-banding still catches every re-containered duplicate. The
-  * subsample is replayable in engine-neutral SQL
-  * (`list_filter(gs, s -> substr(s, 16, 1) = '0')`), so oracles pin
-  * it by value. Returns null for unknown/truncated containers and
+  * subsample is replayable in engine-neutral SQL: a gram is
+  * 2*width hex chars, so the low nibble is the LAST character —
+  * `list_filter(gs, s -> substr(s, 2 * width, 1) = '0')`, which at
+  * the pinned width=8 (the only configuration any caller, spec, or
+  * oracle uses — m08/ST16's replay hard-codes `substr(s, 16, 1)`)
+  * is position 16. A caller choosing another width must derive its
+  * replay position the same way or the SQL twin silently filters
+  * the wrong character. Returns null for unknown/truncated
+  * containers and
   * for bodies shorter than `width` (exactly the rows the old
   * `rasterStart`-None / `length(body_hex) >= 2*width` gates dropped).
   */

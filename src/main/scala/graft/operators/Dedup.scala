@@ -1623,34 +1623,11 @@ object Dedup {
         // engines — cluster semantics stay engine-pinned, and the
         // leakage guarantee is "no LSH-caught near-dup pair
         // straddles", the guarantee every production LSH dedup
-        // actually provides.
-        val docs = Tables.load(spark, dir, "documents")
-        val sh = shingleArrays(spark, dir).cache()
-        val posting = sh.select($"doc_id", explode($"sh").as("s"))
-        val cands = minhashCandidates(sh).cache()
-        val candDocs = cands.select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
-        val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
-        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
-        val pairs = restricted.select($"doc_id".as("id_a"), $"s")
-          .join(restricted.select($"doc_id".as("id_b"), $"s"), Seq("s"))
-          .where($"id_a" < $"id_b")
-          .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
-          .join(cands, Seq("id_a", "id_b"), "left_semi")
-          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
-          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
-          .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
-          .select($"id_a", $"id_b")
-        val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
-          idOut = "doc_id", labelOut = "cluster_id", algo = "star")
-        val bucket = pmod(
-          graft.functions.PortableHash.hash60(
-            concat($"cluster_id".cast("string"), lit("#split7"))),
-          lit(100L))
-        docs.select($"doc_id")
-          .join(labels, Seq("doc_id"), "left")
-          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
-          .withColumn("split",
-            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        // actually provides. Round 12: the candidate→verify→CC
+        // derivation lives in [[dupClusterAssign]], shared verbatim
+        // with d23 and the DataPipeline cells, so the "same cluster
+        // unit" contract can no longer drift at the source level.
+        leakageSplit(dupClusterAssign(Tables.load(spark, dir, "documents")))
           .select($"doc_id", $"cluster_id", $"split")
           .orderBy($"doc_id")
       },
@@ -1685,34 +1662,11 @@ object Dedup {
         // leakage-safe split on the SAME cluster ids at zero extra
         // cost: at 100 TB this adds one map-side-combined size agg
         // (one row per cluster) and one doc_id-keyed broadcast-able
-        // join to machinery d22 already runs. No window, no driver
+        // join to machinery d22 already runs — [[dupClusterAssign]]
+        // IS d22's machinery, called verbatim. No window, no driver
         // state.
-        val docs = Tables.load(spark, dir, "documents")
-        val sh = shingleArrays(spark, dir).cache()
-        val posting = sh.select($"doc_id", explode($"sh").as("s"))
-        val cands = minhashCandidates(sh).cache()
-        val candDocs = cands.select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
-        val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
-        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
-        val pairs = restricted.select($"doc_id".as("id_a"), $"s")
-          .join(restricted.select($"doc_id".as("id_b"), $"s"), Seq("s"))
-          .where($"id_a" < $"id_b")
-          .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
-          .join(cands, Seq("id_a", "id_b"), "left_semi")
-          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
-          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
-          .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
-          .select($"id_a", $"id_b")
-        val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
-          idOut = "doc_id", labelOut = "cluster_id", algo = "star")
-        val assigned = docs.select($"doc_id")
-          .join(labels, Seq("doc_id"), "left")
-          .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
-        val csize = assigned.groupBy($"cluster_id")
-          .agg(count(lit(1)).cast("long").as("n_members"))
-        assigned.join(csize, "cluster_id")
-          .select($"doc_id", $"cluster_id", $"n_members",
-            expr("1000000L div n_members").as("weight_ppm"))
+        dupWeights(dupClusterAssign(Tables.load(spark, dir, "documents")))
+          .select($"doc_id", $"cluster_id", $"n_members", $"weight_ppm")
           .orderBy($"doc_id")
       },
       Some(s"""$d22OracleCtes,
@@ -1726,6 +1680,74 @@ object Dedup {
         ORDER BY a.doc_id""")
     )
   )
+
+  /** The d22/d23 cluster unit, extracted once so the leakage-safe
+    * split, the soft-dedup weights, and any pipeline composing them
+    * derive from the SAME clusters by construction (a spec pins the
+    * parity; sharing the code makes it unbreakable at the source
+    * level): banded minhash candidates (X8 band keys — never an
+    * all-pairs posting join), postings restricted to candidate docs,
+    * exact Jaccard >= 0.4 verify, star-contraction connected
+    * components, singletons labeled by their own doc_id. One row per
+    * input doc: (doc_id, cluster_id). At 100 TB the cost profile is
+    * d02's: every join is band/doc_id-keyed, CC is O(log n) keyed
+    * rounds, and the label frame is one row per non-singleton doc.
+    */
+  def dupClusterAssign(docs: DataFrame): DataFrame = {
+    val sh = shingleArrays(docs).cache()
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cands = minhashCandidates(sh).cache()
+    val candDocs = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val pairs = restricted.select(col("doc_id").as("id_a"), col("s"))
+      .join(restricted.select(col("doc_id").as("id_b"), col("s")), Seq("s"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .where(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= 0.4)
+      .select(col("id_a"), col("id_b"))
+    val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
+      idOut = "doc_id", labelOut = "cluster_id", algo = "star")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+  }
+
+  /** d22's split rule over a (doc_id, cluster_id) assignment: a pure
+    * function of cluster_id (portable 60-bit hash of
+    * `cluster_id#seed` mod 100), so no near-dup pair the clustering
+    * caught can straddle a boundary — leakage-free BY CONSTRUCTION,
+    * deterministic, engine-replayable. Adds `split`.
+    */
+  def leakageSplit(assigned: DataFrame, seed: String = "split7",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(
+      graft.functions.PortableHash.hash60(
+        concat(col("cluster_id").cast("string"), lit("#" + seed))),
+      lit(100L))
+    assigned.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** d23's soft-dedup weights over a (doc_id, cluster_id) assignment:
+    * weight_ppm = 1_000_000 div cluster size (exact int64 floor
+    * division; singletons = 1_000_000) — each cluster contributes one
+    * document's worth of sampling mass spread over its members. Adds
+    * `n_members` and `weight_ppm`; one map-side-combined size agg +
+    * one cluster_id-keyed join.
+    */
+  def dupWeights(assigned: DataFrame): DataFrame = {
+    val csize = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"))
+    assigned.join(csize, "cluster_id")
+      .withColumn("weight_ppm", expr("1000000L div n_members"))
+  }
 
   /** The exact-Jaccard>=0.4 duplicate pair list (d04's verified
     * pairs) and the shared d06/d08 cluster query over them.

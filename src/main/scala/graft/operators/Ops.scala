@@ -1785,13 +1785,21 @@ object Ops {
     // measures the trade on the stored index.
     val cand = lists.join(broadcast(probeCells), Seq("cell"))
     val allowFiltered = allowIdsFrame.fold(cand) { ids =>
-      // hint dropped only when the KNOWN cardinality exceeds the cap;
-      // an unknown size (autoScaleFiltered = false, no caller count)
-      // keeps the pre-O41 unconditional broadcast — the caller opted
-      // out of auto sizing, and running a count just to decide would
-      // defeat the lazy serving-path contract
-      val side =
-        if (allowN.exists(_ > ProbeAllowBroadcastMax)) ids else broadcast(ids)
+      // the broadcast hint is forced only when the cardinality is
+      // KNOWN to fit; known-too-big drops to a plain semi-join, and
+      // an UNKNOWN size (autoScaleFiltered = false, no caller count)
+      // also omits the hint and lets AQE size the side at runtime —
+      // running a count here just to decide would defeat the lazy
+      // serving-path contract, and force-broadcasting a side nobody
+      // measured risks a driver OOM on a corpus-scale allow-list
+      // (the exact failure O41's cap exists to prevent). AQE still
+      // converts the semi-join to a broadcast when the list is
+      // small, so the pinned-knob path loses nothing when the list
+      // is what serving paths actually pass.
+      val side = allowN match {
+        case Some(n) if n <= ProbeAllowBroadcastMax => broadcast(ids)
+        case _ => ids
+      }
       cand.join(side, Seq("n_id"), "left_semi")
     }
     val adcRanked = allowFiltered

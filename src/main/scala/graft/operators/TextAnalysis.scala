@@ -139,6 +139,104 @@ object TextAnalysis {
       .drop("_h40", "_n_min")
   }
 
+  /** t25's engine — per-source token-budget cap (domain capping):
+    * each `srcCol` group contributes at most `cap` of `nTokCol`,
+    * keeping rows while the EXCLUSIVE running total is under the cap
+    * (the t10 greedy-fill convention: the last kept row may overshoot
+    * by less than its own length; budget error < 1 row per source).
+    * Selection order inside a source is the portable 60-bit hash of
+    * `idCol#seed` — a reproducible uniform sample of the source,
+    * immune to crawl/ingest ordering bias; same seed replays the kept
+    * set bit-for-bit on any engine. Returns kept rows with all input
+    * columns plus `cum_before`. Plan: ONE window shuffle partitioned
+    * by source; at 100 TB apply the t10 hybrid — window per (source,
+    * hash(id) % K shard) with cap/K per shard — so no single
+    * partition key holds a whole mega-source.
+    */
+  def sourceCap(
+      docs: org.apache.spark.sql.DataFrame,
+      srcCol: String,
+      idCol: String,
+      nTokCol: String,
+      cap: Long,
+      seed: String
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Seq("_hk", "cum_before").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"sourceCap: input already has a '$c' column — rename it first"))
+    val hk = graft.functions.PortableHash.hash60(
+      concat(col(idCol).cast("string"), lit("#" + seed)))
+    val win = Window.partitionBy(col(srcCol)).orderBy(col("_hk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("_hk", hk)
+      .withColumn("cum_before", coalesce(sum(col(nTokCol)).over(win), lit(0L)))
+      .where(col("cum_before") < cap)
+      .drop("_hk")
+  }
+
+  /** t24's engine with the Misra-Gries certificate ENFORCED. The
+    * sketch path (per-partition MG candidates → exact recount of
+    * candidates only) shuffles O(candidates), never the vocabulary —
+    * but its top-20 provably equals the exact top-20 only while the
+    * 20th count clears the N/(kP+1) bound; below it, candidacy (and
+    * so the returned tail) can depend on partition layout. So the
+    * certificate is CHECKED before the result is returned: one
+    * bounded driver action (collect of <= 20 rows — the result
+    * itself, cached so the caller's action reuses it) reads the
+    * smallest returned count's `provable` flag, and an uncertified
+    * result is discarded for the exact q31-shape groupBy — trading
+    * the vocabulary-wide shuffle for correctness exactly when (and
+    * only when) the sketch cannot certify. On any Zipfian corpus at
+    * kP=4096 the top-20 clears the bound by orders of magnitude and
+    * the fallback never runs (a spec forces it with a tiny kP and
+    * pins the fallback == exact). `provable` stays in the output —
+    * on the fallback path it reports which rows the sketch WOULD
+    * have certified, and the oracle (exact both ways) is unaffected.
+    */
+  private[operators] def topKSketchCertified(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      kP: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs.select(explode(expr(sparkWords)).as("w")).as[String]
+    val cands = tok.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        m.get(w) match {
+          case Some(c) => m.update(w, c + 1L)
+          case None if m.size < kP => m.update(w, 1L)
+          case None => // decrement-all; collect deaths first, then remove
+            val dead = List.newBuilder[String]
+            m.toList.foreach { case (k, c) =>
+              if (c == 1L) dead += k else m.update(k, c - 1L)
+            }
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("w").distinct()
+    val n = docs.select(sum(size(expr(sparkWords))).cast("long").as("n"))
+    def top20(base: DataFrame): DataFrame = base
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w").limit(20)
+      .crossJoin(broadcast(n)) // bounded: 1 row
+      .select($"w", $"cnt", ($"cnt" * (kP + 1) > $"n").as("provable"))
+      .orderBy($"cnt".desc, $"w")
+    val sketched = top20(
+      tok.toDF("w")
+        .join(broadcast(cands), Seq("w"), "left_semi") // bounded: kP x nPartitions keys
+    ).cache()
+    val rows = sketched.collect() // the certificate check: <= 20 rows
+    val certified = rows.length == 20 && rows.last.getAs[Boolean]("provable")
+    if (certified) sketched
+    else {
+      sketched.unpersist()
+      top20(tok.toDF("w"))
+    }
+  }
+
   private def sparkHits(lang: String) =
     s"size(filter(words, x -> x IN ${inList(stop(lang))}))"
   private def duckHits(lang: String) =
@@ -1100,36 +1198,12 @@ object TextAnalysis {
         // per-partition-imperative-state case (decrement-all
         // amortizes to O(1)/token; eviction order never affects the
         // guarantee); everything downstream is codegen joins/aggs.
-        // The oracle recomputes the exact counts directly — candidate
-        // generation cannot change a correct answer, only (provably
-        // flagged) fail to certify one.
-        val kP = 4096
-        val docs = Tables.load(spark, dir, "documents")
-        val tok = docs.select(explode(expr(sparkWords)).as("w")).as[String]
-        val cands = tok.mapPartitions { it =>
-          val m = scala.collection.mutable.HashMap.empty[String, Long]
-          it.foreach { w =>
-            m.get(w) match {
-              case Some(c) => m.update(w, c + 1L)
-              case None if m.size < kP => m.update(w, 1L)
-              case None => // decrement-all; collect deaths first, then remove
-                val dead = List.newBuilder[String]
-                m.toList.foreach { case (k, c) =>
-                  if (c == 1L) dead += k else m.update(k, c - 1L)
-                }
-                dead.result().foreach(m.remove)
-            }
-          }
-          m.keysIterator
-        }.toDF("w").distinct()
-        val n = docs.select(sum(size(expr(sparkWords))).cast("long").as("n"))
-        tok.toDF("w")
-          .join(broadcast(cands), Seq("w"), "left_semi") // bounded: kP x nPartitions keys
-          .groupBy($"w").agg(count(lit(1)).as("cnt"))
-          .orderBy($"cnt".desc, $"w").limit(20)
-          .crossJoin(broadcast(n)) // bounded: 1 row
-          .select($"w", $"cnt", ($"cnt" * (kP + 1) > $"n").as("provable"))
-          .orderBy($"cnt".desc, $"w")
+        // The oracle recomputes the exact counts directly. Round 12:
+        // the certificate is ENFORCED, not just reported — when the
+        // 20th row fails the bound, [[topKSketchCertified]] falls
+        // back to the exact groupBy instead of returning a top-k
+        // whose tail could depend on partition layout.
+        topKSketchCertified(spark, dir, kP = 4096)
       },
       Some(s"""WITH w AS (SELECT $duckWords AS wd FROM documents),
         tok AS (SELECT unnest(wd) AS w FROM w),
@@ -1161,17 +1235,12 @@ object TextAnalysis {
         // shuffle partitioned by source; at 100 TB the same hybrid
         // shape as t10 applies — window per (source, shard) with
         // shard = hash(doc_id) % K and cap/K per shard, so no single
-        // partition key holds a whole mega-source.
-        val cap = 800L
+        // partition key holds a whole mega-source. The engine is
+        // [[sourceCap]], shared with the DataPipeline's docs.capped
+        // cell.
         val docs = Tables.load(spark, dir, "documents")
           .withColumn("n_tokens", size(expr(sparkWords)).cast("long"))
-        val hk = graft.functions.PortableHash.hash60(
-          concat($"doc_id".cast("string"), lit("#cap11")))
-        val win = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        docs.withColumn("hk", hk)
-          .withColumn("cum_before", coalesce(sum($"n_tokens").over(win), lit(0L)))
-          .where($"cum_before" < cap)
+        sourceCap(docs, "source", "doc_id", "n_tokens", cap = 800L, seed = "cap11")
           .select($"source", $"doc_id", $"n_tokens", $"cum_before")
           .orderBy($"source", $"cum_before", $"doc_id")
       },
