@@ -181,28 +181,62 @@ object DataPipeline {
         "vec_id", "embedding")
     }
 
+    // ---- the SOFT-dedup training branch (round 12) ----------------
+    // The export path above hard-dedups (canonical drops near-dup
+    // non-keepers); the training-shard path below is the
+    // data-constrained alternative: keep near-dups and DOWNWEIGHT
+    // them (d23), with the leakage-safe split (d22) assigned on the
+    // SAME cluster unit — both derive from Dedup.dupClusterAssign,
+    // the exact code the d22/d23 queries run, so the pipeline's
+    // weights and splits are oracle-gated semantics by construction.
+    // One doc_id-keyed join carries (cluster_id, n_members,
+    // weight_ppm, split) onto the corpus; every cell below keeps the
+    // columns flowing into the O40 shards.
+    wkf
+      .provide("docs.weighted") { ctx =>
+        val in = ctx.as[DataFrame]("in")
+        val assigned = Dedup.dupWeights(Dedup.leakageSplit(
+          Dedup.dupClusterAssign(in), seed = "split-epoch0"))
+        in.join(assigned, Seq("doc_id"))
+      }
+      .depend("in" -> "docs.dedup")
+
     // alpha=0.5 language temperature rebalancing (t21's engine) over
-    // the canonical corpus — the head language downsampled toward
+    // the weighted corpus — the head language downsampled toward
     // sqrt parity, the tail kept whole, replayable from (id, seed)
     wkf
       .provide("docs.tempered") { ctx =>
         graft.operators.TextAnalysis.temperatureMix(
           ctx.as[DataFrame]("in"), "doc_id", "lang")
       }
-      .depend("in" -> "docs.canonical")
+      .depend("in" -> "docs.weighted")
 
-    // terminal training layout (q62/O40): the tempered corpus written
+    // per-source token-budget cap (t25's engine): no single
+    // over-crawled source dominates the tempered mix; selection is
+    // the seeded-hash order, so the kept set replays bit-for-bit
+    wkf
+      .provide("docs.capped") { ctx =>
+        val in = ctx.as[DataFrame]("in").withColumn("n_tokens",
+          size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long"))
+        graft.operators.TextAnalysis.sourceCap(
+          in, "source", "doc_id", "n_tokens", cap = 600L, seed = "epoch0cap")
+      }
+      .depend("in" -> "docs.tempered")
+
+    // terminal training layout (q62/O40): the curated corpus written
     // as shard=K dirs whose files stream in deterministic permutation
-    // order — the loader's epoch order with no read-time sort
+    // order — the loader's epoch order with no read-time sort — with
+    // weight_ppm and split carried as columns (the loader's sampling
+    // mass and eval boundary travel WITH the shards; no side table)
     wkf
       .provide("docs.shards.{out:path}") { ctx =>
         val out = ctx.str("out") + "/shards"
         Ops.writeShuffledShards(
-          ctx.as[DataFrame]("in").drop("n_grp"), "doc_id", out,
+          ctx.as[DataFrame]("in").drop("n_grp", "cum_before"), "doc_id", out,
           nShards = 8, seed = "epoch0")
         out
       }
-      .depend("in" -> "docs.tempered")
+      .depend("in" -> "docs.capped")
 
     // pack into ~512-token bins per lang for batch assembly
     wkf
@@ -329,14 +363,21 @@ object DataPipeline {
     println(s"cluster_sample=${vs.count()} rows over " +
       s"${vs.select(col("cell")).distinct().count()} cells")
 
-    // temperature rebalance + terminal shard layout (round-9 cells):
-    // tempered keep count, then the written epoch layout read back
+    // the soft-dedup training branch: weights/split joined on, the
+    // temperature rebalance + source cap, then the epoch layout read
+    // back WITH the curation columns (round-12 cells)
+    val weighted = wkf.run("docs.weighted").asInstanceOf[DataFrame].count()
     val tempered = wkf.run("docs.tempered").asInstanceOf[DataFrame].count()
     val shardDir = wkf.run(s"docs.shards.$outDir").asInstanceOf[String]
     val shardFrame = spark.read.parquet(shardDir)
-    println(s"tempered=$tempered/$canonical shards=" +
+    println(s"tempered=$tempered/$weighted shards=" +
       s"${shardFrame.select(col("shard")).distinct().count()} " +
       s"shard_rows=${shardFrame.count()}")
+    val curation = shardFrame.agg(
+      sum(when(col("weight_ppm") < 1000000L, 1L).otherwise(0L)),
+      countDistinct(col("split"))).head()
+    println(s"shard_curation=downweighted:${curation.getLong(0)}," +
+      s"splits:${curation.getLong(1)}")
 
     // Z-order layout of the curated corpus: interleave (lang-bucket,
     // length-bucket) so scans filtered on EITHER dimension prune files

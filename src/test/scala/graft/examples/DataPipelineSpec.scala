@@ -141,6 +141,72 @@ class DataPipelineSpec extends SparkTestBase {
     assert(over.isEmpty, "a bin exceeds budget + one row")
   }
 
+  // ------------------------------------------------- round-12 cells
+
+  test("the soft-dedup branch carries weight/split columns into the O40 shards") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-shards12").toString
+    val shardDir = wkf.run(s"docs.shards.$outDir").asInstanceOf[String]
+    val sf = graft.operators.Ops.readShuffledShards(spark, shardDir)
+    val cols = sf.columns.toSet
+    Seq("weight_ppm", "split", "cluster_id", "n_members").foreach(c =>
+      assert(cols.contains(c), s"shard layout lost curation column $c: $cols"))
+    assert(sf.count() > 0)
+    // d23's weight rule holds row-for-row in the WRITTEN layout
+    assert(sf.where(col("weight_ppm") =!= expr("1000000L div n_members")).count() == 0,
+      "weight_ppm must be exactly 1e6 div n_members in the shards")
+    // d22's leakage guarantee survives into the layout: no cluster
+    // straddles a split boundary
+    val straddle = sf.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("ns")).where(col("ns") > 1)
+    assert(straddle.isEmpty, "a dup cluster straddles split boundaries in the shards")
+    // the soft path KEEPS near-dups (downweighted) instead of
+    // dropping them — the point of the branch
+    assert(sf.where(col("weight_ppm") < 1000000L).count() > 0,
+      "expected downweighted near-dup members in the shard layout")
+  }
+
+  test("the source cap cell binds and respects the per-source budget") {
+    val tempered = wkf.run("docs.tempered").asInstanceOf[DataFrame]
+    val capped = wkf.run("docs.capped").asInstanceOf[DataFrame]
+    val nT = tempered.count()
+    val nC = capped.count()
+    assert(nC > 0 && nC < nT, s"cap=600 must bind at sf0.001 (tempered=$nT capped=$nC)")
+    // greedy-fill contract: every kept row's EXCLUSIVE prefix is under
+    // the cap (the kept row itself may overshoot by < its own length)
+    assert(capped.where(col("cum_before") >= 600L).count() == 0)
+    // and the kept set is the t25 rule exactly: re-applying the same
+    // seeded-hash window to the tempered corpus reproduces it
+    val expect = graft.operators.TextAnalysis.sourceCap(
+      tempered.withColumn("n_tokens",
+        size(expr("filter(split(text, ' '), x -> x <> '')")).cast("long")),
+      "source", "doc_id", "n_tokens", cap = 600L, seed = "epoch0cap")
+    assert(capped.select(col("doc_id")).exceptAll(expect.select(col("doc_id"))).isEmpty
+      && expect.select(col("doc_id")).exceptAll(capped.select(col("doc_id"))).isEmpty)
+  }
+
+  test("a lang filter on the tempered cell still reaches the scan through the weighted join and the mix") {
+    // the round-12 cells keep the chain pushdown-transparent exactly
+    // where semantics permit: the weighted join is doc_id-keyed (adds
+    // columns, filters nothing), the mix joins ON lang — so a lang
+    // slice lands in the documents scan through clean → quality →
+    // dedup (window PARTITIONED on lang) → weighted → tempered. The
+    // capped cell is the intentional boundary: its window partitions
+    // on source, and a non-source predicate CANNOT commute with a
+    // per-source global budget (filter-then-cap keeps different docs
+    // than cap-then-filter), so non-pushdown there is semantic
+    // necessity, not a missed optimization.
+    val df = wkf.run("docs.tempered").asInstanceOf[DataFrame]
+      .where(col("lang") === "de")
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("documents")))
+    assert(scans.nonEmpty, "no documents scan in the tempered plan")
+    val pushed = scans.map(_.metadata("PushedFilters"))
+    assert(pushed.exists(_.contains("EqualTo(lang,de)")),
+      s"lang filter did not reach any documents scan: $pushed")
+    assert(df.count() > 0)
+  }
+
   private def fileScans(plan: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = plan match {
     case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)

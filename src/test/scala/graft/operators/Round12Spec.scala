@@ -245,4 +245,28 @@ class Round12Spec extends SparkTestBase {
     assert(Ops.readShuffledShards(spark, dir).count() == nWindows,
       "compaction changed the sample count")
   }
+
+  // -------------------------------------------- t24 enforced certificate
+
+  test("t24: an uncertifiable sketch falls back to the exact top-20") {
+    // kP=2 starves the Misra-Gries counters so the 20th row cannot
+    // clear the N/(kP+1) bound — the sketch result would depend on
+    // partition layout. The certificate check must detect it and
+    // return the exact groupBy answer instead.
+    val got = TextAnalysis.topKSketchCertified(spark, sfDir, kP = 2)
+      .select($"w", $"cnt").collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = docs
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w").limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == exact.toSeq,
+      "uncertified sketch result must be replaced by the exact top-20")
+  }
+
+  test("t24: the certified path returns 20 provable rows at kP=4096") {
+    val rows = TextAnalysis.topKSketchCertified(spark, sfDir, kP = 4096).collect()
+    assert(rows.length == 20 && rows.forall(_.getAs[Boolean]("provable")),
+      "expected a fully certified top-20 on the Zipfian test corpus")
+  }
 }
