@@ -1514,7 +1514,8 @@ object Ops {
       lists: DataFrame,
       centroids: DataFrame,
       codebooks: DataFrame,
-      vectors: Option[DataFrame] = None) {
+      vectors: Option[DataFrame] = None,
+      sigs: Option[DataFrame] = None) {
 
     /** Index-side statistics for [[probeAnnIndex]]'s auto-refill,
       * cached on the handle so repeated probes against one index pay
@@ -1548,7 +1549,8 @@ object Ops {
       kSub: Int = 8,
       iters: Int = 2,
       dim: Int = 64,
-      storeVectors: Boolean = true
+      storeVectors: Boolean = true,
+      storeSigs: Boolean = false
   ): Unit = {
     val sub = dim / m
     val ev = quantizedVecs(corpus, idCol, vecCol).cache()
@@ -1588,6 +1590,22 @@ object Ops {
       graft.sinks.RoutedSink.standard().write(s"parquet:$path/vectors/$vv:by:cell", vecs)
       IndexLayout.publish(spark, s"$path/vectors", vv)
       IndexLayout.gcVersions(spark, s"$path/vectors", keep = 1)
+    }
+    if (storeSigs) {
+      // O46: the binary-quantization sidecar — 8 bytes/vector of
+      // X14 sign bits, cell-partitioned like the lists, so a
+      // sign-sketch coarse scan ([[probeSignIndex]]) reads popcount
+      // words from its nprobe cell directories and floats never
+      // move until the bounded rerank. Same versioned-publish
+      // lifecycle as the lists (appends/compactions target it).
+      val sg = assign.select(col("_id").as("n_id"), col("_cell").as("cell"))
+        .join(corpus.select(col(idCol).as("n_id"),
+          graft.functions.GraftExpressions.signPack60(col(vecCol)).as("sig")), "n_id")
+        .select(col("cell"), col("n_id"), col("sig"))
+      val sv = IndexLayout.nextVersion(spark, s"$path/sigs")
+      graft.sinks.RoutedSink.standard().write(s"parquet:$path/sigs/$sv:by:cell", sg)
+      IndexLayout.publish(spark, s"$path/sigs", sv)
+      IndexLayout.gcVersions(spark, s"$path/sigs", keep = 1)
     }
     ev.unpersist()
   }
@@ -1631,11 +1649,27 @@ object Ops {
       if (IndexLayout.currentVersion(spark, s"$path/vectors").isEmpty) None
       else Some(spark.read.parquet(IndexLayout.resolveDir(spark, s"$path/vectors"))
         .select(col("cell"), col("n_id"), col("vec")))
+    // sign-sketch sidecar: present iff written with storeSigs=true.
+    // Tombstones ARE masked here (unlike the vectors store): the
+    // binary probe derives its candidate stream from the sigs
+    // directly, not from the masked lists, so a deleted vector must
+    // disappear from this surface immediately too.
+    val sigs =
+      if (IndexLayout.currentVersion(spark, s"$path/sigs").isEmpty) None
+      else {
+        val rawSigs = spark.read.parquet(IndexLayout.resolveDir(spark, s"$path/sigs"))
+          .select(col("cell"), col("n_id"), col("sig"))
+        Some(
+          if (!IndexLayout.hasTombstones(spark, path)) rawSigs
+          else rawSigs.join(IndexLayout.readTombstones(spark, path, "n_id"),
+            Seq("n_id"), "left_anti"))
+      }
     AnnIndex(
       lists,
       spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/codebooks"),
-      vectors)
+      vectors,
+      sigs)
   }
 
   /** O29: rank a probe batch against the STORED index — identical
@@ -1839,6 +1873,92 @@ object Ops {
     }
   }
 
+  /** O46: binary-quantized FILTERED probe against the stored index —
+    * the s10 sign-sketch coarse pass composed with O41's pre-filter
+    * semantics, on the persisted layout. The candidate stream is the
+    * sigs sidecar of the nprobe routed cells (8 bytes/vector read,
+    * statically pruned exactly like the lists), the allow-list
+    * semi-joins it BEFORE ranking (pre-filter: top-k over allowed
+    * candidates only; hint only when the known cardinality fits —
+    * the O41 rule), the coarse rank is popcount Hamming on the
+    * 60-bit packs (floats never move), and only the top-M survivors
+    * per probe join the cell-pruned vectors store for the exact
+    * cosine rerank — a probes x M bounded join. At 100 TB: coarse
+    * bytes = 8/vector of nprobe cells, rerank floats = probes x M
+    * rows; nothing corpus-scaled shuffles. With nprobe = k (all
+    * cells) the result equals the in-query s12 composition
+    * row-for-row (AnnIndexSpec pins it); recall vs the exact
+    * filtered answer is spec-floored on both paths.
+    */
+  def probeSignIndex(
+      probes: DataFrame,
+      probeIdCol: String,
+      probeVecCol: String,
+      index: AnnIndex,
+      nprobe: Int = 2,
+      hammingTopM: Int = 50,
+      topK: Int = 5,
+      routeOnDriver: Boolean = true,
+      allowedIds: Option[DataFrame] = None,
+      allowedIdsCount: Option[Long] = None
+  ): DataFrame = {
+    require(index.sigs.nonEmpty,
+      "probeSignIndex needs an index written with storeSigs=true")
+    require(index.vectors.nonEmpty,
+      "probeSignIndex needs an index written with storeVectors=true (exact rerank)")
+    val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"),
+      graft.functions.GraftExpressions.signPack60(col(probeVecCol)).as("psig"))
+    // probe→cell routing: identical to probeAnnIndex (driver-resident
+    // coarse quantizer, bounded probes x nprobe routing table pushed
+    // as partition-key literals, or the DPP join path)
+    val wProbe = Window.partitionBy(col("p_id")).orderBy(col("_dq").asc, col("_cid"))
+    val cellType = index.sigs.get.schema("cell").dataType
+    val probeCells = p.select(col("p_id"), col("pe")).crossJoin(broadcast(index.centroids))
+      .withColumn("_dq", l2q("pe", "_cx"))
+      .withColumn("_rnp", row_number().over(wProbe))
+      .filter(col("_rnp") <= nprobe)
+      .select(col("p_id"), col("_cid").cast(cellType).as("cell"))
+    val cellFilter: Option[Seq[Any]] =
+      if (!routeOnDriver) None
+      else Some(probeCells.select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq match {
+        case ids if cellType == org.apache.spark.sql.types.IntegerType => ids.map(_.toInt)
+        case ids => ids
+      })
+    val sigs = cellFilter
+      .map(ids => index.sigs.get.where(col("cell").isin(ids: _*)))
+      .getOrElse(index.sigs.get)
+    val cand = sigs.join(broadcast(probeCells), Seq("cell"))
+      .where(col("n_id") =!= col("p_id"))
+      .select(col("p_id"), col("n_id"), col("sig")).distinct() // replayed appends
+    val allowFiltered = allowedIds.fold(cand) { allow =>
+      val ids = allow.select(col(allow.columns.head).as("n_id"))
+      val side = allowedIdsCount match {
+        case Some(n) if n <= ProbeAllowBroadcastMax => broadcast(ids)
+        case _ => ids
+      }
+      cand.join(side, Seq("n_id"), "left_semi")
+    }
+    val wH = Window.partitionBy(col("p_id")).orderBy(col("hamming"), col("n_id"))
+    val survivors = allowFiltered
+      .join(broadcast(p.select(col("p_id"), col("psig"))), Seq("p_id"))
+      .withColumn("hamming", bit_count(col("psig").bitwiseXOR(col("sig"))).cast("int"))
+      .withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= hammingTopM)
+      .select(col("p_id"), col("n_id"), col("hamming"))
+    val vecs = cellFilter
+      .map(ids => index.vectors.get.where(col("cell").isin(ids: _*)))
+      .getOrElse(index.vectors.get)
+      .select(col("n_id"), col("vec").as("_ne")).distinct()
+    val wC = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("n_id"))
+    broadcast(survivors).join(vecs, Seq("n_id"))
+      .join(broadcast(p.select(col("p_id"), col("pe"))), Seq("p_id"))
+      .withColumn("cosine", graft.functions.VectorFunctions.cosine("pe", "_ne"))
+      .withColumn("rn", row_number().over(wC).cast("int"))
+      .filter(col("rn") <= topK)
+      .select(col("p_id"), col("rn"), col("n_id"), col("hamming"), col("cosine"))
+  }
+
   /** O29's insert path — the reason real ANN services separate
     * training from serving: day-2 vectors are encoded against the
     * STORED quantizers (one broadcast pass each for cell assignment
@@ -1890,6 +2010,15 @@ object Ops {
         s"parquet-append:${IndexLayout.resolveDir(spark, s"$path/vectors")}:by:cell",
         cells.join(v, "n_id").select(col("cell"), col("n_id"), col("_x").as("vec")))
     }
+    // ... and the sign-sketch sidecar (binary probes must see day-2
+    // vectors too); replay duplicates tolerated by the probe's
+    // distinct, reclaimed by compactAnnIndex
+    if (IndexLayout.currentVersion(spark, s"$path/sigs").isDefined) {
+      graft.sinks.RoutedSink.standard().write(
+        s"parquet-append:${IndexLayout.resolveDir(spark, s"$path/sigs")}:by:cell",
+        cells.join(v, "n_id").select(col("cell"), col("n_id"),
+          graft.functions.GraftExpressions.signPack60(col("_x")).as("sig")))
+    }
   }
 
   /** Register vectors for DELETION from the persisted ANN index — the
@@ -1938,6 +2067,8 @@ object Ops {
     // semantics — compact it in the same cycle when present
     if (IndexLayout.currentVersion(spark, s"$path/vectors").isDefined)
       compactComponent(s"$path/vectors")
+    if (IndexLayout.currentVersion(spark, s"$path/sigs").isDefined)
+      compactComponent(s"$path/sigs")
     IndexLayout.deleteTombstoneFiles(spark, path, tombFiles)
   }
 

@@ -785,6 +785,74 @@ object Similarity {
         $steps
         SELECT p_id, rank, n_id, rel_ppm, score_x10 FROM sel5 ORDER BY p_id, rank"""
       }
+    ),
+
+    Q(
+      "s12_filtered_sign_rerank",
+      "Filtered binary ANN: sign-sketch Hamming coarse scan over the allow-listed candidate stream + exact rerank",
+      (spark, dir) => {
+        import spark.implicits._
+        // s10's binary quantization composed with s09's pre-filter
+        // semantics — the serving query a rights-constrained vector
+        // store actually runs: "nearest ALLOWED neighbors", where
+        // the allow-list (here label % 10 = 0, selectivity 0.1)
+        // restricts the CANDIDATE stream before the coarse scan, so
+        // the Hamming top-M budget is spent entirely on eligible
+        // vectors (post-filtering a fixed-M shortlist would starve a
+        // 10% predicate to ~M/10 candidates before rerank). Shapes
+        // are s10's exactly: popcount over 8-byte sign words for the
+        // coarse pass (pushed predicate reaches the scan; floats
+        // never move), probes broadcast, and only top-M=50 survivors
+        // per probe carry float arrays into the exact cosine top-3.
+        // The stored-index twin is O46 probeSignIndex (same
+        // composition over the persisted sigs sidecar); AnnIndexSpec
+        // pins row equality at nprobe = k and floors recall vs the
+        // exact filtered answer on both paths.
+        val e = Tables.load(spark, dir, "embeddings")
+        val sig = e.where($"label" % 10 === 0)
+          .select($"vec_id".as("n_id"),
+            graft.functions.GraftExpressions.signPack60($"embedding").as("nsig"))
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"),
+            graft.functions.GraftExpressions.signPack60($"embedding").as("psig"))
+        val wH = Window.partitionBy($"p_id").orderBy($"hamming", $"n_id")
+        val cands = sig.join(broadcast(probes.select($"p_id", $"psig")), $"n_id" =!= $"p_id")
+          .withColumn("hamming", bit_count($"psig".bitwiseXOR($"nsig")).cast("int"))
+          .withColumn("hrn", row_number().over(wH))
+          .filter($"hrn" <= 50)
+          .select($"p_id", $"n_id", $"hamming")
+        val wC = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
+        cands
+          .join(broadcast(probes.select($"p_id", $"pe")), Seq("p_id"))
+          .join(e.select($"vec_id".as("n_id"), $"embedding".as("ne")), Seq("n_id"))
+          .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
+          .withColumn("rn", row_number().over(wC).cast("int"))
+          .filter($"rn" <= 3)
+          .select($"p_id", $"rn", $"n_id", $"hamming", round($"cosine", 6).as("cosine"))
+          .orderBy($"p_id", $"rn")
+      },
+      Some {
+        val cos = VectorFunctions.sqlCosine("p.pe", "ne.embedding")
+        val pack = "list_aggregate(list_transform(generate_series(1, 60), " +
+          "i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END), 'sum')"
+        s"""WITH sigd AS (SELECT vec_id, $pack AS sig FROM embeddings WHERE label % 10 = 0),
+        p AS (SELECT e.vec_id AS p_id, e.embedding AS pe, $pack AS psig
+          FROM embeddings e ORDER BY e.vec_id LIMIT 10),
+        cand AS (SELECT p.p_id, s.vec_id AS n_id,
+            CAST(bit_count(xor(p.psig, s.sig)) AS INT) AS hamming,
+            ROW_NUMBER() OVER (PARTITION BY p.p_id
+              ORDER BY bit_count(xor(p.psig, s.sig)), s.vec_id) AS hrn
+          FROM p, sigd s WHERE s.vec_id <> p.p_id
+          QUALIFY hrn <= 50)
+        SELECT c.p_id AS p_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY c.p_id ORDER BY $cos DESC, c.n_id) AS INT) AS rn,
+          c.n_id AS n_id, c.hamming AS hamming, ROUND($cos, 6) AS cosine
+        FROM cand c
+        JOIN p ON p.p_id = c.p_id
+        JOIN embeddings ne ON ne.vec_id = c.n_id
+        QUALIFY rn <= 3 ORDER BY c.p_id, rn"""
+      }
     )
   )
 }

@@ -432,6 +432,88 @@ class AnnIndexSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("O46 binary filtered probe: in-query parity at nprobe=k and recall floors at selectivity 0.1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-sign").toString
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", dir,
+      k = 16, m = 4, kSub = 8, storeSigs = true)
+    val idx = Ops.readAnnIndex(spark, dir)
+    assert(idx.sigs.nonEmpty, "storeSigs=true must publish the sigs sidecar")
+    val probes = emb.orderBy(col("vec_id")).limit(10)
+    val allow = emb.where(col("label") % 10 === 0).select(col("vec_id"))
+    val allowN = allow.count()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    // parity: with nprobe = k every cell is probed, so the stored
+    // composition must equal the in-query s12 composition row-for-row
+    // (p_id, rn, n_id, hamming)
+    val stored = keyed(Ops.probeSignIndex(probes, "vec_id", "embedding", idx,
+      nprobe = 16, hammingTopM = 50, topK = 3,
+      allowedIds = Some(allow), allowedIdsCount = Some(allowN)).collect())
+    val inQuery = keyed(Similarity.all.find(_.name == "s12_filtered_sign_rerank").get
+      .build(spark, sfDir).collect())
+    assert(stored == inQuery && stored.nonEmpty,
+      s"stored binary probe (nprobe=k) != in-query s12 composition " +
+        s"(stored=${stored.size}, inQuery=${inQuery.size})")
+    // recall floors vs the EXACT filtered answer (s09's semantics:
+    // filter candidates first, then exact-cosine top-3)
+    val truth = Ops.cosineTopK(
+        probes.select(col("vec_id").as("p_id"), col("embedding").as("pe")),
+        emb.where(col("label") % 10 === 0)
+          .select(col("vec_id").as("n_id"), col("embedding").as("ne")),
+        "p_id", "pe", "n_id", "ne", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    def recallOf(hits: Set[(Long, Int, Long, Int)]): Double = {
+      val byProbe = hits.groupBy(_._1)
+      val scores = truth.map { case (p, t) =>
+        byProbe.get(p).map(g => g.map(_._3).count(t.contains).toDouble / t.size).getOrElse(0.0)
+      }
+      scores.sum / scores.size
+    }
+    val rIn = recallOf(inQuery)
+    // the deployed knobs: nprobe=8 per the O41 selectivity-0.1 refill
+    // guidance (a 10% predicate keeps ~10% of each cell's candidates)
+    val rStored = recallOf(keyed(Ops.probeSignIndex(probes, "vec_id", "embedding", idx,
+      nprobe = 8, hammingTopM = 50, topK = 3,
+      allowedIds = Some(allow), allowedIdsCount = Some(allowN)).collect()))
+    info(s"filtered binary recall@3 at selectivity 0.1: " +
+      s"inQuery=$rIn stored(nprobe=8)=$rStored")
+    assert(rIn >= 0.6, s"in-query filtered binary recall@3 $rIn < 0.6")
+    assert(rStored >= 0.6, s"stored filtered binary recall@3 $rStored < 0.6 (nprobe=8)")
+    // pre-filter contract on the stored path: nothing disallowed leaks
+    val allowedSet = allow.collect().map(_.getLong(0)).toSet
+    assert(stored.forall(t => allowedSet.contains(t._3)),
+      "stored binary probe returned a disallowed id")
+  }
+
+  test("O46 lifecycle: appended sigs are probe-visible, tombstones mask, compaction reclaims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-sign-lc").toString
+    val base = emb.where(col("vec_id") % 7 =!= 0)
+    Ops.writeAnnIndex(base, "vec_id", "embedding", dir,
+      k = 16, m = 4, kSub = 8, storeSigs = true)
+    val day2 = emb.where(col("vec_id") % 7 === 0)
+    Ops.appendAnnIndex(day2, "vec_id", "embedding", dir)
+    val day2Ids = day2.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(day2Ids.nonEmpty)
+    val probes = emb.orderBy(col("vec_id")).limit(10)
+    def hits() = Ops.probeSignIndex(probes, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, dir), nprobe = 16, hammingTopM = 200, topK = 10)
+      .collect().map(_.getLong(2)).toSet
+    val afterAppend = hits()
+    assert(afterAppend.exists(day2Ids.contains),
+      "appended vectors never surfaced through the binary probe")
+    // tombstone a day-2 id that did surface, verify immediate masking
+    val victim = afterAppend.find(day2Ids.contains).get
+    Ops.tombstoneAnnIndex(
+      spark.range(victim, victim + 1).toDF("vec_id"), "vec_id", dir)
+    assert(!hits().contains(victim), "tombstoned id still surfaces via sigs")
+    Ops.compactAnnIndex(spark, dir)
+    assert(!hits().contains(victim), "compaction resurfaced a tombstoned id")
+    // compaction reclaimed the sig rows physically, not just masked
+    val sigRows = Ops.readAnnIndex(spark, dir).sigs.get
+    assert(sigRows.where(col("n_id") === victim).count() == 0)
+  }
+
   private def collectFileScans(plan: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = plan match {
     case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
