@@ -424,6 +424,44 @@ object Streams {
           nShards, seed)
     }
 
+  /** ST21: ingestion-time token-ID emission — t26/O44's training-data
+    * last mile on the stream, so a crawl feed becomes loader-ready
+    * fixed-length ID windows as it ARRIVES instead of in a nightly
+    * batch. [[graft.operators.TextAnalysis.tokenizeWindows]] (X15
+    * codegen encode + explode into padded W-windows) is stateless
+    * per-row work — no agg, no watermark, no state store — so it runs
+    * INSIDE the streaming plan and tokens flow incrementally; only
+    * the shard placement runs per micro-batch (foreachBatch →
+    * [[graft.operators.Ops.appendShuffledShards]] keyed on the
+    * doc:window sample_id, manifest-validated like ST13). Epoch
+    * hygiene is ST13's exactly: appended files are internally
+    * permutation-ordered, cross-file order decays to arrival order,
+    * and the boundary [[graft.operators.Ops.compactShuffledShards]]
+    * (O43) restores exact epoch order and dedupes at-least-once
+    * replays on sample_id. (nShards, seed) default to
+    * "derive from _LAYOUT"; required only when the first micro-batch
+    * creates the layout.
+    */
+  def tokenizePackStream(
+      docs: DataFrame,
+      path: String,
+      window: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nShards: Int = -1,
+      seed: String = null
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val windows = graft.operators.TextAnalysis.tokenizeWindows(docs, window, textCol)
+      .withColumn("sample_id",
+        concat(col(idCol).cast("string"), lit(":"), col("window_id").cast("string")))
+    windows.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Ops.appendShuffledShards(batch.toDF(), "sample_id", path,
+          nShards, seed)
+    }
+  }
+
   /** ST9: streaming ANN lookup against the PERSISTED trained-IVFPQ
     * index (O29) — the ingestion-time "what does this new embedding
     * near-duplicate" check, the vector analogue of ST6. Each

@@ -641,4 +641,40 @@ class StreamingSpec extends SparkTestBase {
     val srcCount = docs.select($"source").distinct().count()
     assert(got.map(_._1).distinct.length.toLong == srcCount)
   }
+
+  test("ST21: streamed tokenize-pack — in-plan encode, post-compaction layout equals batch O44") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokstream").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text").cache()
+    docs.where($"doc_id" % 2 === 1).coalesce(1).write.parquet(s"$dir/f1")
+    Thread.sleep(1100)
+    docs.where($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$dir/f2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir + "/f*")
+    val out = s"$dir/tokshards"
+    val q = Streams.tokenizePackStream(stream, out, window = 64,
+      nShards = 4, seed = "ep0")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    // epoch-boundary repair, then the streamed layout must hold the
+    // SAME loader-ready samples as a from-scratch batch O44 run
+    graft.operators.Ops.compactShuffledShards(spark, out)
+    val batchDir = s"$dir/batch"
+    graft.operators.Ops.packTokenShards(docs, batchDir, window = 64,
+      nShards = 4, seed = "ep0")
+    def content(path: String) =
+      graft.operators.Ops.readShuffledShards(spark, path)
+        .select($"sample_id", $"n_real",
+          expr("concat_ws(' ', transform(ids, x -> cast(x as string)))").as("idstr"))
+    assert(content(out).exceptAll(content(batchDir)).isEmpty
+        && content(batchDir).exceptAll(content(out)).isEmpty
+        && content(out).count() > 0,
+      "streamed+compacted token shards differ from the batch O44 layout")
+    // the encode ran INSIDE the streaming plan (stateless map+explode,
+    // no state store): the checkpoint has no state/ directory content
+    val stateDir = new java.io.File(s"$dir/ckpt/state")
+    assert(!stateDir.exists() || stateDir.listFiles().isEmpty,
+      "tokenizePackStream must hold no streaming state")
+  }
 }
