@@ -184,6 +184,36 @@ object IndexLayout {
       }
     }
 
+  /** Versions present on disk and at-or-below the published
+    * `_CURRENT`, oldest first (the current one last) — i.e. the
+    * SNAPSHOTS a reader may pin: retired versions survive for the
+    * [[gcVersions]] grace window, and anything ABOVE current is a
+    * crash orphan (an unpublished half-write), never a snapshot.
+    */
+  def listVersions(spark: SparkSession, path: String): Seq[String] =
+    currentVersion(spark, path).map(versionNumber).map { cur =>
+      val fs = hfs(spark, path)
+      fs.listStatus(new Path(path)).toSeq
+        .map(_.getPath.getName)
+        .collect { case v @ VersionRe(n) if n.toInt <= cur => (n.toInt, v) }
+        .sortBy(_._1).map(_._2)
+    }.getOrElse(Seq.empty)
+
+  /** Resolve a PINNED version's directory — snapshot reads within the
+    * retention window (a loader holds one epoch stable while the next
+    * publishes; an A/B readback compares two epochs). Fails loudly for
+    * a version that was GC'd, never existed, or sits above `_CURRENT`
+    * (a crash orphan is not a snapshot) — silently falling back to
+    * current would be a wrong-data bug in a reproducibility surface.
+    */
+  def resolveDirAt(spark: SparkSession, path: String, version: String): String = {
+    val vs = listVersions(spark, path)
+    require(vs.contains(version),
+      s"version '$version' is not a readable snapshot of $path " +
+        s"(retained: ${if (vs.isEmpty) "none — unversioned layout" else vs.mkString(", ")})")
+    s"$path/$version"
+  }
+
   /** Write a small per-version metadata file (e.g. the O40 shard
     * layout's `_LAYOUT` parameters) under `dir`. Same create-then-
     * atomic-rename discipline as [[publish]], so a racing reader sees

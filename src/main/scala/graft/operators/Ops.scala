@@ -2129,6 +2129,32 @@ object Ops {
   def readShuffledShards(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(IndexLayout.resolveDir(spark, path))
 
+  /** O47: snapshot read — the CURRENT-epoch read above, pinned to a
+    * named retained version instead. The epoch machinery always kept
+    * `keepVersions` retired epochs as the in-flight-reader grace
+    * window; this is the surface that makes the window usable ON
+    * PURPOSE: a training job pins its epoch for the whole run while
+    * the nightly rewrite publishes the next (no mid-run permutation
+    * change), an eval A/B reads two epochs side by side, an incident
+    * review replays exactly what the loader saw. Versions come from
+    * [[shardVersions]]; a GC'd / unknown / crash-orphaned version
+    * fails loudly (silent fallback to current would be a wrong-data
+    * bug in a reproducibility surface). Same contract for the band/
+    * ANN index layouts via [[IndexLayout.resolveDirAt]] directly.
+    */
+  def readShuffledShardsAt(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      version: String): DataFrame =
+    spark.read.parquet(IndexLayout.resolveDirAt(spark, path, version))
+
+  /** The pinnable snapshot names of an O40 layout, oldest first,
+    * current last — `shardVersions(...).last` is what
+    * [[readShuffledShards]] resolves.
+    */
+  def shardVersions(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    IndexLayout.listVersions(spark, path)
+
   private val ShardLayoutMetaName = "_LAYOUT"
 
   private def writeShardLayoutMeta(

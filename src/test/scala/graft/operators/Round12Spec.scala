@@ -246,6 +246,41 @@ class Round12Spec extends SparkTestBase {
       "compaction changed the sample count")
   }
 
+  // ------------------------------------------------ O47 snapshot reads
+
+  test("O47: a pinned epoch read survives the next publish; orphans and GC'd versions fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/shards"
+    val ep1 = docs.select($"doc_id", $"lang").where($"doc_id" < 100)
+    Ops.writeShuffledShards(ep1, "doc_id", dir, nShards = 4, seed = "e1")
+    val v1 = Ops.shardVersions(spark, dir).last
+    // epoch 2: different corpus AND permutation regime
+    val ep2 = docs.select($"doc_id", $"lang").where($"doc_id" >= 100 && $"doc_id" < 300)
+    Ops.writeShuffledShards(ep2, "doc_id", dir, nShards = 4, seed = "e2")
+    val vs = Ops.shardVersions(spark, dir)
+    assert(vs.size == 2 && vs.head == v1,
+      s"expected the retired epoch retained in the grace window: $vs")
+    // the pinned read sees epoch 1 EXACTLY while current resolves to epoch 2
+    val pinned = Ops.readShuffledShardsAt(spark, dir, v1)
+    assert(pinned.select($"doc_id").exceptAll(ep1.select($"doc_id")).isEmpty
+      && ep1.select($"doc_id").exceptAll(pinned.select($"doc_id")).isEmpty)
+    val current = Ops.readShuffledShards(spark, dir)
+    assert(current.count() == ep2.count() && current.count() != pinned.count())
+    // a version that never existed, and one above _CURRENT (a crash
+    // orphan: directory present, never published), both fail loudly
+    intercept[IllegalArgumentException] {
+      Ops.readShuffledShardsAt(spark, dir, "v99999")
+    }
+    new java.io.File(dir.stripPrefix("file:"), "v00003").mkdirs()
+    intercept[IllegalArgumentException] {
+      Ops.readShuffledShardsAt(spark, dir, "v00003")
+    }
+    // a third publish GC's epoch 1 (keepVersions=1) — the pin expires loudly
+    Ops.writeShuffledShards(ep1, "doc_id", dir, nShards = 4, seed = "e3")
+    intercept[IllegalArgumentException] {
+      Ops.readShuffledShardsAt(spark, dir, v1)
+    }
+  }
+
   // -------------------------------------------- t24 enforced certificate
 
   test("t24: an uncertifiable sketch falls back to the exact top-20") {
