@@ -238,6 +238,23 @@ object DataPipeline {
       }
       .depend("in" -> "docs.capped")
 
+    // ... and the same curated corpus as loader-ready TOKEN-ID
+    // context windows (O44): tokenizeWindows keeps every non-text
+    // column, so weight_ppm / split / cluster_id ride into the token
+    // shards with NO extra join — each fixed-length sample arrives at
+    // the loader already carrying its sampling mass and eval
+    // boundary. This is the terminal artifact of the whole pipeline:
+    // what a training job actually mounts.
+    wkf
+      .provide("docs.tokenshards.{out:path}") { ctx =>
+        val out = ctx.str("out") + "/tokenshards"
+        Ops.packTokenShards(
+          ctx.as[DataFrame]("in").drop("n_grp", "cum_before"), out,
+          window = 64, nShards = 8, seed = "epoch0")
+        out
+      }
+      .depend("in" -> "docs.capped")
+
     // pack into ~512-token bins per lang for batch assembly
     wkf
       .provide("docs.packed") { ctx =>

@@ -165,6 +165,31 @@ class DataPipelineSpec extends SparkTestBase {
       "expected downweighted near-dup members in the shard layout")
   }
 
+  test("the token-shard terminal carries curation columns on every fixed-length sample") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-tokshards12").toString
+    val shardDir = wkf.run(s"docs.tokenshards.$outDir").asInstanceOf[String]
+    val sf = graft.operators.Ops.readShuffledShards(spark, shardDir)
+    val cols = sf.columns.toSet
+    Seq("ids", "n_real", "sample_id", "weight_ppm", "split", "cluster_id").foreach(c =>
+      assert(cols.contains(c), s"token shards lost column $c: $cols"))
+    assert(sf.count() > 0)
+    // loader contract: every sample exactly 64 ids, pads only past n_real
+    assert(sf.filter(size(col("ids")) =!= 64).count() == 0)
+    // the curation columns are the DOC's values, window-for-window:
+    // every (doc, weight, split) combination in the shards must exist
+    // in the capped corpus (no drift through the explode)
+    val capped = wkf.run("docs.capped").asInstanceOf[DataFrame]
+      .select(col("doc_id"), col("weight_ppm"), col("split"))
+    val drift = sf.select(col("doc_id"), col("weight_ppm"), col("split")).distinct()
+      .exceptAll(capped)
+    assert(drift.isEmpty, "a token sample carries weight/split its doc does not have")
+    // every encodable capped doc produced at least one sample
+    val nDocs = sf.select(col("doc_id")).distinct().count()
+    val nCapped = capped.count()
+    assert(nDocs == nCapped,
+      s"expected every capped doc tokenized ($nDocs of $nCapped present)")
+  }
+
   test("the source cap cell binds and respects the per-source budget") {
     val tempered = wkf.run("docs.tempered").asInstanceOf[DataFrame]
     val capped = wkf.run("docs.capped").asInstanceOf[DataFrame]
