@@ -2116,7 +2116,8 @@ object Ops {
     val next = IndexLayout.nextVersion(spark, path)
     shuffledShardsCore(df, idCol, s"$path/$next", nShards, seed, mode = "overwrite",
       op = "writeShuffledShards")
-    writeShardLayoutMeta(spark, s"$path/$next", nShards, seed, idCol = idCol)
+    writeShardLayoutMeta(spark, s"$path/$next", nShards, seed, idCol = idCol,
+      schemaSig = shardSchemaSig(df))
     IndexLayout.publish(spark, path, next)
     IndexLayout.gcVersions(spark, path, keepVersions)
   }
@@ -2157,16 +2158,38 @@ object Ops {
 
   private val ShardLayoutMetaName = "_LAYOUT"
 
+  /** Order-insensitive schema fingerprint of the USER columns (the
+    * core's derived skey/shard are excluded by construction — callers
+    * fingerprint the input frame). Column order can't corrupt a
+    * parquet read; a missing/extra/retyped column can.
+    */
+  private def shardSchemaSig(df: DataFrame): String =
+    df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}").sorted.mkString(",")
+
   private def writeShardLayoutMeta(
       spark: org.apache.spark.sql.SparkSession,
       versionDir: String,
       nShards: Int,
       seed: String,
-      idCol: String = null
-  ): Unit =
+      idCol: String = null,
+      schemaSig: String = null
+  ): Unit = {
+    val idPart = if (idCol == null) "" else s""","idCol":"$idCol""""
+    val scPart = if (schemaSig == null) "" else s""","schema":"$schemaSig""""
     IndexLayout.writeMeta(spark, versionDir, ShardLayoutMetaName,
-      if (idCol == null) s"""{"nShards":$nShards,"seed":"$seed"}"""
-      else s"""{"nShards":$nShards,"seed":"$seed","idCol":"$idCol"}""")
+      s"""{"nShards":$nShards,"seed":"$seed"$idPart$scPart}""")
+  }
+
+  /** schema fingerprint from a `_LAYOUT` manifest; None for layouts
+    * stamped before round 12 added the field.
+    */
+  private def readShardLayoutSchema(
+      spark: org.apache.spark.sql.SparkSession,
+      versionDir: String
+  ): Option[String] =
+    IndexLayout.readMeta(spark, versionDir, ShardLayoutMetaName).flatMap { s =>
+      """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s).map(_.group(1))
+    }
 
   /** idCol from a `_LAYOUT` manifest; None for layouts stamped before
     * O43 added the field (readShardLayoutMeta's regexes are untouched,
@@ -2243,6 +2266,24 @@ object Ops {
                 s"passed seed='$seed' — appending under a different permutation " +
                 "regime would break the placement guarantee; omit the argument to " +
                 "use the stored value, or rewrite the epoch with writeShuffledShards")
+            // Schema-drift guard (round 12): parquet will happily
+            // append a batch whose columns drifted into the same
+            // shard directories, and a later read resolves the mixed
+            // footers NONDETERMINISTICALLY (a missing column comes
+            // back silently null, a retyped one may fail only on the
+            // files that disagree). Refuse loudly instead; schema
+            // evolution is an epoch-rewrite event by design. Layouts
+            // stamped before the field carry no signature — validated
+            // from their next rewrite on.
+            readShardLayoutSchema(spark, dir).foreach { stamped =>
+              val batchSig = shardSchemaSig(df)
+              require(batchSig == stamped,
+                s"$op: batch schema does not match the layout's stamped schema —\n" +
+                  s"  layout: $stamped\n  batch:  $batchSig\n" +
+                  "a mixed-schema shard directory reads nondeterministically " +
+                  "(missing columns silently null). Evolve the schema with a " +
+                  "writeShuffledShards epoch rewrite, not an append.")
+            }
             shuffledShardsCore(df, idCol, dir, n0, s0, mode = "append", op = op)
           case None =>
             // migrated pre-versioning layout: no stored parameters to
@@ -2252,7 +2293,8 @@ object Ops {
               s"$op: layout at $path predates the _LAYOUT manifest — pass the " +
                 "original nShards and seed explicitly once to stamp it")
             shuffledShardsCore(df, idCol, dir, nShards, seed, mode = "append", op = op)
-            writeShardLayoutMeta(spark, dir, nShards, seed, idCol = idCol)
+            writeShardLayoutMeta(spark, dir, nShards, seed, idCol = idCol,
+              schemaSig = shardSchemaSig(df))
         }
       case None =>
         require(nShards > 0 && seed != null,
@@ -2425,7 +2467,8 @@ object Ops {
     val rows = if (dedupe) rows0.dropDuplicates(id) else rows0
     val next = IndexLayout.nextVersion(spark, path)
     shuffledShardsCore(rows, id, s"$path/$next", n0, s0, mode = "overwrite", op = op)
-    writeShardLayoutMeta(spark, s"$path/$next", n0, s0, idCol = id)
+    writeShardLayoutMeta(spark, s"$path/$next", n0, s0, idCol = id,
+      schemaSig = shardSchemaSig(rows))
     IndexLayout.publish(spark, path, next)
     IndexLayout.gcVersions(spark, path, keepVersions)
   }

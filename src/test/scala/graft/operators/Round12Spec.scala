@@ -281,6 +281,53 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------- shard schema-drift guard
+
+  test("appendShuffledShards refuses a drifted batch schema; column order stays free") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString + "/shards"
+    val base = docs.select($"doc_id", $"lang", $"n_chars").where($"doc_id" < 100)
+    Ops.writeShuffledShards(base, "doc_id", dir, nShards = 4, seed = "d1")
+    // same columns, different order: order can't corrupt parquet —
+    // accepted, and the layout stays readable
+    Ops.appendShuffledShards(
+      docs.select($"n_chars", $"doc_id", $"lang")
+        .where($"doc_id" >= 100 && $"doc_id" < 120), "doc_id", dir)
+    assert(Ops.readShuffledShards(spark, dir).count() == 120)
+    // a MISSING column would read back silently null for the new
+    // files — refused loudly
+    val missing = intercept[IllegalArgumentException] {
+      Ops.appendShuffledShards(
+        docs.select($"doc_id", $"lang").where($"doc_id" >= 120 && $"doc_id" < 130),
+        "doc_id", dir)
+    }
+    assert(missing.getMessage.contains("stamped schema"))
+    // a RETYPED column may fail only on the files that disagree — refused
+    intercept[IllegalArgumentException] {
+      Ops.appendShuffledShards(
+        docs.select($"doc_id", $"lang", $"n_chars".cast("int").as("n_chars"))
+          .where($"doc_id" >= 120 && $"doc_id" < 130), "doc_id", dir)
+    }
+    // an EXTRA column would vanish on a non-mergeSchema read — refused
+    intercept[IllegalArgumentException] {
+      Ops.appendShuffledShards(
+        base.withColumn("extra", lit(1L)).where($"doc_id" < 10), "doc_id", dir)
+    }
+    // rejected batches never landed: count and schema unchanged
+    val back = Ops.readShuffledShards(spark, dir)
+    assert(back.count() == 120)
+    // schema evolution is an epoch REWRITE event: the same drifted
+    // frame accepted through writeShuffledShards, and the new stamp
+    // now guards the evolved schema
+    Ops.writeShuffledShards(base.withColumn("extra", lit(1L)), "doc_id", dir,
+      nShards = 4, seed = "d1")
+    Ops.appendShuffledShards(
+      docs.select($"doc_id", $"lang", $"n_chars").withColumn("extra", lit(2L))
+        .where($"doc_id" >= 100 && $"doc_id" < 110), "doc_id", dir)
+    intercept[IllegalArgumentException] {
+      Ops.appendShuffledShards(base.limit(5), "doc_id", dir) // old schema now drifts
+    }
+  }
+
   // -------------------------------------------- t24 enforced certificate
 
   test("t24: an uncertifiable sketch falls back to the exact top-20") {
