@@ -486,6 +486,35 @@ class AnnIndexSpec extends SparkTestBase {
       "stored binary probe returned a disallowed id")
   }
 
+  test("O46 pruning: the binary probe reads only its nprobe cell partitions of sigs AND vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-sigprune").toString
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", dir,
+      k = 16, m = 4, kSub = 8, storeSigs = true)
+    val totalCells =
+      new java.io.File(IndexLayout.resolveDir(spark, s"$dir/sigs")).listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(totalCells > 2, s"sigs sidecar should span several cells, got $totalCells")
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-ann-sigprobe").toString
+    emb.orderBy(col("vec_id")).limit(1).write.mode("overwrite").parquet(oneDir)
+    val oneId = spark.read.parquet(oneDir).head().getLong(0)
+    val one = spark.read.parquet(oneDir).filter(col("vec_id") === oneId)
+    val probed = Ops.probeSignIndex(one, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, dir), nprobe = 2, hammingTopM = 20, topK = 5)
+    probed.collect()
+    def dirsRead(component: String): Long = {
+      val scans = collectFileScans(probed.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(component)))
+      assert(scans.nonEmpty, s"no $component scan in the binary probe plan")
+      scans.map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).max
+    }
+    val sigDirs = dirsRead("sigs")
+    val vecDirs = dirsRead("vectors")
+    assert(sigDirs <= 2 && sigDirs < totalCells,
+      s"one probe read $sigDirs of $totalCells sig cell partitions (nprobe=2)")
+    assert(vecDirs <= 2 && vecDirs < totalCells,
+      s"the rerank read $vecDirs of $totalCells vector cell partitions (nprobe=2)")
+  }
+
   test("O46 lifecycle: appended sigs are probe-visible, tombstones mask, compaction reclaims") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-sign-lc").toString
     val base = emb.where(col("vec_id") % 7 =!= 0)
