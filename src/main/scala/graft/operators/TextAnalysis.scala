@@ -1297,6 +1297,66 @@ object TextAnalysis {
           CAST(list_aggregate(padded, 'sum') AS BIGINT) AS ids_sum,
           md5(array_to_string(list_transform(padded, x -> CAST(x AS VARCHAR)), ' ')) AS ids_hash
         FROM p ORDER BY doc_id, window_id""")
+    ),
+
+    Q(
+      "t27_window_dedup",
+      "Duplicate context-window detection over the packed token stream: identical W=64 windows across docs",
+      (spark, dir) => {
+        import spark.implicits._
+        // Post-packing hygiene — the dedup pass that runs AFTER t26,
+        // on the loader's actual unit: d01-style document dedup
+        // misses a repeated boilerplate block inside otherwise
+        // distinct documents, and repeated SEQUENCES are what drive
+        // memorization (the Lee et al. result, here at the context-
+        // window granularity the trainer consumes). A window's
+        // identity is its padded ID CONTENT (md5 of the joined ids —
+        // pad-id 0 is unreachable by encode, so padded equality is
+        // content equality + same length); duplicated windows group
+        // on that hash. At 100 TB: t26's map-only encode, then ONE
+        // shuffle keyed on the window hash with a map-side-combined
+        // count — the groupBy carries one 32-char key + counters per
+        // distinct window, never the ids themselves, and the dup
+        // report is output-bounded (only n_copies >= 2 survive).
+        // Deterministic representatives via min over the (doc_id,
+        // window_id) total order.
+        tokenizeWindows(Tables.load(spark, dir, "documents"), window = 64)
+          .withColumn("window_hash",
+            md5(concat_ws(" ", expr("transform(ids, x -> cast(x as string))"))))
+          // representative = min over the (doc_id, window_id) total
+          // order, packed into one int64 (window_id < 1e5 by the
+          // corpus's doc-length bound, asserted in the spec) so the
+          // argmin is a plain MIN on both engines
+          .groupBy($"window_hash")
+          .agg(
+            count(lit(1)).as("n_copies"),
+            countDistinct($"doc_id").as("n_docs"),
+            min($"doc_id" * 100000L + $"window_id").as("_rep"))
+          .where($"n_copies" >= 2)
+          .select($"window_hash", $"n_copies", $"n_docs",
+            expr("_rep div 100000L").as("rep_doc_id"),
+            expr("_rep % 100000L").as("rep_window_id"))
+          .orderBy($"window_hash")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, ${graft.functions.Bpe.duckEncode(duckWords)} AS ids FROM documents),
+        t AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM w WHERE len(ids) > 0),
+        c AS (SELECT doc_id, ids, n, (n + 63) // 64 AS n_windows FROM t),
+        e AS (SELECT doc_id, ids,
+            unnest(generate_series(CAST(0 AS BIGINT), n_windows - 1)) AS window_id FROM c),
+        s AS (SELECT doc_id, window_id,
+            ids[CAST(window_id * 64 + 1 AS INT) : CAST(window_id * 64 + 64 AS INT)] AS cw FROM e),
+        p AS (SELECT doc_id, window_id,
+            list_concat(cw, list_transform(generate_series(1, 64 - len(cw)), x -> 0)) AS padded FROM s),
+        h AS (SELECT doc_id, window_id,
+            md5(array_to_string(list_transform(padded, x -> CAST(x AS VARCHAR)), ' ')) AS window_hash FROM p),
+        g AS (SELECT window_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            MIN(doc_id * 100000 + window_id) AS rep
+          FROM h GROUP BY window_hash)
+        SELECT window_hash, n_copies, n_docs,
+          CAST(rep // 100000 AS BIGINT) AS rep_doc_id,
+          CAST(rep % 100000 AS BIGINT) AS rep_window_id
+        FROM g WHERE n_copies >= 2 ORDER BY window_hash""")
     )
   )
 }

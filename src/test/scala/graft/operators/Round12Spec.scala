@@ -281,6 +281,40 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------- t27 window dedup
+
+  test("t27: reported hashes group genuinely identical windows; exact-dup docs surface") {
+    val windows = TextAnalysis.tokenizeWindows(docs, 64)
+      .withColumn("window_hash",
+        md5(concat_ws(" ", expr("transform(ids, x -> cast(x as string))"))))
+      .cache()
+    // the rep-key packing invariant the query relies on
+    assert(windows.agg(max($"window_id")).head().getLong(0) < 100000L)
+    val q = TextAnalysis.all.find(_.name == "t27_window_dedup").get
+      .build(spark, sfDir).cache()
+    assert(q.count() > 0, "the corpus's exact-dup docs must produce dup windows")
+    // first principles on one reported group: every member's id array
+    // is bit-identical (md5 grouping is content grouping)
+    val h = q.orderBy($"n_copies".desc, $"window_hash").head()
+    val members = windows.where($"window_hash" === h.getString(0))
+      .select($"ids").collect().map(_.getSeq[Long](0))
+    assert(members.length.toLong == h.getLong(1) && members.distinct.length == 1)
+    // an exact-duplicate DOCUMENT (same raw text) makes every one of
+    // its windows a duplicate — the d01 relationship. sf0.001 has no
+    // raw-text twins (its dups differ in whitespace/case), so the
+    // clause binds only where a twin exists; the group-equality pin
+    // above carries the semantics either way.
+    docs.withColumn("_h", md5($"text"))
+      .groupBy($"_h").agg(count(lit(1)).as("c"), min($"doc_id").as("d"))
+      .where($"c" >= 2).orderBy($"d").take(1).foreach { twin =>
+        val twinWindows = windows.where($"doc_id" === twin.getLong(2))
+          .select($"window_hash").distinct()
+        assert(twinWindows.exceptAll(q.select($"window_hash")).isEmpty,
+          "a window of an exact-dup doc was not reported as duplicated")
+      }
+    windows.unpersist(); q.unpersist()
+  }
+
   // ------------------------------------------- shard schema-drift guard
 
   test("appendShuffledShards refuses a drifted batch schema; column order stays free") {
