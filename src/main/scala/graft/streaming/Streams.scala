@@ -498,6 +498,36 @@ object Streams {
             allowedIds = allowedIds))
     }
 
+  /** ST22: streaming BINARY-quantized filtered probe — the ST9
+    * serving pattern over O46's sign-sketch path: each micro-batch
+    * of probe vectors runs [[graft.operators.Ops.probeSignIndex]]
+    * against the persisted sigs sidecar (popcount coarse scan on the
+    * nprobe routed cells, allow-list pre-filter, exact rerank from
+    * the cell-pruned vectors store) and results append through the
+    * routed sink. The index is the state; the stream holds none —
+    * per-probe results are batch-independent, so micro-batch
+    * boundaries cannot change values (StreamingSpec pins stream ==
+    * batch row-for-row). Same allowedIds refresh caveat as ST9.
+    */
+  def signProbeStream(
+      probeStream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      nprobe: Int = 2,
+      hammingTopM: Int = 50,
+      topK: Int = 5,
+      allowedIds: Option[DataFrame] = None,
+      allowedIdsCount: Option[Long] = None
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probeStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val idx = graft.operators.Ops.readAnnIndex(batch.sparkSession, indexPath)
+        graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+          graft.operators.Ops.probeSignIndex(batch.toDF(), "vec_id", "embedding",
+            idx, nprobe = nprobe, hammingTopM = hammingTopM, topK = topK,
+            allowedIds = allowedIds, allowedIdsCount = allowedIdsCount))
+    }
+
   /** ST12: streaming decontamination — the ingestion-time form of
     * d16 (the ST9 serving pattern): each micro-batch of incoming docs
     * is measured against the STATIC eval-benchmark table via the

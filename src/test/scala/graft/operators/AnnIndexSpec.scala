@@ -301,6 +301,36 @@ class AnnIndexSpec extends SparkTestBase {
     probes.unpersist()
   }
 
+  test("ST22: streaming binary filtered probes equal the batch O46 probe, allow-list honored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sign-stream-idx").toString
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", dir,
+      k = 16, m = 4, kSub = 8, storeSigs = true)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sign-stream").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sign-out").toString
+    val probes = emb.orderBy(col("vec_id")).limit(6).cache()
+    probes.limit(3).write.parquet(s"$srcDir/f1")
+    Thread.sleep(1100)
+    probes.orderBy(col("vec_id").desc).limit(3).write.parquet(s"$srcDir/f2")
+    val allow = emb.where(col("label") % 10 === 0).select(col("vec_id"))
+    val allowed = allow.collect().map(_.getLong(0)).toSet
+    val stream = spark.readStream.schema(probes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir + "/f*")
+    val q = graft.streaming.Streams.signProbeStream(stream, dir, outDir,
+      nprobe = 8, allowedIds = Some(allow),
+      allowedIdsCount = Some(allowed.size.toLong)).start()
+    q.processAllAvailable(); q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val streamed = keyed(spark.read.parquet(outDir).collect())
+    assert(streamed.nonEmpty && streamed.forall(t => allowed.contains(t._3)),
+      "a streamed binary result escaped the allow-list")
+    val batch = keyed(Ops.probeSignIndex(probes, "vec_id", "embedding",
+      Ops.readAnnIndex(spark, dir), nprobe = 8,
+      allowedIds = Some(allow), allowedIdsCount = Some(allowed.size.toLong)).collect())
+    assert(streamed == batch, "streamed binary probe != batch O46 probe")
+    probes.unpersist()
+  }
+
   test("ST9 refine: the streaming serving path reaches the refined (exact-reranked) results") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-ann-refstream").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft-ann-refout").toString
