@@ -67,9 +67,33 @@ if "queries" not in d:
               "on BENCH.out.json from graft.Bench instead")
         sys.exit(2)
     if "full" in inner and "only" not in inner:
-        # A compact summary gates only its headline subset; the full
-        # per-query artifact is the file named in `full`.
-        inner["only"] = sorted(inner["queries"])
+        # The compact summary names the FULL per-query artifact in `full`
+        # (written by the same bench run, next to the wrapper). Follow it
+        # when it exists — gating only the 20-query headline subset masked
+        # a real regression in round 12 (d21 at 3.78x went unreported).
+        import os
+        full_path = os.path.join(os.path.dirname(os.path.abspath(bench_path)),
+                                 inner["full"])
+        full = None
+        try:
+            cand = json.load(open(full_path))
+            if isinstance(cand, dict) and "queries" in cand:
+                full = cand
+        except (OSError, json.JSONDecodeError):
+            pass
+        if full is not None:
+            print(f"[info] following compact summary's full artifact "
+                  f"{inner['full']}: gating {len(full['queries'])} queries "
+                  f"(summary alone covers {len(inner['queries'])})")
+            inner = full
+        else:
+            # Fall back to the headline subset — but SAY so, loudly: a
+            # regression outside this subset passes unseen here.
+            print(f"[warn] full artifact {inner['full']} not readable next "
+                  f"to {bench_path}; gating ONLY the "
+                  f"{len(inner['queries'])}-query headline subset — "
+                  f"coverage is NARROWED, re-run against {inner['full']}")
+            inner["only"] = sorted(inner["queries"])
     d = inner
 queries = d["queries"]
 only = set(d.get("only", [])) or None

@@ -16,7 +16,11 @@ refresh_only = False
 it = iter(sys.argv[1:])
 for a in it:
     if a == "--force":
-        force.extend(next(it).split(","))
+        names = next(it, None)
+        if names is None or names.startswith("--"):
+            raise SystemExit("usage: --force q1,q2,... (comma-separated "
+                             "query names must follow --force)")
+        force.extend(names.split(","))
     elif a == "--refresh":
         refresh_only = True
     else:
@@ -106,6 +110,14 @@ if extend:
                              + ("null" if med is None else f"{med:.4f}") + " |")
                 print(f"force-refroze {name}: best {best:.4f}")
         end += 1
+    bad_force = sorted(n for n in force if n not in queries)
+    if bad_force:
+        raise SystemExit(f"--force names absent from the bench artifact "
+                         f"(nothing refrozen for them): {', '.join(bad_force)}")
+    unseen_force = sorted(n for n in force if n not in existing)
+    if unseen_force:
+        print(f"[info] --force names not yet in the baseline table (added "
+              f"as new rows): {', '.join(unseen_force)}")
     add = sorted(set(queries) - existing)
     if not add and not force:
         raise SystemExit("nothing to extend: all bench queries already baselined")
