@@ -34,7 +34,7 @@ object Dedup {
     * spec-pinned). Docs under 3 words have no 3-grams and are
     * dropped, matching the oracle's CASE..ELSE [].
     */
-  private[operators] def shingleArrays(docs: DataFrame): DataFrame =
+  private[graft] def shingleArrays(docs: DataFrame): DataFrame =
     docs
       // the "has >= 3 words" gate runs BEFORE the shingle projection
       // as the one-byte-pass WordCount expression — filtering on
@@ -525,6 +525,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The pre-round-13 d02/d21 verify, kept ONLY as the independent
+    * reference formulation for DedupScaleSpec's equality pin: posting
+    * lists restricted to candidate docs (semi-join), shared-shingle
+    * counts via a shingle-keyed self-join, candidate-filtered, exact
+    * Jaccard from per-doc sizes. Value-identical to
+    * [[minhashLshAtScale]] but quadratic within one hot shingle's
+    * candidate posting — a boilerplate shingle shared by g candidate
+    * docs emits g²/2 join rows before the pair agg, which is why the
+    * canned queries now route through the pairwise verify.
+    */
+  private[graft] def minhashLshPostingVerifyRef(
+      docs: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val sh = shingleArrays(docs).cache()
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cands = minhashCandidates(sh).cache()
+    val candDocs =
+      cands.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    restricted.select(col("doc_id").as("id_a"), col("s"))
+      .join(restricted.select(col("doc_id").as("id_b"), col("s")), Seq("s"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** The 100 TB configuration of the fuzzy edit-distance dedup (d14):
     * identical semantics, with an optional per-bucket cap on candidate
     * GENERATION — a dup group of size g lands its members in one LSH
@@ -668,31 +701,18 @@ object Dedup {
       "MinHash(16) + LSH(4 bands x 4 rows) candidates, exact-Jaccard verified",
       (spark, dir) => {
         import spark.implicits._
-        // One cached narrow relation feeds the signature path, the
-        // verify path, and the per-doc sizes (round 1 recomputed the
-        // banding subtree 3x because the candidate set was reused
-        // uncached — that alone was most of its bench cost).
-        val sh = shingleArrays(spark, dir).cache()
-        val posting = sh.select($"doc_id", explode($"sh").as("s"))
-        val cands = minhashCandidates(sh).cache()
-        // exact verify on candidates only: restrict posting lists to
-        // candidate docs (semi-join), count shared shingles per pair,
-        // keep only LSH candidate pairs — no array payloads anywhere,
-        // and the pair-count join runs ONCE, on the restricted lists.
-        val candDocs = cands.select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
-        val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
-        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
-        restricted.select($"doc_id".as("id_a"), $"s")
-          .join(restricted.select($"doc_id".as("id_b"), $"s"), Seq("s"))
-          .where($"id_a" < $"id_b")
-          .groupBy($"id_a", $"id_b")
-          .agg(count(lit(1)).as("c"))
-          .join(cands, Seq("id_a", "id_b"), "left_semi")
-          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
-          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
-          .withColumn("jaccard", $"c".cast("double") / ($"na" + $"nb" - $"c"))
-          .filter($"jaccard" >= 0.4)
-          .select($"id_a", $"id_b", round($"jaccard", 6).as("jaccard"))
+        // Round 13: the canned query IS the scale path now. The old
+        // verify (posting lists restricted to candidate docs, then a
+        // shingle-keyed self-join) is quadratic WITHIN a hot shingle's
+        // candidate posting — the round-12 verdict named it the last
+        // candidate-restricted posting self-join in the canned set,
+        // and its shuffle amplification was d21's driver-env bench
+        // breach. The pairwise array_intersect verify does per-pair
+        // work linear in the two shingle arrays with no verify
+        // shuffle at all beyond the candidate equi-joins; equality
+        // with the posting-join form is spec-pinned
+        // (DedupScaleSpec "pairwise verify == posting-join verify").
+        minhashLshAtScale(Tables.load(spark, dir, "documents"))
           .orderBy($"id_a", $"id_b")
       },
       Some {
@@ -1545,25 +1565,15 @@ object Dedup {
         // and the matrix agg is |sources|² rows — driver-trivial.
         val docs = Tables.load(spark, dir, "documents")
         val src = docs.select($"doc_id", $"source")
-        // d02's candidate+verify shape verbatim (one cached shingle
-        // relation, banded candidates, pair counts on the restricted
-        // postings), ending at the verified (id_a, id_b) pair list
-        val sh = shingleArrays(spark, dir).cache()
-        val posting = sh.select($"doc_id", explode($"sh").as("s"))
-        val cands = minhashCandidates(sh).cache()
-        val candDocs = cands.select(explode(array($"id_a", $"id_b")).as("doc_id")).distinct()
-        val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
-        val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
-        val pairs = restricted.select($"doc_id".as("id_a"), $"s")
-          .join(restricted.select($"doc_id".as("id_b"), $"s"), Seq("s"))
-          .where($"id_a" < $"id_b")
-          .groupBy($"id_a", $"id_b")
-          .agg(count(lit(1)).as("c"))
-          .join(cands, Seq("id_a", "id_b"), "left_semi")
-          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
-          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
-          .where($"c".cast("double") / ($"na" + $"nb" - $"c") >= 0.4)
-          .select($"id_a", $"id_b")
+        // d02's candidate+verify path verbatim — since round 13 that
+        // is the pairwise array_intersect verify (minhashLshAtScale):
+        // banded equi-join candidates, per-pair intersect on the two
+        // shingle arrays, no posting self-join anywhere. The old
+        // restricted-posting verify was quadratic inside a hot
+        // shingle's candidate posting and amplified under driver-env
+        // shuffle contention (the round-12 3.78x bench breach —
+        // diagnosis in docs/SCALING.md).
+        val pairs = minhashLshAtScale(docs).select($"id_a", $"id_b")
         pairs
           .join(src.select($"doc_id".as("id_a"), $"source".as("sa")), "id_a")
           .join(src.select($"doc_id".as("id_b"), $"source".as("sb")), "id_b")
@@ -1694,22 +1704,13 @@ object Dedup {
     * rounds, and the label frame is one row per non-singleton doc.
     */
   def dupClusterAssign(docs: DataFrame): DataFrame = {
-    val sh = shingleArrays(docs).cache()
-    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cands = minhashCandidates(sh).cache()
-    val candDocs = cands
-      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
-    val restricted = posting.join(candDocs, Seq("doc_id"), "left_semi")
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    val pairs = restricted.select(col("doc_id").as("id_a"), col("s"))
-      .join(restricted.select(col("doc_id").as("id_b"), col("s")), Seq("s"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("c"))
-      .join(cands, Seq("id_a", "id_b"), "left_semi")
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
-      .where(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= 0.4)
-      .select(col("id_a"), col("id_b"))
+    // Round 13: verified pairs come from the pairwise
+    // array_intersect verify (the O13 scale path) — the former
+    // restricted-posting self-join was quadratic within one hot
+    // shingle's candidate posting (see minhashLshPostingVerifyRef's
+    // scaladoc and docs/SCALING.md round 13); value-identical,
+    // spec-pinned in DedupScaleSpec.
+    val pairs = minhashLshAtScale(docs).select(col("id_a"), col("id_b"))
     val labels = Ops.connectedComponents(pairs, "id_a", "id_b",
       idOut = "doc_id", labelOut = "cluster_id", algo = "star")
     docs.select(col("doc_id"))

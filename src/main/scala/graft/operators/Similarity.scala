@@ -49,6 +49,102 @@ object Similarity {
         fin AS (SELECT n_id, c_id AS cell, dq FROM a2 WHERE r = 1)"""
   }
 
+  /** BM25 top-k lexical retrieval (s13) — the missing retrieval
+    * modality next to the s01–s12 vector shapes: production serving
+    * is hybrid (lexical + ANN), so the engine needs a rankable
+    * keyword scorer whose corpus side is pure keyed aggregation.
+    *
+    * `queries`: (q_id, term) rows — benchmark-sized, broadcast.
+    * Scoring is Robertson/Lucene BM25:
+    *   idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+    *   tfn(t,d)= tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   score   = Σ_t idf·tfn
+    * fp discipline (t22's): every count (tf, df, dl, N, Σdl) is an
+    * exact int64; avgdl is ONE IEEE division of two exact ints; ln is
+    * the only transcendental and enters one bounded sum (≤ |query|
+    * addends); the score is rounded ONCE (6 dp) and the rank is taken
+    * over the ROUNDED score with a doc_id tiebreak, so a last-ulp ln
+    * difference between engines cannot flip a rank (it would have to
+    * cross a 1e-6 rounding boundary).
+    *
+    * 100 TB plan: tf/df/dl are map-side-combinable keyed aggs over
+    * the token stream (the t09 machinery); the query-term restriction
+    * is a BROADCAST join onto tf — only postings of query terms
+    * survive into the scoring join, so the per-query work is
+    * |postings(terms)|, never corpus-sized; N/avgdl ride a 1-row
+    * broadcast; the final top-k is one window per q_id over matched
+    * docs only.
+    */
+  def bm25TopK(
+      docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(expr(TextAnalysis.sparkWords)).as("w"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("ntok"), count(lit(1)).as("ndocs"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // vocabulary is corpus-scaled; only query terms matter downstream
+      .join(broadcast(queries.select(col("term")).distinct()),
+        col("w") === col("term")).drop("term")
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_r").desc, col("doc_id"))
+    tf.join(broadcast(queries), col("w") === col("term"))
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("ntok").cast("double") / col("ndocs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("ndocs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tfn",
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("idf") * col("tfn")).as("score_u"))
+      .withColumn("score_r", round(col("score_u"), 6))
+      .withColumn("rn", row_number().over(wq).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("doc_id"), col("score_r").as("score"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings sharing (qCol, idCol,
+    * rankCol) — the standard hybrid-retrieval combiner (Cormack et
+    * al., SIGIR'09): fused(d) = Σ_lists 1/(kRrf + rank_list(d)), an
+    * item absent from a list contributes 0. Exact-rational per-item
+    * work, one keyed full-outer join + one window per query — both
+    * inputs are already top-k-bounded, so this is serving-sized, not
+    * corpus-sized. Output: (q, rn, id, rrf) with rrf rounded 6 and
+    * rank over (rounded desc, id) as everywhere else.
+    */
+  def rrfFuse(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      qCol: String, idCol: String, rankCol: String,
+      k: Int = 10, kRrf: Int = 60): org.apache.spark.sql.DataFrame = {
+    val fa = a.select(col(qCol).as("q"), col(idCol).as("id"),
+      (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double"))).as("ca"))
+    val fb = b.select(col(qCol).as("q"), col(idCol).as("id"),
+      (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double"))).as("cb"))
+    val wq = Window.partitionBy(col("q")).orderBy(col("rrf").desc, col("id"))
+    fa.join(fb, Seq("q", "id"), "full_outer")
+      .withColumn("rrf", round(coalesce(col("ca"), lit(0.0)) + coalesce(col("cb"), lit(0.0)), 6))
+      .withColumn("rn", row_number().over(wq).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("q"), col("rn"), col("id"), col("rrf"))
+  }
+
+  /** The s13 fixed query set: benchmark stand-in for a served query
+    * log (4 queries x 3 terms over the corpus vocabulary). */
+  private[graft] val bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash", 1 -> "join", 1 -> "table",
+    2 -> "slow", 2 -> "query", 2 -> "scan",
+    3 -> "stream", 3 -> "window", 3 -> "agg",
+    4 -> "vector", 4 -> "data", 4 -> "merge")
+
   val all: Seq[Q] = Seq(
     Q(
       "s01_sim_bruteforce_topk",
@@ -852,6 +948,49 @@ object Similarity {
         JOIN p ON p.p_id = c.p_id
         JOIN embeddings ne ON ne.vec_id = c.n_id
         QUALIFY rn <= 3 ORDER BY c.p_id, rn"""
+      }
+    ),
+
+    Q(
+      "s13_bm25_topk",
+      "BM25 lexical top-10 per query (k1=1.2, b=0.75) over the documents corpus",
+      (spark, dir) => {
+        import spark.implicits._
+        // The lexical half of hybrid retrieval (see bm25TopK's
+        // scaladoc for the fp + 100 TB story). Fixed 4x3-term query
+        // set; ranks taken over the 6-dp-rounded score with doc_id
+        // tiebreak so the ln ulp can't flip a rank between engines.
+        val q = bm25Queries.toDF("q_id", "term")
+        bm25TopK(Tables.load(spark, dir, "documents"), q)
+          .orderBy($"q_id", $"rn")
+      },
+      Some {
+        val qvals = bm25Queries
+          .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+        s"""WITH q(q_id, term) AS (VALUES $qvals),
+        w AS (SELECT doc_id, ${graft.operators.TextAnalysis.duckWords} AS wd FROM documents),
+        tok AS (SELECT doc_id, unnest(wd) AS w FROM w),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT SUM(dl) AS ntok, CAST(COUNT(*) AS BIGINT) AS ndocs FROM dl),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+          WHERE w IN (SELECT term FROM q) GROUP BY w),
+        scored AS (SELECT q.q_id, tf.doc_id,
+            SUM(LN(1.0 + (s.ndocs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+                ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                 (CAST(tf.tf AS DOUBLE) +
+                  1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                    / (CAST(s.ntok AS DOUBLE) / s.ndocs)))))) AS score_u
+          FROM tf JOIN q ON tf.w = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN dfreq ON dfreq.w = tf.w
+          CROSS JOIN stats s
+          GROUP BY 1, 2)
+        SELECT q_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY ROUND(score_u, 6) DESC, doc_id) AS INT) AS rn,
+          doc_id, ROUND(score_u, 6) AS score
+        FROM scored QUALIFY rn <= 10 ORDER BY q_id, rn"""
       }
     )
   )

@@ -23,8 +23,8 @@ object TextAnalysis {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   // Engine-specific spellings of the same token pipeline.
-  private val sparkWords = "filter(split(text, ' '), x -> x <> '')"
-  private val duckWords = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private[operators] val sparkWords = "filter(split(text, ' '), x -> x <> '')"
+  private[operators] val duckWords = "list_filter(string_split(text, ' '), x -> x <> '')"
 
   /** t26/O44 core, public for pipeline reuse: X15 token-ID encoding
     * of `textCol` cut into fixed-length context windows of `window`

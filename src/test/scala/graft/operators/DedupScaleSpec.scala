@@ -51,13 +51,23 @@ class DedupScaleSpec extends SparkTestBase {
     assert(pairwise == capped, s"pairwise verify diverged: ${pairwise.size} vs ${capped.size}")
   }
 
-  test("minhashLshAtScale equals canned d02 (pairwise verify, same candidates)") {
+  test("pairwise array_intersect verify equals the posting-join verify (d02/d21 reroute)") {
+    // Round 13 routed canned d02/d21 through minhashLshAtScale's
+    // pairwise verify; the retired restricted-posting self-join is
+    // kept as the independent reference formulation and must stay
+    // value-identical — same candidates, same exact Jaccard.
     val docs = graft.tables.Tables.load(spark, sfDir, "documents")
-    val atScale = Dedup.minhashLshAtScale(docs)
+    val pairwise = Dedup.minhashLshAtScale(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    val postingRef = Dedup.minhashLshPostingVerifyRef(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairwise == postingRef && pairwise.nonEmpty,
+      s"${pairwise.size} vs ${postingRef.size}")
+    spark.catalog.clearCache()
     val canned = graft.SparkEntry.queries("d02_dedup_minhash_lsh")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(atScale == canned, s"${atScale.size} vs ${canned.size}")
+    assert(pairwise == canned, s"${pairwise.size} vs ${canned.size}")
   }
 
   test("canned d04 equals the scale configuration when no shingle is hot") {
