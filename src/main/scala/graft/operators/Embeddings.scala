@@ -545,8 +545,119 @@ object Embeddings {
           ROUND(AVG(ov), 6) AS overlap_at_5
         FROM perprobe GROUP BY 1 ORDER BY width"""
       }
+    ),
+
+    Q(
+      "e10_train_classifier",
+      "TRAIN the curation classifier (3-iter batch perceptron, exact int64), score every doc with the learned weights",
+      (spark, dir) => {
+        import spark.implicits._
+        // e05 scores with a FROZEN linear model; this is the training
+        // step that produces one (the fastText-style curation
+        // classifier). Parallel batch perceptron — per iteration:
+        // score all docs under the current weights, then one batch
+        // update w += Σ_misclassified y·xq — because the SEQUENTIAL
+        // perceptron is a driver-side fold by construction, while the
+        // batch form is two keyed corpus passes per iteration (a
+        // zip_with fold + a pos-keyed sum), map-side combinable, with
+        // driver state bounded at dim+1 int64 weights. Determinism:
+        // features are integer-quantized (round(x·1000)), weights and
+        // scores stay exact int64 end-to-end, and integer sums are
+        // order-independent — no fp anywhere, so the 3-iteration
+        // trajectory is engine-replayable exactly (the g01
+        // exact-integer-iteration discipline). Target: y = ±1 by
+        // label parity (stand-in for any quality signal). Inference
+        // at the end is e05's own plan shape: weights inlined as
+        // literals, pure per-row codegen, zero shuffle before the
+        // output sort.
+        val emb = Tables.load(spark, dir, "embeddings")
+        val w = trainPerceptron(emb)
+        perceptronScore(emb, w)
+          .select($"vec_id", $"label", $"y", $"score_w",
+            when($"score_w" > 0, 1).otherwise(-1).cast("int").as("pred"))
+          .orderBy($"vec_id")
+      },
+      Some {
+        def iterCtes(i: Int) = {
+          val p = i - 1
+          s""",
+        s$i AS (SELECT n_id, y, SUM(w$p.w * xq[w$p.j]) AS sc
+          FROM ev, w$p GROUP BY n_id, y),
+        d$i AS (SELECT j, SUM(y * xq[j]) AS dw
+          FROM ev JOIN s$i USING (n_id, y), dim WHERE s$i.y * s$i.sc <= 0
+          GROUP BY j),
+        w$i AS (SELECT w$p.j, w$p.w + COALESCE(d$i.dw, 0) AS w
+          FROM w$p LEFT JOIN d$i ON w$p.j = d$i.j)"""
+        }
+        s"""WITH ev AS (SELECT vec_id AS n_id, label,
+          list_append(list_transform(embedding,
+            v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)),
+            CAST(1000 AS BIGINT)) AS xq,
+          CASE WHEN label % 2 = 0 THEN CAST(1 AS BIGINT)
+            ELSE CAST(-1 AS BIGINT) END AS y
+          FROM embeddings),
+        dim AS (SELECT unnest(generate_series(1, 65)) AS j),
+        w0 AS (SELECT j, CAST(0 AS BIGINT) AS w FROM dim)
+        ${iterCtes(1)}${iterCtes(2)}${iterCtes(3)}
+        SELECT n_id AS vec_id, label, CAST(y AS INT) AS y,
+          CAST(SUM(w3.w * xq[w3.j]) AS BIGINT) AS score_w,
+          CAST(CASE WHEN SUM(w3.w * xq[w3.j]) > 0 THEN 1 ELSE -1 END AS INT) AS pred
+        FROM ev, w3 GROUP BY n_id, label, y ORDER BY vec_id"""
+      }
     )
   )
+
+  /** Quantized feature vector for the perceptron: round(x·1000) per
+    * dim plus a constant bias feature 1000 — all-int64 so every
+    * downstream product and sum is exact. */
+  private val perceptronXqSql: String =
+    "concat(transform(embedding, " +
+      "v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)), " +
+      "array(CAST(1000 AS BIGINT)))"
+
+  private def perceptronXq: Column = expr(perceptronXqSql)
+
+  private def perceptronY: Column =
+    when(col("label") % 2 === 0, 1L).otherwise(-1L)
+
+  /** e10's training loop (see the Q scaladoc for the batch-update
+    * rationale): `iters` rounds, each = one literal-weight scoring
+    * pass + one pos-keyed misclassified-update aggregation. Driver
+    * state per round is exactly dim+1 int64 weights (the bounded-
+    * broadcast discipline — the weights ARE the model, they never
+    * scale with the corpus). Returns the dim+1 weights (bias last).
+    */
+  def trainPerceptron(
+      emb: org.apache.spark.sql.DataFrame,
+      iters: Int = 3,
+      dim: Int = 64): Array[Long] = {
+    val ev = emb.select(col("vec_id"), perceptronXq.as("xq"), perceptronY.as("y"))
+    var w = Array.fill(dim + 1)(0L)
+    for (_ <- 1 to iters) {
+      val wLit = w.mkString("array(CAST(", " AS BIGINT), CAST(", " AS BIGINT))")
+      val delta = ev
+        .withColumn("sc", expr(
+          s"aggregate(zip_with(xq, $wLit, (x, wv) -> x * wv), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+        .where(col("y") * col("sc") <= 0)
+        .select(col("y"), posexplode(col("xq")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(sum(col("y") * col("x")).as("dw"))
+        .collect()
+      delta.foreach(r => w(r.getInt(0)) += r.getLong(1))
+    }
+    w
+  }
+
+  /** e05's inference shape with e10's learned weights: literals in
+    * the plan, one exact int64 fold per row, zero shuffle. */
+  def perceptronScore(
+      emb: org.apache.spark.sql.DataFrame,
+      w: Array[Long]): org.apache.spark.sql.DataFrame = {
+    val wLit = w.mkString("array(CAST(", " AS BIGINT), CAST(", " AS BIGINT))")
+    emb.select(col("vec_id"), col("label"),
+      perceptronY.cast("int").as("y"),
+      expr(s"aggregate(zip_with($perceptronXqSql, $wLit, " +
+        "(x, wv) -> x * wv), CAST(0 AS BIGINT), (a, v) -> a + v)").as("score_w"))
+  }
 
   /** e05's frozen "trained" weight vector: sixteenths in [-9/16, 9/16]
     * — exact binary fractions, so literal parsing and products are
