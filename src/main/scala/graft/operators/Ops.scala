@@ -1943,6 +1943,10 @@ object Ops {
     val survivors = allowFiltered
       .join(broadcast(p.select(col("p_id"), col("psig"))), Seq("p_id"))
       .withColumn("hamming", bit_count(col("psig").bitwiseXOR(col("sig"))).cast("int"))
+      // SignPack60 yields null for sub-60-dim vectors → null hamming,
+      // and ascending sorts nulls FIRST — a malformed row would crowd
+      // real candidates out of the top-M shortlist (round-12 advice)
+      .where(col("hamming").isNotNull)
       .withColumn("hrn", row_number().over(wH))
       .filter(col("hrn") <= hammingTopM)
       .select(col("p_id"), col("n_id"), col("hamming"))
@@ -2174,11 +2178,22 @@ object Ops {
       idCol: String = null,
       schemaSig: String = null
   ): Unit = {
-    val idPart = if (idCol == null) "" else s""","idCol":"$idCol""""
-    val scPart = if (schemaSig == null) "" else s""","schema":"$schemaSig""""
+    // JSON-escape interpolated strings: a column name carrying a
+    // quote or backslash would otherwise corrupt the manifest, while
+    // readShardLayoutSchema's regex already expects escape sequences
+    // (round-12 advice — write and read must stay symmetric)
+    val idPart = if (idCol == null) "" else s""","idCol":"${jsonEscape(idCol)}""""
+    val scPart =
+      if (schemaSig == null) "" else s""","schema":"${jsonEscape(schemaSig)}""""
     IndexLayout.writeMeta(spark, versionDir, ShardLayoutMetaName,
-      s"""{"nShards":$nShards,"seed":"$seed"$idPart$scPart}""")
+      s"""{"nShards":$nShards,"seed":"${jsonEscape(seed)}"$idPart$scPart}""")
   }
+
+  private def jsonEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def jsonUnescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   /** schema fingerprint from a `_LAYOUT` manifest; None for layouts
     * stamped before round 12 added the field.
@@ -2188,7 +2203,8 @@ object Ops {
       versionDir: String
   ): Option[String] =
     IndexLayout.readMeta(spark, versionDir, ShardLayoutMetaName).flatMap { s =>
-      """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      """"schema"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s)
+        .map(m => jsonUnescape(m.group(1)))
     }
 
   /** idCol from a `_LAYOUT` manifest; None for layouts stamped before
@@ -2200,7 +2216,8 @@ object Ops {
       versionDir: String
   ): Option[String] =
     IndexLayout.readMeta(spark, versionDir, ShardLayoutMetaName).flatMap { s =>
-      """"idCol"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      """"idCol"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s)
+        .map(m => jsonUnescape(m.group(1)))
     }
 
   private def readShardLayoutMeta(
@@ -2212,7 +2229,7 @@ object Ops {
         .getOrElse(sys.error(s"bad $ShardLayoutMetaName in $versionDir: $s")).group(1).toInt
       val sd = """"seed"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s)
         .getOrElse(sys.error(s"bad $ShardLayoutMetaName in $versionDir: $s")).group(1)
-      (n, sd)
+      (n, jsonUnescape(sd))
     }
 
   /** O40's INGESTION half: append a batch (e.g. one streaming

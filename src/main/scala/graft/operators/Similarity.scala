@@ -737,6 +737,9 @@ object Similarity {
         val wH = Window.partitionBy($"p_id").orderBy($"hamming", $"n_id")
         val cands = sig.join(broadcast(probes.select($"p_id", $"psig")), $"n_id" =!= $"p_id")
           .withColumn("hamming", bit_count($"psig".bitwiseXOR($"nsig")).cast("int"))
+          // null sig (sub-60-dim vector) would sort FIRST under the
+          // ascending Hamming order and crowd out real candidates
+          .where($"hamming".isNotNull)
           .withColumn("hrn", row_number().over(wH))
           .filter($"hrn" <= 50)
           .select($"p_id", $"n_id", $"hamming")
@@ -914,6 +917,9 @@ object Similarity {
         val wH = Window.partitionBy($"p_id").orderBy($"hamming", $"n_id")
         val cands = sig.join(broadcast(probes.select($"p_id", $"psig")), $"n_id" =!= $"p_id")
           .withColumn("hamming", bit_count($"psig".bitwiseXOR($"nsig")).cast("int"))
+          // null sig (sub-60-dim vector) would sort FIRST under the
+          // ascending Hamming order and crowd out real candidates
+          .where($"hamming".isNotNull)
           .withColumn("hrn", row_number().over(wH))
           .filter($"hrn" <= 50)
           .select($"p_id", $"n_id", $"hamming")

@@ -41,6 +41,13 @@ object TextAnalysis {
       textCol: String = "text",
       padId: Int = 0
   ): org.apache.spark.sql.DataFrame = {
+    // withColumn silently REPLACES an existing column of the same
+    // name — an input carrying any of the output/temporary names
+    // would be corrupted, not flagged (the sourceCap guard, applied
+    // to this surface after the round-12 advice)
+    Seq("window_id", "n_real", "ids", "_ids", "_n", "_n_windows", "_cw")
+      .foreach(c => require(!docs.columns.contains(c),
+        s"tokenizeWindows: input already has a '$c' column — rename it first"))
     val keep = docs.columns.filterNot(_ == textCol).map(col).toSeq
     docs
       .withColumn("_ids", graft.functions.GraftExpressions.bpeEncode(col(textCol)))

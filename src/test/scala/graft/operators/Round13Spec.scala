@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-13 guard fixes from the round-12 advice: column-collision
+  * require on tokenizeWindows, null-sig exclusion in the binary
+  * probe shortlist, and JSON-escaped _LAYOUT manifest strings.
+  */
+class Round13Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+  private def emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("tokenizeWindows refuses inputs whose columns collide with outputs/temps") {
+    Seq("window_id", "n_real", "ids", "_ids", "_cw").foreach { c =>
+      val bad = docs.withColumn(c, lit(1))
+      val e = intercept[IllegalArgumentException] {
+        TextAnalysis.tokenizeWindows(bad, 64)
+      }
+      assert(e.getMessage.contains(c), s"guard missed collision on '$c'")
+    }
+    // and a clean frame still works
+    assert(TextAnalysis.tokenizeWindows(docs.limit(5), 64).count() > 0)
+  }
+
+  test("probeSignIndex: a malformed (null-sig) sidecar row cannot crowd the shortlist") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullsig").toString
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", dir,
+      k = 8, m = 4, kSub = 8, storeSigs = true)
+    val idx = Ops.readAnnIndex(spark, dir)
+    val probes = emb.orderBy($"vec_id").limit(5)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val clean = keyed(Ops.probeSignIndex(probes, "vec_id", "embedding", idx,
+      nprobe = 8, hammingTopM = 10, topK = 3))
+    // corrupt the handle: one null-sig row in EVERY cell (SignPack60's
+    // output for a sub-60-dim vector). Ascending Hamming order sorts
+    // nulls first, so without the guard these rows would occupy the
+    // top-M shortlist ahead of every real candidate.
+    val cells = idx.sigs.get.select($"cell").distinct()
+    val badRows = cells.withColumn("n_id", lit(999999L))
+      .withColumn("sig", lit(null).cast("long"))
+      .select($"cell", $"n_id", $"sig")
+    val dirty = idx.copy(sigs = Some(idx.sigs.get.unionByName(badRows)))
+    val guarded = keyed(Ops.probeSignIndex(probes, "vec_id", "embedding", dirty,
+      nprobe = 8, hammingTopM = 10, topK = 3))
+    assert(guarded == clean, s"null-sig rows changed the result: " +
+      s"clean=${clean.size} dirty=${guarded.size}")
+    assert(!guarded.exists(_._3 == 999999L))
+  }
+
+  test("_LAYOUT manifest: quote/backslash-bearing seed round-trips (escaped write, unescaped read)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-esc").toString + "/shards"
+    val seed = """e"poch\1"""
+    val df = docs.select($"doc_id", $"lang").limit(200)
+    Ops.writeShuffledShards(df, "doc_id", dir, nShards = 4, seed = seed)
+    assert(Ops.readShuffledShards(spark, dir).count() == 200)
+    // append validates the caller's seed against the manifest — an
+    // unescaped write would have corrupted the JSON and either failed
+    // to parse or stored a mangled seed that can never match again
+    val more = docs.select($"doc_id", $"lang")
+      .where($"doc_id" >= 200 && $"doc_id" < 250)
+    Ops.appendShuffledShards(more, "doc_id", dir, seed = seed)
+    assert(Ops.readShuffledShards(spark, dir).count() == 250)
+    // and a WRONG seed still fails loudly (the guard is not vacuous)
+    intercept[IllegalArgumentException] {
+      Ops.appendShuffledShards(more, "doc_id", dir, seed = "other")
+    }
+  }
+}
