@@ -1364,6 +1364,79 @@ object TextAnalysis {
           CAST(rep // 100000 AS BIGINT) AS rep_doc_id,
           CAST(rep % 100000 AS BIGINT) AS rep_window_id
         FROM g WHERE n_copies >= 2 ORDER BY window_hash""")
+    ),
+
+    Q(
+      "t28_suffix_dup",
+      "Maximal repeated token intervals at ANY length >= 8: corpus-duplicated token 8-grams -> per-doc gaps-and-islands",
+      (spark, dir) => {
+        import spark.implicits._
+        // t27 catches duplicated WINDOWS (exact W=64, window-aligned);
+        // the memorization driver in Lee et al. is repeated token
+        // sequences at ANY length and ANY offset. A suffix array
+        // finds them exactly but doesn't distribute; the standard
+        // scalable form: a token sequence of length L >= 8 repeats
+        // iff all of its L-7 constituent 8-grams repeat corpus-wide,
+        // so (1) one keyed count over token-8-gram identities flags
+        // every covered start position, (2) d17's gaps-and-islands
+        // arithmetic per doc stitches consecutive covered positions
+        // into MAXIMAL repeated intervals [start_pos, end_pos]
+        // (token coordinates, end inclusive). Plan: the encode +
+        // gram emission is per-row codegen (X15 + slice/transform —
+        // no join), the gram count is ONE map-side-combinable
+        // shuffle keyed on the joined-id string, coverage is a
+        // left-semi join back on the same key, and the island window
+        // partitions by doc_id — output is bounded by duplicated
+        // content, never the corpus. At 100 TB the gram key can
+        // carry hash60(gram) instead of the joined string (60-bit
+        // space; collision flags a FALSE 8-token island at ~n^2/2^61
+        // rate — acceptable for reporting, verify islands exactly if
+        // removal feeds from this); the canned query keys on the
+        // exact string so the oracle is collision-free.
+        val toks = Tables.load(spark, dir, "documents")
+          .withColumn("_ids", graft.functions.GraftExpressions.bpeEncode($"text"))
+          .withColumn("_n", size($"_ids").cast("long"))
+          .filter($"_n" >= 8)
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(CAST(0 AS BIGINT), _n - 8), " +
+              "i -> array_join(transform(slice(_ids, cast(i + 1 as int), 8), " +
+              "x -> cast(x as string)), '-'))")).as(Seq("p", "g")))
+          .select($"doc_id", $"p".cast("long").as("p"), $"g")
+          // one cached narrow relation feeds the count pass and the
+          // coverage join (the d02 shingle pattern — without it the
+          // X15 encode + gram build runs twice)
+          .cache()
+        val dupGrams = toks.groupBy($"g").agg(count(lit(1)).as("c"))
+          .where($"c" >= 2).select($"g")
+        val wI = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"p")
+        toks.join(dupGrams, Seq("g"), "left_semi")
+          .withColumn("_grp", $"p" - row_number().over(wI))
+          .groupBy($"doc_id", $"_grp")
+          .agg(
+            min($"p").as("start_pos"),
+            (max($"p") + 7L).as("end_pos"),
+            (max($"p") - min($"p") + 8L).as("len_tokens"))
+          .select($"doc_id", $"start_pos", $"end_pos", $"len_tokens")
+          .orderBy($"doc_id", $"start_pos")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, ${graft.functions.Bpe.duckEncode(duckWords)} AS ids FROM documents),
+        t AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM w WHERE len(ids) >= 8),
+        pos AS (SELECT doc_id, ids,
+            unnest(generate_series(CAST(0 AS BIGINT), n - 8)) AS p FROM t),
+        g AS (SELECT doc_id, p,
+            array_to_string(list_transform(
+              ids[CAST(p + 1 AS INT) : CAST(p + 8 AS INT)],
+              x -> CAST(x AS VARCHAR)), '-') AS g8 FROM pos),
+        dup AS (SELECT g8 FROM g GROUP BY g8 HAVING COUNT(*) >= 2),
+        cov AS (SELECT doc_id, p FROM g WHERE g8 IN (SELECT g8 FROM dup)),
+        isl AS (SELECT doc_id, p,
+            p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov)
+        SELECT doc_id,
+          CAST(MIN(p) AS BIGINT) AS start_pos,
+          CAST(MAX(p) + 7 AS BIGINT) AS end_pos,
+          CAST(MAX(p) - MIN(p) + 8 AS BIGINT) AS len_tokens
+        FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""")
     )
   )
 }

@@ -52,6 +52,33 @@ class Round13Spec extends SparkTestBase {
     assert(!guarded.exists(_._3 == 999999L))
   }
 
+  test("t28 contains t27: every duplicated full window lies inside a repeated-interval") {
+    // A t27-duplicated FULL (n_real=64) window's 57 constituent
+    // 8-grams all repeat corpus-wide, so its token span
+    // [w*64, w*64+63] must sit inside one maximal t28 interval of
+    // the same doc — windowed dup detection is a special case of
+    // the any-length interval report.
+    val win = TextAnalysis.tokenizeWindows(docs, window = 64)
+      .withColumn("window_hash",
+        md5(concat_ws(" ", expr("transform(ids, x -> cast(x as string))"))))
+      .cache()
+    val dupHashes = win.groupBy($"window_hash").count()
+      .where($"count" >= 2).select($"window_hash")
+    val dupFull = win.join(dupHashes, "window_hash")
+      .where($"n_real" === 64)
+      .select($"doc_id", ($"window_id" * 64).as("s"), ($"window_id" * 64 + 63).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dupFull.nonEmpty, "corpus has no duplicated full windows — pin is vacuous")
+    val intervals = graft.SparkEntry.queries("t28_suffix_dup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    dupFull.foreach { case (d, s, e) =>
+      assert(intervals.get(d).exists(_.exists(iv => iv._2 <= s && e <= iv._3)),
+        s"dup window [$s,$e] of doc $d not contained in any t28 interval")
+    }
+    win.unpersist()
+  }
+
   test("_LAYOUT manifest: quote/backslash-bearing seed round-trips (escaped write, unescaped read)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-esc").toString + "/shards"
     val seed = """e"poch\1"""
