@@ -301,6 +301,53 @@ object DataPipeline {
       }
       .depend("packed" -> "docs.packed")
 
+    // ---- serving/repair half (round 13): the curated corpus kept
+    // CURRENT for downstream consumers as an O45 merge table. Epoch 0
+    // seeds from the capped corpus through the routed S7 `merge:`
+    // sink; the repair cell applies one changelog batch (ST15 shape:
+    // upserts for re-weighted docs + tombstones for recalled ones,
+    // last-writer-wins on v) through the SAME route, publishing the
+    // next epoch atomically. Readers either track CURRENT
+    // (docs.serve.read) or pin an epoch (docs.serve.pinned — O47's
+    // reproducibility contract: a training job's view survives a
+    // mid-run publish).
+    wkf
+      .provide("docs.serve.seed.{out:path}") { ctx =>
+        val out = ctx.str("out") + "/served"
+        val seed = ctx.as[DataFrame]("in").drop("n_grp", "cum_before")
+          .withColumn("v", lit(0L))
+          .withColumn("is_tombstone", lit(false))
+        graft.sinks.RoutedSink.standard()
+          .write(s"merge:$out:key:doc_id:v:v", seed)
+        out
+      }
+      .depend("in" -> "docs.capped")
+    wkf
+      .provide("docs.serve.repair.{out:path}") { ctx =>
+        val served = ctx.as[String]("t")
+        val base = ctx.as[DataFrame]("in").drop("n_grp", "cum_before")
+        // the changelog: a recall notice tombstones every 19th doc;
+        // a re-scoring pass doubles the sampling mass of 'de' docs
+        val tombs = base.where(col("doc_id") % 19 === 0)
+          .withColumn("v", lit(1L)).withColumn("is_tombstone", lit(true))
+        val ups = base.where(col("doc_id") % 19 =!= 0 && col("lang") === "de")
+          .withColumn("weight_ppm", col("weight_ppm") * 2)
+          .withColumn("v", lit(1L)).withColumn("is_tombstone", lit(false))
+        graft.sinks.RoutedSink.standard()
+          .write(s"merge:$served:key:doc_id:v:v", tombs.unionByName(ups))
+        served
+      }
+      .depend("t" -> "docs.serve.seed.{out}")
+      .depend("in" -> "docs.capped")
+    wkf
+      .provide("docs.serve.read.{out:path}") { ctx =>
+        Ops.readMerged(spark, ctx.str("out") + "/served")
+      }
+    wkf
+      .provide("docs.serve.pinned.{ver}.{out:path}") { ctx =>
+        Ops.readMergedAt(spark, ctx.str("out") + "/served", ctx.str("ver"))
+      }
+
     // default sample rate for the packed route; override per run via
     // extra kwargs or config
     wkf.setConfig(Map("docs.packed" -> Map("pct" -> 50)))
@@ -343,6 +390,17 @@ object DataPipeline {
     wkf.run(s"docs.sinks.$outDir")
     println("sink_fanout=" + new java.io.File(outDir).listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.mkString(","))
+
+    // serving half: seed epoch + one repair changelog through the
+    // routed merge sink; CURRENT tracks the repair, the pinned seed
+    // epoch stays readable (O47)
+    val servedOut = java.nio.file.Files.createTempDirectory("graft_served").toString
+    val servedPath = wkf.run(s"docs.serve.repair.$servedOut").asInstanceOf[String]
+    val epochs = graft.operators.Ops.shardVersions(spark, servedPath)
+    val cur = wkf.run(s"docs.serve.read.$servedOut").asInstanceOf[DataFrame].count()
+    val seeded = wkf.run(s"docs.serve.pinned.${epochs.head}.$servedOut")
+      .asInstanceOf[DataFrame].count()
+    println(s"served=$cur seeded=$seeded epochs=${epochs.size}")
 
     // training-mix reweighting toward a uniform per-lang token target
     // (t15's shape, printed as lang:resample_share)

@@ -2644,6 +2644,29 @@ object Ops {
   def readMerged(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val v = IndexLayout.currentVersion(spark, path).getOrElse(
       sys.error(s"readMerged: no epoch published at $path"))
+    readMergedVersionDir(spark, path, v)
+  }
+
+  /** O47's pinned-snapshot read for the O45 merge table: the
+    * CURRENT-state read above, pinned to a named retained epoch —
+    * same reproducibility contract as [[readShuffledShardsAt]] (a
+    * consumer pins its epoch for a whole run while changelog batches
+    * publish the next; GC'd / unknown / crash-orphaned versions fail
+    * loudly rather than silently falling back to current). Versions
+    * come from [[shardVersions]] on the same path.
+    */
+  def readMergedAt(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      version: String): DataFrame = {
+    IndexLayout.resolveDirAt(spark, path, version) // loud validation
+    readMergedVersionDir(spark, path, version)
+  }
+
+  private def readMergedVersionDir(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      v: String): DataFrame = {
     val meta = IndexLayout.readMeta(spark, s"$path/$v", MergeMetaName).getOrElse(
       sys.error(s"readMerged: $path/$v has no $MergeMetaName manifest"))
     val tomb = "\"tombstoneCol\":\"([^\"]+)\"".r.findFirstMatchIn(meta)

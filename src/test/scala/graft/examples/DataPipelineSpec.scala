@@ -190,6 +190,50 @@ class DataPipelineSpec extends SparkTestBase {
       s"expected every capped doc tokenized ($nDocs of $nCapped present)")
   }
 
+  test("the serving half: changelog -> merge -> readMerged; the pinned seed epoch survives the publish") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-serve13").toString
+    // ONE workflow run resolves seed -> repair: epoch 1 = the seeded
+    // corpus, epoch 2 = after the changelog (tombstoned recalls +
+    // re-weighted de docs), both published through the routed S7
+    // merge: sink
+    val servedPath = wkf.run(s"docs.serve.repair.$outDir").asInstanceOf[String]
+    val epochs = graft.operators.Ops.shardVersions(spark, servedPath)
+    assert(epochs.size == 2, s"expected seed+repair epochs, got $epochs")
+    val capped = wkf.run("docs.capped").asInstanceOf[DataFrame]
+      .drop("n_grp", "cum_before").cache()
+    val nCapped = capped.count()
+    val nTomb = capped.where(col("doc_id") % 19 === 0).count()
+    assert(nTomb > 0, "corpus has no recall targets — the repair is vacuous")
+
+    // CURRENT (through the workflow's reader cell): recalls gone,
+    // de docs re-weighted, everything else byte-stable
+    val cur = wkf.run(s"docs.serve.read.$outDir").asInstanceOf[DataFrame].cache()
+    assert(cur.count() == nCapped - nTomb)
+    assert(cur.where(col("doc_id") % 19 === 0).isEmpty, "a recalled doc is still served")
+    val deDrift = cur.where(col("lang") === "de")
+      .join(capped.select(col("doc_id"), col("weight_ppm").as("w0")), "doc_id")
+      .where(col("weight_ppm") =!= col("w0") * 2)
+    assert(deDrift.isEmpty, "a de doc is not exactly re-weighted x2")
+    val otherDrift = cur.where(col("lang") =!= "de")
+      .select(capped.columns.map(col).toIndexedSeq: _*)
+      .exceptAll(capped.where(col("lang") =!= "de" && col("doc_id") % 19 =!= 0))
+    assert(otherDrift.isEmpty, "an untouched doc drifted through the merge")
+
+    // the PINNED seed epoch (through the workflow's pinned cell) still
+    // reads the pre-repair corpus EXACTLY, after the repair published
+    val pinned = wkf.run(s"docs.serve.pinned.${epochs.head}.$outDir")
+      .asInstanceOf[DataFrame]
+    assert(pinned.count() == nCapped)
+    assert(pinned.select(capped.columns.map(col).toIndexedSeq: _*)
+      .drop("v", "is_tombstone").exceptAll(capped).isEmpty,
+      "the pinned seed epoch does not equal the seeded corpus")
+    // a version that never existed fails loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Ops.readMergedAt(spark, servedPath, "v9999")
+    }
+    capped.unpersist(); cur.unpersist()
+  }
+
   test("the source cap cell binds and respects the per-source budget") {
     val tempered = wkf.run("docs.tempered").asInstanceOf[DataFrame]
     val capped = wkf.run("docs.capped").asInstanceOf[DataFrame]
