@@ -15,6 +15,18 @@ object PortableHash {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side JVM twin of [[hash60]] over a string value — for
+    * bounded routing tables (e.g. the lexical probe's query-term →
+    * bucket map) computed without a Spark job. Bit-equal to the
+    * Column form (PortableHashSpec pins it).
+    */
+  def hash60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL computing the identical value over expression `e`. */
   def sqlHash60(e: String): String =
     s"CAST(list_aggregate(list_transform(generate_series(1, 15), " +

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.operators.{IndexLayout => IL}
+
+/** O51: the persisted LEXICAL index — BM25 serving without a corpus
+  * rescan, the same productionization step the ANN path got in O29/
+  * O46. [[Similarity.bm25TopK]] recomputes tf/df/doc-lengths from the
+  * corpus per call; a serving stack builds them ONCE and probes a
+  * stored, bucket-partitioned layout:
+  *
+  *   - `postings/`  (bucket, term, doc_id, tf)   hive `bucket=` dirs
+  *   - `terms/`     (bucket, term, df)           hive `bucket=` dirs
+  *   - `doclens/`   (doc_id, dl)
+  *   - `_LEXSTATS`  manifest: exact-int ndocs/ntok + nBuckets + idCol
+  *
+  * bucket = hash60(term) mod nBuckets, so a probe touches ONLY the
+  * bucket directories its query terms hash to — at 100 TB the
+  * corpus-scaled postings store is read |query-term buckets| / nBuckets
+  * sparsely (measured in LexIndexSpec via the scan's numPartitions
+  * metric), the terms store likewise, and only matched doc_ids pull
+  * their lengths through the doclens join. All stored quantities are
+  * exact int64 (tf/df/dl/ndocs/ntok); scoring reuses
+  * [[Similarity.bm25Rank]] VERBATIM, so probe results are bit-equal to
+  * the corpus-rescan form (spec-pinned) — the avgdl division, the one
+  * ln, the rounded-rank discipline all live in that one definition.
+  *
+  * Lifecycle: the three stores publish versioned epochs with the O30
+  * atomic `_CURRENT` flip (readers resolve the manifest; a probe
+  * mid-publish sees the old epoch). The manifest is AUTHORITATIVE for
+  * nBuckets/idCol (the O43 discipline) — probes derive routing from
+  * it, never from caller args. Updating the index is an epoch rewrite
+  * (df/ndocs/ntok are corpus-global, so incremental appends would
+  * serve stale statistics; the rewrite cost is one t09-shaped agg
+  * pass — cheap next to what it indexes).
+  */
+object LexIndex {
+
+  final case class LexIndexHandle(
+      postings: DataFrame,
+      terms: DataFrame,
+      doclens: DataFrame,
+      ndocs: Long,
+      ntok: Long,
+      nBuckets: Int)
+
+  private val MetaName = "_LEXSTATS"
+
+  def writeLexIndex(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"writeLexIndex: nBuckets must be > 0, got $nBuckets")
+    val spark = docs.sparkSession
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("term"))
+    val bucketOf =
+      pmod(PortableHash.hash60(col("term")), lit(nBuckets.toLong)).cast("int")
+    val post = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf)
+      .select(col("bucket"), col("term"), col("doc_id"), col("tf"))
+    val terms = post.groupBy(col("bucket"), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val dls = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val statsRow = dls.agg(
+      coalesce(sum(col("dl")), lit(0L)).as("ntok"),
+      count(lit(1)).as("ndocs")).head()
+    val (ntok, ndocs) = (statsRow.getLong(0), statsRow.getLong(1))
+
+    def publish(sub: String, df: DataFrame, byBucket: Boolean): String = {
+      val root = s"$path/$sub"
+      val v = IL.nextVersion(spark, root)
+      if (byBucket)
+        graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", df)
+      else df.write.mode("overwrite").parquet(s"$root/$v")
+      val dir = s"$root/$v"
+      IL.publish(spark, root, v)
+      IL.gcVersions(spark, root, keep = 1)
+      dir
+    }
+    val postDir = publish("postings", post, byBucket = true)
+    publish("terms", terms, byBucket = true)
+    publish("doclens", dls, byBucket = false)
+    IL.writeMeta(spark, postDir, MetaName,
+      s"""{"ndocs":$ndocs,"ntok":$ntok,"nBuckets":$nBuckets,"idCol":"$idCol"}""")
+  }
+
+  /** Resolve the CURRENT epoch of each store + the stats manifest. */
+  def readLexIndex(spark: SparkSession, path: String): LexIndexHandle = {
+    val postDir = IL.resolveDir(spark, s"$path/postings")
+    val meta = IL.readMeta(spark, postDir, MetaName).getOrElse(
+      sys.error(s"readLexIndex: $postDir has no $MetaName manifest"))
+    def longOf(k: String): Long =
+      ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(meta).map(_.group(1).toLong)
+        .getOrElse(sys.error(s"readLexIndex: malformed $MetaName: $meta"))
+    LexIndexHandle(
+      postings = spark.read.parquet(postDir),
+      terms = spark.read.parquet(IL.resolveDir(spark, s"$path/terms")),
+      doclens = spark.read.parquet(IL.resolveDir(spark, s"$path/doclens")),
+      ndocs = longOf("ndocs"),
+      ntok = longOf("ntok"),
+      nBuckets = longOf("nBuckets").toInt)
+  }
+
+  /** BM25 top-k against the stored index. `queries`: (q_id, term)
+    * rows, benchmark-sized. `routeOnDriver = true` computes the
+    * query-term → bucket set with the JVM twin of the portable hash
+    * (a bounded driver routing table, the probeAnnIndex pattern) and
+    * pushes it as a static `bucket IN (...)` filter — partition
+    * pruning at plan time; `false` keeps everything in the plan and
+    * relies on the broadcast join's dynamic pruning. Results are
+    * bit-equal to [[Similarity.bm25TopK]] on the indexed corpus
+    * (LexIndexSpec pins row equality and measures the pruning).
+    */
+  def probeLexIndex(
+      queries: DataFrame,
+      index: LexIndexHandle,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      routeOnDriver: Boolean = true): DataFrame = {
+    val bucketOf =
+      pmod(PortableHash.hash60(col("term")), lit(index.nBuckets.toLong)).cast("int")
+    val q = queries.select(col("q_id"), col("term")).withColumn("bucket", bucketOf)
+    val (post, terms) =
+      if (!routeOnDriver) (index.postings, index.terms)
+      else {
+        // driver routing table: one bucket id per DISTINCT query term
+        // — bounded by the query workload, never the corpus
+        val buckets = queries.select(col("term")).distinct()
+          .collect()
+          .map(r => (PortableHash.hash60Jvm(r.getString(0)) % index.nBuckets).toInt)
+          .distinct.toSeq
+        (index.postings.where(col("bucket").isin(buckets: _*)),
+          index.terms.where(col("bucket").isin(buckets: _*)))
+      }
+    val scored = post
+      .join(broadcast(q), Seq("bucket", "term"))
+      .join(broadcast(terms), Seq("bucket", "term"))
+      .join(index.doclens, "doc_id")
+      .withColumn("ntok", lit(index.ntok))
+      .withColumn("ndocs", lit(index.ndocs))
+    Similarity.bm25Rank(scored, k, k1, b)
+  }
+}

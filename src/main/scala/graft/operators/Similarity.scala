@@ -90,12 +90,28 @@ object Similarity {
       // vocabulary is corpus-scaled; only query terms matter downstream
       .join(broadcast(queries.select(col("term")).distinct()),
         col("w") === col("term")).drop("term")
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("score_r").desc, col("doc_id"))
-    tf.join(broadcast(queries), col("w") === col("term"))
+    val scored = tf.join(broadcast(queries), col("w") === col("term"))
       .join(dl, "doc_id")
       .join(broadcast(dfreq), "w")
       .crossJoin(broadcast(stats))
+    bm25Rank(scored, k, k1, b)
+  }
+
+  /** The ONE scoring + ranking tail shared by [[bm25TopK]] and the
+    * stored-index probe ([[LexIndex.probeLexIndex]]) — a single
+    * definition so the corpus-rescan form and the index form cannot
+    * drift by an ulp. Input: rows carrying exact-int64 (q_id, doc_id,
+    * tf, df, dl, ntok, ndocs). The fp discipline lives here: avgdl is
+    * one IEEE division of two exact ints, ln the only transcendental,
+    * one bounded ≤|query|-addend sum, rounded ONCE, ranked on the
+    * ROUNDED score with a doc_id tiebreak.
+    */
+  private[operators] def bm25Rank(
+      scored: org.apache.spark.sql.DataFrame,
+      k: Int, k1: Double, b: Double): org.apache.spark.sql.DataFrame = {
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_r").desc, col("doc_id"))
+    scored
       .withColumn("avgdl", col("ntok").cast("double") / col("ndocs"))
       .withColumn("idf",
         log(lit(1.0) + (col("ndocs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -144,6 +160,34 @@ object Similarity {
     2 -> "slow", 2 -> "query", 2 -> "scan",
     3 -> "stream", 3 -> "window", 3 -> "agg",
     4 -> "vector", 4 -> "data", 4 -> "merge")
+
+  /** Shared DuckDB CTE chain for the BM25 oracle, ending in
+    * `scored(q_id, doc_id, score_u)` — one definition consumed by
+    * both s13 and the s14 hybrid so the two gates cannot drift.
+    * Prepend `WITH `, append further CTEs with a leading comma.
+    */
+  private def bm25OracleCtes: String = {
+    val qvals = bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""q(q_id, term) AS (VALUES $qvals),
+        w AS (SELECT doc_id, ${graft.operators.TextAnalysis.duckWords} AS wd FROM documents),
+        tok AS (SELECT doc_id, unnest(wd) AS w FROM w),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT SUM(dl) AS ntok, CAST(COUNT(*) AS BIGINT) AS ndocs FROM dl),
+        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
+          WHERE w IN (SELECT term FROM q) GROUP BY w),
+        scored AS (SELECT q.q_id, tf.doc_id,
+            SUM(LN(1.0 + (s.ndocs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+                ((CAST(tf.tf AS DOUBLE) * 2.2) /
+                 (CAST(tf.tf AS DOUBLE) +
+                  1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                    / (CAST(s.ntok AS DOUBLE) / s.ndocs)))))) AS score_u
+          FROM tf JOIN q ON tf.w = q.term
+          JOIN dl ON dl.doc_id = tf.doc_id
+          JOIN dfreq ON dfreq.w = tf.w
+          CROSS JOIN stats s
+          GROUP BY 1, 2)"""
+  }
 
   val all: Seq[Q] = Seq(
     Q(
@@ -971,32 +1015,78 @@ object Similarity {
           .orderBy($"q_id", $"rn")
       },
       Some {
-        val qvals = bm25Queries
-          .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-        s"""WITH q(q_id, term) AS (VALUES $qvals),
-        w AS (SELECT doc_id, ${graft.operators.TextAnalysis.duckWords} AS wd FROM documents),
-        tok AS (SELECT doc_id, unnest(wd) AS w FROM w),
-        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-        stats AS (SELECT SUM(dl) AS ntok, CAST(COUNT(*) AS BIGINT) AS ndocs FROM dl),
-        tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-        dfreq AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok
-          WHERE w IN (SELECT term FROM q) GROUP BY w),
-        scored AS (SELECT q.q_id, tf.doc_id,
-            SUM(LN(1.0 + (s.ndocs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
-                ((CAST(tf.tf AS DOUBLE) * 2.2) /
-                 (CAST(tf.tf AS DOUBLE) +
-                  1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
-                    / (CAST(s.ntok AS DOUBLE) / s.ndocs)))))) AS score_u
-          FROM tf JOIN q ON tf.w = q.term
-          JOIN dl ON dl.doc_id = tf.doc_id
-          JOIN dfreq ON dfreq.w = tf.w
-          CROSS JOIN stats s
-          GROUP BY 1, 2)
+        s"""WITH $bm25OracleCtes
         SELECT q_id,
           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY ROUND(score_u, 6) DESC, doc_id) AS INT) AS rn,
           doc_id, ROUND(score_u, 6) AS score
         FROM scored QUALIFY rn <= 10 ORDER BY q_id, rn"""
+      }
+    ),
+
+    Q(
+      "s14_hybrid_rrf",
+      "Hybrid retrieval: BM25 lexical lists fused with binary-ANN lists by reciprocal-rank fusion, top-5 per query",
+      (spark, dir) => {
+        import spark.implicits._
+        // The serving query a production retrieval stack actually
+        // runs: neither ranker alone — BM25 misses paraphrase,
+        // vectors miss rare exact terms — so the fused list is the
+        // product surface. Lists: s13's BM25 top-10 per query and
+        // s10's sign-sketch ANN top-5 for the probes sharing the
+        // query ids (vec_id and doc_id share the id space in the
+        // testdata); fusion = O49 rrfFuse (1/(60+rank) exact per-item
+        // work over two already-top-k-bounded inputs — serving-sized
+        // regardless of corpus). Determinism: both input ranks are
+        // themselves rounded-score-ranked, the fused score is a
+        // two-term IEEE sum in a fixed order, rounded once, ranked
+        // on the rounded value with id tiebreak.
+        val bm = bm25TopK(Tables.load(spark, dir, "documents"),
+            bm25Queries.toDF("q_id", "term"))
+          .select($"q_id".cast("int").as("q"), $"doc_id".as("id"), $"rn")
+        val ann = all.find(_.name == "s10_sign_sketch_rerank").get
+          .build(spark, dir)
+          .where($"p_id".between(1, 4))
+          .select($"p_id".cast("int").as("q"), $"n_id".as("id"), $"rn")
+        rrfFuse(bm, ann, "q", "id", "rn", k = 5)
+          .select($"q".as("q_id"), $"rn", $"id".as("doc_id"), $"rrf")
+          .orderBy($"q_id", $"rn")
+      },
+      Some {
+        val cos = VectorFunctions.sqlCosine("p.pe", "ne.embedding")
+        val pack = "list_aggregate(list_transform(generate_series(1, 60), " +
+          "i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) " +
+          "ELSE CAST(0 AS BIGINT) END), 'sum')"
+        s"""WITH $bm25OracleCtes,
+        bmr AS (SELECT q_id AS q, doc_id AS id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY ROUND(score_u, 6) DESC, doc_id) AS INT) AS rn
+          FROM scored QUALIFY rn <= 10),
+        sigd AS (SELECT vec_id, $pack AS sig FROM embeddings),
+        p AS (SELECT e.vec_id AS p_id, e.embedding AS pe, s.sig AS psig
+          FROM embeddings e JOIN sigd s ON s.vec_id = e.vec_id
+          ORDER BY e.vec_id LIMIT 10),
+        cand AS (SELECT p.p_id, s.vec_id AS n_id,
+            ROW_NUMBER() OVER (PARTITION BY p.p_id
+              ORDER BY bit_count(xor(p.psig, s.sig)), s.vec_id) AS hrn
+          FROM p, sigd s WHERE s.vec_id <> p.p_id
+          QUALIFY hrn <= 50),
+        annr AS (SELECT c.p_id AS q, c.n_id AS id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY c.p_id
+              ORDER BY $cos DESC, c.n_id) AS INT) AS rn
+          FROM cand c
+          JOIN p ON p.p_id = c.p_id
+          JOIN embeddings ne ON ne.vec_id = c.n_id
+          QUALIFY rn <= 5),
+        annf AS (SELECT q, id, rn FROM annr WHERE q BETWEEN 1 AND 4),
+        fused AS (SELECT COALESCE(b.q, a.q) AS q, COALESCE(b.id, a.id) AS id,
+            ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + b.rn), 0) +
+                  COALESCE(CAST(1 AS DOUBLE) / (60 + a.rn), 0), 6) AS rrf
+          FROM bmr b FULL OUTER JOIN annf a ON a.q = b.q AND a.id = b.id)
+        SELECT q AS q_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY rrf DESC, id) AS INT) AS rn,
+          id AS doc_id, rrf
+        FROM fused QUALIFY rn <= 5 ORDER BY q_id, rn"""
       }
     )
   )

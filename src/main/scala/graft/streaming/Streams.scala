@@ -528,6 +528,34 @@ object Streams {
             allowedIds = allowedIds, allowedIdsCount = allowedIdsCount))
     }
 
+  /** ST23: streaming LEXICAL probe — the ST9/ST22 serving pattern
+    * over O51's stored BM25 index: each micro-batch of (q_id, term)
+    * query rows probes [[graft.operators.LexIndex.probeLexIndex]]
+    * against the persisted bucket-partitioned postings (driver-routed
+    * `bucket IN` pruning per batch — the batch's term set is
+    * trigger-bounded, so the routing table stays tiny) and the fused
+    * top-k rows append through the routed sink. The index is the
+    * state; the stream holds none — per-query results depend only on
+    * the query's own terms and the stored statistics, so micro-batch
+    * boundaries cannot change values (StreamingSpec pins stream ==
+    * batch row-for-row). The handle is re-read per batch, so an epoch
+    * rewrite (writeLexIndex) is picked up at the next trigger with
+    * fresh corpus-global statistics — never a torn mix of old
+    * postings and new df.
+    */
+  def lexProbeStream(
+      queryStream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      topK: Int = 10
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val idx = graft.operators.LexIndex.readLexIndex(batch.sparkSession, indexPath)
+        graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+          graft.operators.LexIndex.probeLexIndex(batch.toDF(), idx, k = topK))
+    }
+
   /** ST12: streaming decontamination — the ingestion-time form of
     * d16 (the ST9 serving pattern): each micro-batch of incoming docs
     * is measured against the STATIC eval-benchmark table via the

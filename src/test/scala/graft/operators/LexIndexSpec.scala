@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** O51 persisted lexical index: stored-probe parity with the
+  * corpus-rescan BM25, measured bucket pruning, epoch lifecycle, and
+  * the JVM hash twin the driver routing depends on.
+  */
+class LexIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+  private def queries = Similarity.bm25Queries.toDF("q_id", "term")
+
+  private lazy val indexPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexidx").toString
+    LexIndex.writeLexIndex(docs, dir, nBuckets = 16)
+    dir
+  }
+
+  test("hash60Jvm is bit-equal to the hash60 Column over corpus terms") {
+    val viaPlan = docs
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("t"))
+      .distinct()
+      .select(col("t"), graft.functions.PortableHash.hash60(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(viaPlan.nonEmpty)
+    viaPlan.foreach { case (t, h) =>
+      assert(graft.functions.PortableHash.hash60Jvm(t) == h, s"hash drift on '$t'")
+    }
+  }
+
+  test("stored probe == corpus-rescan BM25, both routing paths") {
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val rescan = keyed(Similarity.bm25TopK(docs, queries))
+    val idx = LexIndex.readLexIndex(spark, indexPath)
+    val driverRouted = keyed(LexIndex.probeLexIndex(queries, idx))
+    val joinRouted = keyed(LexIndex.probeLexIndex(queries, idx, routeOnDriver = false))
+    assert(driverRouted == rescan && rescan.nonEmpty,
+      s"driver-routed probe != rescan (${driverRouted.size} vs ${rescan.size})")
+    assert(joinRouted == rescan,
+      s"join-routed probe != rescan (${joinRouted.size} vs ${rescan.size})")
+  }
+
+  test("a probe reads only its query-term bucket partitions of postings AND terms") {
+    val idx = LexIndex.readLexIndex(spark, indexPath)
+    val totalBuckets = new java.io.File(
+      IndexLayout.resolveDir(spark, s"$indexPath/postings")).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(totalBuckets > 2, s"index should span several buckets, got $totalBuckets")
+    val qTerms = Similarity.bm25Queries.map(_._2).distinct
+    val qBuckets = qTerms
+      .map(t => (graft.functions.PortableHash.hash60Jvm(t) % idx.nBuckets).toInt)
+      .distinct.size
+    val probed = LexIndex.probeLexIndex(queries, idx)
+    probed.collect()
+    def partsOf(sub: String): Long = {
+      val scans = collectFileScans(probed.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(sub)))
+      assert(scans.nonEmpty, s"no $sub scan in the probe plan")
+      scans.map(_.metrics.get("numPartitions").map(_.value).getOrElse(0L)).max
+    }
+    val postParts = partsOf("postings")
+    val termParts = partsOf("terms")
+    assert(postParts <= qBuckets && postParts < totalBuckets,
+      s"probe read $postParts of $totalBuckets posting buckets (query spans $qBuckets)")
+    assert(termParts <= qBuckets && termParts < totalBuckets,
+      s"probe read $termParts of $totalBuckets term buckets (query spans $qBuckets)")
+  }
+
+  test("epoch rewrite: readers resolve the new epoch; the manifest is authoritative") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexidx2").toString
+    LexIndex.writeLexIndex(docs.where($"doc_id" < 100), dir, nBuckets = 8)
+    val i1 = LexIndex.readLexIndex(spark, dir)
+    assert(i1.nBuckets == 8 && i1.ndocs == 100)
+    // rewrite with a different corpus slice AND bucket regime — the
+    // handle re-read must see the new manifest, not caller memory
+    LexIndex.writeLexIndex(docs.where($"doc_id" < 250), dir, nBuckets = 4)
+    val i2 = LexIndex.readLexIndex(spark, dir)
+    assert(i2.nBuckets == 4 && i2.ndocs == 250,
+      s"stale epoch: nBuckets=${i2.nBuckets} ndocs=${i2.ndocs}")
+    // probe parity against the rescan of the SAME slice
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(keyed(LexIndex.probeLexIndex(queries, i2)) ==
+      keyed(Similarity.bm25TopK(docs.where($"doc_id" < 250), queries)))
+  }
+
+  private def collectFileScans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = plan match {
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      collectFileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectFileScans(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      collectFileScans(r.child)
+    case other => other.children.flatMap(collectFileScans)
+  }
+}

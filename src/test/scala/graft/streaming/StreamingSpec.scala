@@ -677,4 +677,28 @@ class StreamingSpec extends SparkTestBase {
     assert(!stateDir.exists() || stateDir.listFiles().isEmpty,
       "tokenizePackStream must hold no streaming state")
   }
+
+  test("ST23: streamed lexical probes equal the batch O51 probe across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexstream").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.operators.LexIndex.writeLexIndex(docs, s"$dir/idx", nBuckets = 16)
+    val queries = graft.operators.Similarity.bm25Queries.toDF("q_id", "term")
+    // two micro-batches: queries 1–2 then 3–4
+    queries.where($"q_id" <= 2).coalesce(1).write.parquet(s"$dir/q/f1")
+    Thread.sleep(1100)
+    queries.where($"q_id" > 2).coalesce(1).write.parquet(s"$dir/q/f2")
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/q/f*")
+    val q = graft.streaming.Streams.lexProbeStream(stream, s"$dir/idx", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = keyed(spark.read.parquet(s"$dir/out"))
+    val batch = keyed(graft.operators.LexIndex.probeLexIndex(queries,
+      graft.operators.LexIndex.readLexIndex(spark, s"$dir/idx")))
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed lexical probe != batch O51 probe (${streamed.size} vs ${batch.size})")
+  }
 }
