@@ -53,6 +53,11 @@ object GraftExpressions {
   /** Column API: text decoded from a token-ID array column (X16). */
   def bpeDecode(ids: Column): Column = column(BpeDecode(expression(ids)))
 
+  /** Column API: joined-decimal id n-grams of an int-array column in
+    * one pass (X17).
+    */
+  def idGrams(ids: Column, n: Int): Column = column(IdGrams(expression(ids), n))
+
   /** Column API: all minhash permutations of a shingle array in one
     * pass (X8).
     */
@@ -143,6 +148,56 @@ object WordShingles {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** X17: id n-grams of an int-array column as joined decimal strings
+  * ("7-12-99-…"), one pass, codegen'd — t28's gram emission. The
+  * HOF formulation (`transform(sequence(0, n-8), i -> array_join(
+  * transform(slice(ids, i+1, 8), cast), '-'))`) slices and casts with
+  * interpreted lambdas per position: O(len·n) allocations per row and
+  * no codegen. Here each gram renders digits straight into one byte
+  * buffer. Value-identical to the HOF chain (spec-pinned) and to the
+  * DuckDB `array_to_string(list_transform(ids[a:b], CAST), '-')`
+  * form, since both print decimal ints.
+  */
+case class IdGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    IdGrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.IdGrams$$.MODULE$$.compute($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): IdGrams =
+    copy(child = c)
+}
+
+object IdGrams {
+  /** Static entry shared by eval and generated code. */
+  def compute(ids: ArrayData, n: Int): ArrayData = {
+    val len = ids.numElements()
+    val m = len - n + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](m)
+    val sb = new java.lang.StringBuilder(n * 8)
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append('-')
+        sb.append(ids.getInt(j + k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 

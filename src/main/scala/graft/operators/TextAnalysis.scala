@@ -1395,12 +1395,12 @@ object TextAnalysis {
         // exact string so the oracle is collision-free.
         val toks = Tables.load(spark, dir, "documents")
           .withColumn("_ids", graft.functions.GraftExpressions.bpeEncode($"text"))
-          .withColumn("_n", size($"_ids").cast("long"))
-          .filter($"_n" >= 8)
-          .select($"doc_id", posexplode(expr(
-            "transform(sequence(CAST(0 AS BIGINT), _n - 8), " +
-              "i -> array_join(transform(slice(_ids, cast(i + 1 as int), 8), " +
-              "x -> cast(x as string)), '-'))")).as(Seq("p", "g")))
+          .filter(size($"_ids") >= 8)
+          // X17: each gram rendered in ONE codegen pass (the HOF
+          // slice/cast/join chain was interpreted per position;
+          // value equality spec-pinned in Round13Spec)
+          .select($"doc_id", posexplode(
+            graft.functions.GraftExpressions.idGrams($"_ids", 8)).as(Seq("p", "g")))
           .select($"doc_id", $"p".cast("long").as("p"), $"g")
           // one cached narrow relation feeds the count pass and the
           // coverage join (the d02 shingle pattern — without it the

@@ -79,6 +79,33 @@ class Round13Spec extends SparkTestBase {
     win.unpersist()
   }
 
+  test("X17 idGrams equals the HOF slice/cast/join chain (incl. codegen path)") {
+    val enc = docs.limit(200)
+      .withColumn("_ids", graft.functions.GraftExpressions.bpeEncode($"text"))
+      .withColumn("_n", size($"_ids").cast("long"))
+      .filter($"_n" >= 8)
+      .cache()
+    val viaX17 = enc
+      .select($"doc_id", posexplode(
+        graft.functions.GraftExpressions.idGrams($"_ids", 8)).as(Seq("p", "g")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaHof = enc
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(CAST(0 AS BIGINT), _n - 8), " +
+          "i -> array_join(transform(slice(_ids, cast(i + 1 as int), 8), " +
+          "x -> cast(x as string)), '-'))")).as(Seq("p", "g")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaX17 == viaHof && viaX17.nonEmpty,
+      s"X17 diverged from the HOF chain (${viaX17.size} vs ${viaHof.size})")
+    // short arrays emit no grams; exactly n ids emit one
+    val edge = Seq((1L, Seq(1, 2, 3)), (2L, (1 to 8).toSeq)).toDF("doc_id", "ids")
+    val got = edge.select($"doc_id",
+        graft.functions.GraftExpressions.idGrams($"ids", 8).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L).isEmpty && got(2L) == Seq("1-2-3-4-5-6-7-8"))
+    enc.unpersist()
+  }
+
   test("_LAYOUT manifest: quote/backslash-bearing seed round-trips (escaped write, unescaped read)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-esc").toString + "/shards"
     val seed = """e"poch\1"""
