@@ -348,6 +348,31 @@ object DataPipeline {
         Ops.readMergedAt(spark, ctx.str("out") + "/served", ctx.str("ver"))
       }
 
+    // ---- retrieval terminal (round 13): the same curated corpus
+    // published as a SEARCHABLE artifact — the O51 lexical index
+    // built from the capped corpus (epoch lifecycle like every other
+    // published layout), and a search cell probing it. A curation
+    // pipeline's consumers are a trainer (docs.tokenshards) AND a
+    // retrieval stack (this); both hang off the same capped cell.
+    wkf
+      .provide("docs.lexindex.{out:path}") { ctx =>
+        val out = ctx.str("out") + "/lexindex"
+        graft.operators.LexIndex.writeLexIndex(
+          ctx.as[DataFrame]("in").drop("n_grp", "cum_before"), out)
+        out
+      }
+      .depend("in" -> "docs.capped")
+    wkf
+      .provide("docs.search.{terms}.{out:path}") { ctx =>
+        // terms arrive '+'-separated in the route (the S7 cols
+        // convention); one route call = one query
+        import spark.implicits._
+        val q = ctx.str("terms").split('+').toSeq.map((1, _)).toDF("q_id", "term")
+        graft.operators.LexIndex.probeLexIndex(q,
+          graft.operators.LexIndex.readLexIndex(spark, ctx.str("out") + "/lexindex"))
+      }
+      .depend("idx" -> "docs.lexindex.{out}")
+
     // default sample rate for the packed route; override per run via
     // extra kwargs or config
     wkf.setConfig(Map("docs.packed" -> Map("pct" -> 50)))

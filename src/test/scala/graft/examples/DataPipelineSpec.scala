@@ -234,6 +234,28 @@ class DataPipelineSpec extends SparkTestBase {
     capped.unpersist(); cur.unpersist()
   }
 
+  test("the retrieval terminal: lexindex cell publishes O51, the search cell probes it") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-lex13").toString
+    val hits = wkf.run(s"docs.search.hash+join+table.$outDir")
+      .asInstanceOf[DataFrame].cache()
+    assert(hits.count() > 0 && hits.count() <= 10)
+    // the searchable corpus is the CURATED one: every hit is a capped doc
+    val capped = wkf.run("docs.capped").asInstanceOf[DataFrame]
+      .select(col("doc_id"))
+    assert(hits.select(col("doc_id")).exceptAll(capped).isEmpty,
+      "the search cell surfaced a doc the curation dropped")
+    // and the stored probe equals the rescan BM25 over the same corpus
+    import spark.implicits._
+    val q = Seq((1, "hash"), (1, "join"), (1, "table")).toDF("q_id", "term")
+    val rescan = graft.operators.Similarity.bm25TopK(
+        wkf.run("docs.capped").asInstanceOf[DataFrame].drop("n_grp", "cum_before"), q)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val served = hits
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(served == rescan, s"served=${served.size} rescan=${rescan.size}")
+    hits.unpersist()
+  }
+
   test("the source cap cell binds and respects the per-source budget") {
     val tempered = wkf.run("docs.tempered").asInstanceOf[DataFrame]
     val capped = wkf.run("docs.capped").asInstanceOf[DataFrame]
