@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.operators.{IndexLayout => IL}
+
+/** O52: the persisted token-GRAM index — t28's repeated-interval
+  * report productionized for INCREMENTAL use, the way O51 does BM25
+  * and the O13 band index does MinHash banding. t28 answers "which
+  * token intervals repeat ANYWHERE in this corpus" with one batch
+  * pass; a live ingestion pipeline asks the incremental question:
+  * "which intervals of these NEW docs duplicate the existing corpus
+  * (or each other)" — without rescanning the corpus.
+  *
+  * Layout (the O51 conventions): `grams/` holds (bucket, g, c) —
+  * per-8-gram position counts, hive `bucket=` dirs with
+  * bucket = hash60(g) mod nBuckets — under the O30 versioned-epoch
+  * lifecycle, plus a `_GRAMS` manifest (gram width, nBuckets,
+  * authoritative — the O43 discipline).
+  *
+  * Probe plan at 100 TB: the batch's grams broadcast (micro-batch /
+  * probe-doc bounded); the stored side is hit with a broadcast join
+  * keyed (bucket, g), so dynamic partition pruning restricts the scan
+  * to the batch's buckets and NOTHING corpus-scaled shuffles; a
+  * position is covered iff stored count + within-batch count ≥ 2, and
+  * the island stitching is t28's own per-doc window. Output is
+  * bounded by the batch's duplicated content.
+  *
+  * Append ([[appendGramIndex]]) lands the batch's (bucket, g, c) rows
+  * as NEW files in the current epoch — readers SUM per gram across
+  * files (replaying an at-least-once micro-batch inflates a count,
+  * never corrupts coverage semantics below the ≥2 threshold only if
+  * the replayed grams were unique singletons; exactly-once appends
+  * via ST8's replay contract where that matters), and
+  * [[compactGramIndex]] rewrites the epoch with merged counts.
+  */
+object GramIndex {
+
+  final case class GramIndexHandle(grams: DataFrame, gram: Int, nBuckets: Int)
+
+  private val MetaName = "_GRAMS"
+
+  private[operators] def gramsOf(
+      docs: DataFrame, gram: Int, nBuckets: Int): DataFrame =
+    docs
+      .withColumn("_ids", graft.functions.GraftExpressions.bpeEncode(col("text")))
+      .filter(size(col("_ids")) >= gram)
+      .select(col("doc_id"), posexplode(
+        graft.functions.GraftExpressions.idGrams(col("_ids"), gram))
+        .as(Seq("p", "g")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("g"),
+        pmod(PortableHash.hash60(col("g")), lit(nBuckets.toLong)).cast("int").as("bucket"))
+
+  def writeGramIndex(
+      docs: DataFrame,
+      path: String,
+      gram: Int = 8,
+      nBuckets: Int = 64): Unit = {
+    require(gram > 0 && nBuckets > 0, "writeGramIndex: gram and nBuckets must be > 0")
+    val spark = docs.sparkSession
+    val counts = gramsOf(docs, gram, nBuckets)
+      .groupBy(col("bucket"), col("g")).agg(count(lit(1)).as("c"))
+    val root = s"$path/grams"
+    val v = IL.nextVersion(spark, root)
+    graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", counts)
+    IL.writeMeta(spark, s"$root/$v", MetaName,
+      s"""{"gram":$gram,"nBuckets":$nBuckets}""")
+    IL.publish(spark, root, v)
+    IL.gcVersions(spark, root, keep = 1)
+  }
+
+  def readGramIndex(spark: SparkSession, path: String): GramIndexHandle = {
+    val dir = IL.resolveDir(spark, s"$path/grams")
+    val meta = IL.readMeta(spark, dir, MetaName).getOrElse(
+      sys.error(s"readGramIndex: $dir has no $MetaName manifest"))
+    def intOf(k: String): Int =
+      ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(meta).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"readGramIndex: malformed $MetaName: $meta"))
+    GramIndexHandle(spark.read.parquet(dir), intOf("gram"), intOf("nBuckets"))
+  }
+
+  /** Repeated-interval report for `batch` against the stored corpus
+    * PLUS the batch itself: a position is covered iff its gram's
+    * stored count + within-batch count ≥ 2, islands stitched per doc
+    * exactly as t28. CONTRACT: `batch` is DISJOINT from the indexed
+    * corpus (the ingestion shape — new docs against the past); under
+    * that contract the result equals t28 over (corpus ∪ batch)
+    * restricted to the batch's docs (GramIndexSpec pins the
+    * equality), with zero corpus rescans. Probing already-indexed
+    * docs double-counts their own grams (stored AND batch side) and
+    * over-covers — don't. Output: (doc_id, start_pos, end_pos,
+    * len_tokens).
+    */
+  def probeGramIndex(batch: DataFrame, index: GramIndexHandle): DataFrame = {
+    val bg = gramsOf(batch, index.gram, index.nBuckets)
+      // one cached narrow relation: the coverage join and the
+      // within-batch counts both consume it
+      .cache()
+    val batchCounts = bg.groupBy(col("bucket"), col("g"))
+      .agg(count(lit(1)).as("bc"))
+    val stored = index.grams
+      // group per gram at read time: an appended epoch holds several
+      // files per gram (see appendGramIndex); the sum restores the
+      // one-row-per-gram contract
+      .groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("sc"))
+      .join(broadcast(batchCounts.select(col("bucket"), col("g"))), Seq("bucket", "g"))
+    val covered = bg
+      .join(broadcast(batchCounts), Seq("bucket", "g"))
+      .join(stored, Seq("bucket", "g"), "left")
+      .withColumn("_tot", coalesce(col("sc"), lit(0L)) + col("bc"))
+      .where(col("_tot") >= 2)
+      .select(col("doc_id"), col("p"))
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val out = covered
+      .withColumn("_grp", col("p") - row_number().over(wI))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(
+        min(col("p")).as("start_pos"),
+        (max(col("p")) + (index.gram - 1).toLong).as("end_pos"),
+        (max(col("p")) - min(col("p")) + index.gram.toLong).as("len_tokens"))
+      .select(col("doc_id"), col("start_pos"), col("end_pos"), col("len_tokens"))
+    out
+  }
+
+  /** Day-2 ingestion: land the batch's gram counts as new files in
+    * the CURRENT epoch (no read-modify-write — readers sum per gram).
+    * Validated against the manifest's gram/nBuckets, never trusted
+    * from the caller (none are taken).
+    */
+  def appendGramIndex(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val idx = readGramIndex(spark, path)
+    val dir = IL.resolveDir(spark, s"$path/grams")
+    val counts = gramsOf(batch, idx.gram, idx.nBuckets)
+      .groupBy(col("bucket"), col("g")).agg(count(lit(1)).as("c"))
+    graft.sinks.RoutedSink.standard().write(s"parquet-append:$dir:by:bucket", counts)
+  }
+
+  /** Epoch repair: rewrite with one merged row per gram (append files
+    * summed), restoring probe-side read efficiency. Atomic publish.
+    */
+  def compactGramIndex(spark: SparkSession, path: String): Unit = {
+    val idx = readGramIndex(spark, path)
+    val merged = idx.grams.groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("c"))
+    val root = s"$path/grams"
+    val v = IL.nextVersion(spark, root)
+    graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", merged)
+    IL.writeMeta(spark, s"$root/$v", MetaName,
+      s"""{"gram":${idx.gram},"nBuckets":${idx.nBuckets}}""")
+    IL.publish(spark, root, v)
+    IL.gcVersions(spark, root, keep = 1)
+  }
+}

@@ -556,6 +556,40 @@ object Streams {
           graft.operators.LexIndex.probeLexIndex(batch.toDF(), idx, k = topK))
     }
 
+  /** ST24: streaming repeated-interval detection — t28's memorization
+    * report at INGESTION, over O52's stored gram index: each
+    * micro-batch of documents is probed against the persisted gram
+    * counts (covered iff stored + within-batch occurrences ≥ 2,
+    * islands per doc — the probe plan broadcasts only the batch's
+    * gram set, DPP-pruning the stored buckets), the intervals append
+    * through the routed sink, and THEN the batch's own gram counts
+    * append into the index — so later batches see earlier ones (the
+    * probe-before-append order keeps each batch's contract: new docs
+    * vs the past + themselves, never double-counted). The index is
+    * the state; the stream holds none. At-least-once caveat: a
+    * replayed batch re-appends its counts (inflating them — coverage
+    * can only widen, toward flagging a replayed singleton as
+    * repeated); route through ST8's replay contract where
+    * exactly-once matters, and O52 compaction merges the files
+    * either way.
+    */
+  def gramProbeStream(
+      docStream: DataFrame,
+      indexPath: String,
+      outPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val df = batch.toDF().cache()
+        try {
+          val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
+          graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+            graft.operators.GramIndex.probeGramIndex(df, idx))
+          graft.operators.GramIndex.appendGramIndex(df, indexPath)
+        } finally df.unpersist()
+    }
+
   /** ST12: streaming decontamination — the ingestion-time form of
     * d16 (the ST9 serving pattern): each micro-batch of incoming docs
     * is measured against the STATIC eval-benchmark table via the

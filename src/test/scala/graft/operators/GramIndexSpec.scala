@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** O52 persisted gram index: incremental repeated-interval probing
+  * equals the batch t28 over the union corpus; append + compaction
+  * keep counts coherent.
+  */
+class GramIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  private def keyed(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("disjoint probe == t28 over the union, restricted to the batch docs") {
+    val corpus = docs.where($"doc_id" < 400)
+    val batch = docs.where($"doc_id" >= 400)
+    assert(batch.count() > 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx").toString
+    GramIndex.writeGramIndex(corpus, dir, gram = 8, nBuckets = 16)
+    val probe = keyed(GramIndex.probeGramIndex(batch,
+      GramIndex.readGramIndex(spark, dir)))
+    // the t28 truth over corpus UNION batch (= all docs), batch slice
+    val truth = keyed(graft.SparkEntry.queries("t28_suffix_dup")(spark, sfDir)
+      .where($"doc_id" >= 400))
+    assert(probe == truth && probe.nonEmpty,
+      s"incremental probe != batch t28 slice (${probe.size} vs ${truth.size})")
+  }
+
+  test("append makes day-2 duplicates visible; compaction preserves probe results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx2").toString
+    // seed corpus: two docs with unique-ish text
+    val seed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    GramIndex.writeGramIndex(seed, dir, gram = 8, nBuckets = 4)
+    // day-2 doc copies doc 1 verbatim: against the seed index its
+    // whole token range is a repeated interval
+    val day2 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val r1 = keyed(GramIndex.probeGramIndex(day2, GramIndex.readGramIndex(spark, dir)))
+    assert(r1.exists(_._1 == 10L), s"verbatim copy not flagged: $r1")
+    // append day2, then a day-3 doc that copies DAY-2 content (absent
+    // from the seed) must be flagged purely via the appended counts
+    GramIndex.appendGramIndex(day2, dir)
+    val day3 = Seq((20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val r2 = keyed(GramIndex.probeGramIndex(day3, GramIndex.readGramIndex(spark, dir)))
+    assert(r2.exists(_._1 == 20L))
+    // compaction: merged counts, identical probe results
+    GramIndex.compactGramIndex(spark, dir)
+    val idx = GramIndex.readGramIndex(spark, dir)
+    val r3 = keyed(GramIndex.probeGramIndex(day3, idx))
+    assert(r3 == r2, s"compaction changed probe results ($r3 vs $r2)")
+    // and the compacted epoch holds one row per gram
+    val dup = idx.grams.groupBy($"bucket", $"g").count().where($"count" > 1)
+    assert(dup.isEmpty, "compacted epoch still holds split gram rows")
+  }
+
+  test("a doc with no duplicated grams yields no intervals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx3").toString
+    GramIndex.writeGramIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"), dir, gram = 8, nBuckets = 4)
+    val fresh = Seq((2L, "completely different words that never appeared before anywhere today"))
+      .toDF("doc_id", "text")
+    assert(GramIndex.probeGramIndex(fresh,
+      GramIndex.readGramIndex(spark, dir)).isEmpty)
+  }
+}

@@ -678,6 +678,46 @@ class StreamingSpec extends SparkTestBase {
       "tokenizePackStream must hold no streaming state")
   }
 
+  test("ST24: streamed gram probes equal sequential batch probe+append; later batches see earlier ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramstream").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    // seed index: the first 300 docs; stream the rest in two batches
+    graft.operators.GramIndex.writeGramIndex(
+      docs.where($"doc_id" < 300), s"$dir/idx", gram = 8, nBuckets = 8)
+    val b1 = docs.where($"doc_id" >= 300 && $"doc_id" < 400)
+      .select($"doc_id", $"text")
+    val b2 = docs.where($"doc_id" >= 400).select($"doc_id", $"text")
+    b1.coalesce(1).write.parquet(s"$dir/in/f1")
+    Thread.sleep(1100)
+    b2.coalesce(1).write.parquet(s"$dir/in/f2")
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/f*")
+    val q = graft.streaming.Streams.gramProbeStream(stream, s"$dir/idx", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = keyed(spark.read.parquet(s"$dir/out"))
+    // sequential replay: probe b1 vs seed, append; probe b2 vs seed+b1
+    val rdir = java.nio.file.Files.createTempDirectory("graft-gramreplay").toString
+    graft.operators.GramIndex.writeGramIndex(
+      docs.where($"doc_id" < 300), s"$rdir/idx", gram = 8, nBuckets = 8)
+    val i1 = graft.operators.GramIndex.readGramIndex(spark, s"$rdir/idx")
+    val r1 = keyed(graft.operators.GramIndex.probeGramIndex(b1, i1))
+    graft.operators.GramIndex.appendGramIndex(b1, s"$rdir/idx")
+    val i2 = graft.operators.GramIndex.readGramIndex(spark, s"$rdir/idx")
+    val r2 = keyed(graft.operators.GramIndex.probeGramIndex(b2, i2))
+    assert(streamed == (r1 ++ r2) && streamed.nonEmpty,
+      s"streamed=${streamed.size} replay=${(r1 ++ r2).size}")
+    // cross-batch visibility: the streamed index now covers b1's
+    // content, so a b1-duplicating doc probes as fully repeated
+    val echo = b1.limit(1).select(lit(999999L).as("doc_id"), $"text")
+    val flagged = graft.operators.GramIndex.probeGramIndex(echo,
+      graft.operators.GramIndex.readGramIndex(spark, s"$dir/idx"))
+    assert(flagged.count() > 0, "a doc duplicating batch-1 content was not flagged")
+  }
+
   test("ST23: streamed lexical probes equal the batch O51 probe across micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lexstream").toString
