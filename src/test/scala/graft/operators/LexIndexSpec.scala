@@ -71,6 +71,30 @@ class LexIndexSpec extends SparkTestBase {
       s"probe read $termParts of $totalBuckets term buckets (query spans $qBuckets)")
   }
 
+  test("STORED hybrid serving == the in-query s14: O51 lexical probe x O46 binary probe, RRF-fused") {
+    // the production serving path end-to-end from PERSISTED indexes:
+    // BM25 from the lexical index, ANN from the sign-sketch sidecar
+    // at nprobe = k (every cell probed — the parity regime), fused by
+    // rrfFuse — must reproduce the oracle-gated in-query s14 exactly
+    val annDir = java.nio.file.Files.createTempDirectory("graft-hybrid-ann").toString
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", annDir,
+      k = 16, m = 4, kSub = 8, storeSigs = true)
+    val bm = LexIndex.probeLexIndex(queries, LexIndex.readLexIndex(spark, indexPath))
+      .select(col("q_id").cast("int").as("q"), col("doc_id").as("id"), col("rn"))
+    val probes = emb.orderBy(col("vec_id")).limit(10)
+    val ann = Ops.probeSignIndex(probes, "vec_id", "embedding",
+        Ops.readAnnIndex(spark, annDir), nprobe = 16, hammingTopM = 50, topK = 5)
+      .where(col("p_id").between(1, 4))
+      .select(col("p_id").cast("int").as("q"), col("n_id").as("id"), col("rn"))
+    val stored = Similarity.rrfFuse(bm, ann, "q", "id", "rn", k = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inQuery = graft.SparkEntry.queries("s14_hybrid_rrf")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(stored == inQuery && stored.nonEmpty,
+      s"stored hybrid != in-query s14 (${stored.size} vs ${inQuery.size})")
+  }
+
   test("epoch rewrite: readers resolve the new epoch; the manifest is authoritative") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lexidx2").toString
     LexIndex.writeLexIndex(docs.where($"doc_id" < 100), dir, nBuckets = 8)
