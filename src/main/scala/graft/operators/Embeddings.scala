@@ -548,6 +548,61 @@ object Embeddings {
     ),
 
     Q(
+      "e11_knn_label_eval",
+      "k-NN label-coherence eval: majority label of the 5 nearest neighbors vs the doc's own label, per probe",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        // The embedding-quality measurement a curation pipeline runs
+        // before trusting an embedding column for dedup/clustering/
+        // retrieval: if a vector's nearest neighbors don't share its
+        // label, distance in this space doesn't encode the structure
+        // downstream operators assume. Probes are a deterministic
+        // corpus slice (vec_id % 40 = 0 — bounded at any scale);
+        // neighbors = exact cosine top-5 over the full corpus
+        // (probes broadcast, corpus scanned once — s01's bounded
+        // shape; at 100 TB swap the brute-force leg for
+        // probeAnnIndex, the measurement is the same); prediction =
+        // majority vote with the deterministic (votes desc, label
+        // asc) tiebreak, so both engines rank ties identically.
+        val e = Tables.load(spark, dir, "embeddings")
+        val probes = e.where($"vec_id" % 40 === 0)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"), $"label".as("true_label"))
+        val cand = e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"label".as("n_label"))
+        val wP = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
+        val wV = Window.partitionBy($"p_id").orderBy($"v".desc, $"n_label")
+        cand.join(broadcast(probes), $"n_id" =!= $"p_id")
+          .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
+          .withColumn("rn", row_number().over(wP))
+          .filter($"rn" <= 5)
+          .groupBy($"p_id", $"true_label", $"n_label")
+          .agg(count(lit(1)).as("v"))
+          .withColumn("vr", row_number().over(wV))
+          .filter($"vr" === 1)
+          .select($"p_id", $"true_label", $"n_label".as("pred_label"),
+            $"v".cast("int").as("n_votes"),
+            when($"n_label" === $"true_label", 1).otherwise(0).cast("int").as("correct"))
+          .orderBy($"p_id")
+      },
+      Some {
+        val cos = VectorFunctions.sqlCosine("p.pe", "e.embedding")
+        s"""WITH p AS (SELECT vec_id AS p_id, embedding AS pe, label AS true_label
+          FROM embeddings WHERE vec_id % 40 = 0),
+        top AS (SELECT p_id, true_label, e.label AS n_label,
+            ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY $cos DESC, e.vec_id) AS rn
+          FROM p, embeddings e WHERE e.vec_id <> p_id
+          QUALIFY rn <= 5),
+        v AS (SELECT p_id, true_label, n_label, CAST(COUNT(*) AS BIGINT) AS v
+          FROM top GROUP BY 1, 2, 3)
+        SELECT p_id, true_label, n_label AS pred_label, CAST(v AS INT) AS n_votes,
+          CAST(CASE WHEN n_label = true_label THEN 1 ELSE 0 END AS INT) AS correct
+        FROM v
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY v DESC, n_label) = 1
+        ORDER BY p_id"""
+      }
+    ),
+
+    Q(
       "e10_train_classifier",
       "TRAIN the curation classifier (3-iter batch perceptron, exact int64), score every doc with the learned weights",
       (spark, dir) => {

@@ -35,6 +35,32 @@ class PerceptronSpec extends SparkTestBase {
     }
   }
 
+  test("e11's scale path: predictions from stored-index neighbors == the brute-force leg") {
+    // the query's scaladoc claims the brute-force neighbor leg swaps
+    // for probeAnnIndex at scale with the same measurement — pin it:
+    // at nprobe=k with full refine the stored index returns the exact
+    // top-5, so the majority votes (and thus every e11 row) agree
+    val emb = graft.tables.Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-e11-ann").toString
+    Ops.writeAnnIndex(emb, "vec_id", "embedding", dir, k = 16, m = 4, kSub = 8)
+    val probes = emb.where($"vec_id" % 40 === 0)
+    val nCorpus = emb.count().toInt
+    val annTop = Ops.probeAnnIndex(probes, "vec_id", "embedding",
+        Ops.readAnnIndex(spark, dir), nprobe = 16, topK = 5, refine = nCorpus)
+      .select($"p_id", $"n_id")
+      .join(emb.select($"vec_id".as("n_id"), $"label".as("n_label")), "n_id")
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p_id").orderBy($"v".desc, $"n_label")
+    val annPred = annTop.groupBy($"p_id", $"n_label").agg(count(lit(1)).as("v"))
+      .withColumn("vr", row_number().over(wV)).filter($"vr" === 1)
+      .select($"p_id", $"n_label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = graft.SparkEntry.queries("e11_knn_label_eval")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(annPred == brute && brute.nonEmpty,
+      s"ANN-leg predictions diverge (${annPred.size} vs ${brute.size})")
+  }
+
   test("e10 scoring leg == driver-side replay of w . xq (exact ints)") {
     val emb = graft.tables.Tables.load(spark, sfDir, "embeddings")
     val w = Embeddings.trainPerceptron(emb)
