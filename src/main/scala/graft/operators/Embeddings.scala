@@ -682,10 +682,22 @@ object Embeddings {
     * broadcast discipline — the weights ARE the model, they never
     * scale with the corpus). Returns the dim+1 weights (bias last).
     */
+  /** Loud guard shared by train and score: zip_with pads a
+    * shorter-than-expected vector with nulls, which would SILENTLY
+    * turn every fold into null — all-zero weights out of training,
+    * every doc classified -1 — instead of an error.
+    */
+  private def requireDim(
+      emb: org.apache.spark.sql.DataFrame, dim: Int, op: String): Unit =
+    emb.select(size(col("embedding")).as("d")).limit(1).collect().headOption
+      .foreach(r => require(r.getInt(0) == dim,
+        s"$op: embedding dim ${r.getInt(0)} != expected $dim"))
+
   def trainPerceptron(
       emb: org.apache.spark.sql.DataFrame,
       iters: Int = 3,
       dim: Int = 64): Array[Long] = {
+    requireDim(emb, dim, "trainPerceptron")
     val ev = emb.select(col("vec_id"), perceptronXq.as("xq"), perceptronY.as("y"))
     var w = Array.fill(dim + 1)(0L)
     for (_ <- 1 to iters) {
@@ -707,6 +719,7 @@ object Embeddings {
   def perceptronScore(
       emb: org.apache.spark.sql.DataFrame,
       w: Array[Long]): org.apache.spark.sql.DataFrame = {
+    requireDim(emb, w.length - 1, "perceptronScore")
     val wLit = w.mkString("array(CAST(", " AS BIGINT), CAST(", " AS BIGINT))")
     emb.select(col("vec_id"), col("label"),
       perceptronY.cast("int").as("y"),

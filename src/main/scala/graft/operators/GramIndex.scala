@@ -93,18 +93,25 @@ object GramIndex {
     * len_tokens).
     */
   def probeGramIndex(batch: DataFrame, index: GramIndexHandle): DataFrame = {
+    // NOT cached: the batch is trigger/probe-bounded, so recomputing
+    // its grams for the two consumers below is cheap — while a cache
+    // here would leak one pinned relation per micro-batch in a
+    // long-running gramProbeStream (nothing could unpersist it after
+    // the lazy result frame escapes this call)
     val bg = gramsOf(batch, index.gram, index.nBuckets)
-      // one cached narrow relation: the coverage join and the
-      // within-batch counts both consume it
-      .cache()
     val batchCounts = bg.groupBy(col("bucket"), col("g"))
       .agg(count(lit(1)).as("bc"))
     val stored = index.grams
-      // group per gram at read time: an appended epoch holds several
-      // files per gram (see appendGramIndex); the sum restores the
-      // one-row-per-gram contract
+      // restrict FIRST (broadcast semi-join on the batch's gram set,
+      // which also lets DPP prune the bucket dirs at the scan), THEN
+      // sum per gram — an appended epoch holds several files per gram
+      // (see appendGramIndex) and the sum restores the
+      // one-row-per-gram contract over the (batch-bounded) survivors.
+      // Aggregating below the join would scan+shuffle the whole
+      // corpus-scaled index on every probe.
+      .join(broadcast(batchCounts.select(col("bucket"), col("g"))),
+        Seq("bucket", "g"), "left_semi")
       .groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("sc"))
-      .join(broadcast(batchCounts.select(col("bucket"), col("g"))), Seq("bucket", "g"))
     val covered = bg
       .join(broadcast(batchCounts), Seq("bucket", "g"))
       .join(stored, Seq("bucket", "g"), "left")

@@ -9,12 +9,14 @@ import graft.operators.{IndexLayout => IL}
   * rescan, the same productionization step the ANN path got in O29/
   * O46. [[Similarity.bm25TopK]] recomputes tf/df/doc-lengths from the
   * corpus per call; a serving stack builds them ONCE and probes a
-  * stored, bucket-partitioned layout:
+  * stored, bucket-partitioned layout — ONE versioned epoch holds all
+  * of it (a reader can never pair new postings with old doclens):
   *
-  *   - `postings/`  (bucket, term, doc_id, tf)   hive `bucket=` dirs
-  *   - `terms/`     (bucket, term, df)           hive `bucket=` dirs
-  *   - `doclens/`   (doc_id, dl)
-  *   - `_LEXSTATS`  manifest: exact-int ndocs/ntok + nBuckets + idCol
+  *   store/vNNN/postings/  (bucket, term, doc_id, tf)  hive `bucket=` dirs
+  *   store/vNNN/terms/     (bucket, term, df)          hive `bucket=` dirs
+  *   store/vNNN/doclens/   (doc_id, dl)
+  *   store/vNNN/_LEXSTATS  manifest: exact-int ndocs/ntok + nBuckets + idCol
+  *                         (written BEFORE the publish flip)
   *
   * bucket = hash60(term) mod nBuckets, so a probe touches ONLY the
   * bucket directories its query terms hash to — at 100 TB the
@@ -56,14 +58,19 @@ object LexIndex {
       nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"writeLexIndex: nBuckets must be > 0, got $nBuckets")
     val spark = docs.sparkSession
+    // one cached narrow relation feeds FOUR consumers (stats head,
+    // postings write, terms agg, doclens write) — the d02/t28 cache
+    // discipline; without it the corpus explode runs four times
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("term"))
+      .cache()
     val bucketOf =
       pmod(PortableHash.hash60(col("term")), lit(nBuckets.toLong)).cast("int")
     val post = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", bucketOf)
       .select(col("bucket"), col("term"), col("doc_id"), col("tf"))
+      .cache()
     val terms = post.groupBy(col("bucket"), col("term"))
       .agg(count(lit(1)).as("df"))
     val dls = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -72,36 +79,38 @@ object LexIndex {
       count(lit(1)).as("ndocs")).head()
     val (ntok, ndocs) = (statsRow.getLong(0), statsRow.getLong(1))
 
-    def publish(sub: String, df: DataFrame, byBucket: Boolean): String = {
-      val root = s"$path/$sub"
-      val v = IL.nextVersion(spark, root)
-      if (byBucket)
-        graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", df)
-      else df.write.mode("overwrite").parquet(s"$root/$v")
-      val dir = s"$root/$v"
-      IL.publish(spark, root, v)
-      IL.gcVersions(spark, root, keep = 1)
-      dir
-    }
-    val postDir = publish("postings", post, byBucket = true)
-    publish("terms", terms, byBucket = true)
-    publish("doclens", dls, byBucket = false)
-    IL.writeMeta(spark, postDir, MetaName,
-      s"""{"ndocs":$ndocs,"ntok":$ntok,"nBuckets":$nBuckets,"idCol":"$idCol"}""")
+    // ONE versioned root holds all three stores, so readers can never
+    // pair new postings with old doclens (a torn cross-store read
+    // would silently drop/mis-normalize docs); the manifest lands
+    // BEFORE the atomic publish flip, so a published epoch is always
+    // readable, even across a writer crash mid-sequence
+    val root = s"$path/store"
+    val v = IL.nextVersion(spark, root)
+    val sink = graft.sinks.RoutedSink.standard()
+    sink.write(s"parquet:$root/$v/postings:by:bucket", post)
+    sink.write(s"parquet:$root/$v/terms:by:bucket", terms)
+    dls.write.mode("overwrite").parquet(s"$root/$v/doclens")
+    IL.writeMeta(spark, s"$root/$v", MetaName,
+      s"""{"ndocs":$ndocs,"ntok":$ntok,"nBuckets":$nBuckets,""" +
+        s""""idCol":"${Ops.jsonEscape(idCol)}"}""")
+    IL.publish(spark, root, v)
+    IL.gcVersions(spark, root, keep = 1)
+    post.unpersist(); tok.unpersist()
   }
 
-  /** Resolve the CURRENT epoch of each store + the stats manifest. */
+  /** Resolve the CURRENT epoch (one atomic flip covers postings,
+    * terms, doclens AND the stats manifest). */
   def readLexIndex(spark: SparkSession, path: String): LexIndexHandle = {
-    val postDir = IL.resolveDir(spark, s"$path/postings")
-    val meta = IL.readMeta(spark, postDir, MetaName).getOrElse(
-      sys.error(s"readLexIndex: $postDir has no $MetaName manifest"))
+    val dir = IL.resolveDir(spark, s"$path/store")
+    val meta = IL.readMeta(spark, dir, MetaName).getOrElse(
+      sys.error(s"readLexIndex: $dir has no $MetaName manifest"))
     def longOf(k: String): Long =
       ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(meta).map(_.group(1).toLong)
         .getOrElse(sys.error(s"readLexIndex: malformed $MetaName: $meta"))
     LexIndexHandle(
-      postings = spark.read.parquet(postDir),
-      terms = spark.read.parquet(IL.resolveDir(spark, s"$path/terms")),
-      doclens = spark.read.parquet(IL.resolveDir(spark, s"$path/doclens")),
+      postings = spark.read.parquet(s"$dir/postings"),
+      terms = spark.read.parquet(s"$dir/terms"),
+      doclens = spark.read.parquet(s"$dir/doclens"),
       ndocs = longOf("ndocs"),
       ntok = longOf("ntok"),
       nBuckets = longOf("nBuckets").toInt)

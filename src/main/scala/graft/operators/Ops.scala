@@ -2189,7 +2189,7 @@ object Ops {
       s"""{"nShards":$nShards,"seed":"${jsonEscape(seed)}"$idPart$scPart}""")
   }
 
-  private def jsonEscape(s: String): String =
+  private[operators] def jsonEscape(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   private def jsonUnescape(s: String): String =

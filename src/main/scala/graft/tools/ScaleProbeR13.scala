@@ -57,7 +57,6 @@ object ScaleProbeR13 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Dedup, Ops}

@@ -33,7 +33,6 @@ object ScaleProbeR13b {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

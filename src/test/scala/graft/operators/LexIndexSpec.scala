@@ -48,7 +48,7 @@ class LexIndexSpec extends SparkTestBase {
   test("a probe reads only its query-term bucket partitions of postings AND terms") {
     val idx = LexIndex.readLexIndex(spark, indexPath)
     val totalBuckets = new java.io.File(
-      IndexLayout.resolveDir(spark, s"$indexPath/postings")).listFiles()
+      IndexLayout.resolveDir(spark, s"$indexPath/store") + "/postings").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(totalBuckets > 2, s"index should span several buckets, got $totalBuckets")
     val qTerms = Similarity.bm25Queries.map(_._2).distinct

@@ -81,6 +81,19 @@ if "queries" not in d:
                 full = cand
         except (OSError, json.JSONDecodeError):
             pass
+        # same-run check: the compact summary carries the run's total
+        # and query count — a stale BENCH.out.json left over from an
+        # earlier run must NOT silently become the gate for this one
+        if full is not None and (
+                full.get("n_queries") != inner.get("n_queries")
+                or abs(float(full.get("value", -1)) - float(inner.get("value", -2)))
+                > 0.01):
+            print(f"[warn] {inner['full']} next to {bench_path} is from a "
+                  f"DIFFERENT run (total {full.get('value')}/"
+                  f"{full.get('n_queries')}q vs the wrapper's "
+                  f"{inner.get('value')}/{inner.get('n_queries')}q) — "
+                  "refusing to substitute it")
+            full = None
         if full is not None:
             print(f"[info] following compact summary's full artifact "
                   f"{inner['full']}: gating {len(full['queries'])} queries "
