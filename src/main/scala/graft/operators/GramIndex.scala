@@ -61,9 +61,18 @@ object GramIndex {
     val spark = docs.sparkSession
     val counts = gramsOf(docs, gram, nBuckets)
       .groupBy(col("bucket"), col("g")).agg(count(lit(1)).as("c"))
+      .cache()
+    // a zero-gram corpus (empty, or all docs shorter than `gram`)
+    // would publish an epoch whose zero-row hive store carries no
+    // schema — unreadable at the first probe; fail loudly instead
+    require(counts.limit(1).count() > 0,
+      "writeGramIndex: the corpus yields no grams (empty, or every " +
+        s"doc shorter than $gram tokens) — refusing to publish an " +
+        "unreadable epoch; guard upstream")
     val root = s"$path/grams"
     val v = IL.nextVersion(spark, root)
     graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", counts)
+    counts.unpersist()
     IL.writeMeta(spark, s"$root/$v", MetaName,
       s"""{"gram":$gram,"nBuckets":$nBuckets}""")
     IL.publish(spark, root, v)

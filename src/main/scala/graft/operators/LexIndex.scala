@@ -78,6 +78,13 @@ object LexIndex {
       coalesce(sum(col("dl")), lit(0L)).as("ntok"),
       count(lit(1)).as("ndocs")).head()
     val (ntok, ndocs) = (statsRow.getLong(0), statsRow.getLong(1))
+    // an index over nothing would publish an epoch whose zero-row
+    // hive-partitioned stores carry no schema (unreadable) and whose
+    // BM25 statistics are undefined (avgdl = 0/0) — fail loudly at
+    // build time rather than at some later probe
+    require(ndocs > 0,
+      "writeLexIndex: the corpus is empty — refusing to publish an " +
+        "unreadable/statistics-free epoch; guard upstream")
 
     // ONE versioned root holds all three stores, so readers can never
     // pair new postings with old doclens (a torn cross-store read

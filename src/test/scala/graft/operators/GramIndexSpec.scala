@@ -63,6 +63,20 @@ class GramIndexSpec extends SparkTestBase {
     assert(dup.isEmpty, "compacted epoch still holds split gram rows")
   }
 
+  test("edge cases: empty batch probes empty; sub-gram docs contribute nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramidx4").toString
+    GramIndex.writeGramIndex(docs.where($"doc_id" < 50), dir, gram = 8, nBuckets = 4)
+    val idx = GramIndex.readGramIndex(spark, dir)
+    assert(GramIndex.probeGramIndex(docs.where($"doc_id" < 0), idx).isEmpty)
+    // a batch of only sub-8-token docs has no grams -> no intervals,
+    // and appending it is a no-op for later probes
+    val tiny = Seq((100L, "a b c")).toDF("doc_id", "text")
+    assert(GramIndex.probeGramIndex(tiny, idx).isEmpty)
+    GramIndex.appendGramIndex(tiny, dir)
+    assert(GramIndex.probeGramIndex(tiny,
+      GramIndex.readGramIndex(spark, dir)).isEmpty)
+  }
+
   test("a doc with no duplicated grams yields no intervals") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gramidx3").toString
     GramIndex.writeGramIndex(

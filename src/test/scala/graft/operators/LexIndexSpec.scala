@@ -113,6 +113,23 @@ class LexIndexSpec extends SparkTestBase {
       keyed(Similarity.bm25TopK(docs.where($"doc_id" < 250), queries)))
   }
 
+  test("edge cases: unmatched terms probe empty; an empty corpus is refused loudly") {
+    val idx = LexIndex.readLexIndex(spark, indexPath)
+    val ghost = Seq((1, "zzznotaword"), (1, "alsonotaword")).toDF("q_id", "term")
+    assert(LexIndex.probeLexIndex(ghost, idx).isEmpty)
+    assert(LexIndex.probeLexIndex(ghost, idx, routeOnDriver = false).isEmpty)
+    // an empty corpus would publish an epoch whose zero-row hive
+    // stores carry no schema (unreadable at the first probe) and
+    // whose avgdl is 0/0 — the writer must refuse, not half-publish
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexempty").toString
+    val e = intercept[IllegalArgumentException] {
+      LexIndex.writeLexIndex(docs.where($"doc_id" < 0), dir, nBuckets = 4)
+    }
+    assert(e.getMessage.contains("empty"))
+    // ...and nothing was published: the path has no resolvable epoch
+    intercept[RuntimeException] { LexIndex.readLexIndex(spark, dir) }
+  }
+
   private def collectFileScans(plan: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = plan match {
     case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
