@@ -557,17 +557,21 @@ object Embeddings {
         // before trusting an embedding column for dedup/clustering/
         // retrieval: if a vector's nearest neighbors don't share its
         // label, distance in this space doesn't encode the structure
-        // downstream operators assume. Probes are a deterministic
-        // corpus slice (vec_id % 40 = 0 — bounded at any scale);
-        // neighbors = exact cosine top-5 over the full corpus
-        // (probes broadcast, corpus scanned once — s01's bounded
-        // shape; at 100 TB swap the brute-force leg for
-        // probeAnnIndex, the measurement is the same); prediction =
-        // majority vote with the deterministic (votes desc, label
-        // asc) tiebreak, so both engines rank ties identically.
+        // downstream operators assume. The eval only needs a
+        // statistically FIXED sample, so probes are a deterministic
+        // hash-ranked top-50 (the t20/O11 sampling discipline:
+        // hash60(vec_id) orders the corpus engine-neutrally, limit
+        // takes a fixed count) — a TakeOrderedAndProject, never a
+        // full sort, and the broadcast side is 50 rows at ANY corpus
+        // size, unlike a modulo slice that grows with the corpus.
+        // Neighbors = exact cosine top-5 over the full corpus (probes
+        // broadcast, corpus scanned once — s01's bounded shape; at
+        // 100 TB swap the brute-force leg for probeAnnIndex, the
+        // measurement is the same); prediction = majority vote with
+        // the deterministic (votes desc, label asc) tiebreak, so both
+        // engines rank ties identically.
         val e = Tables.load(spark, dir, "embeddings")
-        val probes = e.where($"vec_id" % 40 === 0)
-          .select($"vec_id".as("p_id"), $"embedding".as("pe"), $"label".as("true_label"))
+        val probes = e11Probes(e)
         val cand = e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"label".as("n_label"))
         val wP = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
         val wV = Window.partitionBy($"p_id").orderBy($"v".desc, $"n_label")
@@ -587,7 +591,9 @@ object Embeddings {
       Some {
         val cos = VectorFunctions.sqlCosine("p.pe", "e.embedding")
         s"""WITH p AS (SELECT vec_id AS p_id, embedding AS pe, label AS true_label
-          FROM embeddings WHERE vec_id % 40 = 0),
+          FROM embeddings
+          ORDER BY ${graft.functions.PortableHash.sqlHash60("CAST(vec_id AS VARCHAR)")}, vec_id
+          LIMIT 50),
         top AS (SELECT p_id, true_label, e.label AS n_label,
             ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY $cos DESC, e.vec_id) AS rn
           FROM p, embeddings e WHERE e.vec_id <> p_id
@@ -662,6 +668,23 @@ object Embeddings {
     )
   )
 
+  /** e11's probe set: a deterministic hash-ranked top-[[E11Probes]]
+    * sample of the corpus (the t20/O11 sampling discipline). ONE
+    * definition shared by the query and PerceptronSpec's ANN-leg pin
+    * so the two can't drift. Fixed-COUNT, not fixed-rate: the plan is
+    * a TakeOrderedAndProject over hash60(vec_id), so the broadcast
+    * side is exactly [[E11Probes]] rows at any corpus size.
+    */
+  private[operators] val E11Probes = 50
+  private[operators] def e11Probes(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb
+      .orderBy(graft.functions.PortableHash.hash60(col("vec_id").cast("string")),
+        col("vec_id"))
+      .limit(E11Probes)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pe"),
+        col("label").as("true_label"))
+
   /** Quantized feature vector for the perceptron: round(x·1000) per
     * dim plus a constant bias feature 1000 — all-int64 so every
     * downstream product and sum is exact. */
@@ -688,10 +711,21 @@ object Embeddings {
     * every doc classified -1 — instead of an error.
     */
   private def requireDim(
-      emb: org.apache.spark.sql.DataFrame, dim: Int, op: String): Unit =
-    emb.select(size(col("embedding")).as("d")).limit(1).collect().headOption
-      .foreach(r => require(r.getInt(0) == dim,
-        s"$op: embedding dim ${r.getInt(0)} != expected $dim"))
+      emb: org.apache.spark.sql.DataFrame, dim: Int, op: String): Unit = {
+    // validate EVERY row's dim in one combinable aggregate (min=max=dim),
+    // not a limit(1) sample: a mixed-dim corpus would pass a sampled
+    // guard and then zip_with would null-pad the folds — misclassified
+    // rows silently vanishing from updates, null scores out of
+    // inference — the exact silent failure this guard exists to stop.
+    // Cost: one map-side-combinable min/max pass, trivial next to the
+    // training/scoring passes it protects.
+    emb.agg(
+      min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).collect().headOption
+      .filter(r => !r.isNullAt(0))
+      .foreach(r => require(r.getInt(0) == dim && r.getInt(1) == dim,
+        s"$op: embedding dims span [${r.getInt(0)}, ${r.getInt(1)}] != expected $dim"))
+  }
 
   def trainPerceptron(
       emb: org.apache.spark.sql.DataFrame,

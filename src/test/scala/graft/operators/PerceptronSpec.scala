@@ -43,7 +43,10 @@ class PerceptronSpec extends SparkTestBase {
     val emb = graft.tables.Tables.load(spark, sfDir, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft-e11-ann").toString
     Ops.writeAnnIndex(emb, "vec_id", "embedding", dir, k = 16, m = 4, kSub = 8)
-    val probes = emb.where($"vec_id" % 40 === 0)
+    // the query's OWN probe definition (shared helper) — fixed-count
+    // hash-ranked sample, renamed back to the probeAnnIndex arg shape
+    val probes = Embeddings.e11Probes(emb)
+      .select($"p_id".as("vec_id"), $"pe".as("embedding"))
     val nCorpus = emb.count().toInt
     val annTop = Ops.probeAnnIndex(probes, "vec_id", "embedding",
         Ops.readAnnIndex(spark, dir), nprobe = 16, topK = 5, refine = nCorpus)
