@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableHash
 import graft.operators.{IndexLayout => IL}
@@ -29,11 +29,16 @@ import graft.operators.{IndexLayout => IL}
   *
   * Append ([[appendGramIndex]]) lands the batch's (bucket, g, c) rows
   * as NEW files in the current epoch — readers SUM per gram across
-  * files (replaying an at-least-once micro-batch inflates a count,
-  * never corrupts coverage semantics below the ≥2 threshold only if
-  * the replayed grams were unique singletons; exactly-once appends
-  * via ST8's replay contract where that matters), and
-  * [[compactGramIndex]] rewrites the epoch with merged counts.
+  * files — with BATCH-KEYED idempotence (IndexLayout's append
+  * ledger + stage-then-move): a replayed at-least-once micro-batch
+  * is a structural no-op, so a replayed singleton gram can never be
+  * double-counted across the ≥2 threshold and falsely flagged as
+  * repeated. Appends fail LOUDLY if a concurrent rewrite flips the
+  * epoch mid-append (requireStillCurrent — the appended counts would
+  * otherwise sit invisible in a retired directory).
+  * [[compactGramIndex]] rewrites the epoch with merged counts,
+  * carrying the ledger forward so late replays of already-merged
+  * batches stay no-ops.
   */
 object GramIndex {
 
@@ -41,34 +46,58 @@ object GramIndex {
 
   private val MetaName = "_GRAMS"
 
-  private[operators] def gramsOf(
-      docs: DataFrame, gram: Int, nBuckets: Int): DataFrame =
+  private def bucketOf(nBuckets: Int): Column =
+    pmod(PortableHash.hash60(col("g")), lit(nBuckets.toLong)).cast("int")
+
+  private[operators] def gramsOf(docs: DataFrame, gram: Int): DataFrame =
     docs
       .withColumn("_ids", graft.functions.GraftExpressions.bpeEncode(col("text")))
       .filter(size(col("_ids")) >= gram)
       .select(col("doc_id"), posexplode(
         graft.functions.GraftExpressions.idGrams(col("_ids"), gram))
         .as(Seq("p", "g")))
-      .select(col("doc_id"), col("p").cast("long").as("p"), col("g"),
-        pmod(PortableHash.hash60(col("g")), lit(nBuckets.toLong)).cast("int").as("bucket"))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("g"))
 
+  /** Corpus-proportional bucket count — the same sizing rule as
+    * [[LexIndex.autoBuckets]] over the distinct-gram count: ~2^20
+    * gram rows per bucket, floor 16, capped at 2^18 dirs.
+    */
+  private[operators] def autoBuckets(nGrams: Long): Int = {
+    val target = math.max(1L, nGrams >> 20)
+    var b = 16
+    while (b < target && b < (1 << 18)) b <<= 1
+    b
+  }
+
+  /** Build + publish a fresh epoch. `nBuckets = 0` (the default)
+    * auto-sizes from the measured distinct-gram count so per-bucket
+    * probe reads stay ~flat as the corpus grows ([[autoBuckets]]);
+    * the manifest records the chosen value and stays authoritative.
+    */
   def writeGramIndex(
       docs: DataFrame,
       path: String,
       gram: Int = 8,
-      nBuckets: Int = 64): Unit = {
-    require(gram > 0 && nBuckets > 0, "writeGramIndex: gram and nBuckets must be > 0")
+      nBuckets: Int = 0): Unit = {
+    require(gram > 0 && nBuckets >= 0, "writeGramIndex: gram must be > 0, nBuckets >= 0")
     val spark = docs.sparkSession
-    val counts = gramsOf(docs, gram, nBuckets)
-      .groupBy(col("bucket"), col("g")).agg(count(lit(1)).as("c"))
+    // counts are bucket-independent (bucket is a pure function of g),
+    // so compute them once, measure, THEN attach the bucket column
+    val counts0 = gramsOf(docs, gram)
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .cache()
+    val nGrams = counts0.count()
     // a zero-gram corpus (empty, or all docs shorter than `gram`)
     // would publish an epoch whose zero-row hive store carries no
     // schema — unreadable at the first probe; fail loudly instead
-    require(counts.limit(1).count() > 0,
+    require(nGrams > 0,
       "writeGramIndex: the corpus yields no grams (empty, or every " +
         s"doc shorter than $gram tokens) — refusing to publish an " +
         "unreadable epoch; guard upstream")
+    val nb = if (nBuckets > 0) nBuckets else autoBuckets(nGrams)
+    val counts = counts0
+      .withColumn("bucket", bucketOf(nb))
+      .select(col("bucket"), col("g"), col("c"))
     val root = s"$path/grams"
     val v = IL.nextVersion(spark, root)
     graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", counts)
@@ -107,7 +136,7 @@ object GramIndex {
     // here would leak one pinned relation per micro-batch in a
     // long-running gramProbeStream (nothing could unpersist it after
     // the lazy result frame escapes this call)
-    val bg = gramsOf(batch, index.gram, index.nBuckets)
+    val bg = gramsOf(batch, index.gram).withColumn("bucket", bucketOf(index.nBuckets))
     val batchCounts = bg.groupBy(col("bucket"), col("g"))
       .agg(count(lit(1)).as("bc"))
     val stored = index.grams
@@ -143,28 +172,45 @@ object GramIndex {
   /** Day-2 ingestion: land the batch's gram counts as new files in
     * the CURRENT epoch (no read-modify-write — readers sum per gram).
     * Validated against the manifest's gram/nBuckets, never trusted
-    * from the caller (none are taken).
+    * from the caller. EXACTLY-ONCE under at-least-once replays:
+    * `batchId` keys IndexLayout's append ledger — a replayed batch
+    * returns immediately, and a crash at any point mid-append replays
+    * to the identical end state (stage-then-move under deterministic
+    * file names), so a replayed singleton gram can never cross the ≥2
+    * repeated threshold. Fails loudly if a concurrent rewrite flipped
+    * the epoch mid-append.
     */
-  def appendGramIndex(batch: DataFrame, path: String): Unit = {
+  def appendGramIndex(batch: DataFrame, path: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val idx = readGramIndex(spark, path)
-    val dir = IL.resolveDir(spark, s"$path/grams")
-    val counts = gramsOf(batch, idx.gram, idx.nBuckets)
-      .groupBy(col("bucket"), col("g")).agg(count(lit(1)).as("c"))
-    graft.sinks.RoutedSink.standard().write(s"parquet-append:$dir:by:bucket", counts)
+    val root = s"$path/grams"
+    val dir = IL.resolveDir(spark, root)
+    if (IL.appendCommitted(spark, dir, batchId)) return
+    val counts = gramsOf(batch, idx.gram)
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("bucket", bucketOf(idx.nBuckets))
+      .select(col("bucket"), col("g"), col("c"))
+    if (counts.isEmpty) { IL.commitAppend(spark, dir, batchId); return }
+    IL.stageMoveAppend(counts, dir, "bucket", batchId)
+    IL.commitAppend(spark, dir, batchId)
+    IL.requireStillCurrent(spark, root, dir, "appendGramIndex")
   }
 
   /** Epoch repair: rewrite with one merged row per gram (append files
-    * summed), restoring probe-side read efficiency. Atomic publish.
+    * summed), restoring probe-side read efficiency. The append ledger
+    * carries into the new epoch so a late replay of an already-merged
+    * batch stays a no-op. Atomic publish.
     */
   def compactGramIndex(spark: SparkSession, path: String): Unit = {
     val idx = readGramIndex(spark, path)
-    val merged = idx.grams.groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("c"))
     val root = s"$path/grams"
+    val oldDir = IL.resolveDir(spark, root)
+    val merged = idx.grams.groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("c"))
     val v = IL.nextVersion(spark, root)
     graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", merged)
     IL.writeMeta(spark, s"$root/$v", MetaName,
       s"""{"gram":${idx.gram},"nBuckets":${idx.nBuckets}}""")
+    IL.copyAppendLedger(spark, oldDir, s"$root/$v")
     IL.publish(spark, root, v)
     IL.gcVersions(spark, root, keep = 1)
   }

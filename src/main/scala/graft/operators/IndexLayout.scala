@@ -251,6 +251,126 @@ object IndexLayout {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Batch-keyed idempotent appends (day-2 ingestion under an
+  // at-least-once driver: Structured Streaming's foreachBatch replays
+  // a micro-batch whose checkpoint commit didn't land — a naive
+  // `mode("append")` write would then double its rows, which for a
+  // COUNT-carrying index silently inflates counts). The contract
+  // here makes a replay a structural no-op:
+  //
+  //  1. a ledger marker `epochDir/_appends/batch-<id>` records a
+  //     COMPLETED append — present means the whole sequence below
+  //     finished, so a replay returns immediately;
+  //  2. data lands via stage-then-move: the batch writes to a private
+  //     staging dir (overwrite mode — a crashed half-stage is simply
+  //     rewritten), then each part file MOVES (metadata-only rename)
+  //     into the live hive dirs under a DETERMINISTIC name
+  //     `batch<id>-<k>.parquet`, and the move is preceded by deleting
+  //     any `batch<id>-*` already there — so a crash at ANY point
+  //     (mid-stage, mid-move, post-move-pre-marker) replays to the
+  //     exact same end state, never a doubled row;
+  //  3. the marker is created last, atomically.
+  //
+  // Compactions must carry the `_appends` ledger into the new epoch
+  // ([[copyAppendLedger]]): a replay arriving AFTER its batch was
+  // compacted into the base finds the marker and stays a no-op.
+  // ---------------------------------------------------------------
+
+  private val AppendLedgerDir = "_appends"
+
+  private def markerPath(dir: String, batchId: Long): Path =
+    new Path(new Path(dir, AppendLedgerDir), f"batch-$batchId%020d")
+
+  /** True when `batchId` already appended into this epoch (replay). */
+  def appendCommitted(spark: SparkSession, dir: String, batchId: Long): Boolean =
+    hfs(spark, dir).exists(markerPath(dir, batchId))
+
+  /** Record `batchId` as durably appended (create-last, atomic). */
+  def commitAppend(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val fs = hfs(spark, dir)
+    val p = markerPath(dir, batchId)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+  }
+
+  /** Stage-then-move a hive-partitioned batch into `destDir` under
+    * replay-deterministic file names (see the block comment above).
+    * `data` must carry `partCol`; the staged layout mirrors the
+    * destination's `partCol=value` dirs. Call [[commitAppend]] after
+    * ALL stores of the epoch have appended.
+    */
+  def stageMoveAppend(
+      data: DataFrame,
+      destDir: String,
+      partCol: String,
+      batchId: Long): Unit = {
+    val spark = data.sparkSession
+    val fs = hfs(spark, destDir)
+    val stage = new Path(destDir, f".stage-batch-$batchId%020d")
+    data.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    val prefix = f"batch-$batchId%020d-"
+    val parts = fs.listStatus(stage)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+    parts.foreach { pd =>
+      val dest = new Path(destDir, pd.getPath.getName)
+      fs.mkdirs(dest)
+      // replay cleanup: a crashed earlier attempt may have moved some
+      // files already — the deterministic prefix identifies exactly
+      // this batch's files, so deleting them restores a clean slate
+      fs.listStatus(dest)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, false))
+      val files = fs.listStatus(pd.getPath)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .sortBy(_.getPath.getName)
+      files.zipWithIndex.foreach { case (st, i) =>
+        fs.rename(st.getPath, new Path(dest, f"$prefix$i%05d.parquet"))
+      }
+    }
+    fs.delete(stage, true)
+  }
+
+  /** Carry the append ledger from `fromDir` into `toDir` — part of a
+    * compaction's publish sequence, BEFORE the `_CURRENT` flip, so a
+    * replayed batch that was already merged into the compacted base
+    * still finds its marker and stays a no-op.
+    */
+  def copyAppendLedger(spark: SparkSession, fromDir: String, toDir: String): Unit = {
+    val fs = hfs(spark, fromDir)
+    val src = new Path(fromDir, AppendLedgerDir)
+    if (fs.exists(src)) {
+      val dst = new Path(toDir, AppendLedgerDir)
+      fs.mkdirs(dst)
+      fs.listStatus(src).foreach { st =>
+        val out = fs.create(new Path(dst, st.getPath.getName), true)
+        try out.write(Array.emptyByteArray) finally out.close()
+      }
+    }
+  }
+
+  /** Fail-loud guard for the append race the epoch lifecycle cannot
+    * itself close: between resolving the CURRENT epoch and finishing
+    * an append, a concurrent rewrite/compaction may publish a NEW
+    * epoch (and GC the old one) — the appended rows would then sit in
+    * a retired/deleted directory, silently invisible to readers.
+    * Appenders call this AFTER their writes: if the epoch moved, the
+    * append's durability is unknowable and the caller must re-drive
+    * it against the new epoch — a loud error, never silent loss.
+    */
+  def requireStillCurrent(spark: SparkSession, root: String, dir: String, op: String): Unit = {
+    val now = resolveDir(spark, root)
+    require(now == dir,
+      s"$op: epoch moved during append ($dir -> $now) — a concurrent " +
+        "rewrite/compaction published a new epoch, so the appended rows " +
+        "landed in a retired directory; re-drive the append (single-writer " +
+        "contract: serialize appends with rewrites/compactions)")
+  }
+
   /** Register ids for deletion: append them (distinct, as a single
     * `outName` long column) to `path/_tombstones`. Read paths mask
     * them immediately; the next compaction applies them permanently

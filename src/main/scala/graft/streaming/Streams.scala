@@ -538,10 +538,11 @@ object Streams {
     * state; the stream holds none — per-query results depend only on
     * the query's own terms and the stored statistics, so micro-batch
     * boundaries cannot change values (StreamingSpec pins stream ==
-    * batch row-for-row). The handle is re-read per batch, so an epoch
-    * rewrite (writeLexIndex) is picked up at the next trigger with
-    * fresh corpus-global statistics — never a torn mix of old
-    * postings and new df.
+    * batch row-for-row). The handle is re-read per batch, so BOTH an
+    * epoch rewrite (writeLexIndex) and day-2 appended postings
+    * (appendLexIndex — new files + stats-delta manifests in the same
+    * epoch) are picked up at the next trigger with fresh corpus-global
+    * statistics — never a torn mix of old postings and new df.
     */
   def lexProbeStream(
       queryStream: DataFrame,
@@ -566,12 +567,13 @@ object Streams {
     * append into the index — so later batches see earlier ones (the
     * probe-before-append order keeps each batch's contract: new docs
     * vs the past + themselves, never double-counted). The index is
-    * the state; the stream holds none. At-least-once caveat: a
-    * replayed batch re-appends its counts (inflating them — coverage
-    * can only widen, toward flagging a replayed singleton as
-    * repeated); route through ST8's replay contract where
-    * exactly-once matters, and O52 compaction merges the files
-    * either way.
+    * the state; the stream holds none. The append is EXACTLY-ONCE
+    * under the engine's at-least-once foreachBatch replays: the
+    * micro-batch id keys O52's append ledger, so a replayed batch's
+    * append is a structural no-op and a replayed singleton gram can
+    * never be double-counted across the ≥2 repeated threshold
+    * (StreamingSpec replays a batch and pins index state + probe
+    * rows identical).
     */
   def gramProbeStream(
       docStream: DataFrame,
@@ -579,14 +581,14 @@ object Streams {
       outPath: String
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val df = batch.toDF().cache()
         try {
           val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
           graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
             graft.operators.GramIndex.probeGramIndex(df, idx))
-          graft.operators.GramIndex.appendGramIndex(df, indexPath)
+          graft.operators.GramIndex.appendGramIndex(df, indexPath, batchId)
         } finally df.unpersist()
     }
 

@@ -48,7 +48,7 @@ class GramIndexSpec extends SparkTestBase {
     assert(r1.exists(_._1 == 10L), s"verbatim copy not flagged: $r1")
     // append day2, then a day-3 doc that copies DAY-2 content (absent
     // from the seed) must be flagged purely via the appended counts
-    GramIndex.appendGramIndex(day2, dir)
+    GramIndex.appendGramIndex(day2, dir, batchId = 1L)
     val day3 = Seq((20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
       .toDF("doc_id", "text")
     val r2 = keyed(GramIndex.probeGramIndex(day3, GramIndex.readGramIndex(spark, dir)))
@@ -63,6 +63,43 @@ class GramIndexSpec extends SparkTestBase {
     assert(dup.isEmpty, "compacted epoch still holds split gram rows")
   }
 
+  test("append replay is a no-op: a replayed singleton gram never crosses the repeated threshold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramreplay2").toString
+    val seed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    GramIndex.writeGramIndex(seed, dir, gram = 8, nBuckets = 4)
+    // day-2 batch with UNIQUE content: all its grams are singletons
+    val day2 = Seq(
+      (10L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    GramIndex.appendGramIndex(day2, dir, batchId = 3L)
+    val rows1 = GramIndex.readGramIndex(spark, dir).grams.count()
+    // the at-least-once failure mode this design closes: a REPLAYED
+    // append used to re-land the counts, pushing day2's singleton
+    // grams to c=2 — a fresh probe of the same text would then be
+    // falsely flagged as repeated corpus content
+    GramIndex.appendGramIndex(day2, dir, batchId = 3L)
+    val idx = GramIndex.readGramIndex(spark, dir)
+    assert(idx.grams.count() == rows1, "replayed append landed new files")
+    val echo = Seq((20L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    // echo's grams: stored c=1 (day2) + batch 1 = 2 -> genuinely
+    // repeated vs day2; but vs a DOUBLED day2 the counts would be 3 —
+    // assert the exact stored count instead, then the ledger across
+    // compaction
+    val stored = idx.grams.agg(org.apache.spark.sql.functions.max($"c")).head.getLong(0)
+    assert(stored == 1L, s"replay inflated a singleton gram count to $stored")
+    GramIndex.compactGramIndex(spark, dir)
+    GramIndex.appendGramIndex(day2, dir, batchId = 3L)
+    val after = GramIndex.readGramIndex(spark, dir)
+    assert(after.grams.agg(org.apache.spark.sql.functions.max($"c")).head.getLong(0) == 1L,
+      "replay after compaction re-appended an already-merged batch")
+    assert(GramIndex.probeGramIndex(echo, after).collect().nonEmpty,
+      "day2 content must still probe as repeated (stored 1 + batch 1 >= 2)")
+  }
+
   test("edge cases: empty batch probes empty; sub-gram docs contribute nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gramidx4").toString
     GramIndex.writeGramIndex(docs.where($"doc_id" < 50), dir, gram = 8, nBuckets = 4)
@@ -72,7 +109,7 @@ class GramIndexSpec extends SparkTestBase {
     // and appending it is a no-op for later probes
     val tiny = Seq((100L, "a b c")).toDF("doc_id", "text")
     assert(GramIndex.probeGramIndex(tiny, idx).isEmpty)
-    GramIndex.appendGramIndex(tiny, dir)
+    GramIndex.appendGramIndex(tiny, dir, batchId = 1L)
     assert(GramIndex.probeGramIndex(tiny,
       GramIndex.readGramIndex(spark, dir)).isEmpty)
   }

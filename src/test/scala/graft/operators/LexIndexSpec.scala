@@ -113,6 +113,88 @@ class LexIndexSpec extends SparkTestBase {
       keyed(Similarity.bm25TopK(docs.where($"doc_id" < 250), queries)))
   }
 
+  test("day-2 append: append-then-probe == full-rewrite probe row-for-row; compaction preserves it") {
+    // the O51 ingestion story: index the first 300 docs, APPEND the
+    // rest in two batches (posting/df-delta files + stats-delta
+    // manifests — one BATCH pass each, zero corpus rescans), and the
+    // probe must be bit-equal to a full rewrite over the union —
+    // corpus-global ndocs/ntok/df included, which is exactly what a
+    // naive incremental index gets wrong (stale statistics)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexappend").toString
+    LexIndex.writeLexIndex(docs.where($"doc_id" < 300), dir, nBuckets = 8)
+    LexIndex.appendLexIndex(docs.where($"doc_id" >= 300 && $"doc_id" < 400), dir, batchId = 0L)
+    LexIndex.appendLexIndex(docs.where($"doc_id" >= 400), dir, batchId = 1L)
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-lexfull").toString
+    LexIndex.writeLexIndex(docs, fullDir, nBuckets = 8)
+    val appended = LexIndex.readLexIndex(spark, dir)
+    val full = LexIndex.readLexIndex(spark, fullDir)
+    assert(appended.ndocs == full.ndocs && appended.ntok == full.ntok,
+      s"appended stats (${appended.ndocs}, ${appended.ntok}) != full rewrite " +
+        s"(${full.ndocs}, ${full.ntok})")
+    val viaAppend = keyed(LexIndex.probeLexIndex(queries, appended))
+    val viaFull = keyed(LexIndex.probeLexIndex(queries, full))
+    assert(viaAppend == viaFull && viaAppend.nonEmpty,
+      s"append-then-probe != full-rewrite probe (${viaAppend.size} vs ${viaFull.size})")
+    // compaction merges the df-delta files + stats manifests into one
+    // epoch; probe results identical, and one df row per term remains
+    LexIndex.compactLexIndex(spark, dir)
+    val compacted = LexIndex.readLexIndex(spark, dir)
+    assert(keyed(LexIndex.probeLexIndex(queries, compacted)) == viaFull,
+      "compaction changed probe results")
+    assert(compacted.ndocs == full.ndocs && compacted.ntok == full.ntok)
+    val split = compacted.terms.groupBy($"bucket", $"term").count().where($"count" > 1)
+    assert(split.isEmpty, "compacted epoch still holds split df rows")
+  }
+
+  test("append replay is a no-op — batch-keyed ledger, surviving compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexreplay").toString
+    LexIndex.writeLexIndex(docs.where($"doc_id" < 300), dir, nBuckets = 8)
+    val batch = docs.where($"doc_id" >= 300 && $"doc_id" < 400)
+    LexIndex.appendLexIndex(batch, dir, batchId = 7L)
+    val i1 = LexIndex.readLexIndex(spark, dir)
+    val rows1 = i1.postings.count()
+    val probe1 = LexIndex.probeLexIndex(queries, i1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // an at-least-once driver re-delivers the same batch: same id ->
+    // structural no-op (no new files, no stats drift, same probe)
+    LexIndex.appendLexIndex(batch, dir, batchId = 7L)
+    val i2 = LexIndex.readLexIndex(spark, dir)
+    assert(i2.postings.count() == rows1 && i2.ndocs == i1.ndocs && i2.ntok == i1.ntok,
+      "replayed append changed the index")
+    // ...and still a no-op AFTER compaction merged the batch into the
+    // base (the ledger carries into the new epoch)
+    LexIndex.compactLexIndex(spark, dir)
+    LexIndex.appendLexIndex(batch, dir, batchId = 7L)
+    val i3 = LexIndex.readLexIndex(spark, dir)
+    assert(i3.ndocs == i1.ndocs && i3.ntok == i1.ntok,
+      "replay after compaction re-appended an already-merged batch")
+    val probe3 = LexIndex.probeLexIndex(queries, i3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(probe3 == probe1, "replays drifted the probe results")
+  }
+
+  test("auto-sized nBuckets: derived from the measured token count, manifest-recorded, probe parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexauto").toString
+    LexIndex.writeLexIndex(docs, dir) // nBuckets = 0 -> auto
+    val idx = LexIndex.readLexIndex(spark, dir)
+    assert(idx.nBuckets == LexIndex.autoBuckets(idx.ntok),
+      s"manifest nBuckets ${idx.nBuckets} != autoBuckets(${idx.ntok})")
+    assert(idx.nBuckets >= 16)
+    // the sizing rule itself: floor 16, ~2^20 tokens per bucket, pow2,
+    // capped — per-bucket volume stays ~flat as the corpus grows
+    assert(LexIndex.autoBuckets(0L) == 16)
+    assert(LexIndex.autoBuckets(1L << 24) == 16)
+    assert(LexIndex.autoBuckets(1L << 26) == 64)
+    assert(LexIndex.autoBuckets(1L << 36) == 65536)
+    assert(LexIndex.autoBuckets(Long.MaxValue) == (1 << 18))
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(keyed(LexIndex.probeLexIndex(queries, idx)) ==
+      keyed(Similarity.bm25TopK(docs, queries)))
+  }
+
   test("edge cases: unmatched terms probe empty; an empty corpus is refused loudly") {
     val idx = LexIndex.readLexIndex(spark, indexPath)
     val ghost = Seq((1, "zzznotaword"), (1, "alsonotaword")).toDF("q_id", "term")

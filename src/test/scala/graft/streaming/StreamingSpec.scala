@@ -705,7 +705,7 @@ class StreamingSpec extends SparkTestBase {
       docs.where($"doc_id" < 300), s"$rdir/idx", gram = 8, nBuckets = 8)
     val i1 = graft.operators.GramIndex.readGramIndex(spark, s"$rdir/idx")
     val r1 = keyed(graft.operators.GramIndex.probeGramIndex(b1, i1))
-    graft.operators.GramIndex.appendGramIndex(b1, s"$rdir/idx")
+    graft.operators.GramIndex.appendGramIndex(b1, s"$rdir/idx", batchId = 0L)
     val i2 = graft.operators.GramIndex.readGramIndex(spark, s"$rdir/idx")
     val r2 = keyed(graft.operators.GramIndex.probeGramIndex(b2, i2))
     assert(streamed == (r1 ++ r2) && streamed.nonEmpty,
@@ -716,6 +716,53 @@ class StreamingSpec extends SparkTestBase {
     val flagged = graft.operators.GramIndex.probeGramIndex(echo,
       graft.operators.GramIndex.readGramIndex(spark, s"$dir/idx"))
     assert(flagged.count() > 0, "a doc duplicating batch-1 content was not flagged")
+  }
+
+  test("ST24: an engine-level REPLAYED micro-batch leaves index state and probe rows identical") {
+    import spark.implicits._
+    // the at-least-once contract made real: run one micro-batch to
+    // completion, then erase its checkpoint COMMIT marker (the crash
+    // window Structured Streaming actually has — foreachBatch done,
+    // commit not yet durable) and restart: the engine re-delivers the
+    // SAME batch with the SAME batchId, and O52's batch-keyed append
+    // ledger must make the re-delivery a structural no-op
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramreplay3").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.operators.GramIndex.writeGramIndex(
+      docs.where($"doc_id" < 300), s"$dir/idx", gram = 8, nBuckets = 8)
+    val b1 = docs.where($"doc_id" >= 300 && $"doc_id" < 400).select($"doc_id", $"text")
+    b1.coalesce(1).write.parquet(s"$dir/in/f1")
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/f*")
+    val q1 = graft.streaming.Streams.gramProbeStream(stream, s"$dir/idx", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q1.processAllAvailable(); q1.stop()
+    val idxAfter = graft.operators.GramIndex.readGramIndex(spark, s"$dir/idx")
+    val gramState = idxAfter.grams.groupBy($"g").agg(sum($"c").as("c"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val echo = b1.limit(1).select(lit(999999L).as("doc_id"), $"text")
+    def probeEcho() = graft.operators.GramIndex.probeGramIndex(echo,
+        graft.operators.GramIndex.readGramIndex(spark, s"$dir/idx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val probeBefore = probeEcho()
+    assert(probeBefore.nonEmpty)
+    // erase the commit marker -> restart replays batch 0
+    val commits = new java.io.File(s"$dir/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, "." + commits.last.getName + ".crc")
+    assert(commits.last.delete())
+    if (crc.exists()) crc.delete() // local-FS checksum sidecar would block the rewrite
+    val q2 = graft.streaming.Streams.gramProbeStream(stream, s"$dir/idx", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q2.processAllAvailable(); q2.stop()
+    val idxReplayed = graft.operators.GramIndex.readGramIndex(spark, s"$dir/idx")
+    val gramState2 = idxReplayed.grams.groupBy($"g").agg(sum($"c").as("c"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(gramState2 == gramState,
+      "a replayed micro-batch changed the stored gram counts")
+    assert(probeEcho() == probeBefore,
+      "a replayed micro-batch changed probe results")
   }
 
   test("ST23: streamed lexical probes equal the batch O51 probe across micro-batches") {
@@ -740,5 +787,50 @@ class StreamingSpec extends SparkTestBase {
       graft.operators.LexIndex.readLexIndex(spark, s"$dir/idx")))
     assert(streamed == batch && streamed.nonEmpty,
       s"streamed lexical probe != batch O51 probe (${streamed.size} vs ${batch.size})")
+  }
+
+  test("ST23: appended postings are served at the NEXT trigger with fresh corpus-global stats") {
+    import spark.implicits._
+    // day-2 ingestion meets serving: the handle is re-read per
+    // trigger, so a mid-stream appendLexIndex (new posting/df files +
+    // stats-delta manifests in the same epoch) must be visible to the
+    // next micro-batch — and score EXACTLY like a full rewrite over
+    // the union corpus would (stale-statistics bugs show up here)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lexstream2").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    graft.operators.LexIndex.writeLexIndex(
+      docs.where($"doc_id" < 300), s"$dir/idx", nBuckets = 8)
+    val queries = graft.operators.Similarity.bm25Queries.toDF("q_id", "term")
+    queries.where($"q_id" <= 2).coalesce(1).write.parquet(s"$dir/q/f1")
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/q/f*")
+    val q = graft.streaming.Streams.lexProbeStream(stream, s"$dir/idx", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    // append the rest of the corpus between triggers, then feed the
+    // second query batch
+    graft.operators.LexIndex.appendLexIndex(
+      docs.where($"doc_id" >= 300), s"$dir/idx", batchId = 99L)
+    queries.where($"q_id" > 2).coalesce(1).write.parquet(s"$dir/q/f2")
+    q.processAllAvailable(); q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = keyed(spark.read.parquet(s"$dir/out"))
+    // expectation assembled per trigger: queries 1-2 saw the seed
+    // index; queries 3-4 saw seed + appended == a full index
+    val fullDir = java.nio.file.Files.createTempDirectory("graft-lexstream2f").toString
+    graft.operators.LexIndex.writeLexIndex(docs, fullDir, nBuckets = 8)
+    val expect =
+      keyed(graft.operators.LexIndex.probeLexIndex(queries.where($"q_id" <= 2), {
+        val seedOnly = java.nio.file.Files.createTempDirectory("graft-lexstream2s").toString
+        graft.operators.LexIndex.writeLexIndex(
+          docs.where($"doc_id" < 300), seedOnly, nBuckets = 8)
+        graft.operators.LexIndex.readLexIndex(spark, seedOnly)
+      })) ++
+      keyed(graft.operators.LexIndex.probeLexIndex(queries.where($"q_id" > 2),
+        graft.operators.LexIndex.readLexIndex(spark, fullDir)))
+    assert(streamed == expect && streamed.nonEmpty,
+      s"streamed probes over an appended epoch != seed/full expectation " +
+        s"(${streamed.size} vs ${expect.size})")
   }
 }
