@@ -1052,7 +1052,55 @@ object Similarity {
           .select($"q".as("q_id"), $"rn", $"id".as("doc_id"), $"rrf")
           .orderBy($"q_id", $"rn")
       },
-      Some {
+      Some(hybridRrfOracle)
+    ),
+
+    Q(
+      "s15_hybrid_stored",
+      "Hybrid retrieval served from PERSISTED indexes: O51 lexical probe x O46 binary probe, RRF-fused — same oracle as s14",
+      (spark, dir) => {
+        import spark.implicits._
+        // s14's SERVING twin, end-to-end from stored artifacts: build
+        // the O51 lexical index and the O46 sign-sketch ANN index
+        // (both under their versioned-epoch lifecycle), probe each —
+        // the lexical probe driver-routes to its query-term buckets,
+        // the binary probe runs at nprobe = k (every cell — the
+        // parity regime, where the stored path provably returns the
+        // exact s10 lists) — and fuse with the same output-bounded
+        // rrfFuse. Bit-equal to the in-query s14 by construction
+        // (shared bm25Rank tail, shared fusion), so it gates under
+        // s14's oracle VERBATIM: the oracle never sees an index, only
+        // the semantics both forms must share. At 100 TB the builds
+        // amortize across the query log; the per-query work is
+        // bucket-pruned postings + one popcount coarse scan.
+        val tmp = java.nio.file.Files.createTempDirectory("graft-s15").toString
+        LexIndex.writeLexIndex(Tables.load(spark, dir, "documents"), s"$tmp/lex")
+        val emb = Tables.load(spark, dir, "embeddings")
+        Ops.writeAnnIndex(emb, "vec_id", "embedding", s"$tmp/ann",
+          k = 16, m = 4, kSub = 8, storeSigs = true)
+        val bm = LexIndex.probeLexIndex(bm25Queries.toDF("q_id", "term"),
+            LexIndex.readLexIndex(spark, s"$tmp/lex"))
+          .select($"q_id".cast("int").as("q"), $"doc_id".as("id"), $"rn")
+        val probes = emb.orderBy($"vec_id").limit(10)
+        val ann = Ops.probeSignIndex(probes, "vec_id", "embedding",
+            Ops.readAnnIndex(spark, s"$tmp/ann"),
+            nprobe = 16, hammingTopM = 50, topK = 5)
+          .where($"p_id".between(1, 4))
+          .select($"p_id".cast("int").as("q"), $"n_id".as("id"), $"rn")
+        rrfFuse(bm, ann, "q", "id", "rn", k = 5)
+          .select($"q".as("q_id"), $"rn", $"id".as("doc_id"), $"rrf")
+          .orderBy($"q_id", $"rn")
+      },
+      Some(hybridRrfOracle)
+    )
+  )
+
+  /** The hybrid-retrieval oracle shared VERBATIM by s14 (in-query
+    * recompute) and s15 (stored-index serving): BM25 via the shared
+    * [[bm25OracleCtes]], the sign-sketch ANN leg, RRF fusion — the
+    * semantics both engine forms must reproduce bit-for-bit.
+    */
+  private def hybridRrfOracle: String = {
         val cos = VectorFunctions.sqlCosine("p.pe", "ne.embedding")
         val pack = "list_aggregate(list_transform(generate_series(1, 60), " +
           "i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)) " +
@@ -1087,7 +1135,5 @@ object Similarity {
           CAST(ROW_NUMBER() OVER (PARTITION BY q ORDER BY rrf DESC, id) AS INT) AS rn,
           id AS doc_id, rrf
         FROM fused QUALIFY rn <= 5 ORDER BY q_id, rn"""
-      }
-    )
-  )
+  }
 }
