@@ -1437,6 +1437,58 @@ object TextAnalysis {
           CAST(MAX(p) + 7 AS BIGINT) AS end_pos,
           CAST(MAX(p) - MIN(p) + 8 AS BIGINT) AS len_tokens
         FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""")
+    ),
+
+    Q(
+      "t29_bpe_train",
+      "TRAIN a BPE merge table (8 iterations of exact-int64 pair-count argmax + fuse) over the documents corpus",
+      (spark, dir) => {
+        import spark.implicits._
+        // t03/t26/X15 APPLY a committed merge table; this is the
+        // pipeline step that learns one (see BpeTrain's scaladoc for
+        // the vocabulary-bounded iteration story). Output: the learned
+        // table itself in rank order with each merge's winning exact
+        // count — 8 rows, fully value-gated, so the whole training
+        // trajectory (argmax tiebreaks included) is what the oracle
+        // checks, not a summary statistic of it.
+        val m = BpeTrain.trainBpeMerges(
+          Tables.load(spark, dir, "documents"), BpeTrain.T29Merges)
+        m.zipWithIndex
+          .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+          .toDF("rank", "lhs", "rhs", "cnt")
+          .select($"rank".cast("int").as("rank"), $"lhs", $"rhs", $"cnt")
+          .orderBy($"rank")
+      },
+      Some {
+        // e10's unrolled-trajectory pattern: iteration i reads state
+        // w{i-1}, counts adjacent pairs (overlapping, freq-weighted),
+        // takes the (cnt desc, a, b) argmax as best$i, and fuses via
+        // the same double-replace; the final SELECT reassembles the
+        // 8 argmax rows in rank order.
+        def iter(i: Int) = {
+          val p = i - 1
+          s""",
+        pr$i AS (SELECT pair[1] AS a, pair[2] AS b, CAST(SUM(f) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(generate_series(2, len(sy)),
+              j -> [sy[j - 1], sy[j]])) AS pair, f
+            FROM (SELECT string_split(trim(s), ' ') AS sy, f FROM w$p))
+          GROUP BY 1, 2),
+        best$i AS (SELECT a, b, cnt FROM pr$i ORDER BY cnt DESC, a, b LIMIT 1),
+        w$i AS (SELECT replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+              ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s, f
+          FROM w$p, best$i)"""
+        }
+        val iters = (1 to BpeTrain.T29Merges).map(iter).mkString
+        val ranks = (1 to BpeTrain.T29Merges)
+          .map(i => s"SELECT $i AS rank, a AS lhs, b AS rhs, cnt FROM best$i")
+          .mkString(" UNION ALL ")
+        s"""WITH words AS (SELECT unnest($duckWords) AS w FROM documents),
+        w0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+            CAST(COUNT(*) AS BIGINT) AS f
+          FROM words GROUP BY 1)$iters
+        SELECT CAST(rank AS INT) AS rank, lhs, rhs, cnt
+        FROM ($ranks) ORDER BY rank"""
+      }
     )
   )
 }
