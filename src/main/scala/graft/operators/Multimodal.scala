@@ -1491,4 +1491,104 @@ object Multimodal {
         ORDER BY id_a, id_b""")
     )
   )
+
+  // ---------------------------------------------------------------
+  // O54: the PERSISTED perceptual-hash band index — m09's image
+  // near-dup with a day-2 incremental path, closing the one dedup
+  // modality that still required re-hashing the corpus per batch.
+  // Same pigeonhole decomposition as the in-query m09 (AvgHash60 →
+  // 4 × 15-bit bands; Hamming ≤ 3 ⇒ ≥ 1 band agrees exactly) stored
+  // in the O24 band-index shape: hive (band, pfx) dirs — pfx = the
+  // band segment's top 4 bits, 16 buckets per band — under the O30
+  // versioned-epoch lifecycle. A probe broadcasts the batch's band
+  // keys (batch rows × 4), equi-joins the stored side with DPP
+  // pruning down to the probed buckets, and verifies candidates with
+  // the exact bit_count(xor) ≤ maxHamming — the corpus appears ONLY
+  // through pruned index files, so day-2 cost is O(batch +
+  // collisions) at any corpus size. Appends follow appendBandIndex's
+  // routed-sink pattern (band keys are a SET — replayed appends are
+  // absorbed by the probe's distinct, no count semantics to corrupt).
+  // ---------------------------------------------------------------
+
+  private def perceptualBands(assets: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    assets
+      .select(col(idCol).as("doc_id"),
+        graft.functions.GraftExpressions.avgHash60(col(payloadCol)).as("a"))
+      .where(col("a").isNotNull)
+      .select(col("doc_id"), col("a.format").as("format"), col("a.ahash").as("ah"))
+      .select(col("doc_id"), col("ah"), col("format"),
+        posexplode(array((0 until 4).map(k =>
+          shiftrightunsigned(col("ah"), k * 15).bitwiseAND(32767L)): _*))
+          .as(Seq("band", "seg")))
+      .withColumn("pfx", shiftrightunsigned(col("seg"), 11).cast("int"))
+
+  /** Persist the corpus's perceptual band keys (versioned publish —
+    * the writeBandIndex lifecycle). Stored row: (doc_id, ah, format,
+    * band, seg, pfx). */
+  def writePerceptualIndex(
+      assets: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      path: String): Unit = {
+    val spark = assets.sparkSession
+    val v = IndexLayout.nextVersion(spark, path)
+    graft.sinks.RoutedSink.standard()
+      .write(s"parquet:$path/$v:by:band+pfx",
+        perceptualBands(assets, idCol, payloadCol))
+    IndexLayout.publish(spark, path, v)
+    IndexLayout.gcVersions(spark, path, keep = 1)
+  }
+
+  /** Manifest-resolved read; feeds [[probePerceptualIndex]]. */
+  def readPerceptualIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(IndexLayout.resolveDir(spark, path))
+      .select(col("doc_id"), col("ah"), col("format"),
+        col("band").cast("int"), col("seg"), col("pfx").cast("int"))
+
+  /** Day-2 probe: perceptual near-dups of `batch` against the stored
+    * corpus — (new_id, idx_id, hamming, cross_container), hamming ≤
+    * `maxHamming` (≤ 3 keeps the 4-band pigeonhole EXACT: a missed
+    * pair would need > 3 differing bits). The batch side broadcasts
+    * (ingestion-bounded), the stored side is read only in the probed
+    * (band, pfx) buckets, and candidates dedupe before the exact
+    * verify. Probing re-indexed ids against themselves is filtered
+    * (new_id != idx_id under a shared id space).
+    */
+  def probePerceptualIndex(
+      batch: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      index: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"probePerceptualIndex: 4 x 15-bit bands guarantee recall only to " +
+        s"Hamming 3, got $maxHamming — widen the band scheme first")
+    val nb = perceptualBands(batch, idCol, payloadCol)
+      .select(col("doc_id").as("new_id"), col("ah").as("ha"),
+        col("format").as("fa"), col("band"), col("seg"), col("pfx"))
+    broadcast(nb)
+      .join(index.select(col("doc_id").as("idx_id"), col("ah").as("hb"),
+          col("format").as("fb"), col("band"), col("seg"), col("pfx")),
+        Seq("band", "pfx", "seg"))
+      .where(col("new_id") =!= col("idx_id"))
+      .select(col("new_id"), col("idx_id"), col("ha"), col("hb"), col("fa"), col("fb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("idx_id"), col("hamming").cast("int").as("hamming"),
+        (col("fa") =!= col("fb")).as("cross_container"))
+  }
+
+  /** Day-N maintenance: append the KEPT batch assets' band keys into
+    * the current epoch (appendBandIndex's contract: single
+    * maintenance queue vs compactions; replayed appends are absorbed
+    * by the probe's distinct). */
+  def appendPerceptualIndex(
+      kept: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      path: String): Unit =
+    graft.sinks.RoutedSink.standard()
+      .write(s"parquet-append:${IndexLayout.resolveDir(kept.sparkSession, path)}:by:band+pfx",
+        perceptualBands(kept, idCol, payloadCol))
 }
