@@ -760,6 +760,39 @@ object Streams {
         graft.operators.IndexLayout.resolveDir(keptPayloads.sparkSession, path) +
         ":by:band+pfx")
 
+  /** ST25: streaming PERCEPTUAL near-dup at ingestion — the O54 twin
+    * of ST24's probe-then-append loop, closing the image modality's
+    * live path: each micro-batch of (doc_id, payload) assets is
+    * probed against the persisted perceptual band index (AvgHash60
+    * bands broadcast, (band, pfx) buckets DPP-pruned, exact
+    * Hamming ≤ 3 verify — batch-bounded at any corpus size), the
+    * verified near-dup pairs append through the routed sink, and
+    * THEN the batch's own band keys append into the index — later
+    * batches see earlier ones, and no batch matches itself (the
+    * probe's new_id != idx_id guard only fires across the split
+    * because the batch is probed BEFORE it is appended). The index is
+    * the state; the stream holds none. Replay caveat: band keys are
+    * a SET, so a replayed append leaves duplicate rows the probe's
+    * distinct absorbs — probe results are replay-stable without a
+    * ledger (the O54 contract; contrast count-carrying O52).
+    */
+  def perceptualProbeStream(
+      assetStream: DataFrame,
+      indexPath: String,
+      outPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    assetStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val df = batch.toDF().cache()
+        try {
+          val idx = graft.operators.Multimodal.readPerceptualIndex(spark, indexPath)
+          graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+            graft.operators.Multimodal.probePerceptualIndex(df, "doc_id", "payload", idx))
+          graft.operators.Multimodal.appendPerceptualIndex(df, "doc_id", "payload", indexPath)
+        } finally df.unpersist()
+    }
+
   // ST17 state/output. `counters` is the Misra-Gries survivor map —
   // its size is capped at kCounters by construction, so per-window
   // state is O(kCounters) regardless of how many distinct users the
