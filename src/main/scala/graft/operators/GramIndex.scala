@@ -101,9 +101,12 @@ object GramIndex {
     val root = s"$path/grams"
     val v = IL.nextVersion(spark, root)
     graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", counts)
-    counts.unpersist()
+    counts0.unpersist() // the CACHED frame, not the derived projection
+    // the manifest records the DERIVED bucket count (nb), never the
+    // caller arg — under auto-sizing the arg is 0, and a 0 in the
+    // authoritative manifest would poison every probe's pmod routing
     IL.writeMeta(spark, s"$root/$v", MetaName,
-      s"""{"gram":$gram,"nBuckets":$nBuckets}""")
+      s"""{"gram":$gram,"nBuckets":$nb}""")
     IL.publish(spark, root, v)
     IL.gcVersions(spark, root, keep = 1)
   }

@@ -168,7 +168,13 @@ object LexIndex {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(_.getPath.getName.startsWith(AppendMetaPrefix))
+      // exclude a crashed writeMeta's `.tmp` — counting a delta whose
+      // atomic rename never happened would drift ndocs/ntok ahead of
+      // the (never-landed) postings
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(AppendMetaPrefix) && !n.endsWith(".tmp")
+      }
       .sortBy(_.getPath.getName)
       .map { st =>
         val in = fs.open(st.getPath)

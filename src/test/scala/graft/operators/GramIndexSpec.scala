@@ -63,6 +63,26 @@ class GramIndexSpec extends SparkTestBase {
     assert(dup.isEmpty, "compacted epoch still holds split gram rows")
   }
 
+  test("auto-sized nBuckets: the manifest records the DERIVED count, and probes route correctly") {
+    // regression: the manifest used to record the CALLER arg — 0
+    // under auto-sizing — which would poison every probe's pmod
+    // routing (bucket = hash mod 0); the manifest must carry the
+    // derived value and the probe must agree with an explicit-bucket
+    // twin row-for-row
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramauto").toString
+    val corpus = docs.where($"doc_id" < 400)
+    val batch = docs.where($"doc_id" >= 400)
+    GramIndex.writeGramIndex(corpus, dir) // nBuckets = 0 -> auto
+    val idx = GramIndex.readGramIndex(spark, dir)
+    assert(idx.nBuckets >= 16, s"manifest nBuckets ${idx.nBuckets} not the derived value")
+    val auto = keyed(GramIndex.probeGramIndex(batch, idx))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-gramauto2").toString
+    GramIndex.writeGramIndex(corpus, dir2, nBuckets = 16)
+    val explicit = keyed(GramIndex.probeGramIndex(batch, GramIndex.readGramIndex(spark, dir2)))
+    assert(auto == explicit && auto.nonEmpty,
+      s"auto-bucket probe != explicit-bucket probe (${auto.size} vs ${explicit.size})")
+  }
+
   test("append replay is a no-op: a replayed singleton gram never crosses the repeated threshold") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-gramreplay2").toString
