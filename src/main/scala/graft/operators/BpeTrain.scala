@@ -39,6 +39,18 @@ import org.apache.spark.sql.functions._
   * learned table — is engine-replayable exactly; the t29 oracle
   * unrolls the identical iterations as CTEs (e10's pattern).
   *
+  * Fusion semantics are SCAN-ORDER-DEFINED, the committed Bpe
+  * convention (see graft.functions.Bpe's scaladoc): within a run of
+  * ≥ 5 identical symbols under a self-pair, a replacement consumes
+  * the run's shared sentinel space, so " a a a a a " fuses to
+  * [aa, a, aa] where canonical leftmost-pairing gives [aa, aa, a] —
+  * token COUNTS are identical, tie-POSITIONS differ. This is the
+  * deliberate trade: the scan semantics are a native `replace` in
+  * both engines (bit-identical, codegen-able), and the learned table
+  * is self-consistent because training-time fusion and X15 apply-time
+  * segmentation follow the same committed convention. BpeTrainSpec
+  * pins the ≥5-run trajectory explicitly.
+  *
   * All state uses Column-built plans (functions.replace with literal
   * Columns, never SQL-string splicing), so symbols containing quotes
   * or backslashes cannot break or inject into the plan.

@@ -58,16 +58,8 @@ object GramIndex {
         .as(Seq("p", "g")))
       .select(col("doc_id"), col("p").cast("long").as("p"), col("g"))
 
-  /** Corpus-proportional bucket count — the same sizing rule as
-    * [[LexIndex.autoBuckets]] over the distinct-gram count: ~2^20
-    * gram rows per bucket, floor 16, capped at 2^18 dirs.
-    */
-  private[operators] def autoBuckets(nGrams: Long): Int = {
-    val target = math.max(1L, nGrams >> 20)
-    var b = 16
-    while (b < target && b < (1 << 18)) b <<= 1
-    b
-  }
+  /** [[IndexLayout.autoBuckets]] over the distinct-gram count. */
+  private[operators] def autoBuckets(nGrams: Long): Int = IL.autoBuckets(nGrams)
 
   /** Build + publish a fresh epoch. `nBuckets = 0` (the default)
     * auto-sizes from the measured distinct-gram count so per-bucket
@@ -183,6 +175,17 @@ object GramIndex {
     * repeated threshold. Fails loudly if a concurrent rewrite flipped
     * the epoch mid-append.
     */
+  /** True when `batchId` already appended into the CURRENT epoch —
+    * the streaming trigger's replay guard: once a batch's append is
+    * committed, probing it again is WRONG (the index now contains the
+    * batch's own counts, so every batch position would reach
+    * stored + batch ≥ 2 and unique content would be falsely flagged
+    * repeated); the completed attempt already wrote the batch's probe
+    * rows before it appended, so the whole trigger skips.
+    */
+  def appendCommitted(spark: SparkSession, path: String, batchId: Long): Boolean =
+    IL.appendCommitted(spark, IL.resolveDir(spark, s"$path/grams"), batchId)
+
   def appendGramIndex(batch: DataFrame, path: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val idx = readGramIndex(spark, path)

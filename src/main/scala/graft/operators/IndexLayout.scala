@@ -277,6 +277,22 @@ object IndexLayout {
   // compacted into the base finds the marker and stays a no-op.
   // ---------------------------------------------------------------
 
+  /** Corpus-proportional bucket count shared by the bucket-partitioned
+    * indexes (O51 postings/terms, O52 grams): ~2^20 rows of the
+    * driving unit per bucket (tens of MB on disk), floor 16 (below it
+    * buckets are merely oversized — probes read |key buckets| dirs
+    * regardless), capped at 2^18 dirs (a filesystem-metadata bound;
+    * past the cap per-bucket volume grows linearly again but stays
+    * partition-prunable). Power of two so regrows re-split cleanly.
+    * ONE definition: gram and lex epochs size under the same rule.
+    */
+  def autoBuckets(n: Long): Int = {
+    val target = math.max(1L, n >> 20)
+    var b = 16
+    while (b < target && b < (1 << 18)) b <<= 1
+    b
+  }
+
   private val AppendLedgerDir = "_appends"
 
   private def markerPath(dir: String, batchId: Long): Path =
@@ -329,7 +345,18 @@ object IndexLayout {
         }
         .sortBy(_.getPath.getName)
       files.zipWithIndex.foreach { case (st, i) =>
-        fs.rename(st.getPath, new Path(dest, f"$prefix$i%05d.parquet"))
+        val dst = new Path(dest, f"$prefix$i%05d.parquet")
+        // Hadoop FileSystem.rename reports most failures (destination
+        // re-created by a racing zombie driver replaying the same
+        // batchId, source vanished) by returning FALSE, not throwing —
+        // dropping it would let the stage delete below destroy the
+        // unmoved file and commitAppend mark the batch durable: silent
+        // permanent count loss. Fail loudly; the single-writer
+        // contract makes this unreachable in a correct deployment.
+        require(fs.rename(st.getPath, dst),
+          s"stageMoveAppend: rename ${st.getPath} -> $dst failed (a " +
+            "concurrent writer on the same batchId? the append is NOT " +
+            "durable; re-drive it under the single-writer contract)")
       }
     }
     fs.delete(stage, true)

@@ -19,6 +19,13 @@ import graft.operators.{IndexLayout => IL}
   *   store/vNNN/_LEXSTATS_APPEND-*  per-append ndocs/ntok deltas
   *   store/vNNN/_appends/  batch-keyed append ledger (replay no-ops)
   *
+  * Epoch READS are torn-proof (one atomic `_CURRENT` flip covers all
+  * stores + manifests). Mid-APPEND reads are forward-consistent by
+  * write order (df → stats → postings → marker, see appendLexIndex):
+  * a visible posting always has its statistics; a reader may briefly
+  * see statistics that lead the postings — bounded, and resolved at
+  * its next handle re-read.
+  *
   * The doc length rides ON the posting row (the Lucene norm-in-posting
   * trade: +8 bytes per posting) instead of a separate doclens store —
   * so a probe touches NOTHING corpus-scaled besides the pruned posting
@@ -70,18 +77,8 @@ object LexIndex {
   private val MetaName = "_LEXSTATS"
   private val AppendMetaPrefix = "_LEXSTATS_APPEND-"
 
-  /** Corpus-proportional bucket count: ~2^20 tokens of postings per
-    * bucket (tens of MB on disk), floor 16, capped at 2^18 dirs (a
-    * filesystem-metadata bound; past the cap per-bucket volume grows
-    * linearly again but stays partition-prunable). Power of two so
-    * regrows re-split cleanly.
-    */
-  private[operators] def autoBuckets(ntok: Long): Int = {
-    val target = math.max(1L, ntok >> 20)
-    var b = 16
-    while (b < target && b < (1 << 18)) b <<= 1
-    b
-  }
+  /** [[IndexLayout.autoBuckets]] over the measured token count. */
+  private[operators] def autoBuckets(ntok: Long): Int = IL.autoBuckets(ntok)
 
   private def bucketOf(nBuckets: Int): Column =
     pmod(PortableHash.hash60(col("term")), lit(nBuckets.toLong)).cast("int")
@@ -231,14 +228,23 @@ object LexIndex {
       .agg(count(lit(1)).as("df"))
       .withColumn("bucket", bucketOf(nb))
       .select(col("bucket"), col("term"), col("df"))
-    IL.stageMoveAppend(post, s"$dir/postings", "bucket", batchId)
+    // Write order is load-bearing for CONCURRENT READERS (ST23
+    // re-reads the handle every trigger; appends don't flip an epoch,
+    // so a reader can land mid-append): df deltas first, then the
+    // stats manifest, then the postings, then the ledger marker.
+    // Statistics therefore never LAG a visible posting — a doc is
+    // never scored with df/ndocs older than itself. A mid-append
+    // reader may briefly see statistics that LEAD the postings
+    // (existing docs scored under the union's corpus-global stats) —
+    // a bounded forward-consistent perturbation that resolves at the
+    // next trigger, never a dropped or stat-less doc. Every step is
+    // idempotent under the batchId key, so a crash anywhere replays
+    // to the identical end state.
     IL.stageMoveAppend(terms, s"$dir/terms", "bucket", batchId)
-    post0.unpersist()
-    // the delta manifest BEFORE the ledger marker: a crash between
-    // them replays the whole (idempotent) sequence; after the marker
-    // the append is fully visible — stats can never lag the postings
     IL.writeMeta(spark, dir, f"$AppendMetaPrefix$batchId%020d",
       s"""{"ndocs":$dNdocs,"ntok":$dNtok}""")
+    IL.stageMoveAppend(post, s"$dir/postings", "bucket", batchId)
+    post0.unpersist()
     IL.commitAppend(spark, dir, batchId)
     IL.requireStillCurrent(spark, root, dir, "appendLexIndex")
   }

@@ -1531,10 +1531,19 @@ object Multimodal {
       payloadCol: String,
       path: String): Unit = {
     val spark = assets.sparkSession
+    val bands = perceptualBands(assets, idCol, payloadCol)
+    // an empty or all-unhashable corpus (every body sub-60 bytes →
+    // avgHash60 null) would publish a zero-row hive epoch whose
+    // parquet store carries no schema — unreadable at the first
+    // probe, with the previous epoch already GC'd. Fail loudly at
+    // build time (the writeLexIndex/writeGramIndex discipline).
+    require(bands.limit(1).count() > 0,
+      "writePerceptualIndex: the corpus yields no perceptual hashes " +
+        "(empty, or every payload's body is sub-60-byte/unparseable) — " +
+        "refusing to publish an unreadable epoch; guard upstream")
     val v = IndexLayout.nextVersion(spark, path)
     graft.sinks.RoutedSink.standard()
-      .write(s"parquet:$path/$v:by:band+pfx",
-        perceptualBands(assets, idCol, payloadCol))
+      .write(s"parquet:$path/$v:by:band+pfx", bands)
     IndexLayout.publish(spark, path, v)
     IndexLayout.gcVersions(spark, path, keep = 1)
   }
@@ -1581,8 +1590,9 @@ object Multimodal {
 
   /** Day-N maintenance: append the KEPT batch assets' band keys into
     * the current epoch (appendBandIndex's contract: single
-    * maintenance queue vs compactions; replayed appends are absorbed
-    * by the probe's distinct). */
+    * maintenance queue vs compactions; replayed appends leave
+    * duplicate band-key rows the probe's distinct absorbs — band keys
+    * are a SET, no count semantics to corrupt). */
   def appendPerceptualIndex(
       kept: DataFrame,
       idCol: String,
@@ -1591,4 +1601,21 @@ object Multimodal {
     graft.sinks.RoutedSink.standard()
       .write(s"parquet-append:${IndexLayout.resolveDir(kept.sparkSession, path)}:by:band+pfx",
         perceptualBands(kept, idCol, payloadCol))
+
+  /** ST25's replay guard (the GramIndex.appendCommitted twin): true
+    * when `batchId`'s append is already committed into the CURRENT
+    * epoch. The set semantics above make the APPEND replay-harmless,
+    * but the streaming trigger's PROBE is not: once the batch's own
+    * keys are indexed, a re-probe would emit near-dup pairs BETWEEN
+    * assets of the same batch — rows the probe-before-append contract
+    * excludes — so a replayed trigger must skip entirely.
+    */
+  def perceptualAppendCommitted(
+      spark: SparkSession, path: String, batchId: Long): Boolean =
+    IndexLayout.appendCommitted(spark, IndexLayout.resolveDir(spark, path), batchId)
+
+  /** Mark `batchId`'s streamed probe+append trigger complete. */
+  def commitPerceptualAppend(
+      spark: SparkSession, path: String, batchId: Long): Unit =
+    IndexLayout.commitAppend(spark, IndexLayout.resolveDir(spark, path), batchId)
 }

@@ -567,13 +567,18 @@ object Streams {
     * append into the index — so later batches see earlier ones (the
     * probe-before-append order keeps each batch's contract: new docs
     * vs the past + themselves, never double-counted). The index is
-    * the state; the stream holds none. The append is EXACTLY-ONCE
-    * under the engine's at-least-once foreachBatch replays: the
-    * micro-batch id keys O52's append ledger, so a replayed batch's
-    * append is a structural no-op and a replayed singleton gram can
-    * never be double-counted across the ≥2 repeated threshold
-    * (StreamingSpec replays a batch and pins index state + probe
-    * rows identical).
+    * the state; the stream holds none. The WHOLE TRIGGER is
+    * exactly-once under the engine's at-least-once foreachBatch
+    * replays: the micro-batch id keys O52's append ledger, and a
+    * replayed trigger SKIPS ENTIRELY when its marker exists — not
+    * just the append. Skipping the probe too is load-bearing: a
+    * committed append means the index already contains the batch's
+    * own counts, so re-probing would see stored + batch ≥ 2 at every
+    * batch position and append false "repeated" rows for unique
+    * content to the output (the completed attempt wrote the batch's
+    * probe rows BEFORE it appended, so nothing is lost by skipping).
+    * StreamingSpec stages an engine-level replay and pins index state
+    * + probe rows identical.
     */
   def gramProbeStream(
       docStream: DataFrame,
@@ -583,13 +588,15 @@ object Streams {
     docStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val df = batch.toDF().cache()
-        try {
-          val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
-          graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
-            graft.operators.GramIndex.probeGramIndex(df, idx))
-          graft.operators.GramIndex.appendGramIndex(df, indexPath, batchId)
-        } finally df.unpersist()
+        if (!graft.operators.GramIndex.appendCommitted(spark, indexPath, batchId)) {
+          val df = batch.toDF().cache()
+          try {
+            val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
+            graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+              graft.operators.GramIndex.probeGramIndex(df, idx))
+            graft.operators.GramIndex.appendGramIndex(df, indexPath, batchId)
+          } finally df.unpersist()
+        }
     }
 
   /** ST12: streaming decontamination — the ingestion-time form of
@@ -771,10 +778,13 @@ object Streams {
     * batches see earlier ones, and no batch matches itself (the
     * probe's new_id != idx_id guard only fires across the split
     * because the batch is probed BEFORE it is appended). The index is
-    * the state; the stream holds none. Replay caveat: band keys are
-    * a SET, so a replayed append leaves duplicate rows the probe's
-    * distinct absorbs — probe results are replay-stable without a
-    * ledger (the O54 contract; contrast count-carrying O52).
+    * the state; the stream holds none. The WHOLE TRIGGER is replay
+    * exactly-once (the ST24 discipline): the append itself is
+    * replay-harmless (band keys are a SET the probe's distinct
+    * absorbs), but a re-PROBE after the batch's keys are indexed
+    * would emit near-dup pairs BETWEEN assets of the same batch —
+    * rows the probe-before-append contract excludes — so a replayed
+    * trigger finds its ledger marker and skips entirely.
     */
   def perceptualProbeStream(
       assetStream: DataFrame,
@@ -782,15 +792,18 @@ object Streams {
       outPath: String
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     assetStream.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val df = batch.toDF().cache()
-        try {
-          val idx = graft.operators.Multimodal.readPerceptualIndex(spark, indexPath)
-          graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
-            graft.operators.Multimodal.probePerceptualIndex(df, "doc_id", "payload", idx))
-          graft.operators.Multimodal.appendPerceptualIndex(df, "doc_id", "payload", indexPath)
-        } finally df.unpersist()
+        if (!graft.operators.Multimodal.perceptualAppendCommitted(spark, indexPath, batchId)) {
+          val df = batch.toDF().cache()
+          try {
+            val idx = graft.operators.Multimodal.readPerceptualIndex(spark, indexPath)
+            graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+              graft.operators.Multimodal.probePerceptualIndex(df, "doc_id", "payload", idx))
+            graft.operators.Multimodal.appendPerceptualIndex(df, "doc_id", "payload", indexPath)
+            graft.operators.Multimodal.commitPerceptualAppend(spark, indexPath, batchId)
+          } finally df.unpersist()
+        }
     }
 
   // ST17 state/output. `counters` is the Misra-Gries survivor map —

@@ -28,24 +28,28 @@ class BpeTrainSpec extends SparkTestBase {
   test("real corpus: learned table == an independent driver-side replay of the same algorithm") {
     // collect (word, freq) once, then replay the exact trajectory in
     // plain Scala: overlapping pair counts, (cnt desc, a, b) argmax,
-    // leftmost non-overlapping fusion — any divergence in the Spark
-    // formulation (tiebreaks, the double-replace trick, slicing)
-    // shows up as a different merge somewhere in the 8 steps
+    // and the SAME scan-order double-replace fusion over the
+    // sentinel-padded string (java.lang.String.replace is literal
+    // left-to-right non-overlapping — the engines' semantics) — any
+    // divergence in the Spark formulation (tiebreaks, slicing, the
+    // repair pass) shows up as a different merge somewhere in 8 steps
     val docs = Tables.load(spark, sfDir, "documents")
     val viaSpark = BpeTrain.trainBpeMerges(docs, 8)
-    val wf: Array[(Array[String], Long)] = docs
+    val wf: Array[(String, Long)] = docs
       .select(org.apache.spark.sql.functions.explode(
         org.apache.spark.sql.functions.expr(
           "filter(split(text, ' '), x -> x <> '')")).as("w"))
       .groupBy("w").count()
       .collect()
-      .map(r => (r.getString(0).codePoints().toArray
-        .map(cp => new String(Character.toChars(cp))), r.getLong(1)))
+      .map(r => (" " + r.getString(0).codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).mkString(" ") + " ",
+        r.getLong(1)))
     var state = wf
     val replay = Seq.newBuilder[(String, String, Long)]
     for (_ <- 1 to 8) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      state.foreach { case (syms, f) =>
+      state.foreach { case (s, f) =>
+        val syms = s.trim.split(' ')
         var i = 0
         while (i + 1 < syms.length) {
           counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
@@ -55,18 +59,26 @@ class BpeTrainSpec extends SparkTestBase {
       val ((a, b), cnt) = counts.toSeq
         .minBy { case ((x, y), c) => (-c, x, y) }
       replay += ((a, b, cnt))
-      state = state.map { case (syms, f) =>
-        val out = Array.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += a + b; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        (out.result(), f)
-      }
+      val (pat, rep) = (s" $a $b ", s" $a$b ")
+      state = state.map { case (s, f) => (s.replace(pat, rep).replace(pat, rep), f) }
     }
     assert(viaSpark == replay.result(), s"Spark trajectory diverged: $viaSpark")
+  }
+
+  test("scan-order fusion on a >=5 self-pair run: the committed Bpe convention, pinned") {
+    // " a a a a a " under merge (a,a): the engines' replace consumes
+    // the shared sentinel space, fusing positions (0,1) and (3,4) ->
+    // [aa, a, aa]; canonical leftmost pairing would give [aa, aa, a].
+    // Token COUNTS agree (3); tie-POSITIONS are scan-order-defined —
+    // the same convention graft.functions.Bpe commits to at apply
+    // time, so train and apply cannot disagree. Pin the trajectory:
+    // iter2's pair table over [aa, a, aa] is {(aa,a):1, (a,aa):1} —
+    // tie on count, (a, aa) wins the (lhs asc) tiebreak. A canonical
+    // fusion would instead offer {(aa,aa):1, (aa,a):1} and merge
+    // (aa,a)... the second merge is the detector.
+    val docs = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val m = BpeTrain.trainBpeMerges(docs, 2)
+    assert(m == Seq(("a", "a", 4L), ("a", "aa", 1L)), s"got $m")
   }
 
   test("determinism, derivation consistency, and drop-in applicability") {

@@ -746,6 +746,12 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val probeBefore = probeEcho()
     assert(probeBefore.nonEmpty)
+    // the OUTPUT rows matter as much as the index: a replayed trigger
+    // that re-PROBED would see the batch's own appended counts and
+    // flag unique batch content as repeated — every output row it
+    // appends would be a false positive, so the replay must not add
+    // a single row to outPath
+    val outBefore = spark.read.parquet(s"$dir/out").count()
     // erase the commit marker -> restart replays batch 0
     val commits = new java.io.File(s"$dir/ckpt/commits").listFiles()
       .filter(_.getName.forall(_.isDigit)).sortBy(_.getName)
@@ -763,6 +769,8 @@ class StreamingSpec extends SparkTestBase {
       "a replayed micro-batch changed the stored gram counts")
     assert(probeEcho() == probeBefore,
       "a replayed micro-batch changed probe results")
+    assert(spark.read.parquet(s"$dir/out").count() == outBefore,
+      "a replayed micro-batch appended (false-positive) output rows")
   }
 
   test("ST23: streamed lexical probes equal the batch O51 probe across micro-batches") {
