@@ -72,7 +72,8 @@ object LexIndex {
       terms: DataFrame,
       ndocs: Long,
       ntok: Long,
-      nBuckets: Int)
+      nBuckets: Int,
+      tombstones: Option[DataFrame] = None)
 
   private val MetaName = "_LEXSTATS"
   private val AppendMetaPrefix = "_LEXSTATS_APPEND-"
@@ -185,8 +186,27 @@ object LexIndex {
       terms = spark.read.parquet(s"$dir/terms"),
       ndocs = metaLong(meta, "ndocs", MetaName) + deltas.map(_._1).sum,
       ntok = metaLong(meta, "ntok", MetaName) + deltas.map(_._2).sum,
-      nBuckets = metaLong(meta, "nBuckets", MetaName).toInt)
+      nBuckets = metaLong(meta, "nBuckets", MetaName).toInt,
+      tombstones =
+        if (IL.hasTombstones(spark, s"$path/store"))
+          Some(IL.readTombstones(spark, s"$path/store", "doc_id"))
+        else None)
   }
+
+  /** Register documents for DELETION from the lexical index — the
+    * takedown/retention obligation of a 100 TB serving corpus (the
+    * O24 tombstone discipline applied to O51). The very next
+    * [[readLexIndex]] masks them from every probe — a taken-down doc
+    * never surfaces in a ranking even before the compaction that
+    * removes its postings — and [[compactLexIndex]] applies them
+    * permanently, recomputing df/ndocs/ntok EXACTLY from the retained
+    * postings. Until that compaction the corpus-global statistics
+    * still include the tombstoned docs: a bounded, conservative
+    * staleness (slightly deflated idf / perturbed avgdl for the
+    * survivors), never a surfaced deleted doc.
+    */
+  def tombstoneLexIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    IL.addTombstones(ids, idCol, "doc_id", s"$path/store")
 
   /** Day-2 ingestion: land a NEW-docs batch into the CURRENT epoch —
     * posting rows (with their dl) and per-term df deltas as appended
@@ -249,11 +269,19 @@ object LexIndex {
     IL.requireStillCurrent(spark, root, dir, "appendLexIndex")
   }
 
-  /** Epoch repair after an append run: rewrite with ONE df row per
-    * (bucket, term), one file set per bucket and a single merged
-    * stats manifest — restoring the compact probe-side read shape.
-    * The append ledger carries into the new epoch so late replays of
-    * already-merged batches stay no-ops. Atomic publish.
+  /** Epoch repair after an append/tombstone run: rewrite with ONE df
+    * row per (bucket, term), one file set per bucket and a single
+    * merged stats manifest — restoring the compact probe-side read
+    * shape — and APPLY pending tombstones permanently: the tombstoned
+    * docs' postings leave the store, and df/ndocs/ntok are recomputed
+    * EXACTLY from the retained postings (one keyed agg — a compaction
+    * is a rewrite anyway), so post-compaction statistics equal a
+    * fresh build over the retained corpus (spec-pinned). Only the
+    * tombstone FILES present at entry are consumed and deleted after
+    * publish — ids arriving mid-compaction survive to the next cycle
+    * (the O24 snapshot discipline). The append ledger carries into
+    * the new epoch so late replays of already-merged batches stay
+    * no-ops. Atomic publish.
     */
   def compactLexIndex(spark: SparkSession, path: String): Unit = {
     val root = s"$path/store"
@@ -262,17 +290,40 @@ object LexIndex {
     val meta = IL.readMeta(spark, oldDir, MetaName).get
     val idCol = "\"idCol\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(meta)
       .map(_.group(1)).getOrElse("doc_id")
-    val mergedTerms = idx.terms.groupBy(col("bucket"), col("term"))
-      .agg(sum(col("df")).as("df"))
+    val tombFiles = IL.tombstoneFiles(spark, root)
+    val retained =
+      if (tombFiles.isEmpty) idx.postings
+      else idx.postings.join(
+        spark.read.parquet(tombFiles.map(_.toString): _*).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val (mergedTerms, ndocs, ntok) =
+      if (tombFiles.isEmpty)
+        // no deletions: df deltas just merge, stats are already exact
+        (idx.terms.groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df")),
+          idx.ndocs, idx.ntok)
+      else {
+        // deletions change df per term AND the corpus-global stats —
+        // recompute both exactly from the retained postings
+        val t = retained.groupBy(col("bucket"), col("term"))
+          .agg(count(lit(1)).as("df"))
+        val st = retained.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+          .agg(coalesce(sum(col("dl")), lit(0L)).as("ntok"),
+            count(lit(1)).as("ndocs")).head()
+        (t, st.getLong(1), st.getLong(0))
+      }
+    require(ndocs > 0,
+      "compactLexIndex: tombstones empty the corpus — refusing to " +
+        "publish an unreadable/statistics-free epoch; rebuild instead")
     val v = IL.nextVersion(spark, root)
     val sink = graft.sinks.RoutedSink.standard()
-    sink.write(s"parquet:$root/$v/postings:by:bucket", idx.postings)
+    sink.write(s"parquet:$root/$v/postings:by:bucket", retained)
     sink.write(s"parquet:$root/$v/terms:by:bucket", mergedTerms)
     IL.writeMeta(spark, s"$root/$v", MetaName,
-      s"""{"ndocs":${idx.ndocs},"ntok":${idx.ntok},"nBuckets":${idx.nBuckets},""" +
+      s"""{"ndocs":$ndocs,"ntok":$ntok,"nBuckets":${idx.nBuckets},""" +
         s""""idCol":"${Ops.jsonEscape(idCol)}"}""")
     IL.copyAppendLedger(spark, oldDir, s"$root/$v")
     IL.publish(spark, root, v)
+    IL.deleteTombstoneFiles(spark, root, tombFiles)
     IL.gcVersions(spark, root, keep = 1)
   }
 
@@ -326,8 +377,16 @@ object LexIndex {
       .join(broadcast(q.select(col("bucket"), col("term")).distinct()),
         Seq("bucket", "term"), "left_semi")
       .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
-    val scored = post
+    val matched = post
       .join(broadcast(q), Seq("bucket", "term"))
+    // pending-tombstone mask: applied to the MATCHED postings (already
+    // query-bounded), so a taken-down doc never enters the ranking —
+    // the anti-join's right side is takedown-list sized, never the
+    // corpus. Stats still include tombstoned docs until compaction
+    // (bounded, conservative; see tombstoneLexIndex).
+    val masked = index.tombstones.fold(matched)(t =>
+      matched.join(t, Seq("doc_id"), "left_anti"))
+    val scored = masked
       .join(broadcast(termsQ), Seq("bucket", "term"))
       .withColumn("ntok", lit(index.ntok))
       .withColumn("ndocs", lit(index.ndocs))

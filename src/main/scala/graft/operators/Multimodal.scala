@@ -1548,11 +1548,62 @@ object Multimodal {
     IndexLayout.gcVersions(spark, path, keep = 1)
   }
 
-  /** Manifest-resolved read; feeds [[probePerceptualIndex]]. */
-  def readPerceptualIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(IndexLayout.resolveDir(spark, path))
+  /** Manifest-resolved read; feeds [[probePerceptualIndex]]. Pending
+    * tombstones ([[tombstonePerceptualIndex]]) are masked immediately
+    * via an anti-join over the scan — a taken-down asset never
+    * surfaces as a near-dup even before the compaction that deletes
+    * its band keys. As in O24's readBandIndex, the mask sits between
+    * scan and probe join and costs the probe its DPP WHILE tombstones
+    * are pending; correctness outranks the scan cut and the window
+    * closes at the next [[compactPerceptualIndex]].
+    */
+  def readPerceptualIndex(spark: SparkSession, path: String): DataFrame = {
+    val idx = spark.read.parquet(IndexLayout.resolveDir(spark, path))
       .select(col("doc_id"), col("ah"), col("format"),
         col("band").cast("int"), col("seg"), col("pfx").cast("int"))
+    if (!IndexLayout.hasTombstones(spark, path)) idx
+    else idx.join(IndexLayout.readTombstones(spark, path, "doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Register assets for DELETION from the perceptual index — the
+    * takedown/retention obligation, image modality (the O24/O51
+    * tombstone discipline). Masked from the very next read; applied
+    * permanently by [[compactPerceptualIndex]].
+    */
+  def tombstonePerceptualIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    IndexLayout.addTombstones(ids, idCol, "doc_id", path)
+
+  /** Periodic compaction for the append-maintained perceptual index
+    * (the compactBandIndex lifecycle): DISTINCTs the band-key set (a
+    * replayed batch append leaves exact duplicate rows), applies the
+    * tombstone-file snapshot permanently, rewrites each (band, pfx)
+    * bucket into one file, carries the ST25 append ledger forward,
+    * publishes atomically, and deletes exactly the consumed tombstone
+    * files (ids arriving mid-compaction survive).
+    */
+  def compactPerceptualIndex(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+    IndexLayout.recover(spark, path)
+    val src = IndexLayout.resolveDir(spark, path)
+    val tombFiles = IndexLayout.tombstoneFiles(spark, path)
+    val base = spark.read.parquet(src).distinct()
+    val pruned =
+      if (tombFiles.isEmpty) base
+      else base.join(
+        spark.read.parquet(tombFiles.map(_.toString): _*).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    require(pruned.limit(1).count() > 0,
+      "compactPerceptualIndex: tombstones empty the index — refusing " +
+        "to publish an unreadable epoch; rebuild instead")
+    val next = IndexLayout.nextVersion(spark, path)
+    pruned
+      .repartition(col("band"), col("pfx"))
+      .write.mode("overwrite").partitionBy("band", "pfx").parquet(s"$path/$next")
+    IndexLayout.copyAppendLedger(spark, src, s"$path/$next")
+    IndexLayout.publish(spark, path, next)
+    IndexLayout.deleteTombstoneFiles(spark, path, tombFiles)
+    IndexLayout.gcVersions(spark, path, keepVersions)
+  }
 
   /** Day-2 probe: perceptual near-dups of `batch` against the stored
     * corpus — (new_id, idx_id, hamming, cross_container), hamming ≤

@@ -175,6 +175,41 @@ class LexIndexSpec extends SparkTestBase {
     assert(probe3 == probe1, "replays drifted the probe results")
   }
 
+  test("tombstones: masked at the next probe; compaction applies them with EXACT recomputed stats") {
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-lextomb").toString
+    LexIndex.writeLexIndex(docs, dir, nBuckets = 8)
+    // take down the docs the queries actually rank, so the mask is
+    // observable: the current top-1 per query must vanish
+    val before = LexIndex.probeLexIndex(queries, LexIndex.readLexIndex(spark, dir))
+    val victims = before.where($"rn" === 1).select($"doc_id").distinct()
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    LexIndex.tombstoneLexIndex(victims, "doc_id", dir)
+    // masked IMMEDIATELY (same epoch, pending tombstones): no victim
+    // surfaces; survivors still ranked under the (stale, documented)
+    // pre-compaction statistics
+    val masked = LexIndex.probeLexIndex(queries, LexIndex.readLexIndex(spark, dir))
+    assert(masked.where($"doc_id".isin(victimIds.toSeq: _*)).isEmpty,
+      "a tombstoned doc surfaced in a pending-tombstone probe")
+    assert(masked.count() > 0)
+    // compaction applies permanently: probe == a FRESH index over the
+    // retained corpus, statistics recomputed exactly
+    LexIndex.compactLexIndex(spark, dir)
+    val compacted = LexIndex.readLexIndex(spark, dir)
+    assert(compacted.tombstones.isEmpty, "tombstones not consumed by compaction")
+    val freshDir = java.nio.file.Files.createTempDirectory("graft-lextomb2").toString
+    LexIndex.writeLexIndex(docs.where(!$"doc_id".isin(victimIds.toSeq: _*)),
+      freshDir, nBuckets = 8)
+    val fresh = LexIndex.readLexIndex(spark, freshDir)
+    assert(compacted.ndocs == fresh.ndocs && compacted.ntok == fresh.ntok,
+      s"compacted stats (${compacted.ndocs}, ${compacted.ntok}) != fresh rebuild " +
+        s"(${fresh.ndocs}, ${fresh.ntok})")
+    assert(keyed(LexIndex.probeLexIndex(queries, compacted)) ==
+      keyed(LexIndex.probeLexIndex(queries, fresh)),
+      "post-compaction probe != fresh rebuild over the retained corpus")
+  }
+
   test("auto-sized nBuckets: derived from the measured token count, manifest-recorded, probe parity") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lexauto").toString
     LexIndex.writeLexIndex(docs, dir) // nBuckets = 0 -> auto

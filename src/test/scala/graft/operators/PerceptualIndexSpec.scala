@@ -79,6 +79,34 @@ class PerceptualIndexSpec extends SparkTestBase {
     assert(replayed == hits, "a replayed append changed probe results")
   }
 
+  test("tombstones mask immediately; compaction applies them, dedupes replays, and keeps probes stable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pidx4").toString
+    val originals = Multimodal.imagePayloads(spark, sfDir)
+    Multimodal.writePerceptualIndex(originals, "doc_id", "payload", dir)
+    // double-append a batch (simulated replay — duplicate band keys)
+    val kept = originals.where($"doc_id" >= 300 && $"doc_id" < 320)
+    Multimodal.appendPerceptualIndex(kept, "doc_id", "payload", dir)
+    Multimodal.appendPerceptualIndex(kept, "doc_id", "payload", dir)
+    val twins = Multimodal.payloadsWithContainer(spark, sfDir,
+      containerShift = 1, idOffset = 1000000000L)
+    // take down asset 7: its re-wrap must stop matching IMMEDIATELY
+    Multimodal.tombstonePerceptualIndex(
+      Seq(7L).toDF("doc_id"), "doc_id", dir)
+    val masked = keyed(Multimodal.probePerceptualIndex(twins, "doc_id", "payload",
+      Multimodal.readPerceptualIndex(spark, dir)))
+    assert(!masked.exists(_._2 == 7L), "a tombstoned asset surfaced as a near-dup")
+    assert(masked.nonEmpty)
+    // compaction: tombstones applied, replay duplicates deduped, one
+    // row per (doc_id, band) — and the probe is value-stable
+    Multimodal.compactPerceptualIndex(spark, dir)
+    val idx = Multimodal.readPerceptualIndex(spark, dir)
+    assert(keyed(Multimodal.probePerceptualIndex(twins, "doc_id", "payload", idx)) == masked,
+      "compaction changed probe results")
+    assert(idx.where($"doc_id" === 7L).isEmpty, "tombstoned rows survived compaction")
+    val dup = idx.groupBy($"doc_id", $"band").count().where($"count" > 1)
+    assert(dup.isEmpty, "replayed append rows survived compaction")
+  }
+
   test("a probe reads only its band-key buckets (DPP over the (band, pfx) dirs)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pidx3").toString
     Multimodal.writePerceptualIndex(
