@@ -1489,6 +1489,71 @@ object TextAnalysis {
         SELECT CAST(rank AS INT) AS rank, lhs, rhs, cnt
         FROM ($ranks) ORDER BY rank"""
       }
+    ),
+
+    Q(
+      "t30_gram_novelty",
+      "Per-doc novelty of an incoming batch vs the standing corpus: fraction of token-8-grams unseen before, exact ppm",
+      (spark, dir) => {
+        import spark.implicits._
+        // The curation signal BETWEEN t28's memorization report and
+        // the dedup verdicts: before admitting a batch, score how
+        // much of each doc is NEW — near-zero novelty means the doc
+        // re-states corpus content (memorization/contamination risk,
+        // a candidate for down-weighting per d23 even when no single
+        // interval crosses a dedup threshold); high novelty is what
+        // data buyers pay for. Definition: novelty_ppm =
+        // (unseen 8-grams / total 8-grams) in exact int64 ppm —
+        // tokenized by X15, grams by X17, the t28 coordinates.
+        // Plan (the O52 probe shape, corpus scanned once, NOTHING
+        // corpus-scaled shuffles): the batch's distinct gram set
+        // broadcasts (batch-bounded); the corpus gram stream is
+        // left-semi RESTRICTED against it before its distinct — so
+        // the covered-gram set is also batch-bounded and broadcasts
+        // back onto the batch's per-doc counts. At scale the corpus
+        // leg swaps for O52 probeGramIndex's stored counts (the
+        // standing index IS this query's corpus side); the canned
+        // form rescans so the oracle sees only semantics. Split:
+        // docs < 400 are the standing corpus, >= 400 the batch.
+        val d = Tables.load(spark, dir, "documents")
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("_ids", graft.functions.GraftExpressions.bpeEncode($"text"))
+          .filter(size($"_ids") >= 8)
+          .select($"doc_id", posexplode(
+            graft.functions.GraftExpressions.idGrams($"_ids", 8)).as(Seq("p", "g")))
+        val bg = grams(d.where($"doc_id" >= 400)).cache()
+        val bset = bg.select($"g").distinct()
+        val covSet = grams(d.where($"doc_id" < 400)).select($"g")
+          .join(broadcast(bset), Seq("g"), "left_semi")
+          .distinct()
+        val perDoc = bg.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+        val covered = bg.join(broadcast(covSet), Seq("g"), "left_semi")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_covered"))
+        perDoc.join(covered, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_grams",
+            coalesce($"n_covered", lit(0L)).as("n_covered"))
+          .withColumn("novelty_ppm",
+            expr("(n_grams - n_covered) * 1000000L div n_grams"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, ${graft.functions.Bpe.duckEncode(duckWords)} AS ids FROM documents),
+        t AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM w WHERE len(ids) >= 8),
+        pos AS (SELECT doc_id, ids,
+            unnest(generate_series(CAST(0 AS BIGINT), n - 8)) AS p FROM t),
+        g AS (SELECT doc_id, p,
+            array_to_string(list_transform(
+              ids[CAST(p + 1 AS INT) : CAST(p + 8 AS INT)],
+              x -> CAST(x AS VARCHAR)), '-') AS g8 FROM pos),
+        cg AS (SELECT DISTINCT g8 FROM g WHERE doc_id < 400),
+        b AS (SELECT doc_id, p, g8 FROM g WHERE doc_id >= 400),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM b GROUP BY doc_id),
+        cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+          FROM b WHERE g8 IN (SELECT g8 FROM cg) GROUP BY doc_id)
+        SELECT tot.doc_id, n_grams,
+          CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
+          CAST((n_grams - COALESCE(n_covered, 0)) * 1000000 // n_grams AS BIGINT) AS novelty_ppm
+        FROM tot LEFT JOIN cov ON cov.doc_id = tot.doc_id
+        ORDER BY tot.doc_id""")
     )
   )
 }
