@@ -175,6 +175,36 @@ object GramIndex {
     * repeated threshold. Fails loudly if a concurrent rewrite flipped
     * the epoch mid-append.
     */
+  /** t30's novelty scoring served from the STORED index — zero corpus
+    * rescans (the probeGramIndex shape): per batch doc, the exact-ppm
+    * fraction of its token-8-grams absent from the indexed corpus.
+    * Covered = the gram EXISTS in the store (count ≥ 1 — unlike
+    * [[probeGramIndex]]'s ≥ 2-with-self semantics: novelty measures
+    * against the PAST only, so within-batch repeats don't cover).
+    * Plan: batch gram set broadcasts, stored side left-semi-restricted
+    * (DPP prunes the buckets) and distinct'd AFTER the restriction
+    * (batch-bounded — appended epochs hold several files per gram and
+    * existence is all that matters), covered set broadcasts back onto
+    * per-doc counts. Output: (doc_id, n_grams, n_covered,
+    * novelty_ppm) — GramIndexSpec pins equality with the oracle-gated
+    * t30 on the same corpus/batch split.
+    */
+  def noveltyFromIndex(batch: DataFrame, index: GramIndexHandle): DataFrame = {
+    val bg = gramsOf(batch, index.gram).withColumn("bucket", bucketOf(index.nBuckets))
+    val bset = bg.select(col("bucket"), col("g")).distinct()
+    val covSet = index.grams
+      .join(broadcast(bset), Seq("bucket", "g"), "left_semi")
+      .select(col("bucket"), col("g")).distinct()
+    val perDoc = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val covered = bg.join(broadcast(covSet), Seq("bucket", "g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    perDoc.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("novelty_ppm",
+        expr("(n_grams - n_covered) * 1000000L div n_grams"))
+  }
+
   /** True when `batchId` already appended into the CURRENT epoch —
     * the streaming trigger's replay guard: once a batch's append is
     * committed, probing it again is WRONG (the index now contains the

@@ -767,6 +767,37 @@ object Streams {
         graft.operators.IndexLayout.resolveDir(keptPayloads.sparkSession, path) +
         ":by:band+pfx")
 
+  /** ST26: streaming NOVELTY scoring at ingestion — t30 served from
+    * O52's stored gram counts, per micro-batch: each incoming doc is
+    * scored "how much of you is new vs EVERYTHING ingested before
+    * you" (exact ppm — GramIndex.noveltyFromIndex, covered = exists
+    * in the store, the against-the-past-only semantics), the scores
+    * append through the routed sink, and THEN the batch's own counts
+    * append into the index, so the next batch's novelty accounts for
+    * this one. Trigger-level exactly-once exactly as ST24 (the ledger
+    * marker skips a replayed trigger whole — a re-scored batch would
+    * otherwise read its own appended grams and report ~0 novelty for
+    * everything). Index is the state; the stream holds none.
+    */
+  def noveltyStream(
+      docStream: DataFrame,
+      indexPath: String,
+      outPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!graft.operators.GramIndex.appendCommitted(spark, indexPath, batchId)) {
+          val df = batch.toDF().cache()
+          try {
+            val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
+            graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+              graft.operators.GramIndex.noveltyFromIndex(df, idx))
+            graft.operators.GramIndex.appendGramIndex(df, indexPath, batchId)
+          } finally df.unpersist()
+        }
+    }
+
   /** ST25: streaming PERCEPTUAL near-dup at ingestion — the O54 twin
     * of ST24's probe-then-append loop, closing the image modality's
     * live path: each micro-batch of (doc_id, payload) assets is

@@ -63,6 +63,30 @@ class GramIndexSpec extends SparkTestBase {
     assert(dup.isEmpty, "compacted epoch still holds split gram rows")
   }
 
+  test("noveltyFromIndex == the oracle-gated t30 on the same corpus/batch split") {
+    // the stored-index serving form of t30 must agree row-for-row
+    // with the rescan query — same split (corpus < 400, batch >= 400),
+    // zero corpus rescans on the index side
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramnovel").toString
+    GramIndex.writeGramIndex(docs.where($"doc_id" < 400), dir, gram = 8, nBuckets = 16)
+    val stored = GramIndex.noveltyFromIndex(
+        docs.where($"doc_id" >= 400), GramIndex.readGramIndex(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val t30 = graft.SparkEntry.queries("t30_gram_novelty")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stored == t30 && stored.nonEmpty,
+      s"stored novelty != t30 rescan (${stored.size} vs ${t30.size})")
+    // and against an APPENDED epoch (several files per gram) the
+    // existence semantics still hold: append the batch itself, then a
+    // verbatim copy of a batch doc must score 0 ppm
+    GramIndex.appendGramIndex(docs.where($"doc_id" >= 400), dir, batchId = 5L)
+    val echo = docs.where($"doc_id" === 450).select(lit(999L).as("doc_id"), $"text")
+    val r = GramIndex.noveltyFromIndex(echo, GramIndex.readGramIndex(spark, dir))
+      .collect()
+    assert(r.length == 1 && r(0).getLong(3) == 0L,
+      s"copy of appended content not fully covered: ${r.mkString}")
+  }
+
   test("auto-sized nBuckets: the manifest records the DERIVED count, and probes route correctly") {
     // regression: the manifest used to record the CALLER arg — 0
     // under auto-sizing — which would poison every probe's pmod
