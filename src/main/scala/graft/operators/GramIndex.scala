@@ -39,6 +39,12 @@ import graft.operators.{IndexLayout => IL}
   * [[compactGramIndex]] rewrites the epoch with merged counts,
   * carrying the ledger forward so late replays of already-merged
   * batches stay no-ops.
+  *
+  * Takedown ([[takedownGramIndex]]) is the retention obligation in
+  * count-index form: a NEGATIVE-count delta append (the store has no
+  * per-doc rows for an id tombstone to mask) — deleted content stops
+  * covering at the very next probe because every reader sums counts,
+  * and compaction drops zeroed grams permanently.
   */
 object GramIndex {
 
@@ -192,9 +198,17 @@ object GramIndex {
   def noveltyFromIndex(batch: DataFrame, index: GramIndexHandle): DataFrame = {
     val bg = gramsOf(batch, index.gram).withColumn("bucket", bucketOf(index.nBuckets))
     val bset = bg.select(col("bucket"), col("g")).distinct()
+    // covered = NET stored count >= 1, not row existence: a taken-down
+    // doc ([[takedownGramIndex]]) leaves (positive, negative) row
+    // PAIRS in the epoch until compaction merges them away — an
+    // existence test would keep "covering" content the retention
+    // system already deleted. The sum is over the batch-restricted
+    // survivors only, so it stays batch-bounded.
     val covSet = index.grams
       .join(broadcast(bset), Seq("bucket", "g"), "left_semi")
-      .select(col("bucket"), col("g")).distinct()
+      .groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("_sc"))
+      .where(col("_sc") >= 1L)
+      .select(col("bucket"), col("g"))
     val perDoc = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val covered = bg.join(broadcast(covSet), Seq("bucket", "g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
@@ -232,16 +246,70 @@ object GramIndex {
     IL.requireStillCurrent(spark, root, dir, "appendGramIndex")
   }
 
+  /** True when `takedownId` already applied to the CURRENT epoch. */
+  def takedownCommitted(spark: SparkSession, path: String, takedownId: Long): Boolean =
+    IL.appendCommitted(spark, IL.resolveDir(spark, s"$path/grams"), takedownId, "takedown")
+
+  /** Takedown / retention deletion for a COUNT index (O52's answer to
+    * tombstoneLexIndex): the store holds aggregate gram counts, not
+    * per-doc postings, so an id tombstone cannot mask anything —
+    * instead the deletion is a NEGATIVE-count delta append. The caller
+    * passes the doc rows being deleted (the retention pipeline holds
+    * them — it is removing them from the corpus store in the same
+    * transaction); their gram counts land negated as new files in the
+    * current epoch, and because every reader already SUMS counts per
+    * gram across files, the deleted content stops covering at the very
+    * next probe ([[probeGramIndex]] net counts; [[noveltyFromIndex]]
+    * covers on net >= 1) — read-time correctness, compaction-time
+    * reclamation, exactly the tombstone contract. Idempotent under its
+    * own ledger namespace (`takedown-<id>` — disjoint from ingestion
+    * batch ids, so a takedown can never be masked by a same-numbered
+    * micro-batch) with the same stage-then-move crash story as
+    * [[appendGramIndex]]. CONTRACT (single-application): each doc is
+    * taken down ONCE, under one takedownId, and must actually be in
+    * the index — double-deletion (two different ids covering the same
+    * doc) drives net counts negative and silently UNDER-covers other
+    * docs' identical grams; the ledger only absorbs replays of the
+    * SAME takedownId. [[compactGramIndex]] merges the deltas and drops
+    * zeroed grams permanently.
+    */
+  def takedownGramIndex(docs: DataFrame, path: String, takedownId: Long): Unit = {
+    val spark = docs.sparkSession
+    val idx = readGramIndex(spark, path)
+    val root = s"$path/grams"
+    val dir = IL.resolveDir(spark, root)
+    if (IL.appendCommitted(spark, dir, takedownId, "takedown")) return
+    val neg = gramsOf(docs, idx.gram)
+      .groupBy(col("g")).agg((count(lit(1)) * lit(-1L)).as("c"))
+      .withColumn("bucket", bucketOf(idx.nBuckets))
+      .select(col("bucket"), col("g"), col("c"))
+    if (neg.isEmpty) { IL.commitAppend(spark, dir, takedownId, "takedown"); return }
+    IL.stageMoveAppend(neg, dir, "bucket", takedownId, "takedown")
+    IL.commitAppend(spark, dir, takedownId, "takedown")
+    IL.requireStillCurrent(spark, root, dir, "takedownGramIndex")
+  }
+
   /** Epoch repair: rewrite with one merged row per gram (append files
-    * summed), restoring probe-side read efficiency. The append ledger
-    * carries into the new epoch so a late replay of an already-merged
-    * batch stays a no-op. Atomic publish.
+    * summed), restoring probe-side read efficiency; grams whose net
+    * count reached zero through [[takedownGramIndex]] deltas are
+    * DROPPED — the permanent application of the takedown. Refuses to
+    * publish an empty epoch (a fully-taken-down corpus must be retired
+    * by deleting the index, not by publishing an unreadable zero-row
+    * hive store — the writeGramIndex guard's compaction twin). The
+    * append ledger (ingestion AND takedown markers) carries into the
+    * new epoch so a late replay of an already-merged batch stays a
+    * no-op. Atomic publish.
     */
   def compactGramIndex(spark: SparkSession, path: String): Unit = {
     val idx = readGramIndex(spark, path)
     val root = s"$path/grams"
     val oldDir = IL.resolveDir(spark, root)
     val merged = idx.grams.groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("c"))
+      .where(col("c") > 0L)
+    require(!merged.isEmpty,
+      "compactGramIndex: every gram's net count is <= 0 (the whole " +
+        "corpus was taken down) — refusing to publish an unreadable " +
+        "empty epoch; delete the index instead")
     val v = IL.nextVersion(spark, root)
     graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", merged)
     IL.writeMeta(spark, s"$root/$v", MetaName,

@@ -295,17 +295,25 @@ object IndexLayout {
 
   private val AppendLedgerDir = "_appends"
 
-  private def markerPath(dir: String, batchId: Long): Path =
-    new Path(new Path(dir, AppendLedgerDir), f"batch-$batchId%020d")
+  /** `kind` namespaces the ledger: streaming ingestion appends use the
+    * default `"batch"` (ids = micro-batch ids from the engine's
+    * checkpoint counter); takedown deltas use `"takedown"` (ids from
+    * the retention system) — the two id spaces are independent, so a
+    * takedown can never be masked by a same-numbered ingestion batch.
+    */
+  private def markerPath(dir: String, batchId: Long, kind: String): Path =
+    new Path(new Path(dir, AppendLedgerDir), f"$kind-$batchId%020d")
 
   /** True when `batchId` already appended into this epoch (replay). */
-  def appendCommitted(spark: SparkSession, dir: String, batchId: Long): Boolean =
-    hfs(spark, dir).exists(markerPath(dir, batchId))
+  def appendCommitted(spark: SparkSession, dir: String, batchId: Long,
+      kind: String = "batch"): Boolean =
+    hfs(spark, dir).exists(markerPath(dir, batchId, kind))
 
   /** Record `batchId` as durably appended (create-last, atomic). */
-  def commitAppend(spark: SparkSession, dir: String, batchId: Long): Unit = {
+  def commitAppend(spark: SparkSession, dir: String, batchId: Long,
+      kind: String = "batch"): Unit = {
     val fs = hfs(spark, dir)
-    val p = markerPath(dir, batchId)
+    val p = markerPath(dir, batchId, kind)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
     try out.write(Array.emptyByteArray) finally out.close()
@@ -321,12 +329,13 @@ object IndexLayout {
       data: DataFrame,
       destDir: String,
       partCol: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      kind: String = "batch"): Unit = {
     val spark = data.sparkSession
     val fs = hfs(spark, destDir)
-    val stage = new Path(destDir, f".stage-batch-$batchId%020d")
+    val stage = new Path(destDir, f".stage-$kind-$batchId%020d")
     data.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
-    val prefix = f"batch-$batchId%020d-"
+    val prefix = f"$kind-$batchId%020d-"
     val parts = fs.listStatus(stage)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
     parts.foreach { pd =>

@@ -158,6 +158,78 @@ class GramIndexSpec extends SparkTestBase {
       GramIndex.readGramIndex(spark, dir)).isEmpty)
   }
 
+  test("takedown: negative-count deltas == a rebuild without the deleted docs, permanently after compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramtd").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-gramtd2").toString
+    val keep = docs.where($"doc_id" < 300)
+    val gone = docs.where($"doc_id" >= 300 && $"doc_id" < 400)
+    val batch = docs.where($"doc_id" >= 400)
+    GramIndex.writeGramIndex(docs.where($"doc_id" < 400), dir, gram = 8, nBuckets = 16)
+    GramIndex.takedownGramIndex(gone, dir, takedownId = 1L)
+    GramIndex.writeGramIndex(keep, dir2, gram = 8, nBuckets = 16)
+    val idx = GramIndex.readGramIndex(spark, dir)
+    val fresh = GramIndex.readGramIndex(spark, dir2)
+    // read-time application: the very next probe/novelty over the
+    // delta'd epoch equals a fresh rebuild over the retained corpus
+    val p1 = keyed(GramIndex.probeGramIndex(batch, idx))
+    assert(p1 == keyed(GramIndex.probeGramIndex(batch, fresh)) && p1.nonEmpty,
+      "post-takedown probe != rebuild-without-deleted probe")
+    def nov(i: GramIndex.GramIndexHandle) =
+      GramIndex.noveltyFromIndex(batch, i)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(nov(idx) == nov(fresh), "post-takedown novelty != rebuild novelty")
+    // replay of the same takedownId is a structural no-op
+    val rows = idx.grams.count()
+    GramIndex.takedownGramIndex(gone, dir, takedownId = 1L)
+    assert(GramIndex.readGramIndex(spark, dir).grams.count() == rows,
+      "replayed takedown landed new delta files")
+    // compaction applies the deltas permanently: the epoch's rows
+    // become EXACTLY the rebuild's (zeroed grams dropped), probes
+    // value-stable, and the takedown ledger carries (late replay no-op)
+    GramIndex.compactGramIndex(spark, dir)
+    val after = GramIndex.readGramIndex(spark, dir)
+    assert(after.grams.where($"c" <= 0L).isEmpty, "compaction kept a non-positive gram row")
+    assert(after.grams.except(fresh.grams).isEmpty && fresh.grams.except(after.grams).isEmpty,
+      "compacted epoch != fresh rebuild over the retained corpus")
+    val n2 = after.grams.count()
+    GramIndex.takedownGramIndex(gone, dir, takedownId = 1L)
+    assert(GramIndex.readGramIndex(spark, dir).grams.count() == n2,
+      "takedown replay after compaction re-applied a merged delta")
+  }
+
+  test("takedown read-time semantics: deleted content is fully novel BEFORE compaction; all-gone compaction refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramtd3").toString
+    val d1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val d2 = Seq((2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    GramIndex.writeGramIndex(d1.union(d2), dir, gram = 8, nBuckets = 4)
+    GramIndex.takedownGramIndex(d1, dir, takedownId = 7L)
+    // the epoch still HOLDS doc-1's gram rows (as +1/-1 pairs) — an
+    // existence-based covered test would keep covering deleted
+    // content; net-count semantics must score its echo fully novel
+    // and never flag it repeated
+    val echo = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val idx = GramIndex.readGramIndex(spark, dir)
+    val n = GramIndex.noveltyFromIndex(echo, idx).collect()
+    assert(n.length == 1 && n(0).getLong(3) == 1000000L,
+      s"taken-down content still covers pre-compaction: ${n.mkString}")
+    assert(GramIndex.probeGramIndex(echo, idx).isEmpty,
+      "taken-down content still probes as repeated")
+    // doc-2 content is untouched by doc-1's takedown
+    val echo2 = Seq((11L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    assert(GramIndex.probeGramIndex(echo2, idx).collect().nonEmpty,
+      "takedown of doc 1 under-covered doc 2's grams")
+    // taking down the rest leaves nothing: compaction refuses to
+    // publish an unreadable empty epoch
+    GramIndex.takedownGramIndex(d2, dir, takedownId = 8L)
+    intercept[IllegalArgumentException] {
+      GramIndex.compactGramIndex(spark, dir)
+    }
+  }
+
   test("a doc with no duplicated grams yields no intervals") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gramidx3").toString
     GramIndex.writeGramIndex(
