@@ -1175,7 +1175,10 @@ object Ops {
               key.cast("string"))).cast("long"))
             .otherwise(rank))
       }
-    guarded.drop("_pid", "_lrank")
+    // drop ALL internals, including the offset join key — leaking
+    // `_off` made two chained rankGlobal calls ambiguous (t32 ranks
+    // the ranked frame again for its serve order)
+    guarded.drop("_pid", "_lrank", "_off")
   }
 
   /** O22: deterministic Lloyd k-means assignment (s05's library form,

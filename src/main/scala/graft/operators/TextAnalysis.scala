@@ -1554,6 +1554,194 @@ object TextAnalysis {
           CAST((n_grams - COALESCE(n_covered, 0)) * 1000000 // n_grams AS BIGINT) AS novelty_ppm
         FROM tot LEFT JOIN cov ON cov.doc_id = tot.doc_id
         ORDER BY tot.doc_id""")
+    ),
+
+    Q(
+      "t31_epoch_plan",
+      "Data-constrained training plan: per-source token allocation under a fixed budget with an epoch cap, exact int64",
+      (spark, dir) => {
+        import spark.implicits._
+        // The step AFTER the mix weights (t15/t21) and the caps (t25):
+        // given a token BUDGET (3x the corpus here) and the
+        // data-constrained repetition ceiling (no source repeated past
+        // 4 epochs — past which repeated data stops buying loss, the
+        // published data-constrained-scaling finding), decide how many
+        // tokens each source actually contributes. Two-pass water-fill
+        // in exact int64: pass 1 gives every source min(fair-share,
+        // 4 x its tokens); pass 2 redistributes the leftover to the
+        // un-capped sources proportionally to their remaining
+        // capacity (floor division — the residue stays unallocated,
+        // deterministic on both engines). The corpus-sized work is ONE
+        // map-side-combinable agg; everything after runs on the
+        // source dictionary (bounded rows) via two single-row
+        // broadcast totals — the t15 shape. Overflow headroom: the
+        // pass-2 product leftover x capacity stays under 2^63 while
+        // budget x max-source-tokens < 5.8e17; at 100 TB run the plan
+        // in MEGAtoken units (allocation plans don't need single-token
+        // granularity) — the formula is unit-invariant.
+        val bySrc = Tables.load(spark, dir, "documents")
+          .select($"source", size(expr(sparkWords)).cast("long").as("n"))
+          .groupBy($"source").agg(sum($"n").as("toks"))
+        val tot = bySrc.agg(sum($"toks").as("t"), count(lit(1)).as("ns"))
+        val a1 = bySrc.crossJoin(broadcast(tot))
+          .withColumn("budget", $"t" * lit(3L))
+          .withColumn("fair", expr("budget div ns"))
+          .withColumn("cap", $"toks" * lit(4L))
+          .withColumn("alloc1", least($"fair", $"cap"))
+        val l = a1.agg(
+          sum($"alloc1").as("s1"), sum($"cap" - $"alloc1").as("c"))
+        a1.crossJoin(broadcast(l))
+          .withColumn("leftover", $"budget" - $"s1")
+          .withColumn("extra",
+            when($"c" > 0L, expr("leftover * (cap - alloc1) div c"))
+              .otherwise(lit(0L)))
+          .withColumn("alloc_tokens", least($"alloc1" + $"extra", $"cap"))
+          .withColumn("epochs_milli", expr("alloc_tokens * 1000 div toks"))
+          .withColumn("share_ppm", expr("alloc_tokens * 1000000 div budget"))
+          .select($"source", $"toks", $"alloc_tokens", $"epochs_milli",
+            $"share_ppm")
+          .orderBy($"source")
+      },
+      Some(s"""WITH tok AS (SELECT source, CAST(len($duckWords) AS BIGINT) AS n FROM documents),
+        bysrc AS (SELECT source, SUM(n) AS toks FROM tok GROUP BY source),
+        tot AS (SELECT SUM(toks) AS t, COUNT(*) AS ns FROM bysrc),
+        a1 AS (SELECT source, toks, t * 3 AS budget,
+            LEAST((t * 3) // ns, toks * 4) AS alloc1, toks * 4 AS cap
+          FROM bysrc, tot),
+        l AS (SELECT SUM(alloc1) AS s1, SUM(cap - alloc1) AS c FROM a1),
+        a2 AS (SELECT source, toks, budget, cap, alloc1,
+            budget - s1 AS leftover,
+            CASE WHEN c > 0 THEN (budget - s1) * (cap - alloc1) // c
+                 ELSE 0 END AS extra
+          FROM a1, l),
+        a3 AS (SELECT source, toks, budget,
+            LEAST(alloc1 + extra, cap) AS alloc_tokens FROM a2)
+        SELECT source, CAST(toks AS BIGINT) AS toks,
+          CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+          CAST(alloc_tokens * 1000 // toks AS BIGINT) AS epochs_milli,
+          CAST(alloc_tokens * 1000000 // budget AS BIGINT) AS share_ppm
+        FROM a3 ORDER BY source"""),
+    ),
+
+    Q(
+      "t32_curriculum_order",
+      "Curriculum data ordering: quality-ranked phase assignment with deterministic round-robin source interleave",
+      (spark, dir) => {
+        import spark.implicits._
+        // The data-ORDERING step a curriculum-trained run needs once
+        // the mix (t15/t31) is fixed: serve low-quality-tolerant bulk
+        // early and the highest-quality docs last (or vice versa —
+        // the phase column is the knob), while INTERLEAVING sources
+        // within each phase so no contiguous stretch of the schedule
+        // is single-source (the batch-diversity requirement). All
+        // integer: score_milli is an exact-int64 re-expression of
+        // t02's three ratios; phase = floor((rank-1) * 4 / N) + 1.
+        // Scale shape: the two global-order primitives route through
+        // rankGlobal (range-partitioned rank with per-partition
+        // offsets — never a single-partition window); the only other
+        // windows partition by (phase, source), whose partition count
+        // grows with the source dictionary, each holding ~N/(4 x
+        // sources) rows. Output is the full schedule, linear in the
+        // corpus by construction (it IS the corpus, reordered).
+        val m = Tables.load(spark, dir, "documents")
+          .withColumn("words", expr(sparkWords))
+          .withColumn("n_words", expr("size(words)").cast("long"))
+          .filter($"n_words" >= 1L)
+          .withColumn("n_uniq", expr("size(array_distinct(words))").cast("long"))
+          .withColumn("n_stop", expr(sparkHits("en")).cast("long"))
+          .withColumn("score_milli",
+            expr("n_uniq * 400 div n_words") +
+              expr("(n_words - n_stop) * 300 div n_words") +
+              least($"n_words", lit(100L)) * lit(3L))
+          .select($"doc_id", $"source", $"score_milli")
+        val ranked = Ops.rankGlobal(
+          m, Seq($"score_milli".desc, $"doc_id"), outCol = "rnk")
+        val n = ranked.agg(count(lit(1)).as("n_total"))
+        val phased = ranked.crossJoin(broadcast(n))
+          .withColumn("phase",
+            (expr("(rnk - 1) * 4 div n_total") + lit(1L)).cast("int"))
+          .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy($"phase", $"source").orderBy($"rnk")).cast("long"))
+        Ops.rankGlobal(
+            phased, Seq($"phase", $"pos", $"source", $"doc_id"),
+            outCol = "serve_ord")
+          .select($"serve_ord", $"phase", $"doc_id", $"source", $"score_milli")
+          .orderBy($"serve_ord")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source, $duckWords AS words FROM documents),
+        m AS (SELECT doc_id, source,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq,
+            CAST(${duckHits("en")} AS BIGINT) AS n_stop
+          FROM w WHERE len(words) >= 1),
+        s AS (SELECT doc_id, source,
+            n_uniq * 400 // n_words + (n_words - n_stop) * 300 // n_words
+              + LEAST(n_words, 100) * 3 AS score_milli FROM m),
+        r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS rnk,
+            COUNT(*) OVER () AS n_total FROM s),
+        p AS (SELECT *, CAST((rnk - 1) * 4 // n_total + 1 AS INT) AS phase FROM r),
+        i AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY phase, source ORDER BY rnk) AS pos FROM p)
+        SELECT ROW_NUMBER() OVER (ORDER BY phase, pos, source, doc_id) AS serve_ord,
+          phase, doc_id, source, CAST(score_milli AS BIGINT) AS score_milli
+        FROM i ORDER BY serve_ord"""),
+    ),
+
+    Q(
+      "t33_curate_admission",
+      "Admission verdicts for an incoming batch: quality gate then novelty gate vs the standing corpus, exact-int thresholds",
+      (spark, dir) => {
+        import spark.implicits._
+        // The COMPOSITION point (O56 Curation): where t02's quality
+        // ratios and t30's novelty signal become the pipeline's actual
+        // per-doc verdict — admit / rejected_quality /
+        // rejected_novelty. Order matters and is part of the contract:
+        // the quality gate runs FIRST and failing docs never reach the
+        // novelty leg (novelty_ppm = -1) — no gram work is spent on
+        // spam, and ST27's streaming form never lets them into the
+        // index. Thresholds exact int (minWords 5, minUniqPpm 350000,
+        // minNoveltyPpm 100000 — chosen so all three verdicts are
+        // populated on the test corpus). Same corpus/batch split as
+        // t30; the novelty leg is the rescan form here (oracle sees
+        // only semantics), the served twin is curateBatch over the
+        // stored O52 counts, spec-pinned equal.
+        val d = Tables.load(spark, dir, "documents")
+        Curation.curateAgainstCorpus(
+            d.where($"doc_id" >= 400).select($"doc_id", $"text"),
+            d.where($"doc_id" < 400))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents WHERE doc_id >= 400),
+        m AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+            CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq FROM w),
+        q AS (SELECT doc_id, n_words,
+            CASE WHEN n_words > 0 THEN n_uniq * 1000000 // n_words ELSE 0 END AS uniq_ppm
+          FROM m),
+        qq AS (SELECT *, (n_words >= 5 AND uniq_ppm >= 350000) AS qok FROM q),
+        enc AS (SELECT doc_id, ${graft.functions.Bpe.duckEncode(duckWords)} AS ids FROM documents
+          WHERE doc_id < 400 OR doc_id IN (SELECT doc_id FROM qq WHERE qok)),
+        t AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM enc WHERE len(ids) >= 8),
+        pos AS (SELECT doc_id, ids,
+            unnest(generate_series(CAST(0 AS BIGINT), n - 8)) AS p FROM t),
+        g AS (SELECT doc_id, p,
+            array_to_string(list_transform(
+              ids[CAST(p + 1 AS INT) : CAST(p + 8 AS INT)],
+              x -> CAST(x AS VARCHAR)), '-') AS g8 FROM pos),
+        cg AS (SELECT DISTINCT g8 FROM g WHERE doc_id < 400),
+        b AS (SELECT doc_id, g8 FROM g WHERE doc_id >= 400),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM b GROUP BY doc_id),
+        cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+          FROM b WHERE g8 IN (SELECT g8 FROM cg) GROUP BY doc_id),
+        nv AS (SELECT tot.doc_id,
+            (n_grams - COALESCE(n_covered, 0)) * 1000000 // n_grams AS nov
+          FROM tot LEFT JOIN cov ON cov.doc_id = tot.doc_id)
+        SELECT qq.doc_id, n_words, uniq_ppm,
+          CAST(CASE WHEN NOT qok THEN -1 ELSE COALESCE(nov, 1000000) END AS BIGINT) AS novelty_ppm,
+          CASE WHEN NOT qok THEN 'rejected_quality'
+               WHEN COALESCE(nov, 1000000) < 100000 THEN 'rejected_novelty'
+               ELSE 'admitted' END AS verdict
+        FROM qq LEFT JOIN nv ON nv.doc_id = qq.doc_id
+        ORDER BY qq.doc_id"""),
     )
   )
 }

@@ -798,6 +798,54 @@ object Streams {
         }
     }
 
+  /** ST27: the end-to-end streaming CURATION loop — the composition
+    * the single-signal streams (ST12 decontamination, ST24 repeated
+    * intervals, ST26 novelty) exist to feed, run as ONE per-trigger
+    * decision: each micro-batch of documents gets its admission
+    * verdict from O56 (quality gate first — failing docs never cost
+    * gram work and never touch the index; then the novelty gate
+    * against the stored O52 counts), the full verdict frame appends
+    * through the routed sink (the audit trail: every doc's fate and
+    * the numbers behind it), and THEN only the ADMITTED docs' gram
+    * counts append into the index — so the next batch's novelty is
+    * measured against the curated corpus, not against spam it
+    * rejected (a rejected doc's content stays "novel": if a clean
+    * version arrives later it is judged on its own merits).
+    * Trigger-level exactly-once exactly as ST24/ST26 (the ledger
+    * marker skips a replayed trigger whole — a re-curated batch would
+    * read its own admitted grams and reject everything as restated).
+    * Index is the state; the stream holds none.
+    */
+  def curateStream(
+      docStream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      minWords: Long = 5L,
+      minUniqPpm: Long = 350000L,
+      minNoveltyPpm: Long = 100000L
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!graft.operators.GramIndex.appendCommitted(spark, indexPath, batchId)) {
+          val df = batch.toDF().cache()
+          try {
+            val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
+            val verdicts = graft.operators.Curation
+              .curateBatch(df, idx, minWords, minUniqPpm, minNoveltyPpm).cache()
+            try {
+              graft.sinks.RoutedSink.standard()
+                .write(s"parquet-append:$outPath", verdicts)
+              val admitted = df.join(
+                verdicts.where(org.apache.spark.sql.functions.col("verdict") === "admitted")
+                  .select(org.apache.spark.sql.functions.col("doc_id")),
+                Seq("doc_id"), "left_semi")
+              graft.operators.GramIndex.appendGramIndex(admitted, indexPath, batchId)
+            } finally verdicts.unpersist()
+          } finally df.unpersist()
+        }
+    }
+
   /** ST25: streaming PERCEPTUAL near-dup at ingestion — the O54 twin
     * of ST24's probe-then-append loop, closing the image modality's
     * live path: each micro-batch of (doc_id, payload) assets is

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** O56 Curation + ST27 curateStream: the admission composition —
+  * stored == rescan, verdict-order semantics, and the streaming loop
+  * appending ADMITTED docs only.
+  */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, sfDir, "documents")
+
+  private def keyed(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+
+  test("curateBatch over the stored O52 counts == the oracle-gated t33 rescan on the same split") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curidx").toString
+    GramIndex.writeGramIndex(docs.where($"doc_id" < 400), dir, gram = 8, nBuckets = 16)
+    val stored = keyed(Curation.curateBatch(
+      docs.where($"doc_id" >= 400).select($"doc_id", $"text"),
+      GramIndex.readGramIndex(spark, dir)))
+    val rescan = keyed(graft.SparkEntry.queries("t33_curate_admission")(spark, sfDir))
+    assert(stored == rescan && stored.nonEmpty,
+      s"stored verdicts != rescan verdicts (${stored.size} vs ${rescan.size})")
+    // the thresholds must actually discriminate on the test corpus:
+    // every verdict class populated
+    val classes = rescan.map(_._5)
+    assert(classes == Set("admitted", "rejected_quality", "rejected_novelty"),
+      s"verdict classes degenerate on the test corpus: $classes")
+  }
+
+  test("verdict order semantics: quality first (-1 novelty, no gram work), novelty second, sub-gram docs fully novel") {
+    val corpusText = docs.where($"doc_id" === 0).select($"text").head.getString(0)
+    val corpus = Seq((0L, corpusText)).toDF("doc_id", "text")
+    val batch = Seq(
+      400L -> corpusText, // passes quality, fully covered -> rejected_novelty, 0 ppm
+      401L -> (1 to 40).map(i => s"zzq$i").mkString(" "), // fresh -> admitted, 1e6
+      402L -> (1 to 10).map(_ => "a").mkString(" "), // 1/10 uniq -> rejected_quality even though its grams are novel
+      403L -> "p q r s" // 4 words -> rejected_quality (minWords)
+    ).toDF("doc_id", "text")
+    val v = Curation.curateAgainstCorpus(batch, corpus)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(v(400L) == ((0L, "rejected_novelty")), s"verbatim copy: ${v(400L)}")
+    assert(v(401L) == ((1000000L, "admitted")), s"fresh doc: ${v(401L)}")
+    assert(v(402L) == ((-1L, "rejected_quality")), s"spam doc: ${v(402L)}")
+    assert(v(403L) == ((-1L, "rejected_quality")), s"short doc: ${v(403L)}")
+    // a quality-passing doc SHORTER than the gram width has nothing to
+    // cover and counts fully novel (reachable only with minWords
+    // below ~4: X15 inserts a space id per word boundary, so 5+ words
+    // always reach 8 ids)
+    val tiny = Seq(500L -> "x y z").toDF("doc_id", "text")
+    val vt = Curation.curateAgainstCorpus(tiny, corpus, minWords = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(vt(500L) == ((1000000L, "admitted")), s"sub-gram doc: ${vt(500L)}")
+  }
+
+  test("ST27 curateStream == sequential replay; ONLY admitted docs' grams enter the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curstream").toString
+    GramIndex.writeGramIndex(docs.where($"doc_id" < 300), s"$dir/idx", gram = 8, nBuckets = 8)
+    val b1 = docs.where($"doc_id" >= 300 && $"doc_id" < 400).select($"doc_id", $"text")
+    // batch 2 re-submits a batch-1 doc's content under a new id: if
+    // that doc was ADMITTED in batch 1, the copy must now be
+    // rejected_novelty purely via batch 1's appended counts
+    val b2 = docs.where($"doc_id" >= 400).select($"doc_id", $"text")
+      .unionByName(docs.where($"doc_id" === 350)
+        .select(lit(888888L).as("doc_id"), $"text"))
+    b1.coalesce(1).write.parquet(s"$dir/in/f1")
+    Thread.sleep(1100)
+    b2.coalesce(1).write.parquet(s"$dir/in/f2")
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/f*")
+    val q = graft.streaming.Streams.curateStream(stream, s"$dir/idx", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = keyed(spark.read.parquet(s"$dir/out"))
+    // sequential replay: curate + append admitted, batch by batch
+    val rdir = java.nio.file.Files.createTempDirectory("graft-curreplay").toString
+    GramIndex.writeGramIndex(docs.where($"doc_id" < 300), s"$rdir/idx", gram = 8, nBuckets = 8)
+    def step(b: org.apache.spark.sql.DataFrame, id: Long) = {
+      val v = Curation.curateBatch(b, GramIndex.readGramIndex(spark, s"$rdir/idx"))
+      val adm = b.join(v.where($"verdict" === "admitted").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      val out = keyed(v)
+      GramIndex.appendGramIndex(adm, s"$rdir/idx", batchId = id)
+      out
+    }
+    val r1 = step(b1, 0L)
+    val r2 = step(b2, 1L)
+    assert(streamed == (r1 ++ r2) && streamed.nonEmpty,
+      s"streamed=${streamed.size} replay=${(r1 ++ r2).size}")
+    val copy = streamed.find(_._1 == 888888L).get
+    val orig = r1.find(_._1 == 350L).get
+    if (orig._5 == "admitted")
+      assert(copy._4 == 0L && copy._5 == "rejected_novelty",
+        s"copy of admitted batch-1 content not rejected as restated: $copy")
+    // admitted-only appends, structurally: the streamed index's gram
+    // rows == the replay's (which by construction appended admitted
+    // docs only), both ways
+    val si = GramIndex.readGramIndex(spark, s"$dir/idx").grams
+    val ri = GramIndex.readGramIndex(spark, s"$rdir/idx").grams
+    assert(si.except(ri).isEmpty && ri.except(si).isEmpty,
+      "streamed index state != admitted-only replay index state")
+    // and the rejected docs' unique grams are genuinely absent: a
+    // quality-rejected doc in the stream must not have covered its
+    // own future copies (its grams never entered)
+    val rejected = streamed.filter(_._5 == "rejected_quality")
+    assert(rejected.nonEmpty, "test corpus produced no quality rejections in the stream")
+  }
+}

@@ -60,4 +60,71 @@ class Round14Spec extends SparkTestBase {
     val bad = out.where($"novelty_ppm" < 0 || $"novelty_ppm" > 1000000)
     assert(bad.isEmpty)
   }
+
+  test("t31 water-fill branches: a tiny source caps at 4 epochs, the leftover flows to the uncapped one") {
+    // sf0.01's near-uniform sources never bind the epoch cap (fair
+    // share < 4x every source) — exercise the cap + redistribution
+    // branches on a skewed synthetic corpus with hand-computed
+    // expectations: srcA 10 tokens, srcB 1000. T=1010, budget=3030,
+    // fair=1515; capA=40 binds (alloc1A=40), alloc1B=1515;
+    // leftover=1475 all flows to B (the only remaining capacity):
+    // allocB=2990 -> 2.990 epochs, A pinned at exactly 4.000.
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"a$i").mkString(" "), "srcA"),
+      (1L, (1 to 1000).map(i => s"b$i").mkString(" "), "srcB")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t31").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("t31_epoch_plan")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("srcA") == ((10L, 40L, 4000L, 13201L)), s"srcA plan: ${out("srcA")}")
+    assert(out("srcB") == ((1000L, 2990L, 2990L, 986798L)), s"srcB plan: ${out("srcB")}")
+    // and the real-corpus invariants: never over budget, never past
+    // the epoch cap, shares sum to <= 1e6 (floor residue only)
+    val real = graft.SparkEntry.queries("t31_epoch_plan")(spark, sfDir).collect()
+    assert(real.forall(r => r.getLong(3) <= 4000L), "a source exceeded the 4-epoch cap")
+    assert(real.map(_.getLong(4)).sum <= 1000000L, "shares exceed the budget")
+  }
+
+  test("t32 schedule: a driver-side independent replay reproduces the full curriculum") {
+    val out = graft.SparkEntry.queries("t32_curriculum_order")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val n = out.length.toLong
+    assert(n > 0 && out.map(_._1).toSet == (1L to n).toSet,
+      "serve_ord is not a 1..N permutation")
+    // independent replay of the definition on the collected rows:
+    // rank by (score desc, doc_id), phase by floor arithmetic, pos by
+    // per-(phase, source) arrival order, serve order by
+    // (phase, pos, source, doc_id)
+    val ranked = out.map(t => (t._3, t._4, t._5))
+      .sortBy { case (id, _, s) => (-s, id) }.zipWithIndex
+      .map { case ((id, src, s), i) =>
+        val phase = ((i.toLong * 4) / n + 1).toInt
+        (id, src, s, phase)
+      }
+    val pos = scala.collection.mutable.Map.empty[(Int, String), Long]
+    val withPos = ranked.map { case (id, src, s, ph) =>
+      val p = pos.getOrElse((ph, src), 0L) + 1L
+      pos((ph, src)) = p
+      (id, src, s, ph, p)
+    }
+    val replay = withPos.sortBy { case (id, src, _, ph, p) => (ph, p, src, id) }
+      .zipWithIndex
+      .map { case ((id, src, s, ph, _), i) => (i + 1L, ph, id, src, s) }
+    assert(out.toSeq == replay.toSeq, "engine schedule != driver replay")
+    // interleave property, directly: within a phase, each round (pos
+    // group) is a contiguous serve_ord block with at most one doc per
+    // source, rounds in order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val bySrc = rows.groupBy(_._4)
+      bySrc.values.foreach { docsOfSrc =>
+        // a source's docs within a phase are served in strictly
+        // increasing, non-adjacent-unless-forced order — weaker but
+        // sufficient: strictly increasing serve_ord (by construction)
+        val so = docsOfSrc.map(_._1).sorted
+        assert(so.zip(so.tail).forall { case (a, b) => b > a })
+      }
+    }
+  }
 }
