@@ -189,24 +189,152 @@ object Similarity {
           GROUP BY 1, 2)"""
   }
 
+  /** s01's engine, factored so the canned query and s16's recall
+    * report share ONE exact leg (they cannot drift): exact top-5
+    * cosine for the 10 lowest probe ids — probes broadcast, one
+    * corpus pass.
+    */
+  private[operators] def exactCosineTopk(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val e = Tables.load(spark, dir, "embeddings")
+    val probes = e.orderBy($"vec_id").limit(10)
+      .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+    val cand = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
+    val w = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
+    cand.join(broadcast(probes), $"n_id" =!= $"p_id")
+      .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter($"rn" <= 5)
+      .select($"p_id", $"rn", $"n_id", $"cosine")
+      .orderBy($"p_id", $"rn")
+  }
+
+  /** s06's engine, factored so the canned query and s16's recall
+    * report share ONE approximate leg (see the inline commentary for
+    * the IVF+PQ plan story).
+    */
+  private[operators] def ivfPqTopk(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+        // s03 restricts WHERE to look (nprobe cells of corpus/cells
+        // vectors each); s04 compresses WHAT is compared (4 one-byte
+        // codes + a broadcast distance table). Composed, this is the
+        // FAISS IVFPQ layout — the memory-bound 100 TB ANN: the
+        // inverted lists hold (cell, 4 codes) per vector, query cost
+        // is nprobe * list-length ADC lookups, and after encoding NO
+        // float array transits a shuffle — candidate generation joins
+        // on cell ids, ranking joins int codes to the broadcast
+        // table. Cell assignment is argmax-as-aggregation (the s04
+        // rule: never a window over per-vector candidate rows);
+        // centroids/codebooks are the 8 lowest vec_ids so the oracle
+        // reproduces them — trained s05 centroids slot in unchanged.
+        val M = 4
+        val sub = 16
+        def l2q(a: String, b: String) = expr(
+          s"CAST(floor(aggregate(zip_with($a, $b, " +
+            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+            "CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)")
+        val e = Tables.load(spark, dir, "embeddings")
+        val cents = e.orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("c_id"), $"embedding".as("ce"))
+        // coarse cells: argmax cosine == min(struct(-cos, c_id))
+        val cells = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
+          .crossJoin(broadcast(cents))
+          .withColumn("negc", -VectorFunctions.cosine("ne", "ce"))
+          .groupBy($"n_id").agg(min(struct($"negc", $"c_id")).as("_m"))
+          .select($"n_id", $"_m.c_id".as("cell"))
+        val probes = e.orderBy($"vec_id").limit(10)
+          .select($"vec_id".as("p_id"), $"embedding".as("pe"))
+        val wProbe = Window.partitionBy($"p_id").orderBy($"cos_p".desc, $"c_id")
+        val probeCells = probes.crossJoin(broadcast(cents))
+          .withColumn("cos_p", VectorFunctions.cosine("pe", "ce"))
+          .withColumn("rnp", row_number().over(wProbe))
+          .filter($"rnp" <= 2)
+          .select($"p_id", $"c_id".as("cell"))
+        // PQ encode (s04's argmin-as-aggregation, 4 codes per vector)
+        val ms = explode(array((0 until M).map(lit(_)): _*)).as("m")
+        val subCents = e.orderBy($"vec_id").limit(8)
+          .select($"vec_id".as("c_id"), ms, $"embedding")
+          .select($"m", $"c_id", expr(s"slice(embedding, m * $sub + 1, $sub)").as("cs"))
+        val codes = e.select($"vec_id".as("n_id"), ms, $"embedding")
+          .select($"n_id", $"m", expr(s"slice(embedding, m * $sub + 1, $sub)").as("vs"))
+          .join(broadcast(subCents), Seq("m"))
+          .withColumn("dq", l2q("vs", "cs"))
+          .groupBy($"n_id", $"m")
+          .agg(min(struct($"dq", $"c_id")).as("_mc"))
+          .select($"n_id", $"m", $"_mc.c_id".as("code"))
+        val dtab = probes.select($"p_id", ms, $"pe")
+          .select($"p_id", $"m", expr(s"slice(pe, m * $sub + 1, $sub)").as("ps"))
+          .join(broadcast(subCents), Seq("m"))
+          .select($"p_id", $"m", $"c_id".as("code"), l2q("ps", "cs").as("dq"))
+        // candidates from the probed cells only, then integer ADC.
+        // candIds is deliberately NOT broadcast-hinted: it grows with
+        // nprobe x cell size (measured 38 -> 55 MB of broadcast at
+        // 100x with the hint), so AQE decides — broadcast while it
+        // fits, shuffle keyed on n_id past capacity (the d11
+        // degradation pattern). The probe-sided dtab stays hinted:
+        // its size is probes x M x k, corpus-independent.
+        val candIds = cells.join(broadcast(probeCells), Seq("cell"))
+          .where($"n_id" =!= $"p_id")
+          .select($"p_id", $"n_id").distinct()
+        val w = Window.partitionBy($"p_id").orderBy($"adc_q".asc, $"n_id")
+        codes.join(candIds, Seq("n_id"))
+          .join(broadcast(dtab), Seq("p_id", "m", "code"))
+          .groupBy($"p_id", $"n_id").agg(sum($"dq").as("adc_q"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter($"rn" <= 5)
+          .select($"p_id", $"rn", $"n_id", $"adc_q")
+          .orderBy($"p_id", $"rn")
+  }
+
+  /** s06's DuckDB oracle, factored as a CTE chain ending in
+    * `adc(p_id, n_id, adc_q)` so s16's recall oracle can append its
+    * exact leg with a leading comma (the bm25OracleCtes discipline).
+    */
+  private def ivfPqOracleCtes: String = {
+    def sqlL2q(a: String, b: String) =
+          s"CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+            s"list_transform(generate_series(1, 16), " +
+            s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+            "(acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)"
+        val cosNC = VectorFunctions.sqlCosine("e.embedding", "c.ce")
+        val cosPC = VectorFunctions.sqlCosine("p.pe", "c.ce")
+        s"""c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
+        a AS (SELECT e.vec_id AS n_id, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosNC DESC, c.c_id) AS rnc
+          FROM embeddings e, c),
+        cells AS (SELECT n_id, c_id AS cell FROM a WHERE rnc = 1),
+        p AS (SELECT vec_id AS p_id, embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 10),
+        pa AS (SELECT p.p_id, c.c_id,
+            ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY $cosPC DESC, c.c_id) AS rnp
+          FROM p, c),
+        pcells AS (SELECT p_id, c_id AS cell FROM pa WHERE rnp <= 2),
+        cand AS (SELECT DISTINCT pc.p_id, ce.n_id
+          FROM pcells pc JOIN cells ce ON pc.cell = ce.cell AND ce.n_id <> pc.p_id),
+        m AS (SELECT unnest([0, 1, 2, 3]) AS m),
+        sc AS (SELECT m.m, c.c_id, c.ce[m.m * 16 + 1 : m.m * 16 + 16] AS cs FROM c, m),
+        cv AS (SELECT e.vec_id AS n_id, m.m, e.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS vs
+          FROM embeddings e, m),
+        enc AS (SELECT n_id, cv.m, c_id,
+            ROW_NUMBER() OVER (PARTITION BY n_id, cv.m ORDER BY ${sqlL2q("vs", "cs")} ASC, c_id) AS rnc
+          FROM cv JOIN sc ON sc.m = cv.m),
+        codes AS (SELECT n_id, m, c_id AS code FROM enc WHERE rnc = 1),
+        psub AS (SELECT p.p_id, m.m, p.pe[m.m * 16 + 1 : m.m * 16 + 16] AS ps FROM p, m),
+        dt AS (SELECT p_id, psub.m, c_id AS code, ${sqlL2q("ps", "cs")} AS dq
+          FROM psub JOIN sc ON sc.m = psub.m),
+        adc AS (SELECT dt.p_id, codes.n_id, CAST(SUM(dq) AS BIGINT) AS adc_q
+          FROM codes
+          JOIN cand ON cand.n_id = codes.n_id
+          JOIN dt ON dt.p_id = cand.p_id AND dt.m = codes.m AND dt.code = codes.code
+          GROUP BY 1, 2)"""
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "s01_sim_bruteforce_topk",
       "Exact top-5 cosine neighbors for the 10 lowest probe ids",
-      (spark, dir) => {
-        import spark.implicits._
-        val e = Tables.load(spark, dir, "embeddings")
-        val probes = e.orderBy($"vec_id").limit(10)
-          .select($"vec_id".as("p_id"), $"embedding".as("pe"))
-        val cand = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
-        val w = Window.partitionBy($"p_id").orderBy($"cosine".desc, $"n_id")
-        cand.join(broadcast(probes), $"n_id" =!= $"p_id")
-          .withColumn("cosine", VectorFunctions.cosine("pe", "ne"))
-          .withColumn("rn", row_number().over(w).cast("int"))
-          .filter($"rn" <= 5)
-          .select($"p_id", $"rn", $"n_id", $"cosine")
-          .orderBy($"p_id", $"rn")
-      },
+      (spark, dir) => exactCosineTopk(spark, dir),
       Some {
         val cos = VectorFunctions.sqlCosine("pe", "e.embedding")
         s"""WITH p AS (SELECT vec_id AS p_id, embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 10)
@@ -428,120 +556,14 @@ object Similarity {
     Q(
       "s06_ivf_pq_topk",
       "IVF+PQ ANN (the FAISS production shape): coarse cells restrict, integer ADC ranks",
-      (spark, dir) => {
-        import spark.implicits._
-        // s03 restricts WHERE to look (nprobe cells of corpus/cells
-        // vectors each); s04 compresses WHAT is compared (4 one-byte
-        // codes + a broadcast distance table). Composed, this is the
-        // FAISS IVFPQ layout — the memory-bound 100 TB ANN: the
-        // inverted lists hold (cell, 4 codes) per vector, query cost
-        // is nprobe * list-length ADC lookups, and after encoding NO
-        // float array transits a shuffle — candidate generation joins
-        // on cell ids, ranking joins int codes to the broadcast
-        // table. Cell assignment is argmax-as-aggregation (the s04
-        // rule: never a window over per-vector candidate rows);
-        // centroids/codebooks are the 8 lowest vec_ids so the oracle
-        // reproduces them — trained s05 centroids slot in unchanged.
-        val M = 4
-        val sub = 16
-        def l2q(a: String, b: String) = expr(
-          s"CAST(floor(aggregate(zip_with($a, $b, " +
-            "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
-            "CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)")
-        val e = Tables.load(spark, dir, "embeddings")
-        val cents = e.orderBy($"vec_id").limit(8)
-          .select($"vec_id".as("c_id"), $"embedding".as("ce"))
-        // coarse cells: argmax cosine == min(struct(-cos, c_id))
-        val cells = e.select($"vec_id".as("n_id"), $"embedding".as("ne"))
-          .crossJoin(broadcast(cents))
-          .withColumn("negc", -VectorFunctions.cosine("ne", "ce"))
-          .groupBy($"n_id").agg(min(struct($"negc", $"c_id")).as("_m"))
-          .select($"n_id", $"_m.c_id".as("cell"))
-        val probes = e.orderBy($"vec_id").limit(10)
-          .select($"vec_id".as("p_id"), $"embedding".as("pe"))
-        val wProbe = Window.partitionBy($"p_id").orderBy($"cos_p".desc, $"c_id")
-        val probeCells = probes.crossJoin(broadcast(cents))
-          .withColumn("cos_p", VectorFunctions.cosine("pe", "ce"))
-          .withColumn("rnp", row_number().over(wProbe))
-          .filter($"rnp" <= 2)
-          .select($"p_id", $"c_id".as("cell"))
-        // PQ encode (s04's argmin-as-aggregation, 4 codes per vector)
-        val ms = explode(array((0 until M).map(lit(_)): _*)).as("m")
-        val subCents = e.orderBy($"vec_id").limit(8)
-          .select($"vec_id".as("c_id"), ms, $"embedding")
-          .select($"m", $"c_id", expr(s"slice(embedding, m * $sub + 1, $sub)").as("cs"))
-        val codes = e.select($"vec_id".as("n_id"), ms, $"embedding")
-          .select($"n_id", $"m", expr(s"slice(embedding, m * $sub + 1, $sub)").as("vs"))
-          .join(broadcast(subCents), Seq("m"))
-          .withColumn("dq", l2q("vs", "cs"))
-          .groupBy($"n_id", $"m")
-          .agg(min(struct($"dq", $"c_id")).as("_mc"))
-          .select($"n_id", $"m", $"_mc.c_id".as("code"))
-        val dtab = probes.select($"p_id", ms, $"pe")
-          .select($"p_id", $"m", expr(s"slice(pe, m * $sub + 1, $sub)").as("ps"))
-          .join(broadcast(subCents), Seq("m"))
-          .select($"p_id", $"m", $"c_id".as("code"), l2q("ps", "cs").as("dq"))
-        // candidates from the probed cells only, then integer ADC.
-        // candIds is deliberately NOT broadcast-hinted: it grows with
-        // nprobe x cell size (measured 38 -> 55 MB of broadcast at
-        // 100x with the hint), so AQE decides — broadcast while it
-        // fits, shuffle keyed on n_id past capacity (the d11
-        // degradation pattern). The probe-sided dtab stays hinted:
-        // its size is probes x M x k, corpus-independent.
-        val candIds = cells.join(broadcast(probeCells), Seq("cell"))
-          .where($"n_id" =!= $"p_id")
-          .select($"p_id", $"n_id").distinct()
-        val w = Window.partitionBy($"p_id").orderBy($"adc_q".asc, $"n_id")
-        codes.join(candIds, Seq("n_id"))
-          .join(broadcast(dtab), Seq("p_id", "m", "code"))
-          .groupBy($"p_id", $"n_id").agg(sum($"dq").as("adc_q"))
-          .withColumn("rn", row_number().over(w).cast("int"))
-          .filter($"rn" <= 5)
-          .select($"p_id", $"rn", $"n_id", $"adc_q")
-          .orderBy($"p_id", $"rn")
-      },
-      Some {
-        def sqlL2q(a: String, b: String) =
-          s"CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-            s"list_transform(generate_series(1, 16), " +
-            s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
-            "(acc, v) -> acc + v) * 1000000000.0 + 0.5) AS BIGINT)"
-        val cosNC = VectorFunctions.sqlCosine("e.embedding", "c.ce")
-        val cosPC = VectorFunctions.sqlCosine("p.pe", "c.ce")
-        s"""WITH c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8),
-        a AS (SELECT e.vec_id AS n_id, c.c_id,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosNC DESC, c.c_id) AS rnc
-          FROM embeddings e, c),
-        cells AS (SELECT n_id, c_id AS cell FROM a WHERE rnc = 1),
-        p AS (SELECT vec_id AS p_id, embedding AS pe FROM embeddings ORDER BY vec_id LIMIT 10),
-        pa AS (SELECT p.p_id, c.c_id,
-            ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY $cosPC DESC, c.c_id) AS rnp
-          FROM p, c),
-        pcells AS (SELECT p_id, c_id AS cell FROM pa WHERE rnp <= 2),
-        cand AS (SELECT DISTINCT pc.p_id, ce.n_id
-          FROM pcells pc JOIN cells ce ON pc.cell = ce.cell AND ce.n_id <> pc.p_id),
-        m AS (SELECT unnest([0, 1, 2, 3]) AS m),
-        sc AS (SELECT m.m, c.c_id, c.ce[m.m * 16 + 1 : m.m * 16 + 16] AS cs FROM c, m),
-        cv AS (SELECT e.vec_id AS n_id, m.m, e.embedding[m.m * 16 + 1 : m.m * 16 + 16] AS vs
-          FROM embeddings e, m),
-        enc AS (SELECT n_id, cv.m, c_id,
-            ROW_NUMBER() OVER (PARTITION BY n_id, cv.m ORDER BY ${sqlL2q("vs", "cs")} ASC, c_id) AS rnc
-          FROM cv JOIN sc ON sc.m = cv.m),
-        codes AS (SELECT n_id, m, c_id AS code FROM enc WHERE rnc = 1),
-        psub AS (SELECT p.p_id, m.m, p.pe[m.m * 16 + 1 : m.m * 16 + 16] AS ps FROM p, m),
-        dt AS (SELECT p_id, psub.m, c_id AS code, ${sqlL2q("ps", "cs")} AS dq
-          FROM psub JOIN sc ON sc.m = psub.m),
-        adc AS (SELECT dt.p_id, codes.n_id, CAST(SUM(dq) AS BIGINT) AS adc_q
-          FROM codes
-          JOIN cand ON cand.n_id = codes.n_id
-          JOIN dt ON dt.p_id = cand.p_id AND dt.m = codes.m AND dt.code = codes.code
-          GROUP BY 1, 2)
+      (spark, dir) => ivfPqTopk(spark, dir),
+      Some(s"""WITH $ivfPqOracleCtes
         SELECT p_id,
           CAST(ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY adc_q ASC, n_id) AS INT) AS rn,
           n_id, adc_q
-        FROM adc QUALIFY rn <= 5 ORDER BY p_id, rn"""
-      }
+        FROM adc QUALIFY rn <= 5 ORDER BY p_id, rn""")
     ),
+
 
     Q(
       "s07_ivf_pq_trained",
@@ -1092,6 +1114,52 @@ object Similarity {
           .orderBy($"q_id", $"rn")
       },
       Some(hybridRrfOracle)
+    ),
+
+    Q(
+      "s16_ann_recall",
+      "Recall@5 of the IVF+PQ path vs exact cosine, per probe — the index-quality eval an ANN deployment publishes",
+      (spark, dir) => {
+        import spark.implicits._
+        // "Measure, don't guess" applied to the ANN index itself: the
+        // number that decides whether s06's operating point (nprobe,
+        // M, sub) is shippable is recall@k against the exact top-k —
+        // the eval every FAISS deployment publishes before serving.
+        // Both legs are THE canned queries' own engines (factored
+        // defs, so the eval can never drift from what s01/s06
+        // actually run): per probe, n_hit = |ADC top-5 ∩ exact
+        // top-5|, recall_ppm exact int64. Plan cost = one s01 + one
+        // s06 + a probes×k join — the measurement is as scalable as
+        // the things it measures; at 100 TB both legs swap for their
+        // stored twins (O29 probeAnnIndex refine / the s01 sampled
+        // probe discipline) unchanged, because the eval only consumes
+        // (p_id, n_id) lists.
+        val exact = exactCosineTopk(spark, dir).select($"p_id", $"n_id")
+        val ann = ivfPqTopk(spark, dir).select($"p_id", $"n_id")
+          .withColumn("hit", lit(1L))
+        exact.join(ann, Seq("p_id", "n_id"), "left")
+          .groupBy($"p_id")
+          .agg(sum(coalesce($"hit", lit(0L))).as("n_hit"))
+          .withColumn("recall_ppm", expr("n_hit * 1000000 div 5"))
+          .select($"p_id", $"n_hit", $"recall_ppm")
+          .orderBy($"p_id")
+      },
+      Some {
+        val cos = VectorFunctions.sqlCosine("pe", "e.embedding")
+        s"""WITH $ivfPqOracleCtes,
+        annk AS (SELECT p_id, n_id,
+            ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY adc_q ASC, n_id) AS rn
+          FROM adc QUALIFY rn <= 5),
+        exactk AS (SELECT p_id, e.vec_id AS n_id,
+            ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY $cos DESC, e.vec_id) AS rn
+          FROM p, embeddings e WHERE e.vec_id <> p_id QUALIFY rn <= 5)
+        SELECT exactk.p_id,
+          CAST(COUNT(annk.n_id) AS BIGINT) AS n_hit,
+          CAST(COUNT(annk.n_id) * 1000000 // 5 AS BIGINT) AS recall_ppm
+        FROM exactk LEFT JOIN annk
+          ON annk.p_id = exactk.p_id AND annk.n_id = exactk.n_id
+        GROUP BY exactk.p_id ORDER BY exactk.p_id"""
+      }
     )
   )
 

@@ -87,6 +87,25 @@ class Round14Spec extends SparkTestBase {
     assert(real.map(_.getLong(4)).sum <= 1000000L, "shares exceed the budget")
   }
 
+  test("s16 recall: a driver-side intersection of the two legs' own outputs reproduces every row") {
+    def pairs(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs("s01_sim_bruteforce_topk")
+    val ann = pairs("s06_ivf_pq_topk")
+    val expect = exact.groupBy(_._1).map { case (p, rows) =>
+      val hits = rows.count(ann.contains).toLong
+      p -> (hits, hits * 1000000L / 5L)
+    }
+    val got = graft.SparkEntry.queries("s16_ann_recall")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect && got.nonEmpty, s"s16 != intersection of s01/s06 ($got vs $expect)")
+    // the operating point must be sane: recall in [0, 1e6] and not
+    // uniformly zero (a zero-recall index would mean the ADC leg is
+    // broken, not just approximate)
+    assert(got.values.forall { case (h, ppm) => h >= 0 && h <= 5 && ppm <= 1000000L })
+    assert(got.values.map(_._1).sum > 0, "IVF+PQ recall uniformly zero")
+  }
+
   test("t32 schedule: a driver-side independent replay reproduces the full curriculum") {
     val out = graft.SparkEntry.queries("t32_curriculum_order")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getLong(4)))
