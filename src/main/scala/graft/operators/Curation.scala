@@ -73,9 +73,13 @@ object Curation {
         col("novelty_ppm"), col("verdict"))
   }
 
-  /** t30's rescan novelty plan as a reusable leg: per batch doc, the
-    * exact-ppm fraction of its token-`gram`-grams absent from
-    * `corpus`. Identical output shape to GramIndex.noveltyFromIndex.
+  /** t30's rescan novelty plan as THE shared leg (the t30 query calls
+    * this — one body, no drift): per batch doc, the exact-ppm
+    * fraction of its token-`gram`-grams absent from `corpus`; the
+    * batch's distinct gram set broadcasts, the corpus gram stream is
+    * left-semi restricted against it BEFORE its distinct (covered set
+    * batch-bounded), then GramIndex.noveltyTail counts totals and
+    * covered in one pass. Identical output shape to noveltyFromIndex.
     */
   def noveltyRescan(batch: DataFrame, corpus: DataFrame, gram: Int = 8): DataFrame = {
     val bg = GramIndex.gramsOf(batch, gram)
@@ -83,14 +87,7 @@ object Curation {
     val covSet = GramIndex.gramsOf(corpus, gram).select(col("g"))
       .join(broadcast(bset), Seq("g"), "left_semi")
       .distinct()
-    val perDoc = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val covered = bg.join(broadcast(covSet), Seq("g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
-    perDoc.join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
-      .withColumn("novelty_ppm",
-        expr("(n_grams - n_covered) * 1000000L div n_grams"))
+    GramIndex.noveltyTail(bg, covSet, Seq("g"))
   }
 
   /** Admission verdicts with the novelty leg RESCANNING a standing

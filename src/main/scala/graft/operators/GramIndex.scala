@@ -181,42 +181,49 @@ object GramIndex {
     * repeated threshold. Fails loudly if a concurrent rewrite flipped
     * the epoch mid-append.
     */
+  /** Shared novelty tail (the stored leg here and Curation's rescan
+    * leg both end in it): per-doc gram totals AND covered counts in
+    * ONE pass over the batch gram stream — a left join against the
+    * broadcast covered set feeding a single combinable agg, so the
+    * batch is gram-exploded once per leg with no cache to leak.
+    * Output: (doc_id, n_grams, n_covered, novelty_ppm), exact int64.
+    */
+  private[operators] def noveltyTail(
+      bg: DataFrame, covSet: DataFrame, keys: Seq[String]): DataFrame =
+    bg.join(broadcast(covSet.withColumn("_hit", lit(1L))), keys, "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_covered"))
+      .withColumn("novelty_ppm",
+        expr("(n_grams - n_covered) * 1000000L div n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_covered"), col("novelty_ppm"))
+
   /** t30's novelty scoring served from the STORED index — zero corpus
     * rescans (the probeGramIndex shape): per batch doc, the exact-ppm
     * fraction of its token-8-grams absent from the indexed corpus.
-    * Covered = the gram EXISTS in the store (count ≥ 1 — unlike
-    * [[probeGramIndex]]'s ≥ 2-with-self semantics: novelty measures
-    * against the PAST only, so within-batch repeats don't cover).
-    * Plan: batch gram set broadcasts, stored side left-semi-restricted
-    * (DPP prunes the buckets) and distinct'd AFTER the restriction
-    * (batch-bounded — appended epochs hold several files per gram and
-    * existence is all that matters), covered set broadcasts back onto
-    * per-doc counts. Output: (doc_id, n_grams, n_covered,
-    * novelty_ppm) — GramIndexSpec pins equality with the oracle-gated
-    * t30 on the same corpus/batch split.
+    * Covered = the gram's NET stored count ≥ 1 — against the PAST
+    * only (unlike [[probeGramIndex]]'s ≥ 2-with-self, within-batch
+    * repeats don't cover), and by the SUM of its rows, never row
+    * existence: a taken-down doc ([[takedownGramIndex]]) leaves
+    * (positive, negative) row pairs in the epoch until compaction
+    * merges them away, and an existence test would keep "covering"
+    * content the retention system already deleted. Plan: batch gram
+    * set broadcasts, stored side left-semi-restricted (DPP prunes the
+    * buckets) THEN summed per gram (batch-bounded survivors only),
+    * covered set broadcasts back onto the one-pass [[noveltyTail]].
+    * Output: (doc_id, n_grams, n_covered, novelty_ppm) —
+    * GramIndexSpec pins equality with the oracle-gated t30 on the
+    * same corpus/batch split.
     */
   def noveltyFromIndex(batch: DataFrame, index: GramIndexHandle): DataFrame = {
     val bg = gramsOf(batch, index.gram).withColumn("bucket", bucketOf(index.nBuckets))
     val bset = bg.select(col("bucket"), col("g")).distinct()
-    // covered = NET stored count >= 1, not row existence: a taken-down
-    // doc ([[takedownGramIndex]]) leaves (positive, negative) row
-    // PAIRS in the epoch until compaction merges them away — an
-    // existence test would keep "covering" content the retention
-    // system already deleted. The sum is over the batch-restricted
-    // survivors only, so it stays batch-bounded.
     val covSet = index.grams
       .join(broadcast(bset), Seq("bucket", "g"), "left_semi")
       .groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("_sc"))
       .where(col("_sc") >= 1L)
       .select(col("bucket"), col("g"))
-    val perDoc = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val covered = bg.join(broadcast(covSet), Seq("bucket", "g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
-    perDoc.join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
-      .withColumn("novelty_ppm",
-        expr("(n_grams - n_covered) * 1000000L div n_grams"))
+    noveltyTail(bg, covSet, Seq("bucket", "g"))
   }
 
   /** True when `batchId` already appended into the CURRENT epoch —
@@ -304,14 +311,21 @@ object GramIndex {
     val idx = readGramIndex(spark, path)
     val root = s"$path/grams"
     val oldDir = IL.resolveDir(spark, root)
+    // cached: the corpus-scale merge agg feeds BOTH the empty-epoch
+    // probe and the write — without the cache the expensive half of
+    // the compaction would run twice (the writeGramIndex counts0
+    // lesson)
     val merged = idx.grams.groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("c"))
       .where(col("c") > 0L)
+      .cache()
     require(!merged.isEmpty,
       "compactGramIndex: every gram's net count is <= 0 (the whole " +
         "corpus was taken down) — refusing to publish an unreadable " +
         "empty epoch; delete the index instead")
     val v = IL.nextVersion(spark, root)
-    graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", merged)
+    try {
+      graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", merged)
+    } finally merged.unpersist()
     IL.writeMeta(spark, s"$root/$v", MetaName,
       s"""{"gram":${idx.gram},"nBuckets":${idx.nBuckets}}""")
     IL.copyAppendLedger(spark, oldDir, s"$root/$v")

@@ -371,6 +371,49 @@ object IndexLayout {
     fs.delete(stage, true)
   }
 
+  /** Flat (unpartitioned) variant of [[stageMoveAppend]] for OUTPUT
+    * appends — the exactly-once audit-trail write the ledger-guarded
+    * streams (ST24/ST25/ST26/ST27) pair with their index appends: a
+    * plain `mode("append")` duplicates the batch's output rows when
+    * the driver dies between the output write and the ledger commit
+    * (the replay re-runs the whole trigger), while this lands the
+    * batch's files under deterministic `<kind><id>-<k>.parquet` names
+    * with replay pre-cleanup — a replayed write converges to the
+    * identical end state, never a doubled row. Requires deterministic
+    * batch content across replays (true for the probe/verdict frames:
+    * the index only advances at the ledger commit).
+    */
+  def stageMoveAppendFlat(
+      data: DataFrame,
+      destDir: String,
+      batchId: Long,
+      kind: String = "out"): Unit = {
+    val spark = data.sparkSession
+    val fs = hfs(spark, destDir)
+    val stage = new Path(destDir, f".stage-$kind-$batchId%020d")
+    data.write.mode("overwrite").parquet(stage.toString)
+    val prefix = f"$kind-$batchId%020d-"
+    val dest = new Path(destDir)
+    fs.mkdirs(dest)
+    fs.listStatus(dest)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, false))
+    val files = fs.listStatus(stage)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+    files.zipWithIndex.foreach { case (st, i) =>
+      val dst = new Path(dest, f"$prefix$i%05d.parquet")
+      require(fs.rename(st.getPath, dst),
+        s"stageMoveAppendFlat: rename ${st.getPath} -> $dst failed (a " +
+          "concurrent writer on the same batchId? re-drive under the " +
+          "single-writer contract)")
+    }
+    fs.delete(stage, true)
+  }
+
   /** Carry the append ledger from `fromDir` into `toDir` — part of a
     * compaction's publish sequence, BEFORE the `_CURRENT` flip, so a
     * replayed batch that was already merged into the compacted base

@@ -1510,30 +1510,16 @@ object TextAnalysis {
         // broadcasts (batch-bounded); the corpus gram stream is
         // left-semi RESTRICTED against it before its distinct — so
         // the covered-gram set is also batch-bounded and broadcasts
-        // back onto the batch's per-doc counts. At scale the corpus
-        // leg swaps for O52 probeGramIndex's stored counts (the
+        // back onto the batch's one-pass per-doc counts. The engine
+        // IS Curation.noveltyRescan (t33's leg — one body, no drift);
+        // at scale the corpus leg swaps for O52's stored counts (the
         // standing index IS this query's corpus side); the canned
         // form rescans so the oracle sees only semantics. Split:
         // docs < 400 are the standing corpus, >= 400 the batch.
         val d = Tables.load(spark, dir, "documents")
-        def grams(df: org.apache.spark.sql.DataFrame) = df
-          .withColumn("_ids", graft.functions.GraftExpressions.bpeEncode($"text"))
-          .filter(size($"_ids") >= 8)
-          .select($"doc_id", posexplode(
-            graft.functions.GraftExpressions.idGrams($"_ids", 8)).as(Seq("p", "g")))
-        val bg = grams(d.where($"doc_id" >= 400)).cache()
-        val bset = bg.select($"g").distinct()
-        val covSet = grams(d.where($"doc_id" < 400)).select($"g")
-          .join(broadcast(bset), Seq("g"), "left_semi")
-          .distinct()
-        val perDoc = bg.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-        val covered = bg.join(broadcast(covSet), Seq("g"), "left_semi")
-          .groupBy($"doc_id").agg(count(lit(1)).as("n_covered"))
-        perDoc.join(covered, Seq("doc_id"), "left")
-          .select($"doc_id", $"n_grams",
-            coalesce($"n_covered", lit(0L)).as("n_covered"))
-          .withColumn("novelty_ppm",
-            expr("(n_grams - n_covered) * 1000000L div n_grams"))
+        Curation.noveltyRescan(
+            d.where($"doc_id" >= 400).select($"doc_id", $"text"),
+            d.where($"doc_id" < 400))
           .orderBy($"doc_id")
       },
       Some(s"""WITH w AS (SELECT doc_id, ${graft.functions.Bpe.duckEncode(duckWords)} AS ids FROM documents),
@@ -1579,9 +1565,14 @@ object TextAnalysis {
         // budget x max-source-tokens < 5.8e17; at 100 TB run the plan
         // in MEGAtoken units (allocation plans don't need single-token
         // granularity) — the formula is unit-invariant.
+        // a source with zero tokens (every doc empty) has nothing to
+        // allocate and is excluded from the plan on BOTH sides — its
+        // epochs_milli would otherwise be 0 div 0 (NULL in Spark, an
+        // error in DuckDB: engine/oracle divergence on the same input)
         val bySrc = Tables.load(spark, dir, "documents")
           .select($"source", size(expr(sparkWords)).cast("long").as("n"))
           .groupBy($"source").agg(sum($"n").as("toks"))
+          .where($"toks" >= 1L)
         val tot = bySrc.agg(sum($"toks").as("t"), count(lit(1)).as("ns"))
         val a1 = bySrc.crossJoin(broadcast(tot))
           .withColumn("budget", $"t" * lit(3L))
@@ -1603,7 +1594,7 @@ object TextAnalysis {
           .orderBy($"source")
       },
       Some(s"""WITH tok AS (SELECT source, CAST(len($duckWords) AS BIGINT) AS n FROM documents),
-        bysrc AS (SELECT source, SUM(n) AS toks FROM tok GROUP BY source),
+        bysrc AS (SELECT source, SUM(n) AS toks FROM tok GROUP BY source HAVING SUM(n) >= 1),
         tot AS (SELECT SUM(toks) AS t, COUNT(*) AS ns FROM bysrc),
         a1 AS (SELECT source, toks, t * 3 AS budget,
             LEAST((t * 3) // ns, toks * 4) AS alloc1, toks * 4 AS cap

@@ -48,6 +48,16 @@ object RoutedSink {
       df.write.mode("append").partitionBy(kw("cols").split('+').toIndexedSeq: _*).parquet(kw("path")))
     r.add("parquet-append:{path:path}", (df, kw) =>
       df.write.mode("append").parquet(kw("path")))
+    // exactly-once append: batch-keyed stage-then-move under
+    // deterministic file names, so a foreachBatch replay (driver died
+    // between this write and its trigger's ledger commit) REWRITES
+    // the same files instead of duplicating rows — the audit-trail
+    // write the ledger-guarded streams (ST24/ST25/ST26/ST27) pair
+    // with their index appends. Plain parquet-append stays the
+    // documented at-least-once route for dedup-on-read consumers.
+    r.add("parquet-append-batch:{path:path}:id:{batch}", (df, kw) =>
+      graft.operators.IndexLayout.stageMoveAppendFlat(
+        df, kw("path"), kw("batch").toLong))
     r.add("csv:{path:path}", (df, kw) =>
       df.write.mode("overwrite").option("header", "true").csv(kw("path")))
     r.add("json:{path:path}", (df, kw) =>

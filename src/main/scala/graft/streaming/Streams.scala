@@ -300,7 +300,12 @@ object Streams {
     *   - `parquet-append:` routes duplicate on replay — only pair
     *     them with dedup-on-read consumers (the O24/O29 index
     *     contract: probes distinct candidates, compaction reclaims),
-    *     never with a plain read-back corpus.
+    *     never with a plain read-back corpus;
+    *   - `parquet-append-batch:{path}:id:{batchId}` is the
+    *     exactly-once append: batch-keyed stage-then-move under
+    *     deterministic file names, replay rewrites instead of
+    *     duplicating — what the ledger-guarded streams
+    *     (ST24/ST25/ST26/ST27) use for their audit trails.
     */
   def routedStreamSink(
       stream: DataFrame,
@@ -577,8 +582,13 @@ object Streams {
     * batch position and append false "repeated" rows for unique
     * content to the output (the completed attempt wrote the batch's
     * probe rows BEFORE it appended, so nothing is lost by skipping).
-    * StreamingSpec stages an engine-level replay and pins index state
-    * + probe rows identical.
+    * The OUTPUT append is exactly-once too: it goes through the
+    * batch-keyed `parquet-append-batch` route (stage-then-move under
+    * deterministic names), so a driver death BETWEEN the output write
+    * and the ledger commit — the window where the replay re-runs the
+    * whole trigger — rewrites the same files instead of duplicating
+    * the batch's probe rows. StreamingSpec stages an engine-level
+    * replay and pins index state + probe rows identical.
     */
   def gramProbeStream(
       docStream: DataFrame,
@@ -592,7 +602,8 @@ object Streams {
           val df = batch.toDF().cache()
           try {
             val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
-            graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+            graft.sinks.RoutedSink.standard().write(
+              s"parquet-append-batch:$outPath:id:$batchId",
               graft.operators.GramIndex.probeGramIndex(df, idx))
             graft.operators.GramIndex.appendGramIndex(df, indexPath, batchId)
           } finally df.unpersist()
@@ -777,7 +788,9 @@ object Streams {
     * this one. Trigger-level exactly-once exactly as ST24 (the ledger
     * marker skips a replayed trigger whole — a re-scored batch would
     * otherwise read its own appended grams and report ~0 novelty for
-    * everything). Index is the state; the stream holds none.
+    * everything; the score append is batch-keyed stage-then-move, so
+    * the pre-commit crash window cannot duplicate score rows either).
+    * Index is the state; the stream holds none.
     */
   def noveltyStream(
       docStream: DataFrame,
@@ -791,7 +804,8 @@ object Streams {
           val df = batch.toDF().cache()
           try {
             val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
-            graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+            graft.sinks.RoutedSink.standard().write(
+              s"parquet-append-batch:$outPath:id:$batchId",
               graft.operators.GramIndex.noveltyFromIndex(df, idx))
             graft.operators.GramIndex.appendGramIndex(df, indexPath, batchId)
           } finally df.unpersist()
@@ -811,10 +825,14 @@ object Streams {
     * measured against the curated corpus, not against spam it
     * rejected (a rejected doc's content stays "novel": if a clean
     * version arrives later it is judged on its own merits).
-    * Trigger-level exactly-once exactly as ST24/ST26 (the ledger
-    * marker skips a replayed trigger whole — a re-curated batch would
-    * read its own admitted grams and reject everything as restated).
-    * Index is the state; the stream holds none.
+    * Trigger-level exactly-once exactly as ST24/ST26: the ledger
+    * marker skips a replayed trigger whole (a re-curated batch would
+    * read its own admitted grams and reject everything as restated),
+    * and the verdict append is batch-keyed stage-then-move, so a
+    * driver death between the audit write and the ledger commit
+    * cannot duplicate verdict rows — admission counts read from the
+    * audit trail stay exact under any crash. Index is the state; the
+    * stream holds none.
     */
   def curateStream(
       docStream: DataFrame,
@@ -835,7 +853,7 @@ object Streams {
               .curateBatch(df, idx, minWords, minUniqPpm, minNoveltyPpm).cache()
             try {
               graft.sinks.RoutedSink.standard()
-                .write(s"parquet-append:$outPath", verdicts)
+                .write(s"parquet-append-batch:$outPath:id:$batchId", verdicts)
               val admitted = df.join(
                 verdicts.where(org.apache.spark.sql.functions.col("verdict") === "admitted")
                   .select(org.apache.spark.sql.functions.col("doc_id")),
@@ -863,7 +881,9 @@ object Streams {
     * absorbs), but a re-PROBE after the batch's keys are indexed
     * would emit near-dup pairs BETWEEN assets of the same batch —
     * rows the probe-before-append contract excludes — so a replayed
-    * trigger finds its ledger marker and skips entirely.
+    * trigger finds its ledger marker and skips entirely; the pair
+    * append itself is batch-keyed stage-then-move, closing the
+    * pre-commit crash window for the output rows as well.
     */
   def perceptualProbeStream(
       assetStream: DataFrame,
@@ -877,7 +897,8 @@ object Streams {
           val df = batch.toDF().cache()
           try {
             val idx = graft.operators.Multimodal.readPerceptualIndex(spark, indexPath)
-            graft.sinks.RoutedSink.standard().write(s"parquet-append:$outPath",
+            graft.sinks.RoutedSink.standard().write(
+              s"parquet-append-batch:$outPath:id:$batchId",
               graft.operators.Multimodal.probePerceptualIndex(df, "doc_id", "payload", idx))
             graft.operators.Multimodal.appendPerceptualIndex(df, "doc_id", "payload", indexPath)
             graft.operators.Multimodal.commitPerceptualAppend(spark, indexPath, batchId)

@@ -59,7 +59,10 @@ object ScaleProbeR14c {
     val (_, tBuild) = timed(GramIndex.writeGramIndex(
       salted.select($"doc_id", $"text"), gramPath, gram = 8))
     val idx0 = GramIndex.readGramIndex(spark, gramPath)
-    val probeBatch = base.limit(1000)
+    // the probe batch must OVERLAP the takedown victims (replica-0
+    // docs 0..999) or the masked/after walls measure nothing — an
+    // unordered limit(1000) picks arbitrary rows
+    val probeBatch = base.orderBy($"doc_id").limit(1000)
       .select(($"doc_id" + lit(900000000L)).as("doc_id"),
         regexp_replace($"text", "(\\S+)", "$1_r0").as("text"))
     GramIndex.probeGramIndex(probeBatch, idx0).count() // warm

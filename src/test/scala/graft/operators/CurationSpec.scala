@@ -111,4 +111,23 @@ class CurationSpec extends SparkTestBase {
     val rejected = streamed.filter(_._5 == "rejected_quality")
     assert(rejected.nonEmpty, "test corpus produced no quality rejections in the stream")
   }
+
+  test("parquet-append-batch is exactly-once: a replayed write rewrites the same files, never doubling rows") {
+    // the crash window the route closes: the driver dies BETWEEN the
+    // audit write and the trigger's ledger commit, so the replay
+    // re-runs the whole trigger including the output write — with
+    // plain mode(append) every verdict/probe row would double
+    val out = java.nio.file.Files.createTempDirectory("graft-eoappend").toString
+    val rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.sinks.RoutedSink.standard().write(s"parquet-append-batch:$out:id:7", rows)
+    // simulated replay of the SAME batch id (content deterministic)
+    graft.sinks.RoutedSink.standard().write(s"parquet-append-batch:$out:id:7", rows)
+    val got = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(spark.read.parquet(out).count() == 2L && got == Set((1L, "a"), (2L, "b")),
+      "replayed batch-keyed append duplicated rows")
+    // a DIFFERENT batch id appends alongside
+    graft.sinks.RoutedSink.standard().write(
+      s"parquet-append-batch:$out:id:8", Seq((3L, "c")).toDF("id", "v"))
+    assert(spark.read.parquet(out).count() == 3L)
+  }
 }

@@ -80,6 +80,14 @@ class Round14Spec extends SparkTestBase {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(out("srcA") == ((10L, 40L, 4000L, 13201L)), s"srcA plan: ${out("srcA")}")
     assert(out("srcB") == ((1000L, 2990L, 2990L, 986798L)), s"srcB plan: ${out("srcB")}")
+    // a zero-token source (all docs empty) is excluded, not divided by:
+    // its epochs would be 0 div 0 — NULL on Spark, an error in DuckDB
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-t31b").toString
+    docs.unionByName(Seq((2L, "", "srcEmpty")).toDF("doc_id", "text", "source"))
+      .write.parquet(s"$dir2/documents.parquet")
+    val out2 = graft.SparkEntry.queries("t31_epoch_plan")(spark, dir2)
+      .collect().map(r => r.getString(0)).toSet
+    assert(out2 == Set("srcA", "srcB"), s"zero-token source not excluded: $out2")
     // and the real-corpus invariants: never over budget, never past
     // the epoch cap, shares sum to <= 1e6 (floor residue only)
     val real = graft.SparkEntry.queries("t31_epoch_plan")(spark, sfDir).collect()
