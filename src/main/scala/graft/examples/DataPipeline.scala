@@ -373,6 +373,63 @@ object DataPipeline {
       }
       .depend("idx" -> "docs.lexindex.{out}")
 
+    // ---- admission half (round 14): the curated corpus becomes the
+    // STANDING side of the O56 admission gate — an incoming day-2
+    // batch is scored against its stored O52 gram counts (quality
+    // gate first, then novelty), and the retention route takes a doc
+    // OUT of the standing index (negative-count deltas), after which
+    // a resubmission of its content is judged on its own merits.
+    wkf
+      .provide("docs.gramindex.{out:path}") { ctx =>
+        val out = ctx.str("out") + "/gramindex"
+        // day-1 build ONLY: later runs reuse the published epoch — a
+        // per-run rebuild would resurrect taken-down content (the
+        // Workflow cache is per-Run, so idempotence must live in the
+        // cell for a cross-run stateful artifact)
+        if (graft.operators.IndexLayout.currentVersion(
+            ctx.as[DataFrame]("in").sparkSession, s"$out/grams").isEmpty)
+          graft.operators.GramIndex.writeGramIndex(
+            ctx.as[DataFrame]("in").select(col("doc_id"), col("text")), out)
+        out
+      }
+      .depend("in" -> "docs.capped")
+    wkf
+      .provide("docs.day2batch") { ctx =>
+        // the example's incoming batch: a verbatim copy of a standing
+        // doc (restated content), a fresh doc, and a spam doc
+        val in = ctx.as[DataFrame]("in")
+        val sp = in.sparkSession
+        import sp.implicits._
+        val first = in.orderBy(col("doc_id")).limit(1)
+          .select(lit(900001L).as("doc_id"), col("text"))
+        first.unionByName(Seq(
+          (900002L, (1 to 40).map(i => s"brandnew$i").mkString(" ")),
+          (900003L, Seq.fill(20)("spam").mkString(" "))
+        ).toDF("doc_id", "text"))
+      }
+      .depend("in" -> "docs.capped")
+    wkf
+      .provide("docs.admit.{out:path}") { ctx =>
+        // the idx dep forces the index build before the probe; the
+        // path is rederived (the docs.search convention)
+        val batch = ctx.as[DataFrame]("batch")
+        graft.operators.Curation.curateBatch(
+          batch,
+          graft.operators.GramIndex.readGramIndex(
+            batch.sparkSession, ctx.str("out") + "/gramindex"))
+      }
+      .depend("idx" -> "docs.gramindex.{out}", "batch" -> "docs.day2batch")
+    wkf
+      .provide("docs.takedown.{out:path}") { ctx =>
+        // retention: delete the standing doc the day-2 copy restates
+        val victim = ctx.as[DataFrame]("in").orderBy(col("doc_id")).limit(1)
+          .select(col("doc_id"), col("text"))
+        graft.operators.GramIndex.takedownGramIndex(
+          victim, ctx.str("out") + "/gramindex", takedownId = 1L)
+        ctx.str("out")
+      }
+      .depend("in" -> "docs.capped", "idx" -> "docs.gramindex.{out}")
+
     // default sample rate for the packed route; override per run via
     // extra kwargs or config
     wkf.setConfig(Map("docs.packed" -> Map("pct" -> 50)))
@@ -515,6 +572,24 @@ object DataPipeline {
       .select(col("doc_id"), col("format"), col("width"), col("height")).collect()
     println("decoded_assets=" + decoded.map(r =>
       s"${r.getLong(0)}:${r.getString(1)}:${r.getInt(2)}x${r.getInt(3)}").mkString(","))
+
+    // admission half: verdicts against the standing corpus's stored
+    // gram counts, then a takedown flips the restated copy's verdict
+    val admitOut = java.nio.file.Files.createTempDirectory("graft_admit").toString
+    def verdicts() = wkf.run(s"docs.admit.$admitOut").asInstanceOf[DataFrame]
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    val v0 = verdicts()
+    println("admission=" + v0.toSeq.sortBy(_._1)
+      .map { case (id, (ppm, v)) => s"$id:$v@${ppm}ppm" }.mkString(","))
+    wkf.run(s"docs.takedown.$admitOut")
+    val v1 = verdicts()
+    // the victim's counts stop covering at the very next probe; the
+    // residual coverage is OTHER standing docs' shared phrases (this
+    // synthetic corpus repeats heavily), so on this data the verdict
+    // honestly stays rejected_novelty — the full verdict flip on a
+    // controlled corpus is GramIndexSpec's pin
+    println(s"takedown_effect=900001:${v0(900001L)._1}ppm" +
+      s" -> ${v1(900001L)._1}ppm (verdict ${v1(900001L)._2})")
     spark.stop()
   }
 }

@@ -298,6 +298,26 @@ class DataPipelineSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("admission cells: verdict classes populate; takedown removes the victim's coverage") {
+    val out = java.nio.file.Files.createTempDirectory("graft-dp-admit").toString
+    def verdicts() = wkf.run(s"docs.admit.$out")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    val v0 = verdicts()
+    assert(v0(900001L) == ((0L, "rejected_novelty")), s"copy: ${v0(900001L)}")
+    assert(v0(900002L) == ((1000000L, "admitted")), s"fresh: ${v0(900002L)}")
+    assert(v0(900003L) == ((-1L, "rejected_quality")), s"spam: ${v0(900003L)}")
+    wkf.run(s"docs.takedown.$out")
+    val v1 = verdicts()
+    // the victim's own counts no longer cover; whatever coverage
+    // remains is other standing docs' shared phrases
+    assert(v1(900001L)._1 > 0L,
+      s"takedown did not remove the victim's coverage: ${v1(900001L)}")
+    // a replayed takedown (same id) is a no-op: verdicts stable
+    wkf.run(s"docs.takedown.$out")
+    assert(verdicts() == v1, "replayed takedown changed verdicts")
+  }
+
   private def fileScans(plan: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = plan match {
     case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
