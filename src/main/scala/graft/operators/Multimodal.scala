@@ -1489,6 +1489,50 @@ object Multimodal {
           fa <> fb AS cross_container
         FROM cand WHERE bit_count(xor(ha, hb)) <= 3
         ORDER BY id_a, id_b""")
+    ),
+
+    Q(
+      "m10_video_frame_dup",
+      "Cross-video duplicate FRAMES via the sample tables: re-mux detection at frame granularity",
+      (spark, dir) => {
+        import spark.implicits._
+        // The frame-level twin of m08's container-invariant raster
+        // dedup: a video re-containered WITHOUT re-encoding (the
+        // common mirror-site transformation) keeps its mdat frame
+        // bytes — so shared frames across files are found by walking
+        // each container's REAL sample table (stsz/stco offsets, the
+        // m02 machinery) and equi-joining frame content keys. The
+        // join is d01's exact-dedup shape at frame granularity:
+        // distinct (video, frame-content) pairs meet on the content
+        // key, output bounded by the duplicated-frame population. At
+        // spec scale the key is the frame's hex (100 chars); at
+        // 100 TB hash60 the frame bytes and band by hash prefix, and
+        // cap frame document-frequency (black/silence frames are the
+        // g11 heavy-hitter problem — a frame shared by k files costs
+        // k^2 pairs; the cap is the documented mitigation).
+        val pay = Multimodal.videoPayloads(spark, dir)
+        val frames = Multimodal.decodeFrames(pay).toDF()
+        val keyed = frames.join(pay, Seq("doc_id"))
+          .select($"doc_id", upper(expr(
+            "substring(hex(payload), cast(f_offset * 2 + 1 as int), cast(f_size * 2 as int))"))
+            .as("fk"))
+          .distinct()
+        keyed.select($"doc_id".as("vid_a"), $"fk")
+          .join(keyed.select($"doc_id".as("vid_b"), $"fk"), Seq("fk"))
+          .where($"vid_a" < $"vid_b")
+          .groupBy($"vid_a", $"vid_b").agg(count(lit(1)).as("n_shared"))
+          .orderBy($"vid_a", $"vid_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+            octet_length(encode(text)) AS ds FROM documents),
+        f AS (SELECT DISTINCT doc_id,
+            substring(hx, CAST(k * 100 + 1 AS BIGINT), 100) AS fk
+          FROM d, unnest(generate_series(0, ds // 50 - 1)) AS u(k)
+          WHERE ds >= 50)
+        SELECT a.doc_id AS vid_a, b.doc_id AS vid_b,
+          CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM f a JOIN f b ON a.fk = b.fk AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY vid_a, vid_b""")
     )
   )
 

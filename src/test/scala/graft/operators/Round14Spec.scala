@@ -114,6 +114,23 @@ class Round14Spec extends SparkTestBase {
     assert(got.values.map(_._1).sum > 0, "IVF+PQ recall uniformly zero")
   }
 
+  test("m10: re-containered same-content videos share every frame; disjoint content shares none") {
+    // same text under two doc_ids -> two DIFFERENT containers (the
+    // header carries doc_id-derived timescale/duration) holding the
+    // SAME mdat frames — the re-mux shape m10 exists to catch
+    val text = ((1 to 20).map(i => f"alpha$i%04d") ++ (1 to 20).map(i => f"beta$i%05d")).mkString(" ")
+    val other = (1 to 40).map(i => f"gamma$i%04d").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-m10").toString
+    Seq((0L, text), (1L, text), (2L, other)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("m10_video_frame_dup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nFrames = text.getBytes("UTF-8").length / 50
+    assert(out.keySet == Set((0L, 1L)), s"pairs: ${out.keySet}")
+    assert(out((0L, 1L)) == nFrames.toLong,
+      s"re-muxed twin shares ${out((0L, 1L))} of $nFrames frames")
+  }
+
   test("t32 schedule: a driver-side independent replay reproduces the full curriculum") {
     val out = graft.SparkEntry.queries("t32_curriculum_order")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getLong(4)))
