@@ -129,5 +129,21 @@ class CurationSpec extends SparkTestBase {
     graft.sinks.RoutedSink.standard().write(
       s"parquet-append-batch:$out:id:8", Seq((3L, "c")).toDF("id", "v"))
     assert(spark.read.parquet(out).count() == 3L)
+    // the REAL crash window: some of a batch's files moved, then the
+    // driver died mid-move — the replay's pre-cleanup must converge
+    // to the identical end state (delete this attempt's files, move
+    // the full staged set again), never a partial double
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(out), spark.sparkContext.hadoopConfiguration)
+    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.getPath.getName.startsWith("out-00000000000000000007-"))
+    assert(moved.nonEmpty)
+    fs.delete(moved.head.getPath, false) // simulate a lost half-move
+    graft.sinks.RoutedSink.standard().write(s"parquet-append-batch:$out:id:7", rows)
+    val after = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == Set((1L, "a"), (2L, "b"), (3L, "c")) &&
+      spark.read.parquet(out).count() == 3L,
+      "mid-move crash replay did not converge to the exact end state")
   }
 }
