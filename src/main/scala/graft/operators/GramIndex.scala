@@ -237,18 +237,44 @@ object GramIndex {
   def appendCommitted(spark: SparkSession, path: String, batchId: Long): Boolean =
     IL.appendCommitted(spark, IL.resolveDir(spark, s"$path/grams"), batchId)
 
+  /** The two-phase trigger ledger's FIRST marker (kind `outdone`):
+    * true when `batchId`'s OUTPUT rows are durably written but its
+    * index append may not have committed. The streams' replay guard
+    * needs both phases because the index append becomes
+    * reader-visible at its file moves, BEFORE the batch marker — a
+    * crash in that window would otherwise let the replayed trigger
+    * re-probe against an index already holding the batch's own
+    * counts and OVERWRITE the correct batch-keyed output files with
+    * wrong rows (every unique singleton gram reads stored+batch >= 2).
+    * With the outdone marker the replay skips the probe/output phase
+    * (already durable, computed against the pre-append state) and
+    * re-drives only the idempotent index append.
+    */
+  def outputCommitted(spark: SparkSession, path: String, batchId: Long): Boolean =
+    IL.appendCommitted(spark, IL.resolveDir(spark, s"$path/grams"), batchId, "outdone")
+
+  /** Record `batchId`'s output phase durable (see [[outputCommitted]]). */
+  def commitOutput(spark: SparkSession, path: String, batchId: Long): Unit =
+    IL.commitAppend(spark, IL.resolveDir(spark, s"$path/grams"), batchId, "outdone")
+
   def appendGramIndex(batch: DataFrame, path: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val idx = readGramIndex(spark, path)
     val root = s"$path/grams"
     val dir = IL.resolveDir(spark, root)
     if (IL.appendCommitted(spark, dir, batchId)) return
+    // cached: the batch agg feeds the isEmpty probe AND the staged
+    // write (the writeGramIndex counts0 lesson — without it every
+    // streamed trigger tokenizes and aggregates its batch twice)
     val counts = gramsOf(batch, idx.gram)
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .withColumn("bucket", bucketOf(idx.nBuckets))
       .select(col("bucket"), col("g"), col("c"))
-    if (counts.isEmpty) { IL.commitAppend(spark, dir, batchId); return }
-    IL.stageMoveAppend(counts, dir, "bucket", batchId)
+      .cache()
+    try {
+      if (counts.isEmpty) { IL.commitAppend(spark, dir, batchId); return }
+      IL.stageMoveAppend(counts, dir, "bucket", batchId)
+    } finally counts.unpersist()
     IL.commitAppend(spark, dir, batchId)
     IL.requireStillCurrent(spark, root, dir, "appendGramIndex")
   }
@@ -290,8 +316,11 @@ object GramIndex {
       .groupBy(col("g")).agg((count(lit(1)) * lit(-1L)).as("c"))
       .withColumn("bucket", bucketOf(idx.nBuckets))
       .select(col("bucket"), col("g"), col("c"))
-    if (neg.isEmpty) { IL.commitAppend(spark, dir, takedownId, "takedown"); return }
-    IL.stageMoveAppend(neg, dir, "bucket", takedownId, "takedown")
+      .cache() // isEmpty probe + staged write share one computation
+    try {
+      if (neg.isEmpty) { IL.commitAppend(spark, dir, takedownId, "takedown"); return }
+      IL.stageMoveAppend(neg, dir, "bucket", takedownId, "takedown")
+    } finally neg.unpersist()
     IL.commitAppend(spark, dir, takedownId, "takedown")
     IL.requireStillCurrent(spark, root, dir, "takedownGramIndex")
   }

@@ -414,6 +414,31 @@ object IndexLayout {
     fs.delete(stage, true)
   }
 
+  /** Read back EXACTLY `batchId`'s files written by
+    * [[stageMoveAppendFlat]] (None when none exist) — the durable
+    * phase-1 state a two-phase trigger's replay consumes: after a
+    * crash between the index append's file moves and the batch
+    * marker, the replay must NOT recompute probe-derived values (the
+    * index already holds the batch's own rows) — it reads the
+    * batch-keyed output it already wrote instead.
+    */
+  def readStagedBatch(
+      spark: SparkSession,
+      destDir: String,
+      batchId: Long,
+      kind: String = "out"): Option[DataFrame] = {
+    val fs = hfs(spark, destDir)
+    val dest = new Path(destDir)
+    if (!fs.exists(dest)) None
+    else {
+      val prefix = f"$kind-$batchId%020d-"
+      val files = fs.listStatus(dest)
+        .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+        .map(_.getPath.toString)
+      if (files.isEmpty) None else Some(spark.read.parquet(files.toIndexedSeq: _*))
+    }
+  }
+
   /** Carry the append ledger from `fromDir` into `toDir` — part of a
     * compaction's publish sequence, BEFORE the `_CURRENT` flip, so a
     * replayed batch that was already merged into the compacted base

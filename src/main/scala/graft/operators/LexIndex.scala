@@ -154,6 +154,13 @@ object LexIndex {
     ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(meta).map(_.group(1).toLong)
       .getOrElse(sys.error(s"readLexIndex: malformed $where: $meta"))
 
+  /** The manifest's recorded id column (append/compact re-tokenize
+    * under the ORIGINAL id contract, never the caller's).
+    */
+  private def metaIdCol(meta: String): String =
+    "\"idCol\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(meta)
+      .map(_.group(1)).getOrElse("doc_id")
+
   /** Resolve the CURRENT epoch (one atomic flip covers postings,
     * terms AND the stats manifests). ndocs/ntok = the base manifest
     * plus every per-append delta manifest, so appended docs are
@@ -228,8 +235,7 @@ object LexIndex {
       sys.error(s"appendLexIndex: $dir has no $MetaName manifest"))
     if (IL.appendCommitted(spark, dir, batchId)) return
     val nb = metaLong(meta, "nBuckets", MetaName).toInt
-    val idCol = "\"idCol\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(meta)
-      .map(_.group(1)).getOrElse("doc_id")
+    val idCol = metaIdCol(meta)
     val post0 = tokenize(docs, idCol, textCol)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -288,8 +294,7 @@ object LexIndex {
     val oldDir = IL.resolveDir(spark, root)
     val idx = readLexIndex(spark, path)
     val meta = IL.readMeta(spark, oldDir, MetaName).get
-    val idCol = "\"idCol\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(meta)
-      .map(_.group(1)).getOrElse("doc_id")
+    val idCol = metaIdCol(meta)
     val tombFiles = IL.tombstoneFiles(spark, root)
     val retained =
       if (tombFiles.isEmpty) idx.postings

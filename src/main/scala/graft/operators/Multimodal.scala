@@ -1713,4 +1713,20 @@ object Multimodal {
   def commitPerceptualAppend(
       spark: SparkSession, path: String, batchId: Long): Unit =
     IndexLayout.commitAppend(spark, IndexLayout.resolveDir(spark, path), batchId)
+
+  /** Two-phase trigger ledger, first marker (the GramIndex
+    * outputCommitted contract): the batch's near-dup pair OUTPUT is
+    * durable, the index append may not be — a replay must skip the
+    * probe (re-probing after the batch's band keys are indexed would
+    * emit intra-batch pairs and overwrite the correct batch-keyed
+    * output files) and re-drive only the append.
+    */
+  def perceptualOutputCommitted(
+      spark: SparkSession, path: String, batchId: Long): Boolean =
+    IndexLayout.appendCommitted(spark, IndexLayout.resolveDir(spark, path), batchId, "outdone")
+
+  /** Record `batchId`'s output phase durable. */
+  def commitPerceptualOutput(
+      spark: SparkSession, path: String, batchId: Long): Unit =
+    IndexLayout.commitAppend(spark, IndexLayout.resolveDir(spark, path), batchId, "outdone")
 }

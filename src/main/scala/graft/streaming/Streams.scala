@@ -590,6 +590,36 @@ object Streams {
     * the batch's probe rows. StreamingSpec stages an engine-level
     * replay and pins index state + probe rows identical.
     */
+  /** ST24's per-trigger body, factored for direct crash-window
+    * testing. TWO-PHASE replay guard: the batch marker alone cannot
+    * cover the window where the index append's file MOVES have
+    * happened but the marker hasn't (the appended counts are
+    * reader-visible at the moves) — a replayed probe there would see
+    * stored+batch >= 2 for every unique batch gram and overwrite the
+    * correct output files with false "repeated" rows. So phase 1
+    * (probe + batch-keyed output write) commits its own `outdone`
+    * marker BEFORE any index mutation; a replay after it skips
+    * straight to the idempotent append.
+    */
+  private[graft] def gramProbeTrigger(
+      df0: org.apache.spark.sql.DataFrame, batchId: Long,
+      indexPath: String, outPath: String): Unit = {
+    val spark = df0.sparkSession
+    if (!graft.operators.GramIndex.appendCommitted(spark, indexPath, batchId)) {
+      val df = df0.cache()
+      try {
+        if (!graft.operators.GramIndex.outputCommitted(spark, indexPath, batchId)) {
+          val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
+          graft.sinks.RoutedSink.standard().write(
+            s"parquet-append-batch:$outPath:id:$batchId",
+            graft.operators.GramIndex.probeGramIndex(df, idx))
+          graft.operators.GramIndex.commitOutput(spark, indexPath, batchId)
+        }
+        graft.operators.GramIndex.appendGramIndex(df, indexPath, batchId)
+      } finally df.unpersist()
+    }
+  }
+
   def gramProbeStream(
       docStream: DataFrame,
       indexPath: String,
@@ -597,17 +627,7 @@ object Streams {
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!graft.operators.GramIndex.appendCommitted(spark, indexPath, batchId)) {
-          val df = batch.toDF().cache()
-          try {
-            val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
-            graft.sinks.RoutedSink.standard().write(
-              s"parquet-append-batch:$outPath:id:$batchId",
-              graft.operators.GramIndex.probeGramIndex(df, idx))
-            graft.operators.GramIndex.appendGramIndex(df, indexPath, batchId)
-          } finally df.unpersist()
-        }
+        gramProbeTrigger(batch.toDF(), batchId, indexPath, outPath)
     }
 
   /** ST12: streaming decontamination — the ingestion-time form of
@@ -792,6 +812,29 @@ object Streams {
     * the pre-commit crash window cannot duplicate score rows either).
     * Index is the state; the stream holds none.
     */
+  /** ST26's per-trigger body — the gramProbeTrigger two-phase
+    * discipline with the novelty scorer in phase 1 (a replayed score
+    * after the moves would read ~0 novelty for everything).
+    */
+  private[graft] def noveltyTrigger(
+      df0: org.apache.spark.sql.DataFrame, batchId: Long,
+      indexPath: String, outPath: String): Unit = {
+    val spark = df0.sparkSession
+    if (!graft.operators.GramIndex.appendCommitted(spark, indexPath, batchId)) {
+      val df = df0.cache()
+      try {
+        if (!graft.operators.GramIndex.outputCommitted(spark, indexPath, batchId)) {
+          val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
+          graft.sinks.RoutedSink.standard().write(
+            s"parquet-append-batch:$outPath:id:$batchId",
+            graft.operators.GramIndex.noveltyFromIndex(df, idx))
+          graft.operators.GramIndex.commitOutput(spark, indexPath, batchId)
+        }
+        graft.operators.GramIndex.appendGramIndex(df, indexPath, batchId)
+      } finally df.unpersist()
+    }
+  }
+
   def noveltyStream(
       docStream: DataFrame,
       indexPath: String,
@@ -799,17 +842,7 @@ object Streams {
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!graft.operators.GramIndex.appendCommitted(spark, indexPath, batchId)) {
-          val df = batch.toDF().cache()
-          try {
-            val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
-            graft.sinks.RoutedSink.standard().write(
-              s"parquet-append-batch:$outPath:id:$batchId",
-              graft.operators.GramIndex.noveltyFromIndex(df, idx))
-            graft.operators.GramIndex.appendGramIndex(df, indexPath, batchId)
-          } finally df.unpersist()
-        }
+        noveltyTrigger(batch.toDF(), batchId, indexPath, outPath)
     }
 
   /** ST27: the end-to-end streaming CURATION loop — the composition
@@ -834,6 +867,45 @@ object Streams {
     * audit trail stay exact under any crash. Index is the state; the
     * stream holds none.
     */
+  /** ST27's per-trigger body — two-phase like gramProbeTrigger, with
+    * one extra subtlety: the index append depends on the VERDICTS
+    * (admitted docs only), and a replay after the append's file moves
+    * must not recompute them (the index already holds the batch's
+    * admitted grams — every verdict would flip to rejected_novelty
+    * and even the appended set would diverge). The batch-keyed output
+    * files ARE the durable phase-1 verdicts, so the append phase
+    * always reads the admitted ids back from them.
+    */
+  private[graft] def curateTrigger(
+      df0: org.apache.spark.sql.DataFrame, batchId: Long,
+      indexPath: String, outPath: String,
+      minWords: Long, minUniqPpm: Long, minNoveltyPpm: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df0.sparkSession
+    if (!graft.operators.GramIndex.appendCommitted(spark, indexPath, batchId)) {
+      val df = df0.cache()
+      try {
+        if (!graft.operators.GramIndex.outputCommitted(spark, indexPath, batchId)) {
+          val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
+          graft.sinks.RoutedSink.standard().write(
+            s"parquet-append-batch:$outPath:id:$batchId",
+            graft.operators.Curation.curateBatch(
+              df, idx, minWords, minUniqPpm, minNoveltyPpm))
+          graft.operators.GramIndex.commitOutput(spark, indexPath, batchId)
+        }
+        val verdicts = graft.operators.IndexLayout
+          .readStagedBatch(spark, outPath, batchId)
+          .getOrElse(sys.error(
+            s"curateTrigger: outdone marker present for batch $batchId but its " +
+              "output files are missing — was the sink directory cleaned?"))
+        val admitted = df.join(
+          verdicts.where(col("verdict") === "admitted").select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        graft.operators.GramIndex.appendGramIndex(admitted, indexPath, batchId)
+      } finally df.unpersist()
+    }
+  }
+
   def curateStream(
       docStream: DataFrame,
       indexPath: String,
@@ -844,24 +916,8 @@ object Streams {
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!graft.operators.GramIndex.appendCommitted(spark, indexPath, batchId)) {
-          val df = batch.toDF().cache()
-          try {
-            val idx = graft.operators.GramIndex.readGramIndex(spark, indexPath)
-            val verdicts = graft.operators.Curation
-              .curateBatch(df, idx, minWords, minUniqPpm, minNoveltyPpm).cache()
-            try {
-              graft.sinks.RoutedSink.standard()
-                .write(s"parquet-append-batch:$outPath:id:$batchId", verdicts)
-              val admitted = df.join(
-                verdicts.where(org.apache.spark.sql.functions.col("verdict") === "admitted")
-                  .select(org.apache.spark.sql.functions.col("doc_id")),
-                Seq("doc_id"), "left_semi")
-              graft.operators.GramIndex.appendGramIndex(admitted, indexPath, batchId)
-            } finally verdicts.unpersist()
-          } finally df.unpersist()
-        }
+        curateTrigger(batch.toDF(), batchId, indexPath, outPath,
+          minWords, minUniqPpm, minNoveltyPpm)
     }
 
   /** ST25: streaming PERCEPTUAL near-dup at ingestion — the O54 twin
@@ -885,6 +941,34 @@ object Streams {
     * append itself is batch-keyed stage-then-move, closing the
     * pre-commit crash window for the output rows as well.
     */
+  /** ST25's per-trigger body — two-phase like gramProbeTrigger: a
+    * crash between appendPerceptualIndex and the batch marker used to
+    * let the replay re-probe against its own appended band keys
+    * (intra-batch pairs, overwriting the correct output files). The
+    * append itself stays a plain key append (replay lands duplicate
+    * keys the probe's distinct absorbs and compaction reclaims —
+    * the documented O54 contract).
+    */
+  private[graft] def perceptualTrigger(
+      df0: org.apache.spark.sql.DataFrame, batchId: Long,
+      indexPath: String, outPath: String): Unit = {
+    val spark = df0.sparkSession
+    if (!graft.operators.Multimodal.perceptualAppendCommitted(spark, indexPath, batchId)) {
+      val df = df0.cache()
+      try {
+        if (!graft.operators.Multimodal.perceptualOutputCommitted(spark, indexPath, batchId)) {
+          val idx = graft.operators.Multimodal.readPerceptualIndex(spark, indexPath)
+          graft.sinks.RoutedSink.standard().write(
+            s"parquet-append-batch:$outPath:id:$batchId",
+            graft.operators.Multimodal.probePerceptualIndex(df, "doc_id", "payload", idx))
+          graft.operators.Multimodal.commitPerceptualOutput(spark, indexPath, batchId)
+        }
+        graft.operators.Multimodal.appendPerceptualIndex(df, "doc_id", "payload", indexPath)
+        graft.operators.Multimodal.commitPerceptualAppend(spark, indexPath, batchId)
+      } finally df.unpersist()
+    }
+  }
+
   def perceptualProbeStream(
       assetStream: DataFrame,
       indexPath: String,
@@ -892,18 +976,7 @@ object Streams {
   ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     assetStream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!graft.operators.Multimodal.perceptualAppendCommitted(spark, indexPath, batchId)) {
-          val df = batch.toDF().cache()
-          try {
-            val idx = graft.operators.Multimodal.readPerceptualIndex(spark, indexPath)
-            graft.sinks.RoutedSink.standard().write(
-              s"parquet-append-batch:$outPath:id:$batchId",
-              graft.operators.Multimodal.probePerceptualIndex(df, "doc_id", "payload", idx))
-            graft.operators.Multimodal.appendPerceptualIndex(df, "doc_id", "payload", indexPath)
-            graft.operators.Multimodal.commitPerceptualAppend(spark, indexPath, batchId)
-          } finally df.unpersist()
-        }
+        perceptualTrigger(batch.toDF(), batchId, indexPath, outPath)
     }
 
   // ST17 state/output. `counters` is the Misra-Gries survivor map —

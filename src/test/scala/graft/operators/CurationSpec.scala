@@ -112,6 +112,56 @@ class CurationSpec extends SparkTestBase {
     assert(rejected.nonEmpty, "test corpus produced no quality rejections in the stream")
   }
 
+  test("trigger crash window: a replay AFTER the index file moves but BEFORE the batch marker converges exactly") {
+    // the window the two-phase ledger exists for: appendGramIndex's
+    // moves make the batch's counts reader-visible, then the driver
+    // dies before the batch marker lands. A single-marker replay
+    // would re-probe against an index already holding the batch
+    // (every verdict flips to rejected_novelty, singleton grams read
+    // as repeated) and OVERWRITE the correct batch-keyed outputs.
+    def markerOf(idxPath: String, id: Long) = new org.apache.hadoop.fs.Path(
+      IndexLayout.resolveDir(spark, s"$idxPath/grams") + "/_appends",
+      f"batch-$id%020d")
+    def eraseMarker(idxPath: String, id: Long): Unit = {
+      val p = markerOf(idxPath, id)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      assert(fs.delete(p, false), s"no marker to erase at $p")
+    }
+    def gramsOfIdx(idxPath: String) = GramIndex.readGramIndex(spark, idxPath).grams
+      .select(col("bucket").cast("long"), col("g"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-crashwin").toString
+    GramIndex.writeGramIndex(docs.where($"doc_id" < 300), s"$dir/idx", gram = 8, nBuckets = 8)
+    val b1 = docs.where($"doc_id" >= 300 && $"doc_id" < 350).select($"doc_id", $"text")
+    graft.streaming.Streams.curateTrigger(
+      b1, 0L, s"$dir/idx", s"$dir/out", 5L, 350000L, 100000L)
+    val out0 = keyed(spark.read.parquet(s"$dir/out"))
+    val idx0 = gramsOfIdx(s"$dir/idx")
+    eraseMarker(s"$dir/idx", 0L) // the crash state: files moved, marker gone
+    assert(!GramIndex.appendCommitted(spark, s"$dir/idx", 0L))
+    graft.streaming.Streams.curateTrigger(
+      b1, 0L, s"$dir/idx", s"$dir/out", 5L, 350000L, 100000L)
+    assert(keyed(spark.read.parquet(s"$dir/out")) == out0,
+      "replay in the crash window changed the verdict outputs")
+    assert(gramsOfIdx(s"$dir/idx") == idx0,
+      "replay in the crash window changed the index's net counts")
+    assert(GramIndex.appendCommitted(spark, s"$dir/idx", 0L))
+    // same window for the ST24 probe trigger on a fresh setup
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-crashwin2").toString
+    GramIndex.writeGramIndex(docs.where($"doc_id" < 300), s"$dir2/idx", gram = 8, nBuckets = 8)
+    graft.streaming.Streams.gramProbeTrigger(b1, 0L, s"$dir2/idx", s"$dir2/out")
+    val p0 = spark.read.parquet(s"$dir2/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    eraseMarker(s"$dir2/idx", 0L)
+    graft.streaming.Streams.gramProbeTrigger(b1, 0L, s"$dir2/idx", s"$dir2/out")
+    val p1 = spark.read.parquet(s"$dir2/out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(p1 == p0,
+      "replayed probe emitted false repeated intervals from the batch's own counts")
+  }
+
   test("parquet-append-batch is exactly-once: a replayed write rewrites the same files, never doubling rows") {
     // the crash window the route closes: the driver dies BETWEEN the
     // audit write and the trigger's ledger commit, so the replay
