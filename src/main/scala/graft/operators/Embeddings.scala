@@ -665,6 +665,59 @@ object Embeddings {
           CAST(CASE WHEN SUM(w3.w * xq[w3.j]) > 0 THEN 1 ELSE -1 END AS INT) AS pred
         FROM ev, w3 GROUP BY n_id, label, y ORDER BY vec_id"""
       }
+    ),
+
+    Q(
+      "e12_label_drift",
+      "Per-label embedding-centroid drift from the global centroid — the slice-level distribution-shift monitor",
+      (spark, dir) => {
+        import spark.implicits._
+        // The monitoring question a slice-aware pipeline asks of its
+        // embedding space: WHICH slice's centroid sits farthest from
+        // the corpus centroid (an ingestion source gone off-
+        // distribution, a label whose content drifted — the signal
+        // that triggers e10 retraining or a t15 mix rebalance).
+        // Discipline is e04's: milli-quantize once, every sum an
+        // exact int64, and the n-scaled combination n_g*s_l - n_l*s_g
+        // (= n_g*n_l*(mean_l - mean_g), division-free — no negative
+        // floor-division divergence between engines) runs in wide
+        // DECIMAL/HUGEINT; the only fp ops are the FINAL sqrt and
+        // one division on the exact integer numerator — IEEE-exact
+        // and identical on both engines, then value-rounded. Shuffle
+        // shape: one (label, dim) map-side-combinable agg; everything
+        // after runs on the labels x dims dictionary (the t15 shape).
+        val ex = Tables.load(spark, dir, "embeddings")
+          .select($"label".cast("int").as("label"),
+            posexplode($"embedding").as(Seq("dim", "x")))
+          .select($"label", $"dim",
+            floor($"x".cast("double") * 1000).cast("long").as("q"))
+        val perLD = ex.groupBy($"label", $"dim")
+          .agg(sum($"q").as("s"), count(lit(1)).as("n"))
+        val perD = perLD.groupBy($"dim")
+          .agg(sum($"s").as("sg"), sum($"n").as("ng"))
+        perLD.join(broadcast(perD), Seq("dim"))
+          .withColumn("t",
+            $"ng".cast("decimal(38,0)") * $"s" - $"n".cast("decimal(38,0)") * $"sg")
+          .groupBy($"label")
+          .agg(sum($"t" * $"t").as("_num"), max($"n").as("n_vecs"), max($"ng").as("_ng"))
+          .select($"label", $"n_vecs",
+            round(sqrt($"_num".cast("double")) / ($"n_vecs" * $"_ng"), 9)
+              .as("drift_milli"))
+          .orderBy($"label")
+      },
+      Some("""WITH ex AS (SELECT label, d - 1 AS dim,
+            CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000) AS BIGINT) AS q
+          FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(d)),
+        pld AS (SELECT label, dim, SUM(q) AS s, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+        pd AS (SELECT dim, SUM(s) AS sg, SUM(n) AS ng FROM pld GROUP BY 1),
+        nm AS (SELECT label,
+            SUM((CAST(ng AS HUGEINT) * s - CAST(n AS HUGEINT) * sg)
+              * (CAST(ng AS HUGEINT) * s - CAST(n AS HUGEINT) * sg)) AS num2,
+            MAX(n) AS n_vecs, MAX(ng) AS ng2
+          FROM pld JOIN pd USING (dim) GROUP BY label)
+        SELECT CAST(label AS INT) AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+          ROUND(sqrt(CAST(num2 AS DOUBLE)) / (n_vecs * ng2), 9) AS drift_milli
+        FROM nm ORDER BY label""")
     )
   )
 

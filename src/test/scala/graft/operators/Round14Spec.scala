@@ -114,6 +114,41 @@ class Round14Spec extends SparkTestBase {
     assert(got.values.map(_._1).sum > 0, "IVF+PQ recall uniformly zero")
   }
 
+  test("e12 drift: a BigInt driver replay reproduces every value; a single-label corpus drifts zero") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select($"label".cast("int"), $"embedding")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val dims = emb.head._2.length
+    val byLabel = emb.groupBy(_._1)
+    def qsum(vs: Array[Array[Float]], d: Int): BigInt =
+      vs.map(v => BigInt(math.floor(v(d).toDouble * 1000).toLong)).sum
+    val ng = BigInt(emb.length)
+    val expect = byLabel.map { case (l, rows) =>
+      val vs = rows.map(_._2)
+      val nl = BigInt(vs.length)
+      val num = (0 until dims).map { d =>
+        val t = ng * qsum(vs, d) - nl * qsum(emb.map(_._2), d)
+        t * t
+      }.sum
+      l -> (vs.length.toLong,
+        BigDecimal(math.sqrt(num.toDouble) / (vs.length.toDouble * emb.length))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.SparkEntry.queries("e12_label_drift")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect, s"drift replay mismatch:\n$got\nvs\n$expect")
+    // a corpus with ONE label: its centroid IS the global centroid
+    val dir = java.nio.file.Files.createTempDirectory("graft-e12").toString
+    Seq(
+      (1L, Array(1.0f, 2.0f, -0.5f), 0),
+      (2L, Array(0.5f, -1.0f, 2.5f), 0),
+      (3L, Array(-2.0f, 0.25f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label").write.parquet(s"$dir/embeddings.parquet")
+    val solo = graft.SparkEntry.queries("e12_label_drift")(spark, dir).collect()
+    assert(solo.length == 1 && solo(0).getDouble(2) == 0.0,
+      s"single-label corpus must drift 0: ${solo.mkString}")
+  }
+
   test("m10: re-containered same-content videos share every frame; disjoint content shares none") {
     // same text under two doc_ids -> two DIFFERENT containers (the
     // header carries doc_id-derived timescale/duration) holding the
