@@ -686,6 +686,18 @@ object Embeddings {
         // and identical on both engines, then value-rounded. Shuffle
         // shape: one (label, dim) map-side-combinable agg; everything
         // after runs on the labels x dims dictionary (the t15 shape).
+        // OVERFLOW HEADROOM (the t31 discipline, against decimal(38,0)
+        // vs HUGEINT divergence): with unit-norm embeddings |q| <=
+        // 1000, so |t| = |n_g*s_l - n_l*s_g| <= 2000*n_l*n_g and
+        // sum_dims(t^2) <= 4e6 * D * n_l^2 * n_g^2 — within
+        // decimal(38,0) while D * n_l^2 * n_g^2 < 2.5e31, e.g. a
+        // 10M-vector corpus at D=1024 with slices up to 1M vectors
+        // (1024 * 1e12 * 1e14 = 1e29). Beyond that, pre-aggregate
+        // per-slice samples or drop the quantization to centi-units
+        // (q/10 buys 1e4 of headroom) BEFORE trusting this monitor;
+        // non-ANSI Spark would otherwise return NULL where DuckDB's
+        // 128-bit HUGEINT keeps going and the engines silently
+        // diverge.
         val ex = Tables.load(spark, dir, "embeddings")
           .select($"label".cast("int").as("label"),
             posexplode($"embedding").as(Seq("dim", "x")))

@@ -335,18 +335,39 @@ object GramIndex {
     * append ledger (ingestion AND takedown markers) carries into the
     * new epoch so a late replay of an already-merged batch stays a
     * no-op. Atomic publish.
+    *
+    * CORRUPTION DETECTION: a net count < 0 cannot arise under
+    * [[takedownGramIndex]]'s single-application contract — it is
+    * evidence the contract was violated (the same doc deleted under
+    * two different takedownIds, or a never-indexed doc "deleted"),
+    * which silently UNDER-covers other docs' identical grams in
+    * [[probeGramIndex]]/[[noveltyFromIndex]]. Compaction is the one
+    * place the full net view is already being computed, so it FAILS
+    * LOUDLY here instead of silently dropping the negative rows and
+    * erasing the evidence: the epoch is left unpublished, the deltas
+    * stay on disk for forensics, and the operator must reconcile
+    * (rebuild from the corpus store, or append compensating counts)
+    * before compaction can proceed.
     */
   def compactGramIndex(spark: SparkSession, path: String): Unit = {
     val idx = readGramIndex(spark, path)
     val root = s"$path/grams"
     val oldDir = IL.resolveDir(spark, root)
-    // cached: the corpus-scale merge agg feeds BOTH the empty-epoch
-    // probe and the write — without the cache the expensive half of
-    // the compaction would run twice (the writeGramIndex counts0
-    // lesson)
-    val merged = idx.grams.groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("c"))
-      .where(col("c") > 0L)
+    // cached: the corpus-scale merge agg feeds the corruption probe,
+    // the empty-epoch probe AND the write — without the cache the
+    // expensive half of the compaction would run three times (the
+    // writeGramIndex counts0 lesson)
+    val net = idx.grams.groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("c"))
       .cache()
+    val corrupt = net.where(col("c") < 0L).limit(3)
+      .collect().map(r => s"gram=${r.get(1)} net=${r.get(2)}")
+    require(corrupt.isEmpty,
+      "compactGramIndex: net gram counts < 0 detected (e.g. " +
+        corrupt.mkString("; ") + ") — a takedown contract violation " +
+        "(double-deletion under two takedownIds, or takedown of a " +
+        "never-indexed doc); refusing to compact away the evidence. " +
+        "Reconcile the index against the corpus store first.")
+    val merged = net.where(col("c") > 0L)
     require(!merged.isEmpty,
       "compactGramIndex: every gram's net count is <= 0 (the whole " +
         "corpus was taken down) — refusing to publish an unreadable " +
@@ -354,7 +375,7 @@ object GramIndex {
     val v = IL.nextVersion(spark, root)
     try {
       graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", merged)
-    } finally merged.unpersist()
+    } finally net.unpersist()
     IL.writeMeta(spark, s"$root/$v", MetaName,
       s"""{"gram":${idx.gram},"nBuckets":${idx.nBuckets}}""")
     IL.copyAppendLedger(spark, oldDir, s"$root/$v")

@@ -443,6 +443,16 @@ object IndexLayout {
     * compaction's publish sequence, BEFORE the `_CURRENT` flip, so a
     * replayed batch that was already merged into the compacted base
     * still finds its marker and stays a no-op.
+    *
+    * Compaction is also where the ledger's growth is reclaimed: an
+    * `outdone-N` marker (the two-phase triggers' phase-1 record) is
+    * only ever consulted when `batch-N` is ABSENT — every trigger
+    * checks the batch marker first and skips whole when it exists —
+    * so a subsumed `outdone-N` is dead weight that would otherwise be
+    * recopied into every future epoch forever (one small file per
+    * streamed trigger, unbounded for a long-running stream). Dropping
+    * it here is safe by that precedence and bounds the ledger at one
+    * marker per batch plus the in-flight crash window's pair.
     */
   def copyAppendLedger(spark: SparkSession, fromDir: String, toDir: String): Unit = {
     val fs = hfs(spark, fromDir)
@@ -450,9 +460,15 @@ object IndexLayout {
     if (fs.exists(src)) {
       val dst = new Path(toDir, AppendLedgerDir)
       fs.mkdirs(dst)
-      fs.listStatus(src).foreach { st =>
-        val out = fs.create(new Path(dst, st.getPath.getName), true)
-        try out.write(Array.emptyByteArray) finally out.close()
+      val names = fs.listStatus(src).map(_.getPath.getName)
+      val nameSet = names.toSet
+      names.foreach { name =>
+        val subsumed = name.startsWith("outdone-") &&
+          nameSet.contains("batch-" + name.stripPrefix("outdone-"))
+        if (!subsumed) {
+          val out = fs.create(new Path(dst, name), true)
+          try out.write(Array.emptyByteArray) finally out.close()
+        }
       }
     }
   }

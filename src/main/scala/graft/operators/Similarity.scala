@@ -1167,6 +1167,11 @@ object Similarity {
     * the amortization a production serving stack gets from its query
     * log, made explicit so repeated invocations (bench warm runs,
     * spec calls) measure probes and don't each leak an index tree.
+    * BENCH-WARM SEMANTICS, stated plainly: the memo is keyed by the
+    * corpus DIRECTORY, so a caller invoking s15 twice in one JVM gets
+    * the FIRST call's on-disk indexes even if the directory's parquet
+    * contents changed in between — restart the JVM (or key on a
+    * content version) to re-index a mutated corpus.
     * Synchronized: Verify/Bench drive queries sequentially, but the
     * memo must stay correct under any caller.
     */

@@ -866,6 +866,18 @@ object Streams {
     * cannot duplicate verdict rows — admission counts read from the
     * audit trail stay exact under any crash. Index is the state; the
     * stream holds none.
+    *
+    * OPERATIONAL COUPLING (retention): the append phase re-reads the
+    * admitted ids from `outPath`'s batch-keyed files, so the audit
+    * directory's retention MUST outlive the index ledger's `outdone`
+    * markers — a TTL/cleanup of outPath that outpaces the ledger (or
+    * an out dir on a separately-managed filesystem) turns a replay of
+    * the crash window into a LOUD, permanent stream failure (by
+    * design: recomputing the verdicts post-append would flip them).
+    * Recovery when the audit files are verifiably gone AND the index
+    * append verifiably did not happen (no `batch-N` marker, no staged
+    * files): delete the `outdone-N` marker under the index epoch's
+    * `_appends/` to force a full phase-1 recompute of that batch.
     */
   /** ST27's per-trigger body — two-phase like gramProbeTrigger, with
     * one extra subtlety: the index append depends on the VERDICTS
