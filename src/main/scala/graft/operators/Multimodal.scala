@@ -663,9 +663,18 @@ object Multimodal {
     * format-true containers are built deterministically and the
     * parser walks them exactly as it would on-disk assets.
     */
-  def videoPayloads(spark: SparkSession, dir: String): DataFrame = {
+  def videoPayloads(spark: SparkSession, dir: String): DataFrame =
+    videoPayloadsOf(Tables.load(spark, dir, "documents"))
+
+  /** [[videoPayloads]] over an arbitrary (doc_id, text) frame — the
+    * container builder itself, exposed so specs and scale probes can
+    * mux adversarial corpora (e.g. a boilerplate frame shared by a
+    * thousand videos) through the same byte-correct ISO-BMFF path.
+    */
+  def videoPayloadsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val d = dims(Tables.load(spark, dir, "documents"))
+    val d = dims(docs)
       .withColumn("_body", $"text".cast("binary"))
       .withColumn("_ds", length($"_body").cast("long"))
       .withColumn("_ts", (lit(600) + pmod($"doc_id" * 7, lit(30000))).cast("long"))
@@ -1495,46 +1504,97 @@ object Multimodal {
       "m10_video_frame_dup",
       "Cross-video duplicate FRAMES via the sample tables: re-mux detection at frame granularity",
       (spark, dir) => {
-        import spark.implicits._
         // The frame-level twin of m08's container-invariant raster
         // dedup: a video re-containered WITHOUT re-encoding (the
         // common mirror-site transformation) keeps its mdat frame
         // bytes — so shared frames across files are found by walking
         // each container's REAL sample table (stsz/stco offsets, the
         // m02 machinery) and equi-joining frame content keys. The
-        // join is d01's exact-dedup shape at frame granularity:
-        // distinct (video, frame-content) pairs meet on the content
-        // key, output bounded by the duplicated-frame population. At
-        // spec scale the key is the frame's hex (100 chars); at
-        // 100 TB hash60 the frame bytes and band by hash prefix, and
-        // cap frame document-frequency (black/silence frames are the
-        // g11 heavy-hitter problem — a frame shared by k files costs
-        // k^2 pairs; the cap is the documented mitigation).
-        val pay = Multimodal.videoPayloads(spark, dir)
-        val frames = Multimodal.decodeFrames(pay).toDF()
-        val keyed = frames.join(pay, Seq("doc_id"))
-          .select($"doc_id", upper(expr(
-            "substring(hex(payload), cast(f_offset * 2 + 1 as int), cast(f_size * 2 as int))"))
-            .as("fk"))
-          .distinct()
-        keyed.select($"doc_id".as("vid_a"), $"fk")
-          .join(keyed.select($"doc_id".as("vid_b"), $"fk"), Seq("fk"))
-          .where($"vid_a" < $"vid_b")
-          .groupBy($"vid_a", $"vid_b").agg(count(lit(1)).as("n_shared"))
-          .orderBy($"vid_a", $"vid_b")
+        // join is d01's exact-dedup shape at frame granularity, run
+        // at its 100 TB shape (frameDupPairs): keys are hash60 of
+        // the frame bytes' hex image (8-byte long, not a 2x-frame
+        // string — the shuffle moves fixed-width keys and bands by
+        // hash automatically), and frame document-frequency is
+        // capped (black/silence frames are the g11 heavy-hitter
+        // problem — a frame shared by k files costs k^2 pairs; df >
+        // FrameDfCap frames are boilerplate, not re-mux evidence,
+        // and are EXCLUDED — the d04/O9 hot-shingle discipline). The
+        // cap is inert on this corpus (max df = 4 at every sf), so
+        // the oracle mirrors it exactly.
+        Multimodal.frameDupPairs(
+            Multimodal.frameKeys(Multimodal.videoPayloads(spark, dir)))
+          .orderBy(col("vid_a"), col("vid_b"))
       },
-      Some("""WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+      Some(s"""WITH d AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
             octet_length(encode(text)) AS ds FROM documents),
         f AS (SELECT DISTINCT doc_id,
-            substring(hx, CAST(k * 100 + 1 AS BIGINT), 100) AS fk
+            ${graft.functions.PortableHash.sqlHash60(
+              "substr(hx, CAST(k * 100 + 1 AS BIGINT), 100)")} AS fk
           FROM d, unnest(generate_series(0, ds // 50 - 1)) AS u(k)
-          WHERE ds >= 50)
+          WHERE ds >= 50),
+        elig AS (SELECT fk FROM f GROUP BY fk
+          HAVING COUNT(*) BETWEEN 2 AND $FrameDfCap)
         SELECT a.doc_id AS vid_a, b.doc_id AS vid_b,
           CAST(COUNT(*) AS BIGINT) AS n_shared
         FROM f a JOIN f b ON a.fk = b.fk AND a.doc_id < b.doc_id
+        WHERE a.fk IN (SELECT fk FROM elig)
         GROUP BY 1, 2 ORDER BY vid_a, vid_b""")
     )
   )
+
+  // ---------------------------------------------------------------
+  // m10's reusable scale core (shared by the canned query, the spec's
+  // exact-vs-capped pin, and the O57 frame index below).
+  // ---------------------------------------------------------------
+
+  /** Frame document-frequency cap: a frame key held by more than this
+    * many videos is boilerplate (black frames, silence, color bars) —
+    * it contributes df^2 pairs while carrying no re-mux evidence, so
+    * [[frameDupPairs]] EXCLUDES it (recall contract: pairs whose ONLY
+    * shared frames are such boilerplate are not reported; any pair
+    * sharing >= 1 non-boilerplate frame still surfaces, with
+    * n_shared counting its non-boilerplate frames). 64 is two orders
+    * above the observed max df on real content (4) and two orders
+    * below where the k^2 blowup starts to matter.
+    */
+  final val FrameDfCap = 64 // literal => compile-time constant: safe to
+  // reference from the `all` Seq above regardless of object init order
+
+  /** Distinct (doc_id, fk) frame-content keys for a video corpus:
+    * walk each container's REAL sample table ([[decodeFrames]]) and
+    * hash60 each frame's byte content (via its hex image — uppercase
+    * in both engines, so the key is oracle-portable). 8-byte keys,
+    * set semantics: replayed appends of the same video are absorbed
+    * by the distinct.
+    */
+  def frameKeys(pay: DataFrame): DataFrame =
+    decodeFrames(pay).toDF()
+      .join(pay, Seq("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.hash60(upper(expr(
+          "substring(hex(payload), cast(f_offset * 2 + 1 as int), cast(f_size * 2 as int))")))
+          .as("fk"))
+      .distinct()
+
+  /** Cross-video shared-frame pairs over [[frameKeys]] output, at the
+    * heavy-hitter-safe shape: keys with document frequency below 2
+    * (can't pair) or above `dfCap` (boilerplate — see [[FrameDfCap]])
+    * are dropped BEFORE the self-join, so the pair work is bounded by
+    * (eligible keys) x dfCap^2 regardless of how many videos share a
+    * black frame. One combinable df agg + one semi join + the
+    * equi-self-join — no corpus-scaled broadcast, no all-pairs.
+    */
+  def frameDupPairs(keyed: DataFrame, dfCap: Int = FrameDfCap): DataFrame = {
+    val eligible = keyed.groupBy(col("fk"))
+      .agg(count(lit(1)).as("_df"))
+      .where(col("_df") >= 2L && col("_df") <= dfCap.toLong)
+      .select(col("fk"))
+    val k = keyed.join(eligible, Seq("fk"), "left_semi")
+    k.select(col("doc_id").as("vid_a"), col("fk"))
+      .join(k.select(col("doc_id").as("vid_b"), col("fk")), Seq("fk"))
+      .where(col("vid_a") < col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b")).agg(count(lit(1)).as("n_shared"))
+  }
 
   // ---------------------------------------------------------------
   // O54: the PERSISTED perceptual-hash band index — m09's image
@@ -1727,6 +1787,170 @@ object Multimodal {
 
   /** Record `batchId`'s output phase durable. */
   def commitPerceptualOutput(
+      spark: SparkSession, path: String, batchId: Long): Unit =
+    IndexLayout.commitAppend(spark, IndexLayout.resolveDir(spark, path), batchId, "outdone")
+
+  // ---------------------------------------------------------------
+  // O57: the PERSISTED video-frame index — m10's day-2 incremental
+  // path, closing the last near-dup modality that still rescanned the
+  // whole corpus per batch (O24 covers text bands, O51/O52 lexical and
+  // gram stores, O54 images). Stored row: (doc_id, fk, pfx) where fk
+  // is the hash60 frame-content key ([[frameKeys]]) and pfx its top 6
+  // bits — 64 hive dirs, hash-uniform by construction. A probe
+  // broadcasts the batch's frame keys (batch rows only), equi-joins
+  // the stored side with DPP pruning down to the probed pfx buckets,
+  // and applies [[FrameDfCap]] on the UNION document frequency
+  // (batch + index) so its verdicts equal the batch m10 over the
+  // union corpus — the corpus appears ONLY through pruned index
+  // files, day-2 cost O(batch + collisions) at any corpus size.
+  // Frame keys are a SET (distinct per video): replayed appends leave
+  // duplicate rows the probe's distinct absorbs and compaction
+  // reclaims — the O54 contract, same lifecycle, same ledger.
+  // ---------------------------------------------------------------
+
+  private def framePfx(fk: Column): Column =
+    shiftrightunsigned(fk, 54).cast("int") // top 6 of 60 bits -> 64 buckets
+
+  /** Persist a video corpus's frame keys (versioned publish — the
+    * writePerceptualIndex lifecycle). `videos` = (doc_id, payload)
+    * ISO-BMFF containers; frames come from the REAL sample tables.
+    */
+  def writeFrameIndex(videos: DataFrame, path: String): Unit = {
+    val spark = videos.sparkSession
+    val keys = frameKeys(videos).withColumn("pfx", framePfx(col("fk")))
+    require(keys.limit(1).count() > 0,
+      "writeFrameIndex: the corpus yields no indexed frames (empty, " +
+        "or no parseable sample tables) — refusing to publish an " +
+        "unreadable epoch; guard upstream")
+    val v = IndexLayout.nextVersion(spark, path)
+    graft.sinks.RoutedSink.standard().write(s"parquet:$path/$v:by:pfx", keys)
+    IndexLayout.publish(spark, path, v)
+    IndexLayout.gcVersions(spark, path, keep = 1)
+  }
+
+  /** Manifest-resolved read; feeds [[probeFrameIndex]]. Pending
+    * tombstones mask immediately (anti-join over the scan — costs the
+    * probe its DPP while pending, closed at the next
+    * [[compactFrameIndex]]; the O54 trade, correctness first).
+    */
+  def readFrameIndex(spark: SparkSession, path: String): DataFrame = {
+    val idx = spark.read.parquet(IndexLayout.resolveDir(spark, path))
+      .select(col("doc_id"), col("fk"), col("pfx").cast("int"))
+    if (!IndexLayout.hasTombstones(spark, path)) idx
+    else idx.join(IndexLayout.readTombstones(spark, path, "doc_id"),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Register videos for DELETION from the frame index — the
+    * takedown/retention obligation, video modality. Masked from the
+    * very next read; applied permanently by [[compactFrameIndex]].
+    */
+  def tombstoneFrameIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    IndexLayout.addTombstones(ids, idCol, "doc_id", path)
+
+  /** Periodic compaction (the compactPerceptualIndex lifecycle):
+    * DISTINCTs the key set, applies the tombstone-file snapshot
+    * permanently, rewrites each pfx bucket, carries the append ledger
+    * forward, publishes atomically, deletes exactly the consumed
+    * tombstone files.
+    */
+  def compactFrameIndex(spark: SparkSession, path: String, keepVersions: Int = 1): Unit = {
+    IndexLayout.recover(spark, path)
+    val src = IndexLayout.resolveDir(spark, path)
+    val tombFiles = IndexLayout.tombstoneFiles(spark, path)
+    val base = spark.read.parquet(src).distinct()
+    val pruned =
+      if (tombFiles.isEmpty) base
+      else base.join(
+        spark.read.parquet(tombFiles.map(_.toString): _*).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    require(pruned.limit(1).count() > 0,
+      "compactFrameIndex: tombstones empty the index — refusing to " +
+        "publish an unreadable epoch; rebuild instead")
+    val next = IndexLayout.nextVersion(spark, path)
+    pruned
+      .repartition(col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/$next")
+    IndexLayout.copyAppendLedger(spark, src, s"$path/$next")
+    IndexLayout.publish(spark, path, next)
+    IndexLayout.deleteTombstoneFiles(spark, path, tombFiles)
+    IndexLayout.gcVersions(spark, path, keepVersions)
+  }
+
+  /** Day-2 probe: shared-frame pairs between `batch` videos and the
+    * stored corpus — (new_id, idx_id, n_shared), the cross-split
+    * slice of the batch m10 over the UNION corpus (FrameIndexSpec
+    * pins the equality). The [[FrameDfCap]] boilerplate exclusion is
+    * applied on the union document frequency: batch-side df from the
+    * batch's own keys, index-side df counted over exactly the stored
+    * rows the probe already pulled (the probed fks' bucket-pruned
+    * postings — batch-bounded, never a corpus pass). The batch side
+    * broadcasts; the stored side is read only in the probed pfx
+    * buckets via DPP. Probing re-indexed ids against themselves is
+    * filtered (new_id != idx_id under a shared id space).
+    */
+  def probeFrameIndex(
+      batch: DataFrame,
+      index: DataFrame,
+      dfCap: Int = FrameDfCap): DataFrame = {
+    val nb = frameKeys(batch)
+      .select(col("doc_id").as("new_id"), col("fk"))
+      .withColumn("pfx", framePfx(col("fk")))
+    // all stored postings for the probed keys (distinct: replayed
+    // appends leave duplicate rows), pulled ONCE and reused for both
+    // the index-side df and the pair join
+    val hits = index
+      .join(broadcast(nb.select(col("fk"), col("pfx")).distinct()), Seq("pfx", "fk"), "left_semi")
+      .select(col("doc_id").as("idx_id"), col("fk"))
+      .distinct()
+    val bdf = nb.groupBy(col("fk")).agg(count(lit(1)).as("_bdf"))
+    val idf = hits.groupBy(col("fk")).agg(count(lit(1)).as("_idf"))
+    // union df in [2, dfCap]: the same eligibility the batch m10
+    // computes over corpus ∪ batch — boilerplate stays boilerplate
+    // whether its holders sit in the index, the batch, or both
+    val elig = bdf.join(idf, Seq("fk"), "left_outer")
+      .withColumn("_df", col("_bdf") + coalesce(col("_idf"), lit(0L)))
+      .where(col("_df") >= 2L && col("_df") <= dfCap.toLong)
+      .select(col("fk"))
+    nb.join(elig, Seq("fk"), "left_semi")
+      .join(hits.join(elig, Seq("fk"), "left_semi"), Seq("fk"))
+      .where(col("new_id") =!= col("idx_id"))
+      .groupBy(col("new_id"), col("idx_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Day-N maintenance: append the KEPT batch videos' frame keys into
+    * the current epoch (set semantics — the O54 append contract). */
+  def appendFrameIndex(kept: DataFrame, path: String): Unit =
+    graft.sinks.RoutedSink.standard()
+      .write(s"parquet-append:${IndexLayout.resolveDir(kept.sparkSession, path)}:by:pfx",
+        frameKeys(kept).withColumn("pfx", framePfx(col("fk"))))
+
+  /** ST28's replay guard (the perceptualAppendCommitted twin): true
+    * when `batchId`'s probe+append trigger already completed against
+    * the CURRENT epoch — a replayed trigger must skip whole (a
+    * re-probe after the batch's own keys are indexed would emit
+    * intra-batch pairs the probe-before-append contract excludes).
+    */
+  def frameAppendCommitted(
+      spark: SparkSession, path: String, batchId: Long): Boolean =
+    IndexLayout.appendCommitted(spark, IndexLayout.resolveDir(spark, path), batchId)
+
+  /** Mark `batchId`'s streamed probe+append trigger complete. */
+  def commitFrameAppend(
+      spark: SparkSession, path: String, batchId: Long): Unit =
+    IndexLayout.commitAppend(spark, IndexLayout.resolveDir(spark, path), batchId)
+
+  /** Two-phase trigger ledger, first marker: the batch's pair OUTPUT
+    * is durable, the index append may not be — a replay skips the
+    * probe and re-drives only the (idempotent, set-semantics) append.
+    */
+  def frameOutputCommitted(
+      spark: SparkSession, path: String, batchId: Long): Boolean =
+    IndexLayout.appendCommitted(spark, IndexLayout.resolveDir(spark, path), batchId, "outdone")
+
+  /** Record `batchId`'s output phase durable. */
+  def commitFrameOutput(
       spark: SparkSession, path: String, batchId: Long): Unit =
     IndexLayout.commitAppend(spark, IndexLayout.resolveDir(spark, path), batchId, "outdone")
 }

@@ -991,6 +991,51 @@ object Streams {
         perceptualTrigger(batch.toDF(), batchId, indexPath, outPath)
     }
 
+  /** ST28: streaming FRAME-LEVEL video dedup at ingestion — the O57
+    * twin of ST25's probe-then-append loop, closing the video
+    * modality's live path: each micro-batch of (doc_id, payload)
+    * ISO-BMFF containers is probed against the persisted frame index
+    * (hash60 frame keys broadcast, pfx buckets DPP-pruned, the
+    * FrameDfCap boilerplate exclusion applied on the UNION document
+    * frequency — batch-bounded at any corpus size), the shared-frame
+    * pairs append through the routed sink, and THEN the batch's own
+    * frame keys append into the index. Replay discipline is exactly
+    * ST25's: the trigger is two-phase exactly-once (batch marker
+    * skips whole; `outdone` marker skips the probe and re-drives only
+    * the idempotent set-semantics append), and the pair output is
+    * batch-keyed stage-then-move. The index is the state; the stream
+    * holds none.
+    */
+  private[graft] def frameDupTrigger(
+      df0: org.apache.spark.sql.DataFrame, batchId: Long,
+      indexPath: String, outPath: String): Unit = {
+    val spark = df0.sparkSession
+    if (!graft.operators.Multimodal.frameAppendCommitted(spark, indexPath, batchId)) {
+      val df = df0.cache()
+      try {
+        if (!graft.operators.Multimodal.frameOutputCommitted(spark, indexPath, batchId)) {
+          val idx = graft.operators.Multimodal.readFrameIndex(spark, indexPath)
+          graft.sinks.RoutedSink.standard().write(
+            s"parquet-append-batch:$outPath:id:$batchId",
+            graft.operators.Multimodal.probeFrameIndex(df, idx))
+          graft.operators.Multimodal.commitFrameOutput(spark, indexPath, batchId)
+        }
+        graft.operators.Multimodal.appendFrameIndex(df, indexPath)
+        graft.operators.Multimodal.commitFrameAppend(spark, indexPath, batchId)
+      } finally df.unpersist()
+    }
+  }
+
+  def frameDupStream(
+      videoStream: DataFrame,
+      indexPath: String,
+      outPath: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    videoStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        frameDupTrigger(batch.toDF(), batchId, indexPath, outPath)
+    }
+
   // ST17 state/output. `counters` is the Misra-Gries survivor map —
   // its size is capped at kCounters by construction, so per-window
   // state is O(kCounters) regardless of how many distinct users the
