@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Workflow
-import graft.operators.{Dedup, Embeddings, Graph, Multimodal, Q, Relational, Similarity, TextAnalysis, Typed}
+import graft.operators.{Dedup, Embeddings, Graph, Html, Multimodal, Q, Relational, Similarity, TextAnalysis, Typed, UrlCuration}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -10,7 +10,8 @@ object SparkEntry {
 
   /** All engine operators exposed through the driver contract. */
   def allQ: Seq[Q] =
-    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
+    Relational.all ++ TextAnalysis.all ++ Html.all ++ UrlCuration.all ++
+      Dedup.all ++ Similarity.all ++
       Embeddings.all ++ Multimodal.all ++ Typed.all ++ Graph.all
 
   /** Flagship: the workflow engine wiring tables through a routed DAG

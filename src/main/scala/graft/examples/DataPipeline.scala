@@ -404,10 +404,36 @@ object DataPipeline {
           .select(lit(900001L).as("doc_id"), col("text"))
         first.unionByName(Seq(
           (900002L, (1 to 40).map(i => s"brandnew$i").mkString(" ")),
-          (900003L, Seq.fill(20)("spam").mkString(" "))
+          (900003L, Seq.fill(20)("spam").mkString(" ")),
+          // quality, novel content — but from a BLOCKED domain: only
+          // the t35 url gate below keeps it out of admission
+          (900004L, (1 to 40).map(i => s"blockedfarm$i").mkString(" "))
         ).toDF("doc_id", "text"))
       }
       .depend("in" -> "docs.capped")
+    wkf
+      // the t35 provenance gate, BEFORE admission: domains are judged
+      // before any quality/novelty work is spent on their documents —
+      // a blocked domain's docs never reach the gram probe. The batch
+      // here is synthesized, so its URL provenance is attached by the
+      // cell; a real ingestion feed carries the url column with the
+      // doc.
+      .provide("docs.urlgate") { ctx =>
+        val batch = ctx.as[DataFrame]("batch")
+        val sp = batch.sparkSession
+        import sp.implicits._
+        val prov = Seq(
+          (900001L, "https://mirror.example.com/std/1"),
+          (900002L, "https://fresh-src.example.org/new/2"),
+          (900003L, "https://fresh-src.example.org/new/3"),
+          (900004L, "https://SPAM-MIRROR.net:8080/farm/4")
+        ).toDF("doc_id", "url")
+        val keep = graft.operators.UrlCuration
+          .urlVerdicts(prov, "url", block = Seq("spam-mirror.net"))
+          .where(col("verdict") =!= "blocked").select(col("doc_id"))
+        batch.join(keep, Seq("doc_id"), "left_semi")
+      }
+      .depend("batch" -> "docs.day2batch")
     wkf
       .provide("docs.admit.{out:path}") { ctx =>
         // the idx dep forces the index build before the probe; the
@@ -418,7 +444,7 @@ object DataPipeline {
           graft.operators.GramIndex.readGramIndex(
             batch.sparkSession, ctx.str("out") + "/gramindex"))
       }
-      .depend("idx" -> "docs.gramindex.{out}", "batch" -> "docs.day2batch")
+      .depend("idx" -> "docs.gramindex.{out}", "batch" -> "docs.urlgate")
     wkf
       .provide("docs.takedown.{out:path}") { ctx =>
         // retention: delete the standing doc the day-2 copy restates
@@ -581,6 +607,10 @@ object DataPipeline {
     val v0 = verdicts()
     println("admission=" + v0.toSeq.sortBy(_._1)
       .map { case (id, (ppm, v)) => s"$id:$v@${ppm}ppm" }.mkString(","))
+    val gated = wkf.run("docs.urlgate").asInstanceOf[DataFrame]
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    println(s"url_gate=batch=4 blocked=1(spam-mirror.net) " +
+      s"to_admission=${gated.mkString(",")}")
     wkf.run(s"docs.takedown.$admitOut")
     val v1 = verdicts()
     // the victim's counts stop covering at the very next probe; the

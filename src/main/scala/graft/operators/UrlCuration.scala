@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** URL/domain curation (t35): host extraction, registrable-domain
+  * reduction, allow/blocklist verdicts, per-domain stats — the
+  * companion to t25's source caps (which assume a source column) and
+  * the admission gate's provenance leg (a crawl pipeline blocks
+  * domains BEFORE spending quality/novelty work on their documents).
+  *
+  * Exact string ops, engine-neutral (RE2-safe regex, list indexing),
+  * fully oracle-able. All per-row columnar work — the t01/t34 shape:
+  * map-only at any corpus size; the only aggregation is whatever
+  * per-domain stat the caller asks for (one combinable groupBy).
+  */
+object UrlCuration {
+
+  /** Multi-label public suffixes recognized by [[registrableDomain]]
+    * (a small built-in set of the common ccSLDs — a production
+    * deployment swaps in the full public-suffix list as a broadcast
+    * lookup; the reduction logic is unchanged).
+    */
+  final val MultiSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "co.jp", "co.in", "com.br")
+
+  /** Lowercased host from a URL: strips scheme, userinfo, port, path,
+    * query, fragment. NULL when the value has no `scheme://` frame.
+    */
+  def hostOf(url: Column): Column = {
+    val h = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    lower(when(h === "", null).otherwise(h))
+  }
+
+  /** DuckDB twin of [[hostOf]] over expression `e`. */
+  def duckHostOf(e: String): String =
+    s"lower(nullif(regexp_extract($e, " +
+      s"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), ''))"
+
+  /** Registrable domain (eTLD+1): the last two host labels, or the
+    * last three when the last two form a known multi-label suffix
+    * ([[MultiSuffixes]]); hosts with fewer labels pass through whole.
+    * `www.cdn.example.co.uk` → `example.co.uk`; `www.example.com` →
+    * `example.com`.
+    */
+  def registrableDomain(host: Column): Column = {
+    val arr = split(host, "\\.")
+    val n = size(arr)
+    val last2 = concat_ws(".", element_at(arr, -2), element_at(arr, -1))
+    when(host.isNull, null)
+      .when(n >= 3 && last2.isin(MultiSuffixes: _*),
+        concat_ws(".", element_at(arr, -3), last2))
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** DuckDB twin of [[registrableDomain]] over host expression `e`. */
+  def duckRegistrableDomain(e: String): String = {
+    val inList = MultiSuffixes.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""CASE WHEN $e IS NULL THEN NULL
+       WHEN len(string_split($e, '.')) >= 3
+            AND (string_split($e, '.')[-2] || '.' || string_split($e, '.')[-1]) IN $inList
+         THEN string_split($e, '.')[-3] || '.' || string_split($e, '.')[-2] || '.' || string_split($e, '.')[-1]
+       WHEN len(string_split($e, '.')) >= 2
+         THEN string_split($e, '.')[-2] || '.' || string_split($e, '.')[-1]
+       ELSE $e END"""
+  }
+
+  /** Per-URL verdict columns: (input cols) + host, domain, verdict —
+    * `blocked` (blocklist wins), `allowed`, or `neutral`. List
+    * membership is a literal isin (dictionary-sized lists inline into
+    * codegen; a full production blocklist becomes a broadcast
+    * left_semi with identical semantics).
+    */
+  def urlVerdicts(
+      df: DataFrame,
+      urlCol: String = "url",
+      allow: Seq[String] = Nil,
+      block: Seq[String] = Nil): DataFrame = {
+    Seq("host", "domain", "verdict").foreach(c =>
+      require(!df.columns.contains(c),
+        s"urlVerdicts: input already has a '$c' column — rename it first"))
+    val withHost = df.withColumn("host", hostOf(col(urlCol)))
+      .withColumn("domain", registrableDomain(col("host")))
+    val verdict =
+      when(col("domain").isNull, "invalid")
+        .when(if (block.isEmpty) lit(false) else col("domain").isin(block: _*), "blocked")
+        .when(if (allow.isEmpty) lit(false) else col("domain").isin(allow: _*), "allowed")
+        .otherwise("neutral")
+    withHost.withColumn("verdict", verdict)
+  }
+
+  /** Per-domain stats over [[urlVerdicts]] output: one combinable
+    * groupBy — (domain, verdict, n_docs, n_hosts).
+    */
+  def domainStats(verdicts: DataFrame): DataFrame =
+    verdicts.where(col("domain").isNotNull)
+      .groupBy(col("domain"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"))
+
+  // -----------------------------------------------------------------
+  // t35: the canned query — deterministic synthetic URLs over the
+  // documents table (the videoPayloads discipline: the corpus has no
+  // URL column, so a format-true one is built by the SAME expression
+  // in both engines — www prefixes, userinfo, mixed case, ports,
+  // query strings, ccSLD suffixes), then host → registrable domain →
+  // verdict → per-domain stats, end-to-end oracle-gated.
+  // -----------------------------------------------------------------
+
+  private val AllowList = Seq("src10.com", "src22.co.uk")
+  private val BlockList = Seq("src00.com", "src41.co.uk", "src112.org")
+
+  private[operators] def syntheticUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("https://"),
+      when(col("doc_id") % 11 === 0, "user:pw@").otherwise(""),
+      when(col("doc_id") % 5 === 0, "www.").otherwise(""),
+      when(col("doc_id") % 13 === 0, upper(col("source"))).otherwise(col("source")),
+      (col("doc_id") % 7).cast("string"),
+      element_at(array(lit(".com"), lit(".co.uk"), lit(".org")),
+        (col("doc_id") % 3 + 1).cast("int")),
+      when(col("doc_id") % 4 === 0, ":8080").otherwise(""),
+      lit("/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 2 === 0, "?ref=rss#frag").otherwise("")).as("url"))
+
+  private val duckSyntheticUrls: String =
+    "'https://' || CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END" +
+      " || CASE WHEN doc_id % 13 = 0 THEN upper(source) ELSE source END" +
+      " || CAST(doc_id % 7 AS VARCHAR)" +
+      " || CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' ELSE '.org' END" +
+      " || CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END" +
+      " || '/p/' || doc_id" +
+      " || CASE WHEN doc_id % 2 = 0 THEN '?ref=rss#frag' ELSE '' END"
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "t35_url_domain",
+      "URL → host → registrable domain → allow/block verdict → per-domain stats",
+      (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        domainStats(urlVerdicts(syntheticUrls(docs), "url", AllowList, BlockList))
+          .orderBy(col("domain"), col("verdict"))
+      },
+      Some {
+        val allowIn = AllowList.map(s => s"'$s'").mkString("(", ", ", ")")
+        val blockIn = BlockList.map(s => s"'$s'").mkString("(", ", ", ")")
+        s"""WITH u AS (SELECT doc_id, $duckSyntheticUrls AS url FROM documents),
+        h AS (SELECT doc_id, ${duckHostOf("url")} AS host FROM u),
+        d AS (SELECT doc_id, host, ${duckRegistrableDomain("host")} AS domain FROM h),
+        v AS (SELECT doc_id, host, domain,
+            CASE WHEN domain IS NULL THEN 'invalid'
+                 WHEN domain IN $blockIn THEN 'blocked'
+                 WHEN domain IN $allowIn THEN 'allowed'
+                 ELSE 'neutral' END AS verdict
+          FROM d)
+        SELECT domain, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM v WHERE domain IS NOT NULL
+        GROUP BY domain, verdict ORDER BY domain, verdict"""
+      }
+    )
+  )
+}

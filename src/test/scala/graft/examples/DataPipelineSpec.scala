@@ -307,6 +307,15 @@ class DataPipelineSpec extends SparkTestBase {
     assert(v0(900001L) == ((0L, "rejected_novelty")), s"copy: ${v0(900001L)}")
     assert(v0(900002L) == ((1000000L, "admitted")), s"fresh: ${v0(900002L)}")
     assert(v0(900003L) == ((-1L, "rejected_quality")), s"spam: ${v0(900003L)}")
+    // the t35 url gate: 900004 is quality, novel content that would
+    // be admitted on its merits — only its blocked domain keeps it
+    // from ever reaching the gram probe
+    assert(!v0.contains(900004L),
+      s"blocked-domain doc reached admission: ${v0.get(900004L)}")
+    val gated = wkf.run("docs.urlgate")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(_.getLong(0)).toSet
+    assert(gated == Set(900001L, 900002L, 900003L), s"url gate kept $gated")
     wkf.run(s"docs.takedown.$out")
     val v1 = verdicts()
     // the victim's own counts no longer cover; whatever coverage

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** t35 URL/domain curation: host extraction through userinfo/port/
+  * case traps, registrable-domain reduction incl. multi-label
+  * suffixes, and verdict precedence.
+  */
+class UrlCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hostsOf(urls: String*): Seq[Option[String]] = {
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    df.orderBy($"id").select(UrlCuration.hostOf($"url")).collect()
+      .map(r => Option(r.getString(0))).toSeq
+  }
+
+  test("hostOf strips scheme, userinfo, port, path, query, fragment; lowercases; rejects non-URLs") {
+    assert(hostsOf(
+      "https://Example.COM/path?q=1#f",
+      "http://user:pw@sub.example.org:8080/x",
+      "ftp://FILES.example.net",
+      "not a url",
+      "relative/path/only") == Seq(
+      Some("example.com"),
+      Some("sub.example.org"),
+      Some("files.example.net"),
+      None, None))
+  }
+
+  test("registrableDomain: eTLD+1 with multi-label suffixes, deep subdomains, short hosts") {
+    val df = Seq(
+      (1L, "www.cdn.example.co.uk"), (2L, "example.co.uk"), (3L, "a.b.c.example.com"),
+      (4L, "example.com"), (5L, "localhost"), (6L, "deep.shop.com.au")
+    ).toDF("id", "host")
+    val got = df.orderBy($"id")
+      .select(UrlCuration.registrableDomain($"host")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("example.co.uk", "example.co.uk", "example.com",
+      "example.com", "localhost", "shop.com.au"), s"got $got")
+  }
+
+  test("verdict precedence: blocked beats allowed; invalid for unparseable; neutral otherwise") {
+    val df = Seq(
+      (1L, "https://www.bad.com/x"),
+      (2L, "https://good.org/y"),
+      (3L, "https://other.net/z"),
+      (4L, "junk")
+    ).toDF("id", "url")
+    val got = UrlCuration.urlVerdicts(df, "url",
+        allow = Seq("good.org", "bad.com"), block = Seq("bad.com"))
+      .orderBy($"id").select($"verdict").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("blocked", "allowed", "neutral", "invalid"), s"got $got")
+  }
+
+  test("domainStats counts docs and distinct hosts per (domain, verdict)") {
+    val df = Seq(
+      (1L, "https://a.example.com/1"), (2L, "https://b.example.com/2"),
+      (3L, "https://a.example.com/3"), (4L, "https://spam.net/x")
+    ).toDF("id", "url")
+    val got = UrlCuration.domainStats(
+        UrlCuration.urlVerdicts(df, "url", block = Seq("spam.net")))
+      .orderBy($"domain").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("example.com", "neutral", 3L, 2L),
+      ("spam.net", "blocked", 1L, 1L)), s"got $got")
+  }
+}
