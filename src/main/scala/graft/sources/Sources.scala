@@ -78,6 +78,19 @@ object Sources {
     schema.fold(r)(s => r.schema(s)).format("xml").load(path)
   }
 
+  /** WARC/web-archive ingestion (S8): record-framed raw-crawl files →
+    * one row per WARC record (see [[Warc]] for framing, truncation
+    * handling and the file-level parallelism contract). `.gz`
+    * archives (incl. record-level multi-member gzip) decompress
+    * in-task.
+    */
+  def warc(
+      spark: SparkSession,
+      path: String,
+      glob: Option[String] = Some("*.warc*")
+  ): DataFrame =
+    Warc.records(binaryFiles(spark, path, glob)).toDF()
+
   /** Streaming variants (file sources need explicit schemas). */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)

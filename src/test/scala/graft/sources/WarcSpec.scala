@@ -1,0 +1,104 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** S8 WARC source: round-trips a handcrafted multi-record archive
+  * (plain and record-gzipped), skips inter-record garbage, surfaces
+  * truncated records, and composes with t34's extraction.
+  */
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rec(typ: String, uri: String, id: String, body: String): Array[Byte] = {
+    val payload = body.getBytes("UTF-8")
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: $typ\r\n" +
+      s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+      s"WARC-Date: 2026-08-16T00:00:00Z\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"Content-Length: ${payload.length}\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      "\r\n").getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private val httpBody =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body><p>A real crawled paragraph, long enough to keep.</p></body></html>"
+
+  private def archive: Array[Byte] =
+    rec("warcinfo", "", "aaa-1", "software: graft-test\r\n") ++
+      rec("request", "https://example.com/x", "bbb-2", "GET /x HTTP/1.1\r\n") ++
+      "JUNK BYTES BETWEEN RECORDS".getBytes("UTF-8") ++
+      rec("response", "https://example.com/x", "ccc-3", httpBody)
+
+  private def gz(bytes: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(bytes); g.close(); bo.toByteArray
+  }
+
+  test("multi-record archive round-trips; inter-record garbage skipped; gz identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    java.nio.file.Files.write(dir.resolve("a.warc"), archive)
+    // record-level gzip: each record its own member, concatenated
+    val members = Seq(
+      gz(rec("warcinfo", "", "aaa-1", "software: graft-test\r\n")),
+      gz(rec("request", "https://example.com/x", "bbb-2", "GET /x HTTP/1.1\r\n")),
+      gz(rec("response", "https://example.com/x", "ccc-3", httpBody))
+    ).reduce(_ ++ _)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), members)
+
+    val df = Sources.warc(spark, dir.toString).cache()
+    val plain = df.where($"path".endsWith("a.warc")).orderBy($"offset")
+      .select($"warc_type", $"target_uri", $"content_length", $"truncated")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(plain == Seq(
+      ("warcinfo", "", 22L, false),
+      ("request", "https://example.com/x", 17L, false),
+      ("response", "https://example.com/x", httpBody.length.toLong, false)), s"got $plain")
+    // the gz twin parses to the same records (offsets differ — the
+    // decompressed stream has no junk)
+    val gzRows = df.where($"path".endsWith("b.warc.gz"))
+      .select($"warc_type", $"record_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gzRows == Set(("warcinfo", "<urn:uuid:aaa-1>"),
+      ("request", "<urn:uuid:bbb-2>"), ("response", "<urn:uuid:ccc-3>")))
+    // payload is byte-exact
+    val body = new String(df.where($"record_id" === "<urn:uuid:ccc-3>" &&
+      $"path".endsWith("a.warc"))
+      .select($"payload").collect()(0).getAs[Array[Byte]](0), "UTF-8")
+    assert(body == httpBody)
+    df.unpersist()
+  }
+
+  test("truncated record surfaces with truncated=true, payload = available bytes") {
+    val full = rec("response", "https://example.com/y", "ddd-4", httpBody)
+    val cut = full.take(full.length - 60) // payload cut short
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-t")
+    java.nio.file.Files.write(dir.resolve("t.warc"),
+      rec("warcinfo", "", "eee-5", "ok\r\n") ++ cut)
+    val rows = Sources.warc(spark, dir.toString).orderBy($"offset")
+      .select($"warc_type", $"content_length", length($"payload"), $"truncated")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getBoolean(3))).toSeq
+    assert(rows.size == 2 && rows(0) == (("warcinfo", 4L, 4, false)), s"got $rows")
+    val (t, len, have, trunc) = rows(1)
+    assert(t == "response" && trunc && have < len.toInt, s"got ${rows(1)}")
+  }
+
+  test("S8 feeds t34: response payloads -> html -> extracted text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-h")
+    java.nio.file.Files.write(dir.resolve("c.warc"), archive)
+    val html = Sources.warc(spark, dir.toString)
+      .where($"warc_type" === "response" && !$"truncated")
+      // the HTTP entity: after the message's first blank line
+      .select($"target_uri",
+        regexp_replace($"payload".cast("string"),
+          "(?s)^.*?\r\n\r\n", "").as("html"))
+    val out = graft.operators.Html.htmlExtract(html, "target_uri", "html")
+      .select($"target_uri", $"text").collect()
+    assert(out.length == 1 &&
+      out(0).getString(1) == "A real crawled paragraph, long enough to keep.",
+      s"got ${out.toSeq}")
+  }
+}
