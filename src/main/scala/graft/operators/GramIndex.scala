@@ -359,23 +359,29 @@ object GramIndex {
     // writeGramIndex counts0 lesson)
     val net = idx.grams.groupBy(col("bucket"), col("g")).agg(sum(col("c")).as("c"))
       .cache()
-    val corrupt = net.where(col("c") < 0L).limit(3)
-      .collect().map(r => s"gram=${r.get(1)} net=${r.get(2)}")
-    require(corrupt.isEmpty,
-      "compactGramIndex: net gram counts < 0 detected (e.g. " +
-        corrupt.mkString("; ") + ") — a takedown contract violation " +
-        "(double-deletion under two takedownIds, or takedown of a " +
-        "never-indexed doc); refusing to compact away the evidence. " +
-        "Reconcile the index against the corpus store first.")
-    val merged = net.where(col("c") > 0L)
-    require(!merged.isEmpty,
-      "compactGramIndex: every gram's net count is <= 0 (the whole " +
-        "corpus was taken down) — refusing to publish an unreadable " +
-        "empty epoch; delete the index instead")
-    val v = IL.nextVersion(spark, root)
-    try {
-      graft.sinks.RoutedSink.standard().write(s"parquet:$root/$v:by:bucket", merged)
-    } finally net.unpersist()
+    // the try/finally wraps the REQUIRES too: a corruption/empty-epoch
+    // refusal must not strand the corpus-scale aggregate in the block
+    // manager (a service catching the error and retrying would leak
+    // one cached frame per failed compaction)
+    val v =
+      try {
+        val corrupt = net.where(col("c") < 0L).limit(3)
+          .collect().map(r => s"gram=${r.get(1)} net=${r.get(2)}")
+        require(corrupt.isEmpty,
+          "compactGramIndex: net gram counts < 0 detected (e.g. " +
+            corrupt.mkString("; ") + ") — a takedown contract violation " +
+            "(double-deletion under two takedownIds, or takedown of a " +
+            "never-indexed doc); refusing to compact away the evidence. " +
+            "Reconcile the index against the corpus store first.")
+        val merged = net.where(col("c") > 0L)
+        require(!merged.isEmpty,
+          "compactGramIndex: every gram's net count is <= 0 (the whole " +
+            "corpus was taken down) — refusing to publish an unreadable " +
+            "empty epoch; delete the index instead")
+        val ver = IL.nextVersion(spark, root)
+        graft.sinks.RoutedSink.standard().write(s"parquet:$root/$ver:by:bucket", merged)
+        ver
+      } finally net.unpersist()
     IL.writeMeta(spark, s"$root/$v", MetaName,
       s"""{"gram":${idx.gram},"nBuckets":${idx.nBuckets}}""")
     IL.copyAppendLedger(spark, oldDir, s"$root/$v")

@@ -40,12 +40,16 @@ object Html {
   final val BoilerLen = 30
 
   private[operators] def cleanedWithBoundaries(h: Column): Column = {
-    val noScript = regexp_replace(h, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    // (?i): crawled HTML mixes tag case freely (<SCRIPT>, </P>) —
+    // case-sensitive patterns would leak script bodies into content
+    // and miss block boundaries. Named entities stay case-sensitive
+    // (the HTML spec's canonical forms are lowercase).
+    val noScript = regexp_replace(h, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val bounded = regexp_replace(
       regexp_replace(noStyle,
-        "</(?:title|p|div|h1|h2|h3|li|td|blockquote)>", "\n"),
-      "<br[^>]*>", "\n")
+        "(?i)</(?:title|p|div|h1|h2|h3|li|td|blockquote)>", "\n"),
+      "(?i)<br[^>]*>", "\n")
     val noTags = regexp_replace(bounded, "<[^>]*>", "")
     // entity decode, named first, &amp; strictly last
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -56,11 +60,11 @@ object Html {
   /** The identical pipeline in DuckDB SQL over expression `e` (RE2
     * regexes, 'g' flag = Spark's replace-all default). */
   private[operators] def duckCleaned(e: String): String = {
-    val noScript = s"regexp_replace($e, '(?s)<script[^>]*>.*?</script>', ' ', 'g')"
-    val noStyle = s"regexp_replace($noScript, '(?s)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noScript = s"regexp_replace($e, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    val noStyle = s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     val bounded = s"regexp_replace(regexp_replace($noStyle, " +
-      s"'</(?:title|p|div|h1|h2|h3|li|td|blockquote)>', chr(10), 'g'), " +
-      s"'<br[^>]*>', chr(10), 'g')"
+      s"'(?i)</(?:title|p|div|h1|h2|h3|li|td|blockquote)>', chr(10), 'g'), " +
+      s"'(?i)<br[^>]*>', chr(10), 'g')"
     val noTags = s"regexp_replace($bounded, '<[^>]*>', '', 'g')"
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
@@ -77,6 +81,20 @@ object Html {
     * the cost of a per-doc shuffle the 100 TB form doesn't need;
     * ordering consumers sort by the ordinal either way).
     */
+  /** Shared prep: one row per SPLIT SEGMENT (empty ones included —
+    * [[htmlExtract]] needs every document represented; a NULL html
+    * coalesces to '' for the same reason), block_text already
+    * collapsed + trimmed.
+    */
+  private def rawBlocks(df: DataFrame, htmlCol: String): DataFrame = {
+    val keep = df.columns.filterNot(_ == htmlCol).map(col).toSeq
+    df
+      .withColumn("_b", cleanedWithBoundaries(coalesce(col(htmlCol), lit(""))))
+      .select(keep :+ posexplode(split(col("_b"), "\n")).as(Seq("block_idx", "block_text")): _*)
+      .withColumn("block_text", trim(regexp_replace(col("block_text"), "\\s+", " ")))
+      .withColumn("block_idx", col("block_idx").cast("long"))
+  }
+
   def htmlBlocks(
       df: DataFrame,
       htmlCol: String = "html",
@@ -84,36 +102,37 @@ object Html {
     Seq("block_idx", "block_text", "block_len", "is_boiler", "_b")
       .foreach(c => require(!df.columns.contains(c),
         s"htmlBlocks: input already has a '$c' column — rename it first"))
-    val keep = df.columns.filterNot(_ == htmlCol).map(col).toSeq
-    df
-      .withColumn("_b", cleanedWithBoundaries(col(htmlCol)))
-      .select(keep :+ posexplode(split(col("_b"), "\n")).as(Seq("block_idx", "block_text")): _*)
-      .withColumn("block_text", trim(regexp_replace(col("block_text"), "\\s+", " ")))
+    rawBlocks(df, htmlCol)
       .where(col("block_text") =!= "")
-      .withColumn("block_idx", col("block_idx").cast("long"))
       .withColumn("block_len", length(col("block_text")).cast("long"))
       .withColumn("is_boiler", col("block_len") < boilerLen.toLong)
   }
 
   /** Per-document extraction: the content blocks (non-boilerplate)
     * joined in document order — (idCol, text, n_blocks, n_boiler,
-    * content_len). Documents whose blocks are ALL boilerplate get
-    * text = '' (present, not dropped — the caller's filter decides).
+    * content_len). EVERY input document stays present: all-boilerplate
+    * docs get text = '', and degenerate docs (empty/NULL html, markup
+    * that cleans to nothing) get text = '' with n_blocks = 0 — the
+    * caller's filter decides; dropping rows here would silently lose
+    * documents through a join or count downstream.
     */
   def htmlExtract(
       df: DataFrame,
       idCol: String = "doc_id",
       htmlCol: String = "html",
       boilerLen: Int = BoilerLen): DataFrame = {
-    val blocks = htmlBlocks(df.select(col(idCol), col(htmlCol)), htmlCol, boilerLen)
-    blocks.groupBy(col(idCol))
+    val nonEmpty = col("block_text") =!= ""
+    val boiler = nonEmpty && length(col("block_text")) < boilerLen
+    val content = nonEmpty && length(col("block_text")) >= boilerLen
+    rawBlocks(df.select(col(idCol), col(htmlCol)), htmlCol)
+      .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_blocks"),
-        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(nonEmpty, 1L).otherwise(0L)).as("n_blocks"),
+        sum(when(boiler, 1L).otherwise(0L)).as("n_boiler"),
         array_join(
           transform(
             array_sort(collect_list(
-              when(!col("is_boiler"), struct(col("block_idx"), col("block_text"))))),
+              when(content, struct(col("block_idx"), col("block_text"))))),
             x => x.getField("block_text")),
           " ").as("text"))
       .withColumn("content_len", length(col("text")).cast("long"))

@@ -1904,7 +1904,15 @@ object Multimodal {
       .select(col("doc_id").as("idx_id"), col("fk"))
       .distinct()
     val bdf = nb.groupBy(col("fk")).agg(count(lit(1)).as("_bdf"))
-    val idf = hits.groupBy(col("fk")).agg(count(lit(1)).as("_idf"))
+    // index-side holders NOT also in the batch under the shared id
+    // space: a video probed while already indexed must count ONCE in
+    // the union df (the batch m10 distincts (doc, fk) before
+    // counting) — double-counting would wrongly exclude frames near
+    // the cap. The anti-join is batch-bounded (hits already is).
+    val idf = hits.join(
+        nb.select(col("new_id").as("idx_id"), col("fk")),
+        Seq("idx_id", "fk"), "left_anti")
+      .groupBy(col("fk")).agg(count(lit(1)).as("_idf"))
     // union df in [2, dfCap]: the same eligibility the batch m10
     // computes over corpus ∪ batch — boilerplate stays boilerplate
     // whether its holders sit in the index, the batch, or both

@@ -26,17 +26,24 @@ object UrlCuration {
     Seq("co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "co.jp", "co.in", "com.br")
 
   /** Lowercased host from a URL: strips scheme, userinfo, port, path,
-    * query, fragment. NULL when the value has no `scheme://` frame.
+    * query, fragment — and any trailing dots (the FQDN form
+    * `spam.net.` resolves identically in DNS; leaving the dot would
+    * make the empty last label swallow the registrable domain and
+    * turn a one-character URL tweak into a blocklist bypass). NULL
+    * when the value has no `scheme://` frame.
     */
   def hostOf(url: Column): Column = {
-    val h = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    val h = regexp_replace(
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1),
+      "\\.+$", "")
     lower(when(h === "", null).otherwise(h))
   }
 
   /** DuckDB twin of [[hostOf]] over expression `e`. */
   def duckHostOf(e: String): String =
-    s"lower(nullif(regexp_extract($e, " +
-      s"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), ''))"
+    s"lower(nullif(regexp_replace(regexp_extract($e, " +
+      s"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), " +
+      s"'\\.+$$', '', 'g'), ''))"
 
   /** Registrable domain (eTLD+1): the last two host labels, or the
     * last three when the last two form a known multi-label suffix

@@ -73,7 +73,10 @@ object Warc {
     * garbage is skipped by scanning to the next `WARC/` magic; a
     * record whose payload runs past the file end is emitted with
     * `truncated = true` (payload = whatever bytes exist) and ends the
-    * walk.
+    * walk; a record with a MISSING/unparseable Content-Length is
+    * emitted truncated with an empty payload and the walk RESYNCS on
+    * the next magic — one malformed header must not swallow the rest
+    * of a 1 GB archive.
     */
   def parseWarc(path: String, raw: Array[Byte]): Iterator[WarcRecord] = {
     val bytes = if (path.endsWith(".gz")) gunzip(raw) else raw
@@ -97,18 +100,35 @@ object Warc {
         val f = fields(new String(bytes, start, hdrEnd - start, "UTF-8"))
         val len = f.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
         val payloadStart = hdrEnd + 4
-        val declaredEnd = if (len >= 0) payloadStart + len else bytes.length.toLong
-        val truncated = len < 0 || declaredEnd > bytes.length
-        val payloadEnd = math.min(declaredEnd, bytes.length.toLong).toInt
-        val payload = java.util.Arrays.copyOfRange(bytes, math.min(payloadStart, bytes.length), payloadEnd)
-        if (truncated) done = true
-        else {
-          pos = bytesIndexOf(bytes, Magic, payloadEnd)
+        val remaining = (bytes.length - payloadStart).toLong
+        if (len < 0) {
+          // missing/unparseable Content-Length: the record's extent is
+          // unknowable, but the REST of the archive isn't — flag this
+          // record (empty payload: claiming bytes would be a guess)
+          // and RESYNC on the next magic instead of swallowing the
+          // remaining records as one giant payload
+          pos = bytesIndexOf(bytes, Magic, payloadStart)
           if (pos < 0) done = true
+          WarcRecord(path, start.toLong, f.getOrElse("warc-type", ""),
+            f.getOrElse("warc-record-id", ""), f.getOrElse("warc-target-uri", ""),
+            f.getOrElse("warc-date", ""), -1L, Array.emptyByteArray, truncated = true)
+        } else {
+          // compare in the subtraction form: an adversarial
+          // Content-Length near Long.MaxValue must read as truncated,
+          // not overflow payloadStart + len into a negative copy range
+          val truncated = len > remaining
+          val payloadEnd = if (truncated) bytes.length else payloadStart + len.toInt
+          val payload = java.util.Arrays.copyOfRange(
+            bytes, math.min(payloadStart, bytes.length), payloadEnd)
+          if (truncated) done = true
+          else {
+            pos = bytesIndexOf(bytes, Magic, payloadEnd)
+            if (pos < 0) done = true
+          }
+          WarcRecord(path, start.toLong, f.getOrElse("warc-type", ""),
+            f.getOrElse("warc-record-id", ""), f.getOrElse("warc-target-uri", ""),
+            f.getOrElse("warc-date", ""), len, payload, truncated)
         }
-        WarcRecord(path, start.toLong, f.getOrElse("warc-type", ""),
-          f.getOrElse("warc-record-id", ""), f.getOrElse("warc-target-uri", ""),
-          f.getOrElse("warc-date", ""), len, payload, truncated)
       }
     }
   }

@@ -35,13 +35,13 @@ class FrameIndexSpec extends SparkTestBase {
     // a boilerplate frame held by 40 indexed + 40 batch videos: each
     // side alone is under FrameDfCap=64, the UNION df (80) is over —
     // the probe must exclude it (a per-side cap would let 1,600
-    // cross pairs through). Texts share a 50-byte prefix (= frame 0);
-    // suffixes are unique so no other frames collide.
+    // cross pairs through). Texts share EXACTLY the first 50 bytes
+    // (one uniform stsz sample = frame 0); suffixes are unique so no
+    // other frames collide.
     def mk(ids: Range, tag: String) = ids.map { i =>
-      (i.toLong, "BOILERPLATE_BLACK_FRAME_PADDING_TO_50_BYTES_XX_" +
-        f"$tag$i%06d_unique_tail_content_beyond_the_shared_frame")
+      (i.toLong, "BOILERPLATE_BLACK_FRAME_PADDING_TO_EXACTLY_50BYTES" +
+        f"_$tag$i%06d_unique_tail_content_beyond_the_shared_frame")
     }.toDF("doc_id", "text")
-    // shared prefix must be exactly the first 50 bytes
     val idxDocs = mk(0 until 40, "i")
     val batchDocs = mk(1000 until 1040, "b")
     // plus one REAL re-mux pair across the split: identical full text
@@ -58,6 +58,29 @@ class FrameIndexSpec extends SparkTestBase {
     assert(probe.forall { case (n, i, _) => n == 1500L && i == 500L },
       s"boilerplate-only pairs leaked through the union-df cap: ${probe.take(5)}")
     assert(probe.size == 1, s"expected exactly the real re-mux pair, got $probe")
+  }
+
+  test("union-df counts a video probed while already indexed ONCE (the shared-id dedupe)") {
+    // 63 indexed holders of one frame; the batch re-probes holder 62
+    // and adds new holder 1000 — union holders = {0..62, 1000} = 64
+    // = FrameDfCap, so the frame is ELIGIBLE. A df that double-counts
+    // the re-probed video (63 + 2 = 65) would wrongly exclude it and
+    // drop every real pair.
+    def mk(ids: Seq[Long]) = ids.map { i =>
+      (i, "BOILERPLATE_BLACK_FRAME_PADDING_TO_EXACTLY_50BYTES" +
+        f"_x$i%06d_unique_tail_content_beyond_the_shared_frame")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fidx-dd").toString
+    Multimodal.writeFrameIndex(Multimodal.videoPayloadsOf(mk(0L until 63L)), dir)
+    val probe = Multimodal.probeFrameIndex(
+      Multimodal.videoPayloadsOf(mk(Seq(62L, 1000L))),
+      Multimodal.readFrameIndex(spark, dir))
+    val hits = triples(probe)
+    // new holder 1000 pairs with all 63 indexed; re-probed 62 pairs
+    // with the other 62 (new_id != idx_id filters the self-match)
+    assert(hits.count(_._1 == 1000L) == 63,
+      s"frame at exactly dfCap was excluded — union df double-counted: ${hits.size}")
+    assert(hits.count { case (n, i, _) => n == 62L && i != 62L } == 62)
   }
 
   test("append makes day-2 videos probe-visible; replayed appends don't change results") {

@@ -71,6 +71,35 @@ class HtmlSpec extends SparkTestBase {
     assert(r.getLong(1) == 2L)
   }
 
+  test("uppercase markup: <SCRIPT>/<STYLE> removed, </P>/<BR> are boundaries") {
+    val r = Html.htmlBlocks(Seq((1L,
+      "<SCRIPT>var s = \"</p>\"; if (1<2) {}</SCRIPT><STYLE>P{color:red}</STYLE>" +
+        "<P>Upper-case paragraph one, long enough to clear the bar.</P>" +
+        "<p>lower-case paragraph two, long enough<BR/>and its second line</p>"
+    )).toDF("doc_id", "html")).orderBy($"block_idx")
+      .select($"block_text").collect().map(_.getString(0)).toSeq
+    assert(r == Seq(
+      "Upper-case paragraph one, long enough to clear the bar.",
+      "lower-case paragraph two, long enough",
+      "and its second line"), s"got $r")
+  }
+
+  test("degenerate docs stay present: empty/NULL html and markup that cleans to nothing") {
+    val df = Seq(
+      (1L, "<p>Real content, long enough to clear the boiler bar fine.</p>"),
+      (2L, ""),
+      (3L, "<div>   </div><script>gone()</script>"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "html")
+    val out = Html.htmlExtract(df).orderBy($"doc_id")
+      .select($"doc_id", $"n_blocks", $"text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L),
+      s"degenerate docs dropped: ${out.map(_._1)}")
+    assert(out(0)._2 == 1L && out(0)._3.nonEmpty)
+    assert(out.drop(1).forall(r => r._2 == 0L && r._3 == ""), s"got $out")
+  }
+
   test("reserved output column on the input fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       Html.htmlBlocks(Seq((1L, "<p>x</p>", true)).toDF("doc_id", "html", "is_boiler"))

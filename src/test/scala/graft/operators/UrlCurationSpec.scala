@@ -40,6 +40,21 @@ class UrlCurationSpec extends SparkTestBase {
       "example.com", "localhost", "shop.com.au"), s"got $got")
   }
 
+  test("trailing-dot FQDN form cannot bypass the blocklist") {
+    // 'spam.net.' resolves identically to 'spam.net' in DNS; the
+    // empty last label must not swallow the registrable domain
+    val df = Seq(
+      (1L, "https://spam-mirror.net./farm/x"),
+      (2L, "https://www.spam-mirror.net../y") // even doubled
+    ).toDF("id", "url")
+    val got = UrlCuration.urlVerdicts(df, "url", block = Seq("spam-mirror.net"))
+      .orderBy($"id").select($"host", $"verdict").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("spam-mirror.net", "blocked"),
+      ("www.spam-mirror.net", "blocked")), s"got $got")
+  }
+
   test("verdict precedence: blocked beats allowed; invalid for unparseable; neutral otherwise") {
     val df = Seq(
       (1L, "https://www.bad.com/x"),

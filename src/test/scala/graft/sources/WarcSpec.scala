@@ -86,6 +86,34 @@ class WarcSpec extends SparkTestBase {
     assert(t == "response" && trunc && have < len.toInt, s"got ${rows(1)}")
   }
 
+  test("missing Content-Length resyncs on the next magic instead of swallowing the archive") {
+    val noLen = ("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+      "WARC-Record-ID: <urn:uuid:fff-6>\r\n\r\nsome unframed body").getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-nl")
+    java.nio.file.Files.write(dir.resolve("n.warc"),
+      rec("warcinfo", "", "ggg-7", "ok\r\n") ++ noLen ++
+        rec("response", "https://example.com/z", "hhh-8", httpBody))
+    val rows = Sources.warc(spark, dir.toString).orderBy($"offset")
+      .select($"warc_type", $"content_length", $"truncated")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // the malformed record is flagged AND the response after it survives
+    assert(rows == Seq(
+      ("warcinfo", 4L, false),
+      ("metadata", -1L, true),
+      ("response", httpBody.length.toLong, false)), s"got $rows")
+  }
+
+  test("adversarial huge Content-Length reads as truncated, not a crash") {
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 9223372036854775800\r\n\r\nshort").getBytes("UTF-8")
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-of")
+    java.nio.file.Files.write(dir.resolve("o.warc"), huge)
+    val rows = Sources.warc(spark, dir.toString)
+      .select($"truncated", length($"payload")).collect()
+      .map(r => (r.getBoolean(0), r.getInt(1))).toSeq
+    assert(rows == Seq((true, 5)), s"got $rows")
+  }
+
   test("S8 feeds t34: response payloads -> html -> extracted text") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-h")
     java.nio.file.Files.write(dir.resolve("c.warc"), archive)
