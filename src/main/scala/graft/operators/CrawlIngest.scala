@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The crawl front door: WARC archive records → admission-ready
+  * documents — the composition S8 (source), t34 (extraction) and t35
+  * (provenance gate) exist to feed, in the order a production
+  * pipeline runs them: cheap provenance FIRST (a blocked domain's
+  * records never cost extraction work), extraction second, admission
+  * (quality/novelty, O56) downstream via [[graft.streaming.Streams]]'
+  * ST29 loop.
+  *
+  * Scale shape: everything here is batch-bounded — the recrawl
+  * window partitions by url within the batch, the gate and the
+  * extraction are per-row columnar work. Nothing corpus-scaled is
+  * touched until the admission trigger probes the gram index (which
+  * is bucket-pruned — the O52 shape).
+  */
+object CrawlIngest {
+
+  /** Archive records (the [[graft.sources.Warc]] schema) →
+    * (doc_id, url, text): response records only, truncated captures
+    * dropped (their entity is incomplete — re-fetch, don't curate),
+    * the LATEST capture per url kept when a batch holds recrawls
+    * ((path, offset) is a total order over an archive set, so the
+    * choice is deterministic and replay-stable), blocked/invalid
+    * domains dropped BEFORE extraction, then the HTTP entity
+    * (after the message's first blank line) through t34's extraction.
+    * doc_id = hash60(url) — deterministic, so a consumer can rebuild
+    * the url ↔ doc_id map from the crawl store at any time.
+    */
+  def crawlDocs(
+      records: DataFrame,
+      allow: Seq[String] = Nil,
+      block: Seq[String] = Nil): DataFrame = {
+    val resp = records
+      .where(col("warc_type") === "response" && !col("truncated") &&
+        col("target_uri") =!= "")
+      .select(col("target_uri").as("url"), col("path"), col("offset"),
+        col("payload"))
+    // the provenance gate runs on the url alone — BEFORE the payload
+    // is decoded or extracted (a blocked domain costs one regex)
+    val gated = UrlCuration.urlVerdicts(resp, "url", allow, block)
+      .where(col("verdict") === "neutral" || col("verdict") === "allowed")
+    val latest = gated
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("url"))
+          .orderBy(col("path").desc, col("offset").desc)))
+      .where(col("_rn") === 1)
+      .select(col("url"),
+        regexp_replace(col("payload").cast("string"),
+          "(?s)^.*?\r\n\r\n", "").as("html"))
+    Html.htmlExtract(latest, "url", "html")
+      .select(graft.functions.PortableHash.hash60(col("url")).as("doc_id"),
+        col("url"), col("text"))
+  }
+}

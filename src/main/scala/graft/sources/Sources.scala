@@ -94,4 +94,26 @@ object Sources {
   /** Streaming variants (file sources need explicit schemas). */
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** Streaming S8: archives landing in a directory become micro-batch
+    * rows of (path, modificationTime, length, content) — the ST29
+    * crawl-ingestion source (the binaryFile format's schema is fixed;
+    * stated explicitly because file stream sources require one).
+    */
+  def warcStream(
+      spark: SparkSession,
+      path: String,
+      glob: Option[String] = Some("*.warc*"),
+      maxFilesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val r0 = spark.readStream.format("binaryFile")
+    val r1 = glob.fold(r0)(g => r0.option("pathGlobFilter", g))
+    val r2 = maxFilesPerTrigger.fold(r1)(n => r1.option("maxFilesPerTrigger", n.toString))
+    r2.schema(schema).load(path)
+  }
 }

@@ -1036,6 +1036,50 @@ object Streams {
         frameDupTrigger(batch.toDF(), batchId, indexPath, outPath)
     }
 
+  /** ST29: the CRAWL INGESTION loop end-to-end — raw WARC archives
+    * landing in a directory become curated, admitted corpus content
+    * in one per-trigger decision chain: S8 parses the records
+    * in-task, t35's provenance gate drops blocked/invalid domains
+    * BEFORE any extraction work, t34 extracts text from the HTTP
+    * entities, and the batch then runs ST27's admission trigger
+    * (O56 verdicts against the stored O52 counts → batch-keyed audit
+    * trail → admitted-only gram appends). Everything upstream of the
+    * admission probe is batch-bounded per-row work; the probe is
+    * bucket-pruned. Exactly-once is ST27's two-phase ledger verbatim
+    * — this stream ADDS no state and no new replay window (the
+    * prep chain is deterministic: magic-scan parsing, a
+    * (path, offset)-ordered recrawl choice, pure columnar extraction
+    * — a replayed trigger recomputes the identical doc frame).
+    */
+  private[graft] def crawlIngestTrigger(
+      archives: org.apache.spark.sql.DataFrame, batchId: Long,
+      indexPath: String, outPath: String,
+      allow: Seq[String], block: Seq[String],
+      minWords: Long, minUniqPpm: Long, minNoveltyPpm: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.operators.CrawlIngest
+      .crawlDocs(graft.sources.Warc.records(archives).toDF(), allow, block)
+      .select(col("doc_id"), col("text"))
+    curateTrigger(docs, batchId, indexPath, outPath,
+      minWords, minUniqPpm, minNoveltyPpm)
+  }
+
+  def crawlIngestStream(
+      archiveStream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      allow: Seq[String] = Nil,
+      block: Seq[String] = Nil,
+      minWords: Long = 5L,
+      minUniqPpm: Long = 350000L,
+      minNoveltyPpm: Long = 100000L
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    archiveStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        crawlIngestTrigger(batch.toDF(), batchId, indexPath, outPath,
+          allow, block, minWords, minUniqPpm, minNoveltyPpm)
+    }
+
   // ST17 state/output. `counters` is the Misra-Gries survivor map —
   // its size is capped at kCounters by construction, so per-window
   // state is O(kCounters) regardless of how many distinct users the
