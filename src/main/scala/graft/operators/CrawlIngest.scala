@@ -23,13 +23,16 @@ object CrawlIngest {
   /** Archive records (the [[graft.sources.Warc]] schema) →
     * (doc_id, url, text): response records only, truncated captures
     * dropped (their entity is incomplete — re-fetch, don't curate),
-    * the LATEST capture per url kept when a batch holds recrawls
-    * ((path, offset) is a total order over an archive set, so the
-    * choice is deterministic and replay-stable), blocked/invalid
-    * domains dropped BEFORE extraction, then the HTTP entity
-    * (after the message's first blank line) through t34's extraction.
-    * doc_id = hash60(url) — deterministic, so a consumer can rebuild
-    * the url ↔ doc_id map from the crawl store at any time.
+    * urls CANONICALIZED (t36 — so recrawls AND mirror variants that
+    * differ only in tracking params / fragments / case / default
+    * ports collapse to one resource), the LATEST capture per
+    * canonical url kept ((path, offset) is a total order over an
+    * archive set, so the choice is deterministic and replay-stable),
+    * blocked/invalid domains dropped BEFORE extraction, then the HTTP
+    * entity (after the message's first blank line) through t34's
+    * extraction. doc_id = hash60(canonical url) and `url` IS the
+    * canonical form — deterministic, so a consumer can rebuild the
+    * url ↔ doc_id map from the crawl store at any time.
     */
   def crawlDocs(
       records: DataFrame,
@@ -38,8 +41,10 @@ object CrawlIngest {
     val resp = records
       .where(col("warc_type") === "response" && !col("truncated") &&
         col("target_uri") =!= "")
-      .select(col("target_uri").as("url"), col("path"), col("offset"),
+      .select(col("target_uri").as("raw_url"), col("path"), col("offset"),
         col("payload"))
+      .withColumn("url", UrlCuration.canonicalUrl(col("raw_url")))
+      .where(col("url").isNotNull)
     // the provenance gate runs on the url alone — BEFORE the payload
     // is decoded or extracted (a blocked domain costs one regex)
     val gated = UrlCuration.urlVerdicts(resp, "url", allow, block)

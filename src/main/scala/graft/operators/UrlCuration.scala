@@ -74,6 +74,65 @@ object UrlCuration {
        ELSE $e END"""
   }
 
+  /** Canonical URL for dedup/grouping — the normalization a crawl
+    * pipeline applies BEFORE url-keyed dedup (mirrors differing only
+    * in tracking params, fragments, default ports, case, or userinfo
+    * are the same resource): scheme and host lowercased (host also
+    * FQDN-dot-stripped), userinfo dropped, default ports removed
+    * (http:80 / https:443), fragment dropped, tracking params
+    * removed (utm_*, gclid, fbclid), remaining query params SORTED
+    * (param order is transport noise), empty path → '/'. Pure
+    * columnar string work; engine-neutral (RE2-safe, list_sort ==
+    * sort_array on strings). NULL for values with no scheme:// frame.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = hostOf(url)
+    val port = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)", 1)
+    val portPart = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), "")
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", "/").otherwise(path0)
+    val query = array_join(
+      sort_array(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+        x => x =!= "" && !x.rlike("^(utm_[^=]*|gclid|fbclid)(=.*)?$"))), "&")
+    when(host.isNull, null).otherwise(concat(
+      scheme, lit("://"), host, portPart, path,
+      when(query === "", "").otherwise(concat(lit("?"), query))))
+  }
+
+  /** [[canonicalUrl]] over a named column — adds `canonical_url`. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    require(!df.columns.contains("canonical_url"),
+      "withCanonicalUrl: input already has a 'canonical_url' column — rename it first")
+    df.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+  }
+
+  /** DuckDB twin of [[canonicalUrl]] over expression `e`. */
+  def duckCanonicalUrl(e: String): String = {
+    val scheme = s"lower(regexp_extract($e, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val host = duckHostOf(e)
+    val port = s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1)"
+    val portPart = s"CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80') " +
+      s"OR ($scheme = 'https' AND $port = '443') THEN '' ELSE ':' || $port END"
+    val path = s"CASE WHEN regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/' " +
+      s"ELSE regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END"
+    // COALESCE: DuckDB's array_to_string over an EMPTY list is NULL
+    // (Spark's array_join is '') — without it a url whose params all
+    // filter away would NULL the whole concatenation
+    val query = s"COALESCE(array_to_string(list_sort(list_filter(string_split(" +
+      s"regexp_extract($e, '\\?([^#]*)', 1), '&'), " +
+      s"x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)(=.*)?$$'))), '&'), '')"
+    s"CASE WHEN $host IS NULL THEN NULL ELSE " +
+      s"$scheme || '://' || $host || $portPart || $path || " +
+      s"CASE WHEN $query = '' THEN '' ELSE '?' || $query END END"
+  }
+
   /** Per-URL verdict columns: (input cols) + host, domain, verdict —
     * `blocked` (blocklist wins), `allowed`, or `neutral`. List
     * membership is a literal isin (dictionary-sized lists inline into
@@ -142,7 +201,56 @@ object UrlCuration {
       " || '/p/' || doc_id" +
       " || CASE WHEN doc_id % 2 = 0 THEN '?ref=rss#frag' ELSE '' END"
 
+  // -----------------------------------------------------------------
+  // t36: canonicalization — deterministic messy-URL variants over the
+  // documents table (uppercase schemes, tracking params, unsorted
+  // queries, default ports, userinfo, fragments, FQDN dots), grouped
+  // by canonical form: the url-keyed dedup a mirror-heavy crawl runs.
+  // -----------------------------------------------------------------
+
+  private[operators] def messyUrls(docs: DataFrame): DataFrame = {
+    val variant = (col("doc_id") % 4 + 1).cast("int")
+    docs.select(col("doc_id"), concat(
+      element_at(array(lit("https://"), lit("HTTPS://"), lit("https://user:pw@"),
+        lit("https://")), variant),
+      lit("src"), (col("doc_id") % 5).cast("string"), lit(".example.com"),
+      element_at(array(lit(""), lit(":443"), lit(""), lit("")), variant),
+      lit("/p/"), (col("doc_id") % 50).cast("string"),
+      element_at(array(
+        lit(""), lit("?utm_source=feed&utm_campaign=x"),
+        lit("?b=2&a=1#frag"), lit("?a=1&fbclid=9&gclid=3")),
+        variant)).as("url"))
+  }
+
+  private val duckMessyUrls: String =
+    "CASE doc_id % 4 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTPS://' " +
+      "WHEN 2 THEN 'https://user:pw@' ELSE 'https://' END" +
+      " || 'src' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'" +
+      " || CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END" +
+      " || '/p/' || CAST(doc_id % 50 AS VARCHAR)" +
+      " || CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '?utm_source=feed&utm_campaign=x' " +
+      "WHEN 2 THEN '?b=2&a=1#frag' ELSE '?a=1&fbclid=9&gclid=3' END"
+
   val all: Seq[Q] = Seq(
+    Q(
+      "t36_url_normalize",
+      "URL canonicalization for crawl dedup: case/userinfo/default-port/tracking-param/fragment noise collapsed, query params sorted",
+      (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        withCanonicalUrl(messyUrls(docs), "url")
+          .groupBy(col("canonical_url"))
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_raw_forms"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("canonical_url"))
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $duckMessyUrls AS url FROM documents),
+        c AS (SELECT doc_id, url, ${duckCanonicalUrl("url")} AS canonical_url FROM u)
+        SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+          CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+          MIN(doc_id) AS first_doc
+        FROM c GROUP BY canonical_url ORDER BY canonical_url""")
+    ),
     Q(
       "t35_url_domain",
       "URL → host → registrable domain → allow/block verdict → per-domain stats",

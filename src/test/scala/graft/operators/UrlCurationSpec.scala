@@ -68,6 +68,28 @@ class UrlCurationSpec extends SparkTestBase {
     assert(got == Seq("blocked", "allowed", "neutral", "invalid"), s"got $got")
   }
 
+  test("canonicalUrl: case/userinfo/default-port/tracking/fragment noise collapses; params sort") {
+    val df = Seq(
+      (1L, "HTTPS://User@Example.COM:443/p/1?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://example.com/p/1?a=1&b=2"),
+      (3L, "http://example.com:80/"),
+      (4L, "http://example.com"),
+      (5L, "http://example.com:8080/x?gclid=9&fbclid=8&utm_campaign=z"),
+      (6L, "https://example.net./y"),
+      (7L, "not a url")
+    ).toDF("id", "url")
+    val got = UrlCuration.withCanonicalUrl(df).orderBy($"id")
+      .select($"canonical_url").collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(
+      Some("https://example.com/p/1?a=1&b=2"),
+      Some("https://example.com/p/1?a=1&b=2"), // 1 and 2 collapse
+      Some("http://example.com/"),
+      Some("http://example.com/"), // empty path -> '/', default port gone
+      Some("http://example.com:8080/x"), // non-default port kept, trackers gone
+      Some("https://example.net/y"), // FQDN dot stripped
+      None), s"got $got")
+  }
+
   test("domainStats counts docs and distinct hosts per (domain, verdict)") {
     val df = Seq(
       (1L, "https://a.example.com/1"), (2L, "https://b.example.com/2"),

@@ -27,11 +27,13 @@ class CrawlStreamSpec extends SparkTestBase {
   private def words(tag: String, n: Int = 40): String =
     (1 to n).map(i => s"$tag$i").mkString(" ")
 
-  test("crawlDocs: gate before extraction, recrawls resolve to the latest capture") {
+  test("crawlDocs: gate before extraction, recrawls + mirror variants resolve to one latest capture") {
     val a1 = httpRec("https://ok.example.com/p1", "r1", words("alpha")) ++
       httpRec("https://SPAM-FARM.net./x", "r2", words("spam")) ++ // blocked, FQDN dot
       httpRec("https://ok.example.com/p2", "r3", words("old")) ++
-      httpRec("https://ok.example.com/p2", "r4", words("new")) // recrawl, later offset
+      // the same resource through t36-collapsible noise: uppercase
+      // scheme, default port, a tracking param — still "p2", later
+      httpRec("HTTPS://ok.example.com:443/p2?utm_source=mirror", "r4", words("new"))
     val records = Seq(("f1.warc", a1)).toDF("path", "bytes")
       .select($"path", $"bytes".as("content"))
     val recs = graft.sources.Warc.records(records).toDF()
@@ -42,7 +44,8 @@ class CrawlStreamSpec extends SparkTestBase {
       "https://ok.example.com/p1", "https://ok.example.com/p2"),
       s"gate/recrawl wrong: ${docs.map(_._1)}")
     assert(docs(0)._2 == words("alpha"))
-    assert(docs(1)._2 == words("new"), "recrawl did not resolve to the latest capture")
+    assert(docs(1)._2 == words("new"),
+      "canonical-url recrawl did not resolve to the latest capture")
   }
 
   test("ST29 end-to-end: two archive micro-batches through gate, extraction and admission") {
