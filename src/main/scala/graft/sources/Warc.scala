@@ -43,6 +43,9 @@ object Warc {
 
   private val Magic = "WARC/".getBytes("US-ASCII")
 
+  /** The record magic, exposed for the fuzz spec's emission bound. */
+  private[sources] def MagicBytes: Array[Byte] = Magic
+
   private def bytesIndexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = math.max(from, 0)
     val limit = hay.length - needle.length
@@ -56,14 +59,21 @@ object Warc {
   }
 
   private def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    // GZIPInputStream consumes concatenated members (record-gzip)
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 65536)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
+    // GZIPInputStream consumes concatenated members (record-gzip).
+    // A corrupt/truncated archive stops HERE, not the job: whatever
+    // decompressed before the corruption point is parsed (the walk's
+    // own truncation handling then surfaces the partial tail) — the
+    // same contract as a truncated plain archive; one bad file in a
+    // 100k-file crawl must cost its records, not the pipeline.
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 65536)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+    } catch { case _: java.io.IOException => /* keep what decompressed */ }
     out.toByteArray
   }
 
