@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The crawl front door: WARC archive records → admission-ready
@@ -26,8 +25,10 @@ object CrawlIngest {
     * urls CANONICALIZED (t36 — so recrawls AND mirror variants that
     * differ only in tracking params / fragments / case / default
     * ports collapse to one resource), the LATEST capture per
-    * canonical url kept ((path, offset) is a total order over an
-    * archive set, so the choice is deterministic and replay-stable),
+    * canonical url kept — latest by WARC-Date (ISO-8601 strings, so
+    * lexicographic == chronological; archive NAMING must not decide
+    * recency, 'crawl-9' sorts after 'crawl-10'), with (path, offset)
+    * as the deterministic tiebreaker for same-second captures —
     * blocked/invalid domains dropped BEFORE extraction, then the HTTP
     * entity (after the message's first blank line) through t34's
     * extraction. doc_id = hash60(canonical url) and `url` IS the
@@ -41,21 +42,24 @@ object CrawlIngest {
     val resp = records
       .where(col("warc_type") === "response" && !col("truncated") &&
         col("target_uri") =!= "")
-      .select(col("target_uri").as("raw_url"), col("path"), col("offset"),
-        col("payload"))
+      .select(col("target_uri").as("raw_url"), col("warc_date"),
+        col("path"), col("offset"), col("payload"))
       .withColumn("url", UrlCuration.canonicalUrl(col("raw_url")))
       .where(col("url").isNotNull)
     // the provenance gate runs on the url alone — BEFORE the payload
     // is decoded or extracted (a blocked domain costs one regex)
     val gated = UrlCuration.urlVerdicts(resp, "url", allow, block)
       .where(col("verdict") === "neutral" || col("verdict") === "allowed")
+    // latest capture via max_by with map-side combine: each partition
+    // reduces to ONE candidate per url before the exchange, so only
+    // per-partition winners' payloads cross the shuffle (a window
+    // would shuffle every captured page body just to pick a winner)
     val latest = gated
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("url"))
-          .orderBy(col("path").desc, col("offset").desc)))
-      .where(col("_rn") === 1)
+      .groupBy(col("url"))
+      .agg(max_by(col("payload"),
+        struct(col("warc_date"), col("path"), col("offset"))).as("_pay"))
       .select(col("url"),
-        regexp_replace(col("payload").cast("string"),
+        regexp_replace(col("_pay").cast("string"),
           "(?s)^.*?\r\n\r\n", "").as("html"))
     Html.htmlExtract(latest, "url", "html")
       .select(graft.functions.PortableHash.hash60(col("url")).as("doc_id"),

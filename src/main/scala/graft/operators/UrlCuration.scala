@@ -33,8 +33,14 @@ object UrlCuration {
     * when the value has no `scheme://` frame.
     */
   def hostOf(url: Column): Column = {
+    // userinfo = everything up to the LAST '@' before the path/query
+    // (the browser rule — RFC 3986 forbids raw '@' in userinfo but
+    // fetchers resolve 'x@y@host' with host after the last '@', and a
+    // first-@ split would put 'y@host' in the host and bypass the
+    // blocklist); the host class excludes '@' outright so no parse
+    // can leak userinfo into it
     val h = regexp_replace(
-      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1),
+      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1),
       "\\.+$", "")
     lower(when(h === "", null).otherwise(h))
   }
@@ -42,7 +48,7 @@ object UrlCuration {
   /** DuckDB twin of [[hostOf]] over expression `e`. */
   def duckHostOf(e: String): String =
     s"lower(nullif(regexp_replace(regexp_extract($e, " +
-      s"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), " +
+      s"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1), " +
       s"'\\.+$$', '', 'g'), ''))"
 
   /** Registrable domain (eTLD+1): the last two host labels, or the
@@ -88,8 +94,12 @@ object UrlCuration {
   def canonicalUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = hostOf(url)
+    // port: last-@ userinfo rule as in hostOf, host class excludes
+    // '@' and the digits must be FOLLOWED by /?#/end — without the
+    // terminator, 'u:12345pw@h/x' backtracks out of the userinfo
+    // group and fabricates port 12345 from the password
     val port = regexp_extract(url,
-      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)", 1)
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#@]+:([0-9]+)(?:[/?#]|$)", 1)
     val portPart = when(
       port === "" ||
         (scheme === "http" && port === "80") ||
@@ -98,8 +108,10 @@ object UrlCuration {
     val path0 = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "", "/").otherwise(path0)
+    // query anchored to the PRE-fragment half: '#/search?q=x' is all
+    // fragment — an unanchored \? would fabricate a query from it
     val query = array_join(
-      sort_array(filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      sort_array(filter(split(regexp_extract(url, "^[^#]*\\?([^#]*)", 1), "&"),
         x => x =!= "" && !x.rlike("^(utm_[^=]*|gclid|fbclid)(=.*)?$"))), "&")
     when(host.isNull, null).otherwise(concat(
       scheme, lit("://"), host, portPart, path,
@@ -117,7 +129,7 @@ object UrlCuration {
   def duckCanonicalUrl(e: String): String = {
     val scheme = s"lower(regexp_extract($e, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val host = duckHostOf(e)
-    val port = s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1)"
+    val port = s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#@]+:([0-9]+)(?:[/?#]|$$)', 1)"
     val portPart = s"CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80') " +
       s"OR ($scheme = 'https' AND $port = '443') THEN '' ELSE ':' || $port END"
     val path = s"CASE WHEN regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/' " +
@@ -126,7 +138,7 @@ object UrlCuration {
     // (Spark's array_join is '') — without it a url whose params all
     // filter away would NULL the whole concatenation
     val query = s"COALESCE(array_to_string(list_sort(list_filter(string_split(" +
-      s"regexp_extract($e, '\\?([^#]*)', 1), '&'), " +
+      s"regexp_extract($e, '^[^#]*\\?([^#]*)', 1), '&'), " +
       s"x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)(=.*)?$$'))), '&'), '')"
     s"CASE WHEN $host IS NULL THEN NULL ELSE " +
       s"$scheme || '://' || $host || $portPart || $path || " +

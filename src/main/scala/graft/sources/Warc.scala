@@ -90,6 +90,13 @@ object Warc {
     */
   def parseWarc(path: String, raw: Array[Byte]): Iterator[WarcRecord] = {
     val bytes = if (path.endsWith(".gz")) gunzip(raw) else raw
+    // total decompression failure: NOTHING survived of a nonempty
+    // archive — surface ONE sentinel truncated record (offset 0,
+    // length -1, empty payload) so the loss is countable in the data
+    // (`where truncated`) instead of the file silently vanishing
+    if (path.endsWith(".gz") && raw.nonEmpty && bytes.isEmpty)
+      return Iterator.single(WarcRecord(
+        path, 0L, "", "", "", "", -1L, Array.emptyByteArray, truncated = true))
     new Iterator[WarcRecord] {
       private var pos = bytesIndexOf(bytes, Magic, 0)
       private var done = pos < 0

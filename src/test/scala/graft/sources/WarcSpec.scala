@@ -114,6 +114,16 @@ class WarcSpec extends SparkTestBase {
     assert(rows == Seq((true, 5)), s"got $rows")
   }
 
+  test("a fully corrupt .gz surfaces ONE sentinel truncated record, not silence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-gz0")
+    java.nio.file.Files.write(dir.resolve("dead.warc.gz"),
+      "this was never gzip".getBytes("UTF-8"))
+    val rows = Sources.warc(spark, dir.toString)
+      .select($"offset", $"content_length", $"truncated", length($"payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getInt(3))).toSeq
+    assert(rows == Seq((0L, -1L, true, 0)), s"got $rows")
+  }
+
   test("S8 feeds t34: response payloads -> html -> extracted text") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-h")
     java.nio.file.Files.write(dir.resolve("c.warc"), archive)

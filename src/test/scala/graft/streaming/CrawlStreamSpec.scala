@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
 class CrawlStreamSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def httpRec(uri: String, id: String, bodyText: String): Array[Byte] = {
+  private def httpRec(uri: String, id: String, bodyText: String,
+      date: String = "2026-08-16T00:00:00Z"): Array[Byte] = {
     val html = s"<html><head><script>nav(1<2)</script></head><body>" +
       s"<p>$bodyText</p><div>home</div></body></html>"
     val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
       .getBytes("UTF-8")
     (s"WARC/1.0\r\nWARC-Type: response\r\n" +
       s"WARC-Record-ID: <urn:uuid:$id>\r\n" +
+      s"WARC-Date: $date\r\n" +
       s"WARC-Target-URI: $uri\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
       payload ++ "\r\n\r\n".getBytes("UTF-8")
@@ -46,6 +48,22 @@ class CrawlStreamSpec extends SparkTestBase {
     assert(docs(0)._2 == words("alpha"))
     assert(docs(1)._2 == words("new"),
       "canonical-url recrawl did not resolve to the latest capture")
+  }
+
+  test("recency is WARC-Date, not archive naming: crawl-9 vs crawl-10") {
+    // lexicographically 'crawl-9.warc' > 'crawl-10.warc' — a
+    // path-ordered 'latest' would keep the STALE capture
+    val stale = httpRec("https://ok.example.com/p", "s1", words("stale"),
+      date = "2026-08-01T00:00:00Z")
+    val fresh = httpRec("https://ok.example.com/p", "f1", words("fresh"),
+      date = "2026-08-15T00:00:00Z")
+    val records = Seq(
+      ("crawl-9.warc", stale), ("crawl-10.warc", fresh)
+    ).toDF("path", "content")
+    val docs = CrawlIngest.crawlDocs(graft.sources.Warc.records(records).toDF())
+      .collect().map(r => r.getString(2)).toSeq
+    assert(docs == Seq(words("fresh")),
+      s"archive naming decided recency: ${docs.map(_.take(20))}")
   }
 
   test("ST29 end-to-end: two archive micro-batches through gate, extraction and admission") {
