@@ -61,8 +61,19 @@ object CrawlIngest {
       .select(col("url"),
         regexp_replace(col("_pay").cast("string"),
           "(?s)^.*?\r\n\r\n", "").as("html"))
+    // intra-batch exact-content dedup (d01 at the front door): two
+    // DIFFERENT canonical urls carrying the same extracted text in
+    // ONE batch would otherwise both pass admission — novelty is
+    // measured against the standing index, and the batch is probed
+    // BEFORE it appends (the ST27 contract), so same-batch copies are
+    // invisible to each other. Keeper = min url (deterministic,
+    // replay-stable); the copies are dropped like blocked domains —
+    // before any admission work.
     Html.htmlExtract(latest, "url", "html")
-      .select(graft.functions.PortableHash.hash60(col("url")).as("doc_id"),
-        col("url"), col("text"))
+      .groupBy(graft.functions.PortableHash.hash60(col("text")).as("_ch"))
+      .agg(min_by(struct(col("url"), col("text")), col("url")).as("_k"))
+      .select(
+        graft.functions.PortableHash.hash60(col("_k.url")).as("doc_id"),
+        col("_k.url").as("url"), col("_k.text").as("text"))
   }
 }

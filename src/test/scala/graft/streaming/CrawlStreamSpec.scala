@@ -50,6 +50,20 @@ class CrawlStreamSpec extends SparkTestBase {
       "canonical-url recrawl did not resolve to the latest capture")
   }
 
+  test("intra-batch exact-content copies collapse to the min-url keeper") {
+    // two different canonical urls, identical body, ONE batch — the
+    // index-novelty gate can't see same-batch copies (probe before
+    // append), so the front door must
+    val a = httpRec("https://b.example.org/copy", "c1", words("same")) ++
+      httpRec("https://a.example.org/original", "c2", words("same")) ++
+      httpRec("https://c.example.org/other", "c3", words("other"))
+    val records = Seq(("f.warc", a)).toDF("path", "content")
+    val docs = CrawlIngest.crawlDocs(graft.sources.Warc.records(records).toDF())
+      .select($"url").collect().map(_.getString(0)).toSet
+    assert(docs == Set("https://a.example.org/original", "https://c.example.org/other"),
+      s"got $docs")
+  }
+
   test("recency is WARC-Date, not archive naming: crawl-9 vs crawl-10") {
     // lexicographically 'crawl-9.warc' > 'crawl-10.warc' — a
     // path-ordered 'latest' would keep the STALE capture
