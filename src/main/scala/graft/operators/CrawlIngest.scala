@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * (quality/novelty, O56) downstream via [[graft.streaming.Streams]]'
   * ST29 loop.
   *
-  * Scale shape: everything here is batch-bounded — the recrawl
-  * window partitions by url within the batch, the gate and the
-  * extraction are per-row columnar work. Nothing corpus-scaled is
-  * touched until the admission trigger probes the gram index (which
-  * is bucket-pruned — the O52 shape).
+  * Scale shape: everything here is batch-bounded — the gate and the
+  * extraction are per-row columnar work; the recrawl choice and the
+  * exact-content dedup are combinable aggs whose exchanges move one
+  * candidate payload per url (max_by) and (md5, url) pairs
+  * respectively — extracted texts never re-shuffle. Nothing
+  * corpus-scaled is touched until the admission trigger probes the
+  * gram index (which is bucket-pruned — the O52 shape).
   */
 object CrawlIngest {
 
@@ -31,9 +33,15 @@ object CrawlIngest {
     * as the deterministic tiebreaker for same-second captures —
     * blocked/invalid domains dropped BEFORE extraction, then the HTTP
     * entity (after the message's first blank line) through t34's
-    * extraction. doc_id = hash60(canonical url) and `url` IS the
-    * canonical form — deterministic, so a consumer can rebuild the
-    * url ↔ doc_id map from the crawl store at any time.
+    * extraction, then intra-batch EXACT-CONTENT dedup: same-batch
+    * copies of one non-empty text collapse to the min-url keeper
+    * (full-md5 keys; empty-text docs are exempt so every degenerate
+    * page still gets its own admission verdict). Output: one row per
+    * surviving canonical url — same-batch content copies and
+    * blocked/invalid/truncated captures do NOT appear. doc_id =
+    * hash60(canonical url) and `url` IS the canonical form —
+    * deterministic, so a consumer can rebuild the url ↔ doc_id map
+    * from the crawl store at any time.
     */
   def crawlDocs(
       records: DataFrame,
@@ -62,18 +70,27 @@ object CrawlIngest {
         regexp_replace(col("_pay").cast("string"),
           "(?s)^.*?\r\n\r\n", "").as("html"))
     // intra-batch exact-content dedup (d01 at the front door): two
-    // DIFFERENT canonical urls carrying the same extracted text in
-    // ONE batch would otherwise both pass admission — novelty is
-    // measured against the standing index, and the batch is probed
+    // DIFFERENT canonical urls carrying the same NON-EMPTY extracted
+    // text in ONE batch would otherwise both pass admission — novelty
+    // is measured against the standing index, and the batch is probed
     // BEFORE it appends (the ST27 contract), so same-batch copies are
     // invisible to each other. Keeper = min url (deterministic,
-    // replay-stable); the copies are dropped like blocked domains —
-    // before any admission work.
-    Html.htmlExtract(latest, "url", "html")
-      .groupBy(graft.functions.PortableHash.hash60(col("text")).as("_ch"))
-      .agg(min_by(struct(col("url"), col("text")), col("url")).as("_k"))
+    // replay-stable); keys are the FULL md5 (the d01 discipline — a
+    // 60-bit key would silently drop a colliding different document);
+    // EMPTY-text docs are exempt (each carries its own
+    // rejected_quality audit row — collapsing them would silently
+    // lose verdicts, not dedup content). Only (md5, url) pairs cross
+    // the dedup shuffle; the keeper set broadcasts back, so extracted
+    // texts never re-shuffle.
+    val extracted = Html.htmlExtract(latest, "url", "html")
+    val keepers = extracted.where(col("text") =!= "")
+      .groupBy(md5(col("text")).as("_ch"))
+      .agg(min(col("url")).as("url"))
+      .select(col("url"))
+    extracted.where(col("text") === "")
+      .unionByName(extracted.join(broadcast(keepers), Seq("url"), "left_semi"))
       .select(
-        graft.functions.PortableHash.hash60(col("_k.url")).as("doc_id"),
-        col("_k.url").as("url"), col("_k.text").as("text"))
+        graft.functions.PortableHash.hash60(col("url")).as("doc_id"),
+        col("url"), col("text"))
   }
 }

@@ -64,6 +64,28 @@ class CrawlStreamSpec extends SparkTestBase {
       s"got $docs")
   }
 
+  test("empty-text docs are exempt from content dedup: every degenerate page keeps its verdict") {
+    // two different nav-only pages extract to text='' — collapsing
+    // them would lose an audit row, not dedup content
+    def navRec(uri: String, id: String): Array[Byte] = {
+      val payload = ("HTTP/1.1 200 OK\r\n\r\n" +
+        "<html><body><div>home</div></body></html>").getBytes("UTF-8")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <$id>\r\n" +
+        s"WARC-Date: 2026-08-16T00:00:00Z\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++
+        payload ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    val a = navRec("https://a.example.org/nav", "n1") ++
+      navRec("https://b.example.org/nav", "n2")
+    val records = Seq(("f.warc", a)).toDF("path", "content")
+    val docs = CrawlIngest.crawlDocs(graft.sources.Warc.records(records).toDF())
+      .select($"url", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(docs == Set(
+      ("https://a.example.org/nav", ""), ("https://b.example.org/nav", "")),
+      s"degenerate pages collapsed: $docs")
+  }
+
   test("recency is WARC-Date, not archive naming: crawl-9 vs crawl-10") {
     // lexicographically 'crawl-9.warc' > 'crawl-10.warc' — a
     // path-ordered 'latest' would keep the STALE capture
