@@ -100,6 +100,32 @@ class HtmlSpec extends SparkTestBase {
     assert(out.drop(1).forall(r => r._2 == 0L && r._3 == ""), s"got $out")
   }
 
+  test("fuzz: arbitrary strings through htmlExtract hold the row-and-count invariants") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val soup: Gen[String] = for {
+      n <- Gen.chooseNum(0, 300)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.alphaNumChar, 2 -> Gen.oneOf('<', '>', '&', ';', '#'),
+        1 -> Gen.oneOf('\n', '\r', '\t', ' '),
+        1 -> Gen.oneOf("script", "style", "</p>", "<div", "&amp;", "<br>")
+          .flatMap(s => Gen.oneOf(s.toSeq))))
+    } yield cs.mkString
+    val inputs = (0 until 120)
+      .flatMap(i => soup.apply(Gen.Parameters.default, Seed(31L + i)))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val out = Html.htmlExtract(inputs.toDF("doc_id", "html")).collect()
+    // every input doc present exactly once; counts and lengths cohere
+    assert(out.length == inputs.length, s"${out.length} of ${inputs.length} docs survived")
+    out.foreach { r =>
+      val (nb, nboil, text, clen) =
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))
+      assert(nboil <= nb && nb >= 0, s"counts incoherent: $r")
+      assert(clen == text.length.toLong, s"content_len != length(text): $r")
+      assert(!text.contains("\n"), s"unsplit boundary in content: $r")
+    }
+  }
+
   test("reserved output column on the input fails loudly") {
     val ex = intercept[IllegalArgumentException] {
       Html.htmlBlocks(Seq((1L, "<p>x</p>", true)).toDF("doc_id", "html", "is_boiler"))

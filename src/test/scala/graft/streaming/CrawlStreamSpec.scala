@@ -86,6 +86,16 @@ class CrawlStreamSpec extends SparkTestBase {
       s"degenerate pages collapsed: $docs")
   }
 
+  test("the dedup keeper set broadcasts: no text re-shuffle in the crawlDocs plan") {
+    val a = httpRec("https://a.example.org/x", "p1", words("planx")) ++
+      httpRec("https://b.example.org/y", "p2", words("plany"))
+    val records = Seq(("f.warc", a)).toDF("path", "content")
+    val plan = CrawlIngest.crawlDocs(graft.sources.Warc.records(records).toDF())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"keeper semi-join is not a broadcast:\n${plan.take(800)}")
+  }
+
   test("recency is WARC-Date, not archive naming: crawl-9 vs crawl-10") {
     // lexicographically 'crawl-9.warc' > 'crawl-10.warc' — a
     // path-ordered 'latest' would keep the STALE capture
