@@ -85,6 +85,18 @@ object GraftExpressions {
   /** Column API: 60-bit sign sketch of an embedding, one codegen
     * pass (X14).
     */
+  /** Column API: decode bytes via a (possibly sloppy) charset label. */
+  def charsetDecode(bin: Column, label: Column): Column =
+    column(CharsetDecode(expression(bin), expression(label)))
+
+  /** Column API: encode text into a labeled charset's bytes. */
+  def charsetEncode(text: Column, label: Column): Column =
+    column(CharsetEncode(expression(text), expression(label)))
+
+  /** Column API: does the charset label resolve to a JVM charset? */
+  def charsetKnown(label: Column): Column =
+    column(CharsetKnown(expression(label)))
+
   def signPack60(embedding: Column): Column =
     column(SignPack60(expression(embedding)))
 }
@@ -830,4 +842,72 @@ object SignPack60 {
       }
       java.lang.Long.valueOf(h)
     }
+}
+
+/** X18: charset-labeled byte decode — `charset_decode(bin, label)`
+  * turns raw captured bytes into text using the (web-sloppy) charset
+  * label, in one codegen call per row. The crawl front door's decode
+  * step: labels come from Content-Type headers / meta tags / BOMs
+  * ([[graft.operators.HttpPayload]] sniffs them), and are a tiny
+  * distinct set corpus-wide, so resolution is cached
+  * ([[Charsets.resolve]]). Unknown labels fall back to UTF-8;
+  * malformed/unmappable bytes become U+FFFD — deterministic, total.
+  */
+case class CharsetDecode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(bin: Any, label: Any): Any =
+    Charsets.decode(bin.asInstanceOf[Array[Byte]], label.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, l) =>
+      s"${ev.value} = graft.functions.Charsets$$.MODULE$$.decode($b, $l);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CharsetDecode =
+    copy(left = l, right = r)
+}
+
+/** X19: inverse of [[CharsetDecode]] — `charset_encode(text, label)`
+  * emits the labeled charset's bytes (unmappable chars become the
+  * charset's replacement byte; unknown labels fall back to UTF-8).
+  * Exists so format-true multi-charset payloads can be BUILT inside
+  * a plan (the t37 oracle's round-trip evidence) and so sinks that
+  * must emit legacy encodings stay one expression, not a UDF.
+  */
+case class CharsetEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(text: Any, label: Any): Any =
+    Charsets.encode(text.asInstanceOf[UTF8String], label.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, l) =>
+      s"${ev.value} = graft.functions.Charsets$$.MODULE$$.encode($t, $l);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CharsetEncode =
+    copy(left = l, right = r)
+}
+
+/** Charset-label validity test — `charset_known(label)`: true iff the
+  * label resolves to a JVM charset ([[Charsets.isKnown]]). The flag
+  * column a crawl pipeline keeps next to the decoded text so
+  * fallback-decoded (unknown-label) captures are countable.
+  */
+case class CharsetKnown(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(label: Any): Any =
+    Charsets.isKnown(label.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, l =>
+      s"${ev.value} = graft.functions.Charsets$$.MODULE$$.isKnown($l);")
+
+  override protected def withNewChildInternal(c: Expression): CharsetKnown =
+    copy(child = c)
 }

@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rasterBodyGramsFn)
     ext.injectFunction(GraftExtensions.avgHash60Fn)
     ext.injectFunction(GraftExtensions.signPack60Fn)
+    ext.injectFunction(GraftExtensions.charsetDecodeFn)
+    ext.injectFunction(GraftExtensions.charsetEncodeFn)
+    ext.injectFunction(GraftExtensions.charsetKnownFn)
     // whole-operator path: plans graft.plans.AsOfJoin logical nodes
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -121,6 +124,27 @@ object GraftExtensions {
     (children: Seq[Expression]) => SignPack60(children.head)
   )
 
+  val charsetDecodeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("charset_decode"),
+    info("charset_decode",
+      "charset_decode(bin, label) - bytes decoded via a web charset label (unknown label falls back to UTF-8) (X18)"),
+    (children: Seq[Expression]) => CharsetDecode(children(0), children(1))
+  )
+
+  val charsetEncodeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("charset_encode"),
+    info("charset_encode",
+      "charset_encode(text, label) - text encoded into a labeled charset's bytes (X19)"),
+    (children: Seq[Expression]) => CharsetEncode(children(0), children(1))
+  )
+
+  val charsetKnownFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("charset_known"),
+    info("charset_known",
+      "charset_known(label) - whether the charset label resolves to a JVM charset"),
+    (children: Seq[Expression]) => CharsetKnown(children.head)
+  )
+
   /** Register on an existing session (tests / REPL convenience) —
     * scalar functions AND the X10 table-valued join functions (a
     * getOrCreate that joined a pre-existing session never saw the
@@ -130,7 +154,8 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     Seq(cosineSim, polyHash, wordShinglesFn, minhashHexFn, bpeCountFn,
       bpeEncodeFn, bpeDecodeFn,
-      nibbleHistogramFn, rasterBodyGramsFn, avgHash60Fn, signPack60Fn).foreach { case (id, inf, builder) =>
+      nibbleHistogramFn, rasterBodyGramsFn, avgHash60Fn, signPack60Fn,
+      charsetDecodeFn, charsetEncodeFn, charsetKnownFn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
     val treg = spark.sessionState.tableFunctionRegistry

@@ -62,13 +62,18 @@ object CrawlIngest {
     // reduces to ONE candidate per url before the exchange, so only
     // per-partition winners' payloads cross the shuffle (a window
     // would shuffle every captured page body just to pick a winner)
-    val latest = gated
-      .groupBy(col("url"))
-      .agg(max_by(col("payload"),
-        struct(col("warc_date"), col("path"), col("offset"))).as("_pay"))
-      .select(col("url"),
-        regexp_replace(col("_pay").cast("string"),
-          "(?s)^.*?\r\n\r\n", "").as("html"))
+    // charset-aware decode (t37): BOM / Content-Type / meta-prescan
+    // sniff, web-alias map, UTF-8 fallback — a Latin-1 or Shift-JIS
+    // page must reach extraction as text, not mojibake (which would
+    // also poison the md5 content-dedup keys and gram novelty).
+    // Headers are stripped only when the capture IS an HTTP message
+    // (status line present), CRLF or bare-LF framed.
+    val latest = HttpPayload.withDecodedEntity(
+      gated
+        .groupBy(col("url"))
+        .agg(max_by(col("payload"),
+          struct(col("warc_date"), col("path"), col("offset"))).as("_pay")),
+      "_pay").select(col("url"), col("html"))
     // intra-batch exact-content dedup (d01 at the front door): two
     // DIFFERENT canonical urls carrying the same NON-EMPTY extracted
     // text in ONE batch would otherwise both pass admission — novelty

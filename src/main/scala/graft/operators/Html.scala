@@ -49,7 +49,10 @@ object Html {
     val bounded = regexp_replace(
       regexp_replace(noStyle,
         "(?i)</(?:title|p|div|h1|h2|h3|li|td|blockquote)>", "\n"),
-      "(?i)<br[^>]*>", "\n")
+      // name boundary after 'br': a custom element like <brand> or
+      // <broadcast-player> is NOT a line break — matching it would
+      // fabricate block boundaries and skew n_blocks/boilerplate
+      "(?i)<br(?:\\s[^>]*)?/?>", "\n")
     val noTags = regexp_replace(bounded, "<[^>]*>", "")
     // entity decode, named first, &amp; strictly last
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
@@ -64,7 +67,7 @@ object Html {
     val noStyle = s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     val bounded = s"regexp_replace(regexp_replace($noStyle, " +
       s"'(?i)</(?:title|p|div|h1|h2|h3|li|td|blockquote)>', chr(10), 'g'), " +
-      s"'(?i)<br[^>]*>', chr(10), 'g')"
+      s"'(?i)<br(?:\\s[^>]*)?/?>', chr(10), 'g')"
     val noTags = s"regexp_replace($bounded, '<[^>]*>', '', 'g')"
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")

@@ -39,8 +39,13 @@ object UrlCuration {
     // first-@ split would put 'y@host' in the host and bypass the
     // blocklist); the host class excludes '@' outright so no parse
     // can leak userinfo into it
+    // bracketed IPv6 authorities ([2001:db8::1], RFC 3986 §3.2.2) are
+    // matched as a whole BEFORE the generic class — the ':'-stopping
+    // host class would otherwise truncate them to garbage ('[2001')
+    // and fabricate a blockable "domain" that matches nothing real
     val h = regexp_replace(
-      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)", 1),
+      regexp_extract(url,
+        "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#@]*\\]|[^/:?#@]+)", 1),
       "\\.+$", "")
     lower(when(h === "", null).otherwise(h))
   }
@@ -48,7 +53,7 @@ object UrlCuration {
   /** DuckDB twin of [[hostOf]] over expression `e`. */
   def duckHostOf(e: String): String =
     s"lower(nullif(regexp_replace(regexp_extract($e, " +
-      s"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)', 1), " +
+      s"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#@]*\\]|[^/:?#@]+)', 1), " +
       s"'\\.+$$', '', 'g'), ''))"
 
   /** Registrable domain (eTLD+1): the last two host labels, or the
@@ -61,7 +66,11 @@ object UrlCuration {
     val arr = split(host, "\\.")
     val n = size(arr)
     val last2 = concat_ws(".", element_at(arr, -2), element_at(arr, -1))
+    // IP-literal authorities (bracketed IPv6, dotted IPv4) have no
+    // label structure — the ADDRESS is the blockable unit; label
+    // suffixing would reduce 127.0.0.1 to the nonsense domain "0.1"
     when(host.isNull, null)
+      .when(host.startsWith("[") || host.rlike("^[0-9]+(\\.[0-9]+){3}$"), host)
       .when(n >= 3 && last2.isin(MultiSuffixes: _*),
         concat_ws(".", element_at(arr, -3), last2))
       .when(n >= 2, last2)
@@ -72,6 +81,7 @@ object UrlCuration {
   def duckRegistrableDomain(e: String): String = {
     val inList = MultiSuffixes.map(s => s"'$s'").mkString("(", ", ", ")")
     s"""CASE WHEN $e IS NULL THEN NULL
+       WHEN starts_with($e, '[') OR regexp_matches($e, '^[0-9]+(\\.[0-9]+){3}$$') THEN $e
        WHEN len(string_split($e, '.')) >= 3
             AND (string_split($e, '.')[-2] || '.' || string_split($e, '.')[-1]) IN $inList
          THEN string_split($e, '.')[-3] || '.' || string_split($e, '.')[-2] || '.' || string_split($e, '.')[-1]
@@ -99,7 +109,7 @@ object UrlCuration {
     // terminator, 'u:12345pw@h/x' backtracks out of the userinfo
     // group and fabricates port 12345 from the password
     val port = regexp_extract(url,
-      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#@]+:([0-9]+)(?:[/?#]|$)", 1)
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(?:\\[[^\\]/?#@]*\\]|[^/:?#@]+):([0-9]+)(?:[/?#]|$)", 1)
     val portPart = when(
       port === "" ||
         (scheme === "http" && port === "80") ||
@@ -108,10 +118,14 @@ object UrlCuration {
     val path0 = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "", "/").otherwise(path0)
-    // query anchored to the PRE-fragment half: '#/search?q=x' is all
-    // fragment — an unanchored \? would fabricate a query from it
+    // query anchored to the PRE-fragment half ('#/search?q=x' is all
+    // fragment) AND to the FIRST '?' (RFC 3986: the query starts at
+    // the first '?'; a greedy prefix would anchor on the LAST one and
+    // silently drop 'a=1?' from '/p?a=1?b=2', canonicalizing distinct
+    // URLs together — a literal '?' inside a param survives as part
+    // of that param)
     val query = array_join(
-      sort_array(filter(split(regexp_extract(url, "^[^#]*\\?([^#]*)", 1), "&"),
+      sort_array(filter(split(regexp_extract(url, "^[^#?]*\\?([^#]*)", 1), "&"),
         x => x =!= "" && !x.rlike("^(utm_[^=]*|gclid|fbclid)(=.*)?$"))), "&")
     when(host.isNull, null).otherwise(concat(
       scheme, lit("://"), host, portPart, path,
@@ -129,7 +143,7 @@ object UrlCuration {
   def duckCanonicalUrl(e: String): String = {
     val scheme = s"lower(regexp_extract($e, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val host = duckHostOf(e)
-    val port = s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#@]+:([0-9]+)(?:[/?#]|$$)', 1)"
+    val port = s"regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(?:\\[[^\\]/?#@]*\\]|[^/:?#@]+):([0-9]+)(?:[/?#]|$$)', 1)"
     val portPart = s"CASE WHEN $port = '' OR ($scheme = 'http' AND $port = '80') " +
       s"OR ($scheme = 'https' AND $port = '443') THEN '' ELSE ':' || $port END"
     val path = s"CASE WHEN regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = '' THEN '/' " +
@@ -138,7 +152,7 @@ object UrlCuration {
     // (Spark's array_join is '') — without it a url whose params all
     // filter away would NULL the whole concatenation
     val query = s"COALESCE(array_to_string(list_sort(list_filter(string_split(" +
-      s"regexp_extract($e, '^[^#]*\\?([^#]*)', 1), '&'), " +
+      s"regexp_extract($e, '^[^#?]*\\?([^#]*)', 1), '&'), " +
       s"x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)(=.*)?$$'))), '&'), '')"
     s"CASE WHEN $host IS NULL THEN NULL ELSE " +
       s"$scheme || '://' || $host || $portPart || $path || " +

@@ -39,6 +39,20 @@ class HtmlSpec extends SparkTestBase {
       "line two of the third block"), s"got $r")
   }
 
+  test("<br> needs a name boundary: <brand>/<broadcast-player> are NOT line breaks") {
+    val r = Html.htmlBlocks(Seq((1L,
+      "<p>our <brand>acme</brand> product line stays one block of text" +
+        "<br>while real breaks<br />with attributes<br class=\"x\">still split" +
+        "<broadcast-player src=\"x\"></broadcast-player> inline element kept</p>"
+    )).toDF("doc_id", "html")).orderBy($"block_idx")
+      .select($"block_text").collect().map(_.getString(0)).toSeq
+    assert(r == Seq(
+      "our acme product line stays one block of text",
+      "while real breaks",
+      "with attributes",
+      "still split inline element kept"), s"got $r")
+  }
+
   test("entities decode once, named-first: &amp;lt; is the literal string &lt;, not <") {
     val r = extract(
       "<p>Tom &amp; Jerry say &quot;5 &lt; 6 &gt; 4&quot; and &#39;hi&#39;&nbsp;twice; " +

@@ -113,6 +113,48 @@ class UrlCurationSpec extends SparkTestBase {
       None), s"got $got")
   }
 
+  test("query anchors on the FIRST '?': a literal '?' inside a param cannot collapse distinct URLs") {
+    // RFC 3986: the query starts at the first '?'. A greedy prefix
+    // would anchor on the LAST one, drop 'a=1?' / 'x=9?' and
+    // canonicalize these two distinct resources identically — then
+    // crawlDocs keeps one payload and silently loses a document.
+    val df = Seq(
+      (1L, "https://h.example.com/p?a=1?b=2"),
+      (2L, "https://h.example.com/p?x=9?b=2")
+    ).toDF("id", "url")
+    val got = UrlCuration.withCanonicalUrl(df).orderBy($"id")
+      .select($"canonical_url").as[String].collect().toSeq
+    assert(got == Seq(
+      "https://h.example.com/p?a=1?b=2",
+      "https://h.example.com/p?x=9?b=2"), s"got $got")
+    assert(got.distinct.size == 2)
+  }
+
+  test("bracketed IPv6 authorities parse whole; IP literals keep their address as the domain") {
+    val df = Seq(
+      (1L, "https://[2001:db8::1]/x"),
+      (2L, "https://[2001:DB8::1]:8080/x?b=2&a=1"),
+      (3L, "https://[::1]:443/y"),
+      (4L, "http://127.0.0.1:8080/z")
+    ).toDF("id", "url")
+    val v = UrlCuration.urlVerdicts(df, "url", block = Seq("[2001:db8::1]"))
+      .orderBy($"id")
+      .select($"host", $"domain", $"verdict").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(v == Seq(
+      ("[2001:db8::1]", "[2001:db8::1]", "blocked"),
+      ("[2001:db8::1]", "[2001:db8::1]", "blocked"),
+      ("[::1]", "[::1]", "neutral"),
+      ("127.0.0.1", "127.0.0.1", "neutral")), s"got $v")
+    val canon = UrlCuration.withCanonicalUrl(df).orderBy($"id")
+      .select($"canonical_url").as[String].collect().toSeq
+    assert(canon == Seq(
+      "https://[2001:db8::1]/x",
+      "https://[2001:db8::1]:8080/x?a=1&b=2", // port kept, params sorted
+      "https://[::1]/y",                      // default https port dropped
+      "http://127.0.0.1:8080/z"), s"got $canon")
+  }
+
   test("domainStats counts docs and distinct hosts per (domain, verdict)") {
     val df = Seq(
       (1L, "https://a.example.com/1"), (2L, "https://b.example.com/2"),
