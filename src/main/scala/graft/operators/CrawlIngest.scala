@@ -42,11 +42,40 @@ object CrawlIngest {
     * hash60(canonical url) and `url` IS the canonical form —
     * deterministic, so a consumer can rebuild the url ↔ doc_id map
     * from the crawl store at any time.
+    *
+    * `nearDupJaccard` (default 0.9) additionally collapses same-batch
+    * NEAR-copies — a 95%-similar restatement under a different url
+    * is as invisible to the index-novelty gate as an exact copy, for
+    * the same probe-before-append reason. The pass is the d02 scale
+    * shape (banded MinHash equi-join candidates + pairwise
+    * array_intersect Jaccard verify — never a posting self-join) on
+    * url keys, and the drop rule is pair-local, not clustered: a doc
+    * is dropped iff it is the LARGER url of some verified pair. That
+    * keeps the operator fully lazy (no iterative CC actions inside a
+    * streaming micro-batch) and still guarantees the contract that
+    * matters at the front door: NO verified near-dup pair survives
+    * into one admission batch (chains collapse to their minimum; two
+    * docs that were never verified similar are both kept — full
+    * transitive clustering is d06/d08's job, downstream). None
+    * disables the pass.
+    *
+    * `batchBounded` (default true) is the O41 broadcast rule applied
+    * to the dedup keeper/drop sets: in ST29 micro-batches the sets
+    * are bounded by the trigger's archives, so the semi/anti joins
+    * carry an explicit broadcast hint and extracted texts never
+    * re-shuffle. For a whole-archive BACKFILL through this function
+    * the sets scale with the corpus — pass false and the hints are
+    * omitted so AQE sizes the joins instead (never force-broadcast
+    * an unbounded side).
     */
   def crawlDocs(
       records: DataFrame,
       allow: Seq[String] = Nil,
-      block: Seq[String] = Nil): DataFrame = {
+      block: Seq[String] = Nil,
+      nearDupJaccard: Option[Double] = Some(0.9),
+      batchBounded: Boolean = true): DataFrame = {
+    def gate(small: DataFrame): DataFrame =
+      if (batchBounded) broadcast(small) else small
     val resp = records
       .where(col("warc_type") === "response" && !col("truncated") &&
         col("target_uri") =!= "")
@@ -92,10 +121,43 @@ object CrawlIngest {
       .groupBy(md5(col("text")).as("_ch"))
       .agg(min(col("url")).as("url"))
       .select(col("url"))
-    extracted.where(col("text") === "")
-      .unionByName(extracted.join(broadcast(keepers), Seq("url"), "left_semi"))
-      .select(
-        graft.functions.PortableHash.hash60(col("url")).as("doc_id"),
-        col("url"), col("text"))
+    val exactKept = extracted.where(col("text") === "")
+      .unionByName(extracted.join(gate(keepers), Seq("url"), "left_semi"))
+    // intra-batch NEAR-dup dedup (d02 at the front door), on the
+    // exact-dedup survivors: banded minhash candidates (equi-join on
+    // (band, bh) — the only pairwise structure), exact Jaccard verify
+    // on the candidate pairs, then drop the larger url of every
+    // verified pair. Only (url, band-key) and (url-pair, shingle
+    // arrays of CANDIDATES) cross shuffles; the drop set anti-joins
+    // back under the same broadcast gate, so texts still never
+    // re-shuffle. Docs under 3 words have no 3-gram shingles and are
+    // exempt (they cannot be near-dups under this metric; exact md5
+    // already caught identical ones).
+    val deduped = nearDupJaccard match {
+      case None => exactKept
+      case Some(th) =>
+        val sh = exactKept.where(col("text") =!= "").select(
+          col("url"),
+          graft.functions.GraftExpressions.wordShingles(col("text"), 3, distinct = true)
+            .as("sh"))
+          .where(size(col("sh")) > 0)
+        val bands = Dedup.bandKeysFromShingles(sh, "url", "sh")
+        val cand = bands.select(col("url").as("id_a"), col("band"), col("bh"))
+          .join(bands.select(col("url").as("id_b"), col("band"), col("bh")),
+            Seq("band", "bh"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val drops = cand
+          .join(sh.select(col("url").as("id_a"), col("sh").as("_ta")), "id_a")
+          .join(sh.select(col("url").as("id_b"), col("sh").as("_tb")), "id_b")
+          .withColumn("_c", size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
+          .where(col("_c").cast("double") /
+            (size(col("_ta")) + size(col("_tb")) - col("_c")) >= th)
+          .select(col("id_b").as("url")).distinct()
+        exactKept.join(gate(drops), Seq("url"), "left_anti")
+    }
+    deduped.select(
+      graft.functions.PortableHash.hash60(col("url")).as("doc_id"),
+      col("url"), col("text"))
   }
 }

@@ -96,6 +96,59 @@ class CrawlStreamSpec extends SparkTestBase {
       s"keeper semi-join is not a broadcast:\n${plan.take(800)}")
   }
 
+  test("intra-batch NEAR-copies collapse: no verified near-dup pair survives; chains fold to the min url") {
+    // B = A with only the last word changed (1 of 38 shingles ->
+    // jaccard 37/39 = 0.949), C = B with the first word changed —
+    // a chain A~B~C under different urls in ONE batch. The pair-local
+    // drop rule must keep exactly the minimum url.
+    val base = (1 to 40).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = (base.init :+ "zz").mkString(" ")
+    val c = ("yy" +: base.init.tail :+ "zz").mkString(" ")
+    val archive =
+      httpRec("https://a.example.org/1", "n1", a) ++
+      httpRec("https://b.example.org/2", "n2", b) ++
+      httpRec("https://c.example.org/3", "n3", c) ++
+      httpRec("https://d.example.org/4", "n4", words("unrelated"))
+    val records = Seq(("f.warc", archive)).toDF("path", "content")
+    val kept = CrawlIngest.crawlDocs(graft.sources.Warc.records(records).toDF())
+      .select($"url").as[String].collect().toSeq.sorted
+    assert(kept == Seq("https://a.example.org/1", "https://d.example.org/4"),
+      s"near-dup chain not collapsed to the min url: $kept")
+    // pass disabled: all four survive (exact md5 keys all differ)
+    val keptOff = CrawlIngest.crawlDocs(
+        graft.sources.Warc.records(records).toDF(), nearDupJaccard = None)
+      .count()
+    assert(keptOff == 4L)
+    // plan shape: candidates come from a (band, bh) equi-join — the
+    // d02 discipline, never a posting/shingle self-join
+    val plan = CrawlIngest.crawlDocs(graft.sources.Warc.records(records).toDF())
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("band") && plan.contains("bh"),
+      s"near-dup candidates are not band-keyed:\n${plan.take(600)}")
+  }
+
+  test("backfill path (batchBounded=false): rows identical, no forced broadcast in the plan") {
+    val archive =
+      httpRec("https://a.example.org/x", "b1", words("alpha")) ++
+      httpRec("https://b.example.org/y", "b2", words("alpha")) ++ // exact copy
+      httpRec("https://c.example.org/z", "b3", words("gamma"))
+    val records = Seq(("f.warc", archive)).toDF("path", "content")
+    val recs = graft.sources.Warc.records(records).toDF()
+    val micro = CrawlIngest.crawlDocs(recs)
+    val backfill = CrawlIngest.crawlDocs(recs, batchBounded = false)
+    val m = micro.orderBy($"url").collect().map(_.toSeq).toSeq
+    val bf = backfill.orderBy($"url").collect().map(_.toSeq).toSeq
+    assert(m == bf, "micro-batch and backfill paths disagree on rows")
+    // the O41 rule: the backfill's corpus-scaled keeper/drop sets
+    // must NOT carry a forced broadcast hint (AQE sizes them); the
+    // micro-batch path keeps the explicit hint
+    assert(!backfill.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "backfill path still forces a broadcast")
+    assert(micro.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "micro-batch path lost its broadcast hint")
+  }
+
   test("recency is WARC-Date, not archive naming: crawl-9 vs crawl-10") {
     // lexicographically 'crawl-9.warc' > 'crawl-10.warc' — a
     // path-ordered 'latest' would keep the STALE capture
