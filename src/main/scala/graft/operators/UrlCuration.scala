@@ -17,13 +17,11 @@ import graft.tables.Tables
   */
 object UrlCuration {
 
-  /** Multi-label public suffixes recognized by [[registrableDomain]]
-    * (a small built-in set of the common ccSLDs — a production
-    * deployment swaps in the full public-suffix list as a broadcast
-    * lookup; the reduction logic is unchanged).
-    */
-  final val MultiSuffixes: Seq[String] =
-    Seq("co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "co.jp", "co.in", "com.br")
+  // (round 16) registrable-domain reduction moved to [[Psl]] — full
+  // public-suffix-list rule semantics (normal + wildcard + exception
+  // rules, private section) over a committed snapshot subset; this
+  // object keeps the thin delegates so every caller and the t35
+  // oracle stay on one implementation.
 
   /** Lowercased host from a URL: strips scheme, userinfo, port, path,
     * query, fragment — and any trailing dots (the FQDN form
@@ -56,39 +54,18 @@ object UrlCuration {
       s"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#@]*\\]|[^/:?#@]+)', 1), " +
       s"'\\.+$$', '', 'g'), ''))"
 
-  /** Registrable domain (eTLD+1): the last two host labels, or the
-    * last three when the last two form a known multi-label suffix
-    * ([[MultiSuffixes]]); hosts with fewer labels pass through whole.
-    * `www.cdn.example.co.uk` → `example.co.uk`; `www.example.com` →
-    * `example.com`.
+  /** Registrable domain (eTLD+1) under the public-suffix list — full
+    * rule semantics incl. wildcard (`*.ck`) and exception (`!www.ck`)
+    * rules and the private hosting section (`x.blogspot.com` →
+    * `x.blogspot.com`, not `blogspot.com`: blocking one tenant must
+    * not block the platform). NULL (→ `invalid`) for hosts that ARE
+    * a public suffix; IP literals and rule-less bare hosts pass
+    * through whole. See [[Psl]] for the algorithm and snapshot.
     */
-  def registrableDomain(host: Column): Column = {
-    val arr = split(host, "\\.")
-    val n = size(arr)
-    val last2 = concat_ws(".", element_at(arr, -2), element_at(arr, -1))
-    // IP-literal authorities (bracketed IPv6, dotted IPv4) have no
-    // label structure — the ADDRESS is the blockable unit; label
-    // suffixing would reduce 127.0.0.1 to the nonsense domain "0.1"
-    when(host.isNull, null)
-      .when(host.startsWith("[") || host.rlike("^[0-9]+(\\.[0-9]+){3}$"), host)
-      .when(n >= 3 && last2.isin(MultiSuffixes: _*),
-        concat_ws(".", element_at(arr, -3), last2))
-      .when(n >= 2, last2)
-      .otherwise(host)
-  }
+  def registrableDomain(host: Column): Column = Psl.registrableDomain(host)
 
   /** DuckDB twin of [[registrableDomain]] over host expression `e`. */
-  def duckRegistrableDomain(e: String): String = {
-    val inList = MultiSuffixes.map(s => s"'$s'").mkString("(", ", ", ")")
-    s"""CASE WHEN $e IS NULL THEN NULL
-       WHEN starts_with($e, '[') OR regexp_matches($e, '^[0-9]+(\\.[0-9]+){3}$$') THEN $e
-       WHEN len(string_split($e, '.')) >= 3
-            AND (string_split($e, '.')[-2] || '.' || string_split($e, '.')[-1]) IN $inList
-         THEN string_split($e, '.')[-3] || '.' || string_split($e, '.')[-2] || '.' || string_split($e, '.')[-1]
-       WHEN len(string_split($e, '.')) >= 2
-         THEN string_split($e, '.')[-2] || '.' || string_split($e, '.')[-1]
-       ELSE $e END"""
-  }
+  def duckRegistrableDomain(e: String): String = Psl.duckRegistrableDomain(e)
 
   /** Canonical URL for dedup/grouping — the normalization a crawl
     * pipeline applies BEFORE url-keyed dedup (mirrors differing only
@@ -201,28 +178,45 @@ object UrlCuration {
   // verdict → per-domain stats, end-to-end oracle-gated.
   // -----------------------------------------------------------------
 
-  private val AllowList = Seq("src10.com", "src22.co.uk")
-  private val BlockList = Seq("src00.com", "src41.co.uk", "src112.org")
+  // Round 16: the synthetic hosts walk the PSL rule lattice — plain
+  // gTLD/ccSLD suffixes, a private hosting suffix (blogspot/github —
+  // the registrable domain is the TENANT), a wildcard family (.ck:
+  // bare srcN.ck IS a public suffix → invalid; www.srcN.ck reduces
+  // to srcN.ck), the *.kawasaki.jp family, and the two exception-rule
+  // hosts (www.ck blocked, city.kawasaki.jp neutral).
+  private val AllowList = Seq("src10.com", "src22.co.uk", "src33.blogspot.com")
+  private val BlockList = Seq("src00.com", "src41.co.uk", "src112.org", "www.ck")
 
-  private[operators] def syntheticUrls(docs: DataFrame): DataFrame =
+  private[operators] def syntheticUrls(docs: DataFrame): DataFrame = {
+    val cls = (col("doc_id") % 9).cast("int")
+    val suffix = element_at(array(lit(".com"), lit(".co.uk"), lit(".org"),
+      lit(".blogspot.com"), lit(".ck"), lit(".kawasaki.jp"), lit(".github.io"),
+      lit(""), lit("")), cls + 1)
+    val srcHost = concat(
+      when(col("doc_id") % 5 === 0, "www.").otherwise(""),
+      when(col("doc_id") % 13 === 0, upper(col("source"))).otherwise(col("source")),
+      (col("doc_id") % 7).cast("string"), suffix)
+    val host = when(cls === 7, "www.ck")
+      .when(cls === 8, "city.kawasaki.jp")
+      .otherwise(srcHost)
     docs.select(col("doc_id"), concat(
       lit("https://"),
       when(col("doc_id") % 11 === 0, "user:pw@").otherwise(""),
-      when(col("doc_id") % 5 === 0, "www.").otherwise(""),
-      when(col("doc_id") % 13 === 0, upper(col("source"))).otherwise(col("source")),
-      (col("doc_id") % 7).cast("string"),
-      element_at(array(lit(".com"), lit(".co.uk"), lit(".org")),
-        (col("doc_id") % 3 + 1).cast("int")),
+      host,
       when(col("doc_id") % 4 === 0, ":8080").otherwise(""),
       lit("/p/"), col("doc_id").cast("string"),
       when(col("doc_id") % 2 === 0, "?ref=rss#frag").otherwise("")).as("url"))
+  }
 
   private val duckSyntheticUrls: String =
     "'https://' || CASE WHEN doc_id % 11 = 0 THEN 'user:pw@' ELSE '' END" +
-      " || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END" +
+      " || CASE CAST(doc_id % 9 AS INT) WHEN 7 THEN 'www.ck' WHEN 8 THEN 'city.kawasaki.jp'" +
+      " ELSE CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END" +
       " || CASE WHEN doc_id % 13 = 0 THEN upper(source) ELSE source END" +
       " || CAST(doc_id % 7 AS VARCHAR)" +
-      " || CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' ELSE '.org' END" +
+      " || CASE CAST(doc_id % 9 AS INT) WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'" +
+      " WHEN 2 THEN '.org' WHEN 3 THEN '.blogspot.com' WHEN 4 THEN '.ck'" +
+      " WHEN 5 THEN '.kawasaki.jp' ELSE '.github.io' END END" +
       " || CASE WHEN doc_id % 4 = 0 THEN ':8080' ELSE '' END" +
       " || '/p/' || doc_id" +
       " || CASE WHEN doc_id % 2 = 0 THEN '?ref=rss#frag' ELSE '' END"
