@@ -12,13 +12,122 @@ import graft.tables.Tables
 object TextAnalysis {
 
   // Tiny built-in stopword profiles (public common-word lists).
+  // Round 16 widens t01 to ~20 languages: 11 Latin-script profiles
+  // here + 9 script-detected languages in [[scriptDefs]] (zh stays
+  // for the script-less legacy callers).
   private val stop = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "auf", "fur", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "dans", "pour"),
     "es" -> Seq("el", "los", "las", "y", "de", "un", "una", "es", "en", "por"),
+    "it" -> Seq("il", "lo", "la", "gli", "e", "di", "che", "non", "per", "sono"),
+    "pt" -> Seq("o", "os", "as", "um", "uma", "que", "para", "com", "nao", "mais"),
+    "nl" -> Seq("het", "een", "van", "op", "met", "voor", "niet", "zijn", "dat", "aan"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "pa", "ar", "av", "for", "med"),
+    "pl" -> Seq("i", "w", "na", "sie", "nie", "jest", "to", "z", "do", "ze"),
+    "tr" -> Seq("ve", "bir", "bu", "da", "ne", "icin", "ile", "mi", "cok", "gibi"),
+    "ro" -> Seq("si", "la", "cu", "un", "o", "este", "pe", "care", "nu", "din"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "他", "这", "不")
   )
+
+  /** Latin-script profiles in t01's argmax PRECEDENCE order (first
+    * max wins — deterministic, engine-replayable).
+    */
+  private[operators] val LatinLangs: Seq[String] =
+    Seq("en", "de", "fr", "es", "it", "pt", "nl", "sv", "pl", "tr", "ro")
+
+  /** Script-detected languages: (script, Java char class, RE2 char
+    * class, language, sample phrase). Precedence order matters and
+    * kana is FIRST — Japanese text mixes kanji with kana, so any
+    * kana presence must win over the Han count (a pure-Han doc is
+    * Chinese). A script needs [[MinScriptChars]] chars to fire —
+    * stray symbols must not flip a Latin doc.
+    */
+  private[operators] val scriptDefs: Seq[(String, String, String, String, String)] = Seq(
+    ("kana", "\\p{IsHiragana}\\p{IsKatakana}", "\\p{Hiragana}\\p{Katakana}",
+      "ja", "これは にほんごの ぶんしょう です"),
+    ("han", "\\p{IsHan}", "\\p{Han}", "zh", "的是在了和有我他这不"),
+    ("hangul", "\\p{IsHangul}", "\\p{Hangul}", "ko", "이것은 한국어 문장 입니다"),
+    ("cyrillic", "\\p{IsCyrillic}", "\\p{Cyrillic}", "ru", "это русский текст пример"),
+    ("arabic", "\\p{IsArabic}", "\\p{Arabic}", "ar", "هذا نص عربي بسيط"),
+    ("greek", "\\p{IsGreek}", "\\p{Greek}", "el", "αυτο ειναι ελληνικο κειμενο"),
+    ("hebrew", "\\p{IsHebrew}", "\\p{Hebrew}", "he", "זהו טקסט בעברית פשוט"),
+    ("devanagari", "\\p{IsDevanagari}", "\\p{Devanagari}", "hi", "यह हिंदी पाठ है"),
+    ("thai", "\\p{IsThai}", "\\p{Thai}", "th", "นี่คือข้อความภาษาไทย")
+  )
+
+  private[operators] val MinScriptChars = 4
+
+  /** The 20-language phrase table (index = doc_id % 20 in t01's
+    * synthetic injection): Latin profiles inject their own stopword
+    * list as a phrase; script languages inject their sample.
+    */
+  private[operators] val LangPhrases: Seq[(String, String)] =
+    LatinLangs.map(l => l -> stop(l).mkString(" ")) ++
+      scriptDefs.map(d => d._4 -> d._5)
+
+  /** Dominant script of a text column: first script in [[scriptDefs]]
+    * precedence with >= [[MinScriptChars]] chars, else 'latin'.
+    */
+  def scriptOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    scriptDefs.foldRight(lit("latin"): org.apache.spark.sql.Column) {
+      case ((name, jcls, _, _, _), acc) =>
+        when(length(regexp_replace(c, s"[^$jcls]", "")) >= MinScriptChars, name)
+          .otherwise(acc)
+    }
+
+  private def duckScriptCount(e: String, re2cls: String): String =
+    s"length(regexp_replace($e, '[^$re2cls]', '', 'g'))"
+
+  /** DuckDB twin of [[scriptOf]] over expression `e`. */
+  def duckScriptOf(e: String): String =
+    scriptDefs.foldRight("'latin'") { case ((name, _, rcls, _, _), acc) =>
+      s"CASE WHEN ${duckScriptCount(e, rcls)} >= $MinScriptChars THEN '$name' ELSE $acc END"
+    }
+
+  private def gmax(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    if (cs.length == 1) cs.head else greatest(cs: _*)
+
+  /** Language of a text column: script first (each script maps to its
+    * language), then the stopword argmax over the Latin profiles —
+    * the two-tier architecture a real curator runs (script detection
+    * is char-level and free; stopword profiles only disambiguate
+    * within the Latin script).
+    */
+  def langOf(textCol: org.apache.spark.sql.Column,
+      wordsCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hits = LatinLangs.map(l =>
+      l -> size(filter(wordsCol, w => w.isInCollection(stop(l)))))
+    def argmax(pairs: List[(String, org.apache.spark.sql.Column)]): org.apache.spark.sql.Column =
+      pairs match {
+        case (l, _) :: Nil => lit(l)
+        case (l, c) :: rest =>
+          when(c >= gmax(rest.map(_._2)), l).otherwise(argmax(rest))
+        case Nil => lit("en")
+      }
+    scriptDefs.foldRight(argmax(hits.toList)) {
+      case ((_, jcls, _, lang, _), acc) =>
+        when(length(regexp_replace(textCol, s"[^$jcls]", "")) >= MinScriptChars, lang)
+          .otherwise(acc)
+    }
+  }
+
+  /** DuckDB twin of [[langOf]] over (text expr, words expr). */
+  def duckLangOf(t: String, w: String): String = {
+    def duckGmax(cs: Seq[String]): String =
+      if (cs.length == 1) cs.head else s"GREATEST(${cs.mkString(", ")})"
+    def hit(l: String) = s"len(list_filter($w, x -> x IN ${inList(stop(l))}))"
+    def argmax(ls: List[String]): String = ls match {
+      case l :: Nil => s"'$l'"
+      case l :: rest =>
+        s"CASE WHEN ${hit(l)} >= ${duckGmax(rest.map(hit))} THEN '$l' ELSE ${argmax(rest)} END"
+      case Nil => "'en'"
+    }
+    scriptDefs.foldRight(argmax(LatinLangs.toList)) {
+      case ((_, _, rcls, lang, _), acc) =>
+        s"CASE WHEN ${duckScriptCount(t, rcls)} >= $MinScriptChars THEN '$lang' ELSE $acc END"
+    }
+  }
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -256,44 +365,38 @@ object TextAnalysis {
   val all: Seq[Q] = Seq(
     Q(
       "t01_lang_id",
-      "Stopword-profile language ID with deterministic argmax precedence",
+      "20-language ID: Unicode script detection first, stopword-profile argmax within Latin script",
       (spark, dir) => {
         import spark.implicits._
+        // the videoPayloads discipline: the corpus is English-ish
+        // ASCII, so each doc gets a deterministic language phrase
+        // (its profile's own stopwords, or a script sample) injected
+        // by the SAME expression in both engines — the detector must
+        // then recover the injected class end-to-end
+        val phrase = element_at(
+          array(LangPhrases.map(p => lit(p._2)): _*),
+          (col("doc_id") % LangPhrases.length + 1).cast("int"))
         Tables.load(spark, dir, "documents")
-          .withColumn("words", expr(sparkWords))
+          .withColumn("text2", concat($"text", lit(" "), phrase))
+          .withColumn("words", expr(sparkWords.replace("text", "text2")))
           .select(
             $"doc_id",
-            expr(sparkHits("en")).cast("long").as("hits_en"),
-            expr(sparkHits("de")).cast("long").as("hits_de"),
-            expr(sparkHits("fr")).cast("long").as("hits_fr"),
-            expr(sparkHits("es")).cast("long").as("hits_es"),
-            expr(sparkHits("zh")).cast("long").as("hits_zh")
-          )
-          .withColumn(
-            "pred_lang",
-            when($"hits_en" >= greatest($"hits_de", $"hits_fr", $"hits_es", $"hits_zh"), "en")
-              .when($"hits_de" >= greatest($"hits_fr", $"hits_es", $"hits_zh"), "de")
-              .when($"hits_fr" >= greatest($"hits_es", $"hits_zh"), "fr")
-              .when($"hits_es" >= $"hits_zh", "es")
-              .otherwise("zh")
-          )
+            scriptOf($"text2").as("script"),
+            langOf($"text2", $"words").as("pred_lang"))
           .orderBy($"doc_id")
       },
-      Some(s"""WITH w AS (SELECT doc_id, $duckWords AS words FROM documents),
-        h AS (SELECT doc_id,
-          CAST(${duckHits("en")} AS BIGINT) AS hits_en,
-          CAST(${duckHits("de")} AS BIGINT) AS hits_de,
-          CAST(${duckHits("fr")} AS BIGINT) AS hits_fr,
-          CAST(${duckHits("es")} AS BIGINT) AS hits_es,
-          CAST(${duckHits("zh")} AS BIGINT) AS hits_zh
-        FROM w)
-        SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, hits_zh,
-          CASE WHEN hits_en >= GREATEST(hits_de, hits_fr, hits_es, hits_zh) THEN 'en'
-               WHEN hits_de >= GREATEST(hits_fr, hits_es, hits_zh) THEN 'de'
-               WHEN hits_fr >= GREATEST(hits_es, hits_zh) THEN 'fr'
-               WHEN hits_es >= hits_zh THEN 'es'
-               ELSE 'zh' END AS pred_lang
-        FROM h ORDER BY doc_id""")
+      Some {
+        val phraseCase = LangPhrases.zipWithIndex
+          .map { case ((_, p), i) => s"WHEN $i THEN '$p'" }.mkString(" ")
+        s"""WITH t AS (SELECT doc_id, text || ' ' ||
+            CASE CAST(doc_id % ${LangPhrases.length} AS INT) $phraseCase END AS text2
+          FROM documents),
+        w AS (SELECT doc_id, text2,
+            ${duckWords.replace("text", "text2")} AS words FROM t)
+        SELECT doc_id, ${duckScriptOf("text2")} AS script,
+          ${duckLangOf("text2", "words")} AS pred_lang
+        FROM w ORDER BY doc_id"""
+      }
     ),
 
     Q(
