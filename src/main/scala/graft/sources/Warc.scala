@@ -169,4 +169,216 @@ object Warc {
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (p, b) => parseWarc(p, b) })
   }
+
+  // -----------------------------------------------------------------
+  // Streaming walk (round 16): removes the whole-file byte-array
+  // bound. [[parseWarc]] holds the decompressed archive in ONE
+  // Array[Byte] — a hard 2 GiB JVM cliff and a per-task memory cost
+  // of O(archive). The streaming walk below holds O(one record):
+  // a bounded scan buffer for magic/header search plus the current
+  // record's payload. Offsets are Long and byte-identical to the
+  // array walk's (both count decompressed bytes from 0), and every
+  // malformed-input contract is preserved: magic resync, missing
+  // Content-Length → truncated+resync, payload past EOF → truncated
+  // tail, corrupt .gz → whatever decompressed then the partial-tail
+  // handling, total .gz failure on a nonempty file → the countable
+  // sentinel record. One bounded divergence: a record whose HEADER
+  // block exceeds 1 MiB without a blank line is cut there instead of
+  // at archive end (the array walk would scan to EOF) — real WARC
+  // headers are < 1 KiB; an unbounded header is an attack, not data.
+  // A SINGLE record's payload must still fit a JVM array — inherent
+  // to the Array[Byte] row model; WARC records are page-sized.
+  // -----------------------------------------------------------------
+
+  private val MaxHeaderBytes = 1 << 20
+
+  /** Bounded-buffer byte scanner over an InputStream: discarding
+    * needle search (O(needle) memory), bounded lookahead search,
+    * exact-N take. IOExceptions read as EOF — a corrupt tail costs
+    * its records, not the task (the gunzip contract).
+    */
+  private final class ByteScan(in: java.io.InputStream) {
+    private var buf = new Array[Byte](1 << 16)
+    private var start = 0
+    private var end = 0
+    private var base = 0L // absolute stream offset of buf(start)
+
+    def absPos: Long = base
+    def avail: Int = end - start
+
+    private def fill(): Boolean = {
+      if (start > 0) {
+        System.arraycopy(buf, start, buf, 0, end - start)
+        end -= start; start = 0
+      }
+      if (end == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      val n = try in.read(buf, end, buf.length - end)
+        catch { case _: java.io.IOException => -1 }
+      if (n > 0) { end += n; true } else false
+    }
+
+    def consume(n: Int): Unit = { start += n; base += n }
+
+    private def indexOfFrom(needle: Array[Byte], fromRel: Int): Int = {
+      var i = start + math.max(fromRel, 0)
+      val limit = end - needle.length
+      while (i <= limit) {
+        var j = 0
+        while (j < needle.length && buf(i + j) == needle(j)) j += 1
+        if (j == needle.length) return i - start
+        i += 1
+      }
+      -1
+    }
+
+    /** Discard bytes until `needle` sits at relative 0; false at EOF.
+      * Keeps at most needle.length-1 carry bytes while scanning.
+      */
+    def skipTo(needle: Array[Byte]): Boolean = {
+      while (true) {
+        val rel = indexOfFrom(needle, 0)
+        if (rel >= 0) { consume(rel); return true }
+        val keep = math.min(avail, needle.length - 1)
+        consume(avail - keep)
+        if (!fill()) { consume(avail); return false }
+      }
+      false
+    }
+
+    /** Relative index of `needle`, buffering up to maxBuffer bytes of
+      * lookahead; -1 if not found within the bound or before EOF
+      * (the buffer then holds everything read — the caller's
+      * truncated-header text).
+      */
+    def findBounded(needle: Array[Byte], maxBuffer: Int): Int = {
+      var searchedTo = 0
+      while (true) {
+        val rel = indexOfFrom(needle, searchedTo)
+        if (rel >= 0) return rel
+        searchedTo = math.max(0, avail - needle.length + 1)
+        if (avail >= maxBuffer) return -1
+        if (!fill()) return -1
+      }
+      -1
+    }
+
+    /** Copy of the first n buffered bytes (no consume). */
+    def peek(n: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(buf, start, start + math.min(n, avail))
+
+    /** Consume exactly n bytes (buffered first, then direct stream
+      * reads); returns fewer at EOF — the truncation signal.
+      */
+    def take(n: Long): Array[Byte] = {
+      val len = math.min(n, (Int.MaxValue - 8).toLong).toInt
+      val out = new Array[Byte](len)
+      var copied = math.min(avail, len)
+      System.arraycopy(buf, start, out, 0, copied)
+      consume(copied)
+      while (copied < len) {
+        val m = try in.read(out, copied, len - copied)
+          catch { case _: java.io.IOException => -1 }
+        if (m <= 0) return java.util.Arrays.copyOf(out, copied)
+        copied += m; base += m
+      }
+      out
+    }
+  }
+
+  /** Streaming twin of [[parseWarc]]: identical records and offsets,
+    * O(record) memory instead of O(archive) — see the block comment
+    * above for the contract. The caller owns closing `rawIn` (the
+    * Dataset form closes on iterator exhaustion).
+    */
+  def parseWarcStream(path: String, rawIn: java.io.InputStream): Iterator[WarcRecord] = {
+    val pb = new java.io.PushbackInputStream(rawIn, 1)
+    val firstByte = pb.read()
+    if (firstByte < 0) return Iterator.empty
+    pb.unread(firstByte)
+    val gz = path.endsWith(".gz")
+    val in: java.io.InputStream =
+      if (!gz) pb
+      else try new java.util.zip.GZIPInputStream(pb, 65536)
+      catch {
+        case _: java.io.IOException =>
+          // nothing decompressible at all: the countable sentinel
+          return Iterator.single(WarcRecord(
+            path, 0L, "", "", "", "", -1L, Array.emptyByteArray, truncated = true))
+      }
+    val bs = new ByteScan(in)
+    val found = bs.skipTo(Magic)
+    if (!found && gz && bs.absPos == 0L)
+      // gz header parsed but ZERO bytes decompressed from a nonempty
+      // file — same sentinel as the array walk (decompressed-but-
+      // magicless archives stay an empty iterator there too)
+      return Iterator.single(WarcRecord(
+        path, 0L, "", "", "", "", -1L, Array.emptyByteArray, truncated = true))
+    new Iterator[WarcRecord] {
+      private var done = !found
+      override def hasNext: Boolean = !done
+      override def next(): WarcRecord = {
+        val recOffset = bs.absPos
+        val hdrEnd = bs.findBounded(HeaderEnd, MaxHeaderBytes)
+        if (hdrEnd < 0) {
+          done = true
+          val text = new String(bs.peek(bs.avail), "UTF-8")
+          val f = fields(text)
+          WarcRecord(path, recOffset, f.getOrElse("warc-type", ""),
+            f.getOrElse("warc-record-id", ""), f.getOrElse("warc-target-uri", ""),
+            f.getOrElse("warc-date", ""), -1L, Array.emptyByteArray, truncated = true)
+        } else {
+          val f = fields(new String(bs.peek(hdrEnd), "UTF-8"))
+          bs.consume(hdrEnd + 4)
+          val len = f.get("content-length").flatMap(_.toLongOption).getOrElse(-1L)
+          if (len < 0) {
+            if (!bs.skipTo(Magic)) done = true
+            WarcRecord(path, recOffset, f.getOrElse("warc-type", ""),
+              f.getOrElse("warc-record-id", ""), f.getOrElse("warc-target-uri", ""),
+              f.getOrElse("warc-date", ""), -1L, Array.emptyByteArray, truncated = true)
+          } else {
+            val payload = bs.take(len)
+            val truncated = payload.length < len
+            if (truncated) done = true
+            else if (!bs.skipTo(Magic)) done = true
+            WarcRecord(path, recOffset, f.getOrElse("warc-type", ""),
+              f.getOrElse("warc-record-id", ""), f.getOrElse("warc-target-uri", ""),
+              f.getOrElse("warc-date", ""), len, payload, truncated)
+          }
+        }
+      }
+    }
+  }
+
+  /** Streaming Dataset form: archives by PATH (no whole-file bytes in
+    * any row), one task per file, O(record) task memory — the shape
+    * for oversized archives the [[records]] byte-array contract
+    * can't hold. Streams open per-file via the Hadoop filesystem of
+    * each path and close on iterator exhaustion.
+    */
+  def recordsStreamed(
+      spark: SparkSession, paths: Seq[String]): Dataset[WarcRecord] = {
+    import spark.implicits._
+    // executor-side Hadoop conf: rebuilt from defaults in-task (the
+    // driver conf object is not serializable); correct for file:/
+    // and any deployment shipping core-site via HADOOP_CONF_DIR
+    val nParts = math.max(1, paths.size)
+    spark.createDataset(paths).repartition(nParts)
+      .mapPartitions { it =>
+        it.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val in = fs.open(hp)
+          val inner = parseWarcStream(p, in)
+          new Iterator[WarcRecord] {
+            private var closed = false
+            override def hasNext: Boolean = {
+              val h = inner.hasNext
+              if (!h && !closed) { closed = true; try in.close() catch { case _: Exception => } }
+              h
+            }
+            override def next(): WarcRecord = inner.next()
+          }
+        }
+      }
+  }
 }

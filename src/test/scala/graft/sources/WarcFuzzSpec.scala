@@ -95,4 +95,64 @@ class WarcFuzzSpec extends AnyFunSuite {
         "the leading valid record was lost to trailing soup")
     }
   }
+
+  // ------------------------------------------------------------
+  // Streaming-walk parity (round 16): parseWarcStream must emit
+  // RECORD-IDENTICAL output to parseWarc on every fuzz class — the
+  // stream fed in 7-byte trickles so the bounded-buffer refill path
+  // is exercised at every boundary.
+  // ------------------------------------------------------------
+
+  /** An InputStream that yields at most 7 bytes per read call. */
+  private final class Trickle(bytes: Array[Byte]) extends java.io.InputStream {
+    private var pos = 0
+    override def read(): Int =
+      if (pos >= bytes.length) -1 else { pos += 1; bytes(pos - 1) & 0xFF }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (pos >= bytes.length) return -1
+      val n = math.min(7, math.min(len, bytes.length - pos))
+      System.arraycopy(bytes, pos, b, off, n)
+      pos += n; n
+    }
+  }
+
+  private def key(r: WarcRecord) = (r.offset, r.warc_type, r.record_id,
+    r.target_uri, r.warc_date, r.content_length,
+    r.payload.toSeq, r.truncated)
+
+  private def parityCheck(name: String, g: Gen[Array[Byte]], suffix: String = ".warc"): Unit =
+    samples(g, 150).zipWithIndex.foreach { case (bytes, i) =>
+      val p = s"parity-$name-$i$suffix"
+      val arr = Warc.parseWarc(p, bytes).toList.map(key)
+      val str = Warc.parseWarcStream(p, new Trickle(bytes)).toList.map(key)
+      assert(arr == str, s"$name[$i]: stream walk diverged from array walk\n" +
+        s"array:  ${arr.take(3)}\nstream: ${str.take(3)}")
+    }
+
+  test("stream parity: byte soup") { parityCheck("soup", bytesGen) }
+  test("stream parity: magic-stamped soup") { parityCheck("magic", magicStamped) }
+  test("stream parity: hostile Content-Length") { parityCheck("hostile", hostileHeader) }
+  test("stream parity: valid record + soup") { parityCheck("valid", validThenSoup) }
+
+  test("stream parity: corrupt/truncated .gz classes incl. the sentinel") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(b); g.close(); bo.toByteArray
+    }
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 7\r\n\r\n" +
+      "ok body\r\n\r\n").getBytes("UTF-8")
+    val whole = gz(rec)
+    val cases = samples(bytesGen, 40) ++ Seq(
+      whole, whole.take(whole.length / 2),
+      whole ++ "NOT GZIP TRAILER SOUP".getBytes("UTF-8"),
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0),
+      Array.emptyByteArray)
+    cases.zipWithIndex.foreach { case (bytes, i) =>
+      val p = s"parity-gz-$i.warc.gz"
+      val arr = Warc.parseWarc(p, bytes).toList.map(key)
+      val str = Warc.parseWarcStream(p, new Trickle(bytes)).toList.map(key)
+      assert(arr == str, s"gz[$i]: stream walk diverged (${arr.size} vs ${str.size})")
+    }
+  }
 }

@@ -124,6 +124,68 @@ class WarcSpec extends SparkTestBase {
     assert(rows == Seq((0L, -1L, true, 0)), s"got $rows")
   }
 
+  test("recordsStreamed == records on plain, gz, garbage and truncated archives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-s")
+    val gzBytes = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(archive); g.close(); bo.toByteArray
+    }
+    java.nio.file.Files.write(dir.resolve("a.warc"), archive)
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"), gzBytes)
+    java.nio.file.Files.write(dir.resolve("t.warc"), // payload past EOF
+      rec("response", "https://example.com/t", "ttt-9", httpBody).dropRight(12))
+    def canon(ds: org.apache.spark.sql.Dataset[WarcRecord]) = ds.collect()
+      .map(r => (r.path.substring(r.path.lastIndexOf('/') + 1), r.offset,
+        r.warc_type, r.record_id, r.target_uri, r.warc_date,
+        r.content_length, r.payload.toSeq, r.truncated))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaBytes = canon(Warc.records(Sources.binaryFiles(spark, dir.toString)))
+    val paths = java.nio.file.Files.list(dir).iterator()
+    val pathSeq = scala.jdk.CollectionConverters.IteratorHasAsScala(paths)
+      .asScala.map(_.toString).toSeq
+    val viaStream = canon(Warc.recordsStreamed(spark, pathSeq))
+    assert(viaBytes.nonEmpty && viaBytes == viaStream,
+      s"streamed walk diverged:\nbytes:  ${viaBytes.map(_._4)}\nstream: ${viaStream.map(_._4)}")
+  }
+
+  test("the 2 GiB cliff is gone: a >2 GiB archive streams through in O(record) memory") {
+    // 2,100 records x 1 MiB payloads ≈ 2.05 GiB — past Int.MaxValue,
+    // impossible for the whole-file Array[Byte] walk. The stream is
+    // GENERATED (shared payload template, per-record headers), so the
+    // test allocates one record at a time, exactly like the parser.
+    val n = 2100
+    val payloadSize = 1 << 20
+    val payload = new Array[Byte](payloadSize) // zeros: no stray magic
+    def header(k: Int) =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <r$k>\r\n" +
+        s"Content-Length: $payloadSize\r\n\r\n").getBytes("US-ASCII")
+    val en = new java.util.Enumeration[java.io.InputStream] {
+      private var i = 0
+      override def hasMoreElements: Boolean = i < n * 2
+      override def nextElement(): java.io.InputStream = {
+        val s = if (i % 2 == 0) new java.io.ByteArrayInputStream(header(i / 2))
+          else new java.io.ByteArrayInputStream(payload)
+        i += 1; s
+      }
+    }
+    val it = Warc.parseWarcStream("big.warc", new java.io.SequenceInputStream(en))
+    var count = 0
+    var lastOffset = 0L
+    var lastId = ""
+    var anyTruncated = false
+    it.foreach { r =>
+      count += 1; lastOffset = r.offset; lastId = r.record_id
+      anyTruncated ||= r.truncated
+      assert(r.content_length == payloadSize.toLong)
+    }
+    assert(count == n, s"lost records past the 2 GiB line: $count")
+    assert(!anyTruncated)
+    assert(lastId == s"<r${n - 1}>")
+    assert(lastOffset > Int.MaxValue.toLong,
+      s"test did not cross the 2 GiB boundary: $lastOffset")
+  }
+
   test("S8 feeds t34: response payloads -> html -> extracted text") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-h")
     java.nio.file.Files.write(dir.resolve("c.warc"), archive)
