@@ -12,6 +12,9 @@ import scala.jdk.CollectionConverters._
   *   Cli <loaderClass> deps -n <workflow>
   *   Cli <loaderClass> run -n <workflow> [-c config.json] [-s] target...
   *   Cli <loaderClass> sql [-d dataDir] [--limit N] query...
+  *   Cli <loaderClass> index versions|pin|gc|compact|tombstone|takedown
+  *       -p <path> [-k band|ann|lex|gram|perceptual|frame]
+  *       [--ids 1,2,3] [--keep N] [--docs pq] [--takedown-id N]
   *
   * `sql` is the last mile of the X4 registration: it opens (or joins)
   * a Spark session with ALL graft custom expressions registered
@@ -54,6 +57,12 @@ object Cli {
     var wkfName = "default"
     var cfgPath: Option[String] = None
     var dataDir: Option[String] = None
+    var idxPath: Option[String] = None
+    var idxKind: Option[String] = None
+    var idsArg: Option[String] = None
+    var docsArg: Option[String] = None
+    var takedownId: Option[Long] = None
+    var keep = 1
     var limit = 20
     var show = false
     var verbose = 0
@@ -64,6 +73,12 @@ object Cli {
         case "-n" | "--name" if i + 1 < rest.length => wkfName = rest(i + 1); i += 2
         case "-c" | "--config" if i + 1 < rest.length => cfgPath = Some(rest(i + 1)); i += 2
         case "-d" | "--data" if i + 1 < rest.length => dataDir = Some(rest(i + 1)); i += 2
+        case "-p" | "--path" if i + 1 < rest.length => idxPath = Some(rest(i + 1)); i += 2
+        case "-k" | "--kind" if i + 1 < rest.length => idxKind = Some(rest(i + 1)); i += 2
+        case "--ids" if i + 1 < rest.length => idsArg = Some(rest(i + 1)); i += 2
+        case "--docs" if i + 1 < rest.length => docsArg = Some(rest(i + 1)); i += 2
+        case "--takedown-id" if i + 1 < rest.length => takedownId = Some(rest(i + 1).toLong); i += 2
+        case "--keep" if i + 1 < rest.length => keep = rest(i + 1).toInt; i += 2
         case "--limit" if i + 1 < rest.length => limit = rest(i + 1).toInt; i += 2
         case "-s" | "--show" => show = true; i += 1
         case "-v" | "--verbose" => verbose += 1; i += 1
@@ -108,17 +123,7 @@ object Cli {
         }
 
       case "sql" =>
-        // getOrCreate: inside an existing session (tests, notebooks)
-        // the extensions config is ignored, so the function surface is
-        // ALSO registered explicitly — register() is idempotent
-        val spark = org.apache.spark.sql.SparkSession.builder()
-          .appName("graft-sql")
-          .master(sys.props.getOrElse("spark.master", "local[*]"))
-          .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-          .config("spark.sql.shuffle.partitions", "32")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-        graft.functions.GraftExtensions.register(spark)
+        val spark = sparkSession()
         dataDir.foreach { dir =>
           graft.tables.Tables.names.foreach { t =>
             graft.tables.Tables.load(spark, dir, t).createOrReplaceTempView(t)
@@ -138,8 +143,118 @@ object Cli {
           }
         }
 
+      // index lifecycle administration (O30-managed layouts): what an
+      // operator on call needs from a shell — until round 16 these
+      // were Scala-API-only.
+      //   index versions  -p PATH
+      //   index pin       -p PATH [name]
+      //   index gc        -p PATH [--keep N]       (one versioned root)
+      //   index compact   -k KIND -p PATH [--keep N]
+      //   index tombstone -k KIND -p PATH --ids 1,2,3
+      //   index takedown  -p PATH --docs PARQUET --takedown-id N  (gram)
+      // KIND ∈ band | ann | lex | gram | perceptual | frame
+      case "index" =>
+        import graft.operators.{Dedup, GramIndex, IndexLayout, LexIndex, Multimodal, Ops}
+        val sub = targets.headOption.getOrElse("")
+        def p: String = idxPath.getOrElse {
+          out("Error: index commands need -p <path>")
+          throw new InvalidValue("index: missing -p")
+        }
+        def kind: String = idxKind.getOrElse {
+          out("Error: this index command needs -k <band|ann|lex|gram|perceptual|frame>")
+          throw new InvalidValue("index: missing -k")
+        }
+        val spark = sparkSession()
+        def idsDf = {
+          val ids = idsArg.getOrElse {
+            out("Error: tombstone needs --ids id1,id2,...")
+            throw new InvalidValue("index: missing --ids")
+          }.split(",").map(_.trim.toLong).toSeq
+          import spark.implicits._
+          ids.toDF("id")
+        }
+        sub match {
+          case "versions" =>
+            val cur = IndexLayout.currentVersion(spark, p)
+            IndexLayout.listVersions(spark, p).foreach { v =>
+              out(if (cur.contains(v)) s"$v  CURRENT" else v)
+            }
+          case "pin" =>
+            val name = targets.drop(1).headOption.getOrElse("pin")
+            val v = IndexLayout.currentVersion(spark, p).getOrElse {
+              out(s"Error: no published version under $p")
+              throw new InvalidValue(s"index pin: $p has no _CURRENT")
+            }
+            IndexLayout.writeMeta(spark, s"$p/pins", name, v)
+            out(s"pinned $name = $v")
+          case "gc" =>
+            IndexLayout.gcVersions(spark, p, keep)
+            out("ok")
+          case "compact" =>
+            kind match {
+              case "band" => Dedup.compactBandIndex(spark, p, keep)
+              case "ann" => Ops.compactAnnIndex(spark, p, keep)
+              case "lex" => LexIndex.compactLexIndex(spark, p)
+              case "gram" => GramIndex.compactGramIndex(spark, p)
+              case "perceptual" => Multimodal.compactPerceptualIndex(spark, p, keep)
+              case "frame" => Multimodal.compactFrameIndex(spark, p, keep)
+              case k =>
+                out(s"Error: unknown index kind '$k'")
+                throw new InvalidValue(s"index compact: kind $k")
+            }
+            out("ok")
+          case "tombstone" =>
+            kind match {
+              case "band" => Dedup.tombstoneBandIndex(idsDf, "id", p)
+              case "ann" => Ops.tombstoneAnnIndex(idsDf, "id", p)
+              case "lex" => LexIndex.tombstoneLexIndex(idsDf, "id", p)
+              case "perceptual" => Multimodal.tombstonePerceptualIndex(idsDf, "id", p)
+              case "frame" => Multimodal.tombstoneFrameIndex(idsDf, "id", p)
+              case "gram" =>
+                out("Error: the gram index is count-based — use " +
+                  "'index takedown -p PATH --docs <parquet> --takedown-id N' " +
+                  "(deltas need the documents' text, not ids)")
+                throw new InvalidValue("index tombstone: gram needs takedown")
+              case k =>
+                out(s"Error: unknown index kind '$k'")
+                throw new InvalidValue(s"index tombstone: kind $k")
+            }
+            out("ok")
+          case "takedown" =>
+            val docs = docsArg.getOrElse {
+              out("Error: takedown needs --docs <parquet of (doc_id, text)>")
+              throw new InvalidValue("index takedown: missing --docs")
+            }
+            val tid = takedownId.getOrElse {
+              out("Error: takedown needs --takedown-id N (the replay ledger key)")
+              throw new InvalidValue("index takedown: missing --takedown-id")
+            }
+            GramIndex.takedownGramIndex(spark.read.parquet(docs), p, tid)
+            out("ok")
+          case other =>
+            out(s"Unknown index subcommand '$other' " +
+              "(versions|pin|gc|compact|tombstone|takedown)")
+        }
+
       case other => out(s"Unknown command '$other'")
     }
+  }
+
+  /** One shared session for `sql` and `index`: getOrCreate — inside
+    * an existing session (tests, notebooks) the extensions config is
+    * ignored, so the function surface is ALSO registered explicitly
+    * (register() is idempotent).
+    */
+  private def sparkSession(): org.apache.spark.sql.SparkSession = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-cli")
+      .master(sys.props.getOrElse("spark.master", "local[*]"))
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftExtensions.register(spark)
+    spark
   }
 
   /** Config loader: .json via jackson (ships with Spark) or .toml via

@@ -160,6 +160,47 @@ class CliSpec extends SparkTestBase {
     assert(out == Seq("a\tb", "NULL\t[1,2]"), out.mkString("|"))
   }
 
+  test("index admin: tombstone + compact + pin + versions drive a real band layout") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-idx").toString
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeBandIndex(docs, "doc_id", "text", dir)
+
+    // tombstone two docs from a shell, then compact — the probe must
+    // no longer see them
+    assert(cli("graft.GraftPipelines", "index", "tombstone",
+      "-k", "band", "-p", dir, "--ids", "7, 11").last == "ok")
+    assert(cli("graft.GraftPipelines", "index", "compact",
+      "-k", "band", "-p", dir, "--keep", "2").last == "ok")
+    val left = graft.operators.Dedup.readBandIndex(spark, dir)
+      .select(col("doc_id")).distinct().as[Long].collect().toSet
+    assert(!left.contains(7L) && !left.contains(11L) && left.contains(8L),
+      s"tombstoned docs survived the CLI compact: $left")
+
+    // versions: compact published v00002; pin records it
+    val versions = cli("graft.GraftPipelines", "index", "versions", "-p", dir)
+    assert(versions.exists(_.endsWith("CURRENT")), s"got $versions")
+    val pinOut = cli("graft.GraftPipelines", "index", "pin", "-p", dir, "release-a")
+    assert(pinOut.last.startsWith("pinned release-a = v"), s"got $pinOut")
+    val pinned = graft.operators.IndexLayout.readMeta(spark, s"$dir/pins", "release-a")
+    assert(pinned.isDefined && versions.exists(_.startsWith(pinned.get)),
+      s"pin file wrong: $pinned vs $versions")
+
+    // error surface: missing -p, unknown kind, gram tombstone guidance
+    assert(intercept[GraftException](
+      cli("graft.GraftPipelines", "index", "compact", "-k", "band")).getMessage
+      .contains("missing -p"))
+    assert(intercept[GraftException](
+      cli("graft.GraftPipelines", "index", "compact", "-k", "nope", "-p", dir))
+      .getMessage.contains("nope"))
+    assert(intercept[GraftException](
+      cli("graft.GraftPipelines", "index", "tombstone", "-k", "gram", "-p", dir,
+        "--ids", "1")).getMessage.contains("takedown"))
+  }
+
   test("run with json config overrides route params") {
     val cfg = java.nio.file.Files.createTempFile("graft-cfg", ".json")
     java.nio.file.Files.writeString(cfg,
