@@ -19,6 +19,62 @@ import graft.tables.Tables
   */
 object Embeddings {
 
+  /** Shared e06/e07 training prefix (the s16/s01 factoring rule:
+    * queries that must agree share the code): quantized explode,
+    * top-8 variance dims, e04's exact-integer covariance combined in
+    * DECIMAL(38,0)/HUGEINT (stays exact past int64's ~3M vector wrap;
+    * the common scale factor cancels under normalization), three
+    * SYNCHRONOUS power iterations from the all-ones vector. Scale
+    * shape: the corpus-sized work is one explode + keyed aggs; the
+    * iteration runs on a d²-row matrix frame INDEPENDENT of corpus
+    * rows — why power iteration beats direct eigensolvers
+    * distributed. No collect: iterations stay declarative joins on
+    * tiny checkpointed frames, one broadcast each. `ch` (the top-8
+    * dim slice) is lazily checkpointed — both consumers reuse it.
+    */
+  private final case class Pc1Training(
+      ch: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.DataFrame,
+      nrm: org.apache.spark.sql.DataFrame)
+
+  private def pc1Training(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Pc1Training = {
+    import spark.implicits._
+    val ex = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"vec_id", $"dim".cast("int").as("dim"),
+        floor($"x".cast("double") * 1000).cast("long").as("q"))
+    val st = ex.groupBy($"dim")
+      .agg(sum($"q").as("s"), sum($"q" * $"q").as("ss"), count(lit(1)).as("n"))
+    val top = st.orderBy(($"ss" * $"n" - $"s" * $"s").desc, $"dim".asc).limit(8)
+    val ch = ex.join(broadcast(top.select($"dim")), "dim")
+      .graftCheckpointLazy // reused: covariance AND e07's scoring
+    val pr = ch.select($"vec_id", $"dim".as("dim_i"), $"q".as("_qa"))
+      .join(ch.select($"vec_id", $"dim".as("dim_j"), $"q".as("_qb")), "vec_id")
+      .where($"dim_i" <= $"dim_j")
+      .groupBy($"dim_i", $"dim_j")
+      .agg(sum($"_qa" * $"_qb").as("sp"))
+    val covTri = pr
+      .join(broadcast(top.select($"dim".as("dim_i"), $"s".as("_si"), $"n".as("_n"))), "dim_i")
+      .join(broadcast(top.select($"dim".as("dim_j"), $"s".as("_sj"))), "dim_j")
+      .select($"dim_i", $"dim_j",
+        ($"sp".cast("decimal(38,0)") * $"_n" -
+          $"_si".cast("decimal(38,0)") * $"_sj").cast("double").as("cv"))
+    val cov = covTri.select($"dim_i".as("i"), $"dim_j".as("j"), $"cv")
+      .unionAll(covTri.where($"dim_i" =!= $"dim_j")
+        .select($"dim_j".as("i"), $"dim_i".as("j"), $"cv"))
+      .graftCheckpointLazy // 64 rows; cut the e04 lineage off the loop
+    var v = top.select($"dim".as("j"), lit(1.0).as("x"))
+    for (_ <- 1 to 3) {
+      v = cov.join(v, "j")
+        .groupBy($"i").agg(sum($"cv" * $"x").as("x"))
+        .select($"i".as("j"), $"x")
+        .graftCheckpointLazy
+    }
+    val nrm = v.agg(sqrt(sum($"x" * $"x")).as("nn"))
+    Pc1Training(ch, v, nrm)
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "e01_embed_quantize",
@@ -279,54 +335,13 @@ object Embeddings {
       (spark, dir) => {
         import spark.implicits._
         // The step after e04 in a distributed PCA: the leading
-        // principal direction. Three SYNCHRONOUS power iterations from
-        // the all-ones vector on the top-8 covariance block, then one
-        // L2 normalization. Determinism layering: the matrix entries
-        // are e04's EXACT covariance numerators, combined in
-        // DECIMAL(38,0)/HUGEINT so they stay exact past int64's ~3M
-        // vector wrap point (the common scale factor cancels under
-        // normalization), the iteration
-        // count and start vector are fixed, and only the final
-        // loadings round — ≤8-term double sums per mat-vec leave
-        // ~1e-14 relative noise against a 1e-6 rounding grid. Scale
-        // shape: the corpus-sized work is e04's (one explode + keyed
-        // aggs); the iteration itself runs on a 64-row matrix frame —
-        // size d², INDEPENDENT of corpus rows, the reason power
-        // iteration beats direct eigensolvers in a distributed
-        // setting. No collect: iterations stay declarative joins on
-        // the tiny frames, one broadcast each.
-        val ex = Tables.load(spark, dir, "embeddings")
-          .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
-          .select($"vec_id", $"dim".cast("int").as("dim"),
-            floor($"x".cast("double") * 1000).cast("long").as("q"))
-        val st = ex.groupBy($"dim")
-          .agg(sum($"q").as("s"), sum($"q" * $"q").as("ss"), count(lit(1)).as("n"))
-        val top = st.orderBy(($"ss" * $"n" - $"s" * $"s").desc, $"dim".asc).limit(8)
-        val ch = ex.join(broadcast(top.select($"dim")), "dim")
-        val pr = ch.select($"vec_id", $"dim".as("dim_i"), $"q".as("_qa"))
-          .join(ch.select($"vec_id", $"dim".as("dim_j"), $"q".as("_qb")), "vec_id")
-          .where($"dim_i" <= $"dim_j")
-          .groupBy($"dim_i", $"dim_j")
-          .agg(sum($"_qa" * $"_qb").as("sp"))
-        val covTri = pr
-          .join(broadcast(top.select($"dim".as("dim_i"), $"s".as("_si"), $"n".as("_n"))), "dim_i")
-          .join(broadcast(top.select($"dim".as("dim_j"), $"s".as("_sj"))), "dim_j")
-          .select($"dim_i", $"dim_j",
-            ($"sp".cast("decimal(38,0)") * $"_n" -
-              $"_si".cast("decimal(38,0)") * $"_sj").cast("double").as("cv"))
-        val cov = covTri.select($"dim_i".as("i"), $"dim_j".as("j"), $"cv")
-          .unionAll(covTri.where($"dim_i" =!= $"dim_j")
-            .select($"dim_j".as("i"), $"dim_i".as("j"), $"cv"))
-          .graftCheckpointLazy // 64 rows; cut the e04 lineage off the loop
-        var v = top.select($"dim".as("j"), lit(1.0).as("x"))
-        for (_ <- 1 to 3) {
-          v = cov.join(v, "j")
-            .groupBy($"i").agg(sum($"cv" * $"x").as("x"))
-            .select($"i".as("j"), $"x")
-            .graftCheckpointLazy
-        }
-        val nrm = v.agg(sqrt(sum($"x" * $"x")).as("nn"))
-        v.crossJoin(broadcast(nrm)) // 8 x 1: bounded
+        // principal direction (training shared with e07 via
+        // [[pc1Training]] — round 16 factored the prefix the way s16
+        // factored s01/s06, so the two queries cannot drift). Only
+        // the final loadings round — ≤8-term double sums per mat-vec
+        // leave ~1e-14 relative noise against a 1e-6 rounding grid.
+        val t = pc1Training(spark, dir)
+        t.v.crossJoin(broadcast(t.nrm)) // 8 x 1: bounded
           .select($"j".as("dim"), round($"x" / $"nn", 6).as("loading"))
           .orderBy($"dim")
       },
@@ -364,50 +379,17 @@ object Embeddings {
         import spark.implicits._
         // The APPLICATION of e06: principal-component scores per
         // vector — the column a curation pipeline actually sorts,
-        // buckets, or outlier-flags on. The training side is e06's
-        // exactly (same quantization, same exact-integer covariance,
-        // same 3 iterations — deliberately recomputed inline so the
-        // query is self-contained like e04/e06); the scoring side is
-        // ONE broadcast join of the 8-row unrounded eigenvector
-        // against the top-8 dim slice and a vec_id-keyed sum — the
-        // corpus-linear inference shape (e05's class), zero extra
-        // corpus passes. Scores round at 1e-6 against ~1e-12 ulps
-        // from the 8-term double sums.
-        val ex = Tables.load(spark, dir, "embeddings")
-          .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
-          .select($"vec_id", $"dim".cast("int").as("dim"),
-            floor($"x".cast("double") * 1000).cast("long").as("q"))
-        val st = ex.groupBy($"dim")
-          .agg(sum($"q").as("s"), sum($"q" * $"q").as("ss"), count(lit(1)).as("n"))
-        val top = st.orderBy(($"ss" * $"n" - $"s" * $"s").desc, $"dim".asc).limit(8)
-        val ch = ex.join(broadcast(top.select($"dim")), "dim")
-          .graftCheckpointLazy // reused: covariance AND scoring
-        val pr = ch.select($"vec_id", $"dim".as("dim_i"), $"q".as("_qa"))
-          .join(ch.select($"vec_id", $"dim".as("dim_j"), $"q".as("_qb")), "vec_id")
-          .where($"dim_i" <= $"dim_j")
-          .groupBy($"dim_i", $"dim_j")
-          .agg(sum($"_qa" * $"_qb").as("sp"))
-        val covTri = pr
-          .join(broadcast(top.select($"dim".as("dim_i"), $"s".as("_si"), $"n".as("_n"))), "dim_i")
-          .join(broadcast(top.select($"dim".as("dim_j"), $"s".as("_sj"))), "dim_j")
-          .select($"dim_i", $"dim_j",
-            ($"sp".cast("decimal(38,0)") * $"_n" -
-              $"_si".cast("decimal(38,0)") * $"_sj").cast("double").as("cv"))
-        val cov = covTri.select($"dim_i".as("i"), $"dim_j".as("j"), $"cv")
-          .unionAll(covTri.where($"dim_i" =!= $"dim_j")
-            .select($"dim_j".as("i"), $"dim_i".as("j"), $"cv"))
-          .graftCheckpointLazy
-        var v = top.select($"dim".as("j"), lit(1.0).as("x"))
-        for (_ <- 1 to 3) {
-          v = cov.join(v, "j")
-            .groupBy($"i").agg(sum($"cv" * $"x").as("x"))
-            .select($"i".as("j"), $"x")
-            .graftCheckpointLazy
-        }
-        val nrm = v.agg(sqrt(sum($"x" * $"x")).as("nn"))
-        val vn = v.crossJoin(broadcast(nrm)) // 8 x 1: bounded
-          .select($"j".as("dim"), ($"x" / $"nn").as("_w")) // UNROUNDED weights
-        ch.join(broadcast(vn), "dim")
+        // buckets, or outlier-flags on. Training comes from the SAME
+        // [[pc1Training]] prefix as e06 (shared since round 16 — the
+        // two cannot drift); the scoring side is ONE broadcast join
+        // of the 8-row UNROUNDED eigenvector against the top-8 dim
+        // slice and a vec_id-keyed sum — the corpus-linear inference
+        // shape (e05's class), zero extra corpus passes. Scores round
+        // at 1e-6 against ~1e-12 ulps from the 8-term double sums.
+        val t = pc1Training(spark, dir)
+        val vn = t.v.crossJoin(broadcast(t.nrm)) // 8 x 1: bounded
+          .select($"j".as("dim"), ($"x" / $"nn").as("_w"))
+        t.ch.join(broadcast(vn), "dim")
           .groupBy($"vec_id")
           .agg(round(sum($"q" * $"_w"), 6).as("pc1"))
           .orderBy($"vec_id")
