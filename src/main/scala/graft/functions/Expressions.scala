@@ -82,14 +82,13 @@ object GraftExpressions {
   def avgHash60(payload: Column): Column =
     column(AvgHash60(expression(payload)))
 
-  /** Column API: 60-bit sign sketch of an embedding, one codegen
-    * pass (X14).
+  /** Column API: decode bytes via a (possibly sloppy) charset label
+    * (X18).
     */
-  /** Column API: decode bytes via a (possibly sloppy) charset label. */
   def charsetDecode(bin: Column, label: Column): Column =
     column(CharsetDecode(expression(bin), expression(label)))
 
-  /** Column API: encode text into a labeled charset's bytes. */
+  /** Column API: encode text into a labeled charset's bytes (X19). */
   def charsetEncode(text: Column, label: Column): Column =
     column(CharsetEncode(expression(text), expression(label)))
 
@@ -97,6 +96,17 @@ object GraftExpressions {
   def charsetKnown(label: Column): Column =
     column(CharsetKnown(expression(label)))
 
+  /** Column API: RFC 9309 rules struct for an agent (X20). */
+  def robotsRules(txt: Column, agent: Column): Column =
+    column(RobotsRulesExpr(expression(txt), expression(agent)))
+
+  /** Column API: per-url RFC 9309 allow decision (X21). */
+  def robotsAllowed(path: Column, allow: Column, disallow: Column): Column =
+    column(RobotsAllowed(expression(path), expression(allow), expression(disallow)))
+
+  /** Column API: 60-bit sign sketch of an embedding, one codegen
+    * pass (X14).
+    */
   def signPack60(embedding: Column): Column =
     column(SignPack60(expression(embedding)))
 }
@@ -910,4 +920,63 @@ case class CharsetKnown(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): CharsetKnown =
     copy(child = c)
+}
+
+/** X20: robots.txt group resolution — `robots_rules(txt, agent)` →
+  * struct(allow array, disallow array): the RFC 9309 group governing
+  * `agent` (most-specific agent token, `*` fallback), parsed in one
+  * codegen call. Parse ONCE PER DOMAIN (robots bodies are per-host),
+  * broadcast the small rules frame to the url stream — the politeness
+  * gate's scale shape; the per-url check is X21.
+  */
+case class RobotsRulesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("allow", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("disallow", ArrayType(StringType, containsNull = false), nullable = false)))
+
+  override protected def nullSafeEval(txt: Any, agent: Any): Any =
+    RobotsRulesExpr.eval(txt.asInstanceOf[UTF8String], agent.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, a) =>
+      s"${ev.value} = graft.functions.RobotsRulesExpr$$.MODULE$$.eval($t, $a);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RobotsRulesExpr =
+    copy(left = l, right = r)
+}
+
+object RobotsRulesExpr {
+  /** Static entry shared by eval and generated code. */
+  def eval(txt: UTF8String, agent: UTF8String): InternalRow = {
+    val (a, d) = Robots.rulesStruct(txt, agent)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(a.asInstanceOf[Array[Any]]),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(d.asInstanceOf[Array[Any]])))
+  }
+}
+
+/** X21: the per-url RFC 9309 decision — `robots_allowed(path, allow,
+  * disallow)`: longest matching pattern wins (`*` runs, terminal `$`
+  * anchor), allow wins ties, no match → allowed. One codegen call per
+  * url against the X20-resolved (usually broadcast) rule arrays.
+  */
+case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(path: Any, allow: Any, disallow: Any): Any =
+    Robots.allowedU(path.asInstanceOf[UTF8String],
+      allow.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      disallow.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, a, d) =>
+      s"${ev.value} = graft.functions.Robots$$.MODULE$$.allowedU($p, $a, $d);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RobotsAllowed =
+    copy(first = f, second = s, third = t)
 }

@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.charsetDecodeFn)
     ext.injectFunction(GraftExtensions.charsetEncodeFn)
     ext.injectFunction(GraftExtensions.charsetKnownFn)
+    ext.injectFunction(GraftExtensions.robotsRulesFn)
+    ext.injectFunction(GraftExtensions.robotsAllowedFn)
     // whole-operator path: plans graft.plans.AsOfJoin logical nodes
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -145,6 +147,20 @@ object GraftExtensions {
     (children: Seq[Expression]) => CharsetKnown(children.head)
   )
 
+  val robotsRulesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("robots_rules"),
+    info("robots_rules",
+      "robots_rules(txt, agent) - RFC 9309 group for the agent as struct(allow, disallow) (X20)"),
+    (children: Seq[Expression]) => RobotsRulesExpr(children(0), children(1))
+  )
+
+  val robotsAllowedFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("robots_allowed"),
+    info("robots_allowed",
+      "robots_allowed(path, allow, disallow) - RFC 9309 longest-match decision (X21)"),
+    (children: Seq[Expression]) => RobotsAllowed(children(0), children(1), children(2))
+  )
+
   /** Register on an existing session (tests / REPL convenience) —
     * scalar functions AND the X10 table-valued join functions (a
     * getOrCreate that joined a pre-existing session never saw the
@@ -155,7 +171,8 @@ object GraftExtensions {
     Seq(cosineSim, polyHash, wordShinglesFn, minhashHexFn, bpeCountFn,
       bpeEncodeFn, bpeDecodeFn,
       nibbleHistogramFn, rasterBodyGramsFn, avgHash60Fn, signPack60Fn,
-      charsetDecodeFn, charsetEncodeFn, charsetKnownFn).foreach { case (id, inf, builder) =>
+      charsetDecodeFn, charsetEncodeFn, charsetKnownFn,
+      robotsRulesFn, robotsAllowedFn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
     val treg = spark.sessionState.tableFunctionRegistry

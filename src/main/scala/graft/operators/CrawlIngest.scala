@@ -116,7 +116,18 @@ object CrawlIngest {
     // lose verdicts, not dedup content). Only (md5, url) pairs cross
     // the dedup shuffle; the keeper set broadcasts back, so extracted
     // texts never re-shuffle.
-    val extracted = Html.htmlExtract(latest, "url", "html")
+    // Lineage cut (round 16, measured): the url-canonicalization +
+    // PSL-verdict + charset-decode expression trees are large, and
+    // downstream the dedup fan-out references this frame up to ~8
+    // times (union branches, keeper agg, shingle/candidate/verify
+    // joins) — WITHOUT the cut each task binary carries ~8 copies of
+    // the whole upstream tree (measured 39.8 MiB/task, OOMing 32
+    // concurrent deserializations at default heap; 5 MiB → KB after
+    // the cut) and every branch RE-RUNS parse+decode+extraction. One
+    // lazy local checkpoint makes the fan-out read materialized rows:
+    // the O36/d06 iterative-lineage discipline applied to a DAG that
+    // fans out instead of iterating.
+    val extracted = Html.htmlExtract(latest, "url", "html").graftCheckpointLazy
     val keepers = extracted.where(col("text") =!= "")
       .groupBy(md5(col("text")).as("_ch"))
       .agg(min(col("url")).as("url"))

@@ -133,6 +133,25 @@ object HttpPayload {
       .withColumn("html", decodedEntity(col(payloadCol), col("charset")))
   }
 
+  /** Fetch-metadata columns from a captured HTTP message — the audit
+    * surface a crawl store keeps next to the payload: `http_status`
+    * (int, NULL for non-HTTP captures) and `mime_type` (lowercased
+    * Content-Type media type, parameters stripped, NULL when absent).
+    * Same byte-transparent view as the charset sniff; map-only.
+    */
+  def withHttpMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    Seq("http_status", "mime_type").foreach(c =>
+      require(!df.columns.contains(c),
+        s"withHttpMeta: input already has a '$c' column — rename it first"))
+    val view = messageView(col(payloadCol))
+    val status = regexp_extract(view, "^HTTP/[0-9.]+\\s+([0-9]{3})", 1)
+    val mime = lower(trim(regexp_extract(headersView(view),
+      "(?im)^content-type\\s*:\\s*([^;\r\n]+)", 1)))
+    df.withColumn("http_status",
+        when(status === "", null).otherwise(status).cast("int"))
+      .withColumn("mime_type", when(mime === "", null).otherwise(mime))
+  }
+
   // -----------------------------------------------------------------
   // t37: the canned query — format-true multi-charset HTTP captures
   // built INSIDE the plan (X19 encode) over the documents table, then
