@@ -104,6 +104,18 @@ object GraftExpressions {
   def robotsAllowed(path: Column, allow: Column, disallow: Column): Column =
     column(RobotsAllowed(expression(path), expression(allow), expression(disallow)))
 
+  /** Column API: one-pass canonical URL (X22). */
+  def canonicalUrl(url: Column): Column =
+    column(CanonicalUrl(expression(url)))
+
+  /** Column API: one-pass URL host extraction (X23). */
+  def urlHost(url: Column): Column =
+    column(UrlHost(expression(url)))
+
+  /** Column API: PSL registrable domain of a host (X24). */
+  def registrableDomain(host: Column): Column =
+    column(RegistrableDomain(expression(host)))
+
   /** Column API: 60-bit sign sketch of an embedding, one codegen
     * pass (X14).
     */
@@ -979,4 +991,79 @@ case class RobotsAllowed(first: Expression, second: Expression, third: Expressio
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): RobotsAllowed =
     copy(first = f, second = s, third = t)
+}
+
+/** X22: one-pass canonical URL — `canonical_url(url)`: t36's full
+  * normalization (scheme/host lowercase, FQDN dots, userinfo drop,
+  * default ports, tracking params, param sort, fragment drop) as ONE
+  * tree node over one forward scan ([[UrlOps.canonicalUrl]]), byte-
+  * equal to the columnar regex chain it replaces (parity-fuzzed).
+  * Exists for plan weight, not semantics: the columnar forest
+  * measured 1,326 regex nodes per gate projection after optimizer
+  * inlining, 39.8 MiB crawl task binaries, 64 KB codegen fallbacks.
+  */
+case class CanonicalUrl(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(url: Any): Any =
+    UrlOps.canonicalUrl(url.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { in =>
+      val r = ctx.freshName("canon")
+      s"""UTF8String $r = graft.functions.UrlOps$$.MODULE$$.canonicalUrl($in);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): CanonicalUrl =
+    copy(child = c)
+}
+
+/** X23: one-pass host extraction — `url_host(url)`: t35's hostOf
+  * (scheme frame, last-'@' userinfo with regex-faithful backtracking,
+  * bracketed IPv6, FQDN dot strip, lowercase) as one node.
+  */
+case class UrlHost(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(url: Any): Any =
+    UrlOps.hostOf(url.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { in =>
+      val r = ctx.freshName("uhost")
+      s"""UTF8String $r = graft.functions.UrlOps$$.MODULE$$.hostOf($in);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): UrlHost =
+    copy(child = c)
+}
+
+/** X24: PSL registrable domain — `registrable_domain(host)`: the
+  * full publicsuffix.org reduction (wildcards, exceptions, private
+  * section, IP passthrough) as one node with hash-set rule probes
+  * instead of three ~190-literal isin tails.
+  */
+case class RegistrableDomain(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(host: Any): Any =
+    UrlOps.registrableDomain(host.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { in =>
+      val r = ctx.freshName("regdom")
+      s"""UTF8String $r = graft.functions.UrlOps$$.MODULE$$.registrableDomain($in);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): RegistrableDomain =
+    copy(child = c)
 }

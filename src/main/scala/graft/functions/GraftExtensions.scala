@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.charsetKnownFn)
     ext.injectFunction(GraftExtensions.robotsRulesFn)
     ext.injectFunction(GraftExtensions.robotsAllowedFn)
+    ext.injectFunction(GraftExtensions.canonicalUrlFn)
+    ext.injectFunction(GraftExtensions.urlHostFn)
+    ext.injectFunction(GraftExtensions.registrableDomainFn)
     // whole-operator path: plans graft.plans.AsOfJoin logical nodes
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -161,6 +164,26 @@ object GraftExtensions {
     (children: Seq[Expression]) => RobotsAllowed(children(0), children(1), children(2))
   )
 
+  val canonicalUrlFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("canonical_url"),
+    info("canonical_url",
+      "canonical_url(url) - one-pass crawl-dedup URL normalization (X22)"),
+    (children: Seq[Expression]) => CanonicalUrl(children.head)
+  )
+
+  val urlHostFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("url_host"),
+    info("url_host", "url_host(url) - lowercased, FQDN-dot-stripped URL host (X23)"),
+    (children: Seq[Expression]) => UrlHost(children.head)
+  )
+
+  val registrableDomainFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("registrable_domain"),
+    info("registrable_domain",
+      "registrable_domain(host) - public-suffix-list eTLD+1 reduction (X24)"),
+    (children: Seq[Expression]) => RegistrableDomain(children.head)
+  )
+
   /** Register on an existing session (tests / REPL convenience) —
     * scalar functions AND the X10 table-valued join functions (a
     * getOrCreate that joined a pre-existing session never saw the
@@ -172,7 +195,8 @@ object GraftExtensions {
       bpeEncodeFn, bpeDecodeFn,
       nibbleHistogramFn, rasterBodyGramsFn, avgHash60Fn, signPack60Fn,
       charsetDecodeFn, charsetEncodeFn, charsetKnownFn,
-      robotsRulesFn, robotsAllowedFn).foreach { case (id, inf, builder) =>
+      robotsRulesFn, robotsAllowedFn,
+      canonicalUrlFn, urlHostFn, registrableDomainFn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
     val treg = spark.sessionState.tableFunctionRegistry

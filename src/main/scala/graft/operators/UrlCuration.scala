@@ -30,7 +30,14 @@ object UrlCuration {
     * turn a one-character URL tweak into a blocklist bypass). NULL
     * when the value has no `scheme://` frame.
     */
-  def hostOf(url: Column): Column = {
+  def hostOf(url: Column): Column =
+    graft.functions.GraftExpressions.urlHost(url)
+
+  /** The columnar regex formulation of [[hostOf]], kept as the X23
+    * PARITY REFERENCE (UrlParityFuzzSpec pins byte equality) and as
+    * the executable documentation of what the DuckDB twin restates.
+    */
+  private[graft] def hostOfRef(url: Column): Column = {
     // userinfo = everything up to the LAST '@' before the path/query
     // (the browser rule — RFC 3986 forbids raw '@' in userinfo but
     // fetchers resolve 'x@y@host' with host after the last '@', and a
@@ -78,9 +85,18 @@ object UrlCuration {
     * columnar string work; engine-neutral (RE2-safe, list_sort ==
     * sort_array on strings). NULL for values with no scheme:// frame.
     */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column): Column =
+    graft.functions.GraftExpressions.canonicalUrl(url)
+
+  /** Columnar formulation of [[canonicalUrl]] — the X22 parity
+    * reference (see [[hostOfRef]]; round 16 moved the hot path to
+    * one-node codegen expressions after measuring the optimizer
+    * inlining this chain into 22k-node trees and 39.8 MiB crawl task
+    * binaries).
+    */
+  private[graft] def canonicalUrlRef(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = hostOf(url)
+    val host = hostOfRef(url)
     // port: last-@ userinfo rule as in hostOf, host class excludes
     // '@' and the digits must be FOLLOWED by /?#/end — without the
     // terminator, 'u:12345pw@h/x' backtracks out of the userinfo

@@ -1057,6 +1057,13 @@ object Streams {
       allow: Seq[String], block: Seq[String],
       minWords: Long, minUniqPpm: Long, minNoveltyPpm: Long): Unit = {
     import org.apache.spark.sql.functions.col
+    // replay short-circuit BEFORE constructing the prep plan: the
+    // ledger check costs one file stat, but building crawlDocs costs
+    // real driver work (the lineage cut plans the query at
+    // construction) — a replayed trigger must stay a no-op-priced
+    // no-op (round 16; measured 15 s → ledger-stat after this guard)
+    if (graft.operators.GramIndex.appendCommitted(
+        archives.sparkSession, indexPath, batchId)) return
     val docs = graft.operators.CrawlIngest
       .crawlDocs(graft.sources.Warc.records(archives).toDF(), allow, block)
       .select(col("doc_id"), col("text"))
