@@ -34,8 +34,8 @@ object Cli {
 
   def run(args: Array[String], out: String => Unit): Unit = {
     if (args.length < 2) {
-      out("usage: Cli <loaderClass> <version|validate|deps|run> " +
-        "[-v|-vv] [-n wkf] [-c cfg.json] [-s] targets...")
+      out("usage: Cli <loaderClass> <version|validate|deps|run|sql|index> " +
+        "[-v|-vv] [-n wkf] [-c cfg.json] [-s] [-d dir] [-p path] [-k kind] targets...")
       return
     }
     val loader = args(0)

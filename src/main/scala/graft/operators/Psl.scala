@@ -29,12 +29,13 @@ import org.apache.spark.sql.functions._
   *  - IP literals (bracketed IPv6, dotted IPv4) pass through whole —
   *    the address is the blockable unit.
   *
-  * Scale shape: the rule set compiles into literal `isin` tests over
-  * the host's last 1–3 label tails — pure codegen'd per-row work, no
-  * join, no shuffle, engine-replayable (the DuckDB twin is generated
-  * from the SAME rule data, so t35 stays fully oracle-gated). A
-  * full-PSL deployment (9k rules) would swap the isin literals for a
-  * broadcast map lookup; the tail/priority logic is unchanged.
+  * Scale shape: since round 16 the hot path is the X24 codegen
+  * expression ([[graft.functions.UrlOps.registrableDomain]]) — ONE
+  * tree node, hash-set rule probes over the host's last 1–3 label
+  * tails, no join, no shuffle; a full-PSL refresh (9k rules) only
+  * grows the hash sets. The columnar formulation below is the parity
+  * reference; the DuckDB twin is generated from the SAME rule data,
+  * so t35 stays fully oracle-gated on the expression path.
   */
 object Psl {
 
