@@ -67,9 +67,14 @@ object Robots {
         case a if a != "*" && agentLc.contains(a) => (a.length, rules)
       }
     }
+    // RFC 9309 §2.2.1: rules of groups matching at the SAME (most
+    // specific) token combine — a robots.txt that declares two
+    // groups for one product token means the union of both
     val chosen: List[(Boolean, String)] =
-      if (matching.nonEmpty) matching.maxBy(_._1)._2
-      else groups.filter(_._1.contains("*")).flatMap(_._2)
+      if (matching.nonEmpty) {
+        val best = matching.map(_._1).max
+        matching.filter(_._1 == best).flatMap(_._2)
+      } else groups.filter(_._1.contains("*")).flatMap(_._2)
     val (allow, disallow) = chosen.partition(_._1)
     (allow.map(_._2).filter(_.nonEmpty), disallow.map(_._2).filter(_.nonEmpty))
   }

@@ -41,8 +41,9 @@ object Politeness {
       urls: DataFrame,
       rules: DataFrame,
       urlCol: String = "url"): DataFrame = {
-    require(!urls.columns.contains("robots_allowed"),
-      "withRobotsVerdict: input already has a 'robots_allowed' column — rename it first")
+    Seq("robots_allowed", "allow", "disallow", "_h").foreach(c =>
+      require(!urls.columns.contains(c),
+        s"withRobotsVerdict: input already has a '$c' column — rename it first"))
     val path0 = regexp_extract(col(urlCol),
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     val path = when(path0 === "", "/").otherwise(path0)

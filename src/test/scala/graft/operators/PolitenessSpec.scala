@@ -42,6 +42,16 @@ class PolitenessSpec extends SparkTestBase {
     assert(disAnon == Seq("/search"), "fallback group is *")
   }
 
+  test("RFC 9309 §2.2.1: two groups matching at the same token COMBINE their rules") {
+    val txt = "User-agent: graftbot\nDisallow: /a/\n\n" +
+      "User-agent: graftbot\nDisallow: /b/\nAllow: /b/ok/\n"
+    val (allow, dis) = Robots.rulesFor(txt, "graftbot")
+    assert(dis.toSet == Set("/a/", "/b/") && allow == Seq("/b/ok/"),
+      s"same-token groups did not combine: allow=$allow dis=$dis")
+    assert(!Robots.allowed("/a/x", allow, dis) && !Robots.allowed("/b/x", allow, dis))
+    assert(Robots.allowed("/b/ok/x", allow, dis))
+  }
+
   test("longest match wins; allow beats disallow on ties; wildcards and $ anchor") {
     val (allow, dis) = Robots.rulesFor(robotsTxt, "graftbot")
     def ok(p: String) = Robots.allowed(p, allow, dis)
