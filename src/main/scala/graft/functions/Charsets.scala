@@ -30,7 +30,7 @@ object Charsets {
     * GBK (its superset) per the WHATWG encoding living standard —
     * real pages labeled gb2312 routinely use GBK-only code points.
     */
-  private val WebAliases: Map[String, String] = Map(
+  private[graft] val WebAliases: Map[String, String] = Map(
     "latin-1" -> "ISO-8859-1", "latin1" -> "ISO-8859-1", "l1" -> "ISO-8859-1",
     "iso8859-1" -> "ISO-8859-1", "iso_8859-1" -> "ISO-8859-1",
     "iso-8859-1" -> "ISO-8859-1", "ansi" -> "windows-1252",
@@ -69,13 +69,23 @@ object Charsets {
     */
   def resolve(raw: String): Option[Charset] = {
     val key = normalize(raw)
-    if (key.isEmpty) None
-    else cache.computeIfAbsent(key, k =>
+    if (key.isEmpty) return None
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val computed =
       try {
-        val name = WebAliases.getOrElse(k, k)
+        val name = WebAliases.getOrElse(key, key)
         if (Charset.isSupported(name)) Some(Charset.forName(name)) else None
-      } catch { case _: Exception => None })
+      } catch { case _: Exception => None }
+    // bounded insert: labels are ATTACKER-CONTROLLED page content —
+    // a crawl emitting a unique bogus label per page must not grow
+    // executor-resident state without bound; past the cap lookups
+    // still work, they just pay Charset.forName again
+    if (cache.size < MaxCacheEntries) cache.putIfAbsent(key, computed)
+    computed
   }
+
+  private val MaxCacheEntries = 4096
 
   /** Whether the label resolves to a real charset (for flagging
     * unknown-label captures without changing the decode fallback).

@@ -45,7 +45,10 @@ object Robots {
         val key = line.substring(0, i).trim.toLowerCase
         val value = line.substring(i + 1).trim
         key match {
-          case "user-agent" =>
+          case "user-agent" if value.nonEmpty =>
+            // empty product tokens are invalid per RFC 9309 — and an
+            // empty token would substring-match EVERY agent, silently
+            // hijacking the '*' fallback group's rules
             if (!inAgentRun) flush()
             curAgents ::= value.toLowerCase
             inAgentRun = true
@@ -64,7 +67,7 @@ object Robots {
     // prefix-ish (substring per RFC product-token practice) of ours
     val matching = groups.flatMap { case (agents, rules) =>
       agents.collect {
-        case a if a != "*" && agentLc.contains(a) => (a.length, rules)
+        case a if a.nonEmpty && a != "*" && agentLc.contains(a) => (a.length, rules)
       }
     }
     // RFC 9309 §2.2.1: rules of groups matching at the SAME (most
@@ -88,26 +91,34 @@ object Robots {
     val anchored = pattern.endsWith("$")
     val pat = if (anchored) pattern.dropRight(1) else pattern
     val parts = pat.split("\\*", -1) // literal segments between stars
-    var pos = 0
-    var first = true
-    var ok = true
-    parts.foreach { seg =>
-      if (ok) {
-        if (first) {
-          if (path.startsWith(seg)) pos = seg.length else ok = false
-          first = false
-        } else if (seg.isEmpty) {
-          // trailing '*' (or consecutive) — matches any run
-          pos = path.length
-        } else {
-          val at = path.indexOf(seg, pos)
-          if (at >= 0) pos = at + seg.length else ok = false
-        }
+    // first segment anchors as a prefix
+    if (!path.startsWith(parts(0))) return -1
+    var pos = parts(0).length
+    if (parts.length == 1)
+      return if (anchored && pos != path.length) -1 else pattern.length
+    // middle segments: leftmost match (optimal for existence — the
+    // earliest middle leaves maximal room for the last segment);
+    // EMPTY middles ('**') are no-ops, not jump-to-end
+    var i = 1
+    while (i < parts.length - 1) {
+      val seg = parts(i)
+      if (seg.nonEmpty) {
+        val at = path.indexOf(seg, pos)
+        if (at < 0) return -1
+        pos = at + seg.length
       }
+      i += 1
     }
-    if (!ok) -1
-    else if (anchored && pos != path.length) -1
-    else pattern.length
+    // last segment: a '$' anchor means SUFFIX match (not "wherever
+    // the first occurrence landed" — '/*.php$' must match
+    // '/index.php.php'); a trailing '*' matches any run
+    val last = parts(parts.length - 1)
+    if (last.isEmpty) pattern.length
+    else if (anchored) {
+      if (path.endsWith(last) && path.length - last.length >= pos) pattern.length
+      else -1
+    } else if (path.indexOf(last, pos) >= 0) pattern.length
+    else -1
   }
 
   /** RFC 9309 decision for a path under (allow, disallow) patterns:

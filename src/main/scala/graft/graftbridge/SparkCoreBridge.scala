@@ -10,4 +10,14 @@ import org.apache.spark.SparkContext
   */
 object SparkCoreBridge {
   def flushListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+
+  /** Ship the driver's Hadoop configuration (incl. `spark.hadoop.*`
+    * overrides — S3/GCS credentials, endpoints) to executors.
+    * `SerializableConfiguration` is `private[spark]`, so the factory
+    * lives in this bridge and hides it behind a serializable thunk.
+    */
+  def hadoopConfFactory(sc: SparkContext): () => org.apache.hadoop.conf.Configuration = {
+    val ser = new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration)
+    () => ser.value
+  }
 }

@@ -39,24 +39,17 @@ import graft.tables.Tables
   */
 object HttpPayload {
 
-  /** Sloppy-web label → canonical lowercase label (the columnar twin
-    * of [[graft.functions.Charsets]]' alias table — kept literal so
-    * it inlines into codegen and the DuckDB oracle can restate it).
+  /** Sloppy-web label → canonical lowercase label — DERIVED from
+    * [[graft.functions.Charsets]]' alias table (one source of truth:
+    * the label this column reports and the charset the X18 decode
+    * actually resolves cannot drift; the PslRules lesson applied to
+    * charsets). Identity entries drop out — the coalesce fallback
+    * already passes unmapped labels through.
     */
-  private[operators] val CanonicalAliases: Map[String, String] = Map(
-    "latin-1" -> "iso-8859-1", "latin1" -> "iso-8859-1", "l1" -> "iso-8859-1",
-    "iso8859-1" -> "iso-8859-1", "iso_8859-1" -> "iso-8859-1",
-    "utf8" -> "utf-8", "utf16" -> "utf-16",
-    "shift-jis" -> "shift_jis", "sjis" -> "shift_jis",
-    "x-sjis" -> "shift_jis", "ms_kanji" -> "shift_jis",
-    "cp932" -> "windows-31j",
-    "cp1250" -> "windows-1250", "cp1251" -> "windows-1251",
-    "cp1252" -> "windows-1252", "win-1252" -> "windows-1252",
-    "ansi" -> "windows-1252",
-    "gb2312" -> "gbk", "gb-2312" -> "gbk",
-    "ascii" -> "us-ascii", "big-5" -> "big5", "koi8" -> "koi8-r",
-    "ks_c_5601-1987" -> "euc-kr", "iso-8859-11" -> "tis-620"
-  )
+  private[operators] val CanonicalAliases: Map[String, String] =
+    graft.functions.Charsets.WebAliases
+      .map { case (k, v) => k -> v.toLowerCase(java.util.Locale.ROOT) }
+      .filter { case (k, v) => k != v }
 
   /** Canonical lowercase form of a charset label (quotes stripped,
     * lowercased, alias-mapped; unknown labels pass through so the
@@ -103,10 +96,13 @@ object HttpPayload {
     val bom = when(entity.startsWith("\u00EF\u00BB\u00BF"), "utf-8")
       .when(entity.startsWith("\u00FF\u00FE"), "utf-16le")
       .when(entity.startsWith("\u00FE\u00FF"), "utf-16be")
+    // the boundary class before 'charset' keeps a parameter whose
+    // NAME merely ends in it (x-amz-meta-charset=…) from fabricating
+    // a label; ';' or whitespace is what precedes the real parameter
     val hdrCs = regexp_extract(headersView(view),
-      "(?im)^content-type\\s*:[^\r\n]*?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+-]+)", 1)
+      "(?im)^content-type\\s*:[^\r\n]*?[;\\s]charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+-]+)", 1)
     val metaCs = regexp_extract(substring(entity, 1, 1024),
-      "(?i)<meta[^>]*?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+-]+)", 1)
+      "(?i)<meta[^>]*?[\\s;\"'=]charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+-]+)", 1)
     coalesce(bom, canonicalCharset(coalesce(
       nullif(hdrCs, lit("")), nullif(metaCs, lit("")), lit("utf-8"))))
   }

@@ -27,9 +27,16 @@ object Politeness {
       hostCol: String = "host",
       txtCol: String = "robots_txt",
       agent: String = "*"): DataFrame =
-    robots.select(
-      lower(col(hostCol)).as("host"),
-      GraftExpressions.robotsRules(col(txtCol), lit(agent)).as("_r"))
+    robots.select(lower(col(hostCol)).as("host"), col(txtCol).as("_t"))
+      // one row per host BEFORE parsing: an append-log robots store
+      // holds multiple fetches per host, and duplicate rule rows
+      // would fan every url of that host into duplicate verdicts
+      // through the join. max_by(warc-date) belongs to the fetch
+      // store; here the collapse is deterministic (max text) — pass
+      // a pre-deduped latest-fetch frame when recency matters.
+      .groupBy(col("host")).agg(max(col("_t")).as("_t"))
+      .select(col("host"),
+        GraftExpressions.robotsRules(col("_t"), lit(agent)).as("_r"))
       .select(col("host"), col("_r.allow").as("allow"),
         col("_r.disallow").as("disallow"))
 

@@ -358,16 +358,28 @@ object Warc {
   def recordsStreamed(
       spark: SparkSession, paths: Seq[String]): Dataset[WarcRecord] = {
     import spark.implicits._
-    // executor-side Hadoop conf: rebuilt from defaults in-task (the
-    // driver conf object is not serializable); correct for file:/
-    // and any deployment shipping core-site via HADOOP_CONF_DIR
+    // executor-side Hadoop conf: the DRIVER's configuration shipped
+    // via the core bridge — `spark.hadoop.*` overrides (S3/GCS
+    // credentials, endpoints) must reach the task-side FileSystem,
+    // not a bare defaults object
+    val confF = org.apache.spark.graftbridge.SparkCoreBridge
+      .hadoopConfFactory(spark.sparkContext)
     val nParts = math.max(1, paths.size)
     spark.createDataset(paths).repartition(nParts)
       .mapPartitions { it =>
+        // streams opened by this partition close on TASK COMPLETION,
+        // not just iterator exhaustion — a limit()/take() consumer
+        // stops pulling mid-file and must not leak descriptors
+        val open = new scala.collection.mutable.ArrayBuffer[java.io.InputStream]()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          open.foreach(s => try s.close() catch { case _: Exception => })
+        }
         it.flatMap { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
-          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = hp.getFileSystem(confF())
           val in = fs.open(hp)
+          open += in
           val inner = parseWarcStream(p, in)
           new Iterator[WarcRecord] {
             private var closed = false

@@ -63,6 +63,15 @@ class HttpPayloadSpec extends SparkTestBase {
     assert(out(0) == (("utf-8", true, "")))
   }
 
+  test("a parameter NAME ending in 'charset' cannot fabricate a label (header or meta)") {
+    val out = decodeAll(Seq(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; x-amz-meta-charset=ebcdic\r\n\r\né"
+        ).getBytes("UTF-8"),
+      ("HTTP/1.1 200 OK\r\n\r\n<meta data-charset=koi8-r content=x>é").getBytes("UTF-8")))
+    assert(out(0) == (("utf-8", true, "é")), s"got ${out(0)}")
+    assert(out(1)._1 == "utf-8", s"meta attr name fabricated a charset: ${out(1)}")
+  }
+
   test("unknown label: UTF-8 fallback, flagged not-known") {
     val out = decodeAll(Seq(
       "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=x-nope\r\n\r\nfallbäck"

@@ -64,6 +64,35 @@ class PolitenessSpec extends SparkTestBase {
     assert(ok("/"))                          // root untouched for graftbot
   }
 
+  test("'$' anchors are SUFFIX matches; '**' runs are no-ops; empty agent tokens are ignored") {
+    // /*.php$ must catch /index.php.php (the first '.php' occurrence
+    // is not the only candidate — regex semantics backtrack)
+    val (a1, d1) = Robots.rulesFor("User-agent: *\nDisallow: /*.php$\n", "x")
+    assert(!Robots.allowed("/index.php.php", a1, d1))
+    assert(!Robots.allowed("/x.php", a1, d1))
+    assert(Robots.allowed("/x.php?y=1", a1, d1)) // anchor broken by query
+    // consecutive stars are one star, not jump-to-end
+    val (a2, d2) = Robots.rulesFor("User-agent: *\nDisallow: /private**/secret\n", "x")
+    assert(!Robots.allowed("/privateX/secret", a2, d2))
+    assert(Robots.allowed("/privateX/open", a2, d2))
+    // an EMPTY User-agent token must not hijack the '*' group (it
+    // would substring-match every agent at specificity 0)
+    val (a3, d3) = Robots.rulesFor(
+      "User-agent:\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n", "anybot")
+    assert(Robots.allowed("/a", a3, d3) && !Robots.allowed("/b", a3, d3),
+      s"empty agent token hijacked the fallback group: allow=$a3 dis=$d3")
+  }
+
+  test("duplicate host rows in the robots store collapse: one verdict row per url") {
+    val robots = Seq(
+      ("dup.example.com", "User-agent: *\nDisallow: /x\n"),
+      ("dup.example.com", "User-agent: *\nDisallow: /y\n") // re-fetch
+    ).toDF("host", "robots_txt")
+    val urls = Seq((1L, "https://dup.example.com/x")).toDF("id", "url")
+    val out = Politeness.withRobotsVerdict(urls, Politeness.robotsRules(robots))
+    assert(out.count() == 1L, "duplicate robots rows fanned the url out")
+  }
+
   test("empty disallow matches nothing; empty/missing robots allows all") {
     val (a1, d1) = Robots.rulesFor("User-agent: *\nDisallow:\n", "x")
     assert(Robots.allowed("/anything", a1, d1))
