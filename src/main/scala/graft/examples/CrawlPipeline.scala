@@ -107,6 +107,29 @@ object CrawlPipeline {
     val shop = out.where($"doc_id" === idOf("https://shop.example.com/p?a=1&b=2"))
       .select($"verdict").collect().map(_.getString(0)).toSeq
     println(s"crawl_recrawl=decisions:${shop.size}(${shop.distinct.mkString})")
+
+    // O58: the politeness leg — robots.txt bodies fetched per host
+    // gate paths the DOMAIN blocklist can't express (an allowed site
+    // may still forbid /private/); one broadcast join + X21 check
+    val robots = Seq(
+      ("shop.example.com",
+        "User-agent: graftbot\nDisallow: /private/\nAllow: /private/press/\n" +
+          "Disallow: /*.pdf$\n"),
+      ("mirror.example.net", "User-agent: *\nDisallow:\n")
+    ).toDF("host", "robots_txt")
+    val fetchQueue = Seq(
+      "https://shop.example.com/p?a=1&b=2",
+      "https://shop.example.com/private/cart",
+      "https://shop.example.com/private/press/launch",
+      "https://shop.example.com/catalog.pdf",
+      "https://mirror.example.net/a-copy",
+      "https://no-robots.example.org/free").toDF("url")
+    val gated = graft.operators.Politeness.withRobotsVerdict(
+      fetchQueue, graft.operators.Politeness.robotsRules(robots, agent = "graftbot"))
+    val fetchable = gated.where($"robots_allowed").count()
+    val polite = gated.where(!$"robots_allowed")
+      .select($"url").collect().map(_.getString(0)).sorted.mkString(",")
+    println(s"crawl_robots=fetchable:$fetchable blocked:[$polite]")
     spark.stop()
   }
 }
