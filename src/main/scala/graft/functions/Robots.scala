@@ -87,7 +87,7 @@ object Robots {
     * specificity measure: octets of the pattern, `*`/`$` included)
     * or -1.
     */
-  private[functions] def matchLen(path: String, pattern: String): Int = {
+  private[graft] def matchLen(path: String, pattern: String): Int = {
     val anchored = pattern.endsWith("$")
     val pat = if (anchored) pattern.dropRight(1) else pattern
     val parts = pat.split("\\*", -1) // literal segments between stars

@@ -83,6 +83,33 @@ class PolitenessSpec extends SparkTestBase {
       s"empty agent token hijacked the fallback group: allow=$a3 dis=$d3")
   }
 
+  test("fuzz: matchLen == java.util.regex semantics ('*' any run, '$' end anchor, prefix match)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val seg = Gen.oneOf("/", "a", "b", ".php", "x/", "", "aa")
+    val patG = for {
+      n <- Gen.chooseNum(1, 4)
+      parts <- Gen.listOfN(n, seg)
+      anchor <- Gen.oneOf("", "$")
+    } yield parts.mkString("*") + anchor
+    val pathG = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("/", "a", "b", ".", "p", "h", "x")).map("/" + _.mkString))
+    val cases = (0 until 2500).flatMap(i =>
+      (for { p <- patG; q <- pathG } yield (p, q))
+        .apply(Gen.Parameters.default, Seed(77L + i)))
+    cases.foreach { case (pattern, path) =>
+      val anchored = pattern.endsWith("$")
+      val pat = if (anchored) pattern.dropRight(1) else pattern
+      val re = ("^" + pat.split("\\*", -1).map(s =>
+        if (s.isEmpty) "" else java.util.regex.Pattern.quote(s)).mkString(".*") +
+        (if (anchored) "$" else "")).r.pattern
+      val expected = re.matcher(path).lookingAt()
+      val got = Robots.matchLen(path, pattern) >= 0
+      assert(got == expected,
+        s"matchLen diverged from regex on pattern=<$pattern> path=<$path>: got $got want $expected")
+    }
+  }
+
   test("duplicate host rows in the robots store collapse: one verdict row per url") {
     val robots = Seq(
       ("dup.example.com", "User-agent: *\nDisallow: /x\n"),
