@@ -116,6 +116,10 @@ object GraftExpressions {
   def registrableDomain(host: Column): Column =
     column(RegistrableDomain(expression(host)))
 
+  /** Column API: href resolved against its page URL (X25). */
+  def resolveUrl(base: Column, href: Column): Column =
+    column(ResolveUrl(expression(base), expression(href)))
+
   /** Column API: 60-bit sign sketch of an embedding, one codegen
     * pass (X14).
     */
@@ -875,6 +879,41 @@ object SignPack60 {
   * ([[Charsets.resolve]]). Unknown labels fall back to UTF-8;
   * malformed/unmappable bytes become U+FFFD — deterministic, total.
   */
+/** X25: `resolve_url(base, href)` — RFC 3986 reference resolution of
+  * an extracted href against its page URL (the WAT/outlink
+  * primitive): absolute pass-through, protocol-relative and
+  * root-relative against the base, directory merge for relative
+  * paths, EXACT remove_dot_segments, fragment strip; NULL for
+  * non-targets (empty/fragment-only hrefs, opaque mailto:/javascript:
+  * schemes). One tree node for the same reason as X22–X24: the
+  * columnar when-chain re-derives the base scheme/authority/directory
+  * regexes per branch and the optimizer inlines that forest into
+  * every downstream reference (the round-16 task-binary lesson), and
+  * a regex formulation of remove_dot_segments is only approximable
+  * by bounded passes. Semantics in [[UrlOps.resolveUrl]]; the DuckDB
+  * twin restates the bounded-pass form (documented in
+  * [[graft.operators.Links]]).
+  */
+case class ResolveUrl(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(base: Any, href: Any): Any =
+    UrlOps.resolveUrl(base.asInstanceOf[UTF8String], href.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { (b, h) =>
+      val r = ctx.freshName("resolved")
+      s"""UTF8String $r = graft.functions.UrlOps$$.MODULE$$.resolveUrl($b, $h);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ResolveUrl =
+    copy(left = l, right = r)
+}
+
 case class CharsetDecode(left: Expression, right: Expression)
     extends BinaryExpression {
 

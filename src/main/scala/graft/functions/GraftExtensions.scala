@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.canonicalUrlFn)
     ext.injectFunction(GraftExtensions.urlHostFn)
     ext.injectFunction(GraftExtensions.registrableDomainFn)
+    ext.injectFunction(GraftExtensions.resolveUrlFn)
     // whole-operator path: plans graft.plans.AsOfJoin logical nodes
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -184,6 +185,13 @@ object GraftExtensions {
     (children: Seq[Expression]) => RegistrableDomain(children.head)
   )
 
+  val resolveUrlFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("resolve_url"),
+    info("resolve_url",
+      "resolve_url(base, href) - href resolved against its page URL, RFC 3986 (X25)"),
+    (children: Seq[Expression]) => ResolveUrl(children(0), children(1))
+  )
+
   /** Register on an existing session (tests / REPL convenience) —
     * scalar functions AND the X10 table-valued join functions (a
     * getOrCreate that joined a pre-existing session never saw the
@@ -196,7 +204,8 @@ object GraftExtensions {
       nibbleHistogramFn, rasterBodyGramsFn, avgHash60Fn, signPack60Fn,
       charsetDecodeFn, charsetEncodeFn, charsetKnownFn,
       robotsRulesFn, robotsAllowedFn,
-      canonicalUrlFn, urlHostFn, registrableDomainFn).foreach { case (id, inf, builder) =>
+      canonicalUrlFn, urlHostFn, registrableDomainFn,
+      resolveUrlFn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
     val treg = spark.sessionState.tableFunctionRegistry

@@ -198,6 +198,106 @@ object UrlOps {
         (if (query.isEmpty) "" else "?" + query))
   }
 
+  // ---- reference resolution (X25: resolve_url(base, href)) ----
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over a path that starts with
+    * '/' (or is empty): '.' segments vanish, '..' pops the previous
+    * segment ('..' at the root is dropped, per the RFC), and a
+    * trailing '.'/'..' leaves the trailing slash. Empty segments
+    * ("a//b") are preserved — they are real (empty-named) segments.
+    */
+  private[functions] def removeDotSegments(path: String): String = {
+    if (path.isEmpty || (path.indexOf("/.") < 0 && !path.startsWith(".")))
+      return path
+    val segs = path.split("/", -1)
+    val stack = new scala.collection.mutable.ArrayBuffer[String](segs.length)
+    var trailingSlash = false
+    var i = if (path.charAt(0) == '/') 1 else 0
+    while (i < segs.length) {
+      val s = segs(i)
+      if (s == ".") trailingSlash = true
+      else if (s == "..") {
+        if (stack.nonEmpty) stack.remove(stack.size - 1)
+        trailingSlash = true
+      } else {
+        stack += s
+        trailingSlash = false
+      }
+      i += 1
+    }
+    var out = "/" + stack.mkString("/")
+    if (trailingSlash && !out.endsWith("/")) out += "/"
+    out
+  }
+
+  /** True when the value starts with `scheme:` (RFC 3986 scheme
+    * production) — used to classify hrefs: `scheme://` is an absolute
+    * hierarchical reference, a bare `scheme:` (mailto:, javascript:,
+    * data:, tel:) is opaque and yields no fetchable target.
+    */
+  private def schemeColonEnd(u: String): Int = {
+    if (u.isEmpty || !isAlpha(u.charAt(0))) return -1
+    var i = 1
+    while (i < u.length && isSchemeChar(u.charAt(i))) i += 1
+    if (i < u.length && u.charAt(i) == ':') i else -1
+  }
+
+  /** Dot-normalize the PATH of an absolute hierarchical URL; the
+    * query (fragments were stripped upstream) passes through.
+    */
+  private def finishResolved(u: String): UTF8String = {
+    val s = authStart(u)
+    if (s < 0) return null
+    val ae = authorityEnd(u, s)
+    var pEnd = ae
+    while (pEnd < u.length && u.charAt(pEnd) != '?') pEnd += 1
+    UTF8String.fromString(
+      u.substring(0, ae) + removeDotSegments(u.substring(ae, pEnd)) +
+        u.substring(pEnd))
+  }
+
+  /** Resolve an href against the page URL it was extracted from —
+    * the WAT-extraction primitive (RFC 3986 §5.2.2, restricted to the
+    * crawlable subset). Returns NULL for non-targets: empty or
+    * fragment-only hrefs (same page) and opaque `scheme:` hrefs
+    * (mailto:/javascript:/data:/tel:). Absolute `scheme://` hrefs
+    * pass through (their own authority); `//host/p` takes the base
+    * scheme; `/p` takes the base scheme+authority; anything else
+    * merges with the base directory. The fragment is stripped and the
+    * merged path is dot-normalized (remove_dot_segments, exact — not
+    * a bounded approximation); scheme/host case and the query are
+    * preserved verbatim for [[canonicalUrl]] downstream. Leading and
+    * trailing ASCII whitespace in the href is trimmed (the browser
+    * rule). NULL when the base itself has no `scheme://` frame.
+    */
+  def resolveUrl(base: UTF8String, href: UTF8String): UTF8String = {
+    if (base == null || href == null) return null
+    var h = href.toString
+    // ASCII-whitespace trim (String.trim: all chars <= U+0020)
+    h = h.trim
+    val hashIdx = h.indexOf('#')
+    if (hashIdx >= 0) h = h.substring(0, hashIdx)
+    if (h.isEmpty) return null
+    if (authStart(h) >= 0) return finishResolved(h)
+    if (schemeColonEnd(h) >= 0) return null // opaque scheme (mailto:, javascript:)
+    val b = base.toString
+    val sB = authStart(b)
+    if (sB < 0) return null
+    val aeB = authorityEnd(b, sB)
+    if (h.startsWith("//"))
+      return finishResolved(b.substring(0, sB - 2) + h) // scheme + ':' + href
+    val schemeAuth = b.substring(0, aeB)
+    if (h.startsWith("/")) return finishResolved(schemeAuth + h)
+    // merge with the base directory (base path up to its last '/';
+    // an authority-only base contributes '/')
+    var pEndB = aeB
+    while (pEndB < b.length && b.charAt(pEndB) != '?' && b.charAt(pEndB) != '#') pEndB += 1
+    val basePath = b.substring(aeB, pEndB)
+    val cut = basePath.lastIndexOf('/')
+    val dir = if (cut < 0) "/" else basePath.substring(0, cut + 1)
+    finishResolved(schemeAuth + dir + h)
+  }
+
   // ---- registrable domain (PSL, hash-set probes) ----
 
   private def setsByLen(m: Map[Int, Seq[String]]): Map[Int, java.util.HashSet[String]] =

@@ -99,4 +99,13 @@ class UrlParityFuzzSpec extends SparkTestBase {
     assert(r.getString(1) == "x.example.org")
     assert(r.getString(2) == "myblog.blogspot.com")
   }
+
+  test("SQL surface: resolve_url registered (X25)") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT resolve_url('https://ex.com/a/b/p.html', '../x#f') AS t, " +
+        "resolve_url('https://ex.com/', 'mailto:a@b.c') AS skip").head()
+    assert(r.getString(0) == "https://ex.com/a/x")
+    assert(r.isNullAt(1))
+  }
 }
