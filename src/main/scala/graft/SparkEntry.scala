@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Workflow
-import graft.operators.{Dedup, Embeddings, Frontier, Graph, Html, HttpPayload, Links, Multimodal, Q, Redirects, Relational, Similarity, Sitemaps, TextAnalysis, Typed, UrlCuration}
+import graft.operators.{Dedup, Embeddings, Frontier, Graph, Html, HttpPayload, LineDedup, Links, Multimodal, Q, Redirects, Relational, Similarity, Sitemaps, TextAnalysis, Typed, UrlCuration}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -12,7 +12,7 @@ object SparkEntry {
   def allQ: Seq[Q] =
     Relational.all ++ TextAnalysis.all ++ Html.all ++ UrlCuration.all ++
       HttpPayload.all ++ Links.all ++ Sitemaps.all ++ Redirects.all ++
-      Frontier.all ++
+      Frontier.all ++ LineDedup.all ++
       Dedup.all ++ Similarity.all ++
       Embeddings.all ++ Multimodal.all ++ Typed.all ++ Graph.all
 
