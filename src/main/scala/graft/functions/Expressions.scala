@@ -120,6 +120,10 @@ object GraftExpressions {
   def resolveUrl(base: Column, href: Column): Column =
     column(ResolveUrl(expression(base), expression(href)))
 
+  /** Column API: magic-byte MIME sniff of a binary payload (X26). */
+  def sniffMime(payload: Column): Column =
+    column(MimeSniff(expression(payload)))
+
   /** Column API: 60-bit sign sketch of an embedding, one codegen
     * pass (X14).
     */
@@ -912,6 +916,28 @@ case class ResolveUrl(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ResolveUrl =
     copy(left = l, right = r)
+}
+
+/** X26: `sniff_mime(payload)` — WHATWG-style magic-byte MIME
+  * detection ([[Mime.sniff]]): binary signatures, ISO-BMFF brand
+  * dispatch, whitespace/BOM-tolerant HTML/XML tag probe, NUL-scan
+  * text/binary fallback. One codegen node; a composed-builtin form
+  * would need a dozen substring compares plus a decode that throws on
+  * non-UTF-8 bytes.
+  */
+case class MimeSniff(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(payload: Any): Any =
+    Mime.sniff(payload.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Mime$$.MODULE$$.sniff($c);")
+
+  override protected def withNewChildInternal(c: Expression): MimeSniff =
+    copy(child = c)
 }
 
 case class CharsetDecode(left: Expression, right: Expression)

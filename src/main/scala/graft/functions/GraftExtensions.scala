@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.urlHostFn)
     ext.injectFunction(GraftExtensions.registrableDomainFn)
     ext.injectFunction(GraftExtensions.resolveUrlFn)
+    ext.injectFunction(GraftExtensions.sniffMimeFn)
     // whole-operator path: plans graft.plans.AsOfJoin logical nodes
     // (Ops.asofJoinNative also self-registers per-session)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -192,6 +193,13 @@ object GraftExtensions {
     (children: Seq[Expression]) => ResolveUrl(children(0), children(1))
   )
 
+  val sniffMimeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sniff_mime"),
+    info("sniff_mime",
+      "sniff_mime(payload) - magic-byte MIME detection over a binary payload (X26)"),
+    (children: Seq[Expression]) => MimeSniff(children.head)
+  )
+
   /** Register on an existing session (tests / REPL convenience) —
     * scalar functions AND the X10 table-valued join functions (a
     * getOrCreate that joined a pre-existing session never saw the
@@ -205,7 +213,7 @@ object GraftExtensions {
       charsetDecodeFn, charsetEncodeFn, charsetKnownFn,
       robotsRulesFn, robotsAllowedFn,
       canonicalUrlFn, urlHostFn, registrableDomainFn,
-      resolveUrlFn).foreach { case (id, inf, builder) =>
+      resolveUrlFn, sniffMimeFn).foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
     }
     val treg = spark.sessionState.tableFunctionRegistry

@@ -97,11 +97,18 @@ object CrawlIngest {
     // also poison the md5 content-dedup keys and gram novelty).
     // Headers are stripped only when the capture IS an HTTP message
     // (status line present), CRLF or bare-LF framed.
+    // MIME gate (X26, round 16): confident binary-media entities
+    // (PNG/JPEG/PDF/zip/...) never reach text extraction — they
+    // belong to the m01-class media pipeline. Everything the sniffer
+    // can't PROVE binary (text/*, octet-stream, BOM-less UTF-16)
+    // passes through to the charset decoder, which owns encodings.
     val latest = HttpPayload.withDecodedEntity(
       gated
         .groupBy(col("url"))
         .agg(max_by(col("payload"),
-          struct(col("warc_date"), col("path"), col("offset"))).as("_pay")),
+          struct(col("warc_date"), col("path"), col("offset"))).as("_pay"))
+        .where(!HttpPayload.sniffedMime(col("_pay"))
+          .isin(HttpPayload.BinaryMimes: _*)),
       "_pay").select(col("url"), col("html"))
     // intra-batch exact-content dedup (d01 at the front door): two
     // DIFFERENT canonical urls carrying the same NON-EMPTY extracted

@@ -129,6 +129,28 @@ object HttpPayload {
       .withColumn("html", decodedEntity(col(payloadCol), col("charset")))
   }
 
+  /** Magic-byte MIME of the captured message's ENTITY (X26) — the
+    * bytes-don't-lie companion to [[withHttpMeta]]'s header
+    * `mime_type` (servers mislabel; the signature table doesn't).
+    * For non-HTTP captures the whole payload is the entity.
+    */
+  def sniffedMime(payload: Column): Column =
+    GraftExpressions.sniffMime(
+      encode(entityView(messageView(payload)), "ISO-8859-1"))
+
+  /** The X26 labels that are CONFIDENT binary-media signatures — the
+    * crawl text door drops these before extraction (they belong to
+    * the m01-class media pipeline). Deliberately NOT including
+    * text/plain or application/octet-stream: an encoding the sniffer
+    * can't prove text (UTF-16 without BOM reads as NUL-laden bytes)
+    * must still reach the charset decoder, which owns encodings.
+    */
+  val BinaryMimes: Seq[String] = Seq(
+    "image/png", "image/jpeg", "image/gif", "image/webp",
+    "audio/wav", "video/x-msvideo", "video/mp4", "audio/mp4",
+    "application/pdf", "application/gzip", "application/zip",
+    "audio/ogg", "audio/mpeg")
+
   /** Fetch-metadata columns from a captured HTTP message — the audit
     * surface a crawl store keeps next to the payload: `http_status`
     * (int, NULL for non-HTTP captures) and `mime_type` (lowercased
