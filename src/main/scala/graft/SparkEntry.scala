@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Workflow
-import graft.operators.{Dedup, Embeddings, Frontier, Graph, Html, HttpPayload, LineDedup, Links, Multimodal, Q, Redirects, Relational, Similarity, Sitemaps, Sniff, TextAnalysis, Typed, UrlCuration}
+import graft.operators.{Dedup, Embeddings, Frontier, Graph, HostRank, Html, HttpPayload, LineDedup, Links, Multimodal, Q, Redirects, Relational, Similarity, Sitemaps, Sniff, TextAnalysis, Typed, UrlCuration}
 import graft.tables.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,7 +14,8 @@ object SparkEntry {
       HttpPayload.all ++ Links.all ++ Sitemaps.all ++ Redirects.all ++
       Frontier.all ++ LineDedup.all ++
       Dedup.all ++ Similarity.all ++
-      Embeddings.all ++ Multimodal.all ++ Sniff.all ++ Typed.all ++ Graph.all
+      Embeddings.all ++ Multimodal.all ++ Sniff.all ++ Typed.all ++ Graph.all ++
+      HostRank.all
 
   /** Flagship: the workflow engine wiring tables through a routed DAG
     * (the reference's provide/depend shape driving Spark plans), run

@@ -18,7 +18,7 @@ import graft.tables.Tables
 object Graph {
 
   /** Rank scale: 1.0 == 1e12 micro-units. All arithmetic is int64. */
-  private val Scale = 1000000000000L
+  private[operators] val Scale = 1000000000000L
 
   /** Weighted PageRank over an edge list, `iters` synchronous
     * iterations, damping 0.85 held EXACT as the integer form

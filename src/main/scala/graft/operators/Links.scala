@@ -162,7 +162,12 @@ object Links {
       s"'/[^/]*[^/.][^/]*/\\.\\.(/|$$)', '/', 'g'), " +
       s"'(://[^/?#]*)/\\.\\.(/|$$)', '\\1/', 'g')"
 
-  private def t38Oracle: String = {
+  /** The resolved-links CTE chain shared by the t38 and g12 oracles:
+    * synthetic pages → anchor scan → href parse → bounded-pass
+    * resolution, ending in `res(doc_id, base, target)`. Comma-joined
+    * CTE definitions (caller supplies WITH and what follows).
+    */
+  private[operators] def duckResolvedLinks: String = {
     val dq = "regexp_extract(tag, '(?i)\\shref\\s*=\\s*\"([^\"]*)\"', 1)"
     val sq = "regexp_extract(tag, '(?i)\\shref\\s*=\\s*''([^'']*)''', 1)"
     val bare = "regexp_extract(tag, '(?i)\\shref\\s*=\\s*([^\\s\"''>][^\\s>]*)', 1)"
@@ -173,16 +178,22 @@ object Links {
       "ELSE regexp_replace(regexp_extract(base, " +
       "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '[^/]*$', '') END"
     val passes = (1 to 4).foldLeft("pq")((e, _) => duckDotPass(e))
-    s"""WITH d AS (SELECT doc_id, $duckBase AS base, $duckHtml AS html FROM documents),
-      tg AS (SELECT doc_id, base, regexp_extract_all(html, '(?i)<a\\s[^>]*>') AS tags FROM d),
-      tag AS (SELECT doc_id, base, tags[k] AS tag
+    // every stage AS MATERIALIZED — the g03/g01 inlining lesson:
+    // without it DuckDB substitutes each CTE column into every
+    // downstream reference, and the href CASE × resolution CASE ×
+    // 12-regexp dot passes × host regex × PSL probes multiply into
+    // thousands of regex evaluations PER ROW (measured: ~20 min for
+    // the g12 oracle at sf0.01 unmaterialized, seconds materialized).
+    s"""d AS MATERIALIZED (SELECT doc_id, $duckBase AS base, $duckHtml AS html FROM documents),
+      tg AS MATERIALIZED (SELECT doc_id, base, regexp_extract_all(html, '(?i)<a\\s[^>]*>') AS tags FROM d),
+      tag AS MATERIALIZED (SELECT doc_id, base, tags[k] AS tag
         FROM tg, UNNEST(generate_series(1, len(tags))) AS t(k)),
-      hr AS (SELECT doc_id, base,
+      hr AS MATERIALIZED (SELECT doc_id, base,
           CASE WHEN $dq <> '' THEN $dq WHEN $sq <> '' THEN $sq ELSE $bare END AS href
         FROM tag),
-      h2 AS (SELECT doc_id, base, regexp_replace(trim(href), '#.*', '') AS h
+      h2 AS MATERIALIZED (SELECT doc_id, base, regexp_replace(trim(href), '#.*', '') AS h
         FROM hr WHERE href <> ''),
-      r0 AS (SELECT doc_id, base,
+      r0 AS MATERIALIZED (SELECT doc_id, base,
           CASE WHEN h = '' THEN NULL
                WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN h
                WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
@@ -190,21 +201,27 @@ object Links {
                WHEN h LIKE '/%' THEN $schemeAuth || h
                ELSE $schemeAuth || $baseDir || h END AS t0
         FROM h2),
-      sp AS (SELECT doc_id, base, regexp_extract(t0, '^([^?]*)', 1) AS pq,
+      sp AS MATERIALIZED (SELECT doc_id, base, regexp_extract(t0, '^([^?]*)', 1) AS pq,
           regexp_extract(t0, '(\\?.*)$$', 1) AS qs
         FROM r0 WHERE t0 IS NOT NULL),
-      res AS (SELECT doc_id, base, $passes || qs AS target FROM sp),
-      e AS (SELECT ${UrlCuration.duckRegistrableDomain(UrlCuration.duckHostOf("base"))} AS src_domain,
-          ${UrlCuration.duckRegistrableDomain(UrlCuration.duckHostOf("target"))} AS dst_domain,
+      res AS MATERIALIZED (SELECT doc_id, base, $passes || qs AS target FROM sp)"""
+  }
+
+  private def t38Oracle: String =
+    s"""WITH $duckResolvedLinks,
+      eh AS MATERIALIZED (SELECT ${UrlCuration.duckHostOf("base")} AS src_host,
           ${UrlCuration.duckHostOf("target")} AS dst_host,
           ${UrlCuration.duckCanonicalUrl("target")} AS canon
-        FROM res)
+        FROM res),
+      e AS MATERIALIZED (SELECT ${UrlCuration.duckRegistrableDomain("src_host")} AS src_domain,
+          ${UrlCuration.duckRegistrableDomain("dst_host")} AS dst_domain,
+          dst_host, canon
+        FROM eh)
       SELECT src_domain, dst_domain, CAST(COUNT(*) AS BIGINT) AS n_links,
         CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_urls,
         CAST(COUNT(DISTINCT dst_host) AS BIGINT) AS n_hosts
       FROM e WHERE src_domain IS NOT NULL AND dst_domain IS NOT NULL
       GROUP BY src_domain, dst_domain ORDER BY src_domain, dst_domain"""
-  }
 
   val all: Seq[Q] = Seq(
     Q(
