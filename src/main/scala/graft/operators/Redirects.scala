@@ -51,12 +51,17 @@ object Redirects {
         GraftExpressions.resolveUrl(col(urlCol), col(locationCol)).as("_dst"),
         tsCol.map(col).getOrElse(lit(0)).as("_ts"))
       .where(col("_dst").isNotNull)
+    // lineage cut (O36): the walk references `edges` maxHops + 1
+    // times and `fetches` twice more — without the cut every join
+    // re-executes the caller's whole upstream plan (measured at
+    // sf0.01: 3 broadcasts re-materializing the fetch plan, 100 MB
+    // of broadcast bytes for a 150-row edge set)
     val edges = (tsCol match {
       case Some(_) => redirecting.groupBy(col("_src"))
         .agg(max(struct(col("_ts"), col("_dst"))).getField("_dst").as("_dst"))
       case None => redirecting.groupBy(col("_src")).agg(min(col("_dst")).as("_dst"))
-    })
-    val fetched = fetches.select(col(urlCol).as("_f")).distinct()
+    }).graftCheckpointLazy
+    val fetched = fetches.select(col(urlCol).as("_f")).distinct().graftCheckpointLazy
 
     var state = fetches.select(col(urlCol).as("url")).distinct()
       .select(col("url"), col("url").as("cur"),
