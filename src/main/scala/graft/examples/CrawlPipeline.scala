@@ -130,6 +130,62 @@ object CrawlPipeline {
     val polite = gated.where(!$"robots_allowed")
       .select($"url").collect().map(_.getString(0)).sorted.mkString(",")
     println(s"crawl_robots=fetchable:$fetchable blocked:[$polite]")
+
+    // O59-O62: frontier discovery from a fresh batch (batch-read from
+    // its own directory — the streaming loop above is untouched): a
+    // hub page with outlinks, the host's sitemap, and a 301 whose
+    // Location must fold into the frontier.
+    val hubPayload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body><p>hub <a href=\"/d\">d</a> <a href=\"../e\">e</a> " +
+      "<a href='https://other.example.net/f'>f</a> " +
+      "<a href=\"mailto:x@y.z\">m</a></p></body></html>").getBytes("UTF-8")
+    val sitemapPayload = ("HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n\r\n" +
+      "<?xml version=\"1.0\"?><urlset xmlns=\"s\">" +
+      "<url><loc>https://news.example.org/s1</loc><priority>0.9</priority></url>" +
+      "<url><loc>https://news.example.org/s2</loc></url></urlset>").getBytes("UTF-8")
+    val redirPayload = ("HTTP/1.1 301 Moved Permanently\r\nLocation: /d\r\n\r\n")
+      .getBytes("UTF-8")
+    def rawRec(uri: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: 2026-08-16T01:00:00Z\r\n" +
+        s"WARC-Target-URI: $uri\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+    new java.io.File(s"$dir/disc").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/disc/disc-1.warc"),
+      rawRec("https://news.example.org/hub/index.html", hubPayload) ++
+        rawRec("https://news.example.org/sitemap.xml", sitemapPayload) ++
+        rawRec("https://news.example.org/old", redirPayload))
+
+    val disc = graft.operators.HttpPayload.withDecodedEntity(
+      graft.operators.HttpPayload.withHttpMeta(
+        graft.sources.Sources.warc(spark, s"$dir/disc")
+          .where($"warc_type" === "response"), "payload"), "payload")
+      .withColumn("location", graft.operators.HttpPayload.httpLocation($"payload"))
+      .select($"target_uri".as("url"), $"http_status".as("status"),
+        $"mime_type", $"location", $"html").cache()
+    val outTargets = graft.operators.Links.outlinks(
+        disc.where($"mime_type" === "text/html").select($"url", $"html"))
+      .select($"target")
+    val smTargets = graft.operators.Sitemaps.parse(
+        disc.where($"mime_type" === "application/xml")
+          .select($"url", $"html".as("xml")))
+      .where($"same_host").select($"loc".as("target"))
+    val redirTargets = graft.operators.Redirects.chains(
+        disc.select($"url", $"status", $"location"))
+      .where($"verdict" === "dangling").select($"final_url".as("target"))
+    val fetched = disc.select($"url".as("target"))
+    val frontier = outTargets.unionByName(smTargets).unionByName(redirTargets)
+      .select(graft.operators.UrlCuration.canonicalUrl($"target").as("url"))
+      .distinct()
+      .join(fetched.select(
+        graft.operators.UrlCuration.canonicalUrl($"target").as("url")),
+        Seq("url"), "left_anti")
+      .withColumn("priority", length($"url").cast("int"))
+    val plan = graft.operators.Frontier.plan(frontier, perWave = 2)
+      .orderBy($"host", $"wave", $"slot").collect()
+    val waves = plan.map(r => s"${r.getAs[String]("host")}@${r.getAs[Long]("wave")}")
+      .groupBy(identity).view.mapValues(_.length).toSeq.sorted
+      .map { case (k, n) => s"$k:$n" }.mkString(",")
+    println(s"crawl_frontier=discovered:${plan.length} plan[$waves]")
     spark.stop()
   }
 }

@@ -129,6 +129,17 @@ object HttpPayload {
       .withColumn("html", decodedEntity(col(payloadCol), col("charset")))
   }
 
+  /** The Location header of a captured HTTP message — the redirect
+    * target (possibly relative; resolve against the capture's URL
+    * with X25 / [[graft.operators.Redirects.chains]]). NULL when
+    * absent or for non-HTTP captures.
+    */
+  def httpLocation(payload: Column): Column = {
+    val loc = trim(regexp_extract(headersView(messageView(payload)),
+      "(?im)^location\\s*:\\s*([^\r\n]+)", 1))
+    when(loc === "", null).otherwise(loc)
+  }
+
   /** Magic-byte MIME of the captured message's ENTITY (X26) — the
     * bytes-don't-lie companion to [[withHttpMeta]]'s header
     * `mime_type` (servers mislabel; the signature table doesn't).
