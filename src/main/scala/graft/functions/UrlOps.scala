@@ -288,11 +288,16 @@ object UrlOps {
       return finishResolved(b.substring(0, sB - 2) + h) // scheme + ':' + href
     val schemeAuth = b.substring(0, aeB)
     if (h.startsWith("/")) return finishResolved(schemeAuth + h)
-    // merge with the base directory (base path up to its last '/';
-    // an authority-only base contributes '/')
     var pEndB = aeB
     while (pEndB < b.length && b.charAt(pEndB) != '?' && b.charAt(pEndB) != '#') pEndB += 1
     val basePath = b.substring(aeB, pEndB)
+    // query-only reference (RFC 3986 §5.2.2, empty ref path + query):
+    // the base's WHOLE path is kept — '?page=2' on '/a/list.html'
+    // means '/a/list.html?page=2', not the directory
+    if (h.startsWith("?"))
+      return finishResolved(schemeAuth + (if (basePath.isEmpty) "/" else basePath) + h)
+    // merge with the base directory (base path up to its last '/';
+    // an authority-only base contributes '/')
     val cut = basePath.lastIndexOf('/')
     val dir = if (cut < 0) "/" else basePath.substring(0, cut + 1)
     finishResolved(schemeAuth + dir + h)

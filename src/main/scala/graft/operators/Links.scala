@@ -126,7 +126,8 @@ object Links {
       m(4),
       lit(">r</a><a href=\"../up"), m(2),
       lit("/doc.html\">u</a><a href=\"./sib"), m(3),
-      lit(".html#sec\">s</a><a href=\"mailto:team@example.com\">m</a>" +
+      lit(".html#sec\">s</a><a href=\"?page="), m(4),
+      lit("\">q</a><a href=\"mailto:team@example.com\">m</a>" +
         "<a href=\"javascript:void(0)\">j</a><a href=\"#top\">t</a>" +
         "<a name=\"anchor\">n</a></body></html>"))
     docs.select(col("doc_id"), base.as("url"), html.as("html"))
@@ -146,7 +147,8 @@ object Links {
       "CAST(doc_id % 4 AS VARCHAR) || " +
       "'>r</a><a href=\"../up' || CAST(doc_id % 2 AS VARCHAR) || " +
       "'/doc.html\">u</a><a href=\"./sib' || CAST(doc_id % 3 AS VARCHAR) || " +
-      "'.html#sec\">s</a><a href=\"mailto:team@example.com\">m</a>" +
+      "'.html#sec\">s</a><a href=\"?page=' || CAST(doc_id % 4 AS VARCHAR) || " +
+      "'\">q</a><a href=\"mailto:team@example.com\">m</a>" +
       "<a href=\"javascript:void(0)\">j</a><a href=\"#top\">t</a>" +
       "<a name=\"anchor\">n</a></body></html>'"
 
@@ -173,10 +175,9 @@ object Links {
     val bare = "regexp_extract(tag, '(?i)\\shref\\s*=\\s*([^\\s\"''>][^\\s>]*)', 1)"
     val scheme = "regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)"
     val schemeAuth = "regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
-    val baseDir = "CASE WHEN regexp_replace(regexp_extract(base, " +
-      "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '[^/]*$', '') = '' THEN '/' " +
-      "ELSE regexp_replace(regexp_extract(base, " +
-      "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '[^/]*$', '') END"
+    val basePathFull = "regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    val baseDir = s"CASE WHEN regexp_replace($basePathFull, '[^/]*$$', '') = '' THEN '/' " +
+      s"ELSE regexp_replace($basePathFull, '[^/]*$$', '') END"
     val passes = (1 to 4).foldLeft("pq")((e, _) => duckDotPass(e))
     // every stage AS MATERIALIZED — the g03/g01 inlining lesson:
     // without it DuckDB substitutes each CTE column into every
@@ -199,6 +200,8 @@ object Links {
                WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
                WHEN h LIKE '//%' THEN $scheme || ':' || h
                WHEN h LIKE '/%' THEN $schemeAuth || h
+               WHEN h LIKE '?%' THEN $schemeAuth ||
+                 CASE WHEN $basePathFull = '' THEN '/' ELSE $basePathFull END || h
                ELSE $schemeAuth || $baseDir || h END AS t0
         FROM h2),
       sp AS MATERIALIZED (SELECT doc_id, base, regexp_extract(t0, '^([^?]*)', 1) AS pq,

@@ -26,6 +26,10 @@ class LinksSpec extends SparkTestBase {
     assert(res(base, "./sib.html") == "https://www.ex.com/a/b/sib.html")
     assert(res(base, "../up.html") == "https://www.ex.com/a/up.html")
     assert(res(base, "c/d.html") == "https://www.ex.com/a/b/c/d.html")
+    // query-only reference keeps the base's WHOLE path (RFC 3986
+    // §5.2.2 — '?page=2' pages the same resource, not the directory)
+    assert(res(base, "?page=2") == "https://www.ex.com/a/b/page.html?page=2")
+    assert(res("https://ex.com", "?x=1") == "https://ex.com/?x=1")
   }
 
   test("X25 skips non-targets and strips fragments") {
