@@ -72,6 +72,52 @@ object Links {
       .drop("_tag")
   }
 
+  /** Entity decode for anchor text — Html.scala's exact ordered list
+    * (named first, `&amp;` strictly last).
+    */
+  private def decodeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(c) { case (x, (from, to)) => regexp_replace(x, from, to) }
+
+  private def duckDecodeEntities(e: String): String =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(e) { case (x, (from, to)) => s"replace($x, '$from', '$to')" }
+
+  /** One row per resolvable anchor WITH its visible text: (input cols
+    * minus htmlCol) + (link_idx, href, target, anchor_text) — the
+    * anchor-text half of WAT extraction (anchor corpora pair what a
+    * page SAYS about a target with the target). anchor_text is the
+    * inner markup with tags stripped, entities decoded (Html.scala's
+    * ordered fold), whitespace collapsed and trimmed — an anchor
+    * wrapping only an image comes out '' (kept: the link still
+    * exists; filter on anchor_text if only textual anchors matter).
+    * Same skip classes and resolution as [[outlinks]]; same map-only
+    * scale shape.
+    */
+  def anchorTexts(
+      df: DataFrame,
+      urlCol: String = "url",
+      htmlCol: String = "html"): DataFrame = {
+    Seq("link_idx", "href", "target", "anchor_text", "_a").foreach(c =>
+      require(!df.columns.contains(c),
+        s"anchorTexts: input already has a '$c' column — rename it first"))
+    val anchors = regexp_extract_all(coalesce(col(htmlCol), lit("")),
+      lit("(?is)<a\\s[^>]*>.*?</a>"), lit(0))
+    val keep = df.columns.filterNot(_ == htmlCol).map(col).toSeq
+    val inner = regexp_extract(col("_a"), "(?is)^<a\\s[^>]*>(.*)</a>$", 1)
+    df.select(keep :+ posexplode(anchors).as(Seq("link_idx", "_a")): _*)
+      .withColumn("href", hrefOf(regexp_extract(col("_a"), "(?is)^(<a\\s[^>]*>)", 1)))
+      .withColumn("target", GraftExpressions.resolveUrl(col(urlCol), col("href")))
+      .where(col("target").isNotNull)
+      .withColumn("anchor_text",
+        trim(regexp_replace(decodeEntities(
+          regexp_replace(inner, "<[^>]*>", " ")), "\\s+", " ")))
+      .withColumn("link_idx", col("link_idx").cast("long"))
+      .drop("_a")
+  }
+
   /** Registrable-domain link graph over [[outlinks]] output: one
     * combinable groupBy → (src_domain, dst_domain, n_links, n_urls
     * [distinct canonical targets], n_hosts [distinct target hosts]).
@@ -226,7 +272,102 @@ object Links {
       FROM e WHERE src_domain IS NOT NULL AND dst_domain IS NOT NULL
       GROUP BY src_domain, dst_domain ORDER BY src_domain, dst_domain"""
 
+  // -----------------------------------------------------------------
+  // t43: anchor texts — a deterministic page per document whose
+  // anchors carry entity-escaped multi-word text, nested inline
+  // markup, an image-only (empty-text) anchor, and an href-less
+  // decoy; rolled up per (target registrable domain, cleaned text).
+  // -----------------------------------------------------------------
+
+  private[operators] def anchorPages(docs: DataFrame): DataFrame = {
+    val m = (n: Int) => (col("doc_id") % n).cast("string")
+    val w1 = substring_index(col("text"), " ", 1)
+    docs.select(col("doc_id"),
+      concat(lit("https://site"), m(5), lit(".example.com/dir/page"),
+        col("doc_id").cast("string"), lit(".html")).as("url"),
+      concat(
+        lit("<p><a href=\"https://out"), m(7),
+        lit(".example.org/x\">Read &amp; enjoy "), w1,
+        lit("</a><A HREF=/local/"), m(3), lit(">Local <b>link</b> "), m(3),
+        lit("</A><a href=\"skip.html\"><img src=\"i.png\"/></a>" +
+          "<a name=\"x\">plain</a></p>")).as("html"))
+  }
+
+  private def t43Oracle: String = {
+    val dq = "regexp_extract(tag, '(?i)\\shref\\s*=\\s*\"([^\"]*)\"', 1)"
+    val sq = "regexp_extract(tag, '(?i)\\shref\\s*=\\s*''([^'']*)''', 1)"
+    val bare = "regexp_extract(tag, '(?i)\\shref\\s*=\\s*([^\\s\"''>][^\\s>]*)', 1)"
+    val scheme = "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)"
+    val schemeAuth = "regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    val basePathFull = "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    val baseDir = s"CASE WHEN regexp_replace($basePathFull, '[^/]*$$', '') = '' THEN '/' " +
+      s"ELSE regexp_replace($basePathFull, '[^/]*$$', '') END"
+    val duckPages =
+      "SELECT doc_id, 'https://site' || CAST(doc_id % 5 AS VARCHAR) || " +
+        "'.example.com/dir/page' || CAST(doc_id AS VARCHAR) || '.html' AS url, " +
+        "'<p><a href=\"https://out' || CAST(doc_id % 7 AS VARCHAR) || " +
+        "'.example.org/x\">Read &amp; enjoy ' || split_part(text, ' ', 1) || " +
+        "'</a><A HREF=/local/' || CAST(doc_id % 3 AS VARCHAR) || " +
+        "'>Local <b>link</b> ' || CAST(doc_id % 3 AS VARCHAR) || " +
+        "'</A><a href=\"skip.html\"><img src=\"i.png\"/></a>" +
+        "<a name=\"x\">plain</a></p>' AS html FROM documents"
+    val cleanText = s"trim(regexp_replace(${duckDecodeEntities(
+      "regexp_replace(inr, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g'))"
+    // resolution restated WITHOUT the dot passes: this synthetic has
+    // no dot segments (t38's oracle owns that branch)
+    s"""WITH d AS MATERIALIZED ($duckPages),
+      an AS MATERIALIZED (SELECT doc_id, url,
+          regexp_extract_all(html, '(?is)<a\\s[^>]*>.*?</a>') AS arr FROM d),
+      a1 AS MATERIALIZED (SELECT doc_id, url, arr[k] AS a
+        FROM an, UNNEST(generate_series(1, len(arr))) AS t(k)),
+      tg AS MATERIALIZED (SELECT doc_id, url,
+          regexp_extract(a, '(?is)^(<a\\s[^>]*>)', 1) AS tag,
+          regexp_extract(a, '(?is)^<a\\s[^>]*>(.*)</a>$$', 1) AS inr
+        FROM a1),
+      hr AS MATERIALIZED (SELECT doc_id, url,
+          CASE WHEN $dq <> '' THEN $dq WHEN $sq <> '' THEN $sq ELSE $bare END AS href,
+          $cleanText AS anchor_text
+        FROM tg),
+      h2 AS MATERIALIZED (SELECT doc_id, url, anchor_text,
+          regexp_replace(trim(href), '#.*', '') AS h FROM hr WHERE href <> ''),
+      res AS MATERIALIZED (SELECT doc_id, anchor_text,
+          CASE WHEN h = '' THEN NULL
+               WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN h
+               WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+               WHEN h LIKE '//%' THEN $scheme || ':' || h
+               WHEN h LIKE '/%' THEN $schemeAuth || h
+               WHEN h LIKE '?%' THEN $schemeAuth ||
+                 CASE WHEN $basePathFull = '' THEN '/' ELSE $basePathFull END || h
+               ELSE $schemeAuth || $baseDir || h END AS target
+        FROM h2),
+      eh AS MATERIALIZED (SELECT anchor_text,
+          ${UrlCuration.duckHostOf("target")} AS dst_host
+        FROM res WHERE target IS NOT NULL),
+      e AS MATERIALIZED (SELECT anchor_text,
+          ${UrlCuration.duckRegistrableDomain("dst_host")} AS dst_domain FROM eh)
+      SELECT dst_domain, anchor_text, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e WHERE dst_domain IS NOT NULL
+      GROUP BY dst_domain, anchor_text ORDER BY dst_domain, anchor_text"""
+  }
+
   val all: Seq[Q] = Seq(
+    Q(
+      "t43_anchor_text",
+      "Anchor-text extraction: per-anchor visible text (tags stripped, entities decoded) rolled up per target domain",
+      (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        anchorTexts(anchorPages(docs))
+          .select(
+            GraftExpressions.registrableDomain(
+              GraftExpressions.urlHost(col("target"))).as("dst_domain"),
+            col("anchor_text"))
+          .where(col("dst_domain").isNotNull)
+          .groupBy(col("dst_domain"), col("anchor_text"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("dst_domain"), col("anchor_text"))
+      },
+      Some(t43Oracle)
+    ),
     Q(
       "t38_outlinks",
       "Outlink extraction: anchors -> href parse -> RFC 3986 resolution (X25) -> registrable-domain link graph",

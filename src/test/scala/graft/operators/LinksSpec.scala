@@ -77,6 +77,19 @@ class LinksSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L)) // ordinals over all anchors
   }
 
+  test("anchorTexts: tags stripped, entities decoded, empty text kept") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "https://s.com/d/",
+        "<a href=\"/x\">Read &amp; <b>more</b>  now</a>" +
+          "<a href=\"/y\"><img src=\"i.png\"/></a><a name=\"z\">no link</a>")))
+      .toDF("id", "url", "html")
+    val out = Links.anchorTexts(df).orderBy("link_idx")
+      .select("target", "anchor_text").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("https://s.com/x", "Read & more now"),
+      ("https://s.com/y", "")))
+  }
+
   test("outlinks: null html, no anchors, extra columns survive") {
     val df = spark.createDataFrame(Seq(
       (1L, "https://s.com/", null.asInstanceOf[String], "k1"),
