@@ -87,6 +87,33 @@ object Sitemaps {
       .drop("_entry")
   }
 
+  /** `Sitemap:` directives from robots.txt bodies — how crawlers
+    * actually FIND sitemaps (RFC 9309 §2.3 allows the line anywhere,
+    * outside any user-agent group, case-insensitive; `#` comment
+    * lines never match the line-anchored scan). One row per
+    * directive: (input cols minus txtCol) + (ord, sitemap_url,
+    * sitemap_host). sitemap_host is NULL for relative/garbage values
+    * (the directive requires an absolute URL) — the caller's
+    * `invalid` routing; cross-host directives are LEGAL (a site may
+    * host its sitemap on a CDN), so host comparison is the caller's
+    * policy, not a drop here. Bridges O58 (robots fetch) to O60
+    * ([[parse]]) in the discovery loop.
+    */
+  def sitemapDirectives(
+      df: DataFrame,
+      txtCol: String = "robots_txt"): DataFrame = {
+    Seq("ord", "sitemap_url", "sitemap_host").foreach(c =>
+      require(!df.columns.contains(c),
+        s"sitemapDirectives: input already has a '$c' column — rename it first"))
+    val keep = df.columns.filterNot(_ == txtCol).map(col).toSeq
+    df.select(keep :+ posexplode(regexp_extract_all(
+        coalesce(col(txtCol), lit("")),
+        lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)"), lit(1)))
+      .as(Seq("ord", "sitemap_url")): _*)
+      .withColumn("sitemap_host", GraftExpressions.urlHost(col("sitemap_url")))
+      .withColumn("ord", col("ord").cast("long"))
+  }
+
   // -----------------------------------------------------------------
   // t39: the canned query — a deterministic sitemap per document
   // (most docs: a 3-entry urlset with an entity-escaped query URL, a
@@ -163,7 +190,70 @@ object Sitemaps {
       FROM p WHERE loc IS NOT NULL ORDER BY doc_id, ord"""
   }
 
+  // -----------------------------------------------------------------
+  // t44: robots.txt Sitemap: directives — deterministic robots bodies
+  // per document (mixed-case directive, a CDN cross-host entry on
+  // every 4th doc, a commented-out decoy, a relative-url invalid, and
+  // surrounding group lines that must not match), extracted and
+  // host-flagged.
+  // -----------------------------------------------------------------
+
+  private[operators] def syntheticRobots(docs: DataFrame): DataFrame = {
+    val m = (n: Int) => (col("doc_id") % n).cast("string")
+    val host = concat(lit("h"), m(20), lit(".example.com"))
+    val txt = concat(
+      lit("User-agent: *\nDisallow: /private/\n"),
+      lit("SiteMap: https://"), host, lit("/sitemap"), m(3), lit(".xml\n"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("  sitemap:\thttps://cdn.example.net/maps/h"), m(20),
+          lit(".xml\n"))).otherwise(""),
+      lit("# Sitemap: https://commented.example.org/x.xml\n"),
+      when(col("doc_id") % 5 === 0, "Sitemap: /relative/only.xml\n").otherwise(""),
+      lit("Allow: /\n"))
+    docs.select(col("doc_id"), host.as("host"), txt.as("robots_txt"))
+  }
+
+  private val duckSyntheticRobots: String = {
+    val host = "'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'"
+    s"SELECT doc_id, $host AS host, " +
+      "'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10) || " +
+      s"'SiteMap: https://' || $host || '/sitemap' || CAST(doc_id % 3 AS VARCHAR) || '.xml' || chr(10) || " +
+      "CASE WHEN doc_id % 4 = 0 THEN '  sitemap:' || chr(9) || " +
+      "'https://cdn.example.net/maps/h' || CAST(doc_id % 20 AS VARCHAR) || '.xml' || chr(10) ELSE '' END || " +
+      "'# Sitemap: https://commented.example.org/x.xml' || chr(10) || " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'Sitemap: /relative/only.xml' || chr(10) ELSE '' END || " +
+      "'Allow: /' || chr(10) AS robots_txt FROM documents"
+  }
+
+  private def t44Oracle: String =
+    s"""WITH d AS MATERIALIZED ($duckSyntheticRobots),
+      x AS MATERIALIZED (SELECT doc_id, host,
+          regexp_extract_all(robots_txt, '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1) AS us
+        FROM d),
+      e AS MATERIALIZED (SELECT doc_id, host, CAST(t.k - 1 AS BIGINT) AS ord, us[t.k] AS sitemap_url
+        FROM x, UNNEST(generate_series(1, len(us))) AS t(k)),
+      h AS MATERIALIZED (SELECT doc_id, ord, sitemap_url,
+          ${UrlCuration.duckHostOf("sitemap_url")} AS sitemap_host, host
+        FROM e)
+      SELECT doc_id, ord, sitemap_url,
+        sitemap_host IS NOT NULL AS valid,
+        sitemap_host IS NOT DISTINCT FROM host AS same_host
+      FROM h ORDER BY doc_id, ord"""
+
   val all: Seq[Q] = Seq(
+    Q(
+      "t44_robots_sitemaps",
+      "Sitemap: directives out of robots.txt (RFC 9309 2.3): line-anchored scan, comment immunity, absolute-url validity, host policy flag",
+      (spark, dir) => {
+        val docs = Tables.load(spark, dir, "documents")
+        sitemapDirectives(syntheticRobots(docs))
+          .select(col("doc_id"), col("ord"), col("sitemap_url"),
+            col("sitemap_host").isNotNull.as("valid"),
+            (col("sitemap_host") <=> col("host")).as("same_host"))
+          .orderBy(col("doc_id"), col("ord"))
+      },
+      Some(t44Oracle)
+    ),
     Q(
       "t39_sitemap",
       "Sitemap parsing: urlset/sitemapindex entries, entity-decoded locs, same-host policy flag",

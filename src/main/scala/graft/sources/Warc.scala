@@ -393,4 +393,45 @@ object Warc {
         }
       }
   }
+
+  // ---------------------------------------------------------------
+  // WET writer: the conversion half of S8 — extracted text back into
+  // record-framed archives (the WARC/WET layout downstream corpus
+  // consumers read), so the crawl pipeline is symmetric: archives in,
+  // curated text archives out.
+  // ---------------------------------------------------------------
+
+  /** One WET-style `conversion` record per row, written through the
+    * text sink (each row's record string is byte-complete and
+    * self-framing: Content-Length counts the UTF-8 OCTETS of the
+    * text, so payloads may contain anything — including the `WARC/`
+    * magic — and still parse back exactly; the single `\n` the text
+    * sink appends between rows is inter-record padding the S8 reader
+    * skips by magic resync, a tolerance its spec pins). URI/date
+    * header values are stripped of CR/LF (header-injection guard: a
+    * crafted url must not fabricate records). Partitioning is the
+    * caller's: files shard one-per-partition, the WARC parallelism
+    * contract in reverse — repartition to the shard count you want.
+    * Roundtrip pinned by WarcSpec (writeWet → [[Sources.warc]] →
+    * byte-equal texts).
+    */
+  def writeWet(
+      df: DataFrame,
+      path: String,
+      urlCol: String = "url",
+      dateCol: Option[String] = None,
+      textCol: String = "text"): Unit = {
+    import org.apache.spark.sql.functions._
+    def hdr(c: org.apache.spark.sql.Column) = regexp_replace(c, "[\r\n]", "")
+    val date = dateCol.map(c => hdr(col(c))).getOrElse(lit("1970-01-01T00:00:00Z"))
+    val text = coalesce(col(textCol), lit(""))
+    df.select(concat(
+        lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        hdr(coalesce(col(urlCol), lit(""))),
+        lit("\r\nWARC-Date: "), date,
+        lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        octet_length(text).cast("string"),
+        lit("\r\n\r\n"), text, lit("\r\n")).as("value"))
+      .write.mode("overwrite").text(path)
+  }
 }

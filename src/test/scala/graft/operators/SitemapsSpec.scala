@@ -59,6 +59,35 @@ class SitemapsSpec extends SparkTestBase {
     assert(out.length == 1 && out(0).getAs[Long]("id") == 3L)
   }
 
+  test("sitemapDirectives: case/indent/tab tolerance, comments, invalids") {
+    val txt = "User-agent: *\nDisallow: /x\n" +
+      "SITEMAP: https://www.ex.com/a.xml\n" +
+      "\t sitemap :https://cdn.ex.net/b.xml\r\n" +
+      "# Sitemap: https://nope.ex.org/c.xml\n" +
+      "Sitemap: /relative.xml\n"
+    val df = spark.createDataFrame(Seq((1L, "www.ex.com", txt)))
+      .toDF("id", "host", "robots_txt")
+    val out = Sitemaps.sitemapDirectives(df).orderBy("ord").collect()
+    assert(out.map(_.getAs[String]("sitemap_url")).toSeq == Seq(
+      "https://www.ex.com/a.xml", "https://cdn.ex.net/b.xml", "/relative.xml"))
+    assert(out.map(r => Option(r.getAs[String]("sitemap_host"))).toSeq == Seq(
+      Some("www.ex.com"), Some("cdn.ex.net"), None))
+  }
+
+  test("t44: directive counts per doc family") {
+    val out = graft.SparkEntry.queries("t44_robots_sitemaps")(spark, sfDir).cache()
+    // every doc: 1 same-host directive; every 4th: +1 cdn; every 5th: +1 invalid
+    val bad = out.groupBy(org.apache.spark.sql.functions.col("doc_id"))
+      .count().collect().filter { r =>
+        val id = r.getLong(0)
+        val expect = 1L + (if (id % 4 == 0) 1L else 0L) + (if (id % 5 == 0) 1L else 0L)
+        r.getLong(1) != expect
+      }
+    assert(bad.isEmpty, bad.take(3).mkString(","))
+    assert(out.where("NOT valid AND doc_id % 5 != 0").count() == 0L)
+    out.unpersist()
+  }
+
   test("t39 runs on testdata: urlset docs yield 3 entries, index docs 2") {
     val out = graft.SparkEntry.queries("t39_sitemap")(spark, sfDir)
     val byDoc = out.groupBy(col("doc_id"), col("kind"))
