@@ -35,7 +35,10 @@ object Dedup {
     * dropped, matching the oracle's CASE..ELSE [].
     */
   private[graft] def shingleArrays(docs: DataFrame): DataFrame =
-    docs
+    // single-row-group corpus files scan as ONE split; spread the
+    // rows first so the shingle expression runs at session width
+    // (no-op on a many-split production scan — see fanOutSmallScan)
+    Ops.fanOutSmallScan(docs)
       // the "has >= 3 words" gate runs BEFORE the shingle projection
       // as the one-byte-pass WordCount expression — filtering on
       // size(sh) > 0 after the select pays the full shingle build

@@ -29,6 +29,29 @@ object Ops {
     * loop (CheckpointModeSpec pins value-equality of both modes and
     * that reliable mode actually writes checkpoint files).
     */
+  /** Spread a low-parallelism scan across the session's cores before
+    * heavy per-row compute (shingling, BPE encode, byte-gram walks).
+    *
+    * The bench corpora are single-row-group parquet files, so their
+    * scans open as ONE input split and every downstream per-row
+    * expression serializes on one core until the first exchange
+    * (measured: the d04 shingle build ran 1.2-1.9 s on one task of a
+    * 32-core session). Guide §2.5's "input skew: one unsplittable
+    * file → repartition immediately after the read", made
+    * scale-adaptive: the repartition only fires when the scan's
+    * partition count is BELOW the session parallelism, so a
+    * production-scale table (thousands of splits) passes through
+    * untouched — no shuffle is ever added at 100 TB. Locally it costs
+    * one sub-MB round-robin exchange (deterministic under Spark's
+    * sort-before-repartition) and unlocks full-width parallelism for
+    * the expression work above it.
+    */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val parts = try df.rdd.getNumPartitions catch { case _: Throwable => cores }
+    if (parts >= cores) df else df.repartition(cores)
+  }
+
   def checkpointFrame(df: DataFrame, eager: Boolean = false): DataFrame =
     if (df.sparkSession.conf
         .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean)) {
@@ -679,16 +702,29 @@ object Ops {
       idOut: String = "id",
       labelOut: String = "label"
   ): (DataFrame, Int) = {
-    val pairs = edgePairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val nodes = pairs.select(col("src").as("id"))
-      .union(pairs.select(col("dst").as("id"))).distinct().cache()
+    // ONE materialization of the caller's pair plan: the distinct
+    // directed pair set is lazily checkpointed and both the node
+    // universe and the loop's initial edge set derive from it. (The
+    // former `nodes = pairs...distinct().cache()` re-executed the
+    // caller's FULL pair-generation plan — for d08/d22/d23 the
+    // posting/verify join chain — a second time when the final labels
+    // join first touched the cache; measured ~1.2 s per re-run at
+    // sf0.1.)
+    val base = edgePairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .distinct().graftCheckpointLazy
+    val nodes = base.select(col("src").as("id"))
+      .union(base.select(col("dst").as("id"))).distinct()
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("m0"))
         .select(col("src"), least(col("src"), col("m0")).as("m"))
+      // no distinct here: smallStar's terminal distinct canonicalizes
+      // the round's edge set, and min-aggregations are multiplicity-
+      // insensitive — one Exchange less per round
       sym.join(mins, "src").where(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst")).distinct()
+        .select(col("dst").as("src"), col("m").as("dst"))
     }
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -713,8 +749,7 @@ object Ops {
     // (an eager checkpoint ran its own job and the agg a second one —
     // at ~25 rounds on a near-clique graph the per-job overhead, not
     // the data, dominated round 4's driver-env d08 time).
-    var edges = pairs.where(col("src") =!= col("dst")).distinct()
-      .graftCheckpointLazy
+    var edges = base.where(col("src") =!= col("dst"))
     var prev = (-1L, -1L, -1L)
     var rounds = 0
     var converged = edges.isEmpty
