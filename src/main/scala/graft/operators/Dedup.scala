@@ -1435,7 +1435,7 @@ object Dedup {
         // shuffles are keyed; at 100 TB join on xxhash64(window) so
         // 8-byte keys transit instead of 8-word strings (exact strings
         // kept here — exactness is the oracle's point).
-        dupSpanIslands(Tables.load(spark, dir, "documents")
+        dupSpanIslands(Ops.fanOutSmallScan(Tables.load(spark, dir, "documents"))
             .withColumn("wd", expr(wordsExpr)))
           .select($"doc_id", $"st".cast("int").as("span_start"),
             $"en".cast("int").as("span_end"), $"n_windows")

@@ -1327,7 +1327,11 @@ object Multimodal {
         // oracle replays the SAME sketch + banding (md5-derived
         // minhash and the mod-16 filter are engine-portable), so
         // candidate semantics are value-pinned, not approximated.
-        val rb = imagePayloads(spark, dir)
+        // spread the single-split scan: the X12 byte-gram walk is the
+        // heaviest per-row work in the m-family and otherwise runs on
+        // one core (no-op at scale — see fanOutSmallScan; measured
+        // win on m08 only, so m01-m07/m09/m10 keep the plain scan)
+        val rb = Ops.fanOutSmallScan(imagePayloads(spark, dir))
           .select($"doc_id",
             graft.functions.GraftExpressions.rasterBodyGrams($"payload", 8).as("rb"))
           .where($"rb".isNotNull)

@@ -131,6 +131,17 @@ object TextAnalysis {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** The documents table spread to session width before per-row
+    * tokenize/encode work — single-row-group bench files scan as one
+    * split, serializing the expression stage on one core; no-op on
+    * many-split production scans (see [[Ops.fanOutSmallScan]]). Used
+    * by the tokenize-heavy canned queries only; cheap per-row queries
+    * keep the plain scan (the extra exchange would cost more than it
+    * saves there).
+    */
+  private def docsWide(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Ops.fanOutSmallScan(Tables.load(spark, dir, "documents"))
+
   // Engine-specific spellings of the same token pipeline.
   private[operators] val sparkWords = "filter(split(text, ' '), x -> x <> '')"
   private[operators] val duckWords = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -1496,7 +1507,7 @@ object TextAnalysis {
         // rate — acceptable for reporting, verify islands exactly if
         // removal feeds from this); the canned query keys on the
         // exact string so the oracle is collision-free.
-        val toks = Tables.load(spark, dir, "documents")
+        val toks = docsWide(spark, dir)
           .withColumn("_ids", graft.functions.GraftExpressions.bpeEncode($"text"))
           .filter(size($"_ids") >= 8)
           // X17: each gram rendered in ONE codegen pass (the HOF
