@@ -91,6 +91,12 @@ object BpeTrain {
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .select(spaced(col("w")).as("s"), col("f"))
     var state = words.cache()
+    // the parent of the CURRENT state: unpersisted only after the
+    // argmax job has materialized the current state's cache — the
+    // former `next.count()` ran a dedicated materialization job per
+    // iteration (2 jobs/merge instead of 1) just to be able to drop
+    // the parent immediately
+    var parent: Option[DataFrame] = None
     val out = Seq.newBuilder[(String, String, Long)]
     try {
       for (_ <- 1 to nMerges) {
@@ -100,7 +106,9 @@ object BpeTrain {
           .agg(sum(col("f")).as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b"))
           .limit(1)
-          .collect()
+          .collect() // materializes state's cache; parent now unused
+        parent.foreach(_.unpersist())
+        parent = None
         require(top.nonEmpty,
           "trainBpeMerges: no adjacent pairs left to merge (corpus too " +
             "small for the requested nMerges); guard upstream")
@@ -115,11 +123,13 @@ object BpeTrain {
         val next = state
           .select(replace(replace(col("s"), pat, rep), pat, rep).as("s"), col("f"))
           .cache()
-        next.count() // materialize before dropping the parent from cache
-        state.unpersist()
+        parent = Some(state)
         state = next
       }
-    } finally state.unpersist()
+    } finally {
+      parent.foreach(_.unpersist())
+      state.unpersist()
+    }
     out.result()
   }
 

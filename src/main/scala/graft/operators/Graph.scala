@@ -130,6 +130,11 @@ object Graph {
       .graftCheckpointLazy
     val simple = deg.where(col("_o") === 0 || col("_i") === 0).isEmpty
 
+    // loop-invariant node count, ONE job before the loop — the former
+    // per-iteration broadcast(nCnt) rebuilt the same 1-row relation
+    // every iteration (one extra job + broadcast each)
+    val nTotal = if (simple) 0L else nodes.count()
+
     var ranks = nodes.select(col("node"), lit(Scale).as("r"))
     var it = 0
     var converged = false
@@ -143,15 +148,20 @@ object Graph {
           .select(col("node"), damped("_s").as("r"))
       } else {
         val recv = contrib.groupBy(col("dst").as("node")).agg(sum(col("_c")).as("_s"))
-        val dang = ranks
+        // the dangling mass is ONE scalar per iteration: take it on
+        // the driver (the CC-loop convergence-count discipline) and
+        // fold the per-node share in as a literal — this replaces TWO
+        // per-iteration broadcast-build jobs (dang, nCnt) with one
+        // scalar action that doubles as the previous checkpoint's
+        // materializer. div semantics unchanged: both operands are
+        // non-negative int64, so Scala / == floor div == `div`.
+        val dangMass = ranks
           .join(dangling, Seq("node"), "left_semi")
-          .agg(coalesce(sum(col("r")), lit(0L)).as("_d"))
-        val nCnt = nodes.agg(count(lit(1)).as("_n"))
+          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+        val share = if (nTotal == 0L) 0L else dangMass / nTotal
         nodes
           .join(recv, Seq("node"), "left")
-          .crossJoin(broadcast(dang))
-          .crossJoin(broadcast(nCnt))
-          .select(col("node"), damped("coalesce(_s, 0L) + _d div _n").as("r"))
+          .select(col("node"), damped(s"coalesce(_s, 0L) + ${share}L").as("r"))
       })
         // lazy checkpoint per iteration (the d06/d08 discipline): the
         // broadcast build of iteration k+1 otherwise RE-EXECUTES
@@ -216,7 +226,14 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
     val (sym, init) = lpaInit(edges)
     var lbl = init
-    for (_ <- 1 to rounds) lbl = lpaRound(sym, lbl).graftCheckpointLazy
+    // no per-round checkpoint for the FIXED-round form: each round
+    // references `lbl` exactly once, so the plan grows LINEARLY in
+    // rounds (sym is checkpointed once in lpaInit) and the whole
+    // chain executes as one query — the checkpoints bought nothing
+    // but per-round block-manager writes here. The convergence-stop
+    // variant keeps them: its per-round isEmpty probe would otherwise
+    // re-execute the full chain every round.
+    for (_ <- 1 to rounds) lbl = lpaRound(sym, lbl)
     lbl
   }
 
