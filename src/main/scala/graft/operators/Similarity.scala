@@ -886,32 +886,44 @@ object Similarity {
             round(VectorFunctions.cosine("ne", "nb") * 1e6).cast("long"))
           .select($"p_id", $"n_id", $"b_id", $"sim_ppm")
           .graftCheckpointLazy // bounded: probes x 20 x 19
-        val wPick = Window.partitionBy($"p_id").orderBy($"score".desc, $"n_id")
-        // The iterative-plan discipline (d06/g-ops): checkpoint the
-        // selection each round, or round r replans rounds 1..r-1
-        // inside its anti-join AND its msim join and the plan grows
-        // combinatorially (measured: 241 static exchanges unchecked
-        // vs 5 rounds x ~3 checkpointed).
-        var selected = pool
-          .withColumn("score", $"rel_ppm" * 7)
-          .withColumn("rk", row_number().over(wPick))
-          .filter($"rk" === 1)
-          .select($"p_id", $"n_id", $"rel_ppm", lit(1).as("rank"), $"score".as("score_x10"))
-          .graftCheckpointLazy
-        for (r <- 2 to 5) {
-          val msim = sims
-            .join(selected.select($"p_id", $"n_id".as("b_id")), Seq("p_id", "b_id"))
-            .groupBy($"p_id", $"n_id").agg(max($"sim_ppm").as("msim"))
-          val pick = pool
-            .join(selected.select($"p_id", $"n_id"), Seq("p_id", "n_id"), "left_anti")
-            .join(msim, Seq("p_id", "n_id"), "left")
-            .withColumn("score", $"rel_ppm" * 7 - coalesce($"msim", lit(0L)) * 3)
-            .withColumn("rk", row_number().over(wPick))
-            .filter($"rk" === 1)
-            .select($"p_id", $"n_id", $"rel_ppm", lit(r).as("rank"), $"score".as("score_x10"))
-          selected = selected.unionAll(pick).graftCheckpointLazy
-        }
-        selected
+        // The greedy itself runs on the DRIVER over the two bounded
+        // checkpointed frames (probes x 20 and probes x 20 x 19 rows
+        // BY CONSTRUCTION — serving-sized at any corpus scale, the
+        // audited bounded-collect class): round 16's optimization
+        // pass replaced the 4-round checkpointed DataFrame loop
+        // (~12 tiny AQE stages of pure scheduling latency) with the
+        // identical exact-integer arithmetic in Scala — score =
+        // 7*rel_ppm - 3*max_sim_ppm, pick = max by (score desc, n_id
+        // asc), the same total order the former row_number window
+        // used. This is also the honest production posture: an MMR
+        // rerank over a 20-candidate pool is served in-process, not
+        // as 4 distributed jobs. The oracle still unrolls the rounds
+        // in SQL, so the selection trajectory stays value-gated.
+        val poolRows = pool.select($"p_id", $"n_id", $"rel_ppm").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val simRows = sims.collect()
+          .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+          .toMap
+        val picked = poolRows.map(_._1).distinct.sorted.flatMap { p =>
+          val cands = poolRows.filter(_._1 == p)
+          var sel = Vector.empty[(Long, Long, Int, Long)] // n_id, rel, rank, score
+          for (r <- 1 to 5) {
+            val remaining = cands.filter { case (_, n, _) => !sel.exists(_._1 == n) }
+            if (remaining.nonEmpty) {
+              val scored = remaining.map { case (_, n, rel) =>
+                // mirror of the former left join + coalesce(msim, 0):
+                // no sim row to any selected item contributes 0
+                val found = sel.flatMap(s => simRows.get((p, n, s._1)))
+                val msim = if (found.isEmpty) 0L else found.max
+                (n, rel, rel * 7 - msim * 3)
+              }
+              val best = scored.minBy { case (n, _, sc) => (-sc, n) }
+              sel :+= ((best._1, best._2, r, best._3))
+            }
+          }
+          sel.map { case (n, rel, r, sc) => (p, r, n, rel, sc) }
+        }.toSeq
+        picked.toDF("p_id", "rank", "n_id", "rel_ppm", "score_x10")
           .select($"p_id", $"rank".cast("int").as("rank"), $"n_id", $"rel_ppm", $"score_x10")
           .orderBy($"p_id", $"rank")
       },
