@@ -251,10 +251,52 @@ object Bench {
     )
     val byName = results.map(r => r.name -> r).toMap
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
-    val hq = headliners.flatMap(n => byName.get(n)).map {
-      case r if r.ok => s""""${r.name}":${r3(r.best)}"""
-      case r => s""""${r.name}":null"""
-    }.mkString("{", ",", "}")
+    def entry(r: QueryResult): String =
+      if (r.ok) s""""${r.name}":${r3(r.best)}""" else s""""${r.name}":null"""
+    // Tail-survivable per-query coverage (round-17 fix: the driver's
+    // stdout tail is ~2-4 KB, so the ~8 KB artifact line above never
+    // parses and a single complete 187-query map (~4.7 KB even at
+    // 2-decimal precision) cannot fit either). Two complementary
+    // surfaces, both plain one-line JSON:
+    //  1. "bench_part" chunk lines — the COMPLETE per-query best-of-N
+    //     map split over self-identifying parts (part i of k), each
+    //     well under 1 KB, for any consumer that scans all lines;
+    //  2. the final "total" line — the suite total plus as many
+    //     per-query entries as fit a fixed byte budget: the 20 fixed
+    //     headliners first (never removed — round-over-round
+    //     comparability), then the remaining queries by descending
+    //     best time (the expensive ones are the ones a perf diff
+    //     needs). The budget keeps the ENTIRE line safely inside a
+    //     2 KB tail next to sbt's trailing "[success]" line.
+    val chunkBudget = 900
+    val allEntries = results.map(entry)
+    val chunks = {
+      val bufs = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[String])
+      allEntries.foreach { e =>
+        if (bufs.last.nonEmpty && bufs.last.map(_.length + 1).sum + e.length > chunkBudget)
+          bufs += scala.collection.mutable.ArrayBuffer.empty[String]
+        bufs.last += e
+      }
+      bufs.toSeq.map(_.mkString("{", ",", "}"))
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"bench_part","part":${i + 1},"of":${chunks.size},"sf":"$sfDir","queries":$c}""")
+    }
+    val headSet = headliners.toSet
+    val extras = results
+      .filter(r => r.ok && !headSet.contains(r.name))
+      .sortBy(r => (-r.best, r.name))
+      .map(entry)
+    val headEntries = headliners.flatMap(n => byName.get(n)).map(entry)
+    val lineBudget = 1700 // whole final line stays < 1.8 KB
+    val fixedCost = 220 // wrapper fields outside the queries map
+    var used = headEntries.map(_.length + 1).sum
+    val kept = headEntries ++ extras.takeWhile { e =>
+      val fits = used + e.length + 1 <= lineBudget - fixedCost
+      if (fits) used += e.length + 1
+      fits
+    }
+    val hq = kept.mkString("{", ",", "}")
     val total = r3(results.filter(_.ok).map(_.best).sum)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,""" +

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables
 
 /** Graph-analytics operators over interaction data (SURVEY.md §2.3).
@@ -232,8 +233,15 @@ object Graph {
     // chain executes as one query — the checkpoints bought nothing
     // but per-round block-manager writes here. The convergence-stop
     // variant keeps them: its per-round isEmpty probe would otherwise
-    // re-execute the full chain every round.
-    for (_ <- 1 to rounds) lbl = lpaRound(sym, lbl)
+    // re-execute the full chain every round. `rounds` is a public
+    // knob, and linear-in-rounds still means an UNBOUNDED static plan
+    // for a large budget (Catalyst analysis time, driver stack), so a
+    // lineage cut every 10 rounds bounds the plan depth while the
+    // default 3-round form keeps its single-query shape.
+    for (r <- 1 to rounds) {
+      lbl = lpaRound(sym, lbl)
+      if (r % 10 == 0 && r < rounds) lbl = lbl.graftCheckpointLazy
+    }
     lbl
   }
 
@@ -660,14 +668,31 @@ object Graph {
           .select($"a.p".as("u"), $"b.p".as("v")).distinct()
         var e = und.select($"u".as("src"), $"v".as("dst"))
           .unionAll(und.select($"v".as("src"), $"u".as("dst")))
-          .graftCheckpointLazy
+        // Round-17 restructure (§2.4: remove shuffled passes / fuse
+        // work per round). The former shape — per round, a degree
+        // groupBy plus TWO left-semi joins against the keep-list,
+        // with a lazy checkpoint because e was referenced three times
+        // per round (plan growth 3^rounds) — ran as ~27 AQE stage-jobs
+        // of mostly scheduling latency. The edge list is SYMMETRIC
+        // (both directions present), so deg(src) = COUNT() OVER
+        // (PARTITION BY src) and deg(dst) = COUNT() OVER (PARTITION BY
+        // dst) on the SAME rows: one round = two window counts + a
+        // filter, referencing e exactly ONCE — the plan grows linearly
+        // and the whole 5-round peel runs as a single query with no
+        // checkpoints (the g05 fixed-round LPA discipline). Value-
+        // identical: an edge survives iff both endpoint degrees are
+        // >= 3, exactly the keep-list semi-join condition, and the
+        // symmetric filter preserves symmetry round over round. At
+        // 100 TB both forms shuffle the edge list twice per round once
+        // the keep-list outgrows broadcast; the window form just stops
+        // paying the keep-list aggregation and its broadcast builds.
         for (_ <- 1 to 5) {
-          val keep = e.groupBy($"src").agg(count(lit(1)).as("d"))
-            .where($"d" >= 3).select($"src".as("_k"))
-          e = e.join(keep.select($"_k".as("src")), Seq("src"), "left_semi")
-            .join(keep.select($"_k".as("dst")), Seq("dst"), "left_semi")
+          val wS = Window.partitionBy($"src")
+          val wD = Window.partitionBy($"dst")
+          e = e.withColumn("_ds", count(lit(1)).over(wS))
+            .withColumn("_dd", count(lit(1)).over(wD))
+            .where($"_ds" >= 3 && $"_dd" >= 3)
             .select($"src", $"dst")
-            .graftCheckpointLazy
         }
         e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
           .orderBy($"node")

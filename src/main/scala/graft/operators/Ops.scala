@@ -11,11 +11,6 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ops {
 
-  /** As-of join: for each left row, the greatest `rightTs` value at or
-    * before its `ts`, per key — via union + running last() window:
-    * ONE shuffle on (key), no custom physical node, no per-key loops.
-    * The classic distributed as-of formulation.
-    */
   /** Iteration/lineage checkpoint used by every iterative operator
     * (CC, star contraction, PageRank, k-core, LPA, k-means) and the
     * bounded-artifact materializations. Default: localCheckpoint —
@@ -29,29 +24,6 @@ object Ops {
     * loop (CheckpointModeSpec pins value-equality of both modes and
     * that reliable mode actually writes checkpoint files).
     */
-  /** Spread a low-parallelism scan across the session's cores before
-    * heavy per-row compute (shingling, BPE encode, byte-gram walks).
-    *
-    * The bench corpora are single-row-group parquet files, so their
-    * scans open as ONE input split and every downstream per-row
-    * expression serializes on one core until the first exchange
-    * (measured: the d04 shingle build ran 1.2-1.9 s on one task of a
-    * 32-core session). Guide §2.5's "input skew: one unsplittable
-    * file → repartition immediately after the read", made
-    * scale-adaptive: the repartition only fires when the scan's
-    * partition count is BELOW the session parallelism, so a
-    * production-scale table (thousands of splits) passes through
-    * untouched — no shuffle is ever added at 100 TB. Locally it costs
-    * one sub-MB round-robin exchange (deterministic under Spark's
-    * sort-before-repartition) and unlocks full-width parallelism for
-    * the expression work above it.
-    */
-  def fanOutSmallScan(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    val parts = try df.rdd.getNumPartitions catch { case _: Throwable => cores }
-    if (parts >= cores) df else df.repartition(cores)
-  }
-
   def checkpointFrame(df: DataFrame, eager: Boolean = false): DataFrame =
     if (df.sparkSession.conf
         .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean)) {
@@ -66,6 +38,59 @@ object Ops {
       out
     } else df.localCheckpoint(eager)
 
+  /** Spread a low-parallelism scan across the session's cores before
+    * heavy per-row compute (shingling, BPE encode, byte-gram walks).
+    *
+    * The bench corpora are single-row-group parquet files, so their
+    * scans open as ONE input split and every downstream per-row
+    * expression serializes on one core until the first exchange
+    * (measured: the d04 shingle build ran 1.2-1.9 s on one task of a
+    * 32-core session). Guide §2.5's "input skew: one unsplittable
+    * file → repartition immediately after the read", made
+    * scale-adaptive: the repartition only fires when the scan cannot
+    * fill the session's cores, so a production-scale table (thousands
+    * of splits) passes through untouched — no shuffle is ever added at
+    * 100 TB. Locally it costs one sub-MB round-robin exchange
+    * (deterministic under Spark's sort-before-repartition) and unlocks
+    * full-width parallelism for the expression work above it.
+    *
+    * The split-count estimate comes from the LOGICAL file relation
+    * (Σ file bytes / maxPartitionBytes) — no physical planning, so a
+    * 100 TB scan never pays a second planning pass here (round-17,
+    * was `df.rdd.getNumPartitions`, which finalizes a physical plan
+    * and can eagerly execute upstream stages if handed a shuffled
+    * plan). Non-file plans (in-memory test frames, post-shuffle
+    * inputs) keep the rdd-based count; intended inputs are scan-only
+    * projections, where that path is never reached.
+    */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val fileLeaves = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          val maxSplit = math.max(1L,
+            spark.sessionState.conf.filesMaxPartitionBytes)
+          Some(math.max(1L, (fs.location.sizeInBytes + maxSplit - 1) / maxSplit))
+        case _ => None
+      }
+      case _ => None
+    }
+    val parts: Long = fileLeaves match {
+      case Seq(Some(n)) => n // single file-scan leaf: split estimate
+      case _ =>
+        try df.rdd.getNumPartitions.toLong
+        catch { case scala.util.control.NonFatal(_) => cores.toLong }
+    }
+    if (parts >= cores) df else df.repartition(cores)
+  }
+
+  /** As-of join: for each left row, the greatest `rightTs` value at or
+    * before its `ts`, per key — via union + running last() window:
+    * ONE shuffle on (key), no custom physical node, no per-key loops.
+    * The classic distributed as-of formulation.
+    */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -606,7 +631,16 @@ object Ops {
     if (algo == "star")
       return connectedComponentsStar(edgePairs, aCol, bCol,
         math.max(maxIterations, 50), idOut, labelOut)._1
+    // ONE materialization of the caller's pair plan (the star-CC
+    // round-16 fix applied to the min-label path): the symmetric edge
+    // view below references `pairs` TWICE, and a bare cache() above
+    // the union executed the caller's full pair-generation plan (for
+    // d06/d12 the posting/verify join chain) once per union branch
+    // when the cache first filled. Checkpointing the directed pairs
+    // first pins that plan to a single execution; the union over the
+    // checkpointed RDD is narrow.
     val pairs = edgePairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .graftCheckpointLazy
     val edges = pairs.union(pairs.select(col("dst"), col("src"))).toDF("src", "dst").cache()
     var labels = edges.groupBy(col("src"))
       .agg(least(first(col("src")), min(col("dst"))).as("lbl"))
@@ -716,14 +750,23 @@ object Ops {
     val nodes = base.select(col("src").as("id"))
       .union(base.select(col("dst").as("id"))).distinct()
 
+    // Round-17 (§2.4, one exchange less per star): the per-node min
+    // used to be a groupBy(src).min + an equi-join back onto the edge
+    // rows — TWO exchanges of the edge set per star (the agg's partial
+    // rows and the join side cannot share one, the partial-agg plans
+    // differ). `min(dst) OVER (PARTITION BY src)` attaches the same
+    // per-src minimum to every row in ONE exchange (+ a partition-local
+    // sort). Value-identical: a window min over the same key equals the
+    // joined-back groupBy min on every row, multiplicities included.
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("m0"))
-        .select(col("src"), least(col("src"), col("m0")).as("m"))
       // no distinct here: smallStar's terminal distinct canonicalizes
       // the round's edge set, and min-aggregations are multiplicity-
       // insensitive — one Exchange less per round
-      sym.join(mins, "src").where(col("dst") > col("src"))
+      sym.withColumn("m", least(col("src"), min(col("dst")).over(wSrc)))
+        .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
     }
 
@@ -731,8 +774,7 @@ object Ops {
       val oriented = e.where(col("src") =!= col("dst"))
         .select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
-      val mins = oriented.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      val j = oriented.join(mins, "src")
+      val j = oriented.withColumn("m", min(col("dst")).over(wSrc))
       j.where(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .union(j.select(col("src"), col("m").as("dst")))

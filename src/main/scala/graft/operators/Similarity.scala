@@ -80,20 +80,56 @@ object Similarity {
       queries: org.apache.spark.sql.DataFrame,
       k: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+      b: Double = 0.75,
+      singlePass: Option[Boolean] = None): org.apache.spark.sql.DataFrame = {
     val tok = docs.select(col("doc_id"), explode(expr(TextAnalysis.sparkWords)).as("w"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(sum(col("dl")).as("ntok"), count(lit(1)).as("ndocs"))
-    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.select(col("doc_id"), col("w")).distinct()
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      // vocabulary is corpus-scaled; only query terms matter downstream
-      .join(broadcast(queries.select(col("term")).distinct()),
-        col("w") === col("term")).drop("term")
-    val scored = tf.join(broadcast(queries), col("w") === col("term"))
-      .join(dl, "doc_id")
-      .join(broadcast(dfreq), "w")
-      .crossJoin(broadcast(stats))
+    // Two value-identical plans (same exact-int64 tf/dl/df/ntok/ndocs
+    // into the shared bm25Rank tail, so identical scores — Round17
+    // Bm25FormSpec pins row equality):
+    //  - multi-pass: tokenize three times (dl, tf, df passes). The df
+    //    pass runs a corpus-wide (doc_id, w) DISTINCT shuffle, but the
+    //    three passes overlap in the broadcast-build threads, which
+    //    wins at small scale where per-pass latency dominates.
+    //  - single-pass (§2.3 "aggregate before you shuffle"): ONE
+    //    tokenize into the (doc_id, w, tf) aggregate, cached; dl is
+    //    sum(tf) per doc and df is the per-term row count of the
+    //    query-term slice of tf — no second or third corpus pass, no
+    //    vocabulary-wide distinct shuffle. Wins once the corpus
+    //    outgrows per-stage latency (×10-corpus A/B in
+    //    OPTIMIZATION_r17.md).
+    // Default picks by the scan's estimated input size — a plan-time
+    // statistic, not a data read; the two forms return identical rows
+    // at any flip point, so the condition can never change results.
+    val usesSingle = singlePass.getOrElse {
+      val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      bytes > (64L << 20) // past 64 MB of docs the pass count dominates
+    }
+    val scored = if (usesSingle) {
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("ntok"), count(lit(1)).as("ndocs"))
+      val dfreq = tf
+        .join(broadcast(queries.select(col("term")).distinct()),
+          col("w") === col("term")).drop("term")
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(queries), col("w") === col("term"))
+        .join(dl, "doc_id")
+        .join(broadcast(dfreq), "w")
+        .crossJoin(broadcast(stats))
+    } else {
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(sum(col("dl")).as("ntok"), count(lit(1)).as("ndocs"))
+      val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select(col("doc_id"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        // vocabulary is corpus-scaled; only query terms matter downstream
+        .join(broadcast(queries.select(col("term")).distinct()),
+          col("w") === col("term")).drop("term")
+      tf.join(broadcast(queries), col("w") === col("term"))
+        .join(dl, "doc_id")
+        .join(broadcast(dfreq), "w")
+        .crossJoin(broadcast(stats))
+    }
     bm25Rank(scored, k, k1, b)
   }
 
@@ -901,11 +937,20 @@ object Similarity {
         // in SQL, so the selection trajectory stays value-gated.
         val poolRows = pool.select($"p_id", $"n_id", $"rel_ppm").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        // cheap guard: the collects are bounded BY CONSTRUCTION
+        // (limit(10) probes x rn<=20 pool); a future upstream edit
+        // that loosened either bound must fail loudly here, not turn
+        // this into a silent corpus-sized driver collect
+        require(poolRows.length <= 10 * 20,
+          s"s11 pool collect grew past its probes*20 bound: ${poolRows.length} rows")
         val simRows = sims.collect()
           .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
           .toMap
-        val picked = poolRows.map(_._1).distinct.sorted.flatMap { p =>
-          val cands = poolRows.filter(_._1 == p)
+        require(simRows.size <= 10 * 20 * 19,
+          s"s11 sims collect grew past its probes*20*19 bound: ${simRows.size} rows")
+        val byProbe = poolRows.groupBy(_._1) // one pass, not a scan per probe
+        val picked = byProbe.keys.toSeq.sorted.flatMap { p =>
+          val cands = byProbe(p)
           var sel = Vector.empty[(Long, Long, Int, Long)] // n_id, rel, rank, score
           for (r <- 1 to 5) {
             val remaining = cands.filter { case (_, n, _) => !sel.exists(_._1 == n) }

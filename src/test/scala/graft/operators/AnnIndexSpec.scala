@@ -435,13 +435,22 @@ class AnnIndexSpec extends SparkTestBase {
     val idx = Ops.readAnnIndex(spark, indexPath)
     @volatile var jobs = 0
     val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // job-group filter: suites run concurrently in the test JVM, so
+    // the listener must only count THIS thread's jobs (the group id
+    // is a thread-local property, inherited by jobs this test starts)
+    val group = s"ann-lazy-${java.util.UUID.randomUUID()}"
+    spark.sparkContext.setJobGroup(group, "O41 laziness pin")
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs += 1
-        descs.add(Option(js.properties)
-          .map(_.getProperty("spark.job.description", "?")).getOrElse("?") +
-          " / " + js.stageInfos.headOption.map(_.name).getOrElse("?"))
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id", "")).getOrElse("")
+        if (g == group) {
+          jobs += 1
+          descs.add(Option(js.properties)
+            .map(_.getProperty("spark.job.description", "?")).getOrElse("?") +
+            " / " + js.stageInfos.headOption.map(_.name).getOrElse("?"))
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -459,7 +468,10 @@ class AnnIndexSpec extends SparkTestBase {
       assert(jobs == 1,
         s"probeAnnIndex(autoScaleFiltered=false) ran ${jobs - 1} eager jobs at call time: " +
           descs.toArray.mkString("; "))
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.sparkContext.clearJobGroup()
+    }
   }
 
   test("O46 binary filtered probe: in-query parity at nprobe=k and recall floors at selectivity 0.1") {

@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * (`skew=true` in the final adaptive plan) with results unchanged.
   */
 class AqeSkewSpec extends SparkTestBase {
+  // conf-mutating suite: isolated SQLConf so concurrent suites
+  // (testForkedParallel) never see this suite's toggles
+  override lazy val spark = graft.SparkTestBase.isolatedSession
+
 
   test("AQE splits a skewed SMJ partition at runtime; results unchanged") {
     import spark.implicits._

@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * shuffle exchange on either side.
   */
 class BucketingSpec extends SparkTestBase {
+  // conf-mutating suite: isolated SQLConf so concurrent suites
+  // (testForkedParallel) never see this suite's toggles
+  override lazy val spark = graft.SparkTestBase.isolatedSession
+
 
   test("bucketed tables join without shuffle exchanges") {
     // uses the default ./spark-warehouse (warehouse.dir is static conf)

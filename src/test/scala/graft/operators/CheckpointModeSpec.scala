@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * way, and reliable mode must actually write to the checkpoint dir.
   */
 class CheckpointModeSpec extends SparkTestBase {
+  // conf-mutating suite: isolated SQLConf so concurrent suites
+  // (testForkedParallel) never see this suite's toggles
+  override lazy val spark = graft.SparkTestBase.isolatedSession
+
 
   test("reliable mode equals local mode on CC + kCore and writes checkpoint files") {
     import spark.implicits._

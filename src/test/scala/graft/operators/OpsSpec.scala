@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** The generic Ops API must reproduce the canned query results. */
 class OpsSpec extends SparkTestBase {
+  // conf-mutating suite: isolated SQLConf so concurrent suites
+  // (testForkedParallel) never see this suite's toggles
+  override lazy val spark = graft.SparkTestBase.isolatedSession
+
 
   test("asofJoin reproduces q23 last-click semantics") {
     import spark.implicits._

@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   * iterator path rather than failing or mis-planning.
   */
 class NativeJoinCodegenSpec extends SparkTestBase {
+  // conf-mutating suite: isolated SQLConf so concurrent suites
+  // (testForkedParallel) never see this suite's toggles
+  override lazy val spark = graft.SparkTestBase.isolatedSession
+
 
   private def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = (p match {
