@@ -55,8 +55,6 @@ run / fork := true
 // unprefixed and machine-parseable.
 // Unscoped so every forked task (run, runMain, test) delegates to it.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1986,25 +1986,48 @@ object Ops {
       "probeSignIndex needs an index written with storeSigs=true")
     require(index.vectors.nonEmpty,
       "probeSignIndex needs an index written with storeVectors=true (exact rerank)")
-    val p = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"),
+    val p0 = probes.select(col(probeIdCol).as("p_id"), col(probeVecCol).as("pe"),
       graft.functions.GraftExpressions.signPack60(col(probeVecCol)).as("psig"))
     // probe→cell routing: identical to probeAnnIndex (driver-resident
     // coarse quantizer, bounded probes x nprobe routing table pushed
-    // as partition-key literals, or the DPP join path)
-    val wProbe = Window.partitionBy(col("p_id")).orderBy(col("_dq").asc, col("_cid"))
+    // as partition-key literals, or the DPP join path).
+    // Round-17 (§2.4 remove repeated passes): with routeOnDriver the
+    // probe BATCH is materialized once into a LOCAL relation — the
+    // routing path already collects a probes-bounded table, and the
+    // former shape re-evaluated the probe sub-plan (scan + sort-limit
+    // + sign-pack) once per broadcast build PLUS once for the routing
+    // collect, and re-ran the probe→cell window INSIDE the main plan
+    // (s15 warm path: ~1/3 of its 33 stage-jobs were these repeats).
+    // Local relations broadcast without a job. Bounded by the probe
+    // batch — the documented serving contract of this mode.
+    val spark = probes.sparkSession
     val cellType = index.sigs.get.schema("cell").dataType
-    val probeCells = p.select(col("p_id"), col("pe")).crossJoin(broadcast(index.centroids))
-      .withColumn("_dq", l2q("pe", "_cx"))
-      .withColumn("_rnp", row_number().over(wProbe))
-      .filter(col("_rnp") <= nprobe)
-      .select(col("p_id"), col("_cid").cast(cellType).as("cell"))
-    val cellFilter: Option[Seq[Any]] =
-      if (!routeOnDriver) None
-      else Some(probeCells.select(col("cell").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSeq match {
-        case ids if cellType == org.apache.spark.sql.types.IntegerType => ids.map(_.toInt)
-        case ids => ids
-      })
+    val wProbe = Window.partitionBy(col("p_id")).orderBy(col("_dq").asc, col("_cid"))
+    def probeCellsOf(pp: DataFrame): DataFrame =
+      pp.select(col("p_id"), col("pe")).crossJoin(broadcast(index.centroids))
+        .withColumn("_dq", l2q("pe", "_cx"))
+        .withColumn("_rnp", row_number().over(wProbe))
+        .filter(col("_rnp") <= nprobe)
+        .select(col("p_id"), col("_cid").cast(cellType).as("cell"))
+    val (p, probeCells, cellFilter) =
+      if (!routeOnDriver) (p0, probeCellsOf(p0), None)
+      else {
+        import scala.jdk.CollectionConverters._
+        val pLocal = spark.createDataFrame(
+          p0.collect().toSeq.asJava, p0.schema)
+        val cellRows = probeCellsOf(pLocal).collect()
+        val cellsLocal = spark.createDataFrame(cellRows.toSeq.asJava,
+          probeCellsOf(pLocal).schema)
+        val ids = cellRows.map(r =>
+          r.get(1) match {
+            case i: Int => i.toLong
+            case l: Long => l
+          }).distinct.toSeq
+        val lits: Seq[Any] =
+          if (cellType == org.apache.spark.sql.types.IntegerType) ids.map(_.toInt)
+          else ids
+        (pLocal, cellsLocal, Some(lits))
+      }
     val sigs = cellFilter
       .map(ids => index.sigs.get.where(col("cell").isin(ids: _*)))
       .getOrElse(index.sigs.get)
