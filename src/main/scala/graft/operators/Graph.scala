@@ -686,12 +686,27 @@ object Graph {
         // 100 TB both forms shuffle the edge list twice per round once
         // the keep-list outgrows broadcast; the window form just stops
         // paying the keep-list aggregation and its broadcast builds.
-        for (_ <- 1 to 5) {
-          val wS = Window.partitionBy($"src")
-          val wD = Window.partitionBy($"dst")
-          e = e.withColumn("_ds", count(lit(1)).over(wS))
-            .withColumn("_dd", count(lit(1)).over(wD))
-            .where($"_ds" >= 3 && $"_dd" >= 3)
+        // Window ORDER alternates per round so adjacent rounds share
+        // one exchange: round r ends partitioned by its second window
+        // key, and round r+1 starts with a window on that SAME key
+        // (filter/project preserve hash partitioning, so the exchange
+        // is elided) — 11 exchanges fall to 7 across the 5 rounds +
+        // final degree agg, which ends on a src-window round so the
+        // groupBy(src) reuses the last partitioning too. The two
+        // window columns are computed on the same input rows before
+        // the filter, so their order within a round cannot change a
+        // value.
+        val wS = Window.partitionBy($"src")
+        val wD = Window.partitionBy($"dst")
+        for (r <- 1 to 5) {
+          val withDegs =
+            if (r % 2 == 1)
+              e.withColumn("_dd", count(lit(1)).over(wD))
+                .withColumn("_ds", count(lit(1)).over(wS))
+            else
+              e.withColumn("_ds", count(lit(1)).over(wS))
+                .withColumn("_dd", count(lit(1)).over(wD))
+          e = withDegs.where($"_ds" >= 3 && $"_dd" >= 3)
             .select($"src", $"dst")
         }
         e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
