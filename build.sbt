@@ -34,7 +34,8 @@ Test / testGrouping := {
   val opts = (Test / forkOptions).value
   val quarantined = Set(
     "graft.operators.DedupScaleSpec",
-    "graft.operators.AnnIndexSpec")
+    "graft.operators.AnnIndexSpec",
+    "graft.operators.Round9bOpsSpec")
   val (q, rest) = tests.partition(t => quarantined(t.name))
   Tests.Group("main", rest, Tests.SubProcess(opts)) +:
     q.map(t => Tests.Group(t.name, Seq(t), Tests.SubProcess(opts)))
@@ -45,7 +46,7 @@ Test / testGrouping := {
 // groups overlap; limitAll(8) keeps overall task parallelism sane.
 Global / concurrentRestrictions := Seq(
   Tags.limitAll(8),
-  Tags.limit(Tags.ForkedTestGroup, 3))
+  Tags.limit(Tags.ForkedTestGroup, 4))
 run / fork := true
 // Forked `run` output must reach stdout RAW: sbt's default LoggedOutput
 // prefixes every line with "[info] ", which breaks any consumer that

@@ -219,11 +219,11 @@ class OpsSpec extends SparkTestBase {
     val canned = graft.SparkEntry.queries("d09_dup_spans")(spark, sfDir)
       .select($"doc_id", $"n_spans", $"n_dup")
     assert(api.except(canned).count() == 0 && canned.except(api).count() == 0)
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
     val hashed = Ops.dupSpans(docs, "doc_id", "text", n = 8, hashKeys = true)
       .select($"doc_id", $"n_spans", $"n_dup")
     assert(hashed.except(canned).count() == 0 && canned.except(hashed).count() == 0)
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
   }
 
   test("randomProjection emits k components matching e02's fold") {
@@ -309,7 +309,7 @@ class OpsSpec extends SparkTestBase {
         .agg(sum(col("dq"))).head().getLong(0)
     val s = (1 to 3).map(sse)
     assert(s(1) <= s(0) && s(2) <= s(1), s"SSE increased across iterations: $s")
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
   }
 
   test("kmeansAssign is partitioning-invariant (integer-sum centroid updates)") {
@@ -323,7 +323,7 @@ class OpsSpec extends SparkTestBase {
     val base = runOn(e)
     val repart = runOn(e.repartition(7, col("label")))
     assert(base == repart)
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
   }
 
   test("bloomSemiJoin equals the plain left_semi join and pre-filters rows") {

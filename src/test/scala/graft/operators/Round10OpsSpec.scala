@@ -56,7 +56,7 @@ class Round10OpsSpec extends SparkTestBase {
       // n_tri can never exceed the wedge count at the node
       assert(nTri <= deg * (deg - 1) / 2, s"more triangles than wedges: $r")
     }
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
   }
 
   test("q63 rollup: leaves sum to flag subtotals sum to the grand total, gid levels complete") {
@@ -74,14 +74,14 @@ class Round10OpsSpec extends SparkTestBase {
       assert(leaves.filter(_._2 == f._2).map(_._5).sum == f._5,
         s"flag ${f._2} subtotal drifted")
     }
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
   }
 
   test("d21 conserves d02's verified pairs: matrix mass == the dup-pair list length") {
     val matrix = graft.SparkEntry.queries("d21_cross_source_dup")(spark, sfDir).collect()
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
     val d02Pairs = graft.SparkEntry.queries("d02_dedup_minhash_lsh")(spark, sfDir).count()
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
     assert(matrix.map(_.getLong(2)).sum == d02Pairs,
       s"matrix mass ${matrix.map(_.getLong(2)).sum} != d02 pair count $d02Pairs")
     // unordered crediting: src_a <= src_b everywhere
@@ -249,7 +249,7 @@ class Round10OpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(rows.keySet == Set(8L, 16L, 32L), s"widths drifted: ${rows.keySet}")
     assert(rows.values.forall(v => v >= 0.0 && v <= 1.0))
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
     // control: truncating at the FULL width must reproduce the exact
     // top-5 (overlap 1.0) — pins that the truncated ranking machinery
     // itself introduces no drift (ties, slicing, ordering)

@@ -103,7 +103,7 @@ class Round7bOpsSpec extends SparkTestBase {
     val canned = q("d15_containment")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(scale == canned, s"scale path diverges: ${scale.diff(canned)} / ${canned.diff(scale)}")
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
   }
 
   test("containmentAtScale capped+pairwise keeps exact values on surviving pairs") {
@@ -119,7 +119,7 @@ class Round7bOpsSpec extends SparkTestBase {
       assert(canned.contains(pair) && canned(pair) == v,
         s"pair $pair: capped $v vs canned ${canned.get(pair)}")
     }
-    spark.catalog.clearCache()
+    // (round 17) global clearCache removed: suites run concurrently on a shared session, and clearing the GLOBAL cache yanks other suites' in-flight cached frames
   }
 
   // ---- t19 shard divergence -------------------------------------
